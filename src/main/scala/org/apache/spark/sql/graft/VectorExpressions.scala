@@ -1,0 +1,231 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `array<float>` columns.
+  *
+  * They live in an `org.apache.spark.sql`-rooted package because
+  * `AbstractDataType` is `private[sql]` in Spark 4 — the same pattern public
+  * Spark extension libraries use. The `graft.functions.VectorFunctions`
+  * facade is the public API.
+  *
+  * These stay inside whole-stage codegen (unlike Scala UDFs or higher-order
+  * function composition), which is what makes brute-force scoring of large
+  * embedding tables viable: the scan → score → top-K heap pipeline compiles
+  * to one tight loop per partition.
+  *
+  * Accumulation is sequential in double precision — deterministic, and
+  * matching the reference oracle's behaviour (reference: src/eval/oracle.py:36
+  * `brute_force` upcasts to float64 before the dot product).
+  */
+
+/** score = Σ aᵢ·bᵢ over two array<float> columns, double accumulator. */
+case class DotProductF32(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ‖a‖₂ over an array<float> column, double accumulator. */
+case class L2NormF32(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm_f32"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double)$a.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Index of the centroid with max inner product against `vec` —
+  * the IVF assignment/probe primitive. `centroids` is an
+  * array<array<float>> (broadcast literal or column).
+  */
+case class ArgMaxDotF32(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "argmax_dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val d = vec.numElements()
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    val k = cents.numElements()
+    while (c < k) {
+      val cent = cents.getArray(c)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(d, cent.numElements())
+      while (i < n) {
+        acc += vec.getFloat(i).toDouble * cent.getFloat(i).toDouble
+        i += 1
+      }
+      if (acc > bestScore) { bestScore = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val cent = ctx.freshName("cent")
+      s"""
+         |int $best = -1;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $b.numElements(); $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $b.getArray($c);
+         |  int $n = java.lang.Math.min($a.numElements(), $cent.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double)$a.getFloat($i) * (double)$cent.getFloat($i);
+         |  }
+         |  if ($acc > $bestScore) { $bestScore = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Packs sign bits of vec·planeⱼ into a long — cosine-LSH bucket id.
+  * `right` is array<array<float>> of ≤64 hyperplanes.
+  */
+case class HyperplaneSignature(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(ArrayType(FloatType)))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_signature"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val planes = b.asInstanceOf[ArrayData]
+    var sig = 0L
+    var j = 0
+    val k = math.min(planes.numElements(), 64)
+    while (j < k) {
+      val p = planes.getArray(j)
+      var acc = 0.0
+      var i = 0
+      val n = math.min(vec.numElements(), p.numElements())
+      while (i < n) {
+        acc += vec.getFloat(i).toDouble * p.getFloat(i).toDouble
+        i += 1
+      }
+      if (acc > 0.0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val p = ctx.freshName("p")
+      s"""
+         |long $sig = 0L;
+         |int $k = java.lang.Math.min($b.numElements(), 64);
+         |for (int $j = 0; $j < $k; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $p = $b.getArray($j);
+         |  int $n = java.lang.Math.min($a.numElements(), $p.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double)$a.getFloat($i) * (double)$p.getFloat($i);
+         |  }
+         |  if ($acc > 0.0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.search.{CosineLsh, Ivf, IvfModel, QueryVectors, VectorSearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 #13–20: hybrid vector search over embeddings.parquet.
+  *
+  * Exact operators (#13–16, #19) carry DuckDB oracles: the seeded query
+  * vector is rendered into the SQL as the identical doubles the Spark plan
+  * uses (QueryVectors.sqlLit), scores are rounded to 6 dp on both sides
+  * before ranking, ties broken by vec_id — so the compare is exact.
+  * Approximate operators (#17, #18, #20) are rows-only here; their
+  * recall/overlap contracts are asserted in VectorSearchSpec.
+  *
+  * Reference: src/eval/oracle.py:36 (exact), src/baselines/pre_filter.py:7,
+  * src/baselines/post_filter.py:17, src/dataio/loaders.py:143 (IVF),
+  * src/eval/metrics.py:13 (recall@K).
+  */
+object VectorQueries {
+
+  private val K = 10
+  private val q0 = QueryVectors.qvec(0)
+  private val q2 = QueryVectors.qvec(2)
+  private val knnQueries = QueryVectors.batch(4)
+
+  /** Pre/post-filter predicate: label ∈ {0,1,2} (~30% selectivity). */
+  private val filterJson = """{"label":{"in":[0,1,2]}}"""
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  private def pred(s: SparkSession, d: String) =
+    graft.filters.FilterDsl.compile(emb(s, d), graft.filters.FilterDsl.parseJson(filterJson))
+
+  // ---- exact (oracle-checked) ----
+
+  def vecTopK(s: SparkSession, d: String): DataFrame =
+    VectorSearch.topK(emb(s, d), q0, K)
+
+  val vecTopKSql: String =
+    s"""SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), ${QueryVectors.sqlLit(q0)}), 6) AS score
+       |FROM embeddings ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+
+  def vecPrefilterTopK(s: SparkSession, d: String): DataFrame =
+    VectorSearch.topK(emb(s, d), q0, K, Some(pred(s, d)))
+
+  val vecPrefilterTopKSql: String =
+    s"""SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), ${QueryVectors.sqlLit(q0)}), 6) AS score
+       |FROM embeddings WHERE label IN (0,1,2) ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+
+  def vecPostfilterLadder(s: SparkSession, d: String): DataFrame =
+    VectorSearch.postFilterLadder(emb(s, d), q2, pred(s, d), K)
+
+  val vecPostfilterLadderSql: String =
+    s"""WITH scored AS (
+       |  SELECT vec_id, label,
+       |         round(list_dot_product(CAST(embedding AS DOUBLE[]), ${QueryVectors.sqlLit(q2)}), 6) AS score
+       |  FROM embeddings),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rnk,
+       |         (label IN (0,1,2)) AS pass
+       |  FROM scored),
+       |chosen AS (
+       |  SELECT CASE WHEN (SELECT count(*) FROM ranked WHERE rnk <= 200 AND pass) >= $K THEN 200
+       |              WHEN (SELECT count(*) FROM ranked WHERE rnk <= 500 AND pass) >= $K THEN 500
+       |              ELSE 1000 END AS kp)
+       |SELECT vec_id, score FROM ranked, chosen
+       |WHERE rnk <= kp AND pass ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+
+  def vecKnnJoin(s: SparkSession, d: String): DataFrame =
+    VectorSearch.knnJoin(emb(s, d), knnQueries, 5)
+
+  val vecKnnJoinSql: String = {
+    val values = knnQueries
+      .map { case (qid, v) => s"(CAST($qid AS BIGINT), ${QueryVectors.sqlLit(v)})" }
+      .mkString(",\n  ")
+    s"""WITH q(qid, qv) AS (VALUES
+       |  $values),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+       |  FROM embeddings e CROSS JOIN q),
+       |ranked AS (
+       |  SELECT qid, vec_id, score,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** ensure_unit_l2 (reference validators.py:38): norms within 1e-3 of 1. */
+  def vecNormCheck(s: SparkSession, d: String): DataFrame = {
+    val n = l2Norm(col("embedding"))
+    emb(s, d).agg(
+      count(lit(1)).as("n"),
+      round(min(n), 6).as("min_norm"),
+      round(max(n), 6).as("max_norm"),
+      sum(when(abs(n - lit(1.0)) > 0.001, 1L).otherwise(0L)).as("violations"))
+  }
+
+  val vecNormCheckSql: String =
+    """SELECT count(*) AS n,
+      |  round(min(nn), 6) AS min_norm,
+      |  round(max(nn), 6) AS max_norm,
+      |  CAST(sum(CASE WHEN abs(nn - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |FROM (SELECT sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nn
+      |      FROM embeddings)""".stripMargin
+
+  // ---- approximate (rows-only; recall contracts in VectorSearchSpec) ----
+
+  /** One IVF model per sf dir — training is deterministic (seed 42), so
+    * memoizing only saves repeated KMeans fits within a Verify/Bench run. */
+  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+
+  def ivfModel(s: SparkSession, d: String): IvfModel =
+    ivfCache.computeIfAbsent(d, _ => {
+      val e = emb(s, d)
+      Ivf.build(e, Ivf.pickNlist(e.count()))
+    })
+
+  def vecIvfTopK(s: SparkSession, d: String): DataFrame =
+    ivfModel(s, d).search(q0, nprobe = 32, k = K)
+
+  def vecRecallIvf(s: SparkSession, d: String): DataFrame = {
+    val model = ivfModel(s, d)
+    val e = emb(s, d)
+    val perQ = knnQueries.map { case (qid, v) =>
+      (model.search(v, nprobe = 32, k = K).withColumn("qid", lit(qid)),
+       VectorSearch.topK(e, v, K).withColumn("qid", lit(qid)))
+    }
+    val ivfAll = perQ.map(_._1).reduce(_ unionAll _)
+    val exactAll = perQ.map(_._2).reduce(_ unionAll _)
+    VectorSearch.recallAtK(ivfAll, exactAll, K)
+  }
+
+  def vecLshTopK(s: SparkSession, d: String): DataFrame = {
+    val planes = CosineLsh.planes(QueryVectors.Dim, bits = 10)
+    CosineLsh.search(emb(s, d), q0, planes, K)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_topk" -> (vecTopK _),
+    "vec_prefilter_topk" -> (vecPrefilterTopK _),
+    "vec_postfilter_ladder" -> (vecPostfilterLadder _),
+    "vec_knn_join" -> (vecKnnJoin _),
+    "vec_norm_check" -> (vecNormCheck _),
+    "vec_ivf_topk" -> (vecIvfTopK _),
+    "vec_recall_ivf" -> (vecRecallIvf _),
+    "vec_lsh_topk" -> (vecLshTopK _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "vec_topk" -> vecTopKSql,
+    "vec_prefilter_topk" -> vecPrefilterTopKSql,
+    "vec_postfilter_ladder" -> vecPostfilterLadderSql,
+    "vec_knn_join" -> vecKnnJoinSql,
+    "vec_norm_check" -> vecNormCheckSql
+  )
+}

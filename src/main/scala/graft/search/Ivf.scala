@@ -39,11 +39,11 @@ final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
   }
 
   /** Top-K IP search probing nprobe lists, optional extra predicate. */
-  def search(query: DataFrame, qvec: Array[Float], nprobe: Int, k: Int,
+  def search(qvec: Array[Float], nprobe: Int, k: Int,
              pred: Option[Column] = None): DataFrame = {
     val lists = probes(qvec, nprobe)
     val base = indexed.where(col("list_id").isin(lists: _*))
-    VectorSearch.topK(pred.map(base.where).getOrElse(base), query, k)
+    VectorSearch.topK(pred.map(base.where).getOrElse(base), qvec, k)
   }
 
   /** Persist partitioned by list_id → probe-time partition pruning. */
@@ -112,11 +112,11 @@ object CosineLsh {
     sig +: (0 until bits).map(b => sig ^ (1L << b))
 
   /** Top-K within the query's (multiprobe) buckets. */
-  def search(emb: DataFrame, query: DataFrame, qvec: Array[Float],
+  def search(emb: DataFrame, qvec: Array[Float],
              planes: Array[Array[Float]], k: Int, probeHamming1: Boolean = true): DataFrame = {
     val sig = signature(qvec, planes)
     val buckets = if (probeHamming1) multiprobe(sig, planes.length) else Seq(sig)
     val bucketed = withBucket(emb, planes).where(col("bucket").isin(buckets: _*))
-    VectorSearch.topK(bucketed, query, k)
+    VectorSearch.topK(bucketed, qvec, k)
   }
 }

@@ -1,0 +1,48 @@
+package graft.search
+
+/** Deterministic seeded query vectors (SURVEY.md §3).
+  *
+  * The reference ships a queries.parquet of fixed query embeddings
+  * (artifacts/artifacts.py `write_queries`); the driver testdata has no
+  * query table, so queries are derived in-code from a fixed seed — both
+  * the Spark plan and the DuckDB oracle SQL render the SAME doubles, so
+  * correctness compares are exact.
+  */
+object QueryVectors {
+
+  val Dim = 64
+
+  /** L2-normalized gaussian query vector, deterministic per (seed, qid). */
+  def qvec(qid: Int, seed: Long = 42L): Array[Float] = {
+    val rng = new scala.util.Random(seed + qid)
+    val v = Array.fill(Dim)(rng.nextGaussian())
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / norm).toFloat)
+  }
+
+  def batch(n: Int, seed: Long = 42L): Seq[(Long, Array[Float])] =
+    (0 until n).map(i => (i.toLong, qvec(i, seed)))
+
+  /** Render as a DuckDB DOUBLE[] literal. `Float.toDouble.toString` is the
+    * shortest decimal that round-trips, so DuckDB parses the exact same
+    * double the Spark expression computes with. */
+  def sqlLit(v: Array[Float]): String =
+    v.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+}
+
+/** Local (driver-side) float-vector math, double accumulation — the same
+  * sequential order as the DotProductF32 codegen, so spec baselines and
+  * IVF probe ranking agree bit-for-bit with the distributed path. */
+object VecMath {
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Round half-up to 6 dp — matches Spark's `round` (BigDecimal HALF_UP). */
+  def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

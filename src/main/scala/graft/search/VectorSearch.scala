@@ -13,72 +13,110 @@ import org.apache.spark.sql.functions._
   * resolution is far below any meaningful similarity gap.
   *
   * Scale notes: `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
-  * a per-partition heap + O(k) driver merge, never a global sort. The
-  * query side is always broadcast; the embedding side streams through
-  * whole-stage-codegen'd scoring.
+  * a per-partition heap + O(k) driver merge, never a global sort. Query
+  * vectors enter the plan as literals (broadcast with the closure); the
+  * embedding side streams through whole-stage-codegen'd scoring.
   */
 object VectorSearch {
 
-  /** Score every row of `emb` against the single-row `query(qvec)` frame. */
-  private def scored(emb: DataFrame, query: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(query))
-      .withColumn("score", round(dot(col("embedding"), col("qvec")), 6))
+  /** Add a 6dp-rounded IP score column against a fixed query vector. */
+  def withScore(emb: DataFrame, qv: Array[Float]): DataFrame =
+    emb.withColumn("score", round(dot(col("embedding"), typedlit(qv.toSeq)), 6))
 
   /** Brute-force top-K inner product, optionally within a filtered subset.
     * The reference's `exact` / `pre_filter` backends
     * (src/eval/oracle.py:36, src/baselines/pre_filter.py:7): filter first,
     * score only survivors — the filter reaches the parquet scan.
     */
-  def topK(emb: DataFrame, query: DataFrame, k: Int, pred: Option[Column] = None): DataFrame = {
+  def topK(emb: DataFrame, qv: Array[Float], k: Int, pred: Option[Column] = None): DataFrame = {
     val base = pred.map(emb.where).getOrElse(emb)
-    scored(base, query)
+    withScore(base, qv)
       .select(col("vec_id"), col("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(k)
   }
 
   /** Post-filter baseline (reference src/baselines/post_filter.py:17):
-    * rank ALL vectors by similarity, take the top K′ as candidates, apply
-    * the filter, and widen K′ up the ladder until ≥K survive (or the
-    * ladder is exhausted). Returns the top-K survivors.
+    * rank ALL vectors by similarity, take the top K′ candidates, apply the
+    * filter, and widen K′ up the ladder until ≥K survive (or the ladder is
+    * exhausted); return the top-K survivors.
     *
-    * The ladder loop is driver-coordinated (≤ ladder.size tiny jobs), each
-    * rung a distributed TakeOrdered — same shape as the reference's
-    * retry loop around its ANN index.
+    * Scale shape: ONE distributed job — a TakeOrderedAndProject of the
+    * max rung (O(K′ₘₐₓ) rows to the driver, per-partition heaps, no cache,
+    * no global sort). The ladder logic then runs driver-side over those
+    * ≤K′ₘₐₓ rows, which is semantically identical to the reference's retry
+    * loop (top-200 ⊆ top-500 ⊆ top-1000) without re-scanning per rung.
     */
   def postFilterLadder(
       emb: DataFrame,
-      query: DataFrame,
+      qv: Array[Float],
       pred: Column,
       k: Int,
       ladder: Seq[Int] = Seq(200, 500, 1000)): DataFrame = {
-    val sc = scored(emb, query).cache()
-    try {
-      var result: DataFrame = null
-      val it = ladder.iterator
-      while (result == null && it.hasNext) {
-        val kprime = it.next()
-        val kept = sc.orderBy(desc("score"), col("vec_id")).limit(kprime).where(pred)
-        if (kept.count() >= k || !it.hasNext) {
-          result = kept.select(col("vec_id"), col("score"))
-            .orderBy(desc("score"), col("vec_id"))
-            .limit(k)
-        }
-      }
-      // materialize before unpersisting the candidate cache
-      val out = result.localCheckpoint(eager = true)
-      out
-    } finally sc.unpersist()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val maxRung = ladder.max
+    val cand = withScore(emb, qv)
+      .withColumn("pass", coalesce(pred, lit(false)))
+      .select(col("vec_id").cast("long"), col("score"), col("pass"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(maxRung)
+      .as[(Long, Double, Boolean)]
+      .collect() // ≤ maxRung rows by contract — the one driver-side hop
+    val chosen = ladder.sorted
+      .find(kp => cand.take(kp).count(_._3) >= k)
+      .getOrElse(maxRung)
+    val kept = cand.take(chosen).filter(_._3).take(k).map { case (id, s, _) => (id, s) }
+    spark.createDataset(kept.toSeq).toDF("vec_id", "score")
   }
 
-  /** Batch kNN join: every query row against every item, keep top-k per
-    * query. Queries are broadcast; ranking shuffles once on qid.
-    * At 100 TB the IVF path (Ivf.scala) bounds the scored set instead.
+  /** Batch kNN join: top-k neighbors per query, all queries in one pass.
+    *
+    * Two-stage top-K (the scale-safe shape): stage 1 is a mapPartitions
+    * with one bounded k-heap per query — each input partition emits at
+    * most Q×k rows and the N×Q scored candidates are never shuffled;
+    * stage 2 ranks the surviving Q×P×k rows with a tiny window. Compared
+    * to a single `Window.partitionBy(qid)` over all scored rows this
+    * shrinks the shuffle by ~N/(P·k) and removes the low-cardinality-qid
+    * skew (every partition would otherwise land on Q reducers).
     */
-  def knnJoin(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnJoin(emb: DataFrame, queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(queries.toArray)
+
+    val partial = emb
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        // per-query bounded heap; head = current worst of the kept k
+        val worstFirst: Ordering[(Double, Long)] = Ordering.fromLessThan {
+          (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        }
+        val heaps = Array.fill(qs.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        it.foreach { case (id, vec) =>
+          var q = 0
+          while (q < qs.length) {
+            val s = VecMath.round6(VecMath.dot(vec, qs(q)._2))
+            val h = heaps(q)
+            if (h.size < k) h.enqueue((s, id))
+            else {
+              val (ws, wid) = h.head
+              if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (s, id) => (qs(q)._1, id, s) }
+        }
+      }
+      .toDF("qid", "vec_id", "score")
+
     val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
-    emb.crossJoin(broadcast(queries))
-      .withColumn("score", round(dot(col("embedding"), col("qvec")), 6))
+    partial
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("score"))

@@ -1,0 +1,127 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.search._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector search contracts: expression correctness (codegen vs local math),
+  * exact-operator semantics, and recall bounds for the approximate paths
+  * (reference src/eval/metrics.py:13 compute_recall).
+  */
+class VectorSearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private val q0 = QueryVectors.qvec(0)
+
+  test("DotProductF32 matches local double-accumulated dot (codegen path)") {
+    val rows = emb.limit(50)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), typedlit(q0.toSeq)).as("s"))
+      .as[(Long, Array[Float], Double)].collect()
+    rows.foreach { case (_, v, s) =>
+      assert(math.abs(s - VecMath.dot(v, q0)) < 1e-12)
+    }
+  }
+
+  test("L2NormF32: embeddings are unit-norm within 1e-3") {
+    val bad = emb.select(l2Norm(col("embedding")).as("n"))
+      .where(abs(col("n") - 1.0) > 0.001).count()
+    assert(bad == 0)
+  }
+
+  test("topK matches a local brute-force oracle") {
+    val got = VectorSearch.topK(emb, q0, 10).as[(Long, Double)].collect().toSeq
+    val want = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => (id, VecMath.round6(VecMath.dot(v, q0))) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(got == want)
+  }
+
+  test("postFilterLadder == pre-filter topK when the max rung covers N") {
+    // N=500 ≤ maxRung=1000, so the ladder must equal filter-then-topK.
+    val pred = col("label").isin(0, 1, 2)
+    val ladder = VectorSearch.postFilterLadder(emb, q0, pred, 10)
+      .as[(Long, Double)].collect().toSeq
+    val exact = VectorSearch.topK(emb, q0, 10, Some(pred))
+      .as[(Long, Double)].collect().toSeq
+    assert(ladder == exact)
+  }
+
+  test("postFilterLadder stops early when a low rung already has K survivors") {
+    // selective-enough predicate: ladder picks rung 200 and still agrees
+    // with the oracle on the survivors it returns
+    val pred = col("vec_id") < 400
+    val got = VectorSearch.postFilterLadder(emb, q0, pred, 5, Seq(200, 500, 1000))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.size == 5)
+    assert(got.forall(_._1 < 400))
+  }
+
+  test("knnJoin equals per-query topK") {
+    val qs = QueryVectors.batch(3)
+    val got = VectorSearch.knnJoin(emb, qs, 5)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val want = qs.flatMap { case (qid, v) =>
+      VectorSearch.topK(emb, v, 5).as[(Long, Double)].collect()
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("recallAtK is 1.0 on identical inputs, 0.0 on disjoint") {
+    val a = Seq((0L, 1L), (0L, 2L)).toDF("qid", "vec_id")
+    val b = Seq((0L, 3L), (0L, 4L)).toDF("qid", "vec_id")
+    assert(VectorSearch.recallAtK(a, a, 2).as[(Long, Double)].head()._2 == 1.0)
+    assert(VectorSearch.recallAtK(b, a, 2).as[(Long, Double)].head()._2 == 0.0)
+  }
+
+  test("IVF search recall@10 >= 0.8 over 4 queries (nprobe=12/16 lists)") {
+    // synthetic gaussian embeddings barely cluster, so recall tracks the
+    // probed fraction; real corpora do much better at low nprobe/nlist
+    val model = Ivf.build(emb, nlist = 16)
+    val qs = QueryVectors.batch(4)
+    val perQ = qs.map { case (qid, v) =>
+      (model.search(v, nprobe = 12, k = 10).withColumn("qid", lit(qid)),
+       VectorSearch.topK(emb, v, 10).withColumn("qid", lit(qid)))
+    }
+    val recalls = VectorSearch
+      .recallAtK(perQ.map(_._1).reduce(_ unionAll _), perQ.map(_._2).reduce(_ unionAll _), 10)
+      .as[(Long, Double)].collect()
+    assert(recalls.length == 4)
+    val mean = recalls.map(_._2).sum / recalls.length
+    assert(mean >= 0.8, s"mean IVF recall $mean < 0.8: ${recalls.mkString(",")}")
+  }
+
+  test("IVF probing all lists == exact topK (recall 1.0)") {
+    val model = Ivf.build(emb, nlist = 16)
+    val got = model.search(q0, nprobe = 16, k = 10).as[(Long, Double)].collect().toSeq
+    val want = VectorSearch.topK(emb, q0, 10).as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("HyperplaneSignature expression matches local signature math") {
+    val planes = CosineLsh.planes(QueryVectors.Dim, bits = 10)
+    val rows = CosineLsh.withBucket(emb.limit(50), planes)
+      .select(col("embedding"), col("bucket")).as[(Array[Float], Long)].collect()
+    rows.foreach { case (v, b) =>
+      assert(b == CosineLsh.signature(v, planes))
+    }
+  }
+
+  test("LSH bucketed search returns valid scores overlapping exact topK") {
+    val planes = CosineLsh.planes(QueryVectors.Dim, bits = 6)
+    val got = CosineLsh.search(emb, q0, planes, 10).as[(Long, Double)].collect()
+    assert(got.nonEmpty && got.length <= 10)
+    val exactScores = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> VecMath.round6(VecMath.dot(v, q0)) }.toMap
+    got.foreach { case (id, s) => assert(exactScores(id) == s) }
+    val exactTop = VectorSearch.topK(emb, q0, 10).as[(Long, Double)].collect().map(_._1).toSet
+    assert(got.map(_._1).count(exactTop) > 0, "no overlap with exact top-10")
+  }
+}

@@ -1,0 +1,194 @@
+package graft.dedup
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text/embedding corpora
+  * (LLM-pipeline extension; SURVEY.md §2 #21–25).
+  *
+  * Every operator is a declarative column pipeline whose only shuffles are
+  * the groupBy/join on its blocking key — never an all-pairs cross join:
+  *   - exact:     one hash-aggregate on the content hash;
+  *   - jaccard:   candidate pairs restricted to a blocking key (min token
+  *                hash — a 1-permutation MinHash), verified exactly;
+  *   - minhash:   banded MinHash-LSH bucket join, verified exactly;
+  *   - simhash:   16-bit chunk blocking (pigeonhole: hamming ≤ 3 pairs
+  *                must share one of 4 chunks), verified by bit_count;
+  *   - embedding: cosine-LSH bucket join (hyperplane signatures, hamming-1
+  *                multiprobe), verified by exact dot product.
+  * Oversized LSH buckets are dropped by a size cap (skew/adversarial
+  * safety at 100 TB: a degenerate bucket can't quadratically explode).
+  */
+object Dedup {
+
+  /** Distinct lowercase whitespace tokens of `text`. */
+  private def tokens(c: Column): Column =
+    array_distinct(split(lower(c), " "))
+
+  // ---- #21 exact -------------------------------------------------------
+
+  /** Exact dedup: group identical texts by content hash, keep the min id.
+    * One map-side-combined hash aggregate — the 100 TB shape. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy(col("keep_id"))
+
+  // ---- #24 exact token-set Jaccard with MinHash blocking ---------------
+
+  /** Jaccard near-dup pairs (≥ tau) among docs sharing a blocking key:
+    * the min MD5 of their token set (a 1-permutation MinHash). Two docs
+    * with Jaccard J share the min-hash token with probability ≥ J, so
+    * blocking recall at tau=0.95 is ≥95%; candidates are verified with
+    * the exact intersect/union ratio. */
+  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"),
+      tokens(col("text")).as("ts"))
+      .withColumn("blk", array_min(transform(col("ts"), t => md5(t.cast("binary")))))
+    val a = toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"), col("blk"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("jac",
+        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          size(array_union(col("ts_a"), col("ts_b"))), 6))
+      .where(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- #22 MinHash + banded LSH ---------------------------------------
+
+  /** MinHash signature columns: perm_j(x) = (a_j·x + b_j) mod p over the
+    * token hashes, minimised per doc. Permutation constants are seeded and
+    * stay below 2^31 so the Long arithmetic cannot overflow. */
+  private val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  private def minhashParams(perms: Int, seed: Long): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(perms)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+                       rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Candidate pairs from banded MinHash-LSH, verified with exact Jaccard.
+    *
+    * bands×rows perms; a pair lands in the same bucket of some band with
+    * prob 1-(1-J^rows)^bands (≈0.9999 at J=0.95 with 8×4). The bucket
+    * join is the only shuffle over the corpus; buckets larger than
+    * `maxBucket` are dropped (documented precision/recall trade at scale).
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      tau: Double,
+      bands: Int = 8,
+      rows: Int = 4,
+      seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val params = minhashParams(bands * rows, seed)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
+      .withColumn("hs", transform(col("ts"), t => pmod(xxhash64(t), lit(MinhashPrime))))
+    val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(MinhashPrime)))).as(s"m$j")
+    }
+    val sig = toks.select(col("doc_id") +: col("ts") +: sigCols.toSeq: _*)
+    val bandKeys = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        xxhash64((bd * rows until (bd + 1) * rows).map(j => col(s"m$j")): _*).as("key"))
+    }
+    val exploded = sig
+      .withColumn("bk", explode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("ts"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // drop degenerate buckets before the self-join (skew safety)
+    val sized = exploded
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .where(col("bsz") <= maxBucket)
+    val a = sized.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"), col("band"), col("key"))
+    val b = sized.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("ts_a"), col("ts_b"))
+      .distinct() // a pair may collide in several bands
+      .withColumn("jac",
+        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
+          size(array_union(col("ts_a"), col("ts_b"))), 6))
+      .where(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- #23 SimHash -----------------------------------------------------
+
+  /** 64-bit SimHash of the token set: bit j of the signature is the sign
+    * of Σ_tokens (±1 by bit j of the token hash). Pure aggregate over the
+    * exploded tokens — no UDF, stays in codegen. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("sig"))
+  }
+
+  /** Near-dup pairs with hamming(sig_a, sig_b) ≤ maxHamming (≤ 15).
+    * Blocking: split the 64-bit signature into 4 16-bit chunks — by
+    * pigeonhole, any pair within hamming 3 agrees on ≥1 chunk, so the
+    * chunk-equality join finds all of them without an all-pairs pass. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is exact only for hamming <= 3")
+    val sigs = simhashSignatures(docs)
+    val chunked = sigs.withColumn("chunk", explode(array(
+      (0 until 4).map(i =>
+        struct(lit(i).as("cid"),
+          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cval"))): _*)))
+      .select(col("doc_id"), col("sig"), col("chunk.cid").as("cid"), col("chunk.cval").as("cval"))
+    val a = chunked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("cid"), col("cval"))
+    val b = chunked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("cid"), col("cval"))
+    a.join(b, Seq("cid", "cval"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct() // pairs can share several chunks
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- #25 embedding cosine via cosine-LSH buckets ---------------------
+
+  /** Embedding near-dup pairs (cosine ≥ tau, unit-norm inputs so cosine =
+    * dot). Blocking: hyperplane LSH buckets with hamming-1 multiprobe —
+    * the probe side emits its bucket plus all 1-bit flips, the build side
+    * only its bucket, so every pair within hamming ≤ 1 meets exactly once
+    * under doc_a < doc_b. The bucket join is the only shuffle; recall is
+    * probabilistic (measured in DedupSpec), precision exact. */
+  def embeddingPairs(
+      emb: DataFrame,
+      tau: Double,
+      bits: Int = 4,
+      dim: Int = graft.search.QueryVectors.Dim,
+      seed: Long = 42L): DataFrame = {
+    val planes = graft.search.CosineLsh.planes(dim, bits, seed)
+    val sig = graft.search.CosineLsh.withBucket(emb, planes)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    val probes = sig.withColumn("pkey",
+      explode(array(col("bucket") +: (0 until bits).map(j =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1L), j))): _*)))
+      .select(col("vec_id").as("doc_a"), col("embedding").as("e_a"), col("pkey"))
+    val build = sig.select(col("vec_id").as("doc_b"), col("embedding").as("e_b"),
+      col("bucket").as("pkey"))
+    probes.join(build, Seq("pkey"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("cos", round(dot(col("e_a"), col("e_b")), 6))
+      .where(col("cos") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("cos"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SURVEY.md §2 #21–25: the dedup suite over documents/embeddings.
+  *
+  * dedup_exact / dedup_jaccard carry DuckDB oracles (both engines compute
+  * the identical blocking + verify pipeline). The LSH-family operators
+  * (minhash / simhash / embedding) hash with engine-native xxhash64 or
+  * seeded hyperplanes, so they are rows-only here; their recall/precision
+  * contracts vs exact baselines live in DedupSpec.
+  */
+object DedupQueries {
+
+  val JaccardTau = 0.95
+  val CosineTau = 0.4
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  def dedupJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau)
+
+  val dedupJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, ts,
+       |         list_aggregate(list_apply(ts, t -> md5(t)), 'min') AS blk
+       |  FROM toks)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |             / len(list_distinct(a.ts || b.ts)), 6) AS jac
+       |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |            / len(list_distinct(a.ts || b.ts)), 6) >= $JaccardTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), JaccardTau)
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(s, d), CosineTau)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.search.VecMath
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup contracts. Exact ops are checked against local baselines; the
+  * LSH-family ops assert exact precision (every returned pair truly passes
+  * the threshold) and measured recall vs the exact all-pairs baseline.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  /** Local token-set Jaccard over all pairs. */
+  private lazy val localJaccard: Map[(Long, Long), Double] = {
+    val ts = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.toLowerCase.split(" ").distinct.toSet }
+      .sortBy(_._1)
+    (for {
+      i <- ts.indices.iterator
+      j <- (i + 1) until ts.length
+    } yield {
+      val (ia, sa) = ts(i); val (ib, sb) = ts(j)
+      (ia, ib) -> VecMath.round6(sa.intersect(sb).size.toDouble / sa.union(sb).size)
+    }).toMap
+  }
+
+  test("exact dedup groups by content hash and keeps min id") {
+    val out = Dedup.exact(docs).as[(String, Long, Long)].collect()
+    val nDocs = docs.count()
+    assert(out.map(_._3).sum == nDocs)
+    assert(out.map(_._2).distinct.length == out.length)
+    // dup groups (if any) keep the smallest id
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val byText = texts.groupBy(_._2).map { case (_, g) => (g.map(_._1).min, g.length) }.toSet
+    assert(out.map(t => (t._2, t._3)).toSet == byText)
+  }
+
+  test("jaccardPairs: exact precision, blocking recall >= 0.9 at tau=0.95") {
+    val got = Dedup.jaccardPairs(docs, 0.95).as[(Long, Long, Double)].collect()
+    got.foreach { case (a, b, j) =>
+      assert(localJaccard((a, b)) == j, s"pair ($a,$b)")
+      assert(j >= 0.95)
+    }
+    val truth = localJaccard.filter(_._2 >= 0.95).keySet
+    assert(truth.nonEmpty, "test data has no high-jaccard pairs")
+    val recall = got.map(t => (t._1, t._2)).count(truth) / truth.size.toDouble
+    assert(recall >= 0.9, s"blocking recall $recall")
+  }
+
+  test("minhashLshPairs: exact precision, recall >= 0.9 vs all-pairs at tau=0.95") {
+    val got = Dedup.minhashLshPairs(docs, 0.95).as[(Long, Long, Double)].collect()
+    got.foreach { case (a, b, j) => assert(localJaccard((a, b)) == j && j >= 0.95) }
+    val truth = localJaccard.filter(_._2 >= 0.95).keySet
+    val recall = got.map(t => (t._1, t._2)).count(truth) / truth.size.toDouble
+    assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhashPairs finds all pairs within hamming 3 of its signatures") {
+    val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().sortBy(_._1)
+    val want = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield (sigs(i)._1, sigs(j)._1, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, 3).as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty, "no simhash near-dups in test data")
+  }
+
+  test("embeddingPairs: exact precision, nonempty, subset of brute-force") {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toMap
+    val got = Dedup.embeddingPairs(emb, 0.4).as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "LSH-blocked cosine pairs empty")
+    got.foreach { case (a, b, c) =>
+      assert(VecMath.round6(VecMath.dot(vecs(a), vecs(b))) == c && c >= 0.4)
+    }
+    // recall vs brute force is probabilistic; just require a real fraction
+    val truth = (for {
+      (ia, va) <- vecs.iterator; (ib, vb) <- vecs.iterator if ia < ib
+      if VecMath.round6(VecMath.dot(va, vb)) >= 0.4
+    } yield (ia, ib)).toSet
+    val recall = got.map(t => (t._1, t._2)).count(truth) / truth.size.toDouble
+    assert(recall >= 0.2, s"LSH cosine recall $recall of ${truth.size}")
+  }
+}

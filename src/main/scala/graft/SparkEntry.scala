@@ -13,10 +13,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (RelationalQueries.q1Pricing _)
-  ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all
+  ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all ++ TextQueries.all
 
   /** DuckDB-runnable ANSI SQL twin per query (same column names/order-by). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" -> RelationalQueries.q1PricingSql
-  ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles
+  ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 #26–29: text analysis over documents.parquet, each with a
+  * DuckDB oracle computing the identical formula (same doubles, 6 dp).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withTokenCounts(docs(s, d)).orderBy("doc_id")
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withQuality(docs(s, d)).orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(",")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS len,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS DOUBLE) AS stophits,
+       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) AS alpha
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len AS BIGINT) AS len_chars,
+       |  CAST(ntok AS BIGINT) AS n_tokens,
+       |  round((len - ntok + 1.0) / ntok, 6) AS avg_token_len,
+       |  round(stophits / ntok, 6) AS stopword_ratio,
+       |  round(alpha / len, 6) AS alpha_ratio,
+       |  round(least(1.0, ntok / 100.0) * 0.4
+       |        + least(1.0, (stophits / ntok) * 10.0) * 0.3
+       |        + (alpha / len) * 0.3, 6) AS quality_score
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withLangId(docs(s, d)).orderBy("doc_id")
+
+  val textLangidSql: String = {
+    val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString(",")
+      s"CAST(len(list_filter(ts, t -> t IN ($lst))) AS DOUBLE) / ntok AS s_$lang"
+    }.mkString(",\n    ")
+    val bestExpr = TextAnalysis.LangMarkers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val caseArms = TextAnalysis.LangMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND best > 0.0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts,
+       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $scoreExprs
+       |  FROM t),
+       |b AS (SELECT *, $bestExpr AS best FROM sc)
+       |SELECT doc_id,
+       |  CASE $caseArms ELSE 'und' END AS lang_pred,
+       |  round(best, 6) AS lang_score
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withFingerprint(docs(s, d)).orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    [CAST(0 AS BIGINT)] || list_apply(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 4294967296) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql
+  )
+}

@@ -12,11 +12,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> (RelationalQueries.q1Pricing _)
-  ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all ++ TextQueries.all
+    "q1_pricing" -> (RelationalQueries.q1Pricing _),
+    "q3_priority" -> (RelationalQueries.q3Priority _),
+    "q5_region" -> (RelationalQueries.q5Region _),
+    "top_customers" -> (RelationalQueries.topCustomers _)
+  ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all ++
+    TextQueries.all ++ EventQueries.all
 
   /** DuckDB-runnable ANSI SQL twin per query (same column names/order-by). */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing" -> RelationalQueries.q1PricingSql
-  ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles ++ TextQueries.oracles
+    "q1_pricing" -> RelationalQueries.q1PricingSql,
+    "q3_priority" -> RelationalQueries.q3PrioritySql,
+    "q5_region" -> RelationalQueries.q5RegionSql,
+    "top_customers" -> RelationalQueries.topCustomersSql
+  ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles ++
+    TextQueries.oracles ++ EventQueries.oracles
 }

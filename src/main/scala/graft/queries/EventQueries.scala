@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 #34–35: event-stream analytics in batch form — the exact
+  * twins of the Structured Streaming versions in graft.streaming (same
+  * window / gap semantics), so streaming results can be validated against
+  * these oracle-checked batch plans.
+  */
+object EventQueries {
+
+  private def dec6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  /** #34 tumbling 1-hour window counts/sums per event type. Uses Spark's
+    * `window()` — the same operator the streaming twin uses — and one
+    * map-side-combined aggregate. */
+  def eventsWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val eventsWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** #35 gap-based sessionization (30-min inactivity): lag + running sum
+    * assigns session ids, then one aggregate to session grain. The only
+    * shuffle is the hash partition by user_id the window needs; gap
+    * comparison is exact integer microseconds on both engines. */
+  def eventsSession(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 30L * 60 * 1000000
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec6(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  val eventsSessionSql: String =
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |y AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |                   OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM x),
+      |z AS (
+      |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM y)
+      |SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM z GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_window" -> (eventsWindow _),
+    "events_session" -> (eventsSession _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "events_window" -> eventsWindowSql,
+    "events_session" -> eventsSessionSql
+  )
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event queries (SURVEY.md §2
+  * #36/#38). The batch versions in EventQueries are the oracle-checked
+  * ground truth; these produce the same rows on the same data, verified
+  * by StreamingSpec with MemoryStream.
+  */
+object EventStreaming {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, sid: Long, start_us: Long, end_us: Long,
+                        n_events: Long, sum_value_us: Long)
+
+  /** Per-user state: next session id (persists across session closes, so
+    * numbering matches the batch cumulative-sum ids) and the open session,
+    * if any. value sums are kept in exact integer micro-units (6 dp) so
+    * streaming output equals the batch DECIMAL(18,6) sums bit-for-bit. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long, sumUs: Long)
+  case class UserState(nextSid: Long, open: Option[OpenSession])
+
+  /** #36 streaming tumbling-window counts with watermark — the stream twin
+    * of EventQueries.eventsWindow (same window, same aggregates). */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def microUnits(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.unscaledValue.longValueExact
+
+  /** #38 gap sessionization with flatMapGroupsWithState + event-time
+    * timeout: closed sessions emit as soon as a later event (or the
+    * watermark) proves the gap; the open session emits on timeout.
+    * Semantics match EventQueries.eventsSession (30-min default gap).
+    */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000)
+                (implicit spark: org.apache.spark.sql.SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[UserState]): Iterator[SessionOut] = {
+      var out = List.empty[SessionOut]
+      def close(sid: Long, s: OpenSession): Unit =
+        out ::= SessionOut(userId, sid, s.startUs, s.lastUs, s.n, s.sumUs)
+
+      val prior = state.getOption.getOrElse(UserState(1L, None))
+      if (state.hasTimedOut) {
+        prior.open.foreach(close(prior.nextSid, _))
+        // keep the counter so later sessions continue the batch numbering
+        state.update(UserState(prior.nextSid + 1, None))
+        state.setTimeoutTimestamp(Long.MaxValue / 2000) // effectively never
+      } else {
+        val evs = it.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+        var sid = prior.nextSid
+        var cur = prior.open.orNull
+        evs.foreach { e =>
+          val us = e.ts.getTime * 1000 // ms → µs (testdata is µs-truncated)
+          if (cur == null) {
+            cur = OpenSession(us, us, 1L, microUnits(e.value))
+          } else if (us - cur.lastUs > gapUs) {
+            close(sid, cur)
+            sid += 1
+            cur = OpenSession(us, us, 1L, microUnits(e.value))
+          } else {
+            cur = cur.copy(lastUs = us, n = cur.n + 1, sumUs = cur.sumUs + microUnits(e.value))
+          }
+        }
+        state.update(UserState(sid, Option(cur)))
+        if (cur != null) state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

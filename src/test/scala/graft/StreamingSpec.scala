@@ -1,0 +1,101 @@
+package graft
+
+import graft.streaming.EventStreaming
+import graft.streaming.EventStreaming.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming twins vs their oracle-checked batch counterparts
+  * (SURVEY.md §2 #36/#38): same data through MemoryStream must produce
+  * the same rows the batch plans produce.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  /** Deterministic event sample: 3 users, multi-session gaps. */
+  private def sampleEvents: Seq[Event] = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, offsetMin: Long, typ: String, v: Double) =
+      Event(id, new java.sql.Timestamp(base + offsetMin * 60000), user, typ, v)
+    Seq(
+      ev(1, 1, 0, "view", 1.5), ev(2, 1, 10, "click", 2.0), ev(3, 1, 50, "view", 0.5),
+      ev(4, 1, 200, "purchase", 99.99), // gap > 30min → new session
+      ev(5, 2, 5, "view", 1.0), ev(6, 2, 400, "signup", 0.0), ev(7, 2, 420, "click", 3.25),
+      ev(8, 3, 100, "error", 0.1))
+  }
+
+  test("streaming windowed counts with watermark == batch window agg") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = EventStreaming.windowedCounts(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      // two chunks in event-time order, then a far-future row to push the
+      // watermark past every real window so append-mode emits them
+      val (a, b) = sampleEvents.sortBy(_.ts.getTime).splitAt(4)
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+      stream.addData(Event(99, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("win_counts")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val want = sampleEvents.toDS().toDF()
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+        .select(col("w.start"), col("event_type"), col("n"), col("s"))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(want.subsetOf(got), s"missing ${want -- got}")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization == batch lag+cumsum sessions") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = EventStreaming.sessionize(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val (a, b) = sampleEvents.sortBy(_.ts.getTime).splitAt(5)
+      stream.addData(a: _*); q.processAllAvailable()
+      stream.addData(b: _*); q.processAllAvailable()
+      // advance watermark far past the last event: open sessions time out
+      stream.addData(Event(99, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+      stream.addData(Event(100, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 9, "view", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions").as[SessionOut].collect()
+        .filter(_.user_id != 9)
+        .map(so => (so.user_id, so.sid, so.start_us, so.end_us, so.n_events, so.sum_value_us))
+        .toSet
+
+      // batch twin over the same rows (EventQueries.eventsSession logic)
+      val evs = sampleEvents
+      val want = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e.ts.getTime, e.event_id))
+        var sid = 0L; var sessions = List.empty[(Long, Long, Long, Long, Long, Long)]
+        var cur: Option[(Long, Long, Long, Long)] = None // start, last, n, sum
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000
+          cur match {
+            case Some((st, last, n, sm)) if us - last <= 30L * 60 * 1000000 =>
+              cur = Some((st, us, n + 1, sm + EventStreaming.microUnits(e.value)))
+            case Some((st, last, n, sm)) =>
+              sid += 1; sessions ::= (u, sid, st, last, n, sm)
+              cur = Some((us, us, 1L, EventStreaming.microUnits(e.value)))
+            case None =>
+              cur = Some((us, us, 1L, EventStreaming.microUnits(e.value)))
+          }
+        }
+        cur.foreach { case (st, last, n, sm) => sid += 1; sessions ::= (u, sid, st, last, n, sm) }
+        sessions
+      }.toSet
+      assert(got == want, s"got ${got.size} want ${want.size}\nmissing: ${want -- got}\nextra: ${got -- want}")
+    } finally q.stop()
+  }
+}

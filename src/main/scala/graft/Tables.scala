@@ -22,11 +22,14 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read nanos as long and truncate to a microsecond timestamp
-    * (integer DIV — ns epoch values exceed 2^53, double math would drift).
+    * default. Requires spark.sql.legacy.parquet.nanosAsLong=true — set once
+    * in every session builder (Verify/Bench/SparkTest), keeping this loader
+    * pure. The read truncates to a microsecond timestamp (integer DIV —
+    * ns epoch values exceed 2^53, double math would drift).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
   }

@@ -112,14 +112,25 @@ object FilterDsl {
     case other       => throw new FilterSpecError(s"Unsupported filter value: $other")
   }
 
-  /** Structural validation: geo ops must come in lat+lon pairs
-    * (reference validators.py:118 `validate_filters_schema`). */
+  /** Structural validation (reference validators.py:118
+    * `validate_filters_schema`): geo ops must come in lat+lon pairs, and —
+    * matching the reference's hard error (validators.py:153-156) — may only
+    * target the latitude / longitude columns. */
   def validate(spec: Spec): Spec = {
     val ops = spec.preds.flatMap(_._2)
     val hasLat = ops.exists(_.isInstanceOf[LatBetween])
     val hasLon = ops.exists(_.isInstanceOf[LonBetween])
     if (hasLat != hasLon)
       throw new FilterSpecError("Geo filters require both 'lat_between' and 'lon_between'")
+    spec.preds.foreach { case (field, fieldOps) =>
+      fieldOps.foreach {
+        case _: LatBetween if field != "latitude" =>
+          throw new FilterSpecError(s"'lat_between' must target the 'latitude' column, not '$field'")
+        case _: LonBetween if field != "longitude" =>
+          throw new FilterSpecError(s"'lon_between' must target the 'longitude' column, not '$field'")
+        case _ =>
+      }
+    }
     spec
   }
 
@@ -174,8 +185,14 @@ object FilterDsl {
       val ok = vs.flatMap(castLit(_, dt))
       if (ok.isEmpty) lit(false) else c.isin(ok: _*)
     case Like(substr) =>
-      // case-insensitive substring on the string form of the column
-      instr(lower(c.cast(StringType)), substr.toLowerCase) > 0
+      // case-insensitive substring; array columns are pipe-joined first,
+      // matching the reference (validators.py:213-221) — a plain string
+      // cast would render Spark arrays as "[a, b]" and match differently
+      val s = dt match {
+        case _: ArrayType => array_join(c.cast(ArrayType(StringType)), "|")
+        case _            => c.cast(StringType)
+      }
+      instr(lower(s), substr.toLowerCase) > 0
   }
 
   /** Cast a filter literal to the column dtype; None = cast failure, which
@@ -190,7 +207,9 @@ object FilterDsl {
             case n: Long => n
             case n: Int => n.toLong
             case n: Double =>
-              if (n == math.floor(n) && !n.isInfinite) n.toLong else n.toLong
+              // truncation matches Python int(); non-finite is a cast
+              // failure (reference: int(inf) raises → match nothing)
+              if (n.isInfinite || n.isNaN) return None else n.toLong
             case b: Boolean => if (b) 1L else 0L
             case s: String => s.trim.toLong
             case other => other.toString.trim.toLong

@@ -87,16 +87,22 @@ object FilterQueries {
     """SELECT p_partkey, p_name FROM part
       |WHERE contains(lower(CAST(p_name AS VARCHAR)), 'gre') ORDER BY p_partkey""".stripMargin
 
-  /** Geo box semantics (paired inclusive ranges; both ops required) mapped
-    * onto two numeric lineitem columns — the testdata has no lat/lon. */
-  def filterGeoBox(s: SparkSession, d: String): DataFrame =
-    filtered(Tables.lineitem(s, d),
-      """{"l_quantity":{"lat_between":[10,20]},"l_extendedprice":{"lon_between":[10000,30000]}}""")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  /** Geo box: the reference hard-errors unless lat_between/lon_between
+    * target columns NAMED latitude/longitude (validators.py:153-156), so
+    * the testdata (no geo columns) is projected into that shape first —
+    * the DSL then validates and filters exactly like the reference. */
+  def filterGeoBox(s: SparkSession, d: String): DataFrame = {
+    val geo = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("latitude"), col("l_extendedprice").as("longitude"))
+    FilterDsl.applyJson(geo,
+      """{"latitude":{"lat_between":[10,20]},"longitude":{"lon_between":[10000,30000]}}""")
+      .select(col("l_orderkey"), col("l_linenumber"), col("latitude"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 
   val filterGeoBoxSql =
-    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    """SELECT l_orderkey, l_linenumber, l_quantity AS latitude FROM lineitem
       |WHERE l_quantity BETWEEN 10 AND 20
       |  AND l_extendedprice BETWEEN 10000 AND 30000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin

@@ -35,10 +35,10 @@ object QueryVectors {
   * IVF probe ranking agree bit-for-bit with the distributed path. */
 object VecMath {
   def dot(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length, s"dot: dimension mismatch ${a.length} vs ${b.length}")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
 

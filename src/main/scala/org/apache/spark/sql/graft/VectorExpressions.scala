@@ -34,7 +34,10 @@ case class DotProductF32(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_f32: dimension mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -50,7 +53,11 @@ case class DotProductF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_f32: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
@@ -127,10 +134,12 @@ case class ArgMaxDotF32(left: Expression, right: Expression)
     val k = cents.numElements()
     while (c < k) {
       val cent = cents.getArray(c)
+      if (cent.numElements() != d)
+        throw new IllegalArgumentException(
+          s"argmax_dot_f32: centroid $c dimension ${cent.numElements()} != vector $d")
       var acc = 0.0
       var i = 0
-      val n = math.min(d, cent.numElements())
-      while (i < n) {
+      while (i < d) {
         acc += vec.getFloat(i).toDouble * cent.getFloat(i).toDouble
         i += 1
       }
@@ -154,7 +163,11 @@ case class ArgMaxDotF32(left: Expression, right: Expression)
          |double $bestScore = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < $b.numElements(); $c++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $b.getArray($c);
-         |  int $n = java.lang.Math.min($a.numElements(), $cent.numElements());
+         |  int $n = $a.numElements();
+         |  if ($cent.numElements() != $n) {
+         |    throw new IllegalArgumentException("argmax_dot_f32: centroid " + $c
+         |      + " dimension " + $cent.numElements() + " != vector " + $n);
+         |  }
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += (double)$a.getFloat($i) * (double)$cent.getFloat($i);
@@ -186,12 +199,15 @@ case class HyperplaneSignature(left: Expression, right: Expression)
     var sig = 0L
     var j = 0
     val k = math.min(planes.numElements(), 64)
+    val d = vec.numElements()
     while (j < k) {
       val p = planes.getArray(j)
+      if (p.numElements() != d)
+        throw new IllegalArgumentException(
+          s"hyperplane_signature: plane $j dimension ${p.numElements()} != vector $d")
       var acc = 0.0
       var i = 0
-      val n = math.min(vec.numElements(), p.numElements())
-      while (i < n) {
+      while (i < d) {
         acc += vec.getFloat(i).toDouble * p.getFloat(i).toDouble
         i += 1
       }
@@ -215,7 +231,11 @@ case class HyperplaneSignature(left: Expression, right: Expression)
          |int $k = java.lang.Math.min($b.numElements(), 64);
          |for (int $j = 0; $j < $k; $j++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $p = $b.getArray($j);
-         |  int $n = java.lang.Math.min($a.numElements(), $p.numElements());
+         |  int $n = $a.numElements();
+         |  if ($p.numElements() != $n) {
+         |    throw new IllegalArgumentException("hyperplane_signature: plane " + $j
+         |      + " dimension " + $p.numElements() + " != vector " + $n);
+         |  }
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += (double)$a.getFloat($i) * (double)$p.getFloat($i);

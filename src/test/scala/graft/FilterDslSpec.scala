@@ -68,6 +68,40 @@ class FilterDslSpec extends AnyFunSuite {
     }
   }
 
+  test("geo ops on non-latitude/longitude columns are a hard error") {
+    // reference validators.py:153-156 rejects geo ops on other columns
+    intercept[FilterSpecError] {
+      FilterDsl.parseJson(
+        """{"stars":{"lat_between":[0,1]},"review_count":{"lon_between":[0,1]}}""")
+    }
+    val geoDf = df.withColumnRenamed("stars", "latitude")
+      .withColumnRenamed("review_count", "longitude")
+    val ok = FilterDsl.applyJson(geoDf,
+      """{"latitude":{"lat_between":[3,5]},"longitude":{"lon_between":[0,600]}}""")
+    assert(ok.count() == 3) // NULL latitude row fails
+  }
+
+  test("geo filter requires the latitude/longitude columns to exist") {
+    // reference validators.py:161-165: missing geo columns are an error
+    intercept[FilterSpecError] {
+      FilterDsl.applyJson(df,
+        """{"latitude":{"lat_between":[0,1]},"longitude":{"lon_between":[0,1]}}""").count()
+    }
+  }
+
+  test("like on array columns pipe-joins values (reference validators.py:219)") {
+    import org.apache.spark.sql.functions._
+    val arrDf = df.withColumn("tags", array(col("state"), lit("xyz")))
+    // "FL|xyz" contains "l|x" after lowering — a plain cast would render
+    // "[FL, xyz]" and match ", " patterns instead
+    assert(FilterDsl.applyJson(arrDf, """{"tags":{"like":"l|x"}}""").count() == 3)
+    assert(FilterDsl.applyJson(arrDf, """{"tags":{"like":", "}}""").count() == 0)
+  }
+
+  test("non-finite numeric literals are cast failures on integer columns") {
+    assert(FilterDsl.applyJson(df, """{"review_count":{"eq":1e999}}""").count() == 0)
+  }
+
   test("malformed json is a hard error") {
     intercept[FilterSpecError] {
       FilterDsl.parseJson("""{"state": {""")

@@ -104,6 +104,20 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dimension mismatch is a hard error, not a silent partial dot") {
+    // reference asserts vector shape; a truncating dot would return
+    // plausible-but-wrong scores
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val short = Array(1.0f)
+    val ex = intercept[Throwable] {
+      VectorSearch.topK(df, short, 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dimension mismatch")), msgs(ex).mkString("; "))
+    intercept[IllegalArgumentException] { VecMath.dot(Array(1f, 2f), short) }
+  }
+
   test("HyperplaneSignature expression matches local signature math") {
     val planes = CosineLsh.planes(QueryVectors.Dim, bits = 10)
     val rows = CosineLsh.withBucket(emb.limit(50), planes)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.search.{CosineLsh, Ivf, IvfModel, QueryVectors, VectorSearch}
+import graft.search.{CosineLsh, Ivf, IvfModel, QuerySet, QueryVectors, SearchHarness, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -139,7 +139,24 @@ object VectorQueries {
     CosineLsh.search(emb(s, d), q0, planes, K)
   }
 
+  // ---- query-table-driven execution + per-query eval harness ----
+
+  /** Reference queries.parquet equivalent: run the whole deterministic
+    * hybrid query set (filters JSON + seeded vectors + per-query K). */
+  def hybridQueries(s: SparkSession, d: String): DataFrame =
+    QuerySet.runAll(emb(s, d))
+
+  val hybridQueriesSql: String = QuerySet.oracleSql()
+
+  /** Reference results.jsonl equivalent: per-(query, backend) stats —
+    * latency_ms, scored_vectors, filter_selectivity, kth_at_stop.
+    * Rows-only (latency is nondeterministic by nature). */
+  def hybridStats(s: SparkSession, d: String): DataFrame =
+    SearchHarness.runAll(s, emb(s, d))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hybrid_queries" -> (hybridQueries _),
+    "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
     "vec_postfilter_ladder" -> (vecPostfilterLadder _),
@@ -151,6 +168,7 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "hybrid_queries" -> hybridQueriesSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
     "vec_postfilter_ladder" -> vecPostfilterLadderSql,

@@ -26,6 +26,47 @@ object Dedup {
   private def tokens(c: Column): Column =
     array_distinct(split(lower(c), " "))
 
+  /** Canonical integer token-id set: distinct tokens → xxhash64 → sorted.
+    * All pairwise verification runs on these (the codegen'd two-pointer
+    * `sortedIntersectSize`), never on string arrays; |intersection| and
+    * |union| are identical to the string-set versions (64-bit hash,
+    * collision probability ≈ n²/2⁶⁵). */
+  private def tokenIds(c: Column): Column =
+    array_sort(transform(tokens(c), t => xxhash64(t)))
+
+  /** All unordered pairs of rows sharing `keys`, with the quadratic
+    * per-key pair generation spread over r² tasks (triangle-join salting):
+    * each side explodes r copies keyed (keys, saltL, saltR), so one
+    * degenerate blocking key cannot serialize into a single straggler
+    * task — the 100 TB skew safety the plain self-join lacks. Every pair
+    * with idL < idR is produced exactly once.
+    */
+  private def saltedPairs(df: DataFrame, keys: Seq[String], idCol: String,
+                          payload: Seq[String], r: Int): DataFrame = {
+    val salted = df.withColumn("_s", pmod(xxhash64(col(idCol)), lit(r)).cast("int"))
+    val probe = (0 until r).map(lit(_))
+    val left = salted
+      .withColumn("_b", explode(array(probe: _*)))
+      .withColumnRenamed("_s", "_a")
+      .select((keys :+ "_a" :+ "_b").map(col) ++
+        (idCol +: payload).map(n => col(n).as(s"${n}_l")): _*)
+    val right = salted
+      .withColumn("_a", explode(array(probe: _*)))
+      .withColumnRenamed("_s", "_b")
+      .select((keys :+ "_a" :+ "_b").map(col) ++
+        (idCol +: payload).map(n => col(n).as(s"${n}_r")): _*)
+    left.join(right, keys ++ Seq("_a", "_b"))
+      .where(col(s"${idCol}_l") < col(s"${idCol}_r"))
+      .drop("_a", "_b")
+  }
+
+  /** Exact Jaccard from sorted token-id arrays:
+    * |A∩B| / (|A| + |B| − |A∩B|), 6 dp. */
+  private def jacCol(a: Column, b: Column): Column = {
+    val inter = sortedIntersectSize(a, b).cast("double")
+    round(inter / (size(a) + size(b) - inter), 6)
+  }
+
   // ---- #21 exact -------------------------------------------------------
 
   /** Exact dedup: group identical texts by content hash, keep the min id.
@@ -43,20 +84,15 @@ object Dedup {
     * with Jaccard J share the min-hash token with probability ≥ J, so
     * blocking recall at tau=0.95 is ≥95%; candidates are verified with
     * the exact intersect/union ratio. */
-  def jaccardPairs(docs: DataFrame, tau: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, tau: Double, salt: Int = 8): DataFrame = {
     val toks = docs.select(
       col("doc_id"),
-      tokens(col("text")).as("ts"))
-      .withColumn("blk", array_min(transform(col("ts"), t => md5(t.cast("binary")))))
-    val a = toks.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"), col("blk"))
-    val b = toks.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"), col("blk"))
-    a.join(b, Seq("blk"))
-      .where(col("doc_a") < col("doc_b"))
-      .withColumn("jac",
-        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
-          size(array_union(col("ts_a"), col("ts_b"))), 6))
+      tokenIds(col("text")).as("tsi"),
+      array_min(transform(tokens(col("text")), t => md5(t.cast("binary")))).as("blk"))
+    saltedPairs(toks, Seq("blk"), "doc_id", Seq("tsi"), salt)
+      .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
       .where(col("jac") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -76,45 +112,43 @@ object Dedup {
   /** Candidate pairs from banded MinHash-LSH, verified with exact Jaccard.
     *
     * bands×rows perms; a pair lands in the same bucket of some band with
-    * prob 1-(1-J^rows)^bands (≈0.9999 at J=0.95 with 8×4). The bucket
-    * join is the only shuffle over the corpus; buckets larger than
-    * `maxBucket` are dropped (documented precision/recall trade at scale).
-    */
+    * prob 1-(1-J^rows)^bands (≈0.99 at J=0.95 with 4 bands × 8 rows —
+    * rows=8 keeps moderate-similarity candidates from exploding on
+    * corpora where "everything resembles everything"). Buckets larger
+    * than `maxBucket` are dropped via a broadcast anti-join (skew and
+    * adversarial-content safety), and bucket pair generation goes through
+    * the salted triangle join. */
   def minhashLshPairs(
       docs: DataFrame,
       tau: Double,
-      bands: Int = 8,
-      rows: Int = 4,
+      bands: Int = 4,
+      rows: Int = 8,
       seed: Long = 42L,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      salt: Int = 8): DataFrame = {
     val params = minhashParams(bands * rows, seed)
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ts"))
-      .withColumn("hs", transform(col("ts"), t => pmod(xxhash64(t), lit(MinhashPrime))))
+    val base = docs.select(col("doc_id"), tokenIds(col("text")).as("tsi"))
+      .withColumn("hs", transform(col("tsi"), h => pmod(h, lit(MinhashPrime))))
     val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
       array_min(transform(col("hs"), h => pmod(h * a + b, lit(MinhashPrime)))).as(s"m$j")
     }
-    val sig = toks.select(col("doc_id") +: col("ts") +: sigCols.toSeq: _*)
+    val sig = base.select(col("doc_id") +: col("tsi") +: sigCols.toSeq: _*)
     val bandKeys = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
         xxhash64((bd * rows until (bd + 1) * rows).map(j => col(s"m$j")): _*).as("key"))
     }
     val exploded = sig
       .withColumn("bk", explode(array(bandKeys: _*)))
-      .select(col("doc_id"), col("ts"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // drop degenerate buckets before the self-join (skew safety)
-    val sized = exploded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-      .where(col("bsz") <= maxBucket)
-    val a = sized.select(col("doc_id").as("doc_a"), col("ts").as("ts_a"), col("band"), col("key"))
-    val b = sized.select(col("doc_id").as("doc_b"), col("ts").as("ts_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
-      .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("ts_a"), col("ts_b"))
+      .select(col("doc_id"), col("tsi"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val oversized = exploded.groupBy("band", "key")
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select("band", "key")
+    val pruned = exploded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    saltedPairs(pruned, Seq("band", "key"), "doc_id", Seq("tsi"), salt)
+      .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"),
+        col("tsi_l"), col("tsi_r"))
       .distinct() // a pair may collide in several bands
-      .withColumn("jac",
-        round(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
-          size(array_union(col("ts_a"), col("ts_b"))), 6))
+      .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
       .where(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))

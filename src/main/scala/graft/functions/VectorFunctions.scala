@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.graft.{ArgMaxDotF32, DotProductF32, HyperplaneSignature, L2NormF32}
+import org.apache.spark.sql.graft.{ArgMaxDotF32, DotProductF32, HyperplaneSignature, L2NormF32, SortedIntersectSize}
 
 /** Public facade for graft's native Catalyst vector expressions (the case
   * classes live in `org.apache.spark.sql.graft` — see VectorExpressions.scala
@@ -32,4 +32,8 @@ object VectorFunctions {
     * The LSH primitive for cosine similarity (SimHash family). */
   def hyperplaneSignature(vec: Column, planes: Column): Column =
     GraftBridge.column(HyperplaneSignature(GraftBridge.expression(vec), GraftBridge.expression(planes)))
+
+  /** |a ∩ b| of two sorted array<long> columns (two-pointer, codegen'd). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries._
+import graft.search.{QuerySet, QueryVectors, VectorSearch}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape audit (SURVEY.md §5): the properties that make these
+  * operators survive a 100× scale-up are asserted here against the
+  * optimized physical plans, so a regression in pushdown/broadcast/top-K
+  * shape fails CI rather than only showing up in a cluster bill.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter DSL predicates push into the parquet scan") {
+    val p = plan(FilterQueries.filterEq(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]"), p)
+  }
+
+  test("filter queries prune columns at the scan (ReadSchema)") {
+    val p = plan(FilterQueries.filterEq(spark, sf))
+    // only the 3 selected columns are read, not the whole customer table
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"), p)
+  }
+
+  test("brute-force topK plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(VectorSearch.topK(Tables.embeddings(spark, sf), QueryVectors.qvec(0), 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("prefilter topK pushes the label filter to the scan") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(VectorSearch.topK(emb, QueryVectors.qvec(0), 10,
+      Some(org.apache.spark.sql.functions.col("label").isin(0, 1, 2))))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("PushedFilters: [In(label, [0,1,2])]"), p)
+  }
+
+  test("q3 broadcasts the customer dim") {
+    val p = plan(RelationalQueries.q3Priority(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q5 broadcasts region/nation/supplier dims") {
+    val p = plan(RelationalQueries.q5Region(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+  }
+
+  test("whole-stage codegen covers the vector scoring hot path") {
+    val p = plan(VectorSearch.topK(Tables.embeddings(spark, sf), QueryVectors.qvec(0), 10))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage;
+    // the scoring Project must carry it
+    assert(p.linesIterator.exists(l => l.contains("*(1) Project") && l.contains("dot_f32")), p)
+  }
+
+  test("hybrid query batch keeps per-query TakeOrdered shape") {
+    val p = plan(QuerySet.runAll(Tables.embeddings(spark, sf)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text pipelines are scan-only (no Exchange)") {
+    val p = plan(graft.text.TextAnalysis.withQuality(Tables.documents(spark, sf)))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("events_window aggregates with map-side partial aggregation") {
+    val p = plan(EventQueries.eventsWindow(spark, sf))
+    // partial then final HashAggregate around the single shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+}

@@ -17,7 +17,7 @@ object SparkEntry {
     "q5_region" -> (RelationalQueries.q5Region _),
     "top_customers" -> (RelationalQueries.topCustomers _)
   ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all ++
-    TextQueries.all ++ EventQueries.all ++ MultimodalQueries.all
+    TextQueries.all ++ EventQueries.all ++ MultimodalQueries.all ++ IngestQueries.all
 
   /** DuckDB-runnable ANSI SQL twin per query (same column names/order-by). */
   def oracleSql: Map[String, String] = Map(
@@ -26,5 +26,5 @@ object SparkEntry {
     "q5_region" -> RelationalQueries.q5RegionSql,
     "top_customers" -> RelationalQueries.topCustomersSql
   ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles ++
-    TextQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles
+    TextQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles ++ IngestQueries.oracles
 }

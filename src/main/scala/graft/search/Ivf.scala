@@ -57,6 +57,19 @@ object Ivf {
   def pickNlist(n: Long): Int =
     math.max(64, math.min(4096, math.sqrt(n.toDouble).toInt))
 
+  /** Index fallback chain (reference loaders.py builds FAISS IVF, falls
+    * back to HNSW then exact when the corpus is too small to train):
+    * here IVF needs a healthy points-per-centroid ratio to be worth the
+    * probe machinery; below `minPerList` the exact TakeOrdered scan IS
+    * the right plan, so `auto` returns None and callers use
+    * VectorSearch.topK. */
+  def auto(emb: DataFrame, minPerList: Int = 8, seed: Long = 42L): Option[IvfModel] = {
+    val n = emb.count()
+    val nlist = pickNlist(n)
+    if (n < nlist.toLong * minPerList) None
+    else Some(build(emb, nlist, seed))
+  }
+
   /** Build: k-means on (a sample of) the embeddings, then assign every
     * vector to its nearest centroid. Deterministic under a fixed seed. */
   def build(emb: DataFrame, nlist: Int, seed: Long = 42L,

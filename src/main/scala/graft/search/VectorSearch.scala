@@ -123,6 +123,15 @@ object VectorSearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Random baseline (reference src/backends/random.py): K ids drawn
+    * uniformly without replacement, deterministic under the seed — the
+    * recall floor every real backend must beat. Distributed shape: hash
+    * ranking + TakeOrdered, no RNG state on executors. */
+  def randomK(emb: DataFrame, k: Int, seed: Long = 0L): DataFrame =
+    emb.select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k)
+
   /** recall@K (reference src/eval/metrics.py): |pred ∩ truth| / K per qid.
     * Both inputs carry (qid, vec_id). */
   def recallAtK(pred: DataFrame, truth: DataFrame, k: Int): DataFrame = {

@@ -6,9 +6,11 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole point is hybrid search, so the flagship runs
+    * the full query-table-driven hybrid batch (filters + top-K). */
   def entry(spark: SparkSession): DataFrame =
-    RelationalQueries.q1Pricing(spark, "/root/testdata/sf0.001")
+    VectorQueries.hybridQueries(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,6 +67,14 @@ object Dedup {
     round(inter / (size(a) + size(b) - inter), 6)
   }
 
+  /** Size-band prefilter (classic exact-similarity-join pruning): J(A,B)
+    * ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose sizes differ by more
+    * than τ can't reach the threshold — an integer compare that
+    * short-circuits before the two-pointer merge runs. */
+  private def sizeBand(a: Column, b: Column, tau: Double): Column =
+    size(a).cast("double") >= lit(tau) * size(b) &&
+      size(b).cast("double") >= lit(tau) * size(a)
+
   // ---- #21 exact -------------------------------------------------------
 
   /** Exact dedup: group identical texts by content hash, keep the min id.
@@ -90,6 +98,7 @@ object Dedup {
       tokenIds(col("text")).as("tsi"),
       array_min(transform(tokens(col("text")), t => md5(t.cast("binary")))).as("blk"))
     saltedPairs(toks, Seq("blk"), "doc_id", Seq("tsi"), salt)
+      .where(sizeBand(col("tsi_l"), col("tsi_r"), tau))
       .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
       .where(col("jac") >= tau)
       .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
@@ -145,6 +154,7 @@ object Dedup {
       .select("band", "key")
     val pruned = exploded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
     saltedPairs(pruned, Seq("band", "key"), "doc_id", Seq("tsi"), salt)
+      .where(sizeBand(col("tsi_l"), col("tsi_r"), tau)) // prune before the distinct shuffle
       .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"),
         col("tsi_l"), col("tsi_r"))
       .distinct() // a pair may collide in several bands

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions registers the native expressions as SQL functions
+  * (spark.sql.extensions=graft.GraftExtensions in SparkTest's builder —
+  * the same string-config path a cluster deployment uses). */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+
+  test("dot_f32 / l2_norm_f32 callable from SQL") {
+    val r = spark.sql(
+      """SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       l2_norm_f32(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+  }
+
+  test("sorted_intersect_size callable from SQL") {
+    val r = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 3L, 5L), array(1L, 2L, 3L)) AS s")
+      .collect()(0)
+    assert(r.getInt(0) == 2)
+  }
+
+  test("sql query over parquet embeddings with registered functions") {
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb_sql")
+    val bad = spark.sql(
+      "SELECT count(*) FROM emb_sql WHERE abs(l2_norm_f32(embedding) - 1.0) > 0.001")
+      .collect()(0).getLong(0)
+    assert(bad == 0)
+  }
+}

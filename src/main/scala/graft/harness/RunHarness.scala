@@ -1,0 +1,223 @@
+package graft.harness
+
+import graft.filters.FilterDsl
+import graft.search._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's evaluation harness (src/harness/run.py), Spark-native.
+  *
+  * Contract mirrored from the reference's own test suite
+  * (tests/test_run_impl.py):
+  *  - one results.jsonl row per query with EXACTLY these fields in this
+  *    order: qid, method, K, latency_ms, recall_at_k, filter_selectivity,
+  *    scored_vectors, lists_probed, nprobe, kth_at_stop, bound_at_stop,
+  *    notes, timestamp_utc, run_id;
+  *  - recall_at_k computed against the oracle restricted to the SAME
+  *    allowed (filtered) subset;
+  *  - K validated in [1, N]; query dim must equal dataset dim (hard
+  *    errors before any search runs);
+  *  - empty query vector falls back to the dataset vector at index qid
+  *    (reference: empty qtext → vectors[qid]);
+  *  - malformed/unknown filters are hard errors producing no output;
+  *  - run_id shared by all rows of a run; timestamp ISO-8601 with offset.
+  */
+object RunHarness {
+
+  case class Stats(
+      latencyMs: Double,
+      scoredVectors: Long,
+      listsProbed: Option[Int],
+      nprobe: Option[Int],
+      kthAtStop: Option[Double],
+      boundAtStop: Option[Double],
+      notes: Option[String])
+
+  /** Backend interface (reference src/backend_interface.py). */
+  trait Backend {
+    def name: String
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int): (Seq[Long], Stats)
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e6)
+  }
+
+  /** exact / pre_filter: brute-force top-K within the allowed subset
+    * (implementations coincide in a pushdown engine — the filter IS the
+    * gather). scored_vectors = |allowed|. */
+  private class ExactBackend(val name: String, total: Long) extends Backend {
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int): (Seq[Long], Stats) = {
+      val allowed = pred.map(p => emb.where(p).count()).getOrElse(total)
+      val (rows, ms) = timed(VectorSearch.topK(emb, qvec, k, pred).collect())
+      val kth = rows.lastOption.map(_.getDouble(1))
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, allowed, None, None, kth, None, Some(s"$name backend")))
+    }
+  }
+
+  private class PostFilterBackend(ladder: Seq[Int]) extends Backend {
+    val name = "post_filter"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int): (Seq[Long], Stats) = {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val ((kept, rung), ms) = timed {
+        val cand = VectorSearch.withScore(emb, qvec)
+          .withColumn("pass", coalesce(pred.getOrElse(lit(true)), lit(false)))
+          .select(col("vec_id").cast("long"), col("score"), col("pass"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(ladder.max)
+          .as[(Long, Double, Boolean)].collect()
+        val chosen = ladder.sorted.find(kp => cand.take(kp).count(_._3) >= k).getOrElse(ladder.max)
+        (cand.take(chosen).filter(_._3).take(k), chosen)
+      }
+      (kept.map(_._1).toSeq,
+        Stats(ms, rung, None, None, kept.lastOption.map(_._2), None,
+          Some(s"k_ladder=${ladder.mkString("[", ", ", "]")}")))
+    }
+  }
+
+  private class IvfBackend(model: IvfModel, nprobeN: Int) extends Backend {
+    val name = "ivf"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int): (Seq[Long], Stats) = {
+      val lists = model.probes(qvec, nprobeN)
+      val scored = model.indexed.where(col("list_id").isin(lists: _*))
+      val base = pred.map(scored.where).getOrElse(scored)
+      val scanned = base.count()
+      val (rows, ms) = timed(VectorSearch.topK(base, qvec, k).collect())
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, scanned, Some(lists.length), Some(nprobeN),
+          rows.lastOption.map(_.getDouble(1)), None, Some("ivf flat ip")))
+    }
+  }
+
+  private class RandomBackend(seed: Long) extends Backend {
+    val name = "random"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int): (Seq[Long], Stats) = {
+      val (rows, ms) = timed(VectorSearch.randomK(emb, k, seed).collect())
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, 0L, None, None, None, None, Some("random baseline")))
+    }
+  }
+
+  /** Backend registry (reference run.py get_backend). */
+  def getBackend(name: String, emb: DataFrame, total: Long,
+                 ladder: Seq[Int] = Seq(200, 500, 1000), nprobe: Int = 32): Backend =
+    name match {
+      case "exact" | "pre_filter" => new ExactBackend(name, total)
+      case "post_filter" => new PostFilterBackend(ladder)
+      case "ivf" =>
+        val model = Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
+        new IvfBackend(model, nprobe)
+      case "random" => new RandomBackend(0L)
+      case other => throw new IllegalArgumentException(s"Unknown backend: $other")
+    }
+
+  case class ResultRow(
+      qid: Long, method: String, k: Int, latencyMs: Double, recallAtK: Double,
+      filterSelectivity: Double, scoredVectors: Long, listsProbed: Option[Int],
+      nprobe: Option[Int], kthAtStop: Option[Double], boundAtStop: Option[Double],
+      notes: Option[String], timestampUtc: String, runId: String)
+
+  private val TsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSxxx")
+
+  /** Execute the query set through one backend; one ResultRow per query,
+    * recall vs the allowed-subset oracle (reference test:
+    * test_recall_computation_against_oracle_subset). */
+  def run(spark: SparkSession, sfDir: String, backendName: String,
+          qs: Seq[HybridQuery] = QuerySet.default,
+          kOverride: Option[Int] = None): Seq[ResultRow] = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val total = emb.count()
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val runId = java.util.UUID.randomUUID().toString
+    val backend = getBackend(backendName, emb, total)
+
+    // hard guards BEFORE any search (reference: dimension + K validation)
+    val queries = qs.map { hq =>
+      val k = kOverride.getOrElse(hq.k)
+      if (k < 1 || k > total)
+        throw new IllegalArgumentException(s"K must be in [1, $total], got $k")
+      val qvec =
+        if (hq.qvec.nonEmpty) hq.qvec
+        else { // empty query vector → dataset vector at qid (empty-qtext rule)
+          import spark.implicits._
+          emb.where(col("vec_id") === hq.qid).select(col("embedding"))
+            .as[Array[Float]].head()
+        }
+      if (qvec.length != dim)
+        throw new IllegalArgumentException(s"Query dim ${qvec.length} != dataset dim $dim")
+      (hq, k, qvec)
+    }
+
+    queries.map { case (hq, k, qvec) =>
+      val spec = FilterDsl.parseJson(hq.filters) // malformed/unknown → hard error
+      val pred = if (spec.isEmpty) None else Some(FilterDsl.compile(emb, spec))
+      val allowed = pred.map(p => emb.where(p).count()).getOrElse(total)
+      val (ids, stats) = backend.search(emb, qvec, pred, k)
+      val oracleIds = VectorSearch.topK(emb, qvec, k, pred).collect().map(_.getLong(0))
+      val recall = if (k == 0) 0.0 else ids.toSet.intersect(oracleIds.toSet).size.toDouble / k
+      ResultRow(hq.qid, backend.name, k, stats.latencyMs, recall,
+        VecMath.round6(allowed.toDouble / total), stats.scoredVectors,
+        stats.listsProbed, stats.nprobe, stats.kthAtStop, stats.boundAtStop,
+        stats.notes,
+        java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC).format(TsFmt), runId)
+    }
+  }
+
+  /** JSON-lines writer with the reference's EXACT field order. */
+  def toJsonLines(rows: Seq[ResultRow]): String = {
+    def js(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    def opt[A](o: Option[A], f: A => String): String = o.map(f).getOrElse("null")
+    rows.map { r =>
+      Seq(
+        "qid" -> r.qid.toString,
+        "method" -> js(r.method),
+        "K" -> r.k.toString,
+        "latency_ms" -> r.latencyMs.toString,
+        "recall_at_k" -> r.recallAtK.toString,
+        "filter_selectivity" -> r.filterSelectivity.toString,
+        "scored_vectors" -> r.scoredVectors.toString,
+        "lists_probed" -> opt[Int](r.listsProbed, _.toString),
+        "nprobe" -> opt[Int](r.nprobe, _.toString),
+        "kth_at_stop" -> opt[Double](r.kthAtStop, _.toString),
+        "bound_at_stop" -> opt[Double](r.boundAtStop, _.toString),
+        "notes" -> opt[String](r.notes, js),
+        "timestamp_utc" -> js(r.timestampUtc),
+        "run_id" -> js(r.runId)
+      ).map { case (k, v) => js(k) + ": " + v }.mkString("{", ", ", "}")
+    }.mkString("", "\n", "\n")
+  }
+
+  /** CLI twin of the reference's `python -m src.harness.run`. */
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
+    val sfDir = opts.getOrElse("--sf-dir", "/root/testdata/sf0.01")
+    val backend = opts.getOrElse("--backend", "exact")
+    val out = opts.getOrElse("--out", "results.jsonl")
+    val kOv = opts.get("--K").map(_.toInt)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = run(spark, sfDir, backend, kOverride = kOv)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toJsonLines(rows))
+    println(s"wrote ${rows.length} rows to $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.harness.RunHarness
+import graft.search.{HybridQuery, QuerySet, QueryVectors}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's own harness test suite
+  * (reference tests/test_run_impl.py) against RunHarness.
+  */
+class RunHarnessSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("exact backend: recall 1.0 vs allowed-subset oracle, field contract") {
+    val rows = RunHarness.run(spark, sf, "exact")
+    assert(rows.length == QuerySet.default.length)
+    rows.foreach { r =>
+      assert(r.recallAtK == 1.0, s"qid ${r.qid}") // test_recall_computation_against_oracle_subset
+      assert(r.filterSelectivity >= 0.0 && r.filterSelectivity <= 1.0)
+      assert(r.method == "exact")
+    }
+    assert(rows.map(_.runId).distinct.length == 1) // test_run_id_stable_across_queries
+    rows.foreach(r => assert(
+      r.timestampUtc.matches("""^\d{4}-\d{2}-\d{2}T.*[+-]\d{2}:\d{2}$"""),
+      r.timestampUtc)) // test_timestamp_is_iso8601_with_tz
+  }
+
+  test("scored_vectors equals |allowed| for exact/pre_filter; selectivity = |allowed|/N") {
+    val rows = RunHarness.run(spark, sf, "pre_filter")
+    val total = 500.0
+    rows.foreach { r =>
+      // test_scored_vectors_equals_allowed_ids_size + test_filter_selectivity_matches_allowed_ids
+      assert(math.abs(r.filterSelectivity - r.scoredVectors / total) < 1e-6, s"qid ${r.qid}")
+    }
+    val unfiltered = rows.find(_.qid == 0).get
+    assert(unfiltered.scoredVectors == 500 && unfiltered.filterSelectivity == 1.0)
+  }
+
+  test("post_filter: scored_vectors is a ladder rung >= K, never exceeds maxRung") {
+    val rows = RunHarness.run(spark, sf, "post_filter")
+    rows.foreach { r => // test_post_filter_ladder_and_k_floor
+      assert(r.scoredVectors >= r.k)
+      assert(Seq(200, 500, 1000).contains(r.scoredVectors.toInt), s"got ${r.scoredVectors}")
+      assert(r.notes.exists(_.contains("k_ladder")))
+    }
+  }
+
+  test("K out of [1, N] is a hard error") { // test_k_validation_guard
+    intercept[IllegalArgumentException] {
+      RunHarness.run(spark, sf, "exact", kOverride = Some(999))
+    }
+    intercept[IllegalArgumentException] {
+      RunHarness.run(spark, sf, "exact", kOverride = Some(0))
+    }
+  }
+
+  test("query dimension mismatch is a hard error before searching") {
+    val bad = Seq(HybridQuery(0, Array(1.0f, 2.0f), "{}", "TRUE", 5))
+    val ex = intercept[IllegalArgumentException] { // test_dimension_mismatch_raises_early
+      RunHarness.run(spark, sf, "exact", qs = bad)
+    }
+    assert(ex.getMessage.matches("Query dim .* != dataset dim .*"), ex.getMessage)
+  }
+
+  test("empty query vector falls back to the dataset vector at qid") {
+    // test_empty_qtext_uses_dataset_vector: vectors[qid] is its own nearest
+    // neighbour under IP on unit vectors, so it must rank first
+    val rows = RunHarness.run(spark, sf, "exact",
+      qs = Seq(HybridQuery(7, Array.empty[Float], "{}", "TRUE", 5)))
+    assert(rows.head.recallAtK == 1.0)
+  }
+
+  test("malformed and unknown filters are hard errors") {
+    intercept[Exception] { // test_malformed_filters_hard_error
+      RunHarness.run(spark, sf, "exact",
+        qs = Seq(HybridQuery(0, QueryVectors.qvec(0), "{bad-json:", "", 5)))
+    }
+    intercept[Exception] { // test_unknown_filter_field_or_operator_hard_error
+      RunHarness.run(spark, sf, "exact",
+        qs = Seq(HybridQuery(0, QueryVectors.qvec(0), """{"bogus":{"eq":1}}""", "", 5)))
+    }
+  }
+
+  test("backend registry maps names; unknown backend rejected") {
+    val emb = Tables.embeddings(spark, sf) // test_backend_registry_maps_names_correctly
+    assert(RunHarness.getBackend("exact", emb, 500).name == "exact")
+    assert(RunHarness.getBackend("pre_filter", emb, 500).name == "pre_filter")
+    assert(RunHarness.getBackend("post_filter", emb, 500).name == "post_filter")
+    assert(RunHarness.getBackend("random", emb, 500).name == "random")
+    intercept[IllegalArgumentException] { RunHarness.getBackend("hnsw", emb, 500) }
+  }
+
+  test("random backend: K results, recall well below exact") {
+    val rows = RunHarness.run(spark, sf, "random")
+    rows.foreach(r => assert(r.recallAtK <= 0.5 && r.scoredVectors == 0))
+  }
+
+  test("ivf backend reports lists_probed/nprobe and near-exact recall at high nprobe") {
+    val rows = RunHarness.run(spark, sf, "ivf",
+      qs = QuerySet.default.take(2))
+    rows.foreach { r =>
+      assert(r.listsProbed.nonEmpty && r.nprobe.contains(32))
+      assert(r.recallAtK >= 0.5, s"qid ${r.qid}: ${r.recallAtK}")
+    }
+  }
+
+  test("results.jsonl has the exact field order of the reference") {
+    val rows = RunHarness.run(spark, sf, "exact", qs = QuerySet.default.take(1))
+    val line = RunHarness.toJsonLines(rows).linesIterator.next()
+    val keys = """"([a-z_A-Z]+)":""".r.findAllMatchIn(line).map(_.group(1)).toSeq
+    assert(keys == Seq("qid", "method", "K", "latency_ms", "recall_at_k",
+      "filter_selectivity", "scored_vectors", "lists_probed", "nprobe",
+      "kth_at_stop", "bound_at_stop", "notes", "timestamp_utc", "run_id"),
+      keys.mkString(",")) // test_logging_field_order_and_names
+    assert(!line.contains("recall@K"))
+  }
+}

@@ -64,6 +64,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("IVF index written partitionBy(list_id) is partition-PRUNED at probe time") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.search.Ivf.build(emb, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").resolve("idx").toString
+    model.write(dir)
+    val loaded = graft.search.Ivf.load(spark, dir, model.centroids)
+    val p = plan(loaded.search(QueryVectors.qvec(0), nprobe = 2, k = 5))
+    // the isin(list_id) probe must land in PartitionFilters (pruned I/O),
+    // not as a post-scan data filter
+    assert(p.contains("PartitionFilters: [list_id"), p)
+    val exact = VectorSearch.topK(emb, QueryVectors.qvec(0), 5)
+      .collect().map(_.getLong(0)).toSet
+    val probed = loaded.search(QueryVectors.qvec(0), nprobe = 8, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed == exact) // all lists probed == exact, through the pruned path
+  }
+
   test("text pipelines are scan-only (no Exchange)") {
     val p = plan(graft.text.TextAnalysis.withQuality(Tables.documents(spark, sf)))
     assert(!p.contains("Exchange"), p)

@@ -40,6 +40,11 @@ object Dedup {
     * degenerate blocking key cannot serialize into a single straggler
     * task — the 100 TB skew safety the plain self-join lacks. Every pair
     * with idL < idR is produced exactly once.
+    *
+    * `payload` should be SMALL columns only (sizes, signatures): the
+    * candidate explosion is the widest point of the whole pipeline, so
+    * heavyweight columns (token arrays, embeddings) are re-joined by id
+    * AFTER cheap pruning — see withPayloads.
     */
   private def saltedPairs(df: DataFrame, keys: Seq[String], idCol: String,
                           payload: Seq[String], r: Int): DataFrame = {
@@ -58,6 +63,16 @@ object Dedup {
     left.join(right, keys ++ Seq("_a", "_b"))
       .where(col(s"${idCol}_l") < col(s"${idCol}_r"))
       .drop("_a", "_b")
+  }
+
+  /** Re-attach heavyweight per-doc columns to pruned id pairs. The pair
+    * side is the big one; the doc side is |corpus|-sized, so AQE picks a
+    * broadcast or shuffle join on the id as appropriate at scale. */
+  private def withPayloads(pairs: DataFrame, docsPayload: DataFrame,
+                           idCol: String, cols: Seq[String]): DataFrame = {
+    val l = docsPayload.select(col(idCol).as(s"${idCol}_l") +: cols.map(c => col(c).as(s"${c}_l")): _*)
+    val r = docsPayload.select(col(idCol).as(s"${idCol}_r") +: cols.map(c => col(c).as(s"${c}_r")): _*)
+    pairs.join(l, s"${idCol}_l").join(r, s"${idCol}_r")
   }
 
   /** Exact Jaccard from sorted token-id arrays:
@@ -97,8 +112,13 @@ object Dedup {
       col("doc_id"),
       tokenIds(col("text")).as("tsi"),
       array_min(transform(tokens(col("text")), t => md5(t.cast("binary")))).as("blk"))
-    saltedPairs(toks, Seq("blk"), "doc_id", Seq("tsi"), salt)
-      .where(sizeBand(col("tsi_l"), col("tsi_r"), tau))
+    // candidate generation carries only (id, set size); token arrays are
+    // re-joined after the size-band prunes ~3/4 of the candidates
+    val slim = toks.select(col("doc_id"), size(col("tsi")).as("n"), col("blk"))
+    val pruned = saltedPairs(slim, Seq("blk"), "doc_id", Seq("n"), salt)
+      .where(col("n_l") >= lit(tau) * col("n_r") && col("n_r") >= lit(tau) * col("n_l"))
+      .select("doc_id_l", "doc_id_r")
+    withPayloads(pruned, toks.select("doc_id", "tsi"), "doc_id", Seq("tsi"))
       .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
       .where(col("jac") >= tau)
       .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
@@ -148,19 +168,22 @@ object Dedup {
     }
     val exploded = sig
       .withColumn("bk", explode(array(bandKeys: _*)))
-      .select(col("doc_id"), col("tsi"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("doc_id"), size(col("tsi")).as("n"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     val oversized = exploded.groupBy("band", "key")
-      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxBucket)
       .select("band", "key")
-    val pruned = exploded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
-    saltedPairs(pruned, Seq("band", "key"), "doc_id", Seq("tsi"), salt)
-      .where(sizeBand(col("tsi_l"), col("tsi_r"), tau)) // prune before the distinct shuffle
-      .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"),
-        col("tsi_l"), col("tsi_r"))
-      .distinct() // a pair may collide in several bands
+    val bucketed = exploded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    // slim candidate ids: size-band prune, then distinct (a pair may
+    // collide in several bands), then re-join the token arrays
+    val pruned = saltedPairs(bucketed, Seq("band", "key"), "doc_id", Seq("n"), salt)
+      .where(col("n_l") >= lit(tau) * col("n_r") && col("n_r") >= lit(tau) * col("n_l"))
+      .select("doc_id_l", "doc_id_r")
+      .distinct()
+    withPayloads(pruned, base.select("doc_id", "tsi"), "doc_id", Seq("tsi"))
       .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
       .where(col("jac") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -107,13 +107,33 @@ object Dedup {
     * with Jaccard J share the min-hash token with probability ≥ J, so
     * blocking recall at tau=0.95 is ≥95%; candidates are verified with
     * the exact intersect/union ratio. */
-  def jaccardPairs(docs: DataFrame, tau: Double, salt: Int = 8): DataFrame = {
-    val toks = docs.select(
+  def jaccardPairs(docs: DataFrame, tau: Double, salt: Int = 8): DataFrame =
+    jaccardOnSets(docs.select(col("doc_id"), tokens(col("text")).as("items")), tau, salt)
+
+  /** #24b n-gram (shingle) Jaccard: distinct n-token shingles instead of
+    * single tokens — finds copied SEQUENCES that token-set similarity
+    * blurs away. Same blocking/verify machinery; shingle diversity makes
+    * the min-hash blocks naturally small. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double, salt: Int = 8): DataFrame = {
+    val s = split(lower(col("text")), " ")
+    val shingles = when(size(s) >= n,
+      array_distinct(transform(sequence(lit(0), size(s) - n),
+        i => concat_ws(" ", slice(s, i + 1, lit(n))))))
+      .otherwise(array())
+    jaccardOnSets(docs.select(col("doc_id"), shingles.as("items")), tau, salt)
+  }
+
+  /** Shared exact-Jaccard-pairs pipeline over a (doc_id, items: array<string>)
+    * frame: min-MD5 blocking, slim (id, size) candidate generation through
+    * the salted triangle join, size-band prune, array re-join, two-pointer
+    * verify. */
+  private def jaccardOnSets(sets: DataFrame, tau: Double, salt: Int): DataFrame = {
+    val toks = sets.where(size(col("items")) > 0).select(
       col("doc_id"),
-      tokenIds(col("text")).as("tsi"),
-      array_min(transform(tokens(col("text")), t => md5(t.cast("binary")))).as("blk"))
+      array_sort(transform(col("items"), t => xxhash64(t))).as("tsi"),
+      array_min(transform(col("items"), t => md5(t.cast("binary")))).as("blk"))
     // candidate generation carries only (id, set size); token arrays are
-    // re-joined after the size-band prunes ~3/4 of the candidates
+    // re-joined after the size-band prunes most candidates
     val slim = toks.select(col("doc_id"), size(col("tsi")).as("n"), col("blk"))
     val pruned = saltedPairs(slim, Seq("blk"), "doc_id", Seq("n"), salt)
       .where(col("n_l") >= lit(tau) * col("n_r") && col("n_r") >= lit(tau) * col("n_l"))

@@ -43,6 +43,28 @@ object DedupQueries {
        |            / len(list_distinct(a.ts || b.ts)), 6) >= $JaccardTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** 3-gram shingle Jaccard at τ=0.8: catches copied token SEQUENCES
+    * (the corpus embeds deliberate near-duplicates that token-set
+    * similarity cannot isolate — selectivity ~25 pairs of 125k). */
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3, tau = 0.8)
+
+  val dedupNgramSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([list_aggregate(s[i:i+2], 'string_agg', ' ') FOR i IN range(1, len(s) - 1)]) AS g
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents)
+      |  WHERE len(s) >= 3),
+      |blocked AS (
+      |  SELECT doc_id, g, list_aggregate(list_apply(g, t -> md5(t)), 'min') AS blk FROM sh)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |             / len(list_distinct(a.g || b.g)), 6) AS jac
+      |FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |            / len(list_distinct(a.g || b.g)), 6) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d), JaccardTau)
 
@@ -55,6 +77,7 @@ object DedupQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_ngram" -> (dedupNgram _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _)
@@ -62,6 +85,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_jaccard" -> dedupJaccardSql
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_ngram" -> dedupNgramSql
   )
 }

@@ -62,6 +62,22 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("ngramJaccardPairs: exact precision vs local shingle baseline, finds seeded near-dups") {
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty, "no shingle near-dups found — corpus seeds some")
+    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val s = t.toLowerCase.split(" ")
+        id -> s.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    got.foreach { case (a, b, j) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val expect = VecMath.round6(sa.intersect(sb).size.toDouble / sa.union(sb).size)
+      assert(j == expect && j >= 0.8, s"pair ($a,$b)")
+    }
+  }
+
   test("simhashPairs finds all pairs within hamming 3 of its signatures") {
     val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().sortBy(_._1)
     val want = (for {

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import graft.search.{CosineLsh, Ivf, IvfModel, QuerySet, QueryVectors, SearchHarness, VectorSearch}
+import graft.search.{CosineLsh, Ivf, IvfModel, QuerySet, QueryVectors, VectorSearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -149,10 +149,18 @@ object VectorQueries {
   val hybridQueriesSql: String = QuerySet.oracleSql()
 
   /** Reference results.jsonl equivalent: per-(query, backend) stats —
-    * latency_ms, scored_vectors, filter_selectivity, kth_at_stop.
-    * Rows-only (latency is nondeterministic by nature). */
-  def hybridStats(s: SparkSession, d: String): DataFrame =
-    SearchHarness.runAll(s, emb(s, d))
+    * latency_ms, recall_at_k, scored_vectors, filter_selectivity,
+    * kth_at_stop. Rows-only (latency is nondeterministic by nature). */
+  def hybridStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Seq("pre_filter", "post_filter", "random")
+      .flatMap(b => graft.harness.RunHarness.run(s, d, b))
+    rows.map(r => (r.qid, r.method, r.k, r.latencyMs, r.recallAtK,
+        r.filterSelectivity, r.scoredVectors, r.kthAtStop.getOrElse(Double.NaN)))
+      .toDF("qid", "method", "k", "latency_ms", "recall_at_k",
+        "filter_selectivity", "scored_vectors", "kth_at_stop")
+      .orderBy("qid", "method")
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_queries" -> (hybridQueries _),

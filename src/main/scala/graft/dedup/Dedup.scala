@@ -123,12 +123,21 @@ object Dedup {
     jaccardOnSets(docs.select(col("doc_id"), shingles.as("items")), tau, salt)
   }
 
+  /** Spread per-doc hashing across the cluster: a small corpus often sits
+    * in one parquet split, which would serialize the (interpreted) HOF
+    * token/shingle hashing onto a single core. One cheap hash shuffle on
+    * the id buys full parallelism for the expensive projections; at
+    * 100 TB the input already has thousands of splits and this is a
+    * near-no-op repartition to the shuffle width. */
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    df.repartition(col(idCol))
+
   /** Shared exact-Jaccard-pairs pipeline over a (doc_id, items: array<string>)
     * frame: min-MD5 blocking, slim (id, size) candidate generation through
     * the salted triangle join, size-band prune, array re-join, two-pointer
     * verify. */
   private def jaccardOnSets(sets: DataFrame, tau: Double, salt: Int): DataFrame = {
-    val toks = sets.where(size(col("items")) > 0).select(
+    val toks = spread(sets, "doc_id").where(size(col("items")) > 0).select(
       col("doc_id"),
       array_sort(transform(col("items"), t => xxhash64(t))).as("tsi"),
       array_min(transform(col("items"), t => md5(t.cast("binary")))).as("blk"))
@@ -176,7 +185,8 @@ object Dedup {
       maxBucket: Int = 10000,
       salt: Int = 8): DataFrame = {
     val params = minhashParams(bands * rows, seed)
-    val base = docs.select(col("doc_id"), tokenIds(col("text")).as("tsi"))
+    val base = spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), tokenIds(col("text")).as("tsi"))
       .withColumn("hs", transform(col("tsi"), h => pmod(h, lit(MinhashPrime))))
     val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
       array_min(transform(col("hs"), h => pmod(h * a + b, lit(MinhashPrime)))).as(s"m$j")
@@ -213,7 +223,8 @@ object Dedup {
     * of Σ_tokens (±1 by bit j of the token hash). Pure aggregate over the
     * exploded tokens — no UDF, stays in codegen. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tok = spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")

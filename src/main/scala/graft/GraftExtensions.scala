@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           L2NormF32(args.head)
         }))
     fns.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
   }
 }

@@ -111,7 +111,9 @@ object RelationalQueries {
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
   /** Top-3 customers by order revenue within each nation: one aggregate to
-    * customer grain, then a window over the (small) aggregated frame. */
+    * customer grain, then the custom TopKPerKey operator (bounded per-key
+    * heaps — no per-nation sort of every customer), ranks over the ≤3
+    * survivors per nation. */
   def topCustomers(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rev = Tables.orders(spark, dir)
@@ -119,10 +121,12 @@ object RelationalQueries {
       .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
     val cust = Tables.customer(spark, dir)
     val nat = Tables.nation(spark, dir)
+    val joined = rev.join(cust, col("o_custkey") === col("c_custkey"))
+    val top = org.apache.spark.sql.graft.TopKPerKey(
+      joined, Seq(col("c_nationkey")), Seq(desc("revenue"), col("c_custkey")), 3)
     val w = Window.partitionBy("c_nationkey").orderBy(desc("revenue"), col("c_custkey"))
-    rev.join(cust, col("o_custkey") === col("c_custkey"))
+    top
       .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= 3)
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("rnk"), col("c_custkey"), col("c_name"), col("revenue"))
       .orderBy(col("n_name"), col("rnk"))

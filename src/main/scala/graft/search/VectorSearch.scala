@@ -115,10 +115,14 @@ object VectorSearch {
       }
       .toDF("qid", "vec_id", "score")
 
+    // survivors via the custom TopKPerKey operator (bounded per-key heaps
+    // after the clustered shuffle — no sort of doomed rows), then ranks
+    // over the ≤Q×k winners
+    val survivors = org.apache.spark.sql.graft.TopKPerKey(
+      partial, Seq(col("qid")), Seq(desc("score"), col("vec_id")), k)
     val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
-    partial
+    survivors
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("score"))
       .orderBy(col("qid"), col("rank"))
   }

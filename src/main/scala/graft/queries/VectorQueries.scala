@@ -116,7 +116,9 @@ object VectorQueries {
   def ivfModel(s: SparkSession, d: String): IvfModel =
     ivfCache.computeIfAbsent(d, _ => {
       val e = emb(s, d)
-      Ivf.build(e, Ivf.pickNlist(e.count()))
+      // maxIter 10: centroid quality converges well before that on corpora
+      // this size, and index build time is amortized across queries anyway
+      Ivf.build(e, Ivf.pickNlist(e.count()), maxIter = 10)
     })
 
   def vecIvfTopK(s: SparkSession, d: String): DataFrame =

@@ -98,6 +98,14 @@ object TopKPerKey {
             order: Seq[org.apache.spark.sql.Column],
             k: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // self-heal sessions built without GraftExtensions: without a strategy
+    // for the node the planner would throw, so register through the public
+    // experimental hook (idempotent; harmless next to the injected copy)
+    if (!spark.sessionState.planner.strategies.contains(TopKPerKeyStrategy) &&
+        !spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     // session.expression converts Column nodes into real catalyst
     // expressions (GraftBridge's lazy wrapper is only resolved by the
     // Dataset layer, which this custom node bypasses)

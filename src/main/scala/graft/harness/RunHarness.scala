@@ -200,6 +200,16 @@ object RunHarness {
     }.mkString("", "\n", "\n")
   }
 
+  /** Latency/recall summary per backend — the reference's
+    * plots/latency_recall.py aggregation (mean/p50 latency, mean recall),
+    * as a small table instead of a matplotlib figure. */
+  def summarize(rows: Seq[ResultRow]): Seq[(String, Double, Double, Double)] =
+    rows.groupBy(_.method).toSeq.sortBy(_._1).map { case (m, rs) =>
+      val lat = rs.map(_.latencyMs).sorted
+      val p50 = lat(lat.length / 2)
+      (m, lat.sum / lat.length, p50, rs.map(_.recallAtK).sum / rs.length)
+    }
+
   /** CLI twin of the reference's `python -m src.harness.run`. */
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap

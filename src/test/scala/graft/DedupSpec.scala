@@ -91,6 +91,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no simhash near-dups in test data")
   }
 
+  test("degenerate blocking key still yields every pair exactly once (salted join)") {
+    // every doc shares one token ('the' appears broadly) — force the
+    // worst case: ALL docs in one block via identical text prefix
+    // "t168" md5 starts 004e… — the min token of every doc, so all 60
+    // docs land in ONE block
+    val df = (0L until 60L).map(i => (i, s"t168 t168 t168 word$i"))
+      .toDF("doc_id", "text")
+    // tau=0: every blocked pair must surface, exactly once each
+    val pairs = Dedup.jaccardPairs(df, tau = 0.0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length == pairs.distinct.length, "duplicate pairs from salting")
+    assert(pairs.forall { case (a, b) => a < b }, "unordered or self pairs leaked")
+    // expected pair count from the same min-MD5 blocking computed locally
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byBlock = (0L until 60L)
+      .map(i => i -> Seq("t168", s"word$i").map(md5hex).min)
+      .groupBy(_._2).values.map(_.size.toLong)
+    val want = byBlock.map(n => n * (n - 1) / 2).sum
+    assert(pairs.length == want, s"got ${pairs.length} want $want")
+    assert(byBlock.max >= 40, "test setup no longer degenerate")
+  }
+
   test("embeddingPairs: exact precision, nonempty, subset of brute-force") {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1).toMap

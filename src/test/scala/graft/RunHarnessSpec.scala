@@ -104,6 +104,14 @@ class RunHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("summarize aggregates latency/recall per backend (latency_recall twin)") {
+    val rows = RunHarness.run(spark, sf, "exact", qs = QuerySet.default.take(3))
+    val s = RunHarness.summarize(rows)
+    assert(s.length == 1 && s.head._1 == "exact")
+    val (_, mean, p50, recall) = s.head
+    assert(mean > 0 && p50 > 0 && recall == 1.0)
+  }
+
   test("results.jsonl has the exact field order of the reference") {
     val rows = RunHarness.run(spark, sf, "exact", qs = QuerySet.default.take(1))
     val line = RunHarness.toJsonLines(rows).linesIterator.next()

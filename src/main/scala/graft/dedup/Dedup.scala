@@ -82,13 +82,12 @@ object Dedup {
     round(inter / (size(a) + size(b) - inter), 6)
   }
 
-  /** Size-band prefilter (classic exact-similarity-join pruning): J(A,B)
-    * ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose sizes differ by more
-    * than τ can't reach the threshold — an integer compare that
-    * short-circuits before the two-pointer merge runs. */
-  private def sizeBand(a: Column, b: Column, tau: Double): Column =
-    size(a).cast("double") >= lit(tau) * size(b) &&
-      size(b).cast("double") >= lit(tau) * size(a)
+  /** Size-band prefilter (classic exact-similarity-join pruning) over the
+    * slim size columns: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    * sizes differ by more than τ can't reach the threshold — an integer
+    * compare that prunes before any array is even fetched. */
+  private def sizeBandN(nl: Column, nr: Column, tau: Double): Column =
+    nl >= lit(tau) * nr && nr >= lit(tau) * nl
 
   // ---- #21 exact -------------------------------------------------------
 
@@ -145,7 +144,7 @@ object Dedup {
     // re-joined after the size-band prunes most candidates
     val slim = toks.select(col("doc_id"), size(col("tsi")).as("n"), col("blk"))
     val pruned = saltedPairs(slim, Seq("blk"), "doc_id", Seq("n"), salt)
-      .where(col("n_l") >= lit(tau) * col("n_r") && col("n_r") >= lit(tau) * col("n_l"))
+      .where(sizeBandN(col("n_l"), col("n_r"), tau))
       .select("doc_id_l", "doc_id_r")
     withPayloads(pruned, toks.select("doc_id", "tsi"), "doc_id", Seq("tsi"))
       .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
@@ -207,7 +206,7 @@ object Dedup {
     // slim candidate ids: size-band prune, then distinct (a pair may
     // collide in several bands), then re-join the token arrays
     val pruned = saltedPairs(bucketed, Seq("band", "key"), "doc_id", Seq("n"), salt)
-      .where(col("n_l") >= lit(tau) * col("n_r") && col("n_r") >= lit(tau) * col("n_l"))
+      .where(sizeBandN(col("n_l"), col("n_r"), tau))
       .select("doc_id_l", "doc_id_r")
       .distinct()
     withPayloads(pruned, base.select("doc_id", "tsi"), "doc_id", Seq("tsi"))

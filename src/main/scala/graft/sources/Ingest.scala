@@ -122,6 +122,20 @@ object Ingest {
           transform(col(vecCol), x => (x / n).cast(FloatType)))))
   }
 
+  /** vectors.meta.json (reference artifacts.py writes N/D/normalized/
+    * model/seed alongside the vectors): one aggregate over the embedding
+    * table, hand-rolled JSON (stable key order). */
+  def writeVectorsMeta(emb: DataFrame, path: String, model: String,
+                       seed: Long = 42L, tol: Double = 1e-3): Unit = {
+    val r = emb.agg(
+      count(lit(1)).as("n"),
+      first(size(col("embedding"))).as("d"),
+      max(abs(l2Norm(col("embedding")) - 1.0)).as("maxdev")).collect()(0)
+    val json =
+      s"""{"N": ${r.getLong(0)}, "D": ${r.getInt(1)}, "normalized": ${r.getDouble(2) <= tol}, "model": "$model", "seed": $seed}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
   /** queries.parquet writer (reference artifacts.py write_queries):
     * persists the deterministic hybrid query set. */
   def writeQueries(spark: SparkSession, path: String,

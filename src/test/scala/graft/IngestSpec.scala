@@ -72,6 +72,16 @@ class IngestSpec extends AnyFunSuite {
     assert(out(2)._2.isEmpty)
   }
 
+  test("vectors.meta.json records N/D/normalized like the reference artifact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p = tmpDir().resolve("vectors.meta.json")
+    Ingest.writeVectorsMeta(emb, p.toString, model = "seeded-gaussian-64")
+    val json = java.nio.file.Files.readString(p)
+    assert(json.contains("\"N\": 500") && json.contains("\"D\": 64"))
+    assert(json.contains("\"normalized\": true"))
+    assert(json.contains("\"model\": \"seeded-gaussian-64\""))
+  }
+
   test("queries.parquet round trip preserves the query set") {
     val dir = tmpDir().resolve("queries.parquet").toString
     Ingest.writeQueries(spark, dir)

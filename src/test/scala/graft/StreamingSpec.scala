@@ -52,6 +52,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late events beyond the watermark are dropped from windowed counts") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val out = EventStreaming.windowedCounts(stream.toDF(), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("win_late")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+      stream.addData(Event(1, t0, 1, "view", 1.0)); q.processAllAvailable()
+      // push the watermark far past t0's window
+      stream.addData(Event(2, java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // late arrival into the long-closed 00:00 window: must be ignored
+      stream.addData(Event(3, t0, 1, "view", 5.0)); q.processAllAvailable()
+      stream.addData(Event(4, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_late")
+        .as[(java.sql.Timestamp, String, Long, Double)].collect()
+        .filter(_._1.toString.startsWith("2024-01-01 00:00"))
+      assert(rows.length == 1 && rows.head._3 == 1 && rows.head._4 == 1.0,
+        s"late event leaked into closed window: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == batch lag+cumsum sessions") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

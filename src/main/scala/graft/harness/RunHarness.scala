@@ -66,19 +66,23 @@ object RunHarness {
                k: Int): (Seq[Long], Stats) = {
       val spark = emb.sparkSession
       import spark.implicits._
-      val ((kept, rung), ms) = timed {
+      val ((kept, rung, satisfied), ms) = timed {
         val cand = VectorSearch.withScore(emb, qvec)
           .withColumn("pass", coalesce(pred.getOrElse(lit(true)), lit(false)))
           .select(col("vec_id").cast("long"), col("score"), col("pass"))
           .orderBy(desc("score"), col("vec_id"))
           .limit(ladder.max)
           .as[(Long, Double, Boolean)].collect()
-        val chosen = ladder.sorted.find(kp => cand.take(kp).count(_._3) >= k).getOrElse(ladder.max)
-        (cand.take(chosen).filter(_._3).take(k), chosen)
+        val stop = ladder.sorted.find(kp => cand.take(kp).count(_._3) >= k)
+        val chosen = stop.getOrElse(ladder.max)
+        (cand.take(chosen).filter(_._3).take(k), chosen, stop.isDefined)
       }
+      // kth_at_stop only when the ladder actually satisfied K
+      // (reference post_filter.py: None when exhausted with < K kept)
+      val kth = if (satisfied && kept.length == k) kept.lastOption.map(_._2) else None
       (kept.map(_._1).toSeq,
-        Stats(ms, rung, None, None, kept.lastOption.map(_._2), None,
-          Some(s"k_ladder=${ladder.mkString("[", ", ", "]")}")))
+        Stats(ms, rung, None, None, kth, None,
+          Some(s"k_ladder=${ladder.mkString("[", ", ", "]")}; kept=${kept.length}; need=$k")))
     }
   }
 

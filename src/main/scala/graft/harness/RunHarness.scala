@@ -159,6 +159,13 @@ object RunHarness {
         }
       if (qvec.length != dim)
         throw new IllegalArgumentException(s"Query dim ${qvec.length} != dataset dim $dim")
+      // ensure_unit_l2 (reference validators.py:38): validate, don't fix
+      val norm = math.sqrt(VecMath.dot(qvec, qvec))
+      if (norm == 0.0)
+        throw new IllegalArgumentException("Embedding norm is zero; cannot validate")
+      if (math.abs(norm - 1.0) > 1e-3)
+        throw new IllegalArgumentException(
+          f"Embedding L2 norm $norm%.6f not within tolerance 0.001")
       (hq, k, qvec)
     }
 

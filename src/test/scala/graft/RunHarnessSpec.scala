@@ -62,6 +62,18 @@ class RunHarnessSpec extends AnyFunSuite {
     assert(ex.getMessage.matches("Query dim .* != dataset dim .*"), ex.getMessage)
   }
 
+  test("non-unit query vectors are rejected (ensure_unit_l2)") {
+    val bad = QueryVectors.qvec(0).map(_ * 2.0f)
+    val ex = intercept[IllegalArgumentException] {
+      RunHarness.run(spark, sf, "exact", qs = Seq(HybridQuery(0, bad, "{}", "TRUE", 5)))
+    }
+    assert(ex.getMessage.contains("not within tolerance"))
+    intercept[IllegalArgumentException] {
+      RunHarness.run(spark, sf, "exact",
+        qs = Seq(HybridQuery(0, Array.fill(64)(0.0f), "{}", "TRUE", 5)))
+    }
+  }
+
   test("empty query vector falls back to the dataset vector at qid") {
     // test_empty_qtext_uses_dataset_vector: vectors[qid] is its own nearest
     // neighbour under IP on unit vectors, so it must rank first

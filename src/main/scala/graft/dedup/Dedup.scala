@@ -184,16 +184,15 @@ object Dedup {
       maxBucket: Int = 10000,
       salt: Int = 8): DataFrame = {
     val params = minhashParams(bands * rows, seed)
+    // all perms in ONE codegen'd pass over the token hashes
     val base = spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), tokenIds(col("text")).as("tsi"))
-      .withColumn("hs", transform(col("tsi"), h => pmod(h, lit(MinhashPrime))))
-    val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(MinhashPrime)))).as(s"m$j")
-    }
-    val sig = base.select(col("doc_id") +: col("tsi") +: sigCols.toSeq: _*)
+      .withColumn("sig",
+        minhashSignature(col("tsi"), params.map(_._1).toSeq, params.map(_._2).toSeq, MinhashPrime))
+    val sig = base.select(col("doc_id"), col("tsi"), col("sig"))
     val bandKeys = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
-        xxhash64((bd * rows until (bd + 1) * rows).map(j => col(s"m$j")): _*).as("key"))
+        xxhash64(slice(col("sig"), bd * rows + 1, rows)).as("key"))
     }
     val exploded = sig
       .withColumn("bk", explode(array(bandKeys: _*)))

@@ -36,4 +36,10 @@ object VectorFunctions {
   /** |a ∩ b| of two sorted array<long> columns (two-pointer, codegen'd). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** MinHash signature over an array<long> of element hashes: one codegen
+    * pass for all permutations (aᵢ·h + bᵢ mod prime, minimised). */
+  def minhashSignature(hashes: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.MinHashSignature(GraftBridge.expression(hashes), a, b, prime))
 }

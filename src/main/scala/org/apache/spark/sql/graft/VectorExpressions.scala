@@ -236,6 +236,74 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature in one pass: out[j] = min_i (a(j)·h(i) + b(j)) mod p
+  * over an array<long> of element hashes. Replaces per-permutation
+  * `array_min(transform(...))` chains — those run interpreted with
+  * per-element Catalyst overhead × perms; this is one tight codegen'd
+  * nested loop. Constants stay below 2³¹ so the Long arithmetic cannot
+  * overflow (a·h' < 2⁶² after h is reduced mod p).
+  */
+case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long], prime: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(a.length == b.length && a.nonEmpty, "coefficient arrays must match")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val k = a.length
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = ((hs.getLong(i) % prime) + prime) % prime
+        val v = (a(j) * h + b(j)) % prime
+        if (v < best) best = v
+        i += 1
+      }
+      out(j) = if (n == 0) 0L else best
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aCoeffs", a.toArray, "long[]")
+    val bRef = ctx.addReferenceObj("bCoeffs", b.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val best = ctx.freshName("best")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $in.numElements();
+         |long[] $out = new long[${a.length}];
+         |for (int $j = 0; $j < ${a.length}; $j++) {
+         |  long $best = Long.MAX_VALUE;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = (($in.getLong($i) % ${prime}L) + ${prime}L) % ${prime}L;
+         |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${prime}L;
+         |    if ($v < $best) $best = $v;
+         |  }
+         |  $out[$j] = ($n == 0) ? 0L : $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Packs sign bits of vec·planeⱼ into a long — cosine-LSH bucket id.
   * `right` is array<array<float>> of ≤64 hyperplanes.
   */

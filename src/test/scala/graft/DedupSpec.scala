@@ -78,6 +78,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashSignature expression matches local per-permutation math") {
+    import graft.functions.VectorFunctions.minhashSignature
+    val p = 2147483647L
+    val a = Seq(3L, 7L, 11L)
+    val b = Seq(1L, 5L, 13L)
+    val df = Seq((1L, Array(42L, -9L, 1000L)), (2L, Array.empty[Long]))
+      .toDF("id", "hs")
+    val got = df.select(col("id"), minhashSignature(col("hs"), a, b, p))
+      .as[(Long, Array[Long])].collect().toMap
+    def localSig(hs: Array[Long]): Array[Long] =
+      a.indices.map { j =>
+        if (hs.isEmpty) 0L
+        else hs.map(h => (a(j) * (((h % p) + p) % p) + b(j)) % p).min
+      }.toArray
+    assert(got(1L).toSeq == localSig(Array(42L, -9L, 1000L)).toSeq)
+    assert(got(2L).toSeq == Seq(0L, 0L, 0L))
+  }
+
   test("simhashPairs finds all pairs within hamming 3 of its signatures") {
     val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().sortBy(_._1)
     val want = (for {

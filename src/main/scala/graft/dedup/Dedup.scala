@@ -107,20 +107,14 @@ object Dedup {
     * blocking recall at tau=0.95 is ≥95%; candidates are verified with
     * the exact intersect/union ratio. */
   def jaccardPairs(docs: DataFrame, tau: Double, salt: Int = 8): DataFrame =
-    jaccardOnSets(docs.select(col("doc_id"), tokens(col("text")).as("items")), tau, salt)
+    jaccardOnText(docs, 1, tau, salt)
 
   /** #24b n-gram (shingle) Jaccard: distinct n-token shingles instead of
     * single tokens — finds copied SEQUENCES that token-set similarity
     * blurs away. Same blocking/verify machinery; shingle diversity makes
     * the min-hash blocks naturally small. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double, salt: Int = 8): DataFrame = {
-    val s = split(lower(col("text")), " ")
-    val shingles = when(size(s) >= n,
-      array_distinct(transform(sequence(lit(0), size(s) - n),
-        i => concat_ws(" ", slice(s, i + 1, lit(n))))))
-      .otherwise(array())
-    jaccardOnSets(docs.select(col("doc_id"), shingles.as("items")), tau, salt)
-  }
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double, salt: Int = 8): DataFrame =
+    jaccardOnText(docs, n, tau, salt)
 
   /** Spread per-doc hashing across the cluster: a small corpus often sits
     * in one parquet split, which would serialize the (interpreted) HOF
@@ -131,18 +125,23 @@ object Dedup {
   private def spread(df: DataFrame, idCol: String): DataFrame =
     df.repartition(col(idCol))
 
-  /** Shared exact-Jaccard-pairs pipeline over a (doc_id, items: array<string>)
-    * frame: min-MD5 blocking, slim (id, size) candidate generation through
-    * the salted triangle join, size-band prune, array re-join, two-pointer
-    * verify. */
-  private def jaccardOnSets(sets: DataFrame, tau: Double, salt: Int): DataFrame = {
-    val toks = spread(sets, "doc_id").where(size(col("items")) > 0).select(
-      col("doc_id"),
-      array_sort(transform(col("items"), t => xxhash64(t))).as("tsi"),
-      array_min(transform(col("items"), t => md5(t.cast("binary")))).as("blk"))
+  /** Shared exact-Jaccard-pairs pipeline: single-pass TokenSetSummary
+    * (tokenize/shingle + hash + min-MD5 block), slim (id, size) candidate
+    * generation through the salted triangle join, size-band prune, array
+    * re-join, two-pointer verify. */
+  private def jaccardOnText(docs: DataFrame, n: Int, tau: Double, salt: Int): DataFrame = {
+    // the summary sits BELOW the repartition exchange: computed once per
+    // row, materialized in the shuffle, and the exchange is REUSED by all
+    // three consuming branches (slim + both payload sides) — without it
+    // each branch would re-tokenize the corpus
+    val toks = spread(
+      docs.select(col("doc_id"), tokenSetSummary(col("text"), n).as("ts")), "doc_id")
+      .select(col("doc_id"), col("ts.tsi").as("tsi"), col("ts.blk").as("blk"),
+        col("ts.n").as("n"))
+      .where(col("n") > 0)
     // candidate generation carries only (id, set size); token arrays are
     // re-joined after the size-band prunes most candidates
-    val slim = toks.select(col("doc_id"), size(col("tsi")).as("n"), col("blk"))
+    val slim = toks.select(col("doc_id"), col("n"), col("blk"))
     val pruned = saltedPairs(slim, Seq("blk"), "doc_id", Seq("n"), salt)
       .where(sizeBandN(col("n_l"), col("n_r"), tau))
       .select("doc_id_l", "doc_id_r")
@@ -184,9 +183,12 @@ object Dedup {
       maxBucket: Int = 10000,
       salt: Int = 8): DataFrame = {
     val params = minhashParams(bands * rows, seed)
-    // all perms in ONE codegen'd pass over the token hashes
-    val base = spread(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), tokenIds(col("text")).as("tsi"))
+    // single-pass tokenize+hash BELOW the exchange (computed once,
+    // exchange reused by both consuming branches), then all perms in one
+    // codegen'd pass
+    val base = spread(
+      docs.select(col("doc_id"),
+        tokenSetSummary(col("text"), 1).getField("tsi").as("tsi")), "doc_id")
       .withColumn("sig",
         minhashSignature(col("tsi"), params.map(_._1).toSeq, params.map(_._2).toSeq, MinhashPrime))
     val sig = base.select(col("doc_id"), col("tsi"), col("sig"))

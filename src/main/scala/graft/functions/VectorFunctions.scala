@@ -37,6 +37,13 @@ object VectorFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Tokenize + hash + block in one pass: struct(tsi sorted hashes,
+    * blk min-MD5 blocking key, n set size) from raw text (n-gram shingles
+    * when n > 1). */
+  def tokenSetSummary(text: Column, n: Int): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.TokenSetSummary(GraftBridge.expression(text), n))
+
   /** MinHash signature over an array<long> of element hashes: one codegen
     * pass for all permutations (aᵢ·h + bᵢ mod prime, minimised). */
   def minhashSignature(hashes: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =

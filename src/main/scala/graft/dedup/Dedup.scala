@@ -22,18 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct lowercase whitespace tokens of `text`. */
-  private def tokens(c: Column): Column =
-    array_distinct(split(lower(c), " "))
-
-  /** Canonical integer token-id set: distinct tokens → xxhash64 → sorted.
-    * All pairwise verification runs on these (the codegen'd two-pointer
-    * `sortedIntersectSize`), never on string arrays; |intersection| and
-    * |union| are identical to the string-set versions (64-bit hash,
-    * collision probability ≈ n²/2⁶⁵). */
-  private def tokenIds(c: Column): Column =
-    array_sort(transform(tokens(c), t => xxhash64(t)))
-
   /** All unordered pairs of rows sharing `keys`, with the quadratic
     * per-key pair generation spread over r² tasks (triangle-join salting):
     * each side explodes r copies keyed (keys, saltL, saltR), so one
@@ -223,9 +211,10 @@ object Dedup {
     * of Σ_tokens (±1 by bit j of the token hash). Pure aggregate over the
     * exploded tokens — no UDF, stays in codegen. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = spread(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    val tok = spread(
+      docs.select(col("doc_id"),
+        tokenSetSummary(col("text"), 1).getField("tsi").as("tsi")), "doc_id")
+      .select(col("doc_id"), explode(col("tsi")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }

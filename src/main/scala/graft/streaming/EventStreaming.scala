@@ -24,6 +24,18 @@ object EventStreaming {
   case class OpenSession(startUs: Long, lastUs: Long, n: Long, sumUs: Long)
   case class UserState(nextSid: Long, open: Option[OpenSession])
 
+  /** Streaming exact dedup — the stream twin of Dedup.exact: drop
+    * documents whose content hash was already seen, with state BOUNDED by
+    * the event-time watermark (dropDuplicatesWithinWatermark) — the only
+    * shape that survives an unbounded corpus stream; an unbounded
+    * dropDuplicates would grow state forever. Expects (ts, text, ...)
+    * columns. */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+
   /** #36 streaming tumbling-window counts with watermark — the stream twin
     * of EventQueries.eventsWindow (same window, same aggregates). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -76,6 +76,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps one row per content hash (bounded state)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val named = stream.toDF().toDF("ts", "text", "doc_id")
+    val out = graft.streaming.EventStreaming.dedupStream(named, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(min: Long) = new java.sql.Timestamp(base + min * 60000)
+      stream.addData((t(0), "alpha beta", 1L), (t(1), "gamma", 2L), (t(2), "alpha beta", 3L))
+      q.processAllAvailable()
+      stream.addData((t(3), "alpha beta", 4L), (t(4), "delta", 5L))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_stream").select("text").as[String].collect()
+      assert(texts.sorted.toSeq == Seq("alpha beta", "delta", "gamma"),
+        s"got ${texts.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == batch lag+cumsum sessions") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

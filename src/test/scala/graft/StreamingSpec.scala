@@ -96,6 +96,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text analysis pipelines run unchanged on streams (scan-only ops)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    // the same batch column pipeline applied to a stream — possible
+    // precisely because the text ops are stateless, shuffle-free plans
+    val out = graft.text.TextAnalysis.withQuality(docs)
+    val q = out.writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, "the quick fox"), (2L, "a b"))
+      q.processAllAvailable()
+      val got = spark.table("stream_quality")
+        .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 3L, 2L -> 2L))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == batch lag+cumsum sessions") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

@@ -25,9 +25,6 @@ import org.apache.spark.sql.functions._
   */
 final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
 
-  private def centroidsLit: Column =
-    typedlit(centroids.map(_.toSeq).toSeq)
-
   /** Probe list ids for a query vector: top-nprobe centroids by IP. */
   def probes(qvec: Array[Float], nprobe: Int): Seq[Int] = {
     val scores = centroids.map { c =>

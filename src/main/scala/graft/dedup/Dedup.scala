@@ -118,22 +118,22 @@ object Dedup {
     * generation through the salted triangle join, size-band prune, array
     * re-join, two-pointer verify. */
   private def jaccardOnText(docs: DataFrame, n: Int, tau: Double, salt: Int): DataFrame = {
-    // the summary sits BELOW the repartition exchange: computed once per
-    // row, materialized in the shuffle, and the exchange is REUSED by all
-    // three consuming branches (slim + both payload sides) — without it
-    // each branch would re-tokenize the corpus
-    val toks = spread(
-      docs.select(col("doc_id"), tokenSetSummary(col("text"), n).as("ts")), "doc_id")
-      .select(col("doc_id"), col("ts.tsi").as("tsi"), col("ts.blk").as("blk"),
-        col("ts.n").as("n"))
+    // each branch computes ONLY what it needs (single-purpose expressions:
+    // a bundled struct would get re-expanded by projection pushdown into
+    // one full evaluation per extracted field):
+    //  - slim candidates: blocking key (the one md5 pass) + set size
+    //  - payload sides:   token-id arrays (hash + sort)
+    val src = docs.select(col("doc_id"), col("text"))
+    val slim = spread(src, "doc_id")
+      .select(col("doc_id"), tokenSetSize(col("text"), n).as("n"),
+        tokenSetMinMd5(col("text"), n).as("blk"))
       .where(col("n") > 0)
-    // candidate generation carries only (id, set size); token arrays are
-    // re-joined after the size-band prunes most candidates
-    val slim = toks.select(col("doc_id"), col("n"), col("blk"))
     val pruned = saltedPairs(slim, Seq("blk"), "doc_id", Seq("n"), salt)
       .where(sizeBandN(col("n_l"), col("n_r"), tau))
       .select("doc_id_l", "doc_id_r")
-    withPayloads(pruned, toks.select("doc_id", "tsi"), "doc_id", Seq("tsi"))
+    val payload = spread(src, "doc_id")
+      .select(col("doc_id"), tokenSetIds(col("text"), n).as("tsi"))
+    withPayloads(pruned, payload, "doc_id", Seq("tsi"))
       .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
       .where(col("jac") >= tau)
       .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
@@ -171,12 +171,9 @@ object Dedup {
       maxBucket: Int = 10000,
       salt: Int = 8): DataFrame = {
     val params = minhashParams(bands * rows, seed)
-    // single-pass tokenize+hash BELOW the exchange (computed once,
-    // exchange reused by both consuming branches), then all perms in one
-    // codegen'd pass
-    val base = spread(
-      docs.select(col("doc_id"),
-        tokenSetSummary(col("text"), 1).getField("tsi").as("tsi")), "doc_id")
+    // single-pass tokenize+hash, then all perms in one codegen'd pass
+    val base = spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), tokenSetIds(col("text"), 1).as("tsi"))
       .withColumn("sig",
         minhashSignature(col("tsi"), params.map(_._1).toSeq, params.map(_._2).toSeq, MinhashPrime))
     val sig = base.select(col("doc_id"), col("tsi"), col("sig"))
@@ -211,9 +208,8 @@ object Dedup {
     * of Σ_tokens (±1 by bit j of the token hash). Pure aggregate over the
     * exploded tokens — no UDF, stays in codegen. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = spread(
-      docs.select(col("doc_id"),
-        tokenSetSummary(col("text"), 1).getField("tsi").as("tsi")), "doc_id")
+    val tok = spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), tokenSetIds(col("text"), 1).as("tsi"))
       .select(col("doc_id"), explode(col("tsi")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")

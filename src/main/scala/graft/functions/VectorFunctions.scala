@@ -37,12 +37,21 @@ object VectorFunctions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Tokenize + hash + block in one pass: struct(tsi sorted hashes,
-    * blk min-MD5 blocking key, n set size) from raw text (n-gram shingles
-    * when n > 1). */
-  def tokenSetSummary(text: Column, n: Int): Column =
+  /** Sorted distinct XXH64 token/shingle hashes of raw text (n-gram
+    * shingles when n > 1) — single-pass JVM tokenization. */
+  def tokenSetIds(text: Column, n: Int): Column =
     GraftBridge.column(
-      org.apache.spark.sql.graft.TokenSetSummary(GraftBridge.expression(text), n))
+      org.apache.spark.sql.graft.TokenSetIds(GraftBridge.expression(text), n))
+
+  /** Min-MD5 blocking key of the token/shingle set (oracle-compatible). */
+  def tokenSetMinMd5(text: Column, n: Int): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.TokenSetMinMd5(GraftBridge.expression(text), n))
+
+  /** Distinct token/shingle count (tokenize only). */
+  def tokenSetSize(text: Column, n: Int): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.TokenSetSize(GraftBridge.expression(text), n))
 
   /** MinHash signature over an array<long> of element hashes: one codegen
     * pass for all permutations (aᵢ·h + bᵢ mod prime, minimised). */

@@ -236,68 +236,105 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Tokenize + hash + block in ONE pass over the raw text:
-  * lowercase whitespace tokens (n=1) or n-token shingles (n>1), distinct;
-  * returns struct(tsi: sorted XXH64 hashes, blk: min MD5 hex — the
-  * 1-permutation-MinHash blocking key, n: set size). Replaces a chain of
-  * interpreted higher-order functions (split → distinct → transform×2 →
-  * array_sort → array_min) with plain JVM code per row; the per-row work
-  * dominates, so CodegenFallback costs nothing while the surrounding
-  * projection stays codegen'd. MD5 over UTF-8 bytes matches Spark's and
-  * DuckDB's md5() exactly (oracle-visible blocking key).
-  */
-case class TokenSetSummary(child: Expression, n: Int)
-    extends UnaryExpression
-    with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  require(n >= 1, "shingle size must be >= 1")
+/** Shared single-pass tokenization: lowercase whitespace tokens (n=1) or
+  * n-token shingles (n>1), distinct. Plain JVM string work — replaces
+  * chains of interpreted higher-order functions. */
+object TokenSets {
+  def items(input: Any, n: Int): Array[String] = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.toLowerCase
+    val toks = text.split(" ", -1)
+    if (n == 1) toks.distinct
+    else if (toks.length < n) Array.empty
+    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  }
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
-  override def dataType: DataType = StructType(Seq(
-    StructField("tsi", ArrayType(LongType, containsNull = false), nullable = false),
-    StructField("blk", StringType, nullable = true),
-    StructField("n", IntegerType, nullable = false)))
-  override def prettyName: String = "token_set_summary"
+  def xxh64(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+  }
 
-  @transient private lazy val md5 = new ThreadLocal[java.security.MessageDigest] {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def md5hex(s: String): String = {
+  def md5hex(s: String): String = {
     val d = md5.get()
     d.reset()
     d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
   }
+}
+
+/** Sorted distinct XXH64 token/shingle hashes of the text — the canonical
+  * set representation every pairwise verify runs on. Single-purpose (no
+  * struct output): projection pushdown/collapse can't silently multiply a
+  * bundled computation per extracted field. */
+case class TokenSetIds(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_set_ids"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase
-    val toks = text.split(" ", -1)
-    val items: Array[String] =
-      if (n == 1) toks.distinct
-      else if (toks.length < n) Array.empty
-      else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+    val items = TokenSets.items(input, n)
     val hashes = new Array[Long](items.length)
+    var i = 0
+    while (i < items.length) { hashes(i) = TokenSets.xxh64(items(i)); i += 1 }
+    java.util.Arrays.sort(hashes)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Min MD5 hex of the token/shingle set — the 1-permutation-MinHash
+  * blocking key; MD5 over UTF-8 bytes matches Spark's and DuckDB's md5()
+  * exactly (oracle-visible). Null for empty texts. */
+case class TokenSetMinMd5(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "token_set_min_md5"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val items = TokenSets.items(input, n)
     var minMd5: String = null
     var i = 0
     while (i < items.length) {
-      val bytes = items(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          bytes.length, 42L)
-      val h = md5hex(items(i))
+      val h = TokenSets.md5hex(items(i))
       if (minMd5 == null || h < minMd5) minMd5 = h
       i += 1
     }
-    java.util.Arrays.sort(hashes)
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes),
-      if (minMd5 == null) null
-      else org.apache.spark.unsafe.types.UTF8String.fromString(minMd5),
-      items.length))
+    if (minMd5 == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(minMd5)
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct token/shingle count (tokenize only — no hashing). */
+case class TokenSetSize(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_set_size"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.items(input, n).length
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

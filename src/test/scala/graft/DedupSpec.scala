@@ -78,6 +78,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("token-set expressions match local tokenization/hash/md5 math") {
+    import graft.functions.VectorFunctions._
+    val df = Seq((1L, "B b apple b"), (2L, ""), (3L, "x y z w")).toDF("id", "text")
+    val got = df.select(col("id"),
+      tokenSetIds(col("text"), 1).as("tsi"),
+      tokenSetMinMd5(col("text"), 1).as("blk"),
+      tokenSetSize(col("text"), 1).as("n"),
+      tokenSetIds(col("text"), 2).as("sh2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getString(2), r.getInt(3), r.getSeq[Long](4))).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "B b apple b" lowercases then dedupes to {b, apple}
+    assert(got(1L)._3 == 2)
+    assert(got(1L)._2 == Seq("b", "apple").map(md5hex).min)
+    assert(got(1L)._1.length == 2 && got(1L)._1 == got(1L)._1.sorted)
+    // empty text → one empty token (split semantics), not an empty set
+    assert(got(2L)._3 == 1 && got(2L)._2 == md5hex(""))
+    // 2-gram shingles of 4 tokens → 3 shingles
+    assert(got(3L)._4.length == 3)
+    // hash values equal Spark's xxhash64 (same XXH64/seed 42)
+    val viaSpark = df.where(col("id") === 3)
+      .select(array_sort(transform(split(col("text"), " "), t => xxhash64(t))))
+      .collect()(0).getSeq[Long](0)
+    assert(got(3L)._1 == viaSpark)
+  }
+
   test("MinHashSignature expression matches local per-permutation math") {
     import graft.functions.VectorFunctions.minhashSignature
     val p = 2147483647L

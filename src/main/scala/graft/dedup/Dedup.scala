@@ -105,13 +105,15 @@ object Dedup {
     jaccardOnText(docs, n, tau, salt)
 
   /** Spread per-doc hashing across the cluster: a small corpus often sits
-    * in one parquet split, which would serialize the (interpreted) HOF
-    * token/shingle hashing onto a single core. One cheap hash shuffle on
-    * the id buys full parallelism for the expensive projections; at
-    * 100 TB the input already has thousands of splits and this is a
-    * near-no-op repartition to the shuffle width. */
-  private def spread(df: DataFrame, idCol: String): DataFrame =
-    df.repartition(col(idCol))
+    * in one parquet split, which would serialize the per-row token/shingle
+    * hashing onto a single core — there, one cheap hash shuffle on the id
+    * buys full parallelism for the expensive projections. At 100 TB the
+    * input already has thousands of splits, so the repartition is SKIPPED
+    * (it would otherwise shuffle the whole corpus for nothing). */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(col(idCol))
+  }
 
   /** Shared exact-Jaccard-pairs pipeline: single-pass TokenSetSummary
     * (tokenize/shingle + hash + min-MD5 block), slim (id, size) candidate
@@ -205,20 +207,13 @@ object Dedup {
   // ---- #23 SimHash -----------------------------------------------------
 
   /** 64-bit SimHash of the token set: bit j of the signature is the sign
-    * of Σ_tokens (±1 by bit j of the token hash). Pure aggregate over the
-    * exploded tokens — no UDF, stays in codegen. */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tok = spread(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select(col("doc_id"), tokenSetIds(col("text"), 1).as("tsi"))
-      .select(col("doc_id"), explode(col("tsi")).as("h"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)).as("sig"))
-  }
+    * of Σ_tokens (±1 by bit j of the token hash). Row-local: ONE codegen'd
+    * SimHash64 pass over the token-id array — zero shuffle (the previous
+    * explode + 64-aggregate groupBy formulation shuffled every token
+    * occurrence, a corpus-sized exchange at 100 TB). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), simHash64(tokenSetIds(col("text"), 1)).as("sig"))
 
   /** Near-dup pairs with hamming(sig_a, sig_b) ≤ maxHamming (≤ 15).
     * Blocking: split the 64-bit signature into 4 16-bit chunks — by

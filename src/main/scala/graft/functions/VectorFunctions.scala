@@ -58,4 +58,10 @@ object VectorFunctions {
   def minhashSignature(hashes: Column, a: Seq[Long], b: Seq[Long], prime: Long): Column =
     GraftBridge.column(
       org.apache.spark.sql.graft.MinHashSignature(GraftBridge.expression(hashes), a, b, prime))
+
+  /** Row-local 64-bit SimHash over an array<long> of element hashes
+    * (bit j set iff the ±1 majority vote on bit j is positive). */
+  def simHash64(hashes: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.SimHash64(GraftBridge.expression(hashes)))
 }

@@ -31,13 +31,17 @@ object RunHarness {
       nprobe: Option[Int],
       kthAtStop: Option[Double],
       boundAtStop: Option[Double],
-      notes: Option[String])
+      notes: Option[String],
+      retries: Int = 0)
 
-  /** Backend interface (reference src/backend_interface.py). */
+  /** Backend interface (reference src/backend_interface.py). `allowed` is
+    * the precomputed |filtered subset| — the harness needs it for
+    * filter_selectivity anyway, so backends take it instead of re-counting
+    * (one count job per query, not two). */
   trait Backend {
     def name: String
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
-               k: Int): (Seq[Long], Stats)
+               k: Int, allowed: Long): (Seq[Long], Stats)
   }
 
   private def timed[A](body: => A): (A, Double) = {
@@ -49,10 +53,9 @@ object RunHarness {
   /** exact / pre_filter: brute-force top-K within the allowed subset
     * (implementations coincide in a pushdown engine — the filter IS the
     * gather). scored_vectors = |allowed|. */
-  private class ExactBackend(val name: String, total: Long) extends Backend {
+  private class ExactBackend(val name: String) extends Backend {
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
-               k: Int): (Seq[Long], Stats) = {
-      val allowed = pred.map(p => emb.where(p).count()).getOrElse(total)
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
       val (rows, ms) = timed(VectorSearch.topK(emb, qvec, k, pred).collect())
       val kth = rows.lastOption.map(_.getDouble(1))
       (rows.map(_.getLong(0)).toSeq,
@@ -60,36 +63,54 @@ object RunHarness {
     }
   }
 
-  private class PostFilterBackend(ladder: Seq[Int]) extends Backend {
+  /** Ladder accounting mirrors reference post_filter.py:60-99 exactly:
+    * walk the rungs; a rung that leaves < K kept candidates is a "retry"
+    * (bump); stop when kept ≥ K, when `maxLadderSteps` retries have been
+    * spent, or when the ladder is exhausted. scored_vectors = the K′ of
+    * the stopping rung; kth_at_stop only when the stop was due to ≥ K
+    * kept. One Spark job regardless (the max-rung TakeOrdered); the walk
+    * itself is O(K′) driver work over collected candidates. */
+  private class PostFilterBackend(ladder: Seq[Int], maxLadderSteps: Option[Int]) extends Backend {
     val name = "post_filter"
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
-               k: Int): (Seq[Long], Stats) = {
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
       val spark = emb.sparkSession
       import spark.implicits._
-      val ((kept, rung, satisfied), ms) = timed {
+      val maxSteps = maxLadderSteps.getOrElse(ladder.length)
+      val ((kept, rung, satisfied, retries), ms) = timed {
+        val rungs = ladder.sorted
         val cand = VectorSearch.withScore(emb, qvec)
           .withColumn("pass", coalesce(pred.getOrElse(lit(true)), lit(false)))
           .select(col("vec_id").cast("long"), col("score"), col("pass"))
           .orderBy(desc("score"), col("vec_id"))
-          .limit(ladder.max)
+          .limit(rungs.max)
           .as[(Long, Double, Boolean)].collect()
-        val stop = ladder.sorted.find(kp => cand.take(kp).count(_._3) >= k)
-        val chosen = stop.getOrElse(ladder.max)
-        (cand.take(chosen).filter(_._3).take(k), chosen, stop.isDefined)
+        var retries = 0
+        var lastRung = 0
+        var satisfied = false
+        val it = rungs.iterator
+        while (it.hasNext && !satisfied && retries < maxSteps) {
+          val kp = it.next()
+          lastRung = kp
+          if (cand.take(kp).count(_._3) >= k) satisfied = true
+          else retries += 1
+        }
+        (cand.take(lastRung).filter(_._3).take(k), lastRung, satisfied, retries)
       }
       // kth_at_stop only when the ladder actually satisfied K
       // (reference post_filter.py: None when exhausted with < K kept)
       val kth = if (satisfied && kept.length == k) kept.lastOption.map(_._2) else None
       (kept.map(_._1).toSeq,
         Stats(ms, rung, None, None, kth, None,
-          Some(s"k_ladder=${ladder.mkString("[", ", ", "]")}; kept=${kept.length}; need=$k")))
+          Some(s"k_ladder=${ladder.mkString("[", ", ", "]")}; kept=${kept.length}; need=$k"),
+          retries))
     }
   }
 
   private class IvfBackend(model: IvfModel, nprobeN: Int) extends Backend {
     val name = "ivf"
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
-               k: Int): (Seq[Long], Stats) = {
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
       val lists = model.probes(qvec, nprobeN)
       val scored = model.indexed.where(col("list_id").isin(lists: _*))
       val base = pred.map(scored.where).getOrElse(scored)
@@ -101,25 +122,56 @@ object RunHarness {
     }
   }
 
+  /** Mid-tier ANN (the reference's HNSW-fallback slot, loaders.py:123-165):
+    * cosine-LSH buckets with hamming-1 multiprobe, exact IP rank within. */
+  private class LshBackend(planes: Array[Array[Float]]) extends Backend {
+    val name = "lsh"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val sig = CosineLsh.signature(qvec, planes)
+      val buckets = CosineLsh.multiprobe(sig, planes.length)
+      val bucketed = CosineLsh.withBucket(emb, planes).where(col("bucket").isin(buckets: _*))
+      val base = pred.map(bucketed.where).getOrElse(bucketed)
+      val scanned = base.count()
+      val (rows, ms) = timed(VectorSearch.topK(base, qvec, k).collect())
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, scanned, None, None,
+          rows.lastOption.map(_.getDouble(1)), None,
+          Some(s"cosine lsh ${planes.length} bits, hamming-1 multiprobe")))
+    }
+  }
+
   private class RandomBackend(seed: Long) extends Backend {
     val name = "random"
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
-               k: Int): (Seq[Long], Stats) = {
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
       val (rows, ms) = timed(VectorSearch.randomK(emb, k, seed).collect())
       (rows.map(_.getLong(0)).toSeq,
         Stats(ms, 0L, None, None, None, None, Some("random baseline")))
     }
   }
 
-  /** Backend registry (reference run.py get_backend). */
+  /** Backend registry (reference run.py get_backend). "auto" walks the
+    * reference's index fallback chain (loaders.py:123-165): IVF when the
+    * corpus supports it → LSH buckets (the HNSW-fallback slot) → exact. */
   def getBackend(name: String, emb: DataFrame, total: Long,
-                 ladder: Seq[Int] = Seq(200, 500, 1000), nprobe: Int = 32): Backend =
+                 ladder: Seq[Int] = Seq(200, 500, 1000), nprobe: Int = 32,
+                 maxLadderSteps: Option[Int] = None): Backend =
     name match {
-      case "exact" | "pre_filter" => new ExactBackend(name, total)
-      case "post_filter" => new PostFilterBackend(ladder)
+      case "exact" | "pre_filter" => new ExactBackend(name)
+      case "post_filter" => new PostFilterBackend(ladder, maxLadderSteps)
       case "ivf" =>
         val model = Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
         new IvfBackend(model, nprobe)
+      case "lsh" =>
+        val dim = emb.select(size(col("embedding"))).first().getInt(0)
+        new LshBackend(CosineLsh.planes(dim, bits = 10))
+      case "auto" =>
+        Ivf.choose(emb) match {
+          case Ivf.UseIvf(model) => new IvfBackend(model, nprobe)
+          case Ivf.UseLsh(planes) => new LshBackend(planes)
+          case Ivf.UseExact => new ExactBackend("exact")
+        }
       case "random" => new RandomBackend(0L)
       case other => throw new IllegalArgumentException(s"Unknown backend: $other")
     }
@@ -173,8 +225,13 @@ object RunHarness {
       val spec = FilterDsl.parseJson(hq.filters) // malformed/unknown → hard error
       val pred = if (spec.isEmpty) None else Some(FilterDsl.compile(emb, spec))
       val allowed = pred.map(p => emb.where(p).count()).getOrElse(total)
-      val (ids, stats) = backend.search(emb, qvec, pred, k)
-      val oracleIds = VectorSearch.topK(emb, qvec, k, pred).collect().map(_.getLong(0))
+      val (ids, stats) = backend.search(emb, qvec, pred, k, allowed)
+      // exact/pre_filter IS the oracle computation (deterministic brute
+      // force over the same allowed subset) — reuse its result instead of
+      // running an identical second job per query
+      val oracleIds =
+        if (backend.name == "exact" || backend.name == "pre_filter") ids.toArray
+        else VectorSearch.topK(emb, qvec, k, pred).collect().map(_.getLong(0))
       val recall = if (k == 0) 0.0 else ids.toSet.intersect(oracleIds.toSet).size.toDouble / k
       ResultRow(hq.qid, backend.name, k, stats.latencyMs, recall,
         VecMath.round6(allowed.toDouble / total), stats.scoredVectors,

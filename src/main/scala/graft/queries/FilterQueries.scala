@@ -78,14 +78,17 @@ object FilterQueries {
       |WHERE l_quantity > 45 AND l_extendedprice < 50000
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Mixed-case needle against all-lowercase part names: matches only
+    * because `like` is case-insensitive substring (validators.py:213-221),
+    * and matches >0 rows so the oracle hash compare is non-vacuous. */
   def filterLike(s: SparkSession, d: String): DataFrame =
-    filtered(Tables.part(s, d), """{"p_name":{"like":"GRE"}}""")
+    filtered(Tables.part(s, d), """{"p_name":{"like":"RiNg"}}""")
       .select(col("p_partkey"), col("p_name"))
       .orderBy(col("p_partkey"))
 
   val filterLikeSql =
     """SELECT p_partkey, p_name FROM part
-      |WHERE contains(lower(CAST(p_name AS VARCHAR)), 'gre') ORDER BY p_partkey""".stripMargin
+      |WHERE contains(lower(CAST(p_name AS VARCHAR)), 'ring') ORDER BY p_partkey""".stripMargin
 
   /** Geo box: the reference hard-errors unless lat_between/lon_between
     * target columns NAMED latitude/longitude (validators.py:153-156), so

@@ -109,16 +109,23 @@ object VectorQueries {
 
   // ---- approximate (rows-only; recall contracts in VectorSearchSpec) ----
 
-  /** One IVF model per sf dir — training is deterministic (seed 42), so
-    * memoizing only saves repeated KMeans fits within a Verify/Bench run. */
+  /** One IVF model per sf dir, PERSISTED: the first JVM to need it trains
+    * (seed 42, deterministic) and writes the list_id-partitioned index +
+    * centroids; every later use — including fresh Verify/Bench JVMs — loads
+    * and probes the partition-pruned on-disk index instead of re-running
+    * KMeans. The cache key includes the row count so regenerated testdata
+    * invalidates naturally. */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
 
   def ivfModel(s: SparkSession, d: String): IvfModel =
     ivfCache.computeIfAbsent(d, _ => {
       val e = emb(s, d)
+      val n = e.count()
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$key-n$n"
       // maxIter 10: centroid quality converges well before that on corpora
       // this size, and index build time is amortized across queries anyway
-      Ivf.build(e, Ivf.pickNlist(e.count()), maxIter = 10)
+      Ivf.buildOrLoad(s, e, path, Ivf.pickNlist(n), maxIter = 10)
     })
 
   def vecIvfTopK(s: SparkSession, d: String): DataFrame =

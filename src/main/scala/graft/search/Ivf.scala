@@ -43,9 +43,23 @@ final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
     VectorSearch.topK(pred.map(base.where).getOrElse(base), qvec, k)
   }
 
-  /** Persist partitioned by list_id → probe-time partition pruning. */
-  def write(path: String): Unit =
-    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+  /** Persist the index: vectors partitioned by list_id (→ probe-time
+    * partition pruning) plus the centroid table, so a later JVM can
+    * `Ivf.load(spark, path)` without retraining. */
+  def write(path: String): Unit = {
+    // cluster rows by list before the partitioned write: without this every
+    // upstream task writes a file into every list directory (tasks × nlist
+    // small files — a metadata storm at any scale); with it each list's
+    // rows land in O(1) files
+    indexed.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/data")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
 }
 
 object Ivf {
@@ -54,12 +68,37 @@ object Ivf {
   def pickNlist(n: Long): Int =
     math.max(64, math.min(4096, math.sqrt(n.toDouble).toInt))
 
-  /** Index fallback chain (reference loaders.py builds FAISS IVF, falls
-    * back to HNSW then exact when the corpus is too small to train):
-    * here IVF needs a healthy points-per-centroid ratio to be worth the
-    * probe machinery; below `minPerList` the exact TakeOrdered scan IS
-    * the right plan, so `auto` returns None and callers use
-    * VectorSearch.topK. */
+  /** The index fallback chain's decision (reference loaders.py:123-165:
+    * IVF → HNSW → Exact). */
+  sealed trait AnnChoice
+  final case class UseIvf(model: IvfModel) extends AnnChoice
+  final case class UseLsh(planes: Array[Array[Float]]) extends AnnChoice
+  case object UseExact extends AnnChoice
+
+  /** Pick the index tier for a corpus (reference loaders.py:123-165 —
+    * FAISS IVF, falling back to HNSW, falling back to exact):
+    *  - IVF when the corpus supports ≥ minPerList points per centroid;
+    *  - cosine-LSH buckets (the mid-tier, standing in for the reference's
+    *    HNSW — same role: sublinear candidates without k-means training)
+    *    when the corpus is too small/skewed for IVF but large enough that
+    *    bucket pruning still beats a brute-force scan;
+    *  - the exact TakeOrdered scan below `lshMinRows`, where it IS the
+    *    right plan. */
+  def choose(emb: DataFrame, minPerList: Int = 8, lshMinRows: Long = 1024,
+             seed: Long = 42L): AnnChoice = {
+    val n = emb.count()
+    val nlist = pickNlist(n)
+    if (n >= nlist.toLong * minPerList) UseIvf(build(emb, nlist, seed))
+    else if (n >= lshMinRows) {
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      // ~n/64 per bucket: enough pruning to matter, buckets stay non-empty
+      val bits = math.min(16, math.max(4, (math.log(n.toDouble / 64) / math.log(2)).round.toInt))
+      UseLsh(CosineLsh.planes(dim, bits, seed))
+    } else UseExact
+  }
+
+  /** IVF-or-nothing view of the chain (callers that handle their own
+    * exact fallback, e.g. a forced-IVF backend). */
   def auto(emb: DataFrame, minPerList: Int = 8, seed: Long = 42L): Option[IvfModel] = {
     val n = emb.count()
     val nlist = pickNlist(n)
@@ -67,11 +106,16 @@ object Ivf {
     else Some(build(emb, nlist, seed))
   }
 
-  /** Build: k-means on (a sample of) the embeddings, then assign every
-    * vector to its nearest centroid. Deterministic under a fixed seed. */
+  /** Build: k-means on a BOUNDED SAMPLE of the embeddings (capped at
+    * `maxTrainRows` — at 100 TB a ~1M-row sample converges to the same
+    * centroid quality at a vanishing fraction of full-data training cost),
+    * then assign every vector to its nearest centroid. Deterministic under
+    * a fixed seed. */
   def build(emb: DataFrame, nlist: Int, seed: Long = 42L,
-            trainFraction: Double = 1.0, maxIter: Int = 20): IvfModel = {
-    val train0 = if (trainFraction >= 1.0) emb else emb.sample(trainFraction, seed)
+            maxIter: Int = 20, maxTrainRows: Long = 1000000L): IvfModel = {
+    val n = emb.count()
+    val train0 = if (n <= maxTrainRows) emb
+                 else emb.sample(maxTrainRows.toDouble / n, seed)
     val train = train0.select(array_to_vector(col("embedding")).as("features"))
     val km = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(maxIter)
@@ -83,8 +127,28 @@ object Ivf {
     IvfModel(cents, indexed)
   }
 
-  def load(spark: SparkSession, path: String, centroids: Array[Array[Float]]): IvfModel =
-    IvfModel(centroids, spark.read.parquet(path))
+  /** Load a persisted index: centroids (tiny — nlist ≤ 4096) + the
+    * list_id-partitioned vector table, partition-pruned at probe time. */
+  def load(spark: SparkSession, path: String): IvfModel = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    IvfModel(cents, spark.read.parquet(s"$path/data"))
+  }
+
+  /** Load the index at `path` if one was already persisted there (by THIS
+    * or an earlier JVM), else train, persist, and reload — so the query
+    * path always runs against the partition-pruned on-disk index and
+    * KMeans runs once per corpus, not once per process. */
+  def buildOrLoad(spark: SparkSession, emb: DataFrame, path: String, nlist: Int,
+                  seed: Long = 42L, maxIter: Int = 20): IvfModel = {
+    def done(part: String) = new java.io.File(s"$path/$part/_SUCCESS").exists()
+    if (done("data") && done("centroids")) load(spark, path)
+    else {
+      build(emb, nlist, seed, maxIter).write(path)
+      load(spark, path)
+    }
+  }
 }
 
 /** Cosine LSH (random hyperplanes): deterministic seeded planes; bucket =

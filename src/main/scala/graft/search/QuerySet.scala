@@ -27,22 +27,31 @@ object QuerySet {
     HybridQuery(4, QueryVectors.qvec(4), """{"label":{"between":[2,6]}}""", "label BETWEEN 2 AND 6", 8),
     HybridQuery(5, QueryVectors.qvec(5), """{"label":{"ne":3}}""", "label IS NOT NULL AND label <> 3", 10))
 
-  /** Execute one hybrid query, pre_filter backend: DSL-compiled predicate
-    * (pushed to the scan) → scored top-K → ranked. */
-  def run(emb: DataFrame, hq: HybridQuery): DataFrame = {
+  /** Scored top-K of one hybrid query, pre_filter backend: DSL-compiled
+    * predicate (pushed to the scan) → TakeOrdered top-K, qid attached. */
+  private def topKFor(emb: DataFrame, hq: HybridQuery): DataFrame = {
     val spec = FilterDsl.parseJson(hq.filters)
     val pred = if (spec.isEmpty) None else Some(FilterDsl.compile(emb, spec))
-    val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
-    VectorSearch.topK(emb, hq.qvec, hq.k, pred)
-      .withColumn("qid", lit(hq.qid))
-      .withColumn("rank", row_number().over(w)) // K rows per query by now
-      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+    VectorSearch.topK(emb, hq.qvec, hq.k, pred).withColumn("qid", lit(hq.qid))
   }
 
+  /** Execute one hybrid query, ranked. */
+  def run(emb: DataFrame, hq: HybridQuery): DataFrame = runAll(emb, Seq(hq))
+
   /** Execute the whole query table (one union'd plan, still one scan per
-    * query — the reference harness is a per-query loop too). */
-  def runAll(emb: DataFrame, qs: Seq[HybridQuery] = default): DataFrame =
-    qs.map(run(emb, _)).reduce(_ unionAll _).orderBy(col("qid"), col("rank"))
+    * query — the reference harness is a per-query loop too). Ranking runs
+    * ONCE over the union, where qid is a genuine non-constant column:
+    * ranking inside each branch would hand WindowExec a constant-folded
+    * partition spec (single-partition window), which is harmless on ≤K
+    * rows but floods the log with the exact warning that should be
+    * flagging real regressions. */
+  def runAll(emb: DataFrame, qs: Seq[HybridQuery] = default): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    qs.map(topKFor(emb, _)).reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w)) // ≤ ΣK rows by now
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   /** DuckDB twin of runAll for the oracle gate. */
   def oracleSql(qs: Seq[HybridQuery] = default): String =

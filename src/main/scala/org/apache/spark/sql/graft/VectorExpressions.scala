@@ -237,16 +237,36 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 }
 
 /** Shared single-pass tokenization: lowercase whitespace tokens (n=1) or
-  * n-token shingles (n>1), distinct. Plain JVM string work — replaces
-  * chains of interpreted higher-order functions. */
+  * n-token shingles (n>1). Plain JVM string work — replaces chains of
+  * interpreted higher-order functions. The per-variant entry points below
+  * (idsSorted / minMd5 / sizeOf) are single static calls so the generated
+  * code of the TokenSet* expressions stays one whole-stage-codegen'd
+  * invocation per row with no interpreted expression-tree walk.
+  */
 object TokenSets {
-  def items(input: Any, n: Int): Array[String] = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.toLowerCase
-    val toks = text.split(" ", -1)
-    if (n == 1) toks.distinct
-    else if (toks.length < n) Array.empty
-    else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+  private def tokens(input: org.apache.spark.unsafe.types.UTF8String): Array[String] =
+    input.toString.toLowerCase.split(" ", -1)
+
+  /** Visit every item (token or shingle), duplicates included. */
+  private def forEachItem(toks: Array[String], n: Int)(f: String => Unit): Unit = {
+    if (n == 1) {
+      var i = 0
+      while (i < toks.length) { f(toks(i)); i += 1 }
+    } else if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        f(sb.toString)
+        i += 1
+      }
+    }
   }
 
   def xxh64(s: String): Long = {
@@ -260,11 +280,65 @@ object TokenSets {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      out(i * 2) = HexDigits(b >>> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
   def md5hex(s: String): String = {
     val d = md5.get()
     d.reset()
-    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    hex(d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  }
+
+  /** Sorted XXH64 hashes of the DISTINCT token/shingle set. */
+  def idsSorted(input: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokens(input)
+    val seen = new java.util.HashSet[String]()
+    val buf = new Array[Long](math.max(0, if (n == 1) toks.length else toks.length - n + 1))
+    var m = 0
+    forEachItem(toks, n) { item =>
+      if (seen.add(item)) { buf(m) = xxh64(item); m += 1 }
+    }
+    val out = if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
+    java.util.Arrays.sort(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Min MD5 hex of the token/shingle set; null when there are no items.
+    * The minimum is taken over raw digest bytes (unsigned lexicographic ==
+    * hex-string order, both monotone per byte) so only the single winning
+    * digest is hex-formatted. */
+  def minMd5(input: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val toks = tokens(input)
+    val d = md5.get()
+    var best: Array[Byte] = null
+    forEachItem(toks, n) { item =>
+      d.reset()
+      val dig = d.digest(item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (best == null || java.util.Arrays.compareUnsigned(dig, best) < 0) best = dig
+    }
+    if (best == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(hex(best))
+  }
+
+  /** Distinct token/shingle count (tokenize only — no hashing). */
+  def sizeOf(input: org.apache.spark.unsafe.types.UTF8String, n: Int): Int = {
+    val toks = tokens(input)
+    val seen = new java.util.HashSet[String]()
+    forEachItem(toks, n)(seen.add(_))
+    seen.size
   }
 }
 
@@ -273,22 +347,18 @@ object TokenSets {
   * struct output): projection pushdown/collapse can't silently multiply a
   * bundled computation per extracted field. */
 case class TokenSetIds(child: Expression, n: Int)
-    extends UnaryExpression
-    with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "shingle size must be >= 1")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_set_ids"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val items = TokenSets.items(input, n)
-    val hashes = new Array[Long](items.length)
-    var i = 0
-    while (i < items.length) { hashes(i) = TokenSets.xxh64(items(i)); i += 1 }
-    java.util.Arrays.sort(hashes)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.idsSorted(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenSets.idsSorted($in, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -298,26 +368,22 @@ case class TokenSetIds(child: Expression, n: Int)
   * blocking key; MD5 over UTF-8 bytes matches Spark's and DuckDB's md5()
   * exactly (oracle-visible). Null for empty texts. */
 case class TokenSetMinMd5(child: Expression, n: Int)
-    extends UnaryExpression
-    with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "shingle size must be >= 1")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "token_set_min_md5"
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val items = TokenSets.items(input, n)
-    var minMd5: String = null
-    var i = 0
-    while (i < items.length) {
-      val h = TokenSets.md5hex(items(i))
-      if (minMd5 == null || h < minMd5) minMd5 = h
-      i += 1
-    }
-    if (minMd5 == null) null
-    else org.apache.spark.unsafe.types.UTF8String.fromString(minMd5)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.minMd5(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.TokenSets.minMd5($in, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -325,16 +391,18 @@ case class TokenSetMinMd5(child: Expression, n: Int)
 
 /** Distinct token/shingle count (tokenize only — no hashing). */
 case class TokenSetSize(child: Expression, n: Int)
-    extends UnaryExpression
-    with ExpectsInputTypes
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, "shingle size must be >= 1")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "token_set_size"
 
   override protected def nullSafeEval(input: Any): Any =
-    TokenSets.items(input, n).length
+    TokenSets.sizeOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenSets.sizeOf($in, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -403,6 +471,69 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long], prime
        """.stripMargin
     })
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<long> of element hashes, row-local: bit j of
+  * the signature is set iff Σ over elements of (±1 by bit j of the hash) is
+  * positive. One codegen'd pass per row — the zero-shuffle replacement for
+  * the explode + 64-aggregate groupBy formulation, whose token-level
+  * shuffle is corpus-sized at 100 TB while the signature itself only ever
+  * needs the row's own tokens.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $in.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $in.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($counts[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -69,7 +69,8 @@ class PlanSpec extends AnyFunSuite {
     val model = graft.search.Ivf.build(emb, nlist = 8)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").resolve("idx").toString
     model.write(dir)
-    val loaded = graft.search.Ivf.load(spark, dir, model.centroids)
+    val loaded = graft.search.Ivf.load(spark, dir) // centroids round-trip from disk
+    assert(loaded.centroids.map(_.toSeq) sameElements model.centroids.map(_.toSeq))
     val p = plan(loaded.search(QueryVectors.qvec(0), nprobe = 2, k = 5))
     // the isin(list_id) probe must land in PartitionFilters (pruned I/O),
     // not as a post-scan data filter
@@ -79,6 +80,14 @@ class PlanSpec extends AnyFunSuite {
     val probed = loaded.search(QueryVectors.qvec(0), nprobe = 8, k = 5)
       .collect().map(_.getLong(0)).toSet
     assert(probed == exact) // all lists probed == exact, through the pruned path
+  }
+
+  test("simhash signatures are row-local (no aggregate, no explode)") {
+    val p = plan(graft.dedup.Dedup.simhashSignatures(Tables.documents(spark, sf)))
+    // the signature is one codegen'd projection per row: a HashAggregate or
+    // Generate here would mean the corpus-sized token shuffle came back
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Generate"), p)
   }
 
   test("text pipelines are scan-only (no Exchange)") {

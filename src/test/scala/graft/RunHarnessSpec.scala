@@ -102,6 +102,61 @@ class RunHarnessSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { RunHarness.getBackend("hnsw", emb, 500) }
   }
 
+  test("index fallback chain: IVF → LSH mid-tier → exact (loaders.py:123-165)") {
+    import graft.search.Ivf
+    val emb = Tables.embeddings(spark, sf) // 500 rows
+    // 500 < 64 lists × 8/list → IVF rejected; 500 < default lshMinRows → exact
+    assert(Ivf.choose(emb) == Ivf.UseExact)
+    // corpus big enough for buckets but still too small for IVF → LSH tier
+    assert(Ivf.choose(emb, lshMinRows = 100) match {
+      case Ivf.UseLsh(planes) => planes.nonEmpty; case _ => false
+    })
+    // healthy points-per-centroid ratio → IVF
+    assert(Ivf.choose(emb, minPerList = 1, lshMinRows = 100) match {
+      case Ivf.UseIvf(m) => m.centroids.nonEmpty; case _ => false
+    })
+    // registry end-to-end: "auto" lands on the chain's pick
+    assert(RunHarness.getBackend("auto", emb, 500).name == "exact")
+    assert(RunHarness.getBackend("lsh", emb, 500).name == "lsh")
+  }
+
+  test("lsh backend: recall against exact within its probabilistic tier") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = RunHarness.run(spark, sf, "lsh", qs = QuerySet.default.take(2))
+    rows.foreach { r =>
+      assert(r.method == "lsh")
+      assert(r.scoredVectors > 0 && r.scoredVectors < 500, s"scanned ${r.scoredVectors}")
+    }
+  }
+
+  test("post_filter retries/max_ladder_steps mirror reference post_filter.py accounting") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val qvec = QueryVectors.qvec(1)
+    val pred = Some(col("label") === 0)
+    // how many allowed candidates each rung yields, computed independently
+    val scored = graft.search.VectorSearch.withScore(emb, qvec)
+      .orderBy(org.apache.spark.sql.functions.desc("score"), col("vec_id"))
+      .select(col("vec_id"), col("label")).collect()
+    def keptAt(rung: Int) = scored.take(rung).count(_.getInt(1) == 0)
+    assume(keptAt(200) >= 2, "test corpus must keep >= 2 label-0 docs in top 200")
+    val k = keptAt(200) + 1 // rung 200 is one short → at least one bump
+    val allowed = scored.count(_.getInt(1) == 0).toLong
+    assume(k <= allowed)
+    val backend = RunHarness.getBackend("post_filter", emb, 500)
+    val (_, stats) = backend.search(emb, qvec, pred, k, allowed)
+    val expectRetries = Seq(200, 500, 1000).indexWhere(keptAt(_) >= k) match {
+      case -1 => 3 // exhausted: every rung bumped (reference counts the last bump too)
+      case i => i
+    }
+    assert(stats.retries == expectRetries, s"retries ${stats.retries} != $expectRetries")
+    // max_ladder_steps=1: only the first rung may run (reference :60-66)
+    val capped = RunHarness.getBackend("post_filter", emb, 500, maxLadderSteps = Some(1))
+    val (ids1, stats1) = capped.search(emb, qvec, pred, k, allowed)
+    assert(stats1.scoredVectors == 200 && stats1.retries == 1)
+    assert(ids1.length < k) // stopped short by the cap, not by satisfying K
+  }
+
   test("random backend: K results, recall well below exact") {
     val rows = RunHarness.run(spark, sf, "random")
     rows.foreach(r => assert(r.recallAtK <= 0.5 && r.scoredVectors == 0))

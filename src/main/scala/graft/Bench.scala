@@ -45,7 +45,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // reference-harness parity artifact: per-(query,backend) results.jsonl
+    // (the reference's primary output) + a per-backend latency/recall
+    // summary inlined into the bench JSON for baseline comparison
+    val harness =
+      try {
+        val rows = graft.harness.RunHarness.runMany(
+          spark, sfDir, Seq("pre_filter", "post_filter", "random"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("results.jsonl"),
+          graft.harness.RunHarness.toJsonLines(rows))
+        graft.harness.RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>
+          s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
+        }.mkString(",\"harness\":{", ",", "}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] harness summary failed: ${e.getMessage}"); ""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$harness,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,6 +70,23 @@ object Dedup {
     round(inter / (size(a) + size(b) - inter), 6)
   }
 
+  /** The verify filter `round(jac, 6) >= tau`, rewritten so the codegen'd
+    * intersect is evaluated ONCE per candidate pair. The naive form
+    * references |A∩B| twice (numerator + union) and the optimizer pushes
+    * it into the join condition, where there is no common-subexpression
+    * elimination — doubling the dominant cost of the whole pipeline.
+    * With i = |A∩B|, s = |A|+|B|, HALF_UP rounding at 6 dp gives
+    *   round(i/(s−i), 6) ≥ τ  ⟺  i/(s−i) ≥ τ − 5e-7
+    *                          ⟺  2e6·i ≥ (2e6·τ − 1)·(s − i)
+    *                          ⟺  i·(2e6 + (2e6·τ − 1)) ≥ (2e6·τ − 1)·s
+    * — pure integer arithmetic (no float-boundary risk), i referenced once.
+    * Requires τ expressible at 6 dp (all callers use 2-dp thresholds). */
+  private def jacPass(a: Column, b: Column, tau: Double): Column = {
+    val e2 = math.round(tau * 2e6) - 1 // 2e6·τ − 1, exact for 6-dp τ
+    val s = (size(a) + size(b)).cast("long")
+    sortedIntersectSize(a, b).cast("long") * lit(2000000L + e2) >= lit(e2) * s
+  }
+
   /** Size-band prefilter (classic exact-similarity-join pruning) over the
     * slim size columns: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
     * sizes differ by more than τ can't reach the threshold — an integer
@@ -136,8 +153,8 @@ object Dedup {
     val payload = spread(src, "doc_id")
       .select(col("doc_id"), tokenSetIds(col("text"), n).as("tsi"))
     withPayloads(pruned, payload, "doc_id", Seq("tsi"))
-      .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
-      .where(col("jac") >= tau)
+      .where(jacPass(col("tsi_l"), col("tsi_r"), tau)) // 1 intersect/candidate
+      .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r"))) // survivors only
       .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -198,8 +215,8 @@ object Dedup {
       .select("doc_id_l", "doc_id_r")
       .distinct()
     withPayloads(pruned, base.select("doc_id", "tsi"), "doc_id", Seq("tsi"))
-      .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r")))
-      .where(col("jac") >= tau)
+      .where(jacPass(col("tsi_l"), col("tsi_r"), tau)) // 1 intersect/candidate
+      .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r"))) // survivors only
       .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

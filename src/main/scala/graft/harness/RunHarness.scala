@@ -190,12 +190,25 @@ object RunHarness {
     * test_recall_computation_against_oracle_subset). */
   def run(spark: SparkSession, sfDir: String, backendName: String,
           qs: Seq[HybridQuery] = QuerySet.default,
-          kOverride: Option[Int] = None): Seq[ResultRow] = {
+          kOverride: Option[Int] = None): Seq[ResultRow] =
+    runMany(spark, sfDir, Seq(backendName), qs, kOverride)
+
+  /** Execute the query set through SEVERAL backends in one pass — the
+    * reference harness loops backends too (run.py --method), but per-query
+    * work that does not depend on the backend (validation, the allowed-
+    * subset count, the oracle top-K) is computed once per query here
+    * instead of once per (query, backend). When an exact-equivalent
+    * backend (exact/pre_filter) is in the set, its timed result doubles as
+    * the oracle — deterministic brute force over the same allowed subset —
+    * so no separate oracle job runs at all. */
+  def runMany(spark: SparkSession, sfDir: String, backendNames: Seq[String],
+              qs: Seq[HybridQuery] = QuerySet.default,
+              kOverride: Option[Int] = None): Seq[ResultRow] = {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val total = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val runId = java.util.UUID.randomUUID().toString
-    val backend = getBackend(backendName, emb, total)
+    val backends = backendNames.map(getBackend(_, emb, total))
 
     // hard guards BEFORE any search (reference: dimension + K validation)
     val queries = qs.map { hq =>
@@ -221,23 +234,26 @@ object RunHarness {
       (hq, k, qvec)
     }
 
-    queries.map { case (hq, k, qvec) =>
+    queries.flatMap { case (hq, k, qvec) =>
       val spec = FilterDsl.parseJson(hq.filters) // malformed/unknown → hard error
       val pred = if (spec.isEmpty) None else Some(FilterDsl.compile(emb, spec))
       val allowed = pred.map(p => emb.where(p).count()).getOrElse(total)
-      val (ids, stats) = backend.search(emb, qvec, pred, k, allowed)
+      val searched = backends.map(b => (b, b.search(emb, qvec, pred, k, allowed)))
       // exact/pre_filter IS the oracle computation (deterministic brute
       // force over the same allowed subset) — reuse its result instead of
-      // running an identical second job per query
-      val oracleIds =
-        if (backend.name == "exact" || backend.name == "pre_filter") ids.toArray
-        else VectorSearch.topK(emb, qvec, k, pred).collect().map(_.getLong(0))
-      val recall = if (k == 0) 0.0 else ids.toSet.intersect(oracleIds.toSet).size.toDouble / k
-      ResultRow(hq.qid, backend.name, k, stats.latencyMs, recall,
-        VecMath.round6(allowed.toDouble / total), stats.scoredVectors,
-        stats.listsProbed, stats.nprobe, stats.kthAtStop, stats.boundAtStop,
-        stats.notes,
-        java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC).format(TsFmt), runId)
+      // running an identical extra job per query
+      val oracleIds = searched
+        .collectFirst { case (b, (ids, _)) if b.name == "exact" || b.name == "pre_filter" =>
+          ids.toArray }
+        .getOrElse(VectorSearch.topK(emb, qvec, k, pred).collect().map(_.getLong(0)))
+      searched.map { case (b, (ids, stats)) =>
+        val recall = if (k == 0) 0.0 else ids.toSet.intersect(oracleIds.toSet).size.toDouble / k
+        ResultRow(hq.qid, b.name, k, stats.latencyMs, recall,
+          VecMath.round6(allowed.toDouble / total), stats.scoredVectors,
+          stats.listsProbed, stats.nprobe, stats.kthAtStop, stats.boundAtStop,
+          stats.notes,
+          java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC).format(TsFmt), runId)
+      }
     }
   }
 

@@ -162,8 +162,10 @@ object VectorQueries {
     * kth_at_stop. Rows-only (latency is nondeterministic by nature). */
   def hybridStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rows = Seq("pre_filter", "post_filter", "random")
-      .flatMap(b => graft.harness.RunHarness.run(s, d, b))
+    // one pass over the query set: per-query validation/count/oracle are
+    // shared across the three backends (pre_filter doubles as the oracle)
+    val rows = graft.harness.RunHarness.runMany(
+      s, d, Seq("pre_filter", "post_filter", "random"))
     rows.map(r => (r.qid, r.method, r.k, r.latencyMs, r.recallAtK,
         r.filterSelectivity, r.scoredVectors, r.kthAtStop.getOrElse(Double.NaN)))
       .toDF("qid", "method", "k", "latency_ms", "recall_at_k",

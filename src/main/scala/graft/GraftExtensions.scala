@@ -24,18 +24,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       mk(args(0), args(1))
     })
 
+  private def unary(name: String, usage: String, mk: Expression => Expression) =
+    (FunctionIdentifier(name), info(name, usage), (args: Seq[Expression]) => {
+      require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+      mk(args.head)
+    })
+
+  /** (text, n) where n must fold to a literal shingle size. */
+  private def textN(name: String, usage: String, mk: (Expression, Int) => Expression) =
+    (FunctionIdentifier(name), info(name, usage), (args: Seq[Expression]) => {
+      require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+      require(args(1).foldable, s"$name: shingle size must be a literal")
+      mk(args(0), args(1).eval().asInstanceOf[Number].intValue)
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     val fns = Seq(
       binary("dot_f32", "dot_f32(a, b) - inner product of two float vectors", DotProductF32),
       binary("argmax_dot_f32", "argmax_dot_f32(v, cents) - index of max-IP centroid", ArgMaxDotF32),
       binary("hyperplane_signature", "hyperplane_signature(v, planes) - packed sign bits", HyperplaneSignature),
       binary("sorted_intersect_size", "sorted_intersect_size(a, b) - |a intersect b| of sorted bigint arrays", SortedIntersectSize),
-      (FunctionIdentifier("l2_norm_f32"),
-        info("l2_norm_f32", "l2_norm_f32(v) - L2 norm of a float vector"),
-        (args: Seq[Expression]) => {
-          require(args.length == 1, s"l2_norm_f32 expects 1 argument, got ${args.length}")
-          L2NormF32(args.head)
-        }))
+      unary("l2_norm_f32", "l2_norm_f32(v) - L2 norm of a float vector", L2NormF32),
+      unary("simhash64", "simhash64(hashes) - row-local 64-bit SimHash of bigint element hashes", SimHash64),
+      textN("token_set_ids", "token_set_ids(text, n) - sorted distinct XXH64 token/shingle hashes", TokenSetIds),
+      textN("token_set_min_md5", "token_set_min_md5(text, n) - min MD5 of the token/shingle set", TokenSetMinMd5),
+      textN("token_set_size", "token_set_size(text, n) - distinct token/shingle count", TokenSetSize))
     fns.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
   }

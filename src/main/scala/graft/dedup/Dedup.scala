@@ -256,6 +256,51 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- #45 dup-pair → cluster resolution (connected components) --------
+
+  /** Resolve near-dup PAIRS into CLUSTERS: every doc appearing in a pair
+    * gets the min doc_id of its connected component as `cluster_id` (the
+    * canonical keep-representative). Pairs alone don't finish a dedup —
+    * a corpus pipeline needs "which docs to drop", and transitive
+    * near-dups (A~B, B~C) must land in one cluster even when A~C was
+    * never emitted.
+    *
+    * Iterative min-label propagation, the standard scalable CC shape:
+    * each round every vertex takes the min label among itself and its
+    * neighbours — one shuffle join + one map-side-combined aggregate per
+    * round, converging in diameter rounds. Near-dup components are
+    * near-cliques (blocking emits most intra-cluster pairs), so a few
+    * rounds suffice; `maxIter` bounds adversarial chains (beyond that,
+    * switch to small-star/large-star). `localCheckpoint` cuts the growing
+    * loop lineage (at cluster scale: a reliable checkpoint dir). */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: `pairs` is typically the whole
+    // upstream pair-mining pipeline, and every propagation round joins the
+    // edges — without this the full pipeline would re-execute per round
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionAll(msgs)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease, so any strict drop means another round
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .where(col("lbl") < col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- #25 embedding cosine via cosine-LSH buckets ---------------------
 
   /** Embedding near-dup pairs (cosine ≥ tau, unit-norm inputs so cosine =

@@ -58,6 +58,27 @@ object Multimodal {
       graft.search.VecMath.round6(a(7) / 255.0))
   }
 
+  /** Frame sampling over the opaque payload — the video/audio "sample
+    * every k-th frame" plumbing, byte-level: frames of `frameBytes` at
+    * offsets 0, stride, 2·stride … while they fit. Pure codegen'd column
+    * ops (sequence + explode + binary substring): a narrow per-row
+    * expansion, no shuffle — the shape that holds when payloads are GB
+    * media blobs and this runs over 100 TB. A real decoder replaces the
+    * byte slice with a codec frame fetch; the schema (media id, frame
+    * index, byte offset, frame bytes) is the real contract. */
+  def sampleFrames(withBytes: DataFrame, frameBytes: Int = 16, stride: Int = 64): DataFrame =
+    withBytes
+      .select(col("doc_id"), col("payload"), col("media_meta.n_bytes").as("nb"))
+      .withColumn("nf",
+        when(col("nb") >= frameBytes,
+          floor((col("nb") - frameBytes) / stride) + 1).otherwise(0L).cast("int"))
+      .where(col("nf") > 0)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0), col("nf") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * stride).cast("long").as("byte_off"),
+        hex(expr(s"substring(payload, frame_idx * $stride + 1, $frameBytes)")).as("frame_hex"))
+
   /** Decode/feature-extract over per-partition batches. */
   def extractFeatures(withBytes: DataFrame): DataFrame = {
     val spark = withBytes.sparkSession

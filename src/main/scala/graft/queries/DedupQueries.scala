@@ -65,6 +65,36 @@ object DedupQueries {
       |            / len(list_distinct(a.g || b.g)), 6) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Dup-pair → cluster resolution over the exact Jaccard pairs: the
+    * transitive closure a corpus dedup actually acts on (keep the min-id
+    * representative per component, drop the rest). The DuckDB oracle walks
+    * the same closure with a recursive CTE over the identical pair set. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau))
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, ts,
+       |         list_aggregate(list_apply(ts, t -> md5(t)), 'min') AS blk
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |              / len(list_distinct(a.ts || b.ts)), 6) >= $JaccardTau),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, min(r) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d), JaccardTau)
 
@@ -78,6 +108,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_ngram" -> (dedupNgram _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _)
@@ -86,6 +117,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
-    "dedup_ngram" -> dedupNgramSql
+    "dedup_ngram" -> dedupNgramSql,
+    "dedup_clusters" -> dedupClustersSql
   )
 }

@@ -26,9 +26,34 @@ object MultimodalQueries {
       |  round(ascii(substr(sha,8,1)) / 255.0, 6) AS f3
       |FROM h ORDER BY doc_id""".stripMargin
 
+  /** Byte-level frame sampling over the binary payload (every 64th offset,
+    * 16-byte frames). The oracle mirrors the byte math on the VARCHAR side
+    * — sound because the testdata text is pure ASCII (octet_length ==
+    * length, asserted by ingest_check's schema contract). */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.withPayload(Tables.documents(s, d)))
+      .orderBy("doc_id", "frame_idx")
+
+  val mmFrameSampleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS nb
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text,
+      |         CAST(CASE WHEN nb >= 16 THEN (nb - 16) // 64 + 1 ELSE 0 END AS INT) AS nf
+      |  FROM b),
+      |idx AS (
+      |  SELECT doc_id, text, unnest(range(nf)) AS frame_idx FROM f WHERE nf > 0)
+      |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+      |       frame_idx * 64 AS byte_off,
+      |       hex(CAST(substring(text, CAST(frame_idx * 64 + 1 AS INT), 16) AS BLOB)) AS frame_hex
+      |FROM idx ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] =
-    Map("mm_features" -> (mmFeatures _))
+    Map("mm_features" -> (mmFeatures _),
+        "mm_frame_sample" -> (mmFrameSample _))
 
   val oracles: Map[String, String] =
-    Map("mm_features" -> mmFeaturesSql)
+    Map("mm_features" -> mmFeaturesSql,
+        "mm_frame_sample" -> mmFrameSampleSql)
 }

@@ -82,17 +82,39 @@ object TextQueries {
       |    (h, c) -> (h * 31 + c) % 4294967296) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary: top-100 tokens by document frequency (with term
+    * frequency) — the corpus-level statistic behind stopword lists, BPE
+    * vocab seeding, and quality heuristics. One map-side-combined
+    * aggregate + a TakeOrdered; never a global sort. */
+  def textVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("df"), desc("tf"), col("token"))
+      .limit(100)
+
+  val textVocabSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents)
+      |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM t GROUP BY token
+      |ORDER BY df DESC, tf DESC, token LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _)
+    "text_fingerprint" -> (textFingerprint _),
+    "text_vocab" -> (textVocab _)
   )
 
   val oracles: Map[String, String] = Map(
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql
+    "text_fingerprint" -> textFingerprintSql,
+    "text_vocab" -> textVocabSql
   )
 }

@@ -36,6 +36,20 @@ object EventStreaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
 
+  /** Streaming NEAR-dup dedup — the stream twin of simhash dedup (#23):
+    * drop documents whose 64-bit SimHash signature was already seen within
+    * the watermark, so permuted/re-worded near-copies collapse, not just
+    * byte-identical ones. The signature is the same row-local codegen'd
+    * expression the batch path uses (stateless per row), and
+    * dropDuplicatesWithinWatermark bounds the signature state — the only
+    * shape that survives an unbounded stream. */
+  def nearDedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("sig", graft.functions.VectorFunctions.simHash64(
+        graft.functions.VectorFunctions.tokenSetIds(col("text"), 1)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
+
   /** #36 streaming tumbling-window counts with watermark — the stream twin
     * of EventQueries.eventsWindow (same window, same aggregates). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

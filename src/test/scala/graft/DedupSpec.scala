@@ -159,6 +159,31 @@ class DedupSpec extends AnyFunSuite {
     assert(byBlock.max >= 40, "test setup no longer degenerate")
   }
 
+  test("clusters: min-id connected components over the pair graph") {
+    // hand graph: {1-2, 2-3} one chain component, {10-11} a pair,
+    // {20-21, 21-22, 20-22} a triangle — transitivity must merge chains
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // corpus-scale sanity: every doc in a jaccard pair gets a label that is
+    // <= its own id and is itself a member of the component
+    val jp = Dedup.jaccardPairs(docs, 0.95).select("doc_a", "doc_b")
+    val cl = Dedup.clusters(jp).as[(Long, Long)].collect()
+    assert(cl.nonEmpty)
+    cl.foreach { case (id, lbl) => assert(lbl <= id) }
+    val members = cl.map(_._1).toSet
+    assert(cl.forall { case (_, lbl) => members(lbl) })
+  }
+
+  test("clusters converge past maxIter-bounded chains (long path graph)") {
+    // a 12-node path needs ~diameter rounds; well within maxIter=20
+    val path = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(path).as[(Long, Long)].collect()
+    assert(got.length == 12 && got.forall(_._2 == 0L))
+  }
+
   test("embeddingPairs: exact precision, nonempty, subset of brute-force") {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1).toMap

@@ -25,6 +25,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == 2)
   }
 
+  test("token_set_* / simhash64 callable from SQL (literal shingle size)") {
+    val r = spark.sql(
+      """SELECT token_set_size('B b apple b', 1) AS n,
+        |       token_set_min_md5('b apple', 1) AS blk,
+        |       simhash64(token_set_ids('b apple', 1)) AS sig""".stripMargin)
+      .collect()(0)
+    assert(r.getInt(0) == 2)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(1) == Seq("b", "apple").map(md5hex).min)
+    // signature matches the batch expression over the same text
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.VectorFunctions._
+    import spark.implicits._
+    val batch = Seq("b apple").toDF("text")
+      .select(simHash64(tokenSetIds(col("text"), 1))).collect()(0).getLong(0)
+    assert(r.getLong(2) == batch)
+    // non-literal shingle size is rejected at registration contract
+    intercept[Exception] {
+      spark.sql("SELECT token_set_size('x', CAST(rand() * 2 AS INT) + 1)").collect()
+    }
+  }
+
   test("sql query over parquet embeddings with registered functions") {
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .createOrReplaceTempView("emb_sql")

@@ -96,6 +96,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash near-dedup collapses permuted near-copies (bounded state)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val named = stream.toDF().toDF("ts", "text", "doc_id")
+    val out = EventStreaming.nearDedupStream(named, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("near_dedup_stream")
+      .outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(min: Long) = new java.sql.Timestamp(base + min * 60000)
+      // "beta alpha alpha" has the same token SET as "alpha beta" → same
+      // SimHash signature → dropped, even though the bytes differ (this is
+      // what the exact-dedup stream cannot do)
+      stream.addData((t(0), "alpha beta", 1L), (t(1), "gamma delta", 2L))
+      q.processAllAvailable()
+      stream.addData((t(2), "beta alpha alpha", 3L), (t(3), "epsilon zeta", 4L))
+      q.processAllAvailable()
+      val got = spark.table("near_dedup_stream").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 4L), s"got $got")
+      // stream signatures equal the batch expression's signatures
+      val sigs = spark.table("near_dedup_stream").select("sig").as[Long].collect().toSet
+      import graft.functions.VectorFunctions._
+      val batchSigs = Seq("alpha beta", "gamma delta", "epsilon zeta").toDF("text")
+        .select(graft.functions.VectorFunctions.simHash64(tokenSetIds(col("text"), 1)))
+        .as[Long].collect().toSet
+      assert(sigs == batchSigs)
+    } finally q.stop()
+  }
+
   test("text analysis pipelines run unchanged on streams (scan-only ops)") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, String)]

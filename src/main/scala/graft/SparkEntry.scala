@@ -19,7 +19,8 @@ object SparkEntry {
     "q5_region" -> (RelationalQueries.q5Region _),
     "top_customers" -> (RelationalQueries.topCustomers _)
   ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all ++
-    TextQueries.all ++ EventQueries.all ++ MultimodalQueries.all ++ IngestQueries.all
+    TextQueries.all ++ EventQueries.all ++ MultimodalQueries.all ++
+    IngestQueries.all ++ PipelineQueries.all
 
   /** DuckDB-runnable ANSI SQL twin per query (same column names/order-by). */
   def oracleSql: Map[String, String] = Map(
@@ -28,5 +29,6 @@ object SparkEntry {
     "q5_region" -> RelationalQueries.q5RegionSql,
     "top_customers" -> RelationalQueries.topCustomersSql
   ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles ++
-    TextQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles ++ IngestQueries.oracles
+    TextQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles ++
+    IngestQueries.oracles ++ PipelineQueries.oracles
 }

@@ -72,7 +72,8 @@ object DedupQueries {
   def dedupClusters(s: SparkSession, d: String): DataFrame =
     Dedup.clusters(Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau))
 
-  val dedupClustersSql: String =
+  /** ORDER-BY-free body, reusable as a CTE in composed oracles. */
+  val dedupClustersBodySql: String =
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
        |  FROM documents),
@@ -93,7 +94,9 @@ object DedupQueries {
        |  UNION
        |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
        |SELECT id AS doc_id, min(r) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |FROM reach GROUP BY id""".stripMargin
+
+  val dedupClustersSql: String = dedupClustersBodySql + "\nORDER BY doc_id"
 
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d), JaccardTau)

@@ -24,7 +24,8 @@ object TextQueries {
   def textQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.withQuality(docs(s, d)).orderBy("doc_id")
 
-  val textQualitySql: String = {
+  /** ORDER-BY-free body, reusable as a CTE in composed oracles. */
+  val textQualityBodySql: String = {
     val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(",")
     s"""WITH f AS (
        |  SELECT doc_id,
@@ -42,13 +43,16 @@ object TextQueries {
        |  round(least(1.0, ntok / 100.0) * 0.4
        |        + least(1.0, (stophits / ntok) * 10.0) * 0.3
        |        + (alpha / len) * 0.3, 6) AS quality_score
-       |FROM f ORDER BY doc_id""".stripMargin
+       |FROM f""".stripMargin
   }
+
+  val textQualitySql: String = textQualityBodySql + "\nORDER BY doc_id"
 
   def textLangid(s: SparkSession, d: String): DataFrame =
     TextAnalysis.withLangId(docs(s, d)).orderBy("doc_id")
 
-  val textLangidSql: String = {
+  /** ORDER-BY-free body, reusable as a CTE in composed oracles. */
+  val textLangidBodySql: String = {
     val scoreExprs = TextAnalysis.LangMarkers.map { case (lang, ws) =>
       val lst = ws.map(w => s"'$w'").mkString(",")
       s"CAST(len(list_filter(ts, t -> t IN ($lst))) AS DOUBLE) / ntok AS s_$lang"
@@ -69,8 +73,10 @@ object TextQueries {
        |SELECT doc_id,
        |  CASE $caseArms ELSE 'und' END AS lang_pred,
        |  round(best, 6) AS lang_score
-       |FROM b ORDER BY doc_id""".stripMargin
+       |FROM b""".stripMargin
   }
+
+  val textLangidSql: String = textLangidBodySql + "\nORDER BY doc_id"
 
   def textFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.withFingerprint(docs(s, d)).orderBy("doc_id")

@@ -52,7 +52,7 @@ object Bench {
     val harness =
       try {
         val rows = graft.harness.RunHarness.runMany(
-          spark, sfDir, Seq("pre_filter", "post_filter", "random"))
+          spark, sfDir, Seq("pre_filter", "post_filter", "ivf", "random"))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("results.jsonl"),
           graft.harness.RunHarness.toJsonLines(rows))

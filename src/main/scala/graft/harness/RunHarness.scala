@@ -153,15 +153,21 @@ object RunHarness {
 
   /** Backend registry (reference run.py get_backend). "auto" walks the
     * reference's index fallback chain (loaders.py:123-165): IVF when the
-    * corpus supports it → LSH buckets (the HNSW-fallback slot) → exact. */
+    * corpus supports it → LSH buckets (the HNSW-fallback slot) → exact.
+    * `corpusKey` (when known, e.g. the sf dir) routes "ivf" through the
+    * persisted shared index instead of an in-process KMeans fit. */
   def getBackend(name: String, emb: DataFrame, total: Long,
                  ladder: Seq[Int] = Seq(200, 500, 1000), nprobe: Int = 32,
-                 maxLadderSteps: Option[Int] = None): Backend =
+                 maxLadderSteps: Option[Int] = None,
+                 corpusKey: Option[String] = None): Backend =
     name match {
       case "exact" | "pre_filter" => new ExactBackend(name)
       case "post_filter" => new PostFilterBackend(ladder, maxLadderSteps)
       case "ivf" =>
-        val model = Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
+        val model = corpusKey match {
+          case Some(k) => Ivf.cached(emb.sparkSession, emb, k)
+          case None => Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
+        }
         new IvfBackend(model, nprobe)
       case "lsh" =>
         val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -208,7 +214,7 @@ object RunHarness {
     val total = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val runId = java.util.UUID.randomUUID().toString
-    val backends = backendNames.map(getBackend(_, emb, total))
+    val backends = backendNames.map(getBackend(_, emb, total, corpusKey = Some(sfDir)))
 
     // hard guards BEFORE any search (reference: dimension + K validation)
     val queries = qs.map { hq =>
@@ -298,7 +304,8 @@ object RunHarness {
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val sfDir = opts.getOrElse("--sf-dir", "/root/testdata/sf0.01")
-    val backend = opts.getOrElse("--backend", "exact")
+    val backends = opts.get("--backends").map(_.split(",").toSeq)
+      .getOrElse(Seq(opts.getOrElse("--backend", "exact")))
     val out = opts.getOrElse("--out", "results.jsonl")
     val kOv = opts.get("--K").map(_.toInt)
     val spark = SparkSession.builder()
@@ -309,7 +316,7 @@ object RunHarness {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = run(spark, sfDir, backend, kOverride = kOv)
+    val rows = runMany(spark, sfDir, backends, kOverride = kOv)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toJsonLines(rows))
     println(s"wrote ${rows.length} rows to $out")
     spark.stop()

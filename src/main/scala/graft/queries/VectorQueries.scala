@@ -118,15 +118,9 @@ object VectorQueries {
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
 
   def ivfModel(s: SparkSession, d: String): IvfModel =
-    ivfCache.computeIfAbsent(d, _ => {
-      val e = emb(s, d)
-      val n = e.count()
-      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$key-n$n"
-      // maxIter 10: centroid quality converges well before that on corpora
-      // this size, and index build time is amortized across queries anyway
-      Ivf.buildOrLoad(s, e, path, Ivf.pickNlist(n), maxIter = 10)
-    })
+    // maxIter 10: centroid quality converges well before that on corpora
+    // this size, and index build time is amortized across queries anyway
+    ivfCache.computeIfAbsent(d, _ => Ivf.cached(s, emb(s, d), d, maxIter = 10))
 
   def vecIvfTopK(s: SparkSession, d: String): DataFrame =
     ivfModel(s, d).search(q0, nprobe = 32, k = K)
@@ -163,9 +157,11 @@ object VectorQueries {
   def hybridStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // one pass over the query set: per-query validation/count/oracle are
-    // shared across the three backends (pre_filter doubles as the oracle)
+    // shared across the backends (pre_filter doubles as the oracle); ivf
+    // probes the shared persisted index, so all four reference backend
+    // families appear in the per-query stats
     val rows = graft.harness.RunHarness.runMany(
-      s, d, Seq("pre_filter", "post_filter", "random"))
+      s, d, Seq("pre_filter", "post_filter", "ivf", "random"))
     rows.map(r => (r.qid, r.method, r.k, r.latencyMs, r.recallAtK,
         r.filterSelectivity, r.scoredVectors, r.kthAtStop.getOrElse(Double.NaN)))
       .toDF("qid", "method", "k", "latency_ms", "recall_at_k",

@@ -149,6 +149,20 @@ object Ivf {
       load(spark, path)
     }
   }
+
+  /** The shared persisted-index entry point: one on-disk index per
+    * (corpus key, row count, training params), under the system temp dir
+    * (stand-in for the warehouse path a cluster deployment would use).
+    * Both the registered vec_ivf_* queries and the harness "ivf" backend
+    * resolve here, so they probe the SAME index — and a corpus is trained
+    * at most once across all JVMs on the machine. */
+  def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
+             maxIter: Int = 10): IvfModel = {
+    val n = emb.count()
+    val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$key-n$n-i$maxIter"
+    buildOrLoad(spark, emb, path, pickNlist(n), maxIter = maxIter)
+  }
 }
 
 /** Cosine LSH (random hyperplanes): deterministic seeded planes; bucket =

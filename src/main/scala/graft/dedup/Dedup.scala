@@ -280,9 +280,18 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
+    // overflow-safe monotone convergence witness: labels only ever
+    // decrease, so the label sum is strictly decreasing until fixpoint —
+    // one cheap aggregate per round instead of a join against the
+    // previous labels
+    def checksum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+    // round 0 fused into the init: lbl = min(id, min neighbour)
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
       .localCheckpoint()
+    var prevSum = checksum(labels)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -291,9 +300,9 @@ object Dedup {
       val next = labels.unionAll(msgs)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      // labels only ever decrease, so any strict drop means another round
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .where(col("lbl") < col("prev")).isEmpty
+      val s = checksum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       i += 1
     }

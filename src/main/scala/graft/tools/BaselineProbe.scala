@@ -71,16 +71,20 @@ object BaselineProbe {
       HybridQuery(4, unitVec(104), """{"label":{"between":[2,6]}}""", "label BETWEEN 2 AND 6", 10),
       HybridQuery(5, unitVec(105), """{"label":{"ne":3}}""", "label <> 3", 10))
 
+    // warm-up pass (JIT + one-time IVF train/persist) BEFORE caching: the
+    // KMeans working set would otherwise evict the cached corpus blocks
+    RunHarness.runMany(spark, dir, Seq("pre_filter", "ivf"), qs.take(1))
+
     // RAM-resident corpus, like the reference (loaders.py mmaps/loads
     // vectors.npy ONCE; its per-query latencies never pay the load): cache
     // the table so every harness scan hits memory — the CacheManager
-    // serves any identical parquet plan from the cached columnar batches
+    // serves any identical parquet plan from the cached columnar batches.
+    // Index build stays excluded from per-query latency, exactly as the
+    // reference excludes FAISS construction.
     graft.Tables.embeddings(spark, dir).cache().count()
-
-    // warm-up pass (JIT + page cache), then the measured pass
-    RunHarness.runMany(spark, dir, Seq("pre_filter"), qs)
+    RunHarness.runMany(spark, dir, Seq("pre_filter"), qs.take(1))
     val rows = RunHarness.runMany(spark, dir,
-      Seq("exact", "pre_filter", "post_filter", "random"), qs)
+      Seq("exact", "pre_filter", "post_filter", "ivf", "random"), qs)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("results_baseline_scale.jsonl"),
       RunHarness.toJsonLines(rows))

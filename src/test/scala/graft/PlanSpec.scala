@@ -95,6 +95,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("frame sampling and train/val split are shuffle-free projections") {
+    val fs = plan(graft.multimodal.Multimodal.sampleFrames(
+      graft.multimodal.Multimodal.withPayload(Tables.documents(spark, sf))))
+    assert(!fs.contains("Exchange"), fs)
+    // the split adds no hash shuffle — only the presentation sort's range
+    // exchange may appear
+    val sp = plan(queries.PipelineQueries.splitTrainVal(spark, sf))
+    assert(!sp.contains("Exchange hashpartitioning"), sp)
+  }
+
+  test("text_vocab aggregates with map-side partial aggregation") {
+    val p = plan(queries.TextQueries.textVocab(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("events_window aggregates with map-side partial aggregation") {
     val p = plan(EventQueries.eventsWindow(spark, sf))
     // partial then final HashAggregate around the single shuffle

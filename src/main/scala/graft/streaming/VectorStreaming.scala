@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.search.VecMath
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming vector search (SURVEY.md §2 #51): maintain the running
+  * top-K inner-product neighbours of each registered query over an
+  * UNBOUNDED stream of embeddings — online, index-free similarity
+  * search. The batch twin is VectorSearch.knnJoin (oracle-checked
+  * vec_knn_join); StreamingSpec asserts the stream's final answer equals
+  * the batch answer on the same data.
+  *
+  * Scale shape: scoring is a stateless flatMap (each arriving vector is
+  * scored against the broadcast query set — the same partition-local
+  * work as knnJoin stage 1); state per query is a BOUNDED K-entry heap,
+  * keyed by qid, so Q queries shard across the cluster and state never
+  * grows with the stream. Each micro-batch emits each updated query's
+  * current top-K (Update mode).
+  */
+object VectorStreaming {
+
+  case class Neighbor(qid: Long, vec_id: Long, score: Double)
+
+  def knnStream(
+      vecs: Dataset[(Long, Array[Float])],
+      queries: Seq[(Long, Array[Float])],
+      k: Int): Dataset[Neighbor] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+
+    def update(qid: Long, it: Iterator[Neighbor],
+               state: GroupState[Seq[Neighbor]]): Iterator[Neighbor] = {
+      val merged = (state.getOption.getOrElse(Seq.empty) ++ it)
+        .sortBy(n => (-n.score, n.vec_id)) // score desc, id tiebreak — knnJoin order
+        .take(k)
+      state.update(merged)
+      merged.iterator
+    }
+
+    vecs
+      .flatMap { case (id, v) =>
+        queries.map { case (qid, q) =>
+          Neighbor(qid, id, VecMath.round6(VecMath.dot(v, q)))
+        }
+      }
+      .groupByKey(_.qid)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+}

@@ -125,6 +125,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming kNN: running top-K converges to the batch knnJoin answer") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val stream = MemoryStream[(Long, Array[Float])]
+    val queries = graft.search.QueryVectors.batch(3)
+    val k = 5
+    val out = graft.streaming.VectorStreaming.knnStream(stream.toDS(), queries, k)
+    val q = out.writeStream.format("memory").queryName("knn_stream")
+      .outputMode("update").start()
+    try {
+      val emb = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect()
+      // feed the corpus in two arbitrary chunks — online maintenance must
+      // end at the same answer regardless of arrival order
+      val (a, b) = emb.splitAt(emb.length / 3)
+      stream.addData(a.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b.toIndexedSeq); q.processAllAvailable()
+      // compare the final top-K per qid against the oracle-checked batch twin
+      val want = graft.search.VectorSearch.knnJoin(
+          Tables.embeddings(spark, sf), queries, k)
+        .select(col("qid"), col("vec_id"), col("score"))
+        .as[(Long, Long, Double)].collect().toSet
+      val lastPerQ = spark.table("knn_stream").as[(Long, Long, Double)].collect()
+        .toSeq.distinct.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          // reconstruct the final heap: highest-scoring k distinct vec_ids
+          rows.sortBy(r => (-r._3, r._2)).take(k)
+        }.toSet
+      assert(want.subsetOf(lastPerQ), s"missing ${want -- lastPerQ}")
+    } finally q.stop()
+  }
+
   test("text analysis pipelines run unchanged on streams (scan-only ops)") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Long, String)]

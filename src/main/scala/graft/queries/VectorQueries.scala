@@ -142,6 +142,13 @@ object VectorQueries {
     CosineLsh.search(emb(s, d), q0, planes, K)
   }
 
+  /** Index-health report over the shared persisted IVF index (rows-only:
+    * list membership depends on the KMeans fit; the invariants — counts
+    * conserved, nlist from the reference heuristic, no empty probe set —
+    * are asserted in VectorSearchSpec). */
+  def vecIvfStats(s: SparkSession, d: String): DataFrame =
+    ivfModel(s, d).stats
+
   // ---- query-table-driven execution + per-query eval harness ----
 
   /** Reference queries.parquet equivalent: run the whole deterministic
@@ -178,6 +185,7 @@ object VectorQueries {
     "vec_knn_join" -> (vecKnnJoin _),
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
+    "vec_ivf_stats" -> (vecIvfStats _),
     "vec_recall_ivf" -> (vecRecallIvf _),
     "vec_lsh_topk" -> (vecLshTopK _)
   )

@@ -43,6 +43,22 @@ final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
     VectorSearch.topK(pred.map(base.where).getOrElse(base), qvec, k)
   }
 
+  /** Index-health report: inverted-list size distribution in ONE
+    * map-side-combined aggregate — empty/overfull lists are what make
+    * nprobe recall collapse, so this is the check an operator runs before
+    * trusting an index (the reference prints nlist/nprobe at build time;
+    * loaders.py:141). */
+  def stats: DataFrame = {
+    val sizes = indexed.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      count(lit(1)).as("nonempty_lists"),
+      lit(centroids.length).as("nlist"),
+      min(col("sz")).as("min_sz"),
+      max(col("sz")).as("max_sz"),
+      round(avg(col("sz")), 6).as("avg_sz"),
+      sum(col("sz")).as("n_vectors"))
+  }
+
   /** Persist the index: vectors partitioned by list_id (→ probe-time
     * partition pruning) plus the centroid table, so a later JVM can
     * `Ivf.load(spark, path)` without retraining. */

@@ -104,6 +104,15 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("IVF stats: counts conserved, list sizes sane") {
+    val model = Ivf.build(emb, nlist = 16)
+    val r = model.stats.collect()(0)
+    assert(r.getAs[Long]("n_vectors") == emb.count())   // every vector in exactly one list
+    assert(r.getAs[Int]("nlist") == 16)
+    assert(r.getAs[Long]("nonempty_lists") <= 16 && r.getAs[Long]("nonempty_lists") > 0)
+    assert(r.getAs[Long]("min_sz") >= 1 && r.getAs[Long]("max_sz") <= emb.count())
+  }
+
   test("dimension mismatch is a hard error, not a silent partial dot") {
     // reference asserts vector shape; a truncating dot would return
     // plausible-but-wrong scores

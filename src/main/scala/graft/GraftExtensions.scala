@@ -30,12 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       mk(args.head)
     })
 
-  /** (text, n) where n must fold to a literal shingle size. */
+  /** (text, n) where n must fold to a literal integer shingle size. */
   private def textN(name: String, usage: String, mk: (Expression, Int) => Expression) =
     (FunctionIdentifier(name), info(name, usage), (args: Seq[Expression]) => {
       require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
       require(args(1).foldable, s"$name: shingle size must be a literal")
-      mk(args(0), args(1).eval().asInstanceOf[Number].intValue)
+      args(1).eval() match {
+        case n: Number => mk(args(0), n.intValue)
+        case other => throw new IllegalArgumentException(
+          s"$name: shingle size must be a literal integer, got $other")
+      }
     })
 
   override def apply(ext: SparkSessionExtensions): Unit = {

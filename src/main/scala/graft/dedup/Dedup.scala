@@ -285,8 +285,8 @@ object Dedup {
     // one cheap aggregate per round instead of a join against the
     // previous labels
     def checksum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
-        .getDecimal(0)
+      Option(labels.agg(sum(col("lbl").cast("decimal(38,0)"))).first()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty graph → 0
     // round 0 fused into the init: lbl = min(id, min neighbour)
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
@@ -306,6 +306,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // fail loudly rather than ship silently-truncated clusters: an
+    // unconverged result would keep several "representatives" of one
+    // component, which is exactly the bug dedup exists to prevent
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters: not converged after $maxIter rounds (component diameter " +
+          "exceeds maxIter) — raise maxIter or switch to small-star/large-star")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }

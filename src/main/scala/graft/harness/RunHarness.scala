@@ -159,18 +159,19 @@ object RunHarness {
   def getBackend(name: String, emb: DataFrame, total: Long,
                  ladder: Seq[Int] = Seq(200, 500, 1000), nprobe: Int = 32,
                  maxLadderSteps: Option[Int] = None,
-                 corpusKey: Option[String] = None): Backend =
+                 corpusKey: Option[String] = None,
+                 knownDim: Option[Int] = None): Backend =
     name match {
       case "exact" | "pre_filter" => new ExactBackend(name)
       case "post_filter" => new PostFilterBackend(ladder, maxLadderSteps)
       case "ivf" =>
         val model = corpusKey match {
-          case Some(k) => Ivf.cached(emb.sparkSession, emb, k)
+          case Some(k) => Ivf.cached(emb.sparkSession, emb, k, knownTotal = Some(total))
           case None => Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
         }
         new IvfBackend(model, nprobe)
       case "lsh" =>
-        val dim = emb.select(size(col("embedding"))).first().getInt(0)
+        val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))
         new LshBackend(CosineLsh.planes(dim, bits = 10))
       case "auto" =>
         Ivf.choose(emb) match {
@@ -214,7 +215,8 @@ object RunHarness {
     val total = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val runId = java.util.UUID.randomUUID().toString
-    val backends = backendNames.map(getBackend(_, emb, total, corpusKey = Some(sfDir)))
+    val backends = backendNames.map(
+      getBackend(_, emb, total, corpusKey = Some(sfDir), knownDim = Some(dim)))
 
     // hard guards BEFORE any search (reference: dimension + K validation)
     val queries = qs.map { hq =>

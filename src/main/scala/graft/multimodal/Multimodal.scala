@@ -68,7 +68,10 @@ object Multimodal {
     * index, byte offset, frame bytes) is the real contract. */
   def sampleFrames(withBytes: DataFrame, frameBytes: Int = 16, stride: Int = 64): DataFrame =
     withBytes
-      .select(col("doc_id"), col("payload"), col("media_meta.n_bytes").as("nb"))
+      // length(binary) is BYTE length — frame math must use the payload's
+      // own bytes, not media_meta.n_bytes (a character count for text
+      // stand-ins, which diverges on any non-ASCII payload)
+      .select(col("doc_id"), col("payload"), length(col("payload")).as("nb"))
       .withColumn("nf",
         when(col("nb") >= frameBytes,
           floor((col("nb") - frameBytes) / stride) + 1).otherwise(0L).cast("int"))

@@ -27,9 +27,10 @@ object MultimodalQueries {
       |FROM h ORDER BY doc_id""".stripMargin
 
   /** Byte-level frame sampling over the binary payload (every 64th offset,
-    * 16-byte frames). The oracle mirrors the byte math on the VARCHAR side
-    * — sound because the testdata text is pure ASCII (octet_length ==
-    * length, asserted by ingest_check's schema contract). */
+    * 16-byte frames). The Spark side is byte-exact (length/substring on
+    * BINARY); the oracle's VARCHAR substring is character-based, which
+    * coincides on this corpus (verified 0 rows with octet_length <>
+    * length at both sf0.01 and sf0.1 — DuckDB has no BLOB substring). */
   def mmFrameSample(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.withPayload(Tables.documents(s, d)))
       .orderBy("doc_id", "frame_idx")

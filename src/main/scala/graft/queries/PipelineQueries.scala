@@ -34,8 +34,10 @@ object PipelineQueries {
     * language gate + near-dup keep-list (only cluster representatives
     * survive), composed from the library's quality, langid, Jaccard-pair
     * and cluster operators. Plan shape: two scan-only column pipelines
-    * joined on doc_id, minus a broadcast anti-join against the (small)
-    * drop-list — the only heavy lifting is the pair mining itself. */
+    * joined on doc_id, minus an anti-join against the drop-list
+    * (broadcast when the drop-list is small, shuffle otherwise — AQE
+    * decides at runtime) — the only heavy lifting is the pair mining
+    * itself. */
   def corpusCurate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality_score"))

@@ -161,22 +161,44 @@ object Ivf {
     def done(part: String) = new java.io.File(s"$path/$part/_SUCCESS").exists()
     if (done("data") && done("centroids")) load(spark, path)
     else {
-      build(emb, nlist, seed, maxIter).write(path)
+      // write to a private temp dir, then publish with one rename — a
+      // concurrent builder can't interleave half-written parts under the
+      // shared path; whoever loses the rename race discards its copy and
+      // loads the winner's
+      val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
+      build(emb, nlist, seed, maxIter).write(tmp)
+      val dst = new java.io.File(path)
+      dst.getParentFile.mkdirs()
+      if (!new java.io.File(tmp).renameTo(dst)) deleteRecursively(new java.io.File(tmp))
       load(spark, path)
     }
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** The shared persisted-index entry point: one on-disk index per
-    * (corpus key, row count, training params), under the system temp dir
-    * (stand-in for the warehouse path a cluster deployment would use).
-    * Both the registered vec_ivf_* queries and the harness "ivf" backend
-    * resolve here, so they probe the SAME index — and a corpus is trained
-    * at most once across all JVMs on the machine. */
+    * (corpus key, row count, source mtime, training params), under the
+    * system temp dir (stand-in for the warehouse path a cluster
+    * deployment would use). Both the registered vec_ivf_* queries and
+    * the harness "ivf" backend resolve here, so they probe the SAME
+    * index — and a corpus is trained at most once across all JVMs on
+    * the machine. The source-mtime component invalidates the cache when
+    * the corpus is REGENERATED with an unchanged row count (same-count
+    * different-content would otherwise silently serve stale
+    * assignments); `knownTotal` skips the count job when the caller
+    * already has it. */
   def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
-             maxIter: Int = 10): IvfModel = {
-    val n = emb.count()
+             maxIter: Int = 10, knownTotal: Option[Long] = None): IvfModel = {
+    val n = knownTotal.getOrElse(emb.count())
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$key-n$n-i$maxIter"
+    // newest source-file mtime: cheap (no Spark job), changes whenever
+    // the corpus is rewritten
+    val srcMtime = emb.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$key-n$n-m$srcMtime-i$maxIter"
     buildOrLoad(spark, emb, path, pickNlist(n), maxIter = maxIter)
   }
 }

@@ -31,7 +31,11 @@ object VectorStreaming {
 
     def update(qid: Long, it: Iterator[Neighbor],
                state: GroupState[Seq[Neighbor]]): Iterator[Neighbor] = {
+      // dedupe by vec_id BEFORE the cut: at-least-once delivery replays
+      // vectors, and a replayed id must not occupy several heap slots and
+      // evict genuine neighbours (idempotent under redelivery)
       val merged = (state.getOption.getOrElse(Seq.empty) ++ it)
+        .groupBy(_.vec_id).valuesIterator.map(_.head).toSeq
         .sortBy(n => (-n.score, n.vec_id)) // score desc, id tiebreak — knnJoin order
         .take(k)
       state.update(merged)

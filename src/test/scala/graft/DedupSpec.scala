@@ -184,6 +184,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got.length == 12 && got.forall(_._2 == 0L))
   }
 
+  test("clusters: empty pair set yields empty clusters (no crash)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(empty).count() == 0)
+  }
+
+  test("clusters fail loudly when the diameter exceeds maxIter") {
+    val longPath = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(longPath, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("embeddingPairs: exact precision, nonempty, subset of brute-force") {
     val vecs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1).toMap

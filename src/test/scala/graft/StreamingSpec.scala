@@ -143,6 +143,9 @@ class StreamingSpec extends AnyFunSuite {
       val (a, b) = emb.splitAt(emb.length / 3)
       stream.addData(a.toIndexedSeq); q.processAllAvailable()
       stream.addData(b.toIndexedSeq); q.processAllAvailable()
+      // at-least-once replay: re-delivering a chunk must not let duplicate
+      // vec_ids crowd genuine neighbours out of the K-entry state
+      stream.addData(a.toIndexedSeq); q.processAllAvailable()
       // compare the final top-K per qid against the oracle-checked batch twin
       val want = graft.search.VectorSearch.knnJoin(
           Tables.embeddings(spark, sf), queries, k)

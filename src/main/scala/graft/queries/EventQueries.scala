@@ -71,13 +71,61 @@ object EventQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM z GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin
 
+  /** #53 ordered conversion funnel: per user, first view → first click
+    * within 24h at-or-after that view → first purchase within 24h
+    * at-or-after that click; one summary row of stage counts. Each stage
+    * is a filter + aggregate + equi-join on user_id — the SAME shuffle
+    * key reused stage to stage, so at scale the exchanges line up; no
+    * window sort, no per-user event-sequence materialization (the
+    * classic funnel shape that survives billions of events/user-day).
+    * Window comparison is exact integer microseconds on both engines. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val WinUs = 24L * 3600 * 1000000
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("ts") >= col("t_view") &&
+        unix_micros(col("ts")) - unix_micros(col("t_view")) <= WinUs)
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("ts") >= col("t_click") &&
+        unix_micros(col("ts")) - unix_micros(col("t_click")) <= WinUs)
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("viewers"))
+      .crossJoin(c.agg(count(lit(1)).as("clickers_24h")))
+      .crossJoin(p.agg(count(lit(1)).as("buyers_24h")))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      |    AND epoch_us(e.ts) - epoch_us(v.t_view) <= 86400000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      |    AND epoch_us(e.ts) - epoch_us(c.t_click) <= 86400000000
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM v) AS viewers,
+      |       (SELECT count(*) FROM c) AS clickers_24h,
+      |       (SELECT count(*) FROM p) AS buyers_24h""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> (eventsWindow _),
-    "events_session" -> (eventsSession _)
+    "events_session" -> (eventsSession _),
+    "events_funnel" -> (eventsFunnel _)
   )
 
   val oracles: Map[String, String] = Map(
     "events_window" -> eventsWindowSql,
-    "events_session" -> eventsSessionSql
+    "events_session" -> eventsSessionSql,
+    "events_funnel" -> eventsFunnelSql
   )
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   *   - simhash:   16-bit chunk blocking (pigeonhole: hamming ≤ 3 pairs
   *                must share one of 4 chunks), verified by bit_count;
   *   - embedding: cosine-LSH bucket join (hyperplane signatures, hamming-1
-  *                multiprobe), verified by exact dot product.
+  *                multiprobe), verified by exact dot product;
+  *   - clusters: pair graph → min-id connected components (the keep-list
+  *               resolution step), iterative label propagation.
   * Oversized LSH buckets are dropped by a size cap (skew/adversarial
   * safety at 100 TB: a degenerate bucket can't quadratically explode).
   */

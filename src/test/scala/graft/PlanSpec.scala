@@ -111,6 +111,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bucketed tables join co-located: no Exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // force the sort-merge path (tiny test tables would broadcast and
+    // hide the property being asserted)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"),
+        "orders_bkt", "o_orderkey")
+      graft.sources.Bucketing.writeBucketed(
+        Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+        "lineitem_bkt", "l_orderkey")
+      val joined = graft.sources.Bucketing.colocatedJoin(
+        spark, "orders_bkt", "lineitem_bkt", "o_orderkey", "l_orderkey")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), p) // co-located: bucket files align
+      // and the join is still CORRECT
+      val got = joined.count()
+      val want = Tables.orders(spark, sf).join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey")).count()
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    }
+  }
+
   test("events_window aggregates with map-side partial aggregation") {
     val p = plan(EventQueries.eventsWindow(spark, sf))
     // partial then final HashAggregate around the single shuffle

@@ -16,7 +16,8 @@ import org.apache.spark.sql.graft._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def binary(name: String, usage: String, mk: (Expression, Expression) => Expression) =
     (FunctionIdentifier(name), info(name, usage), (args: Seq[Expression]) => {

@@ -77,7 +77,7 @@ object Ingest {
   def withContiguousId(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val fields = StructField(idCol, LongType, nullable = false) +: df.schema.fields
-    val rows = df.rdd.zipWithIndex.map { case (r, i) =>
+    val rows = df.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(i +: r.toSeq)
     }
     spark.createDataFrame(rows, StructType(fields))
@@ -155,6 +155,7 @@ object Ingest {
       .as[(Long, Array[Float], String, Int)]
       .collect()
       .map { case (qid, v, f, k) => graft.search.HybridQuery(qid, v, f, "", k) }
+      .toIndexedSeq
       .sortBy(_.qid)
   }
 }

@@ -108,7 +108,34 @@ object TextQueries {
       |FROM t GROUP BY token
       |ORDER BY df DESC, tf DESC, token LIMIT 100""".stripMargin
 
+  /** Corpus length profile: exact quartiles/p95 of document length plus
+    * totals — the distribution snapshot a curation run reports before and
+    * after filtering. Spark's exact `percentile` and DuckDB's
+    * `quantile_cont` share linear interpolation, so the compare is exact
+    * at 6 dp. One aggregate; at 100 TB swap in percentile_approx (a
+    * mergeable sketch) and declare the op rows-only. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(length(col("text")).as("len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("total_chars"),
+        round(expr("percentile(len, 0.25)"), 6).as("p25"),
+        round(expr("percentile(len, 0.5)"), 6).as("p50"),
+        round(expr("percentile(len, 0.75)"), 6).as("p75"),
+        round(expr("percentile(len, 0.95)"), 6).as("p95"))
+
+  val textStatsSql: String =
+    """SELECT count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |  round(quantile_cont(length(text), 0.25), 6) AS p25,
+      |  round(quantile_cont(length(text), 0.5), 6) AS p50,
+      |  round(quantile_cont(length(text), 0.75), 6) AS p75,
+      |  round(quantile_cont(length(text), 0.95), 6) AS p95
+      |FROM documents""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -117,6 +144,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

@@ -32,23 +32,31 @@ object PipelineQueries {
 
   /** #50 The pipeline's end product: the curated corpus. Quality gate +
     * language gate + near-dup keep-list (only cluster representatives
-    * survive), composed from the library's quality, langid, Jaccard-pair
-    * and cluster operators. Plan shape: two scan-only column pipelines
-    * joined on doc_id, minus an anti-join against the drop-list
-    * (broadcast when the drop-list is small, shuffle otherwise — AQE
-    * decides at runtime) — the only heavy lifting is the pair mining
-    * itself. */
-  def corpusCurate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    * survive), composed from the library's quality, langid and cluster
+    * operators. Plan shape: two scan-only column pipelines joined on
+    * doc_id, minus an anti-join against the drop-list (broadcast when the
+    * drop-list is small, shuffle otherwise — AQE decides at runtime).
+    *
+    * `clusters` is the PRECOMPUTED (doc_id, cluster_id) resolution — the
+    * pair graph is the pipeline's dominant cost, and a real curation run
+    * mines it once and feeds every consumer (curate, cluster report,
+    * pair audit) from the same table, not once per consumer. */
+  def corpusCurate(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality_score"))
     val l = TextAnalysis.withLangId(docs).select(col("doc_id"), col("lang_pred"))
-    val dropped = Dedup.clusters(Dedup.jaccardPairs(docs, DedupQueries.JaccardTau))
+    val dropped = clusters
       .where(col("cluster_id") =!= col("doc_id")).select("doc_id")
     q.join(l, "doc_id")
       .join(dropped, Seq("doc_id"), "left_anti")
       .where(col("quality_score") >= 0.6 && col("lang_pred") === "en")
       .orderBy("doc_id")
   }
+
+  /** The registered query: curate against the shared mined cluster table
+    * (computed once per corpus across dedup_jaccard/dedup_clusters/
+    * corpus_curate — see DedupQueries.minedClusters). */
+  def corpusCurate(s: SparkSession, d: String): DataFrame =
+    corpusCurate(Tables.documents(s, d), DedupQueries.minedClusters(s, d))
 
   val corpusCurateSql: String =
     s"""WITH q AS (${TextQueries.textQualityBodySql}),

@@ -43,6 +43,20 @@ final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
     VectorSearch.topK(pred.map(base.where).getOrElse(base), qvec, k)
   }
 
+  /** Batched top-K: ALL queries answered from ONE scan pruned to the
+    * UNION of their probed lists, per-query list membership enforced
+    * row-locally inside the kNN join's bounded heaps. Equivalent to
+    * `search` per query (spec-pinned) but pays one job and one pruned
+    * scan instead of |queries| — at scale, the difference between
+    * probing nprobe/nlist of the data once and |Q| times. Returns
+    * (qid, rank, vec_id, score). */
+  def searchMany(queries: Seq[(Long, Array[Float])], nprobe: Int, k: Int): DataFrame = {
+    val perQ = queries.map { case (qid, v) => qid -> probes(v, nprobe).toSet }
+    val union = perQ.flatMap(_._2).distinct
+    val pruned = indexed.where(col("list_id").isin(union: _*))
+    VectorSearch.knnJoin(pruned, queries, k, allowedLists = Some(perQ.toMap))
+  }
+
   /** Index-health report: inverted-list size distribution in ONE
     * map-side-combined aggregate — empty/overfull lists are what make
     * nprobe recall collapse, so this is the check an operator runs before

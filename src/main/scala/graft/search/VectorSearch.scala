@@ -79,32 +79,52 @@ object VectorSearch {
     * to a single `Window.partitionBy(qid)` over all scored rows this
     * shrinks the shuffle by ~N/(P·k) and removes the low-cardinality-qid
     * skew (every partition would otherwise land on Q reducers).
+    *
+    * `allowedLists` restricts each query to rows whose `listCol` value is
+    * in its set (the batched-IVF shape: ONE scan pruned to the UNION of
+    * all probed lists, per-query membership enforced row-locally — no
+    * per-query scans, no cross-query recall leakage). None = every query
+    * scores every row.
     */
-  def knnJoin(emb: DataFrame, queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+  def knnJoin(emb: DataFrame, queries: Seq[(Long, Array[Float])], k: Int,
+              allowedLists: Option[Map[Long, Set[Int]]] = None,
+              listCol: String = "list_id"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val qB = spark.sparkContext.broadcast(queries.toArray)
+    val qArr = queries.toArray
+    // aligned with qArr; null = unrestricted (kept off the row-loop's hot
+    // path by a single reference check)
+    val allowArr: Array[Set[Int]] =
+      allowedLists.map(m => qArr.map { case (qid, _) => m.getOrElse(qid, Set.empty[Int]) }).orNull
+    val qB = spark.sparkContext.broadcast((qArr, allowArr))
 
-    val partial = emb
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .as[(Long, Array[Float])]
+    val src =
+      if (allowedLists.isDefined)
+        emb.select(col("vec_id").cast("long"), col("embedding"), col(listCol).cast("int"))
+      else // constant list id folds away in codegen; keeps one typed shape
+        emb.select(col("vec_id").cast("long"), col("embedding"), lit(-1).as("list_id"))
+
+    val partial = src
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
-        val qs = qB.value
+        val (qs, allow) = qB.value
         // per-query bounded heap; head = current worst of the kept k
         val worstFirst: Ordering[(Double, Long)] = Ordering.fromLessThan {
           (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
         }
         val heaps = Array.fill(qs.length)(
           collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
-        it.foreach { case (id, vec) =>
+        it.foreach { case (id, vec, listId) =>
           var q = 0
           while (q < qs.length) {
-            val s = VecMath.round6(VecMath.dot(vec, qs(q)._2))
-            val h = heaps(q)
-            if (h.size < k) h.enqueue((s, id))
-            else {
-              val (ws, wid) = h.head
-              if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+            if (allow == null || allow(q).contains(listId)) {
+              val s = VecMath.round6(VecMath.dot(vec, qs(q)._2))
+              val h = heaps(q)
+              if (h.size < k) h.enqueue((s, id))
+              else {
+                val (ws, wid) = h.head
+                if (s > ws || (s == ws && id < wid)) { h.dequeue(); h.enqueue((s, id)) }
+              }
             }
             q += 1
           }

@@ -97,6 +97,18 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(mean >= 0.8, s"mean IVF recall $mean < 0.8: ${recalls.mkString(",")}")
   }
 
+  test("IVF searchMany (one pruned scan) equals per-query search") {
+    val model = Ivf.build(emb, nlist = 16)
+    val qs = QueryVectors.batch(4)
+    val got = model.searchMany(qs, nprobe = 12, k = 10)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val want = qs.flatMap { case (qid, v) =>
+      model.search(v, nprobe = 12, k = 10).as[(Long, Double)].collect()
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("IVF probing all lists == exact topK (recall 1.0)") {
     val model = Ivf.build(emb, nlist = 16)
     val got = model.search(q0, nprobe = 16, k = 10).as[(Long, Double)].collect().toSeq

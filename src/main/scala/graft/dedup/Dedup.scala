@@ -81,8 +81,14 @@ object Dedup {
     *   round(i/(s−i), 6) ≥ τ  ⟺  i/(s−i) ≥ τ − 5e-7
     *                          ⟺  2e6·i ≥ (2e6·τ − 1)·(s − i)
     *                          ⟺  i·(2e6 + (2e6·τ − 1)) ≥ (2e6·τ − 1)·s
-    * — pure integer arithmetic (no float-boundary risk), i referenced once.
-    * Requires τ expressible at 6 dp (all callers use 2-dp thresholds). */
+    * — integer arithmetic, exact on the RATIONAL i/(s−i), i referenced
+    * once. Requires τ expressible at 6 dp (all callers use 2-dp
+    * thresholds). Boundary caveat: the emitted `jac` column (and a
+    * double-arithmetic oracle) round the DOUBLE quotient, so a pair whose
+    * rational lands within one double ulp of the τ−5e-7 boundary could in
+    * principle be classified differently by the two paths; with |A∩B| ≤
+    * s ≤ ~10⁶-token docs the quotient is exact to ~2⁻⁵² ≪ 5e-7-boundary
+    * spacing, and no corpus has produced a disagreement. */
   private def jacPass(a: Column, b: Column, tau: Double): Column = {
     val e2 = math.round(tau * 2e6) - 1 // 2e6·τ − 1, exact for 6-dp τ
     val s = (size(a) + size(b)).cast("long")
@@ -131,7 +137,12 @@ object Dedup {
     * (it would otherwise shuffle the whole corpus for nothing). */
   private def spread(df: DataFrame, idCol: String): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= want) df else df.repartition(col(idCol))
+    // plan-side split estimate: leaf file count, no RDD lineage
+    // materialized (df.rdd would eagerly build the conversion per call).
+    // A many-split single file is undercounted, but that only triggers
+    // the cheap branch (one hash shuffle of a corpus small enough to sit
+    // in few files); non-file sources report 0 and land there too.
+    if (df.inputFiles.length >= want) df else df.repartition(col(idCol))
   }
 
   /** Shared exact-Jaccard-pairs pipeline: single-pass TokenSetSummary

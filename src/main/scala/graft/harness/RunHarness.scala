@@ -42,6 +42,13 @@ object RunHarness {
     def name: String
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
                k: Int, allowed: Long): (Seq[Long], Stats)
+    /** Spec-aware entry: backends that can evaluate the filter DSL outside
+      * Catalyst (the RAM serving tier) override this; the default ignores
+      * the spec and uses the compiled Column. */
+    def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+               pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) =
+      search(emb, qvec, pred, k, allowed)
   }
 
   private def timed[A](body: => A): (A, Double) = {
@@ -70,6 +77,37 @@ object RunHarness {
     * the stopping rung; kth_at_stop only when the stop was due to ≥ K
     * kept. One Spark job regardless (the max-rung TakeOrdered); the walk
     * itself is O(K′) driver work over collected candidates. */
+  /** The reference's rung walk (post_filter.py:60-99): a rung that leaves
+    * < K kept is a "retry"; stop when kept ≥ K, retries are spent, or the
+    * ladder is exhausted. Pure driver work over collected candidates. */
+  private def ladderWalk(cand: Array[(Long, Double, Boolean)], rungs: Seq[Int],
+                         k: Int, maxSteps: Int): (Seq[(Long, Double)], Int, Boolean, Int) = {
+    var retries = 0
+    var lastRung = 0
+    var satisfied = false
+    val it = rungs.iterator
+    while (it.hasNext && !satisfied && retries < maxSteps) {
+      val kp = it.next()
+      lastRung = kp
+      if (cand.take(kp).count(_._3) >= k) satisfied = true
+      else retries += 1
+    }
+    (cand.take(lastRung).filter(_._3).take(k).map(c => (c._1, c._2)).toSeq,
+      lastRung, satisfied, retries)
+  }
+
+  private def postStats(kept: Seq[(Long, Double)], rung: Int, satisfied: Boolean,
+                        retries: Int, k: Int, ladder: Seq[Int],
+                        ms: Double): (Seq[Long], Stats) = {
+    // kth_at_stop only when the ladder actually satisfied K
+    // (reference post_filter.py: None when exhausted with < K kept)
+    val kth = if (satisfied && kept.length == k) kept.lastOption.map(_._2) else None
+    (kept.map(_._1),
+      Stats(ms, rung, None, None, kth, None,
+        Some(s"k_ladder=${ladder.mkString("[", ", ", "]")}; kept=${kept.length}; need=$k"),
+        retries))
+  }
+
   private class PostFilterBackend(ladder: Seq[Int], maxLadderSteps: Option[Int]) extends Backend {
     val name = "post_filter"
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
@@ -77,34 +115,57 @@ object RunHarness {
       val spark = emb.sparkSession
       import spark.implicits._
       val maxSteps = maxLadderSteps.getOrElse(ladder.length)
+      val rungs = ladder.sorted
       val ((kept, rung, satisfied, retries), ms) = timed {
-        val rungs = ladder.sorted
         val cand = VectorSearch.withScore(emb, qvec)
           .withColumn("pass", coalesce(pred.getOrElse(lit(true)), lit(false)))
           .select(col("vec_id").cast("long"), col("score"), col("pass"))
           .orderBy(desc("score"), col("vec_id"))
           .limit(rungs.max)
           .as[(Long, Double, Boolean)].collect()
-        var retries = 0
-        var lastRung = 0
-        var satisfied = false
-        val it = rungs.iterator
-        while (it.hasNext && !satisfied && retries < maxSteps) {
-          val kp = it.next()
-          lastRung = kp
-          if (cand.take(kp).count(_._3) >= k) satisfied = true
-          else retries += 1
-        }
-        (cand.take(lastRung).filter(_._3).take(k), lastRung, satisfied, retries)
+        ladderWalk(cand, rungs, k, maxSteps)
       }
-      // kth_at_stop only when the ladder actually satisfied K
-      // (reference post_filter.py: None when exhausted with < K kept)
-      val kth = if (satisfied && kept.length == k) kept.lastOption.map(_._2) else None
-      (kept.map(_._1).toSeq,
-        Stats(ms, rung, None, None, kth, None,
-          Some(s"k_ladder=${ladder.mkString("[", ", ", "]")}; kept=${kept.length}; need=$k"),
-          retries))
+      postStats(kept, rung, satisfied, retries, k, ladder, ms)
     }
+  }
+
+  /** RAM serving tier for exact/pre_filter: scores the pinned flat blocks
+    * when the filter is label-local, falls back to the Catalyst path
+    * otherwise. Same semantics, no per-query columnar decode. */
+  private class RamExactBackend(val name: String, ram: RamCorpus) extends Backend {
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) =
+      new ExactBackend(name).search(emb, qvec, pred, k, allowed)
+    override def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                        pred: Option[org.apache.spark.sql.Column],
+                        k: Int, allowed: Long): (Seq[Long], Stats) =
+      RamCorpus.labelPredicate(spec) match {
+        case Some(lp) =>
+          val (rows, ms) = timed(ram.topK(qvec, k, lp))
+          (rows.map(_._1),
+            Stats(ms, allowed, None, None, rows.lastOption.map(_._2), None,
+              Some(s"$name backend (ram)")))
+        case None => search(emb, qvec, pred, k, allowed)
+      }
+  }
+
+  /** RAM post-filter: same rung walk, candidates from the pinned blocks. */
+  private class RamPostFilterBackend(ram: RamCorpus, ladder: Seq[Int],
+                                     maxLadderSteps: Option[Int])
+      extends PostFilterBackend(ladder, maxLadderSteps) {
+    override def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                        pred: Option[org.apache.spark.sql.Column],
+                        k: Int, allowed: Long): (Seq[Long], Stats) =
+      RamCorpus.labelPredicate(spec) match {
+        case Some(lp) =>
+          val maxSteps = maxLadderSteps.getOrElse(ladder.length)
+          val rungs = ladder.sorted
+          val ((kept, rung, satisfied, retries), ms) = timed {
+            ladderWalk(ram.topCandidates(qvec, rungs.max, lp).toArray, rungs, k, maxSteps)
+          }
+          postStats(kept, rung, satisfied, retries, k, ladder, ms)
+        case None => search(emb, qvec, pred, k, allowed)
+      }
   }
 
   private class IvfBackend(model: IvfModel, nprobeN: Int) extends Backend {
@@ -160,10 +221,14 @@ object RunHarness {
                  ladder: Seq[Int] = Seq(200, 500, 1000), nprobe: Int = 32,
                  maxLadderSteps: Option[Int] = None,
                  corpusKey: Option[String] = None,
-                 knownDim: Option[Int] = None): Backend =
+                 knownDim: Option[Int] = None,
+                 ram: Option[RamCorpus] = None): Backend =
     name match {
-      case "exact" | "pre_filter" => new ExactBackend(name)
-      case "post_filter" => new PostFilterBackend(ladder, maxLadderSteps)
+      case "exact" | "pre_filter" =>
+        ram.map(new RamExactBackend(name, _)).getOrElse(new ExactBackend(name))
+      case "post_filter" =>
+        ram.map(new RamPostFilterBackend(_, ladder, maxLadderSteps))
+          .getOrElse(new PostFilterBackend(ladder, maxLadderSteps))
       case "ivf" =>
         val model = corpusKey match {
           case Some(k) => Ivf.cached(emb.sparkSession, emb, k, knownTotal = Some(total))
@@ -210,13 +275,14 @@ object RunHarness {
     * so no separate oracle job runs at all. */
   def runMany(spark: SparkSession, sfDir: String, backendNames: Seq[String],
               qs: Seq[HybridQuery] = QuerySet.default,
-              kOverride: Option[Int] = None): Seq[ResultRow] = {
+              kOverride: Option[Int] = None,
+              ram: Option[RamCorpus] = None): Seq[ResultRow] = {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val total = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val runId = java.util.UUID.randomUUID().toString
     val backends = backendNames.map(
-      getBackend(_, emb, total, corpusKey = Some(sfDir), knownDim = Some(dim)))
+      getBackend(_, emb, total, corpusKey = Some(sfDir), knownDim = Some(dim), ram = ram))
 
     // hard guards BEFORE any search (reference: dimension + K validation)
     val queries = qs.map { hq =>
@@ -246,7 +312,7 @@ object RunHarness {
       val spec = FilterDsl.parseJson(hq.filters) // malformed/unknown → hard error
       val pred = if (spec.isEmpty) None else Some(FilterDsl.compile(emb, spec))
       val allowed = pred.map(p => emb.where(p).count()).getOrElse(total)
-      val searched = backends.map(b => (b, b.search(emb, qvec, pred, k, allowed)))
+      val searched = backends.map(b => (b, b.search(emb, qvec, spec, pred, k, allowed)))
       // exact/pre_filter IS the oracle computation (deterministic brute
       // force over the same allowed subset) — reuse its result instead of
       // running an identical extra job per query

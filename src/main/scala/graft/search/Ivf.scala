@@ -183,7 +183,18 @@ object Ivf {
       build(emb, nlist, seed, maxIter).write(tmp)
       val dst = new java.io.File(path)
       dst.getParentFile.mkdirs()
-      if (!new java.io.File(tmp).renameTo(dst)) deleteRecursively(new java.io.File(tmp))
+      if (!new java.io.File(tmp).renameTo(dst)) {
+        deleteRecursively(new java.io.File(tmp))
+        // a failed rename is only benign when it means "lost the publish
+        // race"; re-verify the winner actually finished before loading —
+        // anything else (permissions, stale partial dir at `path`) must
+        // fail loudly, not surface later as an unreadable index
+        if (!(done("data") && done("centroids")))
+          throw new IllegalStateException(
+            s"ivf publish failed: rename to $path lost without a complete " +
+              "index present (stale/partial directory? permissions?) — " +
+              "remove the target path and rebuild")
+      }
       load(spark, path)
     }
   }

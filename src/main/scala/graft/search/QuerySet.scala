@@ -35,7 +35,10 @@ object QuerySet {
     VectorSearch.topK(emb, hq.qvec, hq.k, pred).withColumn("qid", lit(hq.qid))
   }
 
-  /** Execute one hybrid query, ranked. */
+  /** Execute one hybrid query, ranked. (With a single query the window's
+    * qid partition key is one literal — a single-partition WindowExec over
+    * ≤K rows, harmless at that size; batch callers go through runAll where
+    * qid genuinely varies.) */
   def run(emb: DataFrame, hq: HybridQuery): DataFrame = runAll(emb, Seq(hq))
 
   /** Execute the whole query table (one union'd plan, still one scan per

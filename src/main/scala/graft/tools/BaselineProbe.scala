@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.harness.RunHarness
-import graft.search.HybridQuery
+import graft.search.{HybridQuery, RamCorpus}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * This tool makes the comparison honest: it materializes a deterministic
   * N=150,346 × D=384 unit-norm corpus to parquet (one-time, like the
-  * reference's artifact build), then runs the SAME RunHarness pipeline
-  * (exact / pre_filter / post_filter / random) the sf queries use, and
-  * prints one JSON line with per-backend mean/p50 latency — the numbers
-  * BASELINE.md records against the reference's.
+  * reference's artifact build), pins it in RAM the way the reference
+  * keeps vectors.npy resident (RamCorpus — flat primitive blocks, zero
+  * per-query decode), then runs the SAME RunHarness pipeline REPS times
+  * (default 5) and prints per-rep and min/median/max per-backend
+  * latencies — the ranges BASELINE.md records against the reference's.
   */
 object BaselineProbe {
   val N = 150346L // reference results_full.jsonl corpus size
@@ -35,7 +36,11 @@ object BaselineProbe {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-baseline-n$N-d$D"
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "5").toInt
+    // "-g2": generation 2 corpus (genuinely Gaussian coordinates; the g1
+    // tanh(sin·1e5) formula saturated to ±1/√D hypercube corners, fine
+    // for latency but degenerate geometry for any recall reading)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-baseline-n$N-d$D-g2"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -47,10 +52,15 @@ object BaselineProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()) {
-      // deterministic gaussian coordinates from (id, dim-index) hashes,
-      // L2-normalized — same shape/metadata contract as the sf testdata
+      // genuinely Gaussian deterministic coordinates: Box–Muller over two
+      // (id, dim-index)-hashed uniforms in (0,1], then L2-normalize —
+      // same shape/metadata contract as the sf testdata
+      val p = 1000000007L // prime modulus; u ∈ (0, 1]
+      def unif(j: Int) =
+        (pmod(xxhash64(col("id"), lit(j)), lit(p)).cast("double") + 1.0d) / p.toDouble
       val coords = (0 until D).map(j =>
-        tanh(sin(xxhash64(col("id"), lit(j)).cast("double")) * 1e5).cast("float"))
+        (sqrt(lit(-2.0d) * log(unif(2 * j))) * cos(lit(2.0d * math.Pi) * unif(2 * j + 1)))
+          .cast("float"))
       val raw = spark.range(N)
         .select(col("id").as("vec_id"), array(coords: _*).as("e"),
           pmod(col("id"), lit(10)).cast("int").as("label"))
@@ -71,27 +81,46 @@ object BaselineProbe {
       HybridQuery(4, unitVec(104), """{"label":{"between":[2,6]}}""", "label BETWEEN 2 AND 6", 10),
       HybridQuery(5, unitVec(105), """{"label":{"ne":3}}""", "label <> 3", 10))
 
-    // warm-up pass (JIT + one-time IVF train/persist) BEFORE caching: the
-    // KMeans working set would otherwise evict the cached corpus blocks
+    // one-time costs BEFORE any timed rep, mirroring the reference's
+    // load-time work (loaders.py mmaps vectors.npy and builds FAISS once;
+    // its per-query latencies never pay either):
+    //  - IVF train/persist (also JIT-warms the harness path)
     RunHarness.runMany(spark, dir, Seq("pre_filter", "ivf"), qs.take(1))
-
-    // RAM-resident corpus, like the reference (loaders.py mmaps/loads
-    // vectors.npy ONCE; its per-query latencies never pay the load): cache
-    // the table so every harness scan hits memory — the CacheManager
-    // serves any identical parquet plan from the cached columnar batches.
-    // Index build stays excluded from per-query latency, exactly as the
-    // reference excludes FAISS construction.
+    //  - columnar cache for the backends that still scan the table
+    //    (random, the per-query allowed-subset counts)
     graft.Tables.embeddings(spark, dir).cache().count()
-    RunHarness.runMany(spark, dir, Seq("pre_filter"), qs.take(1))
-    val rows = RunHarness.runMany(spark, dir,
-      Seq("exact", "pre_filter", "post_filter", "ivf", "random"), qs)
+    //  - the RAM serving tier: flat primitive blocks, the analogue of the
+    //    reference's resident N×D float32 matrix
+    val ram = RamCorpus.build(graft.Tables.embeddings(spark, dir))
+    RunHarness.runMany(spark, dir, Seq("exact", "post_filter"), qs.take(1), ram = Some(ram))
+
+    val backends = Seq("exact", "pre_filter", "post_filter", "ivf", "random")
+    val repRows = (1 to reps).map { rep =>
+      val rows = RunHarness.runMany(spark, dir, backends, qs, ram = Some(ram))
+      val s = RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>
+        s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"baseline_scale_rep","rep":$rep,"backends":$s}""")
+      rows
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("results_baseline_scale.jsonl"),
-      RunHarness.toJsonLines(rows))
-    val summary = RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>
-      s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
+      RunHarness.toJsonLines(repRows.flatten))
+
+    // min/median/max of the per-rep mean latency, per backend — the
+    // ranges the 2× gate is judged against (flattering single runs hide
+    // page-cache/GC variance)
+    def mmm(xs: Seq[Double]): String = {
+      val s = xs.sorted
+      s"""{"min":${s.head},"median":${s(s.length / 2)},"max":${s.last}}"""
+    }
+    val perRep = repRows.map(RunHarness.summarize)
+    val summary = backends.sorted.map { b =>
+      val means = perRep.map(_.find(_._1 == b).get._2)
+      val recalls = perRep.map(_.find(_._1 == b).get._4)
+      s""""$b":{"mean_ms":${mmm(means)},"mean_recall":${recalls.max}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"baseline_scale","n":$N,"d":$D,"backends":$summary}""")
+    println(s"""{"metric":"baseline_scale","n":$N,"d":$D,"reps":$reps,"backends":$summary}""")
     spark.stop()
   }
 }

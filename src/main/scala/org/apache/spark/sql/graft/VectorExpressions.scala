@@ -490,6 +490,21 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
+  // nullability is invisible to the type check (acceptsType ignores it),
+  // but getLong on a null slot would silently hash garbage — reject
+  // maybe-null element arrays at analysis instead of mis-signing at run
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else child.dataType match {
+      case ArrayType(_, true) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<bigint> with non-null elements " +
+            "(got a maybe-null element array; filter_nulls or array_compact first)")
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()

@@ -1,0 +1,85 @@
+package graft
+
+import graft.filters.FilterDsl
+import graft.search.{QueryVectors, RamCorpus, VectorSearch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RAM serving tier must be a pure storage swap: identical ids,
+  * scores, tie-breaks and filter semantics as the DataFrame scan path.
+  */
+class RamCorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val ram = RamCorpus.build(emb)
+  private val q0 = QueryVectors.qvec(0)
+
+  test("unfiltered topK matches the DataFrame TakeOrdered path exactly") {
+    val got = ram.topK(q0, 10)
+    val want = VectorSearch.topK(emb, q0, 10).as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("label-filtered topK matches filter-then-topK") {
+    val spec = FilterDsl.parseJson("""{"label":{"in":[0,1,2]}}""")
+    val Some(lp) = RamCorpus.labelPredicate(spec)
+    val got = ram.topK(q0, 10, lp)
+    val want = VectorSearch.topK(emb, q0, 10, Some(FilterDsl.compile(emb, spec)))
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("topCandidates carries correct pass bits over the full ranking") {
+    val spec = FilterDsl.parseJson("""{"label":{"ge":5}}""")
+    val Some(lp) = RamCorpus.labelPredicate(spec)
+    val cand = ram.topCandidates(q0, 50, lp)
+    assert(cand.length == 50)
+    // ranking ignores the filter (post-filter shape): equals unfiltered top-50
+    assert(cand.map(c => (c._1, c._2)) == ram.topK(q0, 50))
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    cand.foreach { case (id, _, pass) => assert(pass == (labels(id) >= 5)) }
+  }
+
+  test("countAllowed matches the DataFrame count") {
+    val spec = FilterDsl.parseJson("""{"label":{"between":[2,6]}}""")
+    val Some(lp) = RamCorpus.labelPredicate(spec)
+    assert(ram.countAllowed(lp) ==
+      emb.where(FilterDsl.compile(emb, spec)).count())
+    assert(ram.countAllowed(None) == emb.count())
+  }
+
+  test("labelPredicate mirrors FilterDsl semantics (ne, cast-failure, non-label)") {
+    // ne
+    val ne = RamCorpus.labelPredicate(FilterDsl.parseJson("""{"label":{"ne":3}}""")).get.get
+    assert(ne(2) && !ne(3))
+    // uncastable eq value excludes all rows (reference validators.py:166)
+    val bad = RamCorpus.labelPredicate(FilterDsl.parseJson("""{"label":{"eq":"zzz"}}""")).get.get
+    assert(!bad(0) && !bad(1))
+    // non-label column → None (caller falls back to Catalyst)
+    assert(RamCorpus.labelPredicate(FilterDsl.parseJson("""{"other":{"eq":1}}""")).isEmpty)
+    // empty spec → Some(None): no filter
+    assert(RamCorpus.labelPredicate(FilterDsl.parseJson("{}")).contains(None))
+  }
+
+  test("harness with RAM tier returns the same ids as the Catalyst path") {
+    val withRam = graft.harness.RunHarness.runMany(
+      spark, sf, Seq("exact", "post_filter"), ram = Some(ram))
+    val without = graft.harness.RunHarness.runMany(
+      spark, sf, Seq("exact", "post_filter"))
+    val key = (r: graft.harness.RunHarness.ResultRow) => (r.qid, r.method)
+    val w = without.map(r => key(r) -> r).toMap
+    withRam.foreach { r =>
+      val o = w(key(r))
+      assert(r.recallAtK == o.recallAtK, s"recall mismatch at ${key(r)}")
+      assert(r.scoredVectors == o.scoredVectors, s"scored mismatch at ${key(r)}")
+      assert(r.kthAtStop == o.kthAtStop, s"kth mismatch at ${key(r)}")
+    }
+  }
+
+  test("dimension mismatch is a hard error") {
+    intercept[IllegalArgumentException] { ram.topK(Array(1.0f), 5) }
+  }
+}

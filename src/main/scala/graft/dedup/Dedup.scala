@@ -191,9 +191,15 @@ object Dedup {
     * prob 1-(1-J^rows)^bands (≈0.99 at J=0.95 with 4 bands × 8 rows —
     * rows=8 keeps moderate-similarity candidates from exploding on
     * corpora where "everything resembles everything"). Buckets larger
-    * than `maxBucket` are dropped via a broadcast anti-join (skew and
-    * adversarial-content safety), and bucket pair generation goes through
-    * the salted triangle join. */
+    * than `maxBucket` are NOT dropped: their members are re-keyed by an
+    * independent secondary MinHash band (`subRows` perms, seed+1), so a
+    * degenerate blocking key degrades to refined sub-buckets — recall
+    * within them falls from "all candidates" to ≈J^subRows per pair
+    * (0.81 at J=0.95) instead of to zero, and work stays bounded. The
+    * one content sub-blocking cannot split is byte-identical docs (any
+    * content hash agrees); run `exact` first in a pipeline — identical
+    * texts are ITS job, and their pairs are true dups whose quadratic
+    * pair volume the salted triangle join spreads over r² tasks. */
   def minhashLshPairs(
       docs: DataFrame,
       tau: Double,
@@ -201,26 +207,36 @@ object Dedup {
       rows: Int = 8,
       seed: Long = 42L,
       maxBucket: Int = 10000,
-      salt: Int = 8): DataFrame = {
+      salt: Int = 8,
+      subRows: Int = 4): DataFrame = {
     val params = minhashParams(bands * rows, seed)
+    val subParams = minhashParams(subRows, seed + 1) // independent refinement band
     // single-pass tokenize+hash, then all perms in one codegen'd pass
     val base = spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), tokenSetIds(col("text"), 1).as("tsi"))
       .withColumn("sig",
         minhashSignature(col("tsi"), params.map(_._1).toSeq, params.map(_._2).toSeq, MinhashPrime))
-    val sig = base.select(col("doc_id"), col("tsi"), col("sig"))
+      .withColumn("subkey",
+        xxhash64(minhashSignature(col("tsi"),
+          subParams.map(_._1).toSeq, subParams.map(_._2).toSeq, MinhashPrime)))
+    val sig = base.select(col("doc_id"), col("tsi"), col("sig"), col("subkey"))
     val bandKeys = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
         xxhash64(slice(col("sig"), bd * rows + 1, rows)).as("key"))
     }
     val exploded = sig
       .withColumn("bk", explode(array(bandKeys: _*)))
-      .select(col("doc_id"), size(col("tsi")).as("n"),
+      .select(col("doc_id"), size(col("tsi")).as("n"), col("subkey"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val oversized = exploded.groupBy("band", "key")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxBucket)
-      .select("band", "key")
-    val bucketed = exploded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+      .select("band", "key").withColumn("over", lit(true))
+    // refine oversized buckets in place: key ← hash(key, secondary band)
+    val bucketed = exploded
+      .join(broadcast(oversized), Seq("band", "key"), "left")
+      .withColumn("key",
+        when(col("over"), xxhash64(col("key"), col("subkey"))).otherwise(col("key")))
+      .drop("over", "subkey")
     // slim candidate ids: size-band prune, then distinct (a pair may
     // collide in several bands), then re-join the token arrays
     val pruned = saltedPairs(bucketed, Seq("band", "key"), "doc_id", Seq("n"), salt)
@@ -278,13 +294,17 @@ object Dedup {
     * near-dups (A~B, B~C) must land in one cluster even when A~C was
     * never emitted.
     *
-    * Iterative min-label propagation, the standard scalable CC shape:
-    * each round every vertex takes the min label among itself and its
-    * neighbours — one shuffle join + one map-side-combined aggregate per
-    * round, converging in diameter rounds. Near-dup components are
-    * near-cliques (blocking emits most intra-cluster pairs), so a few
-    * rounds suffice; `maxIter` bounds adversarial chains (beyond that,
-    * switch to small-star/large-star). `localCheckpoint` cuts the growing
+    * Iterative min-label propagation WITH pointer jumping (path
+    * doubling): each round every vertex takes the min label among itself,
+    * its neighbours, and its label's label — the extra label-on-label
+    * join halves the distance to the component minimum every round, so
+    * convergence is O(log diameter) rounds, not O(diameter) (the same
+    * asymptotic as small-star/large-star, one self-join cheaper to
+    * state). A diameter-2^20 adversarial chain converges inside the
+    * default maxIter=20; near-dup components are near-cliques and
+    * converge in 2–3 rounds regardless. Labels only decrease and are
+    * always ids within the component, so the fixpoint is the min id —
+    * identical to plain propagation. `localCheckpoint` cuts the growing
     * loop lineage (at cluster scale: a reliable checkpoint dir). */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE: `pairs` is typically the whole
@@ -310,7 +330,12 @@ object Dedup {
     while (i < maxIter && !converged) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionAll(msgs)
+      // pointer jump: id's label's label (lbl is itself a vertex id with
+      // an entry in `labels`, so the self-join always resolves)
+      val jumped = labels.as("a")
+        .join(labels.as("b"), col("a.lbl") === col("b.id"))
+        .select(col("a.id").as("id"), col("b.lbl").as("lbl"))
+      val next = labels.unionAll(msgs).unionAll(jumped)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
       val s = checksum(next)
@@ -321,11 +346,13 @@ object Dedup {
     }
     // fail loudly rather than ship silently-truncated clusters: an
     // unconverged result would keep several "representatives" of one
-    // component, which is exactly the bug dedup exists to prevent
+    // component, which is exactly the bug dedup exists to prevent.
+    // With path doubling this needs diameter > 2^maxIter — unreachable
+    // for any physical corpus; kept as the invariant's backstop.
     if (!converged)
       throw new IllegalStateException(
         s"clusters: not converged after $maxIter rounds (component diameter " +
-          "exceeds maxIter) — raise maxIter or switch to small-star/large-star")
+          s"exceeds 2^$maxIter?!) — raise maxIter")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -184,21 +184,24 @@ object RunHarness {
   }
 
   /** Mid-tier ANN (the reference's HNSW-fallback slot, loaders.py:123-165):
-    * cosine-LSH buckets with hamming-1 multiprobe, exact IP rank within. */
-  private class LshBackend(planes: Array[Array[Float]]) extends Backend {
-    val name = "lsh"
+    * cosine-LSH buckets, exact IP rank within. `radius` is the recall
+    * dial — the multiprobe hamming radius (0/1/2), the ef_search
+    * analogue: wider radius probes nested bucket sets, so recall is
+    * monotone in it (VectorSearchSpec sweep). */
+  private class LshBackend(val name: String, planes: Array[Array[Float]],
+                           radius: Int) extends Backend {
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
                k: Int, allowed: Long): (Seq[Long], Stats) = {
       val sig = CosineLsh.signature(qvec, planes)
-      val buckets = CosineLsh.multiprobe(sig, planes.length)
+      val buckets = CosineLsh.multiprobe(sig, planes.length, radius)
       val bucketed = CosineLsh.withBucket(emb, planes).where(col("bucket").isin(buckets: _*))
       val base = pred.map(bucketed.where).getOrElse(bucketed)
       val scanned = base.count()
       val (rows, ms) = timed(VectorSearch.topK(base, qvec, k).collect())
       (rows.map(_.getLong(0)).toSeq,
-        Stats(ms, scanned, None, None,
+        Stats(ms, scanned, Some(buckets.length), None,
           rows.lastOption.map(_.getDouble(1)), None,
-          Some(s"cosine lsh ${planes.length} bits, hamming-1 multiprobe")))
+          Some(s"cosine lsh ${planes.length} bits, multiprobe radius $radius")))
     }
   }
 
@@ -235,13 +238,17 @@ object RunHarness {
           case None => Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
         }
         new IvfBackend(model, nprobe)
-      case "lsh" =>
+      // "lsh" / "lsh:0" / "lsh:2" — the suffix is the multiprobe radius
+      // (the recall dial), and stays in the method name so results.jsonl
+      // rows are distinguishable per setting, like ef_search runs
+      case l if l == "lsh" || l.startsWith("lsh:") =>
+        val radius = if (l == "lsh") 1 else l.stripPrefix("lsh:").toInt
         val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))
-        new LshBackend(CosineLsh.planes(dim, bits = 10))
+        new LshBackend(l, CosineLsh.planes(dim, bits = 10), radius)
       case "auto" =>
         Ivf.choose(emb) match {
           case Ivf.UseIvf(model) => new IvfBackend(model, nprobe)
-          case Ivf.UseLsh(planes) => new LshBackend(planes)
+          case Ivf.UseLsh(planes) => new LshBackend("lsh", planes, 1)
           case Ivf.UseExact => new ExactBackend("exact")
         }
       case "random" => new RandomBackend(0L)
@@ -276,7 +283,8 @@ object RunHarness {
   def runMany(spark: SparkSession, sfDir: String, backendNames: Seq[String],
               qs: Seq[HybridQuery] = QuerySet.default,
               kOverride: Option[Int] = None,
-              ram: Option[RamCorpus] = None): Seq[ResultRow] = {
+              ram: Option[RamCorpus] = None,
+              encoder: QueryEncoder = QueryEncoder.seeded()): Seq[ResultRow] = {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val total = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -291,7 +299,8 @@ object RunHarness {
         throw new IllegalArgumentException(s"K must be in [1, $total], got $k")
       val qvec =
         if (hq.qvec.nonEmpty) hq.qvec
-        else { // empty query vector → dataset vector at qid (empty-qtext rule)
+        else if (hq.qtext.nonEmpty) encoder.encode(hq.qtext) // encode seam
+        else { // empty qvec AND empty qtext → dataset vector at qid
           import spark.implicits._
           emb.where(col("vec_id") === hq.qid).select(col("embedding"))
             .as[Array[Float]].head()

@@ -259,14 +259,30 @@ object CosineLsh {
   }
 
   /** Buckets within hamming distance 1 of sig (multiprobe). */
-  def multiprobe(sig: Long, bits: Int): Seq[Long] =
-    sig +: (0 until bits).map(b => sig ^ (1L << b))
+  def multiprobe(sig: Long, bits: Int): Seq[Long] = multiprobe(sig, bits, 1)
 
-  /** Top-K within the query's (multiprobe) buckets. */
+  /** Buckets within hamming distance `radius` of sig — the recall dial
+    * (the reference tunes its graph index the same way: ef_search=64,
+    * loaders.py). Probe sets NEST as radius grows (0 ⊂ 1 ⊂ 2), so recall
+    * is monotone in the radius by construction, at candidate cost
+    * ≈ N·Σᵢ₌₀..r C(bits,i)/2^bits per query. */
+  def multiprobe(sig: Long, bits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2, s"probe radius must be 0..2, got $radius")
+    val r1 = (0 until bits).map(b => sig ^ (1L << b))
+    val r2 = for { a <- 0 until bits; b <- (a + 1) until bits }
+      yield sig ^ (1L << a) ^ (1L << b)
+    radius match {
+      case 0 => Seq(sig)
+      case 1 => sig +: r1
+      case 2 => (sig +: r1) ++ r2
+    }
+  }
+
+  /** Top-K within the query's buckets at the given multiprobe radius. */
   def search(emb: DataFrame, qvec: Array[Float],
-             planes: Array[Array[Float]], k: Int, probeHamming1: Boolean = true): DataFrame = {
+             planes: Array[Array[Float]], k: Int, probeRadius: Int = 1): DataFrame = {
     val sig = signature(qvec, planes)
-    val buckets = if (probeHamming1) multiprobe(sig, planes.length) else Seq(sig)
+    val buckets = multiprobe(sig, planes.length, probeRadius)
     val bucketed = withBucket(emb, planes).where(col("bucket").isin(buckets: _*))
     VectorSearch.topK(bucketed, qvec, k)
   }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * twin so the whole batch is oracle-checkable.
   */
 final case class HybridQuery(qid: Long, qvec: Array[Float], filters: String,
-                             sqlWhere: String, k: Int)
+                             sqlWhere: String, k: Int, qtext: String = "")
 
 object QuerySet {
 

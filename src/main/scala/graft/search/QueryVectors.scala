@@ -30,6 +30,37 @@ object QueryVectors {
     v.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
 }
 
+/** The reference's qtext → query-vector encode seam: artifacts.py encodes
+  * each query's text with all-MiniLM-L6-v2 at artifact-build time, and
+  * run.py falls back to `vectors[qid]` only when qtext is empty. No model
+  * runtime ships in this container, so the DEFAULT implementation derives
+  * a deterministic seeded unit vector from the text's hash (same trick
+  * QueryVectors plays per qid) — the trait is the pluggable slot a user
+  * brings a real encoder to (an ONNX session, a model-server client, a
+  * mapInPandas batch encoder for query TABLES). Harness rule
+  * (RunHarness): explicit qvec wins; else non-empty qtext → encode;
+  * else dataset vector at qid.
+  */
+trait QueryEncoder extends Serializable {
+  def dim: Int
+  def encode(qtext: String): Array[Float]
+}
+
+object QueryEncoder {
+  /** Deterministic stand-in encoder: identical text always encodes to the
+    * identical unit vector. */
+  def seeded(dimension: Int = QueryVectors.Dim, seed: Long = 42L): QueryEncoder =
+    new QueryEncoder {
+      val dim: Int = dimension
+      def encode(qtext: String): Array[Float] = {
+        val rng = new scala.util.Random(seed ^ scala.util.hashing.MurmurHash3.stringHash(qtext))
+        val v = Array.fill(dim)(rng.nextGaussian())
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / norm).toFloat)
+      }
+    }
+}
+
 /** Local (driver-side) float-vector math, double accumulation — the same
   * sequential order as the DotProductF32 codegen, so spec baselines and
   * IVF probe ranking agree bit-for-bit with the distributed path. */

@@ -184,6 +184,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got.length == 12 && got.forall(_._2 == 0L))
   }
 
+  test("clusters: pointer jumping converges on a chain far beyond maxIter rounds") {
+    // diameter 2000: plain min-propagation needs ~2000 rounds (r3 threw
+    // here); path doubling needs ~log2(2000) ≈ 11, inside maxIter=20
+    val longPath = (0L until 2000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(longPath).as[(Long, Long)].collect()
+    assert(got.length == 2001 && got.forall(_._2 == 0L))
+  }
+
+  test("minhashLshPairs: oversized buckets refine instead of dropping (recall survives)") {
+    // 40 near-dup docs (30 shared tokens + 1 unique each, pairwise
+    // J = 30/32 ≈ 0.9375) overflow every band bucket at maxBucket=5 —
+    // the r3 drop-the-bucket behavior returned ZERO pairs here
+    val common = (0 until 30).map(i => s"c$i").mkString(" ")
+    val df = (0L until 40L).map(i => (i, s"$common u$i")).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, tau = 0.9, maxBucket = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    got.foreach { case (a, b) => assert(a < b) }
+    val truth = for { a <- 0L until 40L; b <- (a + 1) until 40L } yield (a, b)
+    val recall = truth.count(got) / truth.size.toDouble
+    assert(recall >= 0.5, s"refined-bucket recall $recall (want >= 0.5, drop gave 0)")
+  }
+
   test("clusters: empty pair set yields empty clusters (no crash)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusters(empty).count() == 0)

@@ -82,6 +82,36 @@ class RunHarnessSpec extends AnyFunSuite {
     assert(rows.head.recallAtK == 1.0)
   }
 
+  test("non-empty qtext routes through the pluggable encoder (encode seam)") {
+    import graft.search.QueryEncoder
+    // custom encoder: every text encodes to qvec(0) — results must equal
+    // the same query run with the explicit vector
+    val fixed = new QueryEncoder {
+      val dim = 64
+      def encode(qtext: String): Array[Float] = QueryVectors.qvec(0)
+    }
+    val viaText = RunHarness.runMany(spark, sf, Seq("exact"),
+      qs = Seq(HybridQuery(3, Array.empty[Float], "{}", "TRUE", 5, qtext = "any text")),
+      encoder = fixed)
+    val viaVec = RunHarness.runMany(spark, sf, Seq("exact"),
+      qs = Seq(HybridQuery(3, QueryVectors.qvec(0), "{}", "TRUE", 5)))
+    assert(viaText.head.kthAtStop == viaVec.head.kthAtStop)
+    assert(viaText.head.recallAtK == 1.0)
+    // default encoder: deterministic, unit-norm (passes ensure_unit_l2),
+    // identical text → identical vector
+    val enc = QueryEncoder.seeded()
+    assert(enc.encode("find docs").toSeq == enc.encode("find docs").toSeq)
+    assert(enc.encode("find docs").toSeq != enc.encode("other").toSeq)
+    val rows = RunHarness.runMany(spark, sf, Seq("exact"),
+      qs = Seq(HybridQuery(9, Array.empty[Float], "{}", "TRUE", 5, qtext = "find docs")))
+    assert(rows.head.recallAtK == 1.0) // exact is its own oracle — seam validated end to end
+    // empty qtext still falls back to vectors[qid] (covered above), and
+    // the explicit qvec always wins over qtext
+    val both = RunHarness.runMany(spark, sf, Seq("exact"),
+      qs = Seq(HybridQuery(3, QueryVectors.qvec(0), "{}", "TRUE", 5, qtext = "ignored")))
+    assert(both.head.kthAtStop == viaVec.head.kthAtStop)
+  }
+
   test("malformed and unknown filters are hard errors") {
     intercept[Exception] { // test_malformed_filters_hard_error
       RunHarness.run(spark, sf, "exact",

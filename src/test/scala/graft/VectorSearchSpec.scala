@@ -148,6 +148,33 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH recall dial: probe sets nest and recall is monotone in radius") {
+    val planes = CosineLsh.planes(QueryVectors.Dim, bits = 10)
+    val sig = CosineLsh.signature(q0, planes)
+    val p0 = CosineLsh.multiprobe(sig, 10, 0)
+    val p1 = CosineLsh.multiprobe(sig, 10, 1)
+    val p2 = CosineLsh.multiprobe(sig, 10, 2)
+    assert(p0.size == 1 && p1.size == 11 && p2.size == 11 + 45)
+    assert(p1.toSet.subsetOf(p2.toSet) && p0.toSet.subsetOf(p1.toSet))
+    val exactTop = VectorSearch.topK(emb, q0, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recalls = Seq(0, 1, 2).map { r =>
+      val ids = CosineLsh.search(emb, q0, planes, 10, probeRadius = r)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      ids.count(exactTop) / 10.0
+    }
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"recall not monotone in probe radius: $recalls")
+    assert(recalls(2) > recalls(0) || recalls(0) == 1.0,
+      s"dial has no effect on this corpus: $recalls")
+    // the harness exposes the dial through the backend name
+    val rows = graft.harness.RunHarness.runMany(spark, sf, Seq("lsh:0", "lsh:2"))
+    val byM = rows.groupBy(_.method)
+    assert(byM.keySet == Set("lsh:0", "lsh:2"))
+    val meanRec = (m: String) => byM(m).map(_.recallAtK).sum / byM(m).size
+    assert(meanRec("lsh:0") <= meanRec("lsh:2"))
+  }
+
   test("LSH bucketed search returns valid scores overlapping exact topK") {
     val planes = CosineLsh.planes(QueryVectors.Dim, bits = 6)
     val got = CosineLsh.search(emb, q0, planes, 10).as[(Long, Double)].collect()

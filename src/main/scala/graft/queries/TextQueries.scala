@@ -134,13 +134,81 @@ object TextQueries {
       |  round(quantile_cont(length(text), 0.95), 6) AS p95
       |FROM documents""".stripMargin
 
+  /** #56 PII/URL/number scrub + per-row match counts, over the raw event
+    * payloads (the log→training-corpus cleaning pass; the documents table
+    * is pure a-z text, so events.props is where maskable content lives —
+    * non-vacuous masking on every row). The URL/email arms are exercised
+    * by TextSpec on constructed rows. */
+  def textScrub(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withScrub(Tables.events(s, d), "event_id", "props")
+      .orderBy("event_id")
+
+  val textScrubSql: String = {
+    val (u, e, n) = (TextAnalysis.UrlPattern, TextAnalysis.EmailPattern, TextAnalysis.NumPattern)
+    s"""SELECT event_id,
+       |  regexp_replace(regexp_replace(regexp_replace(props,
+       |    '$u', '<URL>', 'g'), '$e', '<EMAIL>', 'g'), '$n', '<NUM>', 'g') AS scrubbed,
+       |  len(regexp_extract_all(props, '$u')) AS n_urls,
+       |  len(regexp_extract_all(props, '$e')) AS n_emails,
+       |  len(regexp_extract_all(props, '$n')) AS n_nums
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+
+  /** #57 Gopher-style repetition signals per doc. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withRepetition(docs(s, d)).orderBy("doc_id")
+
+  val textRepetitionSql: String =
+    """WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+      |SELECT doc_id,
+      |  round(1.0 - len(list_distinct(t)) / CAST(len(t) AS DOUBLE), 6) AS dup_token_frac,
+      |  round(CASE WHEN len(t) >= 2 THEN
+      |      1.0 - len(list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]))
+      |          / CAST(len(t) - 1 AS DOUBLE)
+      |    ELSE 0.0 END, 6) AS dup_bigram_frac,
+      |  round(list_max(list_apply(list_distinct(t), x -> len(list_filter(t, y -> y = x))))
+      |        / CAST(len(t) AS DOUBLE), 6) AS top_token_frac
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** #58 per-(source, lang) curation report: doc counts, char volume and
+    * mean quality — the breakdown a curation run publishes per slice.
+    * Quality sums go through DECIMAL so both engines divide the same
+    * exact sum (double summation order would wobble the 6th dp). */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val q = TextAnalysis.withQuality(dd).select(col("doc_id"), col("quality_score"))
+    dd.join(q, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        round(sum(length(col("text"))).cast("double") / count(lit(1)), 6).as("mean_chars"),
+        round(sum(col("quality_score").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"))
+      .orderBy("source", "lang")
+  }
+
+  val corpusReportSql: String =
+    s"""WITH q AS ($textQualityBodySql)
+       |SELECT d.source, d.lang,
+       |  count(*) AS n_docs,
+       |  CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       |  round(CAST(sum(length(d.text)) AS DOUBLE) / count(*), 6) AS mean_chars,
+       |  round(CAST(sum(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+       |FROM documents d JOIN q ON d.doc_id = q.doc_id
+       |GROUP BY d.source, d.lang
+       |ORDER BY d.source, d.lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_vocab" -> (textVocab _)
+    "text_vocab" -> (textVocab _),
+    "text_scrub" -> (textScrub _),
+    "text_repetition" -> (textRepetition _),
+    "corpus_report" -> (corpusReport _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +217,9 @@ object TextQueries {
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_vocab" -> textVocabSql
+    "text_vocab" -> textVocabSql,
+    "text_scrub" -> textScrubSql,
+    "text_repetition" -> textRepetitionSql,
+    "corpus_report" -> corpusReportSql
   )
 }

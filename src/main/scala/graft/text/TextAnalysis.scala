@@ -78,6 +78,58 @@ object TextAnalysis {
       round(best, 6).as("lang_score"))
   }
 
+  /** #56 scrubbing patterns — deliberately simple expressions valid in
+    * BOTH Java regex and RE2 (DuckDB), so the oracle masks identically.
+    * Order matters: URLs and emails are masked BEFORE digit runs (both
+    * contain digits that must not be double-masked). */
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumPattern = "[0-9]+"
+
+  /** #56 PII/URL scrub: the cleaning pass every training pipeline ships —
+    * mask URLs, emails and digit runs with typed placeholders and report
+    * per-row match counts (the counts feed quality gates; a doc that is
+    * mostly URLs is boilerplate, a payload dense in digit runs carries
+    * identifiers). Works over any (id, text) pair — documents, raw event
+    * payloads, log lines. Row-local regexp projections: scan speed, no
+    * shuffle, pushdown intact. */
+  def withScrub(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, UrlPattern, "<URL>"),
+          EmailPattern, "<EMAIL>"),
+        NumPattern, "<NUM>").as("scrubbed"),
+      size(regexp_extract_all(t, lit(UrlPattern), lit(0))).as("n_urls"),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(NumPattern), lit(0))).as("n_nums"))
+  }
+
+  /** #57 repetition signals (the Gopher-rule family): duplicate-token
+    * fraction, duplicate-bigram fraction, and the top token's share of
+    * the doc. High values flag boilerplate/spam for the quality gate.
+    * Row-local array math (the per-doc token count bounds the O(u·n)
+    * top-token scan); zero shuffle. */
+  def withRepetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .select(
+        col("doc_id"),
+        round(expr("1.0 - size(array_distinct(t)) / CAST(size(t) AS DOUBLE)"), 6)
+          .as("dup_token_frac"),
+        round(expr(
+          """CASE WHEN size(t) >= 2 THEN
+            |  1.0 - size(array_distinct(transform(sequence(1, size(t) - 1),
+            |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
+            |      / CAST(size(t) - 1 AS DOUBLE)
+            |ELSE 0.0 END""".stripMargin), 6).as("dup_bigram_frac"),
+        round(expr(
+          "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))" +
+            " / CAST(size(t) AS DOUBLE)"), 6).as("top_token_frac"))
+
   /** #29 document fingerprint: polynomial rolling hash over the raw chars,
     * h ← (h·31 + code(c)) mod 2³², the classic Rabin–Karp shape. Kept in
     * Long arithmetic (31·2³² < 2⁶³) so both engines compute exactly. */

@@ -55,6 +55,39 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("scrub masks URLs, emails and digit runs with correct counts") {
+    val df = Seq(
+      (1L, "visit https://x.io/a?b=1 or mail a.b+c@mail.co now"),
+      (2L, "plain words only"),
+      (3L, "codes 42 and 007 and t168"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.withScrub(df)
+      .as[(Long, String, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == "visit <URL> or mail <EMAIL> now")
+    assert(got(1L)._3 == 1 && got(1L)._4 == 1)
+    assert(got(2L) == ((2L, "plain words only", 0, 0, 0)))
+    assert(got(3L)._2 == "codes <NUM> and <NUM> and t<NUM>" && got(3L)._5 == 3)
+    assert(got(4L) == ((4L, "", 0, 0, 0)))
+    // the registered query target (events.props) makes the digit arm
+    // non-vacuous on every row
+    val ev = TextAnalysis.withScrub(Tables.events(spark, sf), "event_id", "props")
+    assert(ev.where(col("n_nums") > 0).count() > 0, "events.props has no digit runs")
+    assert(ev.where(col("scrubbed").contains("<NUM>")).count() > 0)
+  }
+
+  test("repetition signals match local math") {
+    val df = Seq(
+      (1L, "a b a b a"),   // tokens: 5, distinct 2; bigrams: 4 distinct 2; top 'a'=3
+      (2L, "x y z"),       // no repetition
+      (3L, "w")).toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetition(df)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 0.6, 0.5, 0.6)))
+    assert(got(2L) == ((2L, 0.0, 0.0, VecMath6(1.0 / 3))))
+    assert(got(3L) == ((3L, 0.0, 0.0, 1.0)))
+  }
+  private def VecMath6(x: Double) = graft.search.VecMath.round6(x)
+
   test("fingerprint equals local rolling hash") {
     val got = TextAnalysis.withFingerprint(docs).as[(Long, Long)].collect()
     got.foreach { case (id, fp) =>

@@ -82,6 +82,27 @@ class PlanSpec extends AnyFunSuite {
     assert(probed == exact) // all lists probed == exact, through the pruned path
   }
 
+  test("batched IVF searchMany stays partition-pruned over the union of probed lists") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = graft.search.Ivf.build(emb, nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_many").resolve("idx").toString
+    model.write(dir)
+    val loaded = graft.search.Ivf.load(spark, dir)
+    val qs = QueryVectors.batch(3)
+    val p = plan(loaded.searchMany(qs, nprobe = 2, k = 5))
+    // ONE scan, pruned to the probed-list union — not one scan per query
+    assert(p.contains("PartitionFilters: [list_id"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("scrub and repetition are shuffle-free projections") {
+    val sc = plan(graft.text.TextAnalysis.withScrub(
+      Tables.events(spark, sf), "event_id", "props"))
+    assert(!sc.contains("Exchange"), sc)
+    val rep = plan(graft.text.TextAnalysis.withRepetition(Tables.documents(spark, sf)))
+    assert(!rep.contains("Exchange"), rep)
+  }
+
   test("simhash signatures are row-local (no aggregate, no explode)") {
     val p = plan(graft.dedup.Dedup.simhashSignatures(Tables.documents(spark, sf)))
     // the signature is one codegen'd projection per row: a HashAggregate or

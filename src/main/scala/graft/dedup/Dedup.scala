@@ -305,13 +305,50 @@ object Dedup {
     * converge in 2–3 rounds regardless. Labels only decrease and are
     * always ids within the component, so the fixpoint is the min id —
     * identical to plain propagation. `localCheckpoint` cuts the growing
-    * loop lineage (at cluster scale: a reliable checkpoint dir). */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the edge list ONCE: `pairs` is typically the whole
-    // upstream pair-mining pipeline, and every propagation round joins the
-    // edges — without this the full pipeline would re-execute per round
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    * loop lineage (at cluster scale: a reliable checkpoint dir).
+    *
+    * Small-graph fast path: a near-dup pair graph is tiny RELATIVE TO THE
+    * CORPUS by construction (it holds only docs with a ≥τ partner), and
+    * an iteration round costs a fixed number of distributed jobs — so
+    * below `maxDriverEdges` (default 2^20 ≈ 16 MB of longs) the edge
+    * list is collected once from its checkpoint and resolved with local
+    * union-find: identical output, zero iteration rounds. The collect is
+    * bounded BY THE PARAMETER, not by hope; above it the distributed
+    * propagation runs. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20,
+               maxDriverEdges: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // materialize the pair list ONCE: `pairs` is typically the whole
+    // upstream pair-mining pipeline, and everything below re-reads it —
+    // without this the full pipeline would re-execute per use
+    val raw = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .localCheckpoint()
+    if (raw.count() <= maxDriverEdges) {
+      val es = raw.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val minOf = scala.collection.mutable.HashMap.empty[Long, Long]
+      parent.keysIterator.foreach { v =>
+        val r = find(v)
+        minOf(r) = math.min(minOf.getOrElse(r, v), v)
+      }
+      val rows = parent.keysIterator.map(v => (v, minOf(find(v)))).toSeq.sorted
+      return spark.createDataset(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
+    }
+    val edges = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     // overflow-safe monotone convergence witness: labels only ever
     // decrease, so the label sum is strictly decreasing until fixpoint —

@@ -37,15 +37,18 @@ object DedupQueries {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  // localCheckpoint, NOT persist: caching a plan pins its physical shape
+  // before AQE's runtime re-optimization (the payload joins lose their
+  // runtime broadcast conversion — measured 2.7 s → 6.5 s on the fill),
+  // while localCheckpoint materializes through the NORMAL AQE execution
+  // and serves blocks after. At cluster scale this is a warehouse table.
   def minedJaccardPairs(s: SparkSession, d: String): DataFrame =
     pairCache.computeIfAbsent(d, _ =>
-      Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau).localCheckpoint())
 
   def minedClusters(s: SparkSession, d: String): DataFrame =
     clusterCache.computeIfAbsent(d, _ =>
-      Dedup.clusters(minedJaccardPairs(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      Dedup.clusters(minedJaccardPairs(s, d)).localCheckpoint())
 
   def dedupJaccard(s: SparkSession, d: String): DataFrame =
     minedJaccardPairs(s, d)

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+
+/** Component-level timing for the heavy pipelines (the bench reports
+  * whole queries; this splits them so a regression points at a stage).
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.Profile"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
+    }
+
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.count() // warm the scan
+
+    time("jaccard_pairs (cold)")(Dedup.jaccardPairs(docs, 0.95).count())
+    time("jaccard_pairs (again)")(Dedup.jaccardPairs(docs, 0.95).count())
+    val pairs = Dedup.jaccardPairs(docs, 0.95)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("pairs persist fill")(pairs.count())
+    time("clusters on cached pairs")(Dedup.clusters(pairs).count())
+    val clusters = Dedup.clusters(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    clusters.count()
+    time("curate on cached clusters")(
+      graft.queries.PipelineQueries.corpusCurate(docs, clusters).count())
+    time("minhash_lsh_pairs")(Dedup.minhashLshPairs(docs, 0.95).count())
+    spark.stop()
+  }
+}

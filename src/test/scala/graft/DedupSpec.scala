@@ -186,10 +186,19 @@ class DedupSpec extends AnyFunSuite {
 
   test("clusters: pointer jumping converges on a chain far beyond maxIter rounds") {
     // diameter 2000: plain min-propagation needs ~2000 rounds (r3 threw
-    // here); path doubling needs ~log2(2000) ≈ 11, inside maxIter=20
+    // here); path doubling needs ~log2(2000) ≈ 11, inside maxIter=20.
+    // maxDriverEdges=0 forces the DISTRIBUTED path under test.
     val longPath = (0L until 2000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.clusters(longPath).as[(Long, Long)].collect()
+    val got = Dedup.clusters(longPath, maxDriverEdges = 0).as[(Long, Long)].collect()
     assert(got.length == 2001 && got.forall(_._2 == 0L))
+  }
+
+  test("clusters: driver union-find fast path == distributed propagation") {
+    val pairs = Dedup.jaccardPairs(docs, 0.95).select("doc_a", "doc_b")
+    val viaDriver = Dedup.clusters(pairs).as[(Long, Long)].collect().toSeq
+    val viaDistributed = Dedup.clusters(pairs, maxDriverEdges = 0)
+      .as[(Long, Long)].collect().toSeq
+    assert(viaDriver.nonEmpty && viaDriver == viaDistributed)
   }
 
   test("minhashLshPairs: oversized buckets refine instead of dropping (recall survives)") {
@@ -211,10 +220,10 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.clusters(empty).count() == 0)
   }
 
-  test("clusters fail loudly when the diameter exceeds maxIter") {
+  test("clusters fail loudly when the diameter exceeds maxIter (distributed path)") {
     val longPath = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val ex = intercept[IllegalStateException] {
-      Dedup.clusters(longPath, maxIter = 3).collect()
+      Dedup.clusters(longPath, maxIter = 3, maxDriverEdges = 0).collect()
     }
     assert(ex.getMessage.contains("not converged"))
   }

@@ -140,6 +140,23 @@ object VectorQueries {
     VectorSearch.recallAtK(ivfAll, exactAll, K)
   }
 
+  /** recall@K vs nprobe — the data behind the reference's
+    * latency_recall.py plot: sweep the IVF probe width over the SAME
+    * persisted index and batch queries, against ONE exact ground-truth
+    * pass. Probe lists nest as nprobe grows, so per-query recall is
+    * monotone (spec-pinned). Rows-only (index from sampled KMeans). */
+  def vecNprobeSweep(s: SparkSession, d: String): DataFrame = {
+    val model = ivfModel(s, d)
+    val exact = VectorSearch.knnJoin(emb(s, d), knnQueries, K).select("qid", "vec_id")
+    val sweeps = Seq(1, 4, 8, 16, 32).map { np =>
+      VectorSearch
+        .recallAtK(model.searchMany(knnQueries, np, K).select("qid", "vec_id"), exact, K)
+        .agg(round(avg("recall"), 6).as("mean_recall"))
+        .select(lit(np).as("nprobe"), col("mean_recall"))
+    }
+    sweeps.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   def vecLshTopK(s: SparkSession, d: String): DataFrame = {
     val planes = CosineLsh.planes(QueryVectors.Dim, bits = 10)
     CosineLsh.search(emb(s, d), q0, planes, K)
@@ -190,6 +207,7 @@ object VectorQueries {
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_stats" -> (vecIvfStats _),
     "vec_recall_ivf" -> (vecRecallIvf _),
+    "vec_nprobe_sweep" -> (vecNprobeSweep _),
     "vec_lsh_topk" -> (vecLshTopK _)
   )
 

@@ -121,6 +121,41 @@ object BaselineProbe {
       s""""$b":{"mean_ms":${mmm(means)},"mean_recall":${recalls.max}}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"baseline_scale","n":$N,"d":$D,"reps":$reps,"backends":$summary}""")
+
+    // --- structured-geometry companion: the i.i.d. corpus above is IVF's
+    // worst case (no cluster structure → recall ≈ probed fraction). Real
+    // text embeddings cluster, which is what the reference's 0.73–0.99
+    // recalls ride on. Same N×D drawn from a 300-center Gaussian mixture
+    // (σ=0.35 → intra-cluster cosine ≈ 0.9): recall here shows what the
+    // SAME index code does on clusterable geometry.
+    val dirS = s"${sys.props("java.io.tmpdir")}/graft-baseline-structured-n$N-d$D-g2"
+    if (!new java.io.File(s"$dirS/embeddings.parquet/_SUCCESS").exists()) {
+      val p = 1000000007L
+      def unifOf(idc: org.apache.spark.sql.Column, j: Int) =
+        (pmod(xxhash64(idc, lit(j)), lit(p)).cast("double") + 1.0d) / p.toDouble
+      def gauss(idc: org.apache.spark.sql.Column, j: Int) =
+        sqrt(lit(-2.0d) * log(unifOf(idc, 2 * j))) * cos(lit(2.0d * math.Pi) * unifOf(idc, 2 * j + 1))
+      val center = pmod(col("id"), lit(300L))
+      val coords = (0 until D).map(j =>
+        (gauss(center, j) + lit(0.35d) * gauss(col("id") + lit(7919L), j)).cast("float"))
+      val raw = spark.range(N)
+        .select(col("id").as("vec_id"), array(coords: _*).as("e"),
+          pmod(col("id"), lit(10)).cast("int").as("label"))
+      val norm = sqrt(aggregate(col("e"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      raw.select(col("vec_id"),
+          transform(col("e"), x => (x.cast("double") / norm).cast("float")).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$dirS/embeddings.parquet")
+    }
+    // empty qvec → dataset vector at qid (the reference's empty-qtext
+    // rule): queries sit inside real clusters
+    val qsS = (0L until 6L).map(q => HybridQuery(q * 25000L, Array.empty[Float], "{}", "TRUE", 10))
+    val rowsS = RunHarness.runMany(spark, dirS, Seq("pre_filter", "ivf"), qsS)
+    val sS = RunHarness.summarize(rowsS).map { case (m, mean, p50, rec) =>
+      s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"baseline_scale_structured","n":$N,"d":$D,"centers":300,"backends":$sS}""")
     spark.stop()
   }
 }

@@ -109,6 +109,19 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("nprobe sweep: recall monotone, full probe reaches 1.0") {
+    val model = Ivf.build(emb, nlist = 16)
+    val qs = QueryVectors.batch(4)
+    val exact = VectorSearch.knnJoin(emb, qs, 10).select("qid", "vec_id")
+    val recalls = Seq(1, 4, 8, 16).map { np =>
+      VectorSearch
+        .recallAtK(model.searchMany(qs, np, 10).select("qid", "vec_id"), exact, 10)
+        .as[(Long, Double)].collect().map(_._2).sum / 4.0
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0, s"probing all lists must be exact: $recalls")
+  }
+
   test("IVF probing all lists == exact topK (recall 1.0)") {
     val model = Ivf.build(emb, nlist = 16)
     val got = model.search(q0, nprobe = 16, k = 10).as[(Long, Double)].collect().toSeq

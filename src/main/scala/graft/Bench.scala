@@ -32,6 +32,19 @@ object Bench {
     // timed vec_ivf_* entries below hit the persisted partition-pruned index.
     try graft.queries.VectorQueries.ivfModel(spark, sfDir)
     catch { case _: Throwable => }
+    // JIT-warm the heavy codegen paths (token-set hashing, intersect
+    // verify, cluster resolution) at sf0.001: the alphabetically-first
+    // timed query (corpus_curate) otherwise pays cold-compile for the
+    // whole dedup stack and its recorded time swings run to run. The
+    // pair caches are keyed by sf dir, so nothing leaks into the timed
+    // sf run — this warms CODE, not results.
+    try {
+      val warm = "/root/testdata/sf0.001"
+      graft.queries.PipelineQueries.corpusCurate(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.DedupQueries.dedupMinhashLsh(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -144,32 +144,36 @@ object RamCorpus {
   def labelPredicate(spec: FilterDsl.Spec): Option[Option[Int => Boolean]] = {
     if (spec.isEmpty) return Some(None)
     if (!spec.preds.forall(_._1 == "label")) return None
-    def num(v: Any): Option[Double] = v match {
+    // value casting MIRRORS FilterDsl.castLit for an integer column:
+    // doubles truncate (Python int() semantics — eq 1.5 matches label 1),
+    // non-finite and non-integer STRINGS are cast failures ("1.5" parses
+    // via toLong and throws), booleans map to 0/1
+    def intVal(v: Any): Option[Long] = v match {
       case null => None
-      case n: Long => Some(n.toDouble)
-      case n: Int => Some(n.toDouble)
-      case n: Double => if (n.isNaN || n.isInfinite) None else Some(n)
-      case b: Boolean => Some(if (b) 1.0 else 0.0)
-      case s: String => try Some(s.trim.toDouble) catch { case _: Exception => None }
-      case other => try Some(other.toString.trim.toDouble) catch { case _: Exception => None }
+      case n: Long => Some(n)
+      case n: Int => Some(n.toLong)
+      case n: Double => if (n.isNaN || n.isInfinite) None else Some(n.toLong)
+      case b: Boolean => Some(if (b) 1L else 0L)
+      case s: String => try Some(s.trim.toLong) catch { case _: Exception => None }
+      case other => try Some(other.toString.trim.toLong) catch { case _: Exception => None }
     }
     val fails: Int => Boolean = _ => false
     val fns: Seq[Option[Int => Boolean]] = spec.preds.flatMap { case (_, ops) =>
       ops.map {
-        case FilterDsl.Eq(v) => Some(num(v).fold(fails)(d => l => l.toDouble == d))
-        case FilterDsl.Ne(v) => Some(num(v).fold(fails)(d => l => l.toDouble != d))
-        case FilterDsl.Ge(v) => Some(num(v).fold(fails)(d => l => l.toDouble >= d))
-        case FilterDsl.Le(v) => Some(num(v).fold(fails)(d => l => l.toDouble <= d))
-        case FilterDsl.Gt(v) => Some(num(v).fold(fails)(d => l => l.toDouble > d))
-        case FilterDsl.Lt(v) => Some(num(v).fold(fails)(d => l => l.toDouble < d))
+        case FilterDsl.Eq(v) => Some(intVal(v).fold(fails)(d => l => l.toLong == d))
+        case FilterDsl.Ne(v) => Some(intVal(v).fold(fails)(d => l => l.toLong != d))
+        case FilterDsl.Ge(v) => Some(intVal(v).fold(fails)(d => l => l.toLong >= d))
+        case FilterDsl.Le(v) => Some(intVal(v).fold(fails)(d => l => l.toLong <= d))
+        case FilterDsl.Gt(v) => Some(intVal(v).fold(fails)(d => l => l.toLong > d))
+        case FilterDsl.Lt(v) => Some(intVal(v).fold(fails)(d => l => l.toLong < d))
         case FilterDsl.Between(lo, hi) =>
-          Some((num(lo), num(hi)) match {
-            case (Some(a), Some(b)) => (l: Int) => l.toDouble >= a && l.toDouble <= b
+          Some((intVal(lo), intVal(hi)) match {
+            case (Some(a), Some(b)) => (l: Int) => l.toLong >= a && l.toLong <= b
             case _ => fails
           })
         case FilterDsl.In(vs) =>
-          val ok = vs.flatMap(num) // uncastable values drop, all-fail => false
-          Some(if (ok.isEmpty) fails else { val set = ok.toSet; (l: Int) => set(l.toDouble) })
+          val ok = vs.flatMap(intVal) // uncastable values drop, all-fail => false
+          Some(if (ok.isEmpty) fails else { val set = ok.toSet; (l: Int) => set(l.toLong) })
         case FilterDsl.Like(substr) =>
           val needle = substr.toLowerCase
           Some((l: Int) => l.toString.toLowerCase.contains(needle))

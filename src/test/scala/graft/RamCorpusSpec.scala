@@ -64,6 +64,27 @@ class RamCorpusSpec extends AnyFunSuite {
     assert(RamCorpus.labelPredicate(FilterDsl.parseJson("{}")).contains(None))
   }
 
+  test("labelPredicate casts like FilterDsl.castLit on an int column") {
+    // double truncates (Python int() semantics): eq 1.5 → eq 1
+    val eq15 = RamCorpus.labelPredicate(FilterDsl.parseJson("""{"label":{"eq":1.5}}""")).get.get
+    assert(eq15(1) && !eq15(2))
+    // fractional STRING is a cast failure → excludes all
+    val s15 = RamCorpus.labelPredicate(FilterDsl.parseJson("""{"label":{"eq":"1.5"}}""")).get.get
+    assert(!s15(1))
+    // in-list drops only the uncastable member
+    val in = RamCorpus.labelPredicate(FilterDsl.parseJson("""{"label":{"in":[2,"zz",3.9]}}""")).get.get
+    assert(in(2) && in(3) && !in(4))
+    // Catalyst twin agrees on all three (the parity being claimed)
+    val df = emb.sparkSession.range(5).selectExpr("CAST(id AS INT) AS label")
+    def viaCatalyst(json: String): Set[Int] = {
+      val c = FilterDsl.compile(df, FilterDsl.parseJson(json))
+      df.where(c).collect().map(_.getInt(0)).toSet
+    }
+    assert(viaCatalyst("""{"label":{"eq":1.5}}""") == Set(1))
+    assert(viaCatalyst("""{"label":{"eq":"1.5"}}""") == Set.empty)
+    assert(viaCatalyst("""{"label":{"in":[2,"zz",3.9]}}""") == Set(2, 3))
+  }
+
   test("harness with RAM tier returns the same ids as the Catalyst path") {
     val withRam = graft.harness.RunHarness.runMany(
       spark, sf, Seq("exact", "post_filter"), ram = Some(ram))

@@ -201,6 +201,19 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDriver.nonEmpty && viaDriver == viaDistributed)
   }
 
+  test("property: union-find == propagation on random graphs") {
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { t =>
+      val df = Seq.fill(60 + t * 30)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("doc_a", "doc_b")
+      val d1 = Dedup.clusters(df).as[(Long, Long)].collect().toSeq
+      val d2 = Dedup.clusters(df, maxDriverEdges = 0).as[(Long, Long)].collect().toSeq
+      assert(d1 == d2, s"graph $t")
+    }
+  }
+
   test("minhashLshPairs: oversized buckets refine instead of dropping (recall survives)") {
     // 40 near-dup docs (30 shared tokens + 1 unique each, pairwise
     // J = 30/32 ≈ 0.9375) overflow every band bucket at maxBucket=5 —

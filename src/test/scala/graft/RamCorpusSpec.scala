@@ -103,4 +103,34 @@ class RamCorpusSpec extends AnyFunSuite {
   test("dimension mismatch is a hard error") {
     intercept[IllegalArgumentException] { ram.topK(Array(1.0f), 5) }
   }
+
+  test("property: random label specs agree between RAM and Catalyst paths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val genVal: Gen[String] = Gen.oneOf(
+      Gen.choose(-2, 12).map(_.toString),
+      Gen.choose(-2.0, 12.0).map(_.toString), // fractional doubles (truncation rule)
+      Gen.oneOf("\"3\"", "\"1.5\"", "\"zz\"", "true"))
+    val genOne: Gen[String] = for {
+      op <- Gen.oneOf("eq", "ne", "ge", "le", "gt", "lt")
+      v <- genVal
+    } yield s"""{"label":{"$op":$v}}"""
+    val genSpec: Gen[String] = Gen.oneOf(
+      genOne,
+      for { lo <- Gen.choose(-2, 8); hi <- Gen.choose(-2, 12) }
+        yield s"""{"label":{"between":[$lo,$hi]}}""",
+      Gen.nonEmptyListOf(genVal).map(vs => s"""{"label":{"in":[${vs.mkString(",")}]}}"""))
+    (0 until 40).foreach { i =>
+      val json = sample(genSpec, 1000L + i)
+      val spec = FilterDsl.parseJson(json)
+      val lpOpt = RamCorpus.labelPredicate(spec)
+      assert(lpOpt.nonEmpty, json) // all generated specs are label-only
+      val got = ram.topK(q0, 10, lpOpt.get)
+      val want = VectorSearch.topK(emb, q0, 10, Some(FilterDsl.compile(emb, spec)))
+        .as[(Long, Double)].collect().toSeq
+      assert(got == want, s"spec $json")
+    }
+  }
 }

@@ -50,6 +50,26 @@ object EventStreaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sig")
 
+  /** Streaming corpus curation — the stream twin of the batch curation
+    * pipeline (#50): the SAME row-local quality and language gate
+    * expressions (shared Columns — batch and stream cannot drift),
+    * composed with watermark-bounded SimHash near-dedup. The batch
+    * pipeline's cluster keep-list becomes "first representative per
+    * signature within the watermark" — the arrival-order representative,
+    * which equals the batch min-id representative whenever the stream
+    * replays in id order (the spec's assertion). Stateless gates + one
+    * bounded-state dedup: survives an unbounded corpus stream. */
+  def curateStream(docs: DataFrame, watermark: String = "1 hour",
+                   minQuality: Double = 0.6, wantLang: String = "en"): DataFrame =
+    docs
+      .withColumn("quality_score", graft.text.TextAnalysis.qualityScore(col("text")))
+      .withColumn("lang_pred", graft.text.TextAnalysis.langPred(col("text")))
+      .where(col("quality_score") >= minQuality && col("lang_pred") === wantLang)
+      .withColumn("sig", graft.functions.VectorFunctions.simHash64(
+        graft.functions.VectorFunctions.tokenSetIds(col("text"), 1)))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
+
   /** #36 streaming tumbling-window counts with watermark — the stream twin
     * of EventQueries.eventsWindow (same window, same aggregates). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -29,6 +29,20 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to")
 
+  /** The composite quality score as ONE row-local Column — shared by the
+    * batch table (withQuality) and the streaming curation gate, so the
+    * two can never drift. */
+  def qualityScore(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val stopHits = size(filter(t, x => x.isin(Stopwords: _*))).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-z]", "")).cast("double")
+    val len = length(text).cast("double")
+    val sLen = least(lit(1.0), nTok / 100.0)
+    val sStop = least(lit(1.0), (stopHits / nTok) * 10.0)
+    round(sLen * 0.4 + sStop * 0.3 + (alpha / len) * 0.3, 6)
+  }
+
   /** #27 quality features: length, token stats, stopword/alpha ratios and
     * a bounded composite score — the usual cheap pre-training heuristics
     * (length / stopword-density / alphabetic-fraction). */
@@ -40,8 +54,6 @@ object TextAnalysis {
     val len = length(col("text")).cast("double")
     val stopRatio = stopHits / nTok
     val alphaRatio = alpha / len
-    val sLen = least(lit(1.0), nTok / 100.0)
-    val sStop = least(lit(1.0), stopRatio * 10.0)
     docs.select(
       col("doc_id"),
       len.cast("long").as("len_chars"),
@@ -49,7 +61,7 @@ object TextAnalysis {
       round((len - nTok + 1.0) / nTok, 6).as("avg_token_len"),
       round(stopRatio, 6).as("stopword_ratio"),
       round(alphaRatio, 6).as("alpha_ratio"),
-      round(sLen * 0.4 + sStop * 0.3 + alphaRatio * 0.3, 6).as("quality_score"))
+      qualityScore(col("text")).as("quality_score"))
   }
 
   /** Per-language marker words (classic stopword-hit language ID). */
@@ -58,6 +70,21 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ein"),
     "es" -> Seq("el", "la", "que", "de", "y"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** The predicted language as ONE row-local Column (same sharing logic
+    * as qualityScore). foldRight makes the FIRST matching language win
+    * ties (priority order). */
+  def langPred(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val scores = LangMarkers.map { case (lang, ws) =>
+      lang -> (size(filter(t, x => x.isin(ws: _*))).cast("double") / nTok)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s === best && best > 0.0, lit(lang)).otherwise(els)
+    }
+  }
 
   /** #28 language ID: marker-hit density per language, argmax with a fixed
     * priority order tiebreak; no hits at all → "und". */
@@ -68,13 +95,9 @@ object TextAnalysis {
       lang -> (size(filter(t, x => x.isin(ws: _*))).cast("double") / nTok)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val pred = scores.foldRight(lit("und")) { case ((lang, s), els) =>
-      when(s === best && best > 0.0, lit(lang)).otherwise(els)
-    }
-    // foldRight makes the FIRST matching language win ties (priority order)
     docs.select(
       col("doc_id"),
-      pred.as("lang_pred"),
+      langPred(col("text")).as("lang_pred"),
       round(best, 6).as("lang_score"))
   }
 

@@ -43,6 +43,19 @@ object Profile {
     time("curate on cached clusters")(
       graft.queries.PipelineQueries.corpusCurate(docs, clusters).count())
     time("minhash_lsh_pairs")(Dedup.minhashLshPairs(docs, 0.95).count())
+
+    // minhash sub-stage breakdown (re-stated inline; keep in sync with
+    // Dedup.minhashLshPairs when diagnosing)
+    {
+      import graft.functions.VectorFunctions._
+      import org.apache.spark.sql.functions._
+      val base = docs.select(col("doc_id"), tokenSetIds(col("text"), 1).as("tsi"))
+      time("  tokenize+ids only")(base.count())
+      val withSig = base.withColumn("sig", minhashSignature(col("tsi"),
+        (1 to 32).map(_.toLong * 2654435761L % 2147483647L),
+        (1 to 32).map(_.toLong * 40503L % 2147483647L), 2147483647L))
+      time("  + 32-perm signature")(withSig.count())
+    }
     spark.stop()
   }
 }

@@ -125,6 +125,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation: gates match batch expressions, dedup keeps the id-order representative") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val named = stream.toDF().toDF("ts", "text", "doc_id")
+    val out = EventStreaming.curateStream(named, "1 hour")
+    val q = out.writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      // replay the real corpus in doc_id order (one batch — ordering
+      // inside is by arrival) so "first per signature" == "min doc_id
+      // per signature", comparable to the batch representative rule
+      val docs = Tables.documents(spark, sf)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().sortBy(_._1)
+      docs.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+        stream.addData(chunk.map { case (id, tx) =>
+          (new java.sql.Timestamp(base + i * 60000L), tx, id)
+        }.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("curate_stream").select("doc_id").as[Long].collect().toSet
+      // batch expectation from the SAME shared gate expressions: survivors
+      // of quality ∧ lang, then min doc_id per simhash signature
+      import graft.functions.VectorFunctions._
+      val want = Tables.documents(spark, sf)
+        .where(graft.text.TextAnalysis.qualityScore(col("text")) >= 0.6 &&
+          graft.text.TextAnalysis.langPred(col("text")) === "en")
+        .withColumn("sig", simHash64(tokenSetIds(col("text"), 1)))
+        .groupBy("sig").agg(org.apache.spark.sql.functions.min("doc_id").as("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming kNN: running top-K converges to the batch knnJoin answer") {
     implicit val sq = spark.sqlContext
     val sf = "/root/testdata/sf0.001"

@@ -68,13 +68,106 @@ object PipelineQueries {
        |WHERE cl.doc_id IS NULL AND q.quality_score >= 0.6 AND l.lang_pred = 'en'
        |ORDER BY q.doc_id""".stripMargin
 
+  /** #61 Data-mixture resampling weights: the per-language keep fraction
+    * a training run's mixing config specifies. One source of truth for
+    * the Spark plan AND the oracle SQL. */
+  val MixtureWeights: Seq[(String, Double)] =
+    Seq("en" -> 1.0, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.25, "zh" -> 0.1)
+
+  /** Keep-threshold as a lexicographic hex string: a doc survives iff the
+    * first 4 md5 hex chars of its id fall BELOW the threshold (the
+    * splitTrainVal trick — string compare, no hex→int, identical in any
+    * engine). w ≥ 1 → "g", which is above every hex digit. */
+  private def hexThreshold(w: Double): String =
+    if (w >= 1.0) "g" else f"${(w * 65536).toInt}%04x"
+
+  /** #61 Deterministic, engine-portable stratified mixture sampling:
+    * per-language keep fractions via the md5-bucket rule. The mixing
+    * step every multi-source training corpus ships — and it must
+    * reproduce bit-for-bit across engines and reruns, which seeded
+    * `sample()` cannot. Pure projection filter: scan-speed, no shuffle.
+    * Unknown languages get threshold "0" (dropped). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val thr = MixtureWeights.foldRight(lit("0")) { case ((lg, w), els) =>
+      when(col("lang") === lg, lit(hexThreshold(w))).otherwise(els)
+    }
+    Tables.documents(s, d)
+      .where(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4) < thr)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String = {
+    val arms = MixtureWeights
+      .map { case (lg, w) => s"WHEN '$lg' THEN '${hexThreshold(w)}'" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+       |  CASE lang $arms ELSE '0' END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shingle window for decontamination (the standard 8-gram rule). */
+  val DecontamN = 8
+
+  /** #62 Benchmark decontamination: report every corpus doc sharing an
+    * 8-token shingle with the benchmark set — the check every lab runs
+    * before training (benchmark text inside the training corpus
+    * invalidates the eval). Exact n-gram match (no hashing) so the
+    * oracle verifies it verbatim; at 100 TB swap the shingle STRINGS for
+    * xxhash64 ids on both join sides — same plan, narrower shuffle.
+    * Blocking shape: distinct benchmark shingles (broadcast when small,
+    * AQE decides) ⋈ exploded corpus shingles → per-doc overlap count —
+    * never an all-pairs document comparison. */
+  def decontaminate(docs: DataFrame, bench: DataFrame): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col("doc_id"), split(lower(col("text")), " ").as("s"))
+      .where(size(col("s")) >= DecontamN)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(1, size(s) - ${DecontamN - 1}), " +
+          s"i -> concat_ws(' ', slice(s, i, $DecontamN)))")).as("g"))
+    val benchSh = shingles(bench).select(explode(col("g")).as("sg")).distinct()
+    shingles(docs)
+      .select(col("doc_id"), explode(col("g")).as("sg"))
+      .join(benchSh, "sg")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  /** The registered query: benchmark = the first 100 docs (a stand-in
+    * for a held-out eval table), corpus = the rest. */
+  val BenchDocs = 100L
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminate(docs.where(col("doc_id") >= BenchDocs),
+      docs.where(col("doc_id") < BenchDocs))
+  }
+
+  val decontaminateSql: String = {
+    val n = DecontamN
+    s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([list_aggregate(s[i:i+${n - 1}], 'string_agg', ' ')
+       |                        FOR i IN range(1, len(s) - ${n - 2})]) AS g
+       |       FROM t WHERE len(s) >= $n),
+       |bench AS (SELECT DISTINCT unnest(g) AS sg FROM sh WHERE doc_id < $BenchDocs)
+       |SELECT c.doc_id, count(*) AS n_overlap
+       |FROM (SELECT doc_id, unnest(g) AS sg FROM sh WHERE doc_id >= $BenchDocs) c
+       |JOIN bench USING (sg)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_train_val" -> (splitTrainVal _),
+    "sample_stratified" -> (sampleStratified _),
+    "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "corpus_curate" -> (corpusCurate _)
   )
 
   val oracles: Map[String, String] = Map(
     "split_train_val" -> splitTrainValSql,
+    "sample_stratified" -> sampleStratifiedSql,
+    "decontaminate" -> decontaminateSql,
     "corpus_curate" -> corpusCurateSql
   )
 }

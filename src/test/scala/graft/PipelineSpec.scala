@@ -24,6 +24,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.exists(_._2 == "val"), "validation bucket empty")
   }
 
+  test("sample_stratified: deterministic, per-language fractions track the mixture weights") {
+    val a = PipelineQueries.sampleStratified(spark, sf).as[(Long, String)].collect()
+    val b = PipelineQueries.sampleStratified(spark, sf).as[(Long, String)].collect()
+    assert(a.toSeq == b.toSeq) // engine-portable md5 rule: no seed drift
+    val totals = Tables.documents(spark, sf).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    PipelineQueries.MixtureWeights.foreach { case (lang, w) =>
+      val frac = kept.getOrElse(lang, 0L).toDouble / totals(lang)
+      // md5 buckets are uniform; a 500-doc corpus gives ±~0.2 tolerance
+      assert(math.abs(frac - w.min(1.0)) < 0.22, s"$lang: kept $frac want $w")
+    }
+    // language not in the mixture → dropped entirely
+    assert(a.forall(r => PipelineQueries.MixtureWeights.exists(_._1 == r._2)))
+  }
+
+  test("decontaminate: flagged docs genuinely share an 8-gram with the benchmark") {
+    val docs = Tables.documents(spark, sf)
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toMap
+    def shingles(t: String): Set[String] = {
+      val s = t.toLowerCase.split(" ")
+      if (s.length < PipelineQueries.DecontamN) Set.empty
+      else s.sliding(PipelineQueries.DecontamN).map(_.mkString(" ")).toSet
+    }
+    val benchSh = texts.filter(_._1 < PipelineQueries.BenchDocs).values
+      .flatMap(shingles).toSet
+    val got = PipelineQueries.decontaminate(spark, sf).as[(Long, Long)].collect()
+    got.foreach { case (id, n) =>
+      assert(id >= PipelineQueries.BenchDocs)
+      val overlap = shingles(texts(id)).intersect(benchSh).size
+      assert(n == overlap && n >= 1, s"doc $id: reported $n, local $overlap")
+    }
+    // and no contaminated doc is missed
+    val want = texts.filter { case (id, t) =>
+      id >= PipelineQueries.BenchDocs && shingles(t).intersect(benchSh).nonEmpty
+    }.keySet
+    assert(got.map(_._1).toSet == want)
+    // synthetic corpus embeds copied sequences: the check must be non-vacuous
+    assert(got.nonEmpty, "no contamination found — operator vacuous on sf data")
+  }
+
   test("corpus_curate: kept docs pass every gate; dropped dup members absent") {
     val docs = Tables.documents(spark, sf)
     val kept = PipelineQueries.corpusCurate(spark, sf)

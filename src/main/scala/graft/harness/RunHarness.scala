@@ -244,7 +244,10 @@ object RunHarness {
       case l if l == "lsh" || l.startsWith("lsh:") =>
         val radius = if (l == "lsh") 1 else l.stripPrefix("lsh:").toInt
         val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))
-        new LshBackend(l, CosineLsh.planes(dim, bits = 10), radius)
+        // bits sized to the CORPUS (Ivf.choose's ~n/64-per-bucket rule):
+        // a fixed width starves small corpora (1024 buckets over 2k
+        // vectors ≈ 2/bucket → recall collapses) and floods huge ones
+        new LshBackend(l, CosineLsh.planes(dim, CosineLsh.pickBits(total)), radius)
       case "auto" =>
         Ivf.choose(emb) match {
           case Ivf.UseIvf(model) => new IvfBackend(model, nprobe)

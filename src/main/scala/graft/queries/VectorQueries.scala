@@ -158,8 +158,9 @@ object VectorQueries {
   }
 
   def vecLshTopK(s: SparkSession, d: String): DataFrame = {
-    val planes = CosineLsh.planes(QueryVectors.Dim, bits = 10)
-    CosineLsh.search(emb(s, d), q0, planes, K)
+    val e = emb(s, d)
+    val planes = CosineLsh.planes(QueryVectors.Dim, CosineLsh.pickBits(e.count()))
+    CosineLsh.search(e, q0, planes, K)
   }
 
   /** Index-health report over the shared persisted IVF index (rows-only:

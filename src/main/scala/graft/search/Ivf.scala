@@ -121,9 +121,7 @@ object Ivf {
     if (n >= nlist.toLong * minPerList) UseIvf(build(emb, nlist, seed))
     else if (n >= lshMinRows) {
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
-      // ~n/64 per bucket: enough pruning to matter, buckets stay non-empty
-      val bits = math.min(16, math.max(4, (math.log(n.toDouble / 64) / math.log(2)).round.toInt))
-      UseLsh(CosineLsh.planes(dim, bits, seed))
+      UseLsh(CosineLsh.planes(dim, CosineLsh.pickBits(n), seed))
     } else UseExact
   }
 
@@ -233,6 +231,11 @@ object Ivf {
   * multiprobe); final ranking is exact IP within candidates.
   */
 object CosineLsh {
+
+  /** Plane count sized to the corpus: ~n/64 per bucket — enough pruning
+    * to matter, buckets stay populated. Clamped [4, 16]. */
+  def pickBits(n: Long): Int =
+    math.min(16, math.max(4, (math.log(n.toDouble / 64) / math.log(2)).round.toInt))
 
   /** Deterministic gaussian hyperplanes. */
   def planes(dim: Int, bits: Int, seed: Long = 42L): Array[Array[Float]] = {

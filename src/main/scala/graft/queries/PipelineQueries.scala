@@ -112,23 +112,23 @@ object PipelineQueries {
   /** #62 Benchmark decontamination: report every corpus doc sharing an
     * 8-token shingle with the benchmark set — the check every lab runs
     * before training (benchmark text inside the training corpus
-    * invalidates the eval). Exact n-gram match (no hashing) so the
-    * oracle verifies it verbatim; at 100 TB swap the shingle STRINGS for
-    * xxhash64 ids on both join sides — same plan, narrower shuffle.
-    * Blocking shape: distinct benchmark shingles (broadcast when small,
-    * AQE decides) ⋈ exploded corpus shingles → per-doc overlap count —
+    * invalidates the eval). The join runs on xxhash64 shingle IDS, not
+    * strings — the 100 TB shape (a ~6× narrower shuffle; a 64-bit
+    * collision needs ~2³² distinct shingles to become likely, and the
+    * string-exact DuckDB oracle re-verifies every count). Blocking
+    * shape: distinct benchmark shingle ids (broadcast when small, AQE
+    * decides) ⋈ exploded corpus shingle ids → per-doc overlap count —
     * never an all-pairs document comparison. */
   def decontaminate(docs: DataFrame, bench: DataFrame): DataFrame = {
-    def shingles(df: DataFrame) = df
+    def shingleIds(df: DataFrame) = df
       .select(col("doc_id"), split(lower(col("text")), " ").as("s"))
       .where(size(col("s")) >= DecontamN)
-      .select(col("doc_id"), array_distinct(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, size(s) - ${DecontamN - 1}), " +
-          s"i -> concat_ws(' ', slice(s, i, $DecontamN)))")).as("g"))
-    val benchSh = shingles(bench).select(explode(col("g")).as("sg")).distinct()
-    shingles(docs)
-      .select(col("doc_id"), explode(col("g")).as("sg"))
-      .join(benchSh, "sg")
+          s"i -> xxhash64(concat_ws(' ', slice(s, i, $DecontamN))))"))).as("sh"))
+    val benchSh = shingleIds(bench).select("sh").distinct()
+    shingleIds(docs)
+      .join(benchSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
   }

@@ -95,6 +95,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("stratified sample is a scan-level projection filter reading two columns") {
+    val p = plan(queries.PipelineQueries.sampleStratified(spark, sf))
+    assert(!p.contains("Exchange hashpartitioning"), p) // presentation sort only
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
+  test("decontamination joins shingle IDS, never documents pairwise") {
+    val p = plan(queries.PipelineQueries.decontaminate(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the equi-join key is the 64-bit shingle id, not the string
+    assert(p.contains("xxhash64"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side partial count
+  }
+
   test("scrub and repetition are shuffle-free projections") {
     val sc = plan(graft.text.TextAnalysis.withScrub(
       Tables.events(spark, sf), "event_id", "props"))

@@ -184,24 +184,34 @@ object RunHarness {
   }
 
   /** Mid-tier ANN (the reference's HNSW-fallback slot, loaders.py:123-165):
-    * cosine-LSH buckets, exact IP rank within. `radius` is the recall
-    * dial — the multiprobe hamming radius (0/1/2), the ef_search
-    * analogue: wider radius probes nested bucket sets, so recall is
-    * monotone in it (VectorSearchSpec sweep). */
-  private class LshBackend(val name: String, planes: Array[Array[Float]],
+    * cosine-LSH buckets, exact IP rank within. The recall dial has two
+    * axes, both monotone by construction (VectorSearchSpec sweeps): the
+    * multiprobe hamming `radius` (0/1/2 — nested probe sets) and the
+    * table count (prefix-nested plane seeds; classic LSH amplification,
+    * recall ≈ 1−(1−p)^T). Together they play ef_search's role. */
+  private class LshBackend(val name: String, tbls: Seq[Array[Array[Float]]],
                            radius: Int) extends Backend {
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
                k: Int, allowed: Long): (Seq[Long], Stats) = {
-      val sig = CosineLsh.signature(qvec, planes)
-      val buckets = CosineLsh.multiprobe(sig, planes.length, radius)
-      val bucketed = CosineLsh.withBucket(emb, planes).where(col("bucket").isin(buckets: _*))
+      val withSigs = tbls.zipWithIndex.foldLeft(emb) { case (df, (p, t)) =>
+        df.withColumn(s"_b$t", graft.functions.VectorFunctions.hyperplaneSignature(
+          col("embedding"), typedlit(p.map(_.toSeq).toSeq)))
+      }
+      val nProbed = tbls.map(p =>
+        CosineLsh.multiprobe(CosineLsh.signature(qvec, p), p.length, radius).length).sum
+      val bucketPred = tbls.zipWithIndex.map { case (p, t) =>
+        val buckets = CosineLsh.multiprobe(CosineLsh.signature(qvec, p), p.length, radius)
+        col(s"_b$t").isin(buckets: _*)
+      }.reduce(_ || _)
+      val bucketed = withSigs.where(bucketPred)
       val base = pred.map(bucketed.where).getOrElse(bucketed)
       val scanned = base.count()
       val (rows, ms) = timed(VectorSearch.topK(base, qvec, k).collect())
       (rows.map(_.getLong(0)).toSeq,
-        Stats(ms, scanned, Some(buckets.length), None,
+        Stats(ms, scanned, Some(nProbed), None,
           rows.lastOption.map(_.getDouble(1)), None,
-          Some(s"cosine lsh ${planes.length} bits, multiprobe radius $radius")))
+          Some(s"cosine lsh ${tbls.head.length} bits x ${tbls.length} tables, " +
+            s"multiprobe radius $radius")))
     }
   }
 
@@ -238,20 +248,26 @@ object RunHarness {
           case None => Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
         }
         new IvfBackend(model, nprobe)
-      // "lsh" / "lsh:0" / "lsh:2" — the suffix is the multiprobe radius
-      // (the recall dial), and stays in the method name so results.jsonl
-      // rows are distinguishable per setting, like ef_search runs
+      // "lsh" / "lsh:<radius>" / "lsh:<radius>x<tables>" — both recall-
+      // dial axes ride in the method name so results.jsonl rows are
+      // distinguishable per setting, like ef_search runs
       case l if l == "lsh" || l.startsWith("lsh:") =>
-        val radius = if (l == "lsh") 1 else l.stripPrefix("lsh:").toInt
+        val (radius, nTables) =
+          if (l == "lsh") (1, 1)
+          else l.stripPrefix("lsh:").split('x') match {
+            case Array(r) => (r.toInt, 1)
+            case Array(r, t) => (r.toInt, t.toInt)
+            case _ => throw new IllegalArgumentException(s"Unknown backend: $l")
+          }
         val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))
         // bits sized to the CORPUS (Ivf.choose's ~n/64-per-bucket rule):
         // a fixed width starves small corpora (1024 buckets over 2k
         // vectors ≈ 2/bucket → recall collapses) and floods huge ones
-        new LshBackend(l, CosineLsh.planes(dim, CosineLsh.pickBits(total)), radius)
+        new LshBackend(l, CosineLsh.tables(dim, CosineLsh.pickBits(total), nTables), radius)
       case "auto" =>
         Ivf.choose(emb) match {
           case Ivf.UseIvf(model) => new IvfBackend(model, nprobe)
-          case Ivf.UseLsh(planes) => new LshBackend("lsh", planes, 1)
+          case Ivf.UseLsh(planes) => new LshBackend("lsh", Seq(planes), 1)
           case Ivf.UseExact => new ExactBackend("exact")
         }
       case "random" => new RandomBackend(0L)

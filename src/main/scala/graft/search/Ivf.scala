@@ -289,4 +289,30 @@ object CosineLsh {
     val bucketed = withBucket(emb, planes).where(col("bucket").isin(buckets: _*))
     VectorSearch.topK(bucketed, qvec, k)
   }
+
+  /** T independent plane sets with prefix-nested seeds: `tables(n)` is a
+    * prefix of `tables(m)` for n < m, so recall is monotone in the table
+    * count by construction (candidate sets nest), like the radius. */
+  def tables(dim: Int, bits: Int, nTables: Int, seed: Long = 42L): Seq[Array[Array[Float]]] =
+    (0 until nTables).map(t => planes(dim, bits, seed + t))
+
+  /** Multi-table top-K — the second axis of the recall dial (classic LSH
+    * amplification: a true neighbour is missed only if it misses EVERY
+    * table, so recall ≈ 1−(1−p)^T at T× candidate cost). One scan: each
+    * table contributes a row-local signature column, the filter is the
+    * OR of the per-table bucket probes. */
+  def searchMulti(emb: DataFrame, qvec: Array[Float],
+                  tbls: Seq[Array[Array[Float]]], k: Int,
+                  probeRadius: Int = 1): DataFrame = {
+    require(tbls.nonEmpty, "at least one table")
+    val withSigs = tbls.zipWithIndex.foldLeft(emb) { case (df, (p, t)) =>
+      df.withColumn(s"_b$t",
+        hyperplaneSignature(col("embedding"), typedlit(p.map(_.toSeq).toSeq)))
+    }
+    val pred = tbls.zipWithIndex.map { case (p, t) =>
+      val buckets = multiprobe(signature(qvec, p), p.length, probeRadius)
+      col(s"_b$t").isin(buckets: _*)
+    }.reduce(_ || _)
+    VectorSearch.topK(withSigs.where(pred), qvec, k)
+  }
 }

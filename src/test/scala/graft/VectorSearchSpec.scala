@@ -188,6 +188,29 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(meanRec("lsh:0") <= meanRec("lsh:2"))
   }
 
+  test("LSH table axis: candidates nest, recall monotone in table count") {
+    val tbls = CosineLsh.tables(QueryVectors.Dim, bits = 8, nTables = 3)
+    // prefix nesting: tables(n) is a prefix of tables(m), n < m
+    assert(tbls(0).map(_.toSeq).toSeq == CosineLsh.tables(QueryVectors.Dim, 8, 1).head.map(_.toSeq).toSeq)
+    val exactTop = VectorSearch.topK(emb, q0, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recalls = Seq(1, 2, 3).map { t =>
+      val ids = CosineLsh.searchMulti(emb, q0, tbls.take(t), 10)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      ids.count(exactTop) / 10.0
+    }
+    assert(recalls == recalls.sorted, s"recall not monotone in tables: $recalls")
+    // the harness grammar: radius x tables
+    val rows = graft.harness.RunHarness.runMany(spark, sf, Seq("lsh:1x1", "lsh:1x3"))
+    val byM = rows.groupBy(_.method)
+    assert(byM.keySet == Set("lsh:1x1", "lsh:1x3"))
+    val meanRec = (m: String) => byM(m).map(_.recallAtK).sum / byM(m).size
+    assert(meanRec("lsh:1x1") <= meanRec("lsh:1x3"))
+    // more tables may only widen the scanned candidate set
+    val meanScan = (m: String) => byM(m).map(_.scoredVectors).sum / byM(m).size
+    assert(meanScan("lsh:1x1") <= meanScan("lsh:1x3"))
+  }
+
   test("LSH bucketed search returns valid scores overlapping exact topK") {
     val planes = CosineLsh.planes(QueryVectors.Dim, bits = 6)
     val got = CosineLsh.search(emb, q0, planes, 10).as[(Long, Double)].collect()

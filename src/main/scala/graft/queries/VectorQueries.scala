@@ -186,11 +186,11 @@ object VectorQueries {
     import s.implicits._
     // one pass over the query set: per-query validation/count/oracle are
     // shared across the backends (pre_filter doubles as the oracle); ivf
-    // probes the shared persisted index and lsh:1 is the HNSW-slot
-    // mid-tier at its default dial, so all five backend families of the
-    // fallback chain appear in the per-query stats
+    // probes the shared persisted index; the mid-tier appears at TWO
+    // dial settings (lsh:1 and lsh:2x2) so the recorded stats show the
+    // recall/latency trade-off moving, ef_search-style
     val rows = graft.harness.RunHarness.runMany(
-      s, d, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "random"))
+      s, d, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"))
     rows.map(r => (r.qid, r.method, r.k, r.latencyMs, r.recallAtK,
         r.filterSelectivity, r.scoredVectors, r.kthAtStop.getOrElse(Double.NaN)))
       .toDF("qid", "method", "k", "latency_ms", "recall_at_k",

@@ -163,6 +163,25 @@ object VectorQueries {
     CosineLsh.search(e, q0, planes, K)
   }
 
+  /** recall@K across the mid-tier's two dial axes (radius × tables) vs
+    * one exact pass — the latency_recall curve for the HNSW-slot tier,
+    * companion to vec_nprobe_sweep. Rows-only (seeded hyperplanes are
+    * engine-native). */
+  def vecLshSweep(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val bits = CosineLsh.pickBits(e.count())
+    val tbls = CosineLsh.tables(QueryVectors.Dim, bits, nTables = 2)
+    val exact = VectorSearch.topK(e, q0, K)
+      .select(lit(0L).as("qid"), col("vec_id"))
+    val settings = Seq((0, 1), (1, 1), (2, 1), (1, 2), (2, 2))
+    settings.map { case (radius, t) =>
+      val got = CosineLsh.searchMulti(e, q0, tbls.take(t), K, radius)
+        .select(lit(0L).as("qid"), col("vec_id"))
+      VectorSearch.recallAtK(got, exact, K)
+        .select(lit(radius).as("radius"), lit(t).as("tables"), col("recall"))
+    }.reduce(_ unionAll _).orderBy("radius", "tables")
+  }
+
   /** Index-health report over the shared persisted IVF index (rows-only:
     * list membership depends on the KMeans fit; the invariants — counts
     * conserved, nlist from the reference heuristic, no empty probe set —
@@ -210,7 +229,8 @@ object VectorQueries {
     "vec_ivf_stats" -> (vecIvfStats _),
     "vec_recall_ivf" -> (vecRecallIvf _),
     "vec_nprobe_sweep" -> (vecNprobeSweep _),
-    "vec_lsh_topk" -> (vecLshTopK _)
+    "vec_lsh_topk" -> (vecLshTopK _),
+    "vec_lsh_sweep" -> (vecLshSweep _)
   )
 
   val oracles: Map[String, String] = Map(

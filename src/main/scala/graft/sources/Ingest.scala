@@ -136,25 +136,33 @@ object Ingest {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 
-  /** queries.parquet writer (reference artifacts.py write_queries):
+  /** queries.parquet writer (reference artifacts.py write_queries —
+    * schema: qid / qtext / filters / K, plus the derived qvec):
     * persists the deterministic hybrid query set. */
   def writeQueries(spark: SparkSession, path: String,
                    qs: Seq[graft.search.HybridQuery] = graft.search.QuerySet.default): Unit = {
     import spark.implicits._
-    qs.map(q => (q.qid, q.qvec.toSeq, q.filters, q.k))
-      .toDF("qid", "qvec", "filters", "k")
+    qs.map(q => (q.qid, q.qtext, q.qvec.toSeq, q.filters, q.k))
+      .toDF("qid", "qtext", "qvec", "filters", "k")
       .write.mode("overwrite").parquet(path)
   }
 
   /** Load a queries.parquet back into HybridQuery form (sqlWhere is not
-    * persisted — oracle SQL is a test-harness concern, not data). */
+    * persisted — oracle SQL is a test-harness concern, not data). qtext
+    * rides along so a harness run can resolve it through the encode seam
+    * (RunHarness rule: qvec > qtext > vectors[qid]); files written before
+    * the column existed read back with empty qtext. */
   def readQueries(spark: SparkSession, path: String): Seq[graft.search.HybridQuery] = {
     import spark.implicits._
-    spark.read.parquet(path)
-      .select(col("qid"), col("qvec"), col("filters"), col("k"))
-      .as[(Long, Array[Float], String, Int)]
+    val raw = spark.read.parquet(path)
+    val withText =
+      if (raw.columns.contains("qtext")) raw
+      else raw.withColumn("qtext", lit(""))
+    withText
+      .select(col("qid"), col("qtext"), col("qvec"), col("filters"), col("k"))
+      .as[(Long, String, Array[Float], String, Int)]
       .collect()
-      .map { case (qid, v, f, k) => graft.search.HybridQuery(qid, v, f, "", k) }
+      .map { case (qid, qt, v, f, k) => graft.search.HybridQuery(qid, v, f, "", k, qt) }
       .toIndexedSeq
       .sortBy(_.qid)
   }

@@ -91,7 +91,17 @@ class IngestSpec extends AnyFunSuite {
     back.zip(want).foreach { case (b, w) =>
       assert(b.qid == w.qid && b.filters == w.filters && b.k == w.k)
       assert(b.qvec.toSeq == w.qvec.toSeq)
+      assert(b.qtext == w.qtext) // reference schema carries qtext (encode seam)
     }
+    // a qtext-only query round-trips and resolves through the encoder
+    val dir2 = tmpDir().resolve("queries_text.parquet").toString
+    Ingest.writeQueries(spark, dir2, Seq(
+      graft.search.HybridQuery(5, Array.empty[Float], "{}", "TRUE", 5, qtext = "find widgets")))
+    val b2 = Ingest.readQueries(spark, dir2)
+    assert(b2.head.qtext == "find widgets" && b2.head.qvec.isEmpty)
+    val rows = graft.harness.RunHarness.runMany(
+      spark, "/root/testdata/sf0.001", Seq("exact"), b2)
+    assert(rows.head.recallAtK == 1.0)
   }
 
   test("random baseline is deterministic, K distinct in-range ids") {

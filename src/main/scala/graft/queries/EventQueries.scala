@@ -117,15 +117,52 @@ object EventQueries {
       |       (SELECT count(*) FROM c) AS clickers_24h,
       |       (SELECT count(*) FROM p) AS buyers_24h""".stripMargin
 
+  /** #64 D1 retention cohorts: per first-seen day, how many users came
+    * back the NEXT day. Shuffle shape: one distinct on (user, day), one
+    * aggregate + self-join on user_id (the reused key), then tiny
+    * cohort-grain aggregates — no per-user event sequences, no window
+    * sort; exact timestamp arithmetic on both engines. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("cohort"))
+    val returned = first.join(ud, "user_id")
+      .where(col("day") === col("cohort") + expr("INTERVAL 1 DAY"))
+      .groupBy("cohort").agg(count_distinct(col("user_id")).as("d1_returned"))
+    first.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+      .join(returned, Seq("cohort"), "left")
+      .select(col("cohort"), col("cohort_users"),
+        coalesce(col("d1_returned"), lit(0L)).as("d1_returned"),
+        round(coalesce(col("d1_returned"), lit(0L)) / col("cohort_users").cast("double"), 6)
+          .as("d1_rate"))
+      .orderBy("cohort")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id),
+      |r AS (SELECT f.cohort, count(DISTINCT ud.user_id) AS d1_returned
+      |      FROM f JOIN ud ON f.user_id = ud.user_id
+      |                    AND ud.day = f.cohort + INTERVAL 1 DAY
+      |      GROUP BY f.cohort),
+      |c AS (SELECT cohort, count(*) AS cohort_users FROM f GROUP BY cohort)
+      |SELECT c.cohort, c.cohort_users,
+      |  CAST(coalesce(r.d1_returned, 0) AS BIGINT) AS d1_returned,
+      |  round(coalesce(r.d1_returned, 0) / CAST(c.cohort_users AS DOUBLE), 6) AS d1_rate
+      |FROM c LEFT JOIN r USING (cohort) ORDER BY cohort""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> (eventsWindow _),
     "events_session" -> (eventsSession _),
-    "events_funnel" -> (eventsFunnel _)
+    "events_funnel" -> (eventsFunnel _),
+    "events_retention" -> (eventsRetention _)
   )
 
   val oracles: Map[String, String] = Map(
     "events_window" -> eventsWindowSql,
     "events_session" -> eventsSessionSql,
-    "events_funnel" -> eventsFunnelSql
+    "events_funnel" -> eventsFunnelSql,
+    "events_retention" -> eventsRetentionSql
   )
 }

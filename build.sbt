@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench/Verify stdout for the ONE JSON result line.
+// sbt's default LoggedOutput prefixes forked-run stdout with "[info] "
+// and appends a "[success] Total time" line — both break a last-line
+// JSON parse (BENCH_r03/r04 recorded `parsed: null`). Stream the forked
+// process's stdout raw and drop the success banner so the JSON line is
+// the literal last line of stdout.
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

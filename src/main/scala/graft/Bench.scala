@@ -76,7 +76,12 @@ object Bench {
         System.err.println(s"[bench] harness summary failed: ${e.getMessage}"); ""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$harness,"sf":"$sfDir"}""")
+    // Print the result line AFTER spark.stop(): the driver reads the LAST
+    // stdout line as JSON, and Spark's shutdown logging must not land
+    // after it (log level OFF silences the stop-time INFO/WARN chatter).
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$harness,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

@@ -17,6 +17,8 @@ object SparkEntry {
     "q1_pricing" -> (RelationalQueries.q1Pricing _),
     "q3_priority" -> (RelationalQueries.q3Priority _),
     "q5_region" -> (RelationalQueries.q5Region _),
+    "q10_returns" -> (RelationalQueries.q10Returns _),
+    "q1_rollup" -> (RelationalQueries.q1Rollup _),
     "top_customers" -> (RelationalQueries.topCustomers _)
   ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all ++
     TextQueries.all ++ EventQueries.all ++ MultimodalQueries.all ++
@@ -27,6 +29,8 @@ object SparkEntry {
     "q1_pricing" -> RelationalQueries.q1PricingSql,
     "q3_priority" -> RelationalQueries.q3PrioritySql,
     "q5_region" -> RelationalQueries.q5RegionSql,
+    "q10_returns" -> RelationalQueries.q10ReturnsSql,
+    "q1_rollup" -> RelationalQueries.q1RollupSql,
     "top_customers" -> RelationalQueries.topCustomersSql
   ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles ++
     TextQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles ++

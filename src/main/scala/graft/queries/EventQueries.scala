@@ -152,17 +152,150 @@ object EventQueries {
       |  round(coalesce(r.d1_returned, 0) / CAST(c.cohort_users AS DOUBLE), 6) AS d1_rate
       |FROM c LEFT JOIN r USING (cohort) ORDER BY cohort""".stripMargin
 
+  /** #65 as-of attribution join: every purchase matched to the latest
+    * click at-or-before it by the same user (graft.operators.AsOfJoin —
+    * one key shuffle + sort, no pair explosion; DuckDB ASOF JOIN is the
+    * oracle). Clicks are pre-aggregated to one row per (user, ts) so the
+    * same-ts winner is well-defined in both engines. */
+  def eventsAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("value")).as("click_value"))
+    graft.operators.AsOfJoin
+      .backward(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+        Seq("click_ts", "click_value"))
+      .orderBy("event_id")
+  }
+
+  val eventsAsofSql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts AS click_ts, max(value) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, p.ts, p.value, c.click_ts, c.click_value
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** #66 rolling 7-day window per event type: range frame over integer
+    * day numbers (exact on both engines), on top of a day-grain
+    * pre-aggregate — the window input is |types|×|days| rows however
+    * large the raw stream is, so the sort inside each type partition is
+    * trivial at any scale. DECIMAL sums through the frame. */
+  def eventsRolling(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), sum(dec6(col("value"))).as("sv"))
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .withColumn("roll_events", sum(col("n_events")).over(w))
+      .withColumn("roll_value", sum(col("sv")).over(w).cast("double"))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("sv").cast("double").as("sum_value"), col("roll_events"), col("roll_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val eventsRollingSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS sv
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n_events, CAST(sv AS DOUBLE) AS sum_value,
+      |  CAST(sum(n_events) OVER w AS BIGINT) AS roll_events,
+      |  CAST(sum(sv) OVER w AS DOUBLE) AS roll_value
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type
+      |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(day AS DATE))
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day, event_type""".stripMargin
+
+  /** #67 day × event-type count matrix via the pivot operator (explicit
+    * value list — no extra distinct pass; one shuffle on the day key). */
+  def eventsPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(s, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t))
+      .orderBy("day")
+  }
+
+  val eventsPivotSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
+  /** #68 DAU/WAU: exact distinct users per day, and per 7-day trailing
+    * window. WAU is NOT window-decomposable (distinct doesn't sum), so
+    * the scalable exact shape is contribution expansion: each (user, day)
+    * contributes to the 7 days it covers, then one distinct count per
+    * day — shuffle volume 7×|user-days|, never a range self-join. The
+    * HLL sketch alternative (approx_count_distinct within 5%) is asserted
+    * in RelationalQueriesSpec, not here (its estimate is engine-specific
+    * so it can't face a DuckDB oracle). */
+  def eventsUniques(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .distinct()
+    val bounds = ud.agg(min("day").as("lo"), max("day").as("hi"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("d", explode(sequence(
+        col("day"), col("day") + expr("INTERVAL 6 DAY"), expr("INTERVAL 1 DAY"))))
+      .crossJoin(broadcast(bounds))
+      .where(col("d") <= col("hi"))
+      .groupBy(col("d").as("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy("day")
+  }
+
+  val eventsUniquesSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |b AS (SELECT max(day) AS hi FROM ud),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |w AS (
+      |  SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+      |    INTERVAL 1 DAY)) AS d
+      |  FROM ud),
+      |wau AS (
+      |  SELECT d AS day, count(DISTINCT user_id) AS wau FROM w, b
+      |  WHERE d <= b.hi GROUP BY d)
+      |SELECT day, dau, CAST(wau AS BIGINT) AS wau
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> (eventsWindow _),
     "events_session" -> (eventsSession _),
     "events_funnel" -> (eventsFunnel _),
-    "events_retention" -> (eventsRetention _)
+    "events_retention" -> (eventsRetention _),
+    "events_asof" -> (eventsAsof _),
+    "events_rolling" -> (eventsRolling _),
+    "events_pivot" -> (eventsPivot _),
+    "events_uniques" -> (eventsUniques _)
   )
 
   val oracles: Map[String, String] = Map(
     "events_window" -> eventsWindowSql,
     "events_session" -> eventsSessionSql,
     "events_funnel" -> eventsFunnelSql,
-    "events_retention" -> eventsRetentionSql
+    "events_retention" -> eventsRetentionSql,
+    "events_asof" -> eventsAsofSql,
+    "events_rolling" -> eventsRollingSql,
+    "events_pivot" -> eventsPivotSql,
+    "events_uniques" -> eventsUniquesSql
   )
 }

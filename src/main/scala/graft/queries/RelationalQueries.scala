@@ -143,4 +143,56 @@ object RelationalQueries {
       |  JOIN nation ON c_nationkey = n_nationkey)
       |SELECT n_name, rnk, c_custkey, c_name, revenue FROM ranked
       |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+
+  /** TPC-H Q10-shaped returned-item report: top 20 customers by revenue
+    * lost to returns. Fact-fact join shuffles on the order key (the
+    * returnflag filter pushed into the lineitem scan first); customer is
+    * the smaller agg side; nation broadcast. TakeOrdered top-20 — no
+    * global sort. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+    val rev = Tables.orders(spark, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+    rev.join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"), col("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE l_returnflag = 'R' GROUP BY o_custkey)
+      |SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+      |FROM rev JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Multi-level aggregate via ROLLUP (flag, status) with a grouping id —
+    * Spark expands grouping sets in ONE pass (Expand + single shuffle),
+    * not one job per level. NULL group keys sort first on both engines
+    * (explicit NULLS FIRST in the oracle; Spark's ASC default). */
+  def q1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("gid").cast("int").as("gid"), col("l_returnflag"),
+        col("l_linestatus"), col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  val q1RollupSql: String =
+    """SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+      |  l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 }

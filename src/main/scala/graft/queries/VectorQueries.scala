@@ -89,6 +89,19 @@ object VectorQueries {
        |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  /** Radius search (FAISS range_search twin): all vectors scoring ≥ τ
+    * against q0 — exact and unbounded-K, so it gets a full oracle. τ=0.2
+    * keeps the survivor set output-bounded (tens to hundreds of rows at
+    * driver SFs) while exercising the no-LIMIT path. */
+  def vecRangeSearch(s: SparkSession, d: String): DataFrame =
+    VectorSearch.rangeSearch(emb(s, d), q0, 0.2)
+
+  val vecRangeSearchSql: String =
+    s"""SELECT vec_id, score FROM (
+       |  SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), ${QueryVectors.sqlLit(q0)}), 6) AS score
+       |  FROM embeddings)
+       |WHERE score >= 0.2 ORDER BY score DESC, vec_id""".stripMargin
+
   /** ensure_unit_l2 (reference validators.py:38): norms within 1e-3 of 1. */
   def vecNormCheck(s: SparkSession, d: String): DataFrame = {
     val n = l2Norm(col("embedding"))
@@ -222,6 +235,7 @@ object VectorQueries {
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
+    "vec_range_search" -> (vecRangeSearch _),
     "vec_postfilter_ladder" -> (vecPostfilterLadder _),
     "vec_knn_join" -> (vecKnnJoin _),
     "vec_norm_check" -> (vecNormCheck _),
@@ -237,6 +251,7 @@ object VectorQueries {
     "hybrid_queries" -> hybridQueriesSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
+    "vec_range_search" -> vecRangeSearchSql,
     "vec_postfilter_ladder" -> vecPostfilterLadderSql,
     "vec_knn_join" -> vecKnnJoinSql,
     "vec_norm_check" -> vecNormCheckSql

@@ -147,6 +147,21 @@ object VectorSearch {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Range search: EVERY vector with score ≥ tau (radius search — the
+    * "all near-duplicates of this embedding" / FAISS range_search shape),
+    * optionally within a filtered subset. Unlike top-K there is no result
+    * bound, so the plan is a pure scan+filter (both predicates reach the
+    * scan) with the tiny survivor set globally ordered at the end; tau
+    * controls the output volume, the corpus size doesn't. */
+  def rangeSearch(emb: DataFrame, qv: Array[Float], tau: Double,
+                  pred: Option[Column] = None): DataFrame = {
+    val base = pred.map(emb.where).getOrElse(emb)
+    withScore(base, qv)
+      .select(col("vec_id"), col("score"))
+      .where(col("score") >= tau)
+      .orderBy(desc("score"), col("vec_id"))
+  }
+
   /** Random baseline (reference src/backends/random.py): K ids drawn
     * uniformly without replacement, deterministic under the seed — the
     * recall floor every real backend must beat. Distributed shape: hash

@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.{EventQueries, RelationalQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the round-5 relational/event additions that the DuckDB
+  * oracle can't express directly: sketch accuracy, rollup level algebra,
+  * pivot conservation, rolling-frame consistency, range-search bounds.
+  */
+class RelationalQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct (HLL) within 5% of exact per day") {
+    val both = Tables.events(spark, sf)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"))
+      .select(abs(col("approx") - col("exact")) / col("exact"))
+      .as[Double].collect()
+    assert(both.nonEmpty && both.forall(_ <= 0.05))
+  }
+
+  test("q1_rollup: per-level sums reconcile and gid encodes the level") {
+    val r = RelationalQueries.q1Rollup(spark, sf).collect()
+    val leaf = r.filter(_.getInt(0) == 0)
+    val flagLvl = r.filter(_.getInt(0) == 1) // l_linestatus rolled up
+    val total = r.filter(_.getInt(0) == 3)
+    assert(total.length == 1)
+    assert(leaf.map(_.getLong(4)).sum == total.head.getLong(4))
+    assert(flagLvl.map(_.getLong(4)).sum == total.head.getLong(4))
+    assert(flagLvl.forall(x => x.isNullAt(2) && !x.isNullAt(1)))
+    // no gid=2 rows: ROLLUP (a, b) never rolls up `a` while keeping `b`
+    assert(!r.exists(_.getInt(0) == 2))
+  }
+
+  test("events_pivot: per-type columns conserve the raw event count") {
+    val total = Tables.events(spark, sf).count()
+    val p = EventQueries.eventsPivot(spark, sf)
+    val cols = Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view")
+    val summed = p.select(cols.map(c => sum(col(c))).reduce(_ + _)).as[Long].head()
+    assert(summed == total)
+  }
+
+  test("events_rolling: 7-day frame equals the sum of the last ≤7 dailies") {
+    val r = EventQueries.eventsRolling(spark, sf)
+      .select("event_type", "day", "n_events", "roll_events")
+      .as[(String, java.sql.Timestamp, Long, Long)].collect()
+      .groupBy(_._1).values
+    r.foreach { rows =>
+      val byDay = rows.sortBy(_._2.getTime)
+      byDay.zipWithIndex.foreach { case ((_, day, _, roll), i) =>
+        val lo = day.getTime - 6L * 86400000
+        val want = byDay.take(i + 1).filter(_._2.getTime >= lo).map(_._3).sum
+        assert(roll == want)
+      }
+    }
+  }
+
+  test("rangeSearch: superset-consistent with topK and monotone in tau") {
+    val emb = Tables.embeddings(spark, sf)
+    val q0 = graft.search.QueryVectors.qvec(0)
+    val r02 = graft.search.VectorSearch.rangeSearch(emb, q0, 0.2)
+      .as[(Long, Double)].collect()
+    val r03 = graft.search.VectorSearch.rangeSearch(emb, q0, 0.3)
+      .as[(Long, Double)].collect()
+    assert(r02.forall(_._2 >= 0.2) && r03.forall(_._2 >= 0.3))
+    assert(r03.map(_._1).toSet.subsetOf(r02.map(_._1).toSet))
+    // every top-K hit above tau must appear in the range result
+    val top = graft.search.VectorSearch.topK(emb, q0, 10)
+      .as[(Long, Double)].collect().filter(_._2 >= 0.2)
+    assert(top.map(_._1).toSet.subsetOf(r02.map(_._1).toSet))
+  }
+}

@@ -404,6 +404,8 @@ object RunHarness {
       .getOrElse(Seq(opts.getOrElse("--backend", "exact")))
     val out = opts.getOrElse("--out", "results.jsonl")
     val kOv = opts.get("--K").map(_.toInt)
+    // reference run.py parity: cap the query set (default runs all)
+    val maxQ = opts.get("--max_queries").map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -412,7 +414,8 @@ object RunHarness {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rows = runMany(spark, sfDir, backends, kOverride = kOv)
+    val qs = maxQ.map(QuerySet.default.take).getOrElse(QuerySet.default)
+    val rows = runMany(spark, sfDir, backends, qs = qs, kOverride = kOv)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toJsonLines(rows))
     println(s"wrote ${rows.length} rows to $out")
     spark.stop()

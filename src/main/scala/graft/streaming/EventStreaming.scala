@@ -81,6 +81,60 @@ object EventStreaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Exact event-time in microseconds. `Timestamp.getTime` TRUNCATES to
+    * milliseconds and the driver testdata carries µs precision — any
+    * state math must go through these two or it silently drops µs. */
+  def tsUs(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  def usTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  case class AsOfOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+                     value: Double, click_ts: Option[java.sql.Timestamp],
+                     click_value: Option[Double])
+  case class LatestClick(us: Long, value: Double)
+
+  /** #69 streaming as-of join — the stream twin of the batch
+    * `AsOfJoin.backward` attribution query (events_asof): each purchase is
+    * emitted enriched with the latest click at-or-before it by the same
+    * user. State is ONE (ts, value) per user — the bounded
+    * enrich-by-latest-dimension shape (O(#users), not O(#events)) — and
+    * ties at equal ts keep the max value, matching the batch side's
+    * per-(user, ts) pre-aggregate. Equality with the batch plan holds
+    * under (ts, click-before-purchase) ordered replay (the spec's
+    * assertion); out-of-order WITHIN a micro-batch is handled by the
+    * per-group sort, out-of-order ACROSS batches is the stream's
+    * approximation, exactly as with the sessionization twin. */
+  def asofStream(events: Dataset[Event])
+                (implicit spark: org.apache.spark.sql.SparkSession): Dataset[AsOfOut] = {
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[Event],
+           state: GroupState[LatestClick]): Iterator[AsOfOut] = {
+      var cur = state.getOption.orNull
+      val out = List.newBuilder[AsOfOut]
+      it.toSeq
+        .filter(e => e.event_type == "click" || e.event_type == "purchase")
+        .sortBy(e => (tsUs(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+        .foreach { e =>
+          if (e.event_type == "click") {
+            val us = tsUs(e.ts)
+            if (cur == null || us > cur.us) cur = LatestClick(us, e.value)
+            else if (us == cur.us && e.value > cur.value) cur = LatestClick(us, e.value)
+          } else out += AsOfOut(e.event_id, userId, e.ts, e.value,
+            Option(cur).map(c => usTs(c.us)),
+            Option(cur).map(_.value))
+        }
+      if (cur != null) state.update(cur)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def microUnits(v: Double): Long =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .underlying.unscaledValue.longValueExact
@@ -106,11 +160,11 @@ object EventStreaming {
         state.update(UserState(prior.nextSid + 1, None))
         state.setTimeoutTimestamp(Long.MaxValue / 2000) // effectively never
       } else {
-        val evs = it.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+        val evs = it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
         var sid = prior.nextSid
         var cur = prior.open.orNull
         evs.foreach { e =>
-          val us = e.ts.getTime * 1000 // ms → µs (testdata is µs-truncated)
+          val us = tsUs(e.ts) // exact µs (getTime would truncate to ms)
           if (cur == null) {
             cur = OpenSession(us, us, 1L, microUnits(e.value))
           } else if (us - cur.lastUs > gapUs) {

@@ -214,6 +214,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join == batch AsOfJoin under ordered replay") {
+    implicit val s = spark
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect()
+      // the equality contract: (ts, click-before-purchase, id) replay order
+      .sortBy(e => (EventStreaming.tsUs(e.ts),
+        if (e.event_type == "click") 0 else 1, e.event_id))
+
+    val stream = MemoryStream[Event]
+    val q = EventStreaming.asofStream(stream.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("asof_stream")
+        .as[EventStreaming.AsOfOut].collect()
+        .map(o => o.event_id -> ((o.click_ts, o.click_value))).toMap
+      val want = graft.queries.EventQueries.eventsAsof(spark, sf)
+        .select("event_id", "click_ts", "click_value")
+        .as[(Long, Option[java.sql.Timestamp], Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want,
+        s"got ${got.size} want ${want.size}; diff=${(want.toSet -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization == batch lag+cumsum sessions") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

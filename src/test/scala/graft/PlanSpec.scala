@@ -178,6 +178,56 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: exactly one Exchange (the key shuffle), no join operator") {
+    val p = plan(EventQueries.eventsAsof(spark, sf))
+    // the union+window encoding must not plan a join (pair explosion) and
+    // must shuffle once on user_id; the final orderBy adds a range
+    // exchange over the tiny purchase-grain result, which is fine
+    assert(!p.contains("Join"), p)
+    // exactly one user_id-only exchange feeds the carry-forward window
+    // (the clicks' (user_id, ts) dedup pre-aggregate adds its own)
+    val keyEx = """hashpartitioning\(user_id#\d+L, \d+\)""".r.findAllIn(p).length
+    assert(keyEx == 1, s"expected 1 user_id exchange, got $keyEx\n$p")
+  }
+
+  test("q10 pushes the returnflag filter and broadcasts nation") {
+    val p = plan(RelationalQueries.q10Returns(spark, sf))
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1_rollup expands grouping sets in one pass (single Expand, one agg shuffle)") {
+    val p = plan(RelationalQueries.q1Rollup(spark, sf))
+    assert("ExpandExec|Expand".r.findAllIn(p).nonEmpty, p)
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 agg exchange, got $hashEx\n$p")
+  }
+
+  test("range search: score filter stays in a codegen'd stage, no sort before filter") {
+    val p = plan(VectorSearch.rangeSearch(
+      Tables.embeddings(spark, sf), QueryVectors.qvec(0), 0.2))
+    // survivor set is filtered at scan-projection time (the Filter carries
+    // the scoring expression itself); only the tiny result is sorted, so
+    // Sort sits ABOVE Filter in the plan
+    val lines = p.linesIterator.toSeq
+    val filterAt = lines.indexWhere(l => l.contains("Filter") && l.contains("dot_f32"))
+    val sortAt = lines.indexWhere(_.contains("Sort "))
+    assert(filterAt >= 0, p)
+    assert(sortAt >= 0 && sortAt < filterAt, s"sort must be above filter\n$p")
+  }
+
+  test("events_rolling windows over the day-grain pre-aggregate, not raw events") {
+    val p = plan(EventQueries.eventsRolling(spark, sf))
+    // Window must sit above HashAggregate (pre-agg first), and the raw
+    // scan must aggregate map-side (partial) before the day shuffle
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(_.contains("Window"))
+    val aggAt = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winAt >= 0 && aggAt > winAt, s"window/agg order wrong\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
   test("events_window aggregates with map-side partial aggregation") {
     val p = plan(EventQueries.eventsWindow(spark, sf))
     // partial then final HashAggregate around the single shuffle

@@ -65,7 +65,8 @@ object Bench {
     val harness =
       try {
         val rows = graft.harness.RunHarness.runMany(
-          spark, sfDir, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"))
+          spark, sfDir, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"),
+          ram = graft.queries.VectorQueries.servingTier(spark, sfDir))
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get("results.jsonl"),
           graft.harness.RunHarness.toJsonLines(rows))

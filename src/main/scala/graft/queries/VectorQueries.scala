@@ -135,6 +135,24 @@ object VectorQueries {
     // this size, and index build time is amortized across queries anyway
     ivfCache.computeIfAbsent(d, _ => Ivf.cached(s, emb(s, d), d, maxIter = 10))
 
+  /** Serving tier for the per-query harness paths: the reference's run.py
+    * serves exact/pre/post from a RAM-resident matrix (loaders.py loads
+    * vectors.npy once per process), so the faithful per-query stats come
+    * from the RamCorpus tier whenever the corpus fits the serving budget;
+    * above it, None → the scan-tier backends (the 100 TB plan). Cached
+    * per sf dir like the IVF index. */
+  private val RamBudgetBytes = 2L << 30
+  private val ramCache = new java.util.concurrent.ConcurrentHashMap[String, Option[graft.search.RamCorpus]]()
+
+  def servingTier(s: SparkSession, d: String): Option[graft.search.RamCorpus] =
+    ramCache.computeIfAbsent(d, _ => {
+      val e = emb(s, d)
+      val total = e.count()
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      if (total * dim * 4 <= RamBudgetBytes) Some(graft.search.RamCorpus.build(e))
+      else None
+    })
+
   def vecIvfTopK(s: SparkSession, d: String): DataFrame =
     ivfModel(s, d).search(q0, nprobe = 32, k = K)
 
@@ -222,7 +240,8 @@ object VectorQueries {
     // dial settings (lsh:1 and lsh:2x2) so the recorded stats show the
     // recall/latency trade-off moving, ef_search-style
     val rows = graft.harness.RunHarness.runMany(
-      s, d, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"))
+      s, d, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"),
+      ram = servingTier(s, d))
     rows.map(r => (r.qid, r.method, r.k, r.latencyMs, r.recallAtK,
         r.filterSelectivity, r.scoredVectors, r.kthAtStop.getOrElse(Double.NaN)))
       .toDF("qid", "method", "k", "latency_ms", "recall_at_k",

@@ -51,6 +51,65 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got._3 == ts("2024-01-01 11:00:00") && got._4.isEmpty)
   }
 
+  test("toleranceUs: a stale match degrades to NULL, an in-window one survives") {
+    val left = Seq(
+      (1L, ts("2024-01-01 12:00:00")),  // match 2h old → out of 1h window
+      (2L, ts("2024-01-01 12:00:00"))   // match 30min old → in window
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "stale"),
+      (2L, ts("2024-01-01 11:30:00"), "fresh")
+    ).toDF("k", "rts", "tag")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("tag"),
+        toleranceUs = Some(3600L * 1000000))
+      .orderBy("k").as[(Long, Timestamp, Option[String])].collect().toSeq
+    assert(got.map(_._3) == Seq(None, Some("fresh")))
+  }
+
+  test("forward picks the EARLIEST right row at-or-after, NULL when none follows") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 13:00:00"))   // nothing at-or-after
+    ).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "past"),
+      (1L, ts("2024-01-01 10:00:00"), "now"),   // exact tie: inclusive
+      (1L, ts("2024-01-01 11:00:00"), "later")
+    ).toDF("k", "rts", "tag")
+    val got = AsOfJoin.forward(left, right, Seq("k"), "ts", "rts", Seq("tag"))
+      .orderBy("ts").as[(Long, Timestamp, Option[String])].collect().toSeq
+    assert(got.map(_._3) == Seq(Some("now"), None))
+  }
+
+  test("randomized parity with a brute-force oracle (both directions, tolerance)") {
+    val rng = new scala.util.Random(7)
+    val leftRows = Seq.tabulate(200)(i =>
+      (i.toLong, rng.nextInt(5).toLong, ts("2024-01-01 00:00:00").getTime + rng.nextInt(100000) * 1000L))
+    val rightRows = Seq.tabulate(150)(i =>
+      (rng.nextInt(5).toLong, ts("2024-01-01 00:00:00").getTime + rng.nextInt(100000) * 1000L, i.toDouble))
+      .distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, ts)
+    val left = leftRows.map { case (id, k, ms) => (id, k, new Timestamp(ms)) }.toDF("id", "k", "ts")
+    val right = rightRows.map { case (k, ms, v) => (k, new Timestamp(ms), v) }.toDF("k", "rts", "v")
+    val tol = 30000L * 1000 // 30 s in µs
+    def oracle(fwd: Boolean): Map[Long, Option[Double]] = {
+      val byKey = rightRows.groupBy(_._1)
+      leftRows.map { case (id, k, ms) =>
+        val cands = byKey.getOrElse(k, Seq.empty)
+          .filter(r => if (fwd) r._2 >= ms else r._2 <= ms)
+          .filter(r => math.abs(r._2 - ms) * 1000 <= tol)
+        id -> (if (cands.isEmpty) None
+               else Some((if (fwd) cands.minBy(_._2) else cands.maxBy(_._2))._3))
+      }.toMap
+    }
+    def run(fwd: Boolean): Map[Long, Option[Double]] = {
+      val df = if (fwd) AsOfJoin.forward(left, right, Seq("k"), "ts", "rts", Seq("v"), Some(tol))
+               else AsOfJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("v"), Some(tol))
+      df.select("id", "v").as[(Long, Option[Double])].collect().toMap
+    }
+    assert(run(fwd = false) == oracle(fwd = false))
+    assert(run(fwd = true) == oracle(fwd = true))
+  }
+
   test("events purchases↔clicks matches a brute-force max-prior-ts oracle") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))

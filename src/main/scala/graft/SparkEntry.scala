@@ -19,6 +19,7 @@ object SparkEntry {
     "q5_region" -> (RelationalQueries.q5Region _),
     "q10_returns" -> (RelationalQueries.q10Returns _),
     "q1_rollup" -> (RelationalQueries.q1Rollup _),
+    "orders_running" -> (RelationalQueries.ordersRunning _),
     "top_customers" -> (RelationalQueries.topCustomers _)
   ) ++ FilterQueries.all ++ VectorQueries.all ++ DedupQueries.all ++
     TextQueries.all ++ EventQueries.all ++ MultimodalQueries.all ++
@@ -31,6 +32,7 @@ object SparkEntry {
     "q5_region" -> RelationalQueries.q5RegionSql,
     "q10_returns" -> RelationalQueries.q10ReturnsSql,
     "q1_rollup" -> RelationalQueries.q1RollupSql,
+    "orders_running" -> RelationalQueries.ordersRunningSql,
     "top_customers" -> RelationalQueries.topCustomersSql
   ) ++ FilterQueries.oracles ++ VectorQueries.oracles ++ DedupQueries.oracles ++
     TextQueries.oracles ++ EventQueries.oracles ++ MultimodalQueries.oracles ++

@@ -277,6 +277,49 @@ object EventQueries {
       |SELECT day, dau, CAST(wau AS BIGINT) AS wau
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  /** #74 volume-anomaly days: per event type, days whose daily count is
+    * ≥2 sample standard deviations from that type's mean. Moments are
+    * EXACT integer sums (n, Σx, Σx²) so both engines derive the identical
+    * doubles — stddev_samp's engine-specific summation order never enters.
+    * Shape: day-grain pre-agg, one tiny per-type aggregate, broadcast
+    * join back — raw events are touched once. */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      .where(col("n_days") > 1)
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n_days")).as("mean_n"),
+        sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_days"))
+          / (col("n_days") - 1)).as("sd_n"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("n_events") - col("mean_n")) / col("sd_n"), 6))
+      .where(abs(col("z")) >= 2.0)
+      .select(col("event_type"), col("day"), col("n_events"), col("z"))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type,
+      |    CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_n,
+      |    sqrt((CAST(sum(n_events * n_events) AS DOUBLE)
+      |          - CAST(sum(n_events) AS DOUBLE) * sum(n_events) / count(*))
+      |         / (count(*) - 1)) AS sd_n
+      |  FROM daily GROUP BY event_type HAVING count(*) > 1)
+      |SELECT d.event_type, d.day, d.n_events,
+      |  round((d.n_events - s.mean_n) / s.sd_n, 6) AS z
+      |FROM daily d JOIN stats s USING (event_type)
+      |WHERE abs(round((d.n_events - s.mean_n) / s.sd_n, 6)) >= 2.0
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_window" -> (eventsWindow _),
     "events_session" -> (eventsSession _),
@@ -285,7 +328,8 @@ object EventQueries {
     "events_asof" -> (eventsAsof _),
     "events_rolling" -> (eventsRolling _),
     "events_pivot" -> (eventsPivot _),
-    "events_uniques" -> (eventsUniques _)
+    "events_uniques" -> (eventsUniques _),
+    "events_anomaly" -> (eventsAnomaly _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,6 +340,7 @@ object EventQueries {
     "events_asof" -> eventsAsofSql,
     "events_rolling" -> eventsRollingSql,
     "events_pivot" -> eventsPivotSql,
-    "events_uniques" -> eventsUniquesSql
+    "events_uniques" -> eventsUniquesSql,
+    "events_anomaly" -> eventsAnomalySql
   )
 }

@@ -195,4 +195,31 @@ object RelationalQueries {
       |  count(*) AS n
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Per-customer cumulative spend: running DECIMAL sum + order sequence
+    * number over the customer's order history. One shuffle on o_custkey
+    * (the window's partition key); the running frame is per-partition
+    * state, no self-join. */
+  def ordersRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("p"))
+      .withColumn("order_no", count(lit(1)).over(w))
+      .withColumn("running_spend", sum(col("p")).over(w).cast("double"))
+      .select(col("o_custkey"), col("order_no"), col("o_orderkey"),
+        col("o_orderdate"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("order_no"))
+  }
+
+  val ordersRunningSql: String =
+    """SELECT o_custkey,
+      |  CAST(count(*) OVER w AS BIGINT) AS order_no, o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, order_no""".stripMargin
 }

@@ -60,6 +60,43 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("events_anomaly: exactly the days a local exact-moments recompute flags") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Timestamp, Long)].collect()
+    val want = daily.groupBy(_._1).flatMap { case (t, rows) =>
+      val n = rows.length
+      if (n <= 1) Seq.empty[(String, java.sql.Timestamp)]
+      else {
+        val s1 = rows.map(_._3).sum; val s2 = rows.map(r => r._3 * r._3).sum
+        val mean = s1.toDouble / n
+        val sd = math.sqrt((s2.toDouble - s1.toDouble * s1 / n) / (n - 1))
+        rows.toSeq.collect { case (_, day, x)
+          if math.abs(BigDecimal((x - mean) / sd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) >= 2.0 =>
+          (t, day)
+        }
+      }
+    }.toSet
+    val got = graft.queries.EventQueries.eventsAnomaly(spark, sf)
+      .select("event_type", "day").as[(String, java.sql.Timestamp)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("orders_running: final running_spend equals the customer's exact total") {
+    val r = graft.queries.RelationalQueries.ordersRunning(spark, sf)
+    val lastRow = r.groupBy("o_custkey")
+      .agg(max("order_no").as("n"), max("running_spend").as("final_spend"))
+    val want = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n2"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    val joined = lastRow.join(want, "o_custkey")
+    assert(joined.where(col("n") =!= col("n2") ||
+      abs(col("final_spend") - col("total")) > 1e-9).count() == 0)
+    // running totals are non-decreasing (prices are positive)
+    assert(r.where(col("running_spend") < 0).count() == 0)
+  }
+
   test("rangeSearch: superset-consistent with topK and monotone in tau") {
     val emb = Tables.embeddings(spark, sf)
     val q0 = graft.search.QueryVectors.qvec(0)

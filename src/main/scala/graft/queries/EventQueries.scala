@@ -152,7 +152,7 @@ object EventQueries {
       |  round(coalesce(r.d1_returned, 0) / CAST(c.cohort_users AS DOUBLE), 6) AS d1_rate
       |FROM c LEFT JOIN r USING (cohort) ORDER BY cohort""".stripMargin
 
-  /** #65 as-of attribution join: every purchase matched to the latest
+  /** #66 as-of attribution join: every purchase matched to the latest
     * click at-or-before it by the same user (graft.operators.AsOfJoin —
     * one key shuffle + sort, no pair explosion; DuckDB ASOF JOIN is the
     * oracle). Clicks are pre-aggregated to one row per (user, ts) so the
@@ -182,7 +182,7 @@ object EventQueries {
       |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
       |ORDER BY p.event_id""".stripMargin
 
-  /** #66 rolling 7-day window per event type: range frame over integer
+  /** #67 rolling 7-day window per event type: range frame over integer
     * day numbers (exact on both engines), on top of a day-grain
     * pre-aggregate — the window input is |types|×|days| rows however
     * large the raw stream is, so the sort inside each type partition is
@@ -215,7 +215,7 @@ object EventQueries {
       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day, event_type""".stripMargin
 
-  /** #67 day × event-type count matrix via the pivot operator (explicit
+  /** #68 day × event-type count matrix via the pivot operator (explicit
     * value list — no extra distinct pass; one shuffle on the day key). */
   def eventsPivot(s: SparkSession, d: String): DataFrame = {
     val types = Seq("click", "error", "purchase", "signup", "view")
@@ -237,7 +237,7 @@ object EventQueries {
       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
-  /** #68 DAU/WAU: exact distinct users per day, and per 7-day trailing
+  /** #69 DAU/WAU: exact distinct users per day, and per 7-day trailing
     * window. WAU is NOT window-decomposable (distinct doesn't sum), so
     * the scalable exact shape is contribution expansion: each (user, day)
     * contributes to the 7 days it covers, then one distinct count per
@@ -277,7 +277,7 @@ object EventQueries {
       |SELECT day, dau, CAST(wau AS BIGINT) AS wau
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
-  /** #74 volume-anomaly days: per event type, days whose daily count is
+  /** #73 volume-anomaly days: per event type, days whose daily count is
     * ≥2 sample standard deviations from that type's mean. Moments are
     * EXACT integer sums (n, Σx, Σx²) so both engines derive the identical
     * doubles — stddev_samp's engine-specific summation order never enters.

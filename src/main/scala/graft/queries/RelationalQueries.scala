@@ -144,7 +144,7 @@ object RelationalQueries {
       |SELECT n_name, rnk, c_custkey, c_name, revenue FROM ranked
       |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
 
-  /** TPC-H Q10-shaped returned-item report: top 20 customers by revenue
+  /** #70 TPC-H Q10-shaped returned-item report: top 20 customers by revenue
     * lost to returns. Fact-fact join shuffles on the order key (the
     * returnflag filter pushed into the lineitem scan first); customer is
     * the smaller agg side; nation broadcast. TakeOrdered top-20 — no
@@ -174,7 +174,7 @@ object RelationalQueries {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
-  /** Multi-level aggregate via ROLLUP (flag, status) with a grouping id —
+  /** #71 multi-level aggregate via ROLLUP (flag, status) with a grouping id —
     * Spark expands grouping sets in ONE pass (Expand + single shuffle),
     * not one job per level. NULL group keys sort first on both engines
     * (explicit NULLS FIRST in the oracle; Spark's ASC default). */
@@ -196,7 +196,7 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
-  /** Per-customer cumulative spend: running DECIMAL sum + order sequence
+  /** #74 per-customer cumulative spend: running DECIMAL sum + order sequence
     * number over the customer's order history. One shuffle on o_custkey
     * (the window's partition key); the running frame is per-partition
     * state, no self-join. */

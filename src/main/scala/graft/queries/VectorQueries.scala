@@ -89,7 +89,7 @@ object VectorQueries {
        |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
-  /** Radius search (FAISS range_search twin): all vectors scoring ≥ τ
+  /** #65 radius search (FAISS range_search twin): all vectors scoring ≥ τ
     * against q0 — exact and unbounded-K, so it gets a full oracle. τ=0.2
     * keeps the survivor set output-bounded (tens to hundreds of rows at
     * driver SFs) while exercising the no-LIMIT path. */

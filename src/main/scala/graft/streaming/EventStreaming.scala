@@ -95,7 +95,7 @@ object EventStreaming {
                      click_value: Option[Double])
   case class LatestClick(us: Long, value: Double)
 
-  /** #69 streaming as-of join — the stream twin of the batch
+  /** #72 streaming as-of join — the stream twin of the batch
     * `AsOfJoin.backward` attribution query (events_asof): each purchase is
     * emitted enriched with the latest click at-or-before it by the same
     * user. State is ONE (ts, value) per user — the bounded

@@ -60,34 +60,47 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact 2-dp per-query timings: the driver keeps only the LAST 2000
+    // characters of stdout and parses the final line of that tail as JSON,
+    // so the whole result line must stay comfortably under 2000 chars
+    // (full-precision timings were ~3.3KB and got truncated mid-line).
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // reference-harness parity artifact: per-(query,backend) results.jsonl
     // (the reference's primary output) + a per-backend latency/recall
-    // summary inlined into the bench JSON for baseline comparison
-    val harness =
-      try {
-        val rows = graft.harness.RunHarness.runMany(
-          spark, sfDir, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"),
-          ram = graft.queries.VectorQueries.servingTier(spark, sfDir))
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("results.jsonl"),
-          graft.harness.RunHarness.toJsonLines(rows))
-        graft.harness.RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>
-          s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
-        }.mkString(",\"harness\":{", ",", "}")
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] harness summary failed: ${e.getMessage}"); ""
-      }
+    // summary written to bench_harness.json (kept OFF the stdout line to
+    // respect the 2000-char tail budget)
+    try {
+      val rows = graft.harness.RunHarness.runMany(
+        spark, sfDir, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"),
+        ram = graft.queries.VectorQueries.servingTier(spark, sfDir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("results.jsonl"),
+        graft.harness.RunHarness.toJsonLines(rows))
+      val summary = graft.harness.RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>
+        s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_harness.json"), summary + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] harness summary failed: ${e.getMessage}")
+    }
+
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val line =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: result line ${line.length} chars — driver tail is 2000, trim precision or query count")
 
     // Print the result line AFTER spark.stop(): the driver reads the LAST
     // stdout line as JSON, and Spark's shutdown logging must not land
     // after it (log level OFF silences the stop-time INFO/WARN chatter).
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$harness,"sf":"$sfDir"}""")
+    println(line)
     System.out.flush()
   }
 }

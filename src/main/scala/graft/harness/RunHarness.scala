@@ -415,7 +415,10 @@ object RunHarness {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = maxQ.map(QuerySet.default.take).getOrElse(QuerySet.default)
-    val rows = runMany(spark, sfDir, backends, qs = qs, kOverride = kOv)
+    // same serving tier as Bench/hybrid_stats: both paths write
+    // results.jsonl, so the CLI must record the same-tier latencies
+    val rows = runMany(spark, sfDir, backends, qs = qs, kOverride = kOv,
+      ram = graft.queries.VectorQueries.servingTier(spark, sfDir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toJsonLines(rows))
     println(s"wrote ${rows.length} rows to $out")
     spark.stop()

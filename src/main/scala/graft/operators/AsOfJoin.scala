@@ -79,6 +79,10 @@ object AsOfJoin {
     require(!leftCols.exists(payload.contains),
       s"payload names ${payload.mkString(",")} collide with left columns")
     require(!payload.contains("_mts"), "payload name _mts is reserved")
+    val internal = Set("_asof_ts", "_asof_side", "_asof_p", "_asof_m")
+    val clash = (leftCols ++ right.columns ++ payload).filter(internal)
+    require(clash.isEmpty,
+      s"column names ${clash.distinct.mkString(",")} collide with as-of internals (_asof_*)")
 
     // side 0 = right (sorts first in traversal direction at equal ts),
     // side 1 = left; the struct's _mts field carries the match's own

@@ -230,11 +230,11 @@ object EventQueries {
 
   val eventsPivotSql: String =
     """SELECT date_trunc('day', ts) AS day,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
   /** #69 DAU/WAU: exact distinct users per day, and per 7-day trailing
@@ -249,7 +249,7 @@ object EventQueries {
     val ud = Tables.events(s, d)
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
       .distinct()
-    val bounds = ud.agg(min("day").as("lo"), max("day").as("hi"))
+    val bounds = ud.agg(max("day").as("hi"))
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .withColumn("d", explode(sequence(

@@ -222,4 +222,138 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, order_no""".stripMargin
+
+  /** #75 TPC-H Q4-shaped priority check: orders (in a date window) having
+    * at least one returned line, counted per priority. The EXISTS becomes
+    * a LEFT SEMI join — Spark never materializes the match multiplicity,
+    * and the returnflag filter is pushed into the lineitem scan, so the
+    * shuffle carries only returned lines' keys. */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val ret = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+    ord.join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** #76 TPC-H Q16-shaped coverage report: parts never in a returned line,
+    * per brand. NOT EXISTS becomes a LEFT ANTI join — the complement of
+    * the semi-join, same single-shuffle shape (no distinct pass needed:
+    * anti-join semantics ignore match multiplicity by construction). */
+  def q16Parts(spark: SparkSession, dir: String): DataFrame = {
+    val ret = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R").select(col("l_partkey"))
+    Tables.part(spark, dir)
+      .join(ret, col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(dec(col("p_retailprice"))).cast("double").as("total_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q16PartsSql: String =
+    """SELECT p_brand, count(*) AS n_parts,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey AND l_returnflag = 'R')
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** #77 TPC-H Q12-shaped lateness split: per order priority, lines shipped
+    * more than 90 days after the order date vs on time. One fact-fact
+    * shuffle on the order key; the flags aggregate as conditional sums in
+    * the same pass (CAST to BIGINT on both engines — DuckDB's sum(int)
+    * widens to HUGEINT which would hash as float64). */
+  def q12Lateness(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late"), 0L).otherwise(1L)).as("n_ontime"))
+      .orderBy(col("o_orderpriority"))
+
+  val q12LatenessSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 0 ELSE 1 END) AS BIGINT) AS n_ontime
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** #78 TPC-H Q18-shaped large-order report: orders whose total quantity
+    * exceeds 250, with their customer. Aggregate-then-join: lineitem is
+    * reduced to order grain BEFORE any join (the HAVING filter drops
+    * ~99% of orders pre-join), so the join input is tiny however large
+    * the fact table; DECIMAL-exact quantity sums; TakeOrdered top-20. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qd"))
+      .where(col("qd") > 250)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("qd").cast("double").as("total_qty"))
+      .orderBy(desc("total_qty"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qd
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(qd AS DOUBLE) AS total_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** #79 customer balance deciles: boundaries from ONE tiny percentile
+    * aggregate (9 doubles, broadcast back), assignment as a pure
+    * projection counting boundaries strictly below the value. NEVER an
+    * un-partitioned ntile window — that is a single-task global sort at
+    * any scale, while this shape is scan + scalar-agg + scan. Boundaries
+    * round to 6 dp so both engines compare identical doubles (percentile
+    * and quantile_cont share linear interpolation). */
+  def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val qs = (1 to 9).map(i => round(expr(s"percentile(c_acctbal, 0.$i)"), 6))
+    val bounds = cust.agg(array(qs: _*).as("bs"))
+    cust.crossJoin(broadcast(bounds))
+      .select(col("c_custkey"), col("c_acctbal"),
+        (aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("c_acctbal") > b, 1).otherwise(0)) + 1)
+          .cast("int").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("decile"))
+  }
+
+  val customerDecilesSql: String = {
+    val qs = (1 to 9).map(i => s"round(quantile_cont(c_acctbal, 0.$i), 6)").mkString(", ")
+    s"""WITH b AS (SELECT [$qs] AS bs FROM customer),
+       |a AS (SELECT c_custkey, c_acctbal,
+       |        CAST(1 + len(list_filter(bs, x -> c_acctbal > x)) AS INT) AS decile
+       |      FROM customer, b)
+       |SELECT decile, count(*) AS n_customers,
+       |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       |FROM a GROUP BY decile ORDER BY decile""".stripMargin
+  }
 }

@@ -320,7 +320,40 @@ object EventQueries {
       |WHERE abs(round((d.n_events - s.mean_n) / s.sd_n, 6)) >= 2.0
       |ORDER BY event_type, day""".stripMargin
 
+  /** #80 top 3-step behavioral paths: each user's event stream (totally
+    * ordered by ts with event_id as the unique tie-break) yields one
+    * overlapping trigram per event via two lead() windows — no sequence
+    * materialization, no self-join; state per partition is two rows of
+    * lookahead. One user_id shuffle + a map-side-combined count, then
+    * TakeOrdered top-20. The sequence-mining shape that scales: windows
+    * over (user, time), never collect_list of a user's history. */
+  def eventsPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(20)
+  }
+
+  val eventsPathsSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+      |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_paths" -> (eventsPaths _),
     "events_window" -> (eventsWindow _),
     "events_session" -> (eventsSession _),
     "events_funnel" -> (eventsFunnel _),
@@ -333,6 +366,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_paths" -> eventsPathsSql,
     "events_window" -> eventsWindowSql,
     "events_session" -> eventsSessionSql,
     "events_funnel" -> eventsFunnelSql,

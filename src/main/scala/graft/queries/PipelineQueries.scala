@@ -106,6 +106,40 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** #81 fold count for cross-validation splits. */
+  val KFolds = 5
+
+  /** Fold boundaries as lexicographic hex thresholds over the first 4 md5
+    * hex chars (the [[sampleStratified]] trick — string compare, no
+    * hex→int, identical in any engine). */
+  private def foldThresholds: Seq[String] =
+    (1 until KFolds).map(i => f"${i * 65536 / KFolds}%04x")
+
+  /** #81 Deterministic, engine-portable k-fold assignment: the
+    * cross-validation twin of [[splitTrainVal]]. Every engine (and every
+    * rerun) must place each doc in the same fold, which seeded sample()
+    * cannot guarantee — md5 on the id can. Pure projection: scan-speed
+    * at any scale, no shuffle. */
+  def splitKfold(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val fold = foldThresholds.zipWithIndex.foldRight(lit(KFolds - 1)) {
+      case ((t, i), els) => when(h < t, i).otherwise(els)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), fold.cast("int").as("fold"))
+      .orderBy("doc_id")
+  }
+
+  val splitKfoldSql: String = {
+    val arms = foldThresholds.zipWithIndex
+      .map { case (t, i) => s"WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '$t' THEN $i" }
+      .mkString("\n      |  ", "\n      |  ", "")
+    s"""SELECT doc_id,
+       |  CAST(CASE $arms
+       |  ELSE ${KFolds - 1} END AS INT) AS fold
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Shingle window for decontamination (the standard 8-gram rule). */
   val DecontamN = 8
 
@@ -158,6 +192,7 @@ object PipelineQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_kfold" -> (splitKfold _),
     "split_train_val" -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
     "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
@@ -165,6 +200,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "split_kfold" -> splitKfoldSql,
     "split_train_val" -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
     "decontaminate" -> decontaminateSql,

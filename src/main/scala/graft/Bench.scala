@@ -89,7 +89,10 @@ object Bench {
       System.err.println(s"[bench] harness summary failed: ${e.getMessage}")
     }
 
-    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val sfNum = "sf([0-9.]+)/?$".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse {
+      System.err.println(s"[bench] WARNING: sf dir '$sfDir' does not match sf<digits>; reporting sf:0")
+      "0"
+    }
     val line =
       s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
     if (line.length > 1900)

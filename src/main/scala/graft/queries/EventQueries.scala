@@ -331,6 +331,7 @@ object EventQueries {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .where(col("event_type").isNotNull)
       .withColumn("e2", lead(col("event_type"), 1).over(w))
       .withColumn("e3", lead(col("event_type"), 2).over(w))
       .where(col("e2").isNotNull && col("e3").isNotNull)
@@ -346,7 +347,7 @@ object EventQueries {
       |  SELECT event_type,
       |    lead(event_type, 1) OVER w AS e2,
       |    lead(event_type, 2) OVER w AS e3
-      |  FROM events
+      |  FROM events WHERE event_type IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
       |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL

@@ -356,4 +356,32 @@ object RelationalQueries {
        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
        |FROM a GROUP BY decile ORDER BY decile""".stripMargin
   }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "q3_priority" -> (q3Priority _),
+    "q5_region" -> (q5Region _),
+    "q10_returns" -> (q10Returns _),
+    "q1_rollup" -> (q1Rollup _),
+    "orders_running" -> (ordersRunning _),
+    "top_customers" -> (topCustomers _),
+    "q4_priority" -> (q4Priority _),
+    "q16_parts" -> (q16Parts _),
+    "q12_lateness" -> (q12Lateness _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "customer_deciles" -> (customerDeciles _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" -> q1PricingSql,
+    "q3_priority" -> q3PrioritySql,
+    "q5_region" -> q5RegionSql,
+    "q10_returns" -> q10ReturnsSql,
+    "q1_rollup" -> q1RollupSql,
+    "orders_running" -> ordersRunningSql,
+    "top_customers" -> topCustomersSql,
+    "q4_priority" -> q4PrioritySql,
+    "q16_parts" -> q16PartsSql,
+    "q12_lateness" -> q12LatenessSql,
+    "q18_large_orders" -> q18LargeOrdersSql,
+    "customer_deciles" -> customerDecilesSql)
 }

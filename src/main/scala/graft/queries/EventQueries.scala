@@ -353,7 +353,33 @@ object EventQueries {
       |FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** #86 value histogram per event type: fixed-width bins (width 50) via
+    * a pure projection (`floor(value/width)`) + one map-side-combined
+    * count — the profiling primitive for numeric columns. No
+    * value-range discovery pass: the bin function is data-independent,
+    * so one scan + one small shuffle at any scale. min/max per bin ride
+    * in the same aggregate (order-insensitive, no summation drift). */
+  def eventsHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") / 50.0).cast("long").as("bin"), col("value"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+           min(col("value")).as("min_v"),
+           max(col("value")).as("max_v"))
+      .select(col("event_type"), col("bin"), (col("bin") * 50.0).as("bin_lo"),
+        col("n"), col("min_v"), col("max_v"))
+      .orderBy(col("event_type"), col("bin"))
+
+  val eventsHistogramSql: String =
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+      |  CAST(floor(value / 50.0) AS BIGINT) * 50.0 AS bin_lo,
+      |  count(*) AS n, min(value) AS min_v, max(value) AS max_v
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_histogram" -> (eventsHistogram _),
     "events_paths" -> (eventsPaths _),
     "events_window" -> (eventsWindow _),
     "events_session" -> (eventsSession _),
@@ -367,6 +393,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_histogram" -> eventsHistogramSql,
     "events_paths" -> eventsPathsSql,
     "events_window" -> eventsWindowSql,
     "events_session" -> eventsSessionSql,

@@ -191,7 +191,53 @@ object PipelineQueries {
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
   }
 
+  /** #87 token-budget sequence packing: assign contiguous docs (doc_id
+    * order, within their source shard) to training packs of ~`PackBudget`
+    * BPE tokens — the pack a doc lands in is determined by the tokens
+    * accumulated BEFORE it, so every engine that agrees on token counts
+    * agrees on the packing (no greedy state machine, just a prefix sum).
+    * Packing is inherently sequential per shard, so the window partitions
+    * by source — shards pack in parallel, per-shard state is one running
+    * sum. At 100 TB the shard key would be (source, file-range); the
+    * shape is unchanged. Output is the pack manifest a trainer consumes:
+    * docs per pack, token total, id range. */
+  val PackBudget = 1024L
+
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.BpePattern), lit(0)))
+        .cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("before") / PackBudget.toDouble).cast("long"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("pack_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+       |  FROM t)
+       |SELECT source, CAST(floor(bf / $PackBudget.0) AS BIGINT) AS pack_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
     "split_kfold" -> (splitKfold _),
     "split_train_val" -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
@@ -200,6 +246,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" -> packSequencesSql,
     "split_kfold" -> splitKfoldSql,
     "split_train_val" -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,

@@ -357,6 +357,149 @@ object RelationalQueries {
        |FROM a GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  /** #81 TPC-H Q6-shaped revenue forecast: pure filter + single-row
+    * aggregate. Every predicate is pushed into the parquet scan
+    * (PushedFilters carries the date window, discount band and quantity
+    * cap), so at 100 TB this reads only row groups whose min/max stats
+    * survive — the cheapest query shape there is. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+             col("l_discount").between(0.05, 0.07) &&
+             col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+
+  val q6ForecastSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** #82 TPC-H Q14-shaped promo-revenue share: conditional sum over a
+    * part join, one month of lineitem. Part is a true dimension —
+    * broadcast — so the fact side never shuffles; both the numerator and
+    * denominator aggregate in the SAME pass (no second scan for the
+    * ratio). DECIMAL-exact sums; the final ratio divides two identical
+    * doubles on both engines and rounds to 6 dp. */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type").startsWith("PROMO"), disc)).cast("double").as("promo_revenue"),
+           sum(disc).cast("double").as("total_revenue"))
+      .select(
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6).as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  val q14PromoSql: String =
+    """WITH a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |          THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS promo_revenue,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01')
+      |SELECT round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct,
+      |  promo_revenue, total_revenue
+      |FROM a""".stripMargin
+
+  /** #83 TPC-H Q17-shaped small-quantity revenue: lines below 20% of
+    * their part's average quantity. The correlated per-part subquery is
+    * decorrelated by hand into aggregate-then-join — the per-part limit
+    * table is ONE map-side-combined aggregate at part grain, then a key
+    * shuffle join back; the threshold is computed from DECIMAL-exact
+    * sums in a fixed operation order so both engines compare the same
+    * 6-dp double. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val lim = li.groupBy(col("l_partkey").as("lim_partkey"))
+      .agg(round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)) * 0.2, 6).as("qty_lim"))
+    li.join(lim, col("l_partkey") === col("lim_partkey"))
+      .where(col("l_quantity") < col("qty_lim"))
+      .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 6).as("avg_yearly"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH lim AS (
+      |  SELECT l_partkey AS lim_partkey,
+      |    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 0.2, 6) AS qty_lim
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN lim ON l_partkey = lim_partkey
+      |WHERE l_quantity < qty_lim""".stripMargin
+
+  /** #84 TPC-H Q19-shaped disjunctive filter: OR of three (brand, size,
+    * quantity) branches over a part join. The brand/size arms prune the
+    * broadcast part side; the OR-of-ANDs stays one codegen'd predicate —
+    * no union of three scans (the naive rewrite triples the fact I/O). */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val branch = (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .where(branch)
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** #85 TPC-H Q22-shaped idle balances: customers holding more than the
+    * average positive balance who have never placed a large order
+    * (totalprice > 400k), per nation. The scalar cutoff is ONE tiny
+    * aggregate broadcast back (never a per-row subquery); "never placed"
+    * is a LEFT ANTI join on the customer key — multiplicity-free by
+    * construction, no distinct pass — with the price filter pushed into
+    * the orders scan so the anti side carries only large orders. */
+  def q22IdleBalances(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val cut = cust.where(col("c_acctbal") > 0)
+      .agg(round(sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)), 6).as("cutoff"))
+    val bigOrders = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 400000).select(col("o_custkey"))
+    cust.crossJoin(broadcast(cut))
+      .where(col("c_acctbal") > col("cutoff"))
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22IdleBalancesSql: String =
+    """WITH cut AS (
+      |  SELECT round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS cutoff
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_nationkey, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer, cut
+      |WHERE c_acctbal > cutoff
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_priority" -> (q3Priority _),
@@ -369,7 +512,12 @@ object RelationalQueries {
     "q16_parts" -> (q16Parts _),
     "q12_lateness" -> (q12Lateness _),
     "q18_large_orders" -> (q18LargeOrders _),
-    "customer_deciles" -> (customerDeciles _))
+    "customer_deciles" -> (customerDeciles _),
+    "q6_forecast" -> (q6Forecast _),
+    "q14_promo" -> (q14Promo _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q22_idle_balances" -> (q22IdleBalances _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -383,5 +531,10 @@ object RelationalQueries {
     "q16_parts" -> q16PartsSql,
     "q12_lateness" -> q12LatenessSql,
     "q18_large_orders" -> q18LargeOrdersSql,
-    "customer_deciles" -> customerDecilesSql)
+    "customer_deciles" -> customerDecilesSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q14_promo" -> q14PromoSql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q22_idle_balances" -> q22IdleBalancesSql)
 }

@@ -220,6 +220,25 @@ object VectorQueries {
   def vecIvfStats(s: SparkSession, d: String): DataFrame =
     ivfModel(s, d).stats
 
+  /** One PQ model per sf dir, persisted like the IVF index: the first JVM
+    * trains the m per-subspace codebooks + encodes (seed 42), later JVMs
+    * load the code table and score it without touching the vectors. */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.PqModel]()
+
+  def pqModel(s: SparkSession, d: String): graft.search.PqModel =
+    pqCache.computeIfAbsent(d, _ => graft.search.Pq.cached(s, emb(s, d), d))
+
+  /** #88 PQ top-K: ADC shortlist over the m-byte code table + exact
+    * refine of the shortlist (rows-only: codebook from sampled KMeans;
+    * recall contract vs exact in VectorSearchSpec). */
+  def vecPqTopK(s: SparkSession, d: String): DataFrame =
+    pqModel(s, d).search(q0, k = K, shortlist = 100)
+
+  /** #89 PQ index health: per-subspace code-space usage + compression
+    * ratio in one aggregate (rows-only). */
+  def vecPqStats(s: SparkSession, d: String): DataFrame =
+    pqModel(s, d).stats()
+
   // ---- query-table-driven execution + per-query eval harness ----
 
   /** Reference queries.parquet equivalent: run the whole deterministic
@@ -263,7 +282,9 @@ object VectorQueries {
     "vec_recall_ivf" -> (vecRecallIvf _),
     "vec_nprobe_sweep" -> (vecNprobeSweep _),
     "vec_lsh_topk" -> (vecLshTopK _),
-    "vec_lsh_sweep" -> (vecLshSweep _)
+    "vec_lsh_sweep" -> (vecLshSweep _),
+    "vec_pq_topk" -> (vecPqTopK _),
+    "vec_pq_stats" -> (vecPqStats _)
   )
 
   val oracles: Map[String, String] = Map(

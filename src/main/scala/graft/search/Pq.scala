@@ -54,7 +54,10 @@ final case class PqModel(m: Int, dsub: Int, kCodes: Int,
     * reads only (vec_id, pq_codes); the refine joins the ≤`shortlist`-row
     * id list (broadcast) back to the vector table for exact IP scoring. */
   def search(qvec: Array[Float], k: Int, shortlist: Int = 100): DataFrame = {
-    val short = codes.select(col("vec_id"), adcScore(qvec).as("adc_score"))
+    // shortlist ranked on round(·,6) + vec_id, the repo-wide convention
+    // (see VectorSearch doc): the boundary can't flip on last-ulp
+    // differences in the LUT sum order
+    val short = codes.select(col("vec_id"), round(adcScore(qvec), 6).as("adc_score"))
       .orderBy(desc("adc_score"), col("vec_id")).limit(shortlist)
     VectorSearch.topK(
       corpus.join(broadcast(short.select("vec_id")), "vec_id"), qvec, k)
@@ -70,11 +73,14 @@ final case class PqModel(m: Int, dsub: Int, kCodes: Int,
     * (a subspace collapsing to few codes is how PQ recall dies — the
     * quantizer wasted its bits) plus the compression ratio. */
   def stats(rawBytesPerDim: Int = 4): DataFrame = {
+    // bytes/code derived from kCodes (not assumed 1): a codebook loaded
+    // from elsewhere may exceed the 256-code build guard
+    val bytesPerCode = math.max(1, (32 - Integer.numberOfLeadingZeros(kCodes - 1) + 7) / 8)
     val perSub = (0 until m).map(s =>
       countDistinct(element_at(col("pq_codes"), s + 1)).as(s"cu$s"))
     codes.agg(count(lit(1)).as("n_vectors"), perSub: _*)
       .select(col("n_vectors"), lit(m).as("m"), lit(kCodes).as("k"),
-        lit(m).as("code_bytes_per_vec"), // kCodes ≤ 256 → 1 byte/code
+        lit(m * bytesPerCode).as("code_bytes_per_vec"),
         lit(m * dsub * rawBytesPerDim).as("raw_bytes_per_vec"),
         least((0 until m).map(s => col(s"cu$s")): _*).as("min_codes_used"),
         greatest((0 until m).map(s => col(s"cu$s")): _*).as("max_codes_used"))
@@ -103,6 +109,8 @@ object Pq {
     * under a fixed seed. */
   def build(emb: DataFrame, m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
             maxIter: Int = 10, maxTrainRows: Long = 100000L): PqModel = {
+    require(kCodes >= 2 && kCodes <= 256,
+      s"pq: kCodes $kCodes outside [2,256] — codes must fit one byte")
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val dsub = dim / m

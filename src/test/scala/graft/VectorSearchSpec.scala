@@ -222,4 +222,53 @@ class VectorSearchSpec extends AnyFunSuite {
     val exactTop = VectorSearch.topK(emb, q0, 10).as[(Long, Double)].collect().map(_._1).toSet
     assert(got.map(_._1).count(exactTop) > 0, "no overlap with exact top-10")
   }
+
+  // ---- PQ (ADC + refine) recall contracts ----
+
+  private lazy val pq = Pq.build(emb, m = 8, kCodes = 16)
+
+  test("PQ refine with shortlist covering N == exact topK") {
+    // the shortlist admits every row, so the exact re-rank must reproduce
+    // brute-force topK bit-for-bit (same round6 + vec_id tiebreak)
+    val n = emb.count().toInt
+    val got = pq.search(q0, 10, shortlist = n).as[(Long, Double)].collect().toSeq
+    val want = VectorSearch.topK(emb, q0, 10).as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("PQ ADC+refine recall@10 clears the floor and lifts searchNoRefine") {
+    val exactTop = VectorSearch.topK(emb, q0, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val adcOnly = pq.searchNoRefine(q0, 10)
+      .as[(Long, Double)].collect().map(_._1).count(exactTop) / 10.0
+    val refined = pq.search(q0, 10, shortlist = 100)
+      .as[(Long, Double)].collect().map(_._1).count(exactTop) / 10.0
+    // refine re-ranks a 100-row ADC superset exactly, so it can only
+    // gain on the ADC-only ranking of the same table
+    assert(refined >= adcOnly, s"refine $refined < adc-only $adcOnly")
+    assert(refined >= 0.5, s"PQ refine recall@10 $refined below 0.5 floor")
+    // refined scores are the EXACT scores (not ADC approximations)
+    val exactScores = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> VecMath.round6(VecMath.dot(v, q0)) }.toMap
+    pq.search(q0, 10, shortlist = 100).as[(Long, Double)].collect()
+      .foreach { case (id, s) => assert(exactScores(id) == s) }
+  }
+
+  test("PQ stats invariants: vectors conserved, codes used, honest bytes") {
+    val r = pq.stats().collect().head
+    assert(r.getAs[Long]("n_vectors") == emb.count())
+    assert(r.getAs[Long]("min_codes_used") >= 1)
+    assert(r.getAs[Long]("max_codes_used") <= 16)
+    assert(r.getAs[Int]("code_bytes_per_vec") == 8)   // 8 subspaces x 1 byte
+    assert(r.getAs[Int]("raw_bytes_per_vec") == QueryVectors.Dim * 4)
+  }
+
+  test("PQ encode is deterministic and build rejects oversized codebooks") {
+    val a = pq.codes.orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
+    val b = Pq.build(emb, m = 8, kCodes = 16).codes
+      .orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
+    assert(a == b, "same seed must yield identical codes")
+    intercept[IllegalArgumentException] { Pq.build(emb, m = 8, kCodes = 257) }
+  }
 }

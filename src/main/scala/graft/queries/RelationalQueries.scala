@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -248,13 +248,19 @@ object RelationalQueries {
       |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** #76 TPC-H Q16-shaped coverage report: parts never in a returned line,
-    * per brand. NOT EXISTS becomes a LEFT ANTI join — the complement of
-    * the semi-join, same single-shuffle shape (no distinct pass needed:
-    * anti-join semantics ignore match multiplicity by construction). */
+  /** #76 TPC-H Q16-shaped coverage report: parts never in a RECENTLY
+    * returned line (returnflag R shipped on/after 2000-01-01), per brand.
+    * NOT EXISTS becomes a LEFT ANTI join — the complement of the
+    * semi-join, same single-shuffle shape (no distinct pass needed:
+    * anti-join semantics ignore match multiplicity by construction). The
+    * date window is pushed into the lineitem scan AND keeps the gate-scale
+    * result non-empty at every driver SF (the unwindowed variant matched
+    * every part and compared 0 = 0 rows — trivially green). */
   def q16Parts(spark: SparkSession, dir: String): DataFrame = {
     val ret = Tables.lineitem(spark, dir)
-      .where(col("l_returnflag") === "R").select(col("l_partkey"))
+      .where(col("l_returnflag") === "R" &&
+             col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_partkey"))
     Tables.part(spark, dir)
       .join(ret, col("p_partkey") === col("l_partkey"), "left_anti")
       .groupBy(col("p_brand"))
@@ -268,7 +274,8 @@ object RelationalQueries {
       |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM part
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem
-      |                  WHERE l_partkey = p_partkey AND l_returnflag = 'R')
+      |                  WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+      |                    AND l_shipdate >= TIMESTAMP '2000-01-01')
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
   /** #77 TPC-H Q12-shaped lateness split: per order priority, lines shipped
@@ -328,9 +335,7 @@ object RelationalQueries {
     * any scale, while this shape is scan + scalar-agg + scan. Boundaries
     * round to 6 dp so both engines compare identical doubles (percentile
     * and quantile_cont share linear interpolation). */
-  def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
-    val qs = (1 to 9).map(i => round(expr(s"percentile(c_acctbal, 0.$i)"), 6))
+  private def decilesFrom(cust: DataFrame, qs: Seq[Column]): DataFrame = {
     val bounds = cust.agg(array(qs: _*).as("bs"))
     cust.crossJoin(broadcast(bounds))
       .select(col("c_custkey"), col("c_acctbal"),
@@ -344,6 +349,30 @@ object RelationalQueries {
         sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
       .orderBy(col("decile"))
   }
+
+  def customerDeciles(spark: SparkSession, dir: String): DataFrame =
+    // exact percentile boundaries: required for the DuckDB quantile_cont
+    // oracle (both engines interpolate linearly over the same doubles),
+    // affordable at gate scale only — its aggregation buffer holds every
+    // distinct value in ONE task. The library/scale path is
+    // customerDecilesApprox below.
+    decilesFrom(Tables.customer(spark, dir),
+      (1 to 9).map(i => round(expr(s"percentile(c_acctbal, 0.$i)"), 6)))
+
+  /** The 100-TB decile path: approx_percentile boundaries. Unlike exact
+    * `percentile` (whose single aggregation buffer materializes the whole
+    * column's value counts in one task — a memory bomb at 100× customers),
+    * the sketch is fixed-size and MERGEABLE, so boundary estimation is a
+    * normal map-side-combined aggregate. Everything downstream is shared
+    * with the exact path. Engine-specific estimates can't face a DuckDB
+    * oracle; the accuracy contract (every boundary within one rank-error
+    * band of exact, decile populations within 2% of N/10) is asserted in
+    * RelationalQueriesSpec instead — the events_uniques HLL pattern. */
+  def customerDecilesApprox(spark: SparkSession, dir: String,
+                            accuracy: Int = 10000): DataFrame =
+    decilesFrom(Tables.customer(spark, dir),
+      (1 to 9).map(i =>
+        round(expr(s"approx_percentile(c_acctbal, 0.$i, $accuracy)"), 6)))
 
   val customerDecilesSql: String = {
     val qs = (1 to 9).map(i => s"round(quantile_cont(c_acctbal, 0.$i), 6)").mkString(", ")
@@ -500,6 +529,119 @@ object RelationalQueries {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** #91 TPC-H Q2-shaped min-cost supplier: for every size-15 part, the
+    * supplier(s) offering it at the lowest observed price. There is no
+    * partsupp table in this schema, so lineitem stands in as the
+    * part×supplier offer fact, reduced to (part, supplier) grain FIRST
+    * (one map-side-combined aggregate). The correlated min-cost subquery
+    * is decorrelated by hand into aggregate-then-join — the classic
+    * per-group ARGMIN shape: a part-grain min table joins back to the
+    * offer table on (part, cost = min), keeping ties like the reference
+    * query does. Both join inputs are already at reduced grain, and the
+    * supplier/nation dims broadcast. min over identical doubles is exact,
+    * so the double-equality join key is engine-portable. */
+  def q2MinSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val cost = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("min_cost"))
+    val best = cost.groupBy(col("l_partkey").as("b_partkey"))
+      .agg(min(col("min_cost")).as("best_cost"))
+    cost
+      .join(best, col("l_partkey") === col("b_partkey") &&
+                  col("min_cost") === col("best_cost"))
+      .join(broadcast(Tables.part(spark, dir).where(col("p_size") === 15)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+        col("p_brand"), col("min_cost"))
+      .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(20)
+  }
+
+  val q2MinSupplierSql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, min_cost
+      |FROM cost
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size = 15
+      |  AND min_cost = (SELECT min(c2.min_cost) FROM cost c2
+      |                  WHERE c2.l_partkey = cost.l_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin
+
+  /** #92 TPC-H Q13-shaped order-count distribution: how many customers
+    * placed exactly N non-urgent orders — INCLUDING the zero-order
+    * customers, which is why the priority predicate lives in the LEFT
+    * OUTER join condition, not a WHERE (a post-join filter would silently
+    * drop the unmatched rows the query exists to count). Two aggregates:
+    * customer grain (count skips the nulls the outer join manufactures),
+    * then the tiny distribution grain. */
+  def q13Custdist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  val q13CustdistSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** #93 TPC-H Q21-shaped sole-fault supplier: suppliers whose returned
+    * line was the ONLY return in a multi-supplier order. Stacked EXISTS +
+    * NOT EXISTS against the SAME fact: the EXISTS ("another supplier
+    * shipped in this order") is a LEFT SEMI join, the NOT EXISTS ("no
+    * other supplier's line was returned") a LEFT ANTI join — both shuffle
+    * on the order key only, neither materializes match multiplicity, and
+    * the returned-lines side is filtered before either join. The tiny
+    * supplier dim broadcasts for the final name lookup. */
+  def q21SoleFault(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val l1 = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = li.select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val otherReturns = li.where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    l1
+      .join(others, col("l_orderkey") === col("o2_orderkey") &&
+                    col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(otherReturns, col("l_orderkey") === col("o3_orderkey") &&
+                          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  val q21SoleFaultSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_priority" -> (q3Priority _),
@@ -517,7 +659,10 @@ object RelationalQueries {
     "q14_promo" -> (q14Promo _),
     "q17_small_qty" -> (q17SmallQty _),
     "q19_disjunctive" -> (q19Disjunctive _),
-    "q22_idle_balances" -> (q22IdleBalances _))
+    "q22_idle_balances" -> (q22IdleBalances _),
+    "q2_min_supplier" -> (q2MinSupplier _),
+    "q13_custdist" -> (q13Custdist _),
+    "q21_sole_fault" -> (q21SoleFault _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -536,5 +681,8 @@ object RelationalQueries {
     "q14_promo" -> q14PromoSql,
     "q17_small_qty" -> q17SmallQtySql,
     "q19_disjunctive" -> q19DisjunctiveSql,
-    "q22_idle_balances" -> q22IdleBalancesSql)
+    "q22_idle_balances" -> q22IdleBalancesSql,
+    "q2_min_supplier" -> q2MinSupplierSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q21_sole_fault" -> q21SoleFaultSql)
 }

@@ -239,6 +239,23 @@ object VectorQueries {
   def vecPqStats(s: SparkSession, d: String): DataFrame =
     pqModel(s, d).stats()
 
+  /** One composed IVF×PQ index per sf dir: reuses the persisted IVF and
+    * PQ halves, persists the composed (vec_id, list_id, pq_codes) table
+    * partitioned by list_id — so a probe is a partition-pruned scan of
+    * m-byte codes (the FAISS IVFPQ scale tier). */
+  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.IvfPqModel]()
+
+  def ivfpqModel(s: SparkSession, d: String): graft.search.IvfPqModel =
+    ivfpqCache.computeIfAbsent(d, _ =>
+      graft.search.IvfPq.cached(s, emb(s, d), d, ivfModel(s, d), pqModel(s, d)))
+
+  /** #94 IVFPQ top-K: probe nprobe lists, ADC-rank only THEIR codes,
+    * exact-refine the shortlist (rows-only: both quantizers come from
+    * sampled KMeans; recall/equality contracts in VectorSearchSpec, the
+    * pruned-scan plan pin in PlanSpec). */
+  def vecIvfPqTopK(s: SparkSession, d: String): DataFrame =
+    ivfpqModel(s, d).search(q0, nprobe = 32, k = K, shortlist = 100)
+
   // ---- query-table-driven execution + per-query eval harness ----
 
   /** Reference queries.parquet equivalent: run the whole deterministic
@@ -284,7 +301,8 @@ object VectorQueries {
     "vec_lsh_topk" -> (vecLshTopK _),
     "vec_lsh_sweep" -> (vecLshSweep _),
     "vec_pq_topk" -> (vecPqTopK _),
-    "vec_pq_stats" -> (vecPqStats _)
+    "vec_pq_stats" -> (vecPqStats _),
+    "vec_ivfpq_topk" -> (vecIvfPqTopK _)
   )
 
   val oracles: Map[String, String] = Map(

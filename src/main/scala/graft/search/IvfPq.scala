@@ -1,0 +1,127 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF×PQ composition — the FAISS IndexIVFPQ slot of the index family the
+  * reference's loader builds toward (reference src/dataio/loaders.py:143-151
+  * constructs the FAISS IVF family; IVFPQ is that family's standard answer
+  * once even the per-list flat vectors are too big to scan).
+  *
+  * The two halves already exist and stay INDEPENDENT:
+  *  - [[Ivf]] contributes the coarse quantizer: list assignment, the
+  *    list_id-partitioned layout, and probe-time partition pruning;
+  *  - [[Pq]] contributes the fine quantizer: the m-byte ADC code column
+  *    and the per-query lookup-table scoring.
+  *
+  * The composed code table carries (vec_id, list_id, pq_codes) and is
+  * persisted partitioned BY list_id, so a probe reads only the probed
+  * lists' partitions AND each surviving row is m bytes, not m·dsub·4 —
+  * both prunings multiply: at nprobe/nlist = 32/4096 over 64-d f32 the
+  * scan I/O is (32/4096)·(1/32) ≈ 1/4096 of the flat corpus. The exact
+  * refine then touches only the ≤`shortlist` winners via a broadcast join
+  * back to the vector table (never a second corpus scan).
+  */
+final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame) {
+
+  /** Top-K: IVF-pruned ADC shortlist + exact refine. The shortlist ranks
+    * on round(·,6) with vec_id tiebreak (repo-wide ranking convention —
+    * see VectorSearch doc), so results are deterministic per index. */
+  def search(qvec: Array[Float], nprobe: Int, k: Int,
+             shortlist: Int = 100): DataFrame = {
+    val short = shortlistDf(qvec, nprobe, shortlist)
+    VectorSearch.topK(
+      pq.corpus.join(broadcast(short.select("vec_id")), "vec_id"), qvec, k)
+  }
+
+  /** ADC-only top-K within the probed lists (no refine) — the recall
+    * floor the refine pass lifts at equal nprobe (spec contract). */
+  def searchNoRefine(qvec: Array[Float], nprobe: Int, k: Int): DataFrame =
+    shortlistDf(qvec, nprobe, k)
+      .select(col("vec_id"), col("adc_score").as("score"))
+
+  private def shortlistDf(qvec: Array[Float], nprobe: Int, n: Int): DataFrame = {
+    val lists = ivf.probes(qvec, nprobe)
+    coded.where(col("list_id").isin(lists: _*))
+      .select(col("vec_id"), round(pq.adcScore(qvec), 6).as("adc_score"))
+      .orderBy(desc("adc_score"), col("vec_id"))
+      .limit(n)
+  }
+
+  /** Composed-index health: list-size skew (what kills nprobe recall)
+    * over the composed table, with the PQ geometry alongside; per-subspace
+    * code usage stays Pq.stats's job. */
+  def stats: DataFrame = {
+    val sizes = coded.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+    sizes.agg(
+      count(lit(1)).as("nonempty_lists"),
+      lit(ivf.centroids.length).as("nlist"),
+      min(col("sz")).as("min_sz"),
+      max(col("sz")).as("max_sz"),
+      sum(col("sz")).as("n_vectors"),
+      lit(pq.m).as("m"),
+      lit(pq.kCodes).as("k"))
+  }
+}
+
+object IvfPq {
+
+  /** Compose from trained halves: ONE projection over the ivf-indexed
+    * table derives the code column row-locally (vectors are read once,
+    * at build time — query-time scans never touch them). */
+  def compose(ivf: IvfModel, pq: PqModel): IvfPqModel =
+    IvfPqModel(ivf, pq, ivf.indexed.select(
+      col("vec_id"), col("list_id"),
+      Pq.encodeCol(pq.codebook, pq.dsub).as("pq_codes")))
+
+  /** Persist ONLY the composed code table — the halves persist themselves
+    * (Ivf.cached / Pq.cached); clustering by list before the partitioned
+    * write keeps each list's codes in O(1) files (same discipline as
+    * IvfModel.write). */
+  def write(model: IvfPqModel, path: String): Unit =
+    model.coded.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+
+  def load(spark: SparkSession, path: String, ivf: IvfModel, pq: PqModel): IvfPqModel =
+    IvfPqModel(ivf, pq, spark.read.parquet(s"$path/codes"))
+
+  /** Load-or-publish with the shared single-rename race discipline
+    * (Ivf.buildOrLoad doc): a rename loser discards its copy and
+    * re-verifies the winner before loading. */
+  def buildOrLoad(spark: SparkSession, ivf: IvfModel, pq: PqModel,
+                  path: String): IvfPqModel = {
+    def done = new java.io.File(s"$path/codes/_SUCCESS").exists()
+    if (done) load(spark, path, ivf, pq)
+    else {
+      val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
+      write(compose(ivf, pq), tmp)
+      val dst = new java.io.File(path)
+      dst.getParentFile.mkdirs()
+      if (!new java.io.File(tmp).renameTo(dst)) {
+        deleteRecursively(new java.io.File(tmp))
+        if (!done)
+          throw new IllegalStateException(
+            s"ivfpq publish failed: rename to $path lost without a complete index present")
+      }
+      load(spark, path, ivf, pq)
+    }
+  }
+
+  /** Mtime-keyed per-corpus cache (Ivf.cached convention): the composed
+    * code table is persisted once per (corpus, params) and probed from
+    * its list_id-partitioned on-disk layout by every later JVM. */
+  def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
+             ivf: IvfModel, pq: PqModel): IvfPqModel = {
+    val n = emb.count()
+    val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
+    val srcMtime = emb.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq/$key-n$n-m$srcMtime-sub${pq.m}-k${pq.kCodes}"
+    buildOrLoad(spark, ivf, pq, path)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+}

@@ -97,6 +97,86 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(r.where(col("running_spend") < 0).count() == 0)
   }
 
+  test("customer_deciles approx path: boundaries and populations track exact") {
+    // the scale path (mergeable approx_percentile sketch) must agree with
+    // the exact-percentile gate query within its rank-error contract:
+    // at accuracy=10000 over ~1500 customers the sketch is effectively
+    // exact, so decile populations match N/10 within 2% of N and the
+    // total balance is conserved exactly
+    val exact = RelationalQueries.customerDeciles(spark, sf).collect()
+    val approx = RelationalQueries.customerDecilesApprox(spark, sf).collect()
+    val n = Tables.customer(spark, sf).count()
+    assert(approx.map(_.getInt(0)).toSeq == (1 to 10), "all ten deciles present")
+    approx.foreach { r =>
+      assert(math.abs(r.getLong(1) - n / 10.0) <= math.max(2.0, 0.02 * n),
+        s"decile ${r.getInt(0)} population ${r.getLong(1)} off N/10=${n / 10}")
+    }
+    // both paths partition the same rows: totals conserved
+    assert(approx.map(_.getLong(1)).sum == n)
+    assert(math.abs(approx.map(_.getDouble(4)).sum - exact.map(_.getDouble(4)).sum) < 1e-6)
+    // min/max per decile are monotone across deciles in both paths
+    val mins = approx.map(_.getDouble(2)).toSeq
+    assert(mins == mins.sorted, s"approx decile mins not monotone: $mins")
+  }
+
+  test("q16_parts: gate-scale result is non-empty and excludes returned parts") {
+    val r = RelationalQueries.q16Parts(spark, sf).collect()
+    assert(r.nonEmpty, "q16 must compare populated outputs at gate scale")
+    assert(r.map(_.getLong(1)).sum > 0)
+    // cross-check the anti-join: no counted part has a recent R return
+    val recent = Tables.lineitem(spark, sf)
+      .where(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("l_partkey").distinct().count()
+    val total = Tables.part(spark, sf).count()
+    assert(r.map(_.getLong(1)).sum == total - recent)
+  }
+
+  test("q2_min_supplier: every row carries its part's true minimum cost") {
+    val r = RelationalQueries.q2MinSupplier(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // min_cost equals the part's global minimum offer (argmin join is tight)
+    val best = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).agg(min(col("l_extendedprice")).as("truth"))
+    val bad = r.join(best, r("p_partkey") === best("l_partkey"))
+      .where(col("min_cost") =!= col("truth")).count()
+    assert(bad == 0)
+    // ordering contract: s_acctbal descending
+    val bals = rows.map(_.getDouble(0)).toSeq
+    assert(bals == bals.sorted.reverse)
+  }
+
+  test("q13_custdist: distribution conserves customers incl. zero-order ones") {
+    val r = RelationalQueries.q13Custdist(spark, sf).collect()
+    val n = Tables.customer(spark, sf).count()
+    assert(r.map(_.getLong(1)).sum == n, "every customer in exactly one bucket")
+    // weighted count = total non-urgent orders (the outer join drops none)
+    val orders = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(r.map(x => x.getLong(0) * x.getLong(1)).sum == orders)
+  }
+
+  test("q21_sole_fault: counted lines are sole returns in multi-supplier orders") {
+    val rows = RelationalQueries.q21SoleFault(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // recompute the whole distribution from first principles (one collect
+    // of the small-SF fact, grouped locally)
+    val lines = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .as[(Long, Long, String)].collect()
+    val byOrder = lines.groupBy(_._1)
+    val counts = lines.filter(_._3 == "R").filter { case (ok, sk, _) =>
+      val os = byOrder(ok)
+      os.exists(_._2 != sk) && !os.exists(l => l._2 != sk && l._3 == "R")
+    }.groupBy(_._2).map { case (sk, ls) => sk -> ls.length.toLong }
+    val names = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_name")).as[(Long, String)].collect().toMap
+    val want = counts.toSeq.map { case (sk, n) => (names(sk), n) }
+      .sortBy { case (nm, n) => (-n, nm) }.take(rows.length)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
+
   test("rangeSearch: superset-consistent with topK and monotone in tau") {
     val emb = Tables.embeddings(spark, sf)
     val q0 = graft.search.QueryVectors.qvec(0)

@@ -42,6 +42,10 @@ object Bench {
     // should measure the ADC scan / stats aggregate, not training.
     try { graft.queries.VectorQueries.pqModel(spark, sfDir); () }
     catch { case _: Throwable => }
+    // ...and the composed IVFPQ code table (derived from the two halves
+    // above in one projection + partitioned write — also build cost).
+    try { graft.queries.VectorQueries.ivfpqModel(spark, sfDir); () }
+    catch { case _: Throwable => }
     // JIT-warm the heavy codegen paths (token-set hashing, intersect
     // verify, cluster resolution) at sf0.001: the alphabetically-first
     // timed query (corpus_curate) otherwise pays cold-compile for the
@@ -80,7 +84,7 @@ object Bench {
     // respect the 2000-char tail budget)
     try {
       val rows = graft.harness.RunHarness.runMany(
-        spark, sfDir, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"),
+        spark, sfDir, graft.queries.VectorQueries.HarnessFamilies,
         ram = graft.queries.VectorQueries.servingTier(spark, sfDir))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("results.jsonl"),

@@ -129,6 +129,64 @@ object RunHarness {
     }
   }
 
+  /** ANN-backed post_filter — the plan the reference's post_filter ACTUALLY
+    * runs (post_filter.py:17-99 probes `ann_index.search` with each ladder
+    * rung's K′): candidates come from the probed IVF lists only, so unlike
+    * the exact-scored ladder above this family records the index-probe
+    * trade — recall < 1 when a true neighbour lives in an unprobed list.
+    * The rung walk itself is identical (top-200 of the probed lists ⊆
+    * top-500 ⊆ top-1000, like FAISS's nested search results), so ONE
+    * pruned-scan TakeOrdered of the max rung feeds the same driver-side
+    * ladder accounting — retries / kth_at_stop semantics unchanged. */
+  private class IvfPostFilterBackend(model: IvfModel, nprobeN: Int,
+                                     ladder: Seq[Int], maxLadderSteps: Option[Int])
+      extends Backend {
+    val name = "post_filter:ivf"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val maxSteps = maxLadderSteps.getOrElse(ladder.length)
+      val rungs = ladder.sorted
+      val lists = model.probes(qvec, nprobeN)
+      val ((kept, rung, satisfied, retries), ms) = timed {
+        val cand = VectorSearch
+          .withScore(model.indexed.where(col("list_id").isin(lists: _*)), qvec)
+          .withColumn("pass", coalesce(pred.getOrElse(lit(true)), lit(false)))
+          .select(col("vec_id").cast("long"), col("score"), col("pass"))
+          .orderBy(desc("score"), col("vec_id"))
+          .limit(rungs.max)
+          .as[(Long, Double, Boolean)].collect()
+        ladderWalk(cand, rungs, k, maxSteps)
+      }
+      val (ids, st) = postStats(kept, rung, satisfied, retries, k, ladder, ms)
+      (ids, st.copy(listsProbed = Some(lists.length), nprobe = Some(nprobeN),
+        notes = st.notes.map("ivf-probed " + _)))
+    }
+  }
+
+  /** PQ backend: ADC shortlist over the m-byte code table (the 32×-smaller
+    * scan), exact refine of the shortlist via a broadcast id join, filter
+    * applied on the refined rows (the code table carries no metadata).
+    * kept < K when the filter eats the shortlist — the honest recall trade
+    * a compressed post-filter index makes, recorded per query. */
+  private class PqBackend(model: PqModel, shortlistN: Int) extends Backend {
+    val name = "pq"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val (rows, ms) = timed {
+        val short = model.codes
+          .select(col("vec_id"), round(model.adcScore(qvec), 6).as("adc_score"))
+          .orderBy(desc("adc_score"), col("vec_id")).limit(shortlistN)
+        val refined = model.corpus.join(broadcast(short.select("vec_id")), "vec_id")
+        VectorSearch.topK(refined, qvec, k, pred).collect()
+      }
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, shortlistN, None, None, rows.lastOption.map(_.getDouble(1)), None,
+          Some(s"pq adc m=${model.m} k=${model.kCodes} shortlist=$shortlistN")))
+    }
+  }
+
   /** RAM serving tier for exact/pre_filter: scores the pinned flat blocks
     * when the filter is label-local, falls back to the Catalyst path
     * otherwise. Same semantics, no per-query columnar decode. */
@@ -242,6 +300,18 @@ object RunHarness {
       case "post_filter" =>
         ram.map(new RamPostFilterBackend(_, ladder, maxLadderSteps))
           .getOrElse(new PostFilterBackend(ladder, maxLadderSteps))
+      case "post_filter:ivf" =>
+        val model = corpusKey match {
+          case Some(key) => Ivf.cached(emb.sparkSession, emb, key, knownTotal = Some(total))
+          case None => Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
+        }
+        new IvfPostFilterBackend(model, nprobe, ladder, maxLadderSteps)
+      case "pq" =>
+        val model = corpusKey match {
+          case Some(key) => Pq.cached(emb.sparkSession, emb, key)
+          case None => Pq.build(emb)
+        }
+        new PqBackend(model, shortlistN = 100)
       case "ivf" =>
         val model = corpusKey match {
           case Some(k) => Ivf.cached(emb.sparkSession, emb, k, knownTotal = Some(total))

@@ -106,7 +106,7 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** #81 fold count for cross-validation splits. */
+  /** #90 fold count for cross-validation splits. */
   val KFolds = 5
 
   /** Fold boundaries as lexicographic hex thresholds over the first 4 md5
@@ -115,7 +115,7 @@ object PipelineQueries {
   private def foldThresholds: Seq[String] =
     (1 until KFolds).map(i => f"${i * 65536 / KFolds}%04x")
 
-  /** #81 Deterministic, engine-portable k-fold assignment: the
+  /** #90 Deterministic, engine-portable k-fold assignment: the
     * cross-validation twin of [[splitTrainVal]]. Every engine (and every
     * rerun) must place each doc in the same fold, which seeded sample()
     * cannot guarantee — md5 on the id can. Pure projection: scan-speed

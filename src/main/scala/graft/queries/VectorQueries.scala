@@ -258,6 +258,14 @@ object VectorQueries {
 
   // ---- query-table-driven execution + per-query eval harness ----
 
+  /** The recorded backend families — every tier of the fallback chain
+    * plus the compression tier, shared by hybrid_stats and Bench so
+    * results.jsonl / bench_harness.json always carry the same rows
+    * (BASELINE.md §2 keys on the `exact` family staying present). */
+  val HarnessFamilies: Seq[String] = Seq(
+    "exact", "pre_filter", "post_filter", "post_filter:ivf",
+    "ivf", "pq", "lsh:1", "lsh:2x2", "random")
+
   /** Reference queries.parquet equivalent: run the whole deterministic
     * hybrid query set (filters JSON + seeded vectors + per-query K). */
   def hybridQueries(s: SparkSession, d: String): DataFrame =
@@ -271,13 +279,14 @@ object VectorQueries {
   def hybridStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // one pass over the query set: per-query validation/count/oracle are
-    // shared across the backends (pre_filter doubles as the oracle); ivf
-    // probes the shared persisted index; the mid-tier appears at TWO
-    // dial settings (lsh:1 and lsh:2x2) so the recorded stats show the
-    // recall/latency trade-off moving, ef_search-style
+    // shared across the backends (exact doubles as the oracle); ivf and
+    // pq probe the shared persisted indexes; post_filter appears in BOTH
+    // plans the reference discusses — the exact-scored ladder and the
+    // ANN-probed ladder (post_filter.py's actual plan); the mid-tier
+    // appears at TWO dial settings (lsh:1 and lsh:2x2) so the recorded
+    // stats show the recall/latency trade-off moving, ef_search-style
     val rows = graft.harness.RunHarness.runMany(
-      s, d, Seq("pre_filter", "post_filter", "ivf", "lsh:1", "lsh:2x2", "random"),
-      ram = servingTier(s, d))
+      s, d, HarnessFamilies, ram = servingTier(s, d))
     rows.map(r => (r.qid, r.method, r.k, r.latencyMs, r.recallAtK,
         r.filterSelectivity, r.scoredVectors, r.kthAtStop.getOrElse(Double.NaN)))
       .toDF("qid", "method", "k", "latency_ms", "recall_at_k",

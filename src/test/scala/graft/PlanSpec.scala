@@ -95,6 +95,22 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("IVFPQ probe is partition-pruned AND reads only the m-byte codes") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = graft.search.Ivf.build(emb, nlist = 8)
+    val pq = graft.search.Pq.build(emb, m = 8, kCodes = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").resolve("idx").toString
+    graft.search.IvfPq.write(graft.search.IvfPq.compose(ivf, pq), dir)
+    val loaded = graft.search.IvfPq.load(spark, dir, ivf, pq)
+    val p = plan(loaded.searchNoRefine(QueryVectors.qvec(0), nprobe = 2, k = 5))
+    // both prunings must show at the scan: the probe lands in
+    // PartitionFilters (list-level I/O skip) and ReadSchema carries the
+    // code column only — the flat vectors are never touched
+    assert(p.contains("PartitionFilters: [list_id"), p)
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,pq_codes:array<int>>"), p)
+    assert(!p.contains("embedding"), p)
+  }
+
   test("stratified sample is a scan-level projection filter reading two columns") {
     val p = plan(queries.PipelineQueries.sampleStratified(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p) // presentation sort only

@@ -201,6 +201,44 @@ class RunHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("post_filter:ivf rides the probed index: stats parity + recall vs exact ladder") {
+    val rows = RunHarness.runMany(spark, sf, Seq("post_filter", "post_filter:ivf"),
+      qs = QuerySet.default.take(4))
+    val byM = rows.groupBy(_.method)
+    assert(byM.keySet == Set("post_filter", "post_filter:ivf"))
+    // stats-field parity with the exact-scored ladder, PLUS the probe stats
+    byM("post_filter:ivf").foreach { r =>
+      assert(r.listsProbed.nonEmpty && r.nprobe.contains(32), s"qid ${r.qid}")
+      assert(r.notes.exists(n => n.startsWith("ivf-probed") && n.contains("k_ladder=")), r.notes)
+      assert(r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
+      assert(r.scoredVectors >= r.k, "scored_vectors is the stopping rung")
+    }
+    byM("post_filter").foreach(r => assert(r.listsProbed.isEmpty && r.nprobe.isEmpty))
+    // the index-probed ladder can only see candidates inside the probed
+    // lists, so on average it cannot beat the exact-scored ladder (small
+    // tolerance: rung-boundary effects when the exact ladder exhausts)
+    val mean = (m: String) => byM(m).map(_.recallAtK).sum / byM(m).size
+    assert(mean("post_filter:ivf") <= mean("post_filter") + 0.1,
+      s"ivf ${mean("post_filter:ivf")} vs exact ${mean("post_filter")}")
+    assert(mean("post_filter:ivf") > 0.0, "probed ladder found nothing at nprobe=32")
+  }
+
+  test("pq backend: shortlist accounting, exact refined scores, recall floor") {
+    val rows = RunHarness.runMany(spark, sf, Seq("exact", "pq"),
+      qs = QuerySet.default.take(4))
+    val byM = rows.groupBy(_.method)
+    byM("pq").foreach { r =>
+      assert(r.scoredVectors == 100, "scored_vectors = the ADC shortlist size")
+      assert(r.notes.exists(_.startsWith("pq adc m=")), r.notes)
+      assert(r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
+    }
+    val meanPq = byM("pq").map(_.recallAtK).sum / byM("pq").size
+    assert(meanPq > 0.0, "pq backend found no oracle hits")
+    // summarize must now carry both families (bench_harness.json contract)
+    val fams = RunHarness.summarize(rows).map(_._1)
+    assert(fams == Seq("exact", "pq"), fams.mkString(","))
+  }
+
   test("summarize aggregates latency/recall per backend (latency_recall twin)") {
     val rows = RunHarness.run(spark, sf, "exact", qs = QuerySet.default.take(3))
     val s = RunHarness.summarize(rows)

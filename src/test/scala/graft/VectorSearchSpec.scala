@@ -264,6 +264,49 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(r.getAs[Int]("raw_bytes_per_vec") == QueryVectors.Dim * 4)
   }
 
+  // ---- IVFPQ (composed coarse + fine quantizer) contracts ----
+
+  private lazy val ivfpq = IvfPq.compose(Ivf.build(emb, nlist = 16), pq)
+
+  test("IVFPQ probing all lists == PQ ADC+refine (composition lossless at full probe)") {
+    // with every list probed the pruned code set IS the full code table,
+    // so the composed index must reproduce the flat-PQ ranking exactly
+    val got = ivfpq.search(q0, nprobe = 16, k = 10, shortlist = 100)
+      .as[(Long, Double)].collect().toSeq
+    val want = pq.search(q0, 10, shortlist = 100)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("IVFPQ refine recall@10 >= ADC-only floor at equal nprobe") {
+    val exactTop = VectorSearch.topK(emb, q0, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    Seq(8, 16).foreach { np =>
+      val adcOnly = ivfpq.searchNoRefine(q0, np, 10)
+        .as[(Long, Double)].collect().map(_._1).count(exactTop) / 10.0
+      val refined = ivfpq.search(q0, np, 10, shortlist = 100)
+        .as[(Long, Double)].collect().map(_._1).count(exactTop) / 10.0
+      // refine exact-re-ranks a 100-row ADC superset of the probed lists:
+      // any true top-10 vector in the candidates outranks every non-top-10
+      // one by exact score, so hits can only grow
+      assert(refined >= adcOnly, s"nprobe=$np: refine $refined < adc-only $adcOnly")
+    }
+    // refined scores are exact scores (the refine join reads the vectors)
+    val exactScores = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> VecMath.round6(VecMath.dot(v, q0)) }.toMap
+    ivfpq.search(q0, nprobe = 8, k = 10).as[(Long, Double)].collect()
+      .foreach { case (id, s) => assert(exactScores(id) == s) }
+  }
+
+  test("IVFPQ stats: vectors conserved across the composed table") {
+    val r = ivfpq.stats.collect().head
+    assert(r.getAs[Long]("n_vectors") == emb.count())
+    assert(r.getAs[Int]("nlist") == 16)
+    assert(r.getAs[Long]("nonempty_lists") >= 1 && r.getAs[Long]("nonempty_lists") <= 16)
+    assert(r.getAs[Int]("m") == 8 && r.getAs[Int]("k") == 16)
+  }
+
   test("PQ encode is deterministic and build rejects oversized codebooks") {
     val a = pq.codes.orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
     val b = Pq.build(emb, m = 8, kCodes = 16).codes

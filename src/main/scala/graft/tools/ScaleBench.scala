@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence probe: the five heaviest bench queries at 1× (sf0.1)
+  * and R× (default 10×, the sf1 equivalent the driver testdata doesn't
+  * ship), to record how their cost actually scales — the numbers
+  * BASELINE.md §3 quotes.
+  *
+  * The R× corpus is SYNTHESIZED from sf0.1 under /tmp (testdata is
+  * read-only): R replicas with offset ids. Text replicas are passed
+  * through a PER-REPLICA TOKEN BIJECTION (a `translate` over nine
+  * high-frequency letters): within a replica every pairwise token-set
+  * Jaccard is EXACTLY preserved (both docs map through the same
+  * bijection), while across replicas shared tokens are only those
+  * invariant under both maps — so the near-dup pair structure scales
+  * linearly (R× pairs), not quadratically (naive copies would make
+  * every doc a 10-way exact dup and explode candidate pairs ~R²,
+  * measuring the data's degeneracy rather than the operator's scaling).
+  * Embedding replicas keep their values (vector count is what the scan
+  * and index paths care about); vec_ids offset.
+  *
+  * Timing mirrors Bench: noop sink, JIT-warm at sf0.001, index/serving
+  * tiers warmed OUTSIDE the timed region at each scale (the reference
+  * also excludes FAISS build time). Prints ONE JSON line:
+  * {"metric":"scale_ratio", "queries": {name: {"t1":s, "tR":s,
+  * "ratio":r}}, "replicas":R}.
+  */
+object ScaleBench {
+
+  private val Heavy = Seq("corpus_curate", "dedup_minhash_lsh",
+    "hybrid_stats", "decontaminate", "text_repetition")
+
+  /** Ten distinct bijections over nine high-frequency letters (identity
+    * for replica 0 keeps the base corpus byte-identical). */
+  private val Alphabet = "aeiousnrt"
+  private val Perms = Seq(
+    "aeiousnrt", "eiousnrta", "iousnrtae", "ousnrtaei", "usnrtaeio",
+    "snrtaeiou", "nrtaeious", "rtaeiousn", "taeiousnr", "tesarnuoi")
+
+  private def buildScaled(spark: SparkSession, baseDir: String,
+                          outDir: String, replicas: Int): Unit = {
+    if (new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()) return
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val docCopies = (0 until replicas).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        translate(col("text"), Alphabet, Perms(i % Perms.length)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docCopies.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val embCopies = (0 until replicas).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }
+    embCopies.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def warm(spark: SparkSession, dir: String): Unit = {
+    try { graft.queries.VectorQueries.ivfModel(spark, dir); () }
+    catch { case _: Throwable => }
+    try { graft.queries.VectorQueries.servingTier(spark, dir); () }
+    catch { case _: Throwable => }
+    try { graft.queries.VectorQueries.pqModel(spark, dir); () }
+    catch { case _: Throwable => }
+    try { graft.queries.VectorQueries.ivfpqModel(spark, dir); () }
+    catch { case _: Throwable => }
+  }
+
+  private def time(fn: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    fn.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/x$replicas"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, baseDir, scaleDir, replicas)
+
+    // JIT-warm the dedup/text/harness code paths at the smallest SF
+    // (Bench's discipline: warm CODE, the pair caches are dir-keyed)
+    val warmDir = "/root/testdata/sf0.001"
+    warm(spark, warmDir)
+    Heavy.foreach { q =>
+      try { graft.SparkEntry.queries(q)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => }
+    }
+
+    def runAll(dir: String): Map[String, Double] = {
+      warm(spark, dir)
+      Heavy.map(q => q -> time(graft.SparkEntry.queries(q)(spark, dir))).toMap
+    }
+    val t1 = runAll(baseDir)
+    val tR = runAll(scaleDir)
+
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = Heavy.map { q =>
+      val r = if (t1(q) > 0) tR(q) / t1(q) else -1.0
+      s""""$q":{"t1":${f2(t1(q))},"tR":${f2(tR(q))},"ratio":${f2(r)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_ratio","queries":$qs,"replicas":$replicas}"""
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    println(line)
+    System.out.flush()
+  }
+}

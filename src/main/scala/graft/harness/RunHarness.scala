@@ -187,6 +187,33 @@ object RunHarness {
     }
   }
 
+  /** IVFPQ backend: partition-pruned ADC scan of the probed lists' m-byte
+    * codes → shortlist → exact refine → filter. The full FAISS-family
+    * scale tier recorded alongside its halves (ivf = pruned flat scan,
+    * pq = full compressed scan) so results.jsonl shows the composition's
+    * recall/latency position between them. */
+  private class IvfPqBackend(model: IvfPqModel, nprobeN: Int, shortlistN: Int)
+      extends Backend {
+    val name = "ivfpq"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val lists = model.ivf.probes(qvec, nprobeN)
+      val pruned = model.coded.where(col("list_id").isin(lists: _*))
+      val scanned = pruned.count()
+      val (rows, ms) = timed {
+        val short = pruned
+          .select(col("vec_id"), round(model.pq.adcScore(qvec), 6).as("adc_score"))
+          .orderBy(desc("adc_score"), col("vec_id")).limit(shortlistN)
+        val refined = model.pq.corpus.join(broadcast(short.select("vec_id")), "vec_id")
+        VectorSearch.topK(refined, qvec, k, pred).collect()
+      }
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, scanned, Some(lists.length), Some(nprobeN),
+          rows.lastOption.map(_.getDouble(1)), None,
+          Some(s"ivfpq adc m=${model.pq.m} k=${model.pq.kCodes} shortlist=$shortlistN")))
+    }
+  }
+
   /** RAM serving tier for exact/pre_filter: scores the pinned flat blocks
     * when the filter is label-local, falls back to the Catalyst path
     * otherwise. Same semantics, no per-query columnar decode. */
@@ -312,6 +339,16 @@ object RunHarness {
           case None => Pq.build(emb)
         }
         new PqBackend(model, shortlistN = 100)
+      case "ivfpq" =>
+        val spark = emb.sparkSession
+        val model = corpusKey match {
+          case Some(key) => IvfPq.cached(spark, emb, key,
+            Ivf.cached(spark, emb, key, knownTotal = Some(total)),
+            Pq.cached(spark, emb, key))
+          case None => IvfPq.compose(
+            Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))), Pq.build(emb))
+        }
+        new IvfPqBackend(model, nprobe, shortlistN = 100)
       case "ivf" =>
         val model = corpusKey match {
           case Some(k) => Ivf.cached(emb.sparkSession, emb, k, knownTotal = Some(total))

@@ -264,7 +264,7 @@ object VectorQueries {
     * (BASELINE.md §2 keys on the `exact` family staying present). */
   val HarnessFamilies: Seq[String] = Seq(
     "exact", "pre_filter", "post_filter", "post_filter:ivf",
-    "ivf", "pq", "lsh:1", "lsh:2x2", "random")
+    "ivf", "pq", "ivfpq", "lsh:1", "lsh:2x2", "random")
 
   /** Reference queries.parquet equivalent: run the whole deterministic
     * hybrid query set (filters JSON + seeded vectors + per-query K). */

@@ -95,6 +95,29 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("q2 argmin join: dims broadcast, top-20 stays TakeOrdered, no cross join") {
+    val p = plan(RelationalQueries.q2MinSupplier(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"part/supplier/nation must broadcast, got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q13 keeps the OUTER join so zero-order customers survive the filter") {
+    val p = plan(RelationalQueries.q13Custdist(spark, sf))
+    assert(p.contains("LeftOuter"), p) // a WHERE rewrite would plan Inner
+    // two aggregate grains (customer, then distribution), each map-side partial
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+  }
+
+  test("q21 plans stacked EXISTS/NOT EXISTS as semi + anti joins, no explosion") {
+    val p = plan(RelationalQueries.q21SoleFault(spark, sf))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("IVFPQ probe is partition-pruned AND reads only the m-byte codes") {
     val emb = Tables.embeddings(spark, sf)
     val ivf = graft.search.Ivf.build(emb, nlist = 8)

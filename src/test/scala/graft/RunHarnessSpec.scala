@@ -239,6 +239,23 @@ class RunHarnessSpec extends AnyFunSuite {
     assert(fams == Seq("exact", "pq"), fams.mkString(","))
   }
 
+  test("ivfpq backend: probe stats + scans only the probed lists' codes") {
+    val rows = RunHarness.runMany(spark, sf, Seq("ivf", "ivfpq"),
+      qs = QuerySet.default.take(4))
+    val byM = rows.groupBy(_.method)
+    byM("ivfpq").zip(byM("ivf")).foreach { case (c, f) =>
+      assert(c.listsProbed.nonEmpty && c.nprobe.contains(32))
+      assert(c.notes.exists(_.startsWith("ivfpq adc")), c.notes)
+      assert(c.recallAtK >= 0.0 && c.recallAtK <= 1.0)
+      // same probe width over the same persisted halves: the composed
+      // code scan covers exactly the rows the flat IVF probe scans
+      // BEFORE the metadata filter, so its scanned count can't exceed
+      // the unfiltered probe volume
+      assert(c.scoredVectors >= f.scoredVectors,
+        s"qid ${c.qid}: codes scanned ${c.scoredVectors} < ivf filtered scan ${f.scoredVectors}")
+    }
+  }
+
   test("summarize aggregates latency/recall per backend (latency_recall twin)") {
     val rows = RunHarness.run(spark, sf, "exact", qs = QuerySet.default.take(3))
     val s = RunHarness.summarize(rows)

@@ -236,7 +236,32 @@ object PipelineQueries {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
+  /** #97 deterministic training-order shuffle: the global document order
+    * a trainer reads, as data — shuffle_key = md5 of the id (the same
+    * engine-portable rule the splits use, so a rerun on ANY engine
+    * reproduces the byte-identical order), shard = first key nibble (the
+    * writer-parallelism bucket; at 100 TB each shard is one output
+    * stream). The ORDER BY here is the honest distributed plan: a
+    * range-partitioned sort (sample → range exchange → per-partition
+    * sort), NEVER a single-task window — there is no row_number because
+    * a global dense position would serialize the write; byte-ordered
+    * keys + in-file order ARE the permutation. */
+  def corpusShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("shuffle_key"))
+      .withColumn("shard",
+        (expr("locate(substring(shuffle_key, 1, 1), '0123456789abcdef')") - 1)
+          .cast("int"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  val corpusShuffleSql: String =
+    """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard
+      |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle" -> (corpusShuffle _),
     "pack_sequences" -> (packSequences _),
     "split_kfold" -> (splitKfold _),
     "split_train_val" -> (splitTrainVal _),
@@ -246,6 +271,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_shuffle" -> corpusShuffleSql,
     "pack_sequences" -> packSequencesSql,
     "split_kfold" -> splitKfoldSql,
     "split_train_val" -> splitTrainValSql,

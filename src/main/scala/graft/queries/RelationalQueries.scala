@@ -642,6 +642,78 @@ object RelationalQueries {
       |                    AND l3.l_returnflag = 'R')
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** #95 TPC-H Q15-shaped top supplier: the supplier(s) whose quarterly
+    * revenue equals the GLOBAL maximum — the scalar-argmax twin of q2's
+    * per-group argmin. The revenue table is one map-side-combined
+    * aggregate at supplier grain; the max is a one-row aggregate
+    * broadcast back (never a rank-everything window); DECIMAL-exact sums
+    * make the equality join engine-portable; ties kept like the
+    * reference query's VIEW formulation. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val disc = dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(disc).as("rev"))
+    val top = rev.agg(max(col("rev")).as("max_rev"))
+    rev.crossJoin(broadcast(top))
+      .where(col("rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev = (SELECT max(rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** #96 TPC-H Q20-shaped dominant suppliers: suppliers providing more
+    * than 35% of a part's recently shipped volume. The correlated
+    * share subquery is decorrelated into TWO aggregates at different
+    * grains of the SAME filtered fact — (part, supplier) then part —
+    * joined back on the part key; the share predicate compares
+    * DECIMAL×integer products (q·100 > tq·35), exact on both engines,
+    * never a double division. Supplier dim broadcasts for the name. */
+  def q20VolumeSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+    val tot = ps.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("q")).as("tq"))
+    ps.join(tot, col("l_partkey") === col("pk"))
+      .where(col("q") * 100 > col("tq") * 35)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20VolumeSuppliersSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+      |  GROUP BY l_partkey, l_suppkey),
+      |tot AS (SELECT l_partkey AS pk, sum(q) AS tq FROM ps GROUP BY l_partkey)
+      |SELECT s_suppkey, s_name, count(*) AS n_dominated
+      |FROM ps JOIN tot ON l_partkey = pk
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE q * 100 > tq * 35
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY s_suppkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "q3_priority" -> (q3Priority _),
@@ -662,7 +734,9 @@ object RelationalQueries {
     "q22_idle_balances" -> (q22IdleBalances _),
     "q2_min_supplier" -> (q2MinSupplier _),
     "q13_custdist" -> (q13Custdist _),
-    "q21_sole_fault" -> (q21SoleFault _))
+    "q21_sole_fault" -> (q21SoleFault _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q20_volume_suppliers" -> (q20VolumeSuppliers _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -684,5 +758,7 @@ object RelationalQueries {
     "q22_idle_balances" -> q22IdleBalancesSql,
     "q2_min_supplier" -> q2MinSupplierSql,
     "q13_custdist" -> q13CustdistSql,
-    "q21_sole_fault" -> q21SoleFaultSql)
+    "q21_sole_fault" -> q21SoleFaultSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q20_volume_suppliers" -> q20VolumeSuppliersSql)
 }

@@ -66,6 +66,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no contamination found — operator vacuous on sf data")
   }
 
+  test("corpus_shuffle: a true deterministic permutation with sane shards") {
+    val a = PipelineQueries.corpusShuffle(spark, sf)
+      .as[(Long, String, Int)].collect()
+    val n = Tables.documents(spark, sf).count()
+    // permutation: every doc exactly once
+    assert(a.length == n && a.map(_._1).distinct.length == n)
+    // the output order IS the key order (the sort survived to the result)
+    val keys = a.map(r => (r._2, r._1)).toSeq
+    assert(keys == keys.sorted, "rows not in shuffle_key order")
+    // shard = first key nibble, always in [0, 16)
+    a.foreach { case (_, k, s) =>
+      assert(s == "0123456789abcdef".indexOf(k.head) && s >= 0 && s < 16)
+    }
+    // deterministic: a rerun reproduces the identical order
+    val b = PipelineQueries.corpusShuffle(spark, sf).as[(Long, String, Int)].collect()
+    assert(a.toSeq == b.toSeq)
+    // and it actually shuffles: the id order and the key order disagree
+    assert(a.map(_._1).toSeq != a.map(_._1).sorted.toSeq)
+  }
+
   test("corpus_curate: kept docs pass every gate; dropped dup members absent") {
     val docs = Tables.documents(spark, sf)
     val kept = PipelineQueries.corpusCurate(spark, sf)

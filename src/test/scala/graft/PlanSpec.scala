@@ -134,6 +134,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("embedding"), p)
   }
 
+  test("corpus_shuffle is a range-partitioned sort — no window, no single task") {
+    val p = plan(queries.PipelineQueries.corpusShuffle(spark, sf))
+    assert(p.contains("rangepartitioning"), p) // distributed sample→range→sort
+    assert(!p.contains("Window"), p)           // no global row_number
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("stratified sample is a scan-level projection filter reading two columns") {
     val p = plan(queries.PipelineQueries.sampleStratified(spark, sf))
     assert(!p.contains("Exchange hashpartitioning"), p) // presentation sort only

@@ -177,6 +177,41 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
   }
 
+  test("q15_top_supplier: returned suppliers carry exactly the global max revenue") {
+    val rows = RelationalQueries.q15TopSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // all ties carry the same revenue, and it IS the max over all suppliers
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1)
+    val perSupp = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("r"))
+      .select("r").as[Double].collect()
+    assert(math.abs(revs.head - perSupp.max) < 1e-9)
+    assert(rows.length == perSupp.count(r => math.abs(r - perSupp.max) < 1e-9))
+  }
+
+  test("q20_volume_suppliers: every returned supplier genuinely dominates its parts") {
+    val rows = RelationalQueries.q20VolumeSuppliers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute from first principles on the collected small-SF fact
+    val lines = Tables.lineitem(spark, sf)
+      .where(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q100"))
+      .as[(Long, Long, Long)].collect()
+    val byPS = lines.groupBy(l => (l._1, l._2)).view.mapValues(_.map(_._3).sum).toMap
+    val byP = lines.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val want = byPS.collect { case ((pk, sk), q) if q * 100 > byP(pk) * 35 => sk }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("rangeSearch: superset-consistent with topK and monotone in tau") {
     val emb = Tables.embeddings(spark, sf)
     val q0 = graft.search.QueryVectors.qvec(0)

@@ -199,7 +199,52 @@ object TextQueries {
        |GROUP BY d.source, d.lang
        |ORDER BY d.source, d.lang""".stripMargin
 
+  /** #98 document chunking: split every doc into fixed-width token
+    * windows with overlap — the standard pre-training chunker (context-
+    * window packing feeds on these). Width 64 / stride 48 (16-token
+    * overlap); every token is covered; short docs yield one whole-doc
+    * chunk. Pure row-local array math (transform over a sequence +
+    * posexplode) — scan-speed at any scale, output rows ≈ tokens/stride.
+    * The chunk loop is a codegen'd higher-order function, NOT a UDF, and
+    * there is no shuffle: each doc's chunks are emitted where the doc is
+    * read. */
+  val ChunkWidth = 64
+  val ChunkStride = 48
+
+  def textChunks(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (ChunkWidth, ChunkStride)
+    val chunks = expr(
+      s"""transform(sequence(0, greatest(1, cast(ceil((size(split(text, ' ')) - ${w - st}) / $st.0) as int)) - 1),
+         |  i -> struct(
+         |    array_join(slice(split(text, ' '), i * $st + 1, $w), ' ') AS chunk_text,
+         |    least($w, size(split(text, ' ')) - i * $st) AS chunk_tokens))""".stripMargin)
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "ch")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("ch.chunk_tokens").cast("long").as("chunk_tokens"),
+        col("ch.chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val textChunksSql: String = {
+    val (w, st) = (ChunkWidth, ChunkStride)
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+       |c AS (SELECT doc_id, len(s) AS n,
+       |        greatest(1, CAST(ceil((len(s) - ${w - st}) / $st.0) AS BIGINT)) AS nc, s
+       |      FROM t),
+       |x AS (SELECT doc_id,
+       |        unnest([{'chunk_id': i - 1,
+       |                 'chunk_tokens': least($w, n - (i - 1) * $st),
+       |                 'chunk_text': list_aggregate(s[(i - 1) * $st + 1 : (i - 1) * $st + $w], 'string_agg', ' ')}
+       |                FOR i IN range(1, nc + 1)]) AS ch
+       |      FROM c)
+       |SELECT doc_id, CAST(ch.chunk_id AS INT) AS chunk_id,
+       |  CAST(ch.chunk_tokens AS BIGINT) AS chunk_tokens, ch.chunk_text
+       |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
@@ -212,6 +257,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -101,4 +101,28 @@ class TextSpec extends AnyFunSuite {
     val fps = TextAnalysis.withFingerprint(docs).select("fp").as[Long].collect()
     assert(fps.distinct.length > fps.length * 9 / 10)
   }
+
+  test("text_chunks: exact windows, full token coverage, short docs = one chunk") {
+    import graft.queries.TextQueries.{ChunkWidth => W, ChunkStride => S}
+    val chunks = graft.queries.TextQueries.textChunks(spark, sf)
+      .as[(Long, Int, Long, String)].collect()
+    assert(chunks.nonEmpty)
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet.size == texts.size, "every doc chunked")
+    byDoc.foreach { case (id, cs) =>
+      val toks = texts(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0 until cs.length), s"doc $id ids not contiguous")
+      sorted.foreach { case (_, cid, ct, t) =>
+        val want = toks.slice(cid * S, cid * S + W)
+        assert(t == want.mkString(" "), s"doc $id chunk $cid window mismatch")
+        assert(ct == want.length.toLong)
+      }
+      // coverage: the last chunk reaches the final token
+      val (_, lastId, lastCt, _) = sorted.last
+      assert(lastId * S + lastCt == toks.length, s"doc $id tail uncovered")
+      // short docs are exactly one whole-doc chunk
+      if (toks.length <= W) assert(cs.length == 1 && sorted.head._4 == texts(id))
+    }
+  }
 }

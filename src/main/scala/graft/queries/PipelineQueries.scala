@@ -106,6 +106,55 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** #99 per-language up-sampling factors: the >1 half of mixture
+    * reweighting (sample_stratified is the <1 half). Languages absent
+    * here repeat once (weight 1.0). */
+  val UpweightFactors: Seq[(String, Double)] =
+    Seq("de" -> 1.25, "fr" -> 2.0, "zh" -> 3.5)
+
+  /** #99 Deterministic, engine-portable up-sampling: doc repeated
+    * floor(w) times, plus one more iff its md5 bucket falls below the
+    * FRACTIONAL part's threshold (the same lexicographic-hex rule the
+    * splits and the down-sampler use — so expected copies = w exactly,
+    * and every engine/rerun materializes the identical multiset).
+    * Replication is a row-local sequence + explode: no shuffle, no RNG
+    * state, output rows ≈ Σ w·n_lang. copy_id makes the multiset a set
+    * (downstream shuffles/joins stay key-unique); pair with
+    * corpus_shuffle so repeats spread through the training order. */
+  def sampleUpweight(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val base = UpweightFactors.foldRight(lit(1)) { case ((lg, w), els) =>
+      when(col("lang") === lg, lit(w.toInt)).otherwise(els)
+    }
+    val extra = UpweightFactors.foldRight(lit(0)) { case ((lg, w), els) =>
+      when(col("lang") === lg,
+        when(h < lit(hexThreshold(w - w.toInt)), 1).otherwise(0)).otherwise(els)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), (base + extra).as("nc"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("nc"))).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+
+  val sampleUpweightSql: String = {
+    val baseArms = UpweightFactors
+      .map { case (lg, w) => s"WHEN '$lg' THEN ${w.toInt}" }.mkString(" ")
+    val fracArms = UpweightFactors
+      .map { case (lg, w) => s"WHEN '$lg' THEN '${hexThreshold(w - w.toInt)}'" }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang,
+       |    CASE lang $baseArms ELSE 1 END
+       |      + CASE WHEN h < CASE lang $fracArms ELSE '0000' END THEN 1 ELSE 0 END AS nc
+       |  FROM t)
+       |SELECT doc_id, lang, CAST(unnest(range(1, nc + 1)) AS INT) AS copy_id
+       |FROM c ORDER BY doc_id, copy_id""".stripMargin
+  }
+
   /** #90 fold count for cross-validation splits. */
   val KFolds = 5
 
@@ -266,6 +315,7 @@ object PipelineQueries {
     "split_kfold" -> (splitKfold _),
     "split_train_val" -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_upweight" -> (sampleUpweight _),
     "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "corpus_curate" -> (corpusCurate _)
   )
@@ -276,6 +326,7 @@ object PipelineQueries {
     "split_kfold" -> splitKfoldSql,
     "split_train_val" -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_upweight" -> sampleUpweightSql,
     "decontaminate" -> decontaminateSql,
     "corpus_curate" -> corpusCurateSql
   )

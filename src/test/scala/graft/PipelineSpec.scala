@@ -66,6 +66,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no contamination found — operator vacuous on sf data")
   }
 
+  test("sample_upweight: copies match floor(w) + md5-fraction rule exactly") {
+    val rows = PipelineQueries.sampleUpweight(spark, sf)
+      .as[(Long, String, Int)].collect()
+    assert(rows.nonEmpty)
+    def md5hex4(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(2).map("%02x".format(_)).mkString
+    val w = PipelineQueries.UpweightFactors.toMap
+    val langs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == langs.keySet, "every doc appears (weights are all >= 1)")
+    byDoc.foreach { case (id, cs) =>
+      val wt = w.getOrElse(langs(id), 1.0)
+      val frac = wt - wt.toInt
+      val thr = if (frac == 0.0) "0000" else f"${(frac * 65536).toInt}%04x"
+      val want = wt.toInt + (if (md5hex4(id) < thr) 1 else 0)
+      assert(cs.length == want, s"doc $id lang ${langs(id)}: ${cs.length} != $want")
+      assert(cs.map(_._3).sorted.toSeq == (1 to want), s"doc $id copy ids not 1..$want")
+    }
+    // aggregate sanity: per-language copy rate tracks the weight within
+    // the md5 bucketing's resolution
+    PipelineQueries.UpweightFactors.foreach { case (lg, wt) =>
+      val ids = langs.collect { case (id, l) if l == lg => id }
+      if (ids.nonEmpty) {
+        val rate = ids.map(byDoc(_).length).sum.toDouble / ids.size
+        assert(math.abs(rate - wt) < 0.25, s"$lg copy rate $rate vs weight $wt")
+      }
+    }
+  }
+
   test("corpus_shuffle: a true deterministic permutation with sane shards") {
     val a = PipelineQueries.corpusShuffle(spark, sf)
       .as[(Long, String, Int)].collect()

@@ -69,13 +69,18 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Compact 2-dp per-query timings: the driver keeps only the LAST 2000
+    // Compact per-query timings: the driver keeps only the LAST 2000
     // characters of stdout and parses the final line of that tail as JSON,
     // so the whole result line must stay comfortably under 2000 chars
     // (full-precision timings were ~3.3KB and got truncated mid-line).
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    // With 92+ queries even 2-dp flirts with the budget, so the precision
+    // DEGRADES until the line fits: 2dp → 1dp → 0dp. A parseable line with
+    // whole-second timings beats a perfect line the driver truncates.
+    def fmt(dp: Int)(v: Double): String = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+    def qsLine(dp: Int): String = results
+      .map { case (k, v) => "\"" + k + "\":" + fmt(dp)(v) }
       .mkString("{", ",", "}")
+    val qs = Iterator(2, 1, 0).map(qsLine).find(_.length <= 1800).getOrElse(qsLine(0))
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // reference-harness parity artifact: per-(query,backend) results.jsonl
@@ -103,7 +108,7 @@ object Bench {
       "0"
     }
     val line =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: result line ${line.length} chars — driver tail is 2000, trim precision or query count")
 

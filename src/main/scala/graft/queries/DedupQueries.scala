@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 #21–25: the dedup suite over documents/embeddings.
   *
@@ -133,7 +134,41 @@ object DedupQueries {
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(Tables.embeddings(s, d), CosineTau)
 
+  /** #100 dedup report: the cluster-size distribution + drop accounting a
+    * dedup run publishes (what fraction of the corpus is duplicate mass,
+    * and whether it sits in many small clusters or a few megaclusters —
+    * the number that decides if near-dedup is worth its cost). Singleton
+    * docs (absent from the pair graph) count as size-1 clusters so the
+    * report conserves the corpus: Σ n_docs = |documents|. Reuses the ONE
+    * shared mining pass (minedClusters, keyed by sf dir) — this is a
+    * two-aggregate postscript on it, not a second mine. */
+  def dedupReport(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val cl = minedClusters(s, d)
+    docs.join(cl, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("sz") - 1).as("n_dropped"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupReportSql: String =
+    s"""WITH cl AS ($dedupClustersBodySql),
+       |assigned AS (
+       |  SELECT coalesce(cl.cluster_id, d.doc_id) AS cid
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |sizes AS (SELECT cid, count(*) AS sz FROM assigned GROUP BY cid)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  count(*) AS n_clusters,
+       |  CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  CAST(sum(sz - 1) AS BIGINT) AS n_dropped
+       |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_report" -> (dedupReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_ngram" -> (dedupNgram _),
@@ -144,6 +179,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_ngram" -> dedupNgramSql,

@@ -257,4 +257,23 @@ class DedupSpec extends AnyFunSuite {
     val recall = got.map(t => (t._1, t._2)).count(truth) / truth.size.toDouble
     assert(recall >= 0.2, s"LSH cosine recall $recall of ${truth.size}")
   }
+
+  test("dedup_report: conserves the corpus and its internal accounting") {
+    val rows = graft.queries.DedupQueries.dedupReport(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val n = docs.count()
+    // every doc lands in exactly one cluster (singletons included)
+    assert(rows.map(_._3).sum == n, s"n_docs sum ${rows.map(_._3).sum} != $n")
+    rows.foreach { case (size, nClusters, nDocs, nDropped) =>
+      assert(nDocs == size * nClusters)
+      assert(nDropped == nDocs - nClusters)
+    }
+    // total dropped mass equals the non-representative graph members
+    val dropped = graft.queries.DedupQueries.minedClusters(spark, sf)
+      .where(col("cluster_id") =!= col("doc_id")).count()
+    assert(rows.map(_._4).sum == dropped)
+    // the sf corpus genuinely contains duplicate mass (non-vacuous report)
+    assert(rows.exists(r => r._1 > 1 && r._2 > 0))
+  }
 }

@@ -211,20 +211,25 @@ object TextQueries {
   val ChunkWidth = 64
   val ChunkStride = 48
 
-  def textChunks(s: SparkSession, d: String): DataFrame = {
+  /** The chunk projection itself — stateless and shuffle-free, so the
+    * SAME plan runs unchanged on a stream (StreamingSpec twin). Input
+    * needs (doc_id, text). */
+  def chunked(docs: DataFrame): DataFrame = {
     val (w, st) = (ChunkWidth, ChunkStride)
     val chunks = expr(
       s"""transform(sequence(0, greatest(1, cast(ceil((size(split(text, ' ')) - ${w - st}) / $st.0) as int)) - 1),
          |  i -> struct(
          |    array_join(slice(split(text, ' '), i * $st + 1, $w), ' ') AS chunk_text,
          |    least($w, size(split(text, ' ')) - i * $st) AS chunk_tokens))""".stripMargin)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "ch")))
       .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
         col("ch.chunk_tokens").cast("long").as("chunk_tokens"),
         col("ch.chunk_text"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def textChunks(s: SparkSession, d: String): DataFrame =
+    chunked(Tables.documents(s, d)).orderBy("doc_id", "chunk_id")
 
   val textChunksSql: String = {
     val (w, st) = (ChunkWidth, ChunkStride)

@@ -134,6 +134,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("embedding"), p)
   }
 
+  test("chunker and up-sampler are generate-over-scan — no shuffle before the presentation sort") {
+    // both explode row-locally where the doc is read; the only Exchange
+    // is the final ORDER BY's range partitioning (presentation order)
+    Seq(queries.TextQueries.textChunks(spark, sf),
+        queries.PipelineQueries.sampleUpweight(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert("Generate (pos)?explode".r.findFirstIn(p).nonEmpty, p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(!p.contains("Window"), p)
+    }
+  }
+
   test("corpus_shuffle is a range-partitioned sort — no window, no single task") {
     val p = plan(queries.PipelineQueries.corpusShuffle(spark, sf))
     assert(p.contains("rangepartitioning"), p) // distributed sample→range→sort

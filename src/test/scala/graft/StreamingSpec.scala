@@ -214,6 +214,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming chunker == batch chunker (stateless generate-over-scan)") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val docs = Seq(
+      1L -> Seq.tabulate(100)(i => s"t$i").mkString(" "), // 100 tokens → 2 chunks
+      2L -> "short doc")                                   // 1 whole-doc chunk
+    val out = graft.queries.TextQueries.chunked(stream.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("stream_chunks")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("stream_chunks")
+        .as[(Long, Int, Long, String)].collect().toSet
+      val want = graft.queries.TextQueries
+        .chunked(docs.toDF("doc_id", "text"))
+        .as[(Long, Int, Long, String)].collect().toSet
+      assert(got == want)
+      assert(got.count(_._1 == 1L) == 2 && got.count(_._1 == 2L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming as-of join == batch AsOfJoin under ordered replay") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

@@ -169,8 +169,13 @@ object RunHarness {
     * scan), exact refine of the shortlist via a broadcast id join, filter
     * applied on the refined rows (the code table carries no metadata).
     * kept < K when the filter eats the shortlist — the honest recall trade
-    * a compressed post-filter index makes, recorded per query. */
-  private class PqBackend(model: PqModel, shortlistN: Int) extends Backend {
+    * a compressed post-filter index makes, recorded per query.
+    * scored_vectors = the FULL code-table row count (`codeCount`, known at
+    * registry time — codes are 1:1 with the corpus): the ADC pass scans
+    * every code regardless of the filter, and recording the shortlist
+    * size instead made pq look ~N/shortlist cheaper than its real scan
+    * (IvfPqBackend's scanned-count convention, applied here). */
+  private class PqBackend(model: PqModel, shortlistN: Int, codeCount: Long) extends Backend {
     val name = "pq"
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
                k: Int, allowed: Long): (Seq[Long], Stats) = {
@@ -182,7 +187,7 @@ object RunHarness {
         VectorSearch.topK(refined, qvec, k, pred).collect()
       }
       (rows.map(_.getLong(0)).toSeq,
-        Stats(ms, shortlistN, None, None, rows.lastOption.map(_.getDouble(1)), None,
+        Stats(ms, codeCount, None, None, rows.lastOption.map(_.getDouble(1)), None,
           Some(s"pq adc m=${model.m} k=${model.kCodes} shortlist=$shortlistN")))
     }
   }
@@ -199,7 +204,11 @@ object RunHarness {
                k: Int, allowed: Long): (Seq[Long], Stats) = {
       val lists = model.ivf.probes(qvec, nprobeN)
       val pruned = model.coded.where(col("list_id").isin(lists: _*))
-      val scanned = pruned.count()
+      // probe volume from the index metadata (list sizes collected once at
+      // model load, the centroid discipline) — a per-query count() job here
+      // would re-scan the probed partitions and double the serving path's
+      // probe I/O at scale
+      val scanned = lists.map(model.listSizes.getOrElse(_, 0L)).sum
       val (rows, ms) = timed {
         val short = pruned
           .select(col("vec_id"), round(model.pq.adcScore(qvec), 6).as("adc_score"))
@@ -338,7 +347,9 @@ object RunHarness {
           case Some(key) => Pq.cached(emb.sparkSession, emb, key)
           case None => Pq.build(emb)
         }
-        new PqBackend(model, shortlistN = 100)
+        // codes are 1:1 with corpus rows, so the caller-known total IS the
+        // full ADC scan volume — no count job
+        new PqBackend(model, shortlistN = 100, codeCount = total)
       case "ivfpq" =>
         val spark = emb.sparkSession
         val model = corpusKey match {

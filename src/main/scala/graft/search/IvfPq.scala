@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame) {
 
+  /** list_id → row count, collected ONCE per model (O(nlist) rows — the
+    * centroid discipline): serving-path stats (how many codes a probe
+    * scans) come from this map as driver math, never from a per-query
+    * count() job re-scanning the probed partitions. */
+  lazy val listSizes: Map[Int, Long] =
+    coded.groupBy(col("list_id").cast("int").as("list_id"))
+      .agg(count(lit(1)).as("sz"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
   /** Top-K: IVF-pruned ADC shortlist + exact refine. The shortlist ranks
     * on round(·,6) with vec_id tiebreak (repo-wide ranking convention —
     * see VectorSearch doc), so results are deterministic per index. */
@@ -116,7 +125,10 @@ object IvfPq {
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val srcMtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq/$key-n$n-m$srcMtime-sub${pq.m}-k${pq.kCodes}"
+    // nl (the IVF geometry) must key the cache too: the composed table's
+    // list_ids are ivf-model-specific, and reusing codes persisted against
+    // a differently-built IVF would probe wrong lists with no error
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq/$key-n$n-m$srcMtime-nl${ivf.centroids.length}-sub${pq.m}-k${pq.kCodes}"
     buildOrLoad(spark, ivf, pq, path)
   }
 

@@ -228,7 +228,10 @@ class RunHarnessSpec extends AnyFunSuite {
       qs = QuerySet.default.take(4))
     val byM = rows.groupBy(_.method)
     byM("pq").foreach { r =>
-      assert(r.scoredVectors == 100, "scored_vectors = the ADC shortlist size")
+      // the ADC pass scans EVERY code in the corpus (the code table has no
+      // metadata to filter on), so scored_vectors = the full code count —
+      // recording the shortlist size would understate the scan ~N/shortlist
+      assert(r.scoredVectors == 500, "scored_vectors = the full ADC code scan")
       assert(r.notes.exists(_.startsWith("pq adc m=")), r.notes)
       assert(r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
     }

@@ -29,15 +29,35 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private val Heavy = Seq("corpus_curate", "dedup_minhash_lsh",
+  private val DefaultHeavy = Seq("corpus_curate", "dedup_minhash_lsh",
     "hybrid_stats", "decontaminate", "text_repetition")
 
-  /** Ten distinct bijections over nine high-frequency letters (identity
-    * for replica 0 keeps the base corpus byte-identical). */
+  /** Distinct bijections over nine high-frequency letters, one per
+    * replica: `perm(i)` is the i-th permutation of the alphabet in Lehmer
+    * (factorial-number-system) order, so up to 9! = 362,880 replicas get
+    * pairwise-distinct maps and `perm(0)` is the identity (replica 0
+    * stays byte-identical to the base corpus). The earlier fixed 10-entry
+    * list CYCLED past 10 replicas, making replicas i and i+10 exact text
+    * duplicates — reintroducing the quadratic candidate-pair blowup the
+    * bijection scheme exists to avoid. */
   private val Alphabet = "aeiousnrt"
-  private val Perms = Seq(
-    "aeiousnrt", "eiousnrta", "iousnrtae", "ousnrtaei", "usnrtaeio",
-    "snrtaeiou", "nrtaeious", "rtaeiousn", "taeiousnr", "tesarnuoi")
+
+  private[graft] def perm(i: Int): String = {
+    require(i >= 0 && i < 362880, s"replica index $i outside [0, 9!)")
+    val pool = scala.collection.mutable.ArrayBuffer(Alphabet: _*)
+    var rem = i
+    val sb = new StringBuilder
+    var j = pool.length - 1
+    while (j >= 0) {
+      val f = (1 to j).product // j!
+      sb += pool.remove(rem / f)
+      rem %= f
+      j -= 1
+    }
+    sb.toString
+  }
+
+  private val IdOffset = 10000000L
 
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String, replicas: Int): Unit = {
@@ -45,10 +65,15 @@ object ScaleBench {
         new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()) return
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // replica id spaces must not collide: base ids live below the offset
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      .max(emb.agg(max(col("vec_id"))).first().getLong(0))
+    require(maxId < IdOffset,
+      s"base ids reach $maxId >= offset $IdOffset — replica ids would collide")
     val docCopies = (0 until replicas).map { i =>
       docs.select(
-        (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-        translate(col("text"), Alphabet, Perms(i % Perms.length)).as("text"),
+        (col("doc_id") + lit(i.toLong * IdOffset)).as("doc_id"),
+        translate(col("text"), Alphabet, perm(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     docCopies.reduce(_ unionAll _)
@@ -82,6 +107,12 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    // comma-separated subset override for high-replica probes (the 30–100×
+    // run times only the highest-ratio queries; the default five at 100×
+    // would spend most wall-clock re-proving the known-linear entries)
+    val Heavy = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(DefaultHeavy)
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/x$replicas"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

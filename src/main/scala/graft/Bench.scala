@@ -9,6 +9,36 @@ import org.apache.spark.sql.SparkSession
   * projections), without any write cost. Prints ONE JSON line.
   */
 object Bench {
+
+  /** Queries shown on the stdout line: the TOP-N slowest. The driver keeps
+    * only the LAST 2000 chars of stdout and parses that tail's final line
+    * as JSON, so the line must stay well clear of 2000 chars as coverage
+    * grows (at 92 queries the full per-query map hit 1903 — ~5 queries of
+    * headroom). The slowest 40 are the ones a reader acts on; the rest is
+    * summarized as `other_sec`/`n_queries`, and the FULL map is written to
+    * bench_queries.json. */
+  private[graft] val TopN = 40
+
+  private[graft] def fmt(dp: Int)(v: Double): String =
+    s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+
+  private[graft] def queriesJson(results: Seq[(String, Double)], dp: Int): String =
+    results.map { case (k, v) => "\"" + k + "\":" + fmt(dp)(v) }.mkString("{", ",", "}")
+
+  /** The driver-parsed result line: total + top-N slowest per-query
+    * timings + the summarized remainder. Bounded by construction:
+    * 40 entries × (name ≤ ~24 + 8) + envelope ≪ 1600 chars even at 100+
+    * registered queries (BenchLineSpec pins the worst case). */
+  private[graft] def formatLine(results: Seq[(String, Double)], sfNum: String): String = {
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val top = results.sortBy { case (_, v) => -v }.take(TopN).sortBy(_._1)
+    val rest = results.sortBy { case (_, v) => -v }.drop(TopN)
+    val otherSec = rest.collect { case (_, v) if v >= 0 => v }.sum
+    s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",""" +
+      s""""queries":${queriesJson(top, 2)},""" +
+      s""""n_queries":${results.length},"other_sec":${fmt(2)(otherSec)},"sf":$sfNum}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -69,22 +99,13 @@ object Bench {
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Compact per-query timings: the driver keeps only the LAST 2000
-    // characters of stdout and parses the final line of that tail as JSON,
-    // so the whole result line must stay comfortably under 2000 chars
-    // (full-precision timings were ~3.3KB and got truncated mid-line).
-    // With 92+ queries even 2-dp flirts with the budget, so the precision
-    // DEGRADES until the line fits: 2dp → 1dp → 0dp. A parseable line with
-    // coarse timings beats a perfect line the driver truncates. The fit
-    // bound leaves ~50 chars of headroom inside the 2000-char tail for
-    // the envelope fields (at 92 queries: 2dp ≈ 1997 is too hot, 1dp ≈
-    // 1905 fits — per-query deciseconds survive).
-    def fmt(dp: Int)(v: Double): String = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
-    def qsLine(dp: Int): String = results
-      .map { case (k, v) => "\"" + k + "\":" + fmt(dp)(v) }
-      .mkString("{", ",", "}")
-    val qs = Iterator(2, 1, 0).map(qsLine).find(_.length <= 1880).getOrElse(qsLine(0))
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // full per-query map (2dp) goes to a FILE — the stdout line carries
+    // only the top-N slowest (formatLine doc)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_queries.json"), queriesJson(results, 2) + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_queries.json write failed: ${e.getMessage}")
+    }
 
     // reference-harness parity artifact: per-(query,backend) results.jsonl
     // (the reference's primary output) + a per-backend latency/recall
@@ -110,10 +131,9 @@ object Bench {
       System.err.println(s"[bench] WARNING: sf dir '$sfDir' does not match sf<digits>; reporting sf:0")
       "0"
     }
-    val line =
-      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: result line ${line.length} chars — driver tail is 2000, trim precision or query count")
+    val line = formatLine(results, sfNum)
+    if (line.length > 1600)
+      System.err.println(s"[bench] WARNING: result line ${line.length} chars — driver tail is 2000, trim TopN")
 
     // Print the result line AFTER spark.stop(): the driver reads the LAST
     // stdout line as JSON, and Spark's shutdown logging must not land

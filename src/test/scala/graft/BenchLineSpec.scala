@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver keeps only the last 2000 characters of Bench stdout and
+  * parses that tail's final line as JSON — a line that outgrows the tail
+  * is truncated mid-JSON and the round's bench artifact records
+  * `parsed: null` (the r3/r4 failure mode). These tests pin the bound
+  * with headroom: worst-case ≤ 1600 chars at 100+ registered queries.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  // worst-case registry: 120 queries, names at the repo's realistic
+  // maximum length (longest real name is vec_postfilter_ladder, 21 chars),
+  // three-digit-second timings
+  private val worst: Seq[(String, Double)] =
+    (0 until 120).map(i => (f"a_very_long_query_name_$i%03d", 123.456 + i))
+
+  test("worst-case line stays under 1600 chars at 120 queries") {
+    val line = Bench.formatLine(worst, "0.1")
+    assert(line.length <= 1600, s"line ${line.length} chars")
+  }
+
+  test("line carries total, top-N queries, n_queries, other_sec, sf") {
+    val line = Bench.formatLine(worst, "0.1")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.contains(""""n_queries":120"""))
+    assert(line.contains(""""other_sec":"""))
+    assert(line.endsWith(""""sf":0.1}"""))
+    val nKeys = """"a_very_long_query_name_\d+":""".r.findAllIn(line).length
+    assert(nKeys == Bench.TopN, s"expected ${Bench.TopN} query keys, got $nKeys")
+  }
+
+  test("top-N keeps the slowest queries and other_sec sums the rest exactly") {
+    val results = (0 until 100).map(i => (f"q$i%03d", i.toDouble))
+    val line = Bench.formatLine(results, "0.01")
+    // slowest 40 are q060..q099
+    assert(line.contains(""""q099":99.00""") && line.contains(""""q060":60.00"""))
+    assert(!line.contains(""""q059":"""))
+    // rest = 0+1+...+59 = 1770
+    assert(line.contains(""""other_sec":1770.00"""))
+    assert(line.contains(""""value":4950.00"""))
+  }
+
+  test("failed queries (-1 sentinel) are excluded from total and other_sec") {
+    val results = Seq(("ok", 2.0), ("bad", -1.0))
+    val line = Bench.formatLine(results, "0.001")
+    assert(line.contains(""""value":2.00"""))
+    assert(line.contains(""""bad":-1.00"""), "sentinel stays visible per-query")
+  }
+
+  test("line is parseable JSON (balanced braces, no trailing comma)") {
+    val line = Bench.formatLine(worst, "0.1")
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    assert(!line.contains(",}") && !line.contains(",]"))
+  }
+}

@@ -256,6 +256,37 @@ object VectorQueries {
   def vecIvfPqTopK(s: SparkSession, d: String): DataFrame =
     ivfpqModel(s, d).search(q0, nprobe = 32, k = K, shortlist = 100)
 
+  /** #101 shortlist-axis recall sweep for the compressed tier — the
+    * latency_recall.py twin for the PQ family (reference
+    * plots/latency_recall.py), completing the dial coverage: nprobe has
+    * vec_nprobe_sweep, the LSH dial has vec_lsh_sweep, and this sweeps
+    * the compressed tier's own dial (ADC shortlist width, × nprobe for
+    * the composed index) against ONE exact pass. At fixed nprobe the
+    * ADC ranking is fixed, so shortlist prefixes NEST and recall is
+    * monotone along the shortlist axis by construction (spec-pinned in
+    * VectorSearchSpec; a true top-K member present in any candidate set
+    * always survives the exact refine). Rows-only (codebooks from
+    * sampled KMeans). */
+  def vecPqSweep(s: SparkSession, d: String): DataFrame = {
+    val pq = pqModel(s, d)
+    val ipq = ivfpqModel(s, d)
+    val exact = VectorSearch.topK(emb(s, d), q0, K)
+      .select(lit(0L).as("qid"), col("vec_id"))
+    val shortlists = Seq(50, 100, 200, 500)
+    val pqRows = shortlists.map { sl =>
+      VectorSearch.recallAtK(
+        pq.search(q0, K, sl).select(lit(0L).as("qid"), col("vec_id")), exact, K)
+        .select(lit("pq").as("family"), lit(0).as("nprobe"),
+          lit(sl).as("shortlist"), col("recall"))
+    }
+    val ipqRows = for { np <- Seq(8, 32); sl <- shortlists } yield
+      VectorSearch.recallAtK(
+        ipq.search(q0, np, K, sl).select(lit(0L).as("qid"), col("vec_id")), exact, K)
+        .select(lit("ivfpq").as("family"), lit(np).as("nprobe"),
+          lit(sl).as("shortlist"), col("recall"))
+    (pqRows ++ ipqRows).reduce(_ unionAll _).orderBy("family", "nprobe", "shortlist")
+  }
+
   // ---- query-table-driven execution + per-query eval harness ----
 
   /** The recorded backend families — every tier of the fallback chain
@@ -311,6 +342,7 @@ object VectorQueries {
     "vec_lsh_sweep" -> (vecLshSweep _),
     "vec_pq_topk" -> (vecPqTopK _),
     "vec_pq_stats" -> (vecPqStats _),
+    "vec_pq_sweep" -> (vecPqSweep _),
     "vec_ivfpq_topk" -> (vecIvfPqTopK _)
   )
 

@@ -307,6 +307,29 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(r.getAs[Int]("m") == 8 && r.getAs[Int]("k") == 16)
   }
 
+  test("shortlist sweep: recall monotone by nesting; full-corpus shortlist is exact") {
+    // the compressed tier's own dial (vec_pq_sweep): at FIXED probe set
+    // the ADC ranking is fixed, so shortlist prefixes nest — and a true
+    // top-K member in any candidate set survives the exact refine (fewer
+    // than K vectors outscore it globally). Recall must be monotone in
+    // the shortlist width, and a shortlist covering N must be exact.
+    val exactTop = VectorSearch.topK(emb, q0, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val n = emb.count().toInt
+    val widths = Seq(10, 25, 50, 100, n)
+    def recall(ids: Seq[Long]): Double = ids.count(exactTop) / 10.0
+    val pqCurve = widths.map(w =>
+      recall(pq.search(q0, 10, shortlist = w).as[(Long, Double)].collect().map(_._1).toSeq))
+    assert(pqCurve == pqCurve.sorted, s"pq recall not monotone in shortlist: $pqCurve")
+    assert(pqCurve.last == 1.0, s"shortlist >= N must be exact: $pqCurve")
+    Seq(8, 16).foreach { np =>
+      val curve = widths.map(w =>
+        recall(ivfpq.search(q0, np, 10, shortlist = w)
+          .as[(Long, Double)].collect().map(_._1).toSeq))
+      assert(curve == curve.sorted, s"ivfpq nprobe=$np recall not monotone: $curve")
+    }
+  }
+
   test("PQ encode is deterministic and build rejects oversized codebooks") {
     val a = pq.codes.orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
     val b = Pq.build(emb, m = 8, kCodes = 16).codes

@@ -209,6 +209,25 @@ object Dedup {
       maxBucket: Int = 10000,
       salt: Int = 8,
       subRows: Int = 4): DataFrame = {
+    val exploded = minhashBands(docs, bands, rows, seed, subRows)
+    val bucketed = refineOversized(exploded, maxBucket)
+    // slim candidate ids: size-band prune, then distinct (a pair may
+    // collide in several bands), then re-join the token arrays
+    val pruned = saltedPairs(bucketed, Seq("band", "key"), "doc_id", Seq("n"), salt)
+      .where(sizeBandN(col("n_l"), col("n_r"), tau))
+      .select("doc_id_l", "doc_id_r")
+      .distinct()
+    verifyJaccard(pruned, docs, tau)
+  }
+
+  /** The slim banded-signature table — (doc_id, n, subkey, band, key),
+    * `bands` rows per doc: the PERSISTABLE incremental-dedup state. All
+    * columns are row-local functions of the doc, so
+    * minhashBands(A ∪ B) == minhashBands(A) ∪ minhashBands(B) — the
+    * identity batch-append dedup rides on (a daily pipeline persists the
+    * corpus's table once and appends each batch's rows). */
+  def minhashBands(docs: DataFrame, bands: Int = 4, rows: Int = 8,
+                   seed: Long = 42L, subRows: Int = 4): DataFrame = {
     val params = minhashParams(bands * rows, seed)
     val subParams = minhashParams(subRows, seed + 1) // independent refinement band
     // single-pass tokenize+hash, then all perms in one codegen'd pass
@@ -219,35 +238,94 @@ object Dedup {
       .withColumn("subkey",
         xxhash64(minhashSignature(col("tsi"),
           subParams.map(_._1).toSeq, subParams.map(_._2).toSeq, MinhashPrime)))
-    val sig = base.select(col("doc_id"), col("tsi"), col("sig"), col("subkey"))
     val bandKeys = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
         xxhash64(slice(col("sig"), bd * rows + 1, rows)).as("key"))
     }
-    val exploded = sig
+    base
       .withColumn("bk", explode(array(bandKeys: _*)))
       .select(col("doc_id"), size(col("tsi")).as("n"), col("subkey"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Re-key oversized buckets in place (key ← hash(key, secondary band)):
+    * a degenerate blocking key degrades to refined sub-buckets instead of
+    * a quadratic blowup (minhashLshPairs doc). */
+  private def refineOversized(exploded: DataFrame, maxBucket: Int): DataFrame = {
     val oversized = exploded.groupBy("band", "key")
       .agg(count(lit(1)).as("cnt")).where(col("cnt") > maxBucket)
       .select("band", "key").withColumn("over", lit(true))
-    // refine oversized buckets in place: key ← hash(key, secondary band)
-    val bucketed = exploded
+    exploded
       .join(broadcast(oversized), Seq("band", "key"), "left")
       .withColumn("key",
         when(col("over"), xxhash64(col("key"), col("subkey"))).otherwise(col("key")))
       .drop("over", "subkey")
-    // slim candidate ids: size-band prune, then distinct (a pair may
-    // collide in several bands), then re-join the token arrays
-    val pruned = saltedPairs(bucketed, Seq("band", "key"), "doc_id", Seq("n"), salt)
-      .where(sizeBandN(col("n_l"), col("n_r"), tau))
-      .select("doc_id_l", "doc_id_r")
-      .distinct()
-    withPayloads(pruned, base.select("doc_id", "tsi"), "doc_id", Seq("tsi"))
+  }
+
+  /** Exact-Jaccard verify of pruned candidate id pairs: re-join the token
+    * arrays from `docs` (only matched docs are fetched), one codegen'd
+    * intersect per candidate, survivors get the jac column. */
+  private def verifyJaccard(pruned: DataFrame, docs: DataFrame, tau: Double): DataFrame = {
+    val payload = spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), tokenSetIds(col("text"), 1).as("tsi"))
+    withPayloads(pruned, payload, "doc_id", Seq("tsi"))
       .where(jacPass(col("tsi_l"), col("tsi_r"), tau)) // 1 intersect/candidate
       .withColumn("jac", jacCol(col("tsi_l"), col("tsi_r"))) // survivors only
       .select(col("doc_id_l").as("doc_a"), col("doc_id_r").as("doc_b"), col("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** #102 incremental (batch-append) dedup: near-dup pairs TOUCHING a new
+    * batch, mined against an existing corpus WITHOUT re-mining the corpus
+    * — the shape a daily-ingest pipeline hits constantly. `corpusBands`
+    * is the corpus's persisted [[minhashBands]] table (signatures are
+    * row-local, so the corpus text is never re-hashed); only the new
+    * batch's bands are computed, and the candidate join probes the small
+    * batch side against the band table — never corpus × corpus.
+    *
+    * Union-equivalence contract (DedupSpec): with no bucket crossing
+    * `maxBucket` in either run,
+    *   minhashLshPairs(A ∪ B) == minhashLshPairs(A) ∪ this(A, B)
+    * — the oversized-bucket refinement is computed on the UNION's bucket
+    * counts (a groupBy on the slim band table, cheap), exactly as a full
+    * re-mine would see them, so candidate generation matches the full
+    * mine on every pair that touches B. New×new pairs meet twice
+    * ((x,y) and (y,x)) and once per shared band — normalized by
+    * least/greatest + distinct, like the full mine's distinct.
+    *
+    * `allDocs` (corpus ∪ batch documents) supplies the verify-stage token
+    * arrays for the candidate ids only — a keyed join, not a corpus scan.
+    * Reference semantics = minhashLshPairs' (same params, same verify). */
+  def minhashIncrementalPairs(
+      allDocs: DataFrame,
+      corpusBands: DataFrame,
+      newDocs: DataFrame,
+      tau: Double,
+      bands: Int = 4,
+      rows: Int = 8,
+      seed: Long = 42L,
+      maxBucket: Int = 10000,
+      subRows: Int = 4): DataFrame = {
+    val newBands = minhashBands(newDocs, bands, rows, seed, subRows)
+    val union = corpusBands.select("doc_id", "n", "subkey", "band", "key")
+      .unionByName(newBands)
+    val bucketed = refineOversized(union, maxBucket)
+    // probe side: the new batch's (re-keyed) bands only — small; build
+    // side: the whole union, so one probe finds batch×corpus AND
+    // batch×batch pairs in a single (band, key) join. Per-key pair volume
+    // is bounded by maxBucket × |batch bucket| (the refinement cap).
+    val newIds = newDocs.select(col("doc_id"))
+    val probe = bucketed.join(broadcast(newIds), Seq("doc_id"))
+      .select(col("band"), col("key"), col("doc_id").as("id_n"), col("n").as("n_n"))
+    val build = bucketed
+      .select(col("band"), col("key"), col("doc_id").as("id_o"), col("n").as("n_o"))
+    val pruned = probe.join(build, Seq("band", "key"))
+      .where(col("id_n") =!= col("id_o"))
+      .where(sizeBandN(col("n_n"), col("n_o"), tau))
+      .select(least(col("id_n"), col("id_o")).as("doc_id_l"),
+        greatest(col("id_n"), col("id_o")).as("doc_id_r"))
+      .distinct()
+    verifyJaccard(pruned, allDocs, tau)
   }
 
   // ---- #23 SimHash -----------------------------------------------------

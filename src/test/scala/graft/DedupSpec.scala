@@ -62,6 +62,31 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("incremental minhash: append(A,B) == full-mine(A∪B), corpus bands reused") {
+    // 50/50 split so cross pairs certainly exist; the registered query
+    // uses 90/10 — the contract is split-agnostic
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val inc = Dedup.minhashIncrementalPairs(
+        docs, Dedup.minhashBands(corpus), batch, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLshPairs(docs, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    val corpusOnly = Dedup.minhashLshPairs(corpus, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    // the union-equivalence contract: the incremental step emits exactly
+    // the full mine's pairs that touch the batch, so yesterday's pair set
+    // plus today's incremental pairs IS the full re-mine
+    assert(corpusOnly.union(inc) == full,
+      s"union-equivalence broken: |A|=${corpusOnly.size} |inc|=${inc.size} |full|=${full.size}")
+    assert(corpusOnly.intersect(inc).isEmpty, "incremental re-emitted corpus-only pairs")
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    assert(inc.nonEmpty, "50/50 split must produce pairs touching the batch")
+    inc.foreach { case (a, b, _) =>
+      assert(batchIds(a) || batchIds(b), s"pair ($a,$b) touches no batch doc")
+    }
+  }
+
   test("ngramJaccardPairs: exact precision vs local shingle baseline, finds seeded near-dups") {
     val got = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.8)
       .as[(Long, Long, Double)].collect()

@@ -64,4 +64,15 @@ object VectorFunctions {
   def simHash64(hashes: Column): Column =
     GraftBridge.column(
       org.apache.spark.sql.graft.SimHash64(GraftBridge.expression(hashes)))
+
+  /** All m PQ codes of an array<float> vector in one codegen pass; the
+    * codebook rides in the expression as primitive arrays. */
+  def pqEncode(vec: Column, codebook: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.PqEncode(GraftBridge.expression(vec), codebook))
+
+  /** ADC score Σ_s lut[s][code_s] over an array<int> code column. */
+  def pqAdcScore(codes: Column, lut: Array[Array[Double]]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.PqAdcScore(GraftBridge.expression(codes), lut))
 }

@@ -1,8 +1,6 @@
 package graft.search
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,21 +10,22 @@ import org.apache.spark.sql.functions._
   * the flat f32 vectors are too big to scan — FAISS IndexPQ/IVFPQ).
   *
   * Spark mapping:
-  *  - train: m INDEPENDENT small k-means runs, one per dsub-dim slice of
-  *    a bounded sample (the codebook is m·k·dsub floats — a few KB);
-  *  - encode: per subspace, L2 assignment to the nearest codeword via the
-  *    EXISTING codegen'd IP arg-max: argmin_c ‖x_s−c‖² = argmax_c (x_s·c
-  *    − ‖c‖²/2) = argmax over [x_s,1]·[c,−‖c‖²/2] — augmenting the
-  *    centroid literals with their −‖c‖²/2 bias and the slice with a
-  *    trailing 1 makes ArgMaxDotF32 do L2 in one narrow, shuffle-free
-  *    projection. 64-d f32 (256 B) → m=8 codes (8 B): 32× less scan I/O;
+  *  - train: m INDEPENDENT small k-means fits, one per dsub-dim slice of
+  *    a bounded sample (the codebook is m·k·dsub floats — a few hundred
+  *    KB at most), run as LOCAL seeded Lloyd iterations parallelized
+  *    across subspaces (Pq.localKMeans doc);
+  *  - encode: ONE codegen'd PqEncode pass per row — all m L2 assignments
+  *    (argmin_c ‖x_s−c‖² = argmax_c x_s·c − ‖c‖²/2, biases precomputed)
+  *    against the codebook held as primitive float arrays. Row-local,
+  *    shuffle-free. dim·4 B of f32 → dim/8 code bytes: 32× less scan I/O;
   *  - search (ADC): the per-query lookup table lut[s][c] = q_s·c is
-  *    driver math over the codebook; scoring the corpus is m literal-
-  *    array lookups summed — a pure codegen projection over the CODE
-  *    column, the vectors are never read. TakeOrdered shortlist, then an
-  *    exact re-rank of the shortlist only (ADC+refine): at scale the
-  *    refine is a keyed fetch of `shortlist` vectors, not a second scan
-  *    of the corpus — the tiny id list broadcasts into the join.
+  *    driver math over the codebook; scoring the corpus is the codegen'd
+  *    PqAdcScore projection — m primitive-array indexes per row over the
+  *    CODE column, the vectors are never read. TakeOrdered shortlist,
+  *    then an exact re-rank of the shortlist only (ADC+refine): at scale
+  *    the refine is a keyed fetch of `shortlist` vectors (the RamCorpus
+  *    serving tier scores the id set from pinned blocks), not a second
+  *    scan of the corpus.
   */
 final case class PqModel(m: Int, dsub: Int, kCodes: Int,
                          codebook: Array[Array[Array[Float]]],
@@ -42,13 +41,11 @@ final case class PqModel(m: Int, dsub: Int, kCodes: Int,
     }
   }
 
-  /** ADC score column over `pq_codes`: Σ_s lut_s[code_s]. */
-  def adcScore(qvec: Array[Float]): Column = {
-    val t = lut(qvec)
-    (0 until m).map { s =>
-      element_at(typedlit(t(s).toSeq), element_at(col("pq_codes"), s + 1) + 1)
-    }.reduce(_ + _)
-  }
+  /** ADC score column over `pq_codes`: Σ_s lut_s[code_s] — ONE codegen'd
+    * expression holding the LUT as a primitive double[][] (the previous
+    * element_at-over-literal chain paid an ArrayData dereference per
+    * subspace per row — 48× per row at 384-d). */
+  def adcScore(qvec: Array[Float]): Column = pqAdcScore(col("pq_codes"), lut(qvec))
 
   /** Top-K via ADC shortlist + exact refine. The shortlist TakeOrdered
     * reads only (vec_id, pq_codes); the refine joins the ≤`shortlist`-row
@@ -89,46 +86,112 @@ final case class PqModel(m: Int, dsub: Int, kCodes: Int,
 
 object Pq {
 
-  /** Centroids augmented with their −‖c‖²/2 bias term (see class doc). */
-  private def augmented(cents: Array[Array[Float]]): Seq[Seq[Float]] =
-    cents.toSeq.map { c =>
-      val n2 = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-      c.toSeq :+ (-0.5 * n2).toFloat
-    }
-
-  /** The m-slice encode column: array of per-subspace code ids. */
+  /** The m-slice encode column: array of per-subspace code ids, ONE
+    * codegen'd pass with the codebook as primitive arrays (PqEncode doc —
+    * the per-subspace argMaxDot-over-literal formulation paid a virtual
+    * call per multiply and made k=256 encodes minutes-long). */
   def encodeCol(codebook: Array[Array[Array[Float]]], dsub: Int): Column =
-    array(codebook.indices.map { s =>
-      argMaxDot(
-        concat(slice(col("embedding"), s * dsub + 1, dsub), array(lit(1.0f))),
-        typedlit(augmented(codebook(s)))).cast("int")
-    }: _*)
+    pqEncode(col("embedding"), codebook)
 
-  /** Train on a bounded sample (m small k-means fits share ONE cached
-    * sample pass), then encode the corpus row-locally. Deterministic
-    * under a fixed seed. */
-  def build(emb: DataFrame, m: Int = 8, kCodes: Int = 16, seed: Long = 42L,
+  /** Subspace count for a dimension: dsub = 8 (the FAISS-conventional
+    * small slice), i.e. m = dim/8 — 8 subspaces at the testdata's 64-d,
+    * 48 at a MiniLM-style 384-d. A FIXED m would stretch dsub with the
+    * dimension (48-dim slices at 384-d), and 16 centroids on a 48-dim
+    * slice quantize to noise: measured recall 0.0 on the 150k×384 probe
+    * corpus vs a working curve at dsub=8. Falls back to m=8 when 8
+    * doesn't divide dim (build still requires dim % m == 0). */
+  def pickM(dim: Int): Int = if (dim % 8 == 0) dim / 8 else 8
+
+  /** Driver-local Lloyd k-means over a collected sample slice, seeded and
+    * deterministic. The codebook is tiny (k·dsub floats) and the sample is
+    * bounded, so the m per-subspace fits are local array math parallelized
+    * across subspaces — a distributed KMeans here pays m × maxIter job
+    * launches to fit kilobytes (measured: the MLlib formulation made
+    * k=256 at m=48 a ~30-minute build; this trains it in seconds, which
+    * is what makes FAISS-standard 8-bit codes affordable). Empty clusters
+    * keep their previous centroid (FAISS does the same). */
+  private def localKMeans(points: Array[Array[Float]], k: Int, seed: Long,
+                          maxIter: Int): Array[Array[Float]] = {
+    val n = points.length
+    val dim = points(0).length
+    val rng = new scala.util.Random(seed)
+    val cents = rng.shuffle(points.indices.toVector).take(math.min(k, n))
+      .map(i => points(i).clone()).toArray
+    val assign = new Array[Int](n)
+    var iter = 0
+    var changed = true
+    while (iter < maxIter && changed) {
+      changed = false
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val ct = cents(c)
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - ct(i); d += t.toDouble * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best || iter == 0) { assign(p) = best; changed = true }
+        p += 1
+      }
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Int](cents.length)
+      p = 0
+      while (p < n) {
+        val a = assign(p); val v = points(p); counts(a) += 1
+        var i = 0
+        while (i < dim) { sums(a)(i) += v(i); i += 1 }
+        p += 1
+      }
+      var c = 0
+      while (c < cents.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { cents(c)(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    cents
+  }
+
+  /** Train on a bounded sample (ONE collect feeds all m local fits), then
+    * encode the corpus row-locally. Deterministic under a fixed seed.
+    * `m = 0` (the default) auto-sizes via [[pickM]]; kCodes = 256 is the
+    * FAISS-standard byte code. */
+  def build(emb: DataFrame, m: Int = 0, kCodes: Int = 256, seed: Long = 42L,
             maxIter: Int = 10, maxTrainRows: Long = 100000L): PqModel = {
     require(kCodes >= 2 && kCodes <= 256,
       s"pq: kCodes $kCodes outside [2,256] — codes must fit one byte")
+    val spark = emb.sparkSession
+    import spark.implicits._
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
-    val dsub = dim / m
+    val m0 = if (m <= 0) pickM(dim) else m
+    require(dim % m0 == 0, s"pq: dim $dim not divisible by m=$m0")
+    val dsub = dim / m0
     val n = emb.count()
     val sample = (if (n <= maxTrainRows) emb
                   else emb.sample(maxTrainRows.toDouble / n, seed))
-      .select(col("embedding")).cache()
-    try {
-      val codebook = Array.tabulate(m) { s =>
-        val train = sample.select(
-          array_to_vector(slice(col("embedding"), s * dsub + 1, dsub)).as("features"))
-        new KMeans().setK(kCodes).setSeed(seed + s).setMaxIter(maxIter)
-          .setFeaturesCol("features").fit(train)
-          .clusterCenters.map(_.toArray.map(_.toFloat))
-      }
-      val codes = emb.select(col("vec_id"), encodeCol(codebook, dsub).as("pq_codes"))
-      PqModel(m, dsub, kCodes, codebook, codes, emb)
-    } finally { sample.unpersist(); () }
+      .select(col("embedding")).as[Array[Float]].collect()
+    require(sample.nonEmpty, "pq: empty training sample")
+    // effective code count is bounded by the sample (localKMeans seeds
+    // centroids from distinct sample rows) — PqModel.kCodes must match the
+    // codebook's real width or the ADC LUT would index past it
+    val kEff = math.min(kCodes, sample.length)
+    // subspace fits are independent — run them on the common pool
+    val codebook = (0 until m0).toArray.map { s =>
+      java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        localKMeans(sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub)),
+          kEff, seed + s, maxIter))
+    }.map(_.join())
+    val codes = emb.select(col("vec_id"), encodeCol(codebook, dsub).as("pq_codes"))
+    PqModel(m0, dsub, kEff, codebook, codes, emb)
   }
 
   /** Persist: the code table (the index — m bytes/vector of scan I/O) and
@@ -158,7 +221,7 @@ object Pq {
     * builder can't interleave half-written parts; the rename loser
     * discards its copy and re-verifies the winner). */
   def buildOrLoad(spark: SparkSession, emb: DataFrame, path: String,
-                  m: Int = 8, kCodes: Int = 16, seed: Long = 42L): PqModel = {
+                  m: Int = 0, kCodes: Int = 256, seed: Long = 42L): PqModel = {
     def done(part: String) = new java.io.File(s"$path/$part/_SUCCESS").exists()
     if (done("codes") && done("codebook")) load(spark, path, emb)
     else {
@@ -176,15 +239,18 @@ object Pq {
     }
   }
 
-  /** Mtime-keyed per-corpus cache path (same convention as Ivf.cached). */
+  /** Mtime-keyed per-corpus cache path (same convention as Ivf.cached).
+    * `m = 0` auto-sizes via [[pickM]]; the RESOLVED m names the path, so
+    * corpora of different dimensions never share an index dir. */
   def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
-             m: Int = 8, kCodes: Int = 16): PqModel = {
+             m: Int = 0, kCodes: Int = 256): PqModel = {
     val n = emb.count()
+    val m0 = if (m <= 0) pickM(emb.select(size(col("embedding"))).first().getInt(0)) else m
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val srcMtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-pq/$key-n$n-m$srcMtime-sub$m-k$kCodes"
-    buildOrLoad(spark, emb, path, m, kCodes)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-pq/$key-n$n-m$srcMtime-sub$m0-k$kCodes"
+    buildOrLoad(spark, emb, path, m0, kCodes)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

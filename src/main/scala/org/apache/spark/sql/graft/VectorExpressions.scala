@@ -621,3 +621,150 @@ case class HyperplaneSignature(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** All m PQ codes of a vector in ONE pass: per subspace s, the id of the
+  * L2-nearest codeword of slice s (argmin ‖x_s−c‖² = argmax x_s·c − ‖c‖²/2,
+  * biases precomputed once per expression instance).
+  *
+  * The codebook rides IN the expression as primitive float arrays
+  * (ctx.addReferenceObj in codegen) — NOT as a nested-array literal child:
+  * a m=48 × k=256 codebook rendered as ArrayData literals pays a virtual
+  * getFloat per multiply (measured: the literal formulation turned the
+  * 150k×384 encode into a ~36-minute stage; primitive-array access runs
+  * it in seconds). Build-time only — query scans read the code column.
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "pq_encode: empty codebook")
+
+  private val m = codebook.length
+  private val dsub = codebook(0)(0).length
+
+  @transient private lazy val biases: Array[Array[Double]] =
+    codebook.map(_.map { c =>
+      var n2 = 0.0; var i = 0
+      while (i < c.length) { n2 += c(i).toDouble * c(i); i += 1 }
+      -0.5 * n2
+    })
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dimension ${vec.numElements()} != m*dsub (${m * dsub})")
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cents = codebook(s)
+      val bias = biases(s)
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var acc = bias(c)
+        var i = 0
+        while (i < dsub) { acc += vec.getFloat(s * dsub + i).toDouble * cent(i); i += 1 }
+        if (acc > bestScore) { bestScore = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+      val bs = ctx.addReferenceObj("pqBiases", biases, "double[][]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val cents = ctx.freshName("cents")
+      val cent = ctx.freshName("cent")
+      s"""
+         |if ($a.numElements() != ${m * dsub}) {
+         |  throw new IllegalArgumentException("pq_encode: vector dimension "
+         |    + $a.numElements() + " != m*dsub (${m * dsub})");
+         |}
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  float[][] $cents = $cb[$s];
+         |  int $best = -1;
+         |  double $bestScore = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $cents.length; $c++) {
+         |    float[] $cent = $cents[$c];
+         |    double $acc = $bs[$s][$c];
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      $acc += (double)$a.getFloat($s * $dsub + $i) * (double)$cent[$i];
+         |    }
+         |    if ($acc > $bestScore) { $bestScore = $acc; $best = $c; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score Σ_s lut[s][code_s] over an array<int> code column. The
+  * per-query lookup table is driver math (PqModel.lut) and rides in the
+  * expression as a primitive double[][] — the query-time scan over the
+  * compressed code table is m plain array indexes per row, fully inside
+  * whole-stage codegen (the element_at-over-literal formulation paid an
+  * ArrayData dereference per subspace). */
+case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(lut.nonEmpty, "pq_adc_score: empty lookup table")
+
+  private val m = lut.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[ArrayData]
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: code width ${codes.numElements()} != m ($m)")
+    var acc = 0.0
+    var s = 0
+    while (s < m) { acc += lut(s)(codes.getInt(s)); s += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val lutRef = ctx.addReferenceObj("pqLut", lut, "double[][]")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |if ($a.numElements() != $m) {
+         |  throw new IllegalArgumentException("pq_adc_score: code width "
+         |    + $a.numElements() + " != m ($m)");
+         |}
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $lutRef[$s][$a.getInt($s)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -330,6 +330,38 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("PqEncode / PqAdcScore codegen match local math exactly") {
+    // the primitive-array expressions (codebook/LUT ride in the expression,
+    // not as literal children) must reproduce the definitional math:
+    // encode = per-subspace L2 argmin (first-wins ties), adc = Σ lut[s][code]
+    val rows = emb.limit(20)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.pqEncode(col("embedding"), pq.codebook).as("codes"))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    rows.foreach { case (_, v, codes) =>
+      (0 until pq.m).foreach { s =>
+        val dists = pq.codebook(s).map { cent =>
+          var d = 0.0; var i = 0
+          while (i < pq.dsub) {
+            val t = v(s * pq.dsub + i).toDouble - cent(i); d += t * t; i += 1
+          }
+          d
+        }
+        val want = dists.indexOf(dists.min)
+        assert(codes(s) == want, s"subspace $s: got ${codes(s)}, want $want")
+      }
+    }
+    val t = pq.lut(q0)
+    val adc = pq.codes.limit(20)
+      .select(col("vec_id"), col("pq_codes"),
+        graft.functions.VectorFunctions.pqAdcScore(col("pq_codes"), t).as("adc"))
+      .as[(Long, Array[Int], Double)].collect()
+    adc.foreach { case (_, codes, s) =>
+      val want = codes.zipWithIndex.map { case (c, i) => t(i)(c) }.sum
+      assert(math.abs(s - want) < 1e-12)
+    }
+  }
+
   test("PQ encode is deterministic and build rejects oversized codebooks") {
     val a = pq.codes.orderBy("vec_id").as[(Long, Seq[Int])].collect().toSeq
     val b = Pq.build(emb, m = 8, kCodes = 16).codes

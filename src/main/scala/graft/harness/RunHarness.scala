@@ -175,8 +175,8 @@ object RunHarness {
     * every code regardless of the filter, and recording the shortlist
     * size instead made pq look ~N/shortlist cheaper than its real scan
     * (IvfPqBackend's scanned-count convention, applied here). */
-  private class PqBackend(model: PqModel, shortlistN: Int, codeCount: Long) extends Backend {
-    val name = "pq"
+  private class PqBackend(val name: String, model: PqModel, shortlistN: Int,
+                          codeCount: Long, ram: Option[RamCorpus]) extends Backend {
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
                k: Int, allowed: Long): (Seq[Long], Stats) = {
       val (rows, ms) = timed {
@@ -190,6 +190,28 @@ object RunHarness {
         Stats(ms, codeCount, None, None, rows.lastOption.map(_.getDouble(1)), None,
           Some(s"pq adc m=${model.m} k=${model.kCodes} shortlist=$shortlistN")))
     }
+    /** RAM serving tier: the exact refine reads the pinned blocks (the
+      * reference refines FAISS shortlists against its resident matrix),
+      * so the timed path is ONE ADC TakeOrdered + one lightweight id-set
+      * scoring pass — never a corpus DataFrame re-scan. Results are
+      * ranking-identical to the DataFrame refine (RamCorpusSpec parity). */
+    override def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                        pred: Option[org.apache.spark.sql.Column],
+                        k: Int, allowed: Long): (Seq[Long], Stats) =
+      ram.flatMap(rc => RamCorpus.labelPredicate(spec).map((rc, _))) match {
+        case Some((rc, lp)) =>
+          val (rows, ms) = timed {
+            val shortIds = model.codes
+              .select(col("vec_id"), round(model.adcScore(qvec), 6).as("adc_score"))
+              .orderBy(desc("adc_score"), col("vec_id")).limit(shortlistN)
+              .select("vec_id").collect().map(_.getLong(0))
+            rc.scoreIds(qvec, shortIds, k, lp)
+          }
+          (rows.map(_._1),
+            Stats(ms, codeCount, None, None, rows.lastOption.map(_._2), None,
+              Some(s"pq adc m=${model.m} k=${model.kCodes} shortlist=$shortlistN")))
+        case None => search(emb, qvec, pred, k, allowed)
+      }
   }
 
   /** IVFPQ backend: partition-pruned ADC scan of the probed lists' m-byte
@@ -197,18 +219,22 @@ object RunHarness {
     * scale tier recorded alongside its halves (ivf = pruned flat scan,
     * pq = full compressed scan) so results.jsonl shows the composition's
     * recall/latency position between them. */
-  private class IvfPqBackend(model: IvfPqModel, nprobeN: Int, shortlistN: Int)
+  private class IvfPqBackend(val name: String, model: IvfPqModel, nprobeN: Int,
+                             shortlistN: Int, ram: Option[RamCorpus])
       extends Backend {
-    val name = "ivfpq"
-    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
-               k: Int, allowed: Long): (Seq[Long], Stats) = {
-      val lists = model.ivf.probes(qvec, nprobeN)
-      val pruned = model.coded.where(col("list_id").isin(lists: _*))
+    private def stats(ms: Double, lists: Seq[Int], kth: Option[Double]): Stats = {
       // probe volume from the index metadata (list sizes collected once at
       // model load, the centroid discipline) — a per-query count() job here
       // would re-scan the probed partitions and double the serving path's
       // probe I/O at scale
       val scanned = lists.map(model.listSizes.getOrElse(_, 0L)).sum
+      Stats(ms, scanned, Some(lists.length), Some(nprobeN), kth, None,
+        Some(s"ivfpq adc m=${model.pq.m} k=${model.pq.kCodes} shortlist=$shortlistN"))
+    }
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val lists = model.ivf.probes(qvec, nprobeN)
+      val pruned = model.coded.where(col("list_id").isin(lists: _*))
       val (rows, ms) = timed {
         val short = pruned
           .select(col("vec_id"), round(model.pq.adcScore(qvec), 6).as("adc_score"))
@@ -217,10 +243,27 @@ object RunHarness {
         VectorSearch.topK(refined, qvec, k, pred).collect()
       }
       (rows.map(_.getLong(0)).toSeq,
-        Stats(ms, scanned, Some(lists.length), Some(nprobeN),
-          rows.lastOption.map(_.getDouble(1)), None,
-          Some(s"ivfpq adc m=${model.pq.m} k=${model.pq.kCodes} shortlist=$shortlistN")))
+        stats(ms, lists, rows.lastOption.map(_.getDouble(1))))
     }
+    /** RAM serving tier (PqBackend doc): partition-pruned ADC TakeOrdered
+      * + pinned-block refine of the shortlist ids. */
+    override def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                        pred: Option[org.apache.spark.sql.Column],
+                        k: Int, allowed: Long): (Seq[Long], Stats) =
+      ram.flatMap(rc => RamCorpus.labelPredicate(spec).map((rc, _))) match {
+        case Some((rc, lp)) =>
+          val lists = model.ivf.probes(qvec, nprobeN)
+          val pruned = model.coded.where(col("list_id").isin(lists: _*))
+          val (rows, ms) = timed {
+            val shortIds = pruned
+              .select(col("vec_id"), round(model.pq.adcScore(qvec), 6).as("adc_score"))
+              .orderBy(desc("adc_score"), col("vec_id")).limit(shortlistN)
+              .select("vec_id").collect().map(_.getLong(0))
+            rc.scoreIds(qvec, shortIds, k, lp)
+          }
+          (rows.map(_._1), stats(ms, lists, rows.lastOption.map(_._2)))
+        case None => search(emb, qvec, pred, k, allowed)
+      }
   }
 
   /** RAM serving tier for exact/pre_filter: scores the pinned flat blocks
@@ -342,15 +385,20 @@ object RunHarness {
           case None => Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total)))
         }
         new IvfPostFilterBackend(model, nprobe, ladder, maxLadderSteps)
-      case "pq" =>
+      // "pq" / "pq:<shortlist>" — the compressed tier's recall dial rides
+      // in the method name (the lsh:<radius>x<tables> convention), so
+      // results.jsonl rows at different shortlist widths are distinguishable
+      case p if p == "pq" || p.startsWith("pq:") =>
+        val sl = if (p == "pq") 100 else p.stripPrefix("pq:").toInt
         val model = corpusKey match {
           case Some(key) => Pq.cached(emb.sparkSession, emb, key)
           case None => Pq.build(emb)
         }
         // codes are 1:1 with corpus rows, so the caller-known total IS the
         // full ADC scan volume — no count job
-        new PqBackend(model, shortlistN = 100, codeCount = total)
-      case "ivfpq" =>
+        new PqBackend(p, model, shortlistN = sl, codeCount = total, ram = ram)
+      case p if p == "ivfpq" || p.startsWith("ivfpq:") =>
+        val sl = if (p == "ivfpq") 100 else p.stripPrefix("ivfpq:").toInt
         val spark = emb.sparkSession
         val model = corpusKey match {
           case Some(key) => IvfPq.cached(spark, emb, key,
@@ -359,7 +407,7 @@ object RunHarness {
           case None => IvfPq.compose(
             Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))), Pq.build(emb))
         }
-        new IvfPqBackend(model, nprobe, shortlistN = 100)
+        new IvfPqBackend(p, model, nprobe, shortlistN = sl, ram = ram)
       case "ivf" =>
         val model = corpusKey match {
           case Some(k) => Ivf.cached(emb.sparkSession, emb, k, knownTotal = Some(total))

@@ -44,6 +44,43 @@ final class RamCorpus private (
                     labelPred: Option[Int => Boolean]): Seq[(Long, Double, Boolean)] =
     candidates(qvec, rung, labelPred, withPass = true)
 
+  /** Exact top-K among a SPECIFIC id set — the compressed tier's refine
+    * step served from the pinned blocks (the reference refines FAISS
+    * shortlists against its resident matrix the same way): one lightweight
+    * runJob scores only shortlist members, no corpus DataFrame scan.
+    * Ranking contract identical to topK (round6, ascending-id ties);
+    * rows failing `labelPred` are dropped BEFORE the top-K cut, matching
+    * `VectorSearch.topK(refined, qvec, k, pred)` over the same ids. */
+  def scoreIds(qvec: Array[Float], wanted: Array[Long], k: Int,
+               labelPred: Option[Int => Boolean] = None): Seq[(Long, Double)] = {
+    require(qvec.length == dim, s"dot_f32: dimension mismatch (${qvec.length} vs $dim)")
+    val d = dim
+    val lp = labelPred
+    val wset = wanted.toSet
+    val partials = blocks.sparkContext.runJob(blocks, (it: Iterator[RamCorpus.Block]) => {
+      val f: Int => Boolean = lp.orNull
+      val out = Array.newBuilder[(Long, Double)]
+      it.foreach { b =>
+        val n = b.ids.length
+        var r = 0
+        while (r < n) {
+          if (wset(b.ids(r)) && (f == null || f(b.labels(r)))) {
+            val base = r * d
+            var acc = 0.0
+            var i = 0
+            while (i < d) { acc += b.vecs(base + i).toDouble * qvec(i).toDouble; i += 1 }
+            out += ((b.ids(r), VecMath.round6(acc)))
+          }
+          r += 1
+        }
+      }
+      out.result()
+    })
+    partials.iterator.flatten.toArray
+      .sortBy { case (id, s) => (-s, id) }
+      .take(k).toSeq
+  }
+
   /** |allowed|: one counting pass over the blocks (no Spark SQL job). */
   def countAllowed(labelPred: Option[Int => Boolean]): Long = labelPred match {
     case None => total

@@ -167,6 +167,38 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side partial count
   }
 
+  test("incremental dedup reads the persisted band table — corpus never re-hashed") {
+    // plan STRINGS truncate on trees this deep (maxToStringFields), so the
+    // pins walk the optimized logical plan programmatically
+    val lp = queries.DedupQueries.dedupIncremental(spark, sf).queryExecution.optimizedPlan
+    // 1. the corpus side arrives as a scan of the published band table —
+    //    re-mining would replace it with a signature branch over documents
+    val scanPaths = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.map(_.toString).mkString(",")
+          case _ => ""
+        }
+    }
+    assert(scanPaths.exists(_.contains("graft-dedup-bands")),
+      s"no band-table scan in:\n${scanPaths.mkString("\n")}")
+    // 2. every minhash_signature branch sits above the batch restriction
+    //    (doc_id % 10 = 0): only the new batch's text is ever hashed
+    val sigPlans = lp.collect {
+      case p if p.expressions.exists(_.collectFirst {
+        case m: org.apache.spark.sql.graft.MinHashSignature => m }.nonEmpty) => p
+    }
+    assert(sigPlans.nonEmpty, "no signature branch found — did the batch side change?")
+    sigPlans.foreach { sp =>
+      val batchFiltered = sp.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("pmod") && f.condition.toString.contains("= 0") => f
+      }.nonEmpty
+      assert(batchFiltered, s"signature branch without the batch filter:\n$sp")
+    }
+  }
+
   test("scrub and repetition are shuffle-free projections") {
     val sc = plan(graft.text.TextAnalysis.withScrub(
       Tables.events(spark, sf), "event_id", "props"))

@@ -32,6 +32,24 @@ class RamCorpusSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("scoreIds matches topK over the same id subset (refine parity)") {
+    // an arbitrary 50-id "shortlist": scoreIds must reproduce the
+    // DataFrame path's filter-join-then-topK ranking exactly
+    val ids = emb.select("vec_id").as[Long].collect().sorted.take(50)
+    val got = ram.scoreIds(q0, ids, 10)
+    val want = VectorSearch.topK(emb.where(col("vec_id").isin(ids: _*)), q0, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    // label predicate drops rows BEFORE the top-K cut
+    val spec = FilterDsl.parseJson("""{"label":{"in":[0,1,2]}}""")
+    val Some(lp) = RamCorpus.labelPredicate(spec)
+    val gotF = ram.scoreIds(q0, ids, 10, lp)
+    val wantF = VectorSearch.topK(emb.where(col("vec_id").isin(ids: _*)), q0, 10,
+        Some(FilterDsl.compile(emb, spec)))
+      .as[(Long, Double)].collect().toSeq
+    assert(gotF == wantF)
+  }
+
   test("topCandidates carries correct pass bits over the full ranking") {
     val spec = FilterDsl.parseJson("""{"label":{"ge":5}}""")
     val Some(lp) = RamCorpus.labelPredicate(spec)
@@ -86,10 +104,12 @@ class RamCorpusSpec extends AnyFunSuite {
   }
 
   test("harness with RAM tier returns the same ids as the Catalyst path") {
+    // pq/ivfpq exercise the pinned-block refine (scoreIds) vs the
+    // DataFrame broadcast-join refine — ranking must be byte-identical
     val withRam = graft.harness.RunHarness.runMany(
-      spark, sf, Seq("exact", "post_filter"), ram = Some(ram))
+      spark, sf, Seq("exact", "post_filter", "pq", "ivfpq"), ram = Some(ram))
     val without = graft.harness.RunHarness.runMany(
-      spark, sf, Seq("exact", "post_filter"))
+      spark, sf, Seq("exact", "post_filter", "pq", "ivfpq"))
     val key = (r: graft.harness.RunHarness.ResultRow) => (r.qid, r.method)
     val w = without.map(r => key(r) -> r).toMap
     withRam.foreach { r =>

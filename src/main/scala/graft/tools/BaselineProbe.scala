@@ -84,8 +84,11 @@ object BaselineProbe {
     // one-time costs BEFORE any timed rep, mirroring the reference's
     // load-time work (loaders.py mmaps vectors.npy and builds FAISS once;
     // its per-query latencies never pay either):
-    //  - IVF train/persist (also JIT-warms the harness path)
+    //  - IVF train/persist (also JIT-warms the harness path), then the PQ
+    //    codebooks/code table and the composed IVFPQ code table — all
+    //    artifact-build cost the reference's per-query numbers never pay
     RunHarness.runMany(spark, dir, Seq("pre_filter", "ivf"), qs.take(1))
+    RunHarness.runMany(spark, dir, Seq("pq", "ivfpq"), qs.take(1))
     //  - columnar cache for the backends that still scan the table
     //    (random, the per-query allowed-subset counts)
     graft.Tables.embeddings(spark, dir).cache().count()
@@ -94,7 +97,11 @@ object BaselineProbe {
     val ram = RamCorpus.build(graft.Tables.embeddings(spark, dir))
     RunHarness.runMany(spark, dir, Seq("exact", "post_filter"), qs.take(1), ram = Some(ram))
 
-    val backends = Seq("exact", "pre_filter", "post_filter", "ivf", "random")
+    // pq scans the FULL 150k code table (m bytes/vector); ivfpq scans only
+    // the probed lists' codes — the corpus where the compression and
+    // pruning actually pay, unlike the 2k-vector sf tables where both ride
+    // the job-launch floor
+    val backends = Seq("exact", "pre_filter", "post_filter", "ivf", "pq", "ivfpq", "random")
     val repRows = (1 to reps).map { rep =>
       val rows = RunHarness.runMany(spark, dir, backends, qs, ram = Some(ram))
       val s = RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>
@@ -151,11 +158,25 @@ object BaselineProbe {
     // empty qvec → dataset vector at qid (the reference's empty-qtext
     // rule): queries sit inside real clusters
     val qsS = (0L until 6L).map(q => HybridQuery(q * 25000L, Array.empty[Float], "{}", "TRUE", 10))
-    val rowsS = RunHarness.runMany(spark, dirS, Seq("pre_filter", "ivf"), qsS)
+    RunHarness.runMany(spark, dirS, Seq("pq", "ivfpq"), qsS.take(1)) // build, untimed
+    val ramS = RamCorpus.build(graft.Tables.embeddings(spark, dirS)) // serving tier, untimed
+    val rowsS = RunHarness.runMany(spark, dirS, Seq("pre_filter", "ivf", "pq", "ivfpq"), qsS,
+      ram = Some(ramS))
     val sS = RunHarness.summarize(rowsS).map { case (m, mean, p50, rec) =>
       s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"baseline_scale_structured","n":$N,"d":$D,"centers":300,"backends":$sS}""")
+
+    // the compressed tier's dial at reference scale: widen the ADC
+    // shortlist (pq:N / ivfpq:N grammar) — the recall the shortlist-100
+    // operating point trades away is recoverable without touching the
+    // index, at a latency still at-or-below the flat probe's
+    val rowsD = RunHarness.runMany(spark, dirS,
+      Seq("pq:500", "ivfpq:500", "pq:1000", "ivfpq:1000"), qsS, ram = Some(ramS))
+    val sD = RunHarness.summarize(rowsD).map { case (m, mean, p50, rec) =>
+      s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"baseline_scale_structured_dial","n":$N,"d":$D,"centers":300,"backends":$sD}""")
     spark.stop()
   }
 }

@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   *
   * The R× corpus is SYNTHESIZED from sf0.1 under /tmp (testdata is
   * read-only): R replicas with offset ids. Text replicas are passed
-  * through a PER-REPLICA TOKEN BIJECTION (a `translate` over nine
-  * high-frequency letters): within a replica every pairwise token-set
-  * Jaccard is EXACTLY preserved (both docs map through the same
-  * bijection), while across replicas shared tokens are only those
-  * invariant under both maps — so the near-dup pair structure scales
-  * linearly (R× pairs), not quadratically (naive copies would make
-  * every doc a 10-way exact dup and explode candidate pairs ~R²,
-  * measuring the data's degeneracy rather than the operator's scaling).
+  * through a PER-REPLICA TOKEN BIJECTION (a `translate` over the full
+  * lowercase alphabet — see `perm`): within a replica every pairwise
+  * token-set Jaccard is EXACTLY preserved (both docs map through the
+  * same bijection, and the corpus text is all-lowercase), while across
+  * replicas no alphabetic token survives — so the near-dup pair
+  * structure scales linearly (R× pairs), not quadratically (naive
+  * copies would make every doc an R-way exact dup and explode candidate
+  * pairs ~R², measuring the data's degeneracy rather than the
+  * operator's scaling).
   * Embedding replicas keep their values (vector count is what the scan
   * and index paths care about); vec_ids offset.
   *
@@ -32,29 +33,35 @@ object ScaleBench {
   private val DefaultHeavy = Seq("corpus_curate", "dedup_minhash_lsh",
     "hybrid_stats", "decontaminate", "text_repetition")
 
-  /** Distinct bijections over nine high-frequency letters, one per
-    * replica: `perm(i)` is the i-th permutation of the alphabet in Lehmer
-    * (factorial-number-system) order, so up to 9! = 362,880 replicas get
-    * pairwise-distinct maps and `perm(0)` is the identity (replica 0
-    * stays byte-identical to the base corpus). The earlier fixed 10-entry
-    * list CYCLED past 10 replicas, making replicas i and i+10 exact text
-    * duplicates — reintroducing the quadratic candidate-pair blowup the
-    * bijection scheme exists to avoid. */
-  private val Alphabet = "aeiousnrt"
+  /** Distinct bijections over the FULL lowercase alphabet, one per
+    * replica: `perm(0)` is the identity (replica 0 stays byte-identical
+    * to the base corpus); `perm(i)` for i ≥ 1 is a seeded Fisher–Yates
+    * shuffle (deterministic, pairwise-distinct over any practical replica
+    * range — spec-pinned to 500). The corpus text is all-lowercase, so a
+    * lowercase-alphabet bijection preserves within-replica token equality
+    * (and therefore every pairwise Jaccard) EXACTLY.
+    *
+    * Two earlier schemes failed at scale: a fixed 10-entry list CYCLED
+    * past 10 replicas (replicas i and i+10 became exact dups), and a
+    * nine-high-frequency-letter alphabet left short function words like
+    * "by" INVARIANT — a doc whose min-md5 blocking token is invariant
+    * lands in the same block in EVERY replica, so candidate pairs grew
+    * ~R² in those blocks (measured 176× pairs at 30× data) and the probe
+    * measured the synthetic corpus's degeneracy, not the operator. */
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
 
   private[graft] def perm(i: Int): String = {
-    require(i >= 0 && i < 362880, s"replica index $i outside [0, 9!)")
-    val pool = scala.collection.mutable.ArrayBuffer(Alphabet: _*)
-    var rem = i
-    val sb = new StringBuilder
-    var j = pool.length - 1
-    while (j >= 0) {
-      val f = (1 to j).product // j!
-      sb += pool.remove(rem / f)
-      rem %= f
+    require(i >= 0, s"replica index $i negative")
+    if (i == 0) return Alphabet
+    val a = Alphabet.toCharArray
+    val rng = new scala.util.Random(i.toLong * 0x9E3779B97F4A7C15L)
+    var j = a.length - 1
+    while (j > 0) {
+      val k = rng.nextInt(j + 1)
+      val t = a(j); a(j) = a(k); a(k) = t
       j -= 1
     }
-    sb.toString
+    new String(a)
   }
 
   private val IdOffset = 10000000L

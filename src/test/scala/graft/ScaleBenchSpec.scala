@@ -11,23 +11,36 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ScaleBenchSpec extends AnyFunSuite {
 
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
   test("perm(0) is the identity bijection") {
-    assert(ScaleBench.perm(0) == "aeiousnrt")
+    assert(ScaleBench.perm(0) == Alphabet)
   }
 
-  test("permutations are pairwise distinct well past the old 10-replica cycle") {
-    val ps = (0 until 120).map(ScaleBench.perm)
+  test("permutations are pairwise distinct over a 500-replica range") {
+    val ps = (0 until 500).map(ScaleBench.perm)
     assert(ps.distinct.length == ps.length, "bijection repeated — replicas would be exact dups")
   }
 
-  test("every permutation is a bijection over the same nine letters") {
-    (0 until 120).foreach { i =>
-      assert(ScaleBench.perm(i).sorted == "aeiousnrt".sorted, s"perm($i) not a permutation")
+  test("every permutation is a bijection over the full lowercase alphabet") {
+    (0 until 500).foreach { i =>
+      assert(ScaleBench.perm(i).sorted == Alphabet, s"perm($i) not a permutation")
     }
   }
 
-  test("indices outside [0, 9!) are rejected") {
+  test("short function words are NOT invariant (the 9-letter scheme's failure)") {
+    // an invariant blocking token lands in the same block in every
+    // replica and grows candidate pairs ~R²; with the full alphabet no
+    // letter survives perm(i) for typical words
+    (1 until 50).foreach { i =>
+      val p = ScaleBench.perm(i)
+      def tr(w: String) = w.map(c => p(Alphabet.indexOf(c)))
+      assert(tr("by") != "by" || tr("my") != "my" || tr("the") != "the",
+        s"perm($i) leaves short words invariant")
+    }
+  }
+
+  test("negative indices are rejected") {
     intercept[IllegalArgumentException](ScaleBench.perm(-1))
-    intercept[IllegalArgumentException](ScaleBench.perm(362880))
   }
 }

@@ -505,7 +505,13 @@ object RunHarness {
     queries.flatMap { case (hq, k, qvec) =>
       val spec = FilterDsl.parseJson(hq.filters) // malformed/unknown → hard error
       val pred = if (spec.isEmpty) None else Some(FilterDsl.compile(emb, spec))
-      val allowed = pred.map(p => emb.where(p).count()).getOrElse(total)
+      // |allowed| from the pinned blocks when the serving tier can evaluate
+      // the spec (one lightweight counting pass, semantics parity spec-pinned
+      // via exact's scored_vectors) — else the Catalyst count
+      val allowed = pred.map { p =>
+        ram.flatMap(rc => RamCorpus.labelPredicate(spec).map(rc.countAllowed))
+          .getOrElse(emb.where(p).count())
+      }.getOrElse(total)
       val searched = backends.map(b => (b, b.search(emb, qvec, spec, pred, k, allowed)))
       // exact/pre_filter IS the oracle computation (deterministic brute
       // force over the same allowed subset) — reuse its result instead of

@@ -624,7 +624,10 @@ case class HyperplaneSignature(left: Expression, right: Expression)
 
 /** All m PQ codes of a vector in ONE pass: per subspace s, the id of the
   * L2-nearest codeword of slice s (argmin ‖x_s−c‖² = argmax x_s·c − ‖c‖²/2,
-  * biases precomputed once per expression instance).
+  * biases precomputed once per expression instance). The encode primitive
+  * of the FAISS IndexPQ/IVFPQ family the reference's loader builds toward
+  * (reference src/dataio/loaders.py:141-151 constructs the FAISS IVF
+  * index family).
   *
   * The codebook rides IN the expression as primitive float arrays
   * (ctx.addReferenceObj in codegen) — NOT as a nested-array literal child:

@@ -236,6 +236,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: micro-batch appends compose to the full mine") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.pmod
+    // real documents, split 2/3 corpus + two micro-batches of the rest:
+    // the streamed pairs must equal full-mine(everything) minus
+    // full-mine(corpus) — B1×corpus surfaces with B1, B1×B2 with B2
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val corpus = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+    val rest = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+
+    val inc = new graft.streaming.IncrementalDedup(corpus, tau = 0.95)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val stream = MemoryStream[(Long, String)]
+    val q = inc.writer(stream.toDF().toDF("doc_id", "text"),
+      (pairs, _) => got.synchronized {
+        got ++= pairs.as[(Long, Long, Double)].collect()
+      }).start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = got.toSet
+      stream.addData(b2: _*); q.processAllAvailable()
+
+      val full = graft.dedup.Dedup.minhashLshPairs(docs, 0.95)
+        .as[(Long, Long, Double)].collect().toSet
+      val corpusOnly = graft.dedup.Dedup.minhashLshPairs(corpus, 0.95)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.toSet == full -- corpusOnly,
+        s"|streamed|=${got.size} |full-minus-corpus|=${(full -- corpusOnly).size}")
+      // batch-1 pairs never touch batch-2 docs (B2 unseen at that point)
+      val b2Ids = b2.map(_._1).toSet
+      afterB1.foreach { case (a, b, _) =>
+        assert(!b2Ids(a) && !b2Ids(b), s"pair ($a,$b) saw an unarrived doc")
+      }
+    } finally q.stop()
+  }
+
   test("streaming as-of join == batch AsOfJoin under ordered replay") {
     implicit val s = spark
     implicit val sq = spark.sqlContext

@@ -110,6 +110,57 @@ object RelationalQueries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q7 (volume shipping): revenue between two trading nations by
+    * direction and ship year. The scale shape: the nation dim — pre-pruned
+    * to the two nations — joins BROADCAST on both fact sides through its
+    * own alias (supplier side and customer side; never a fact self-join),
+    * so the pruning happens IN the joins and only the cross-orientation
+    * disjunction remains as a row-local filter; the aggregate is a
+    * map-side-combined 3-key groupBy over the surviving fact rows. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_13", "NATION_19")
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      .where(col("supp_nation").isin(na, nb))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      .where(col("cust_nation").isin(na, nb))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === na && col("cust_nation") === nb) ||
+             (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeShippingSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+      |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Top-3 customers by order revenue within each nation: one aggregate to
     * customer grain, then the custom TopKPerKey operator (bounded per-key
     * heaps — no per-nation sort of every customer), ranks over the ≤3
@@ -736,7 +787,8 @@ object RelationalQueries {
     "q13_custdist" -> (q13Custdist _),
     "q21_sole_fault" -> (q21SoleFault _),
     "q15_top_supplier" -> (q15TopSupplier _),
-    "q20_volume_suppliers" -> (q20VolumeSuppliers _))
+    "q20_volume_suppliers" -> (q20VolumeSuppliers _),
+    "q7_volume_shipping" -> (q7VolumeShipping _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" -> q1PricingSql,
@@ -760,5 +812,6 @@ object RelationalQueries {
     "q13_custdist" -> q13CustdistSql,
     "q21_sole_fault" -> q21SoleFaultSql,
     "q15_top_supplier" -> q15TopSupplierSql,
-    "q20_volume_suppliers" -> q20VolumeSuppliersSql)
+    "q20_volume_suppliers" -> q20VolumeSuppliersSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql)
 }

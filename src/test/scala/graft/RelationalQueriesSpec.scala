@@ -212,6 +212,37 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("q7_volume_shipping: both directions, bounded years, revenue matches a local recompute") {
+    val rows = RelationalQueries.q7VolumeShipping(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty, "nation pair chosen to be non-degenerate at every SF")
+    val dirs = rows.map(r => (r._1, r._2)).toSet
+    assert(dirs.subsetOf(Set(("NATION_13", "NATION_19"), ("NATION_19", "NATION_13"))))
+    assert(dirs.size == 2, "both trade directions must appear")
+    assert(rows.forall(r => r._3 >= 1996L && r._3 <= 1997L))
+    assert(rows.forall(_._4 > 0.0))
+    // revenue reconciles against an independent Spark-side recompute that
+    // joins the other way around (customer-first) — same rows either way
+    val redo = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .where(col("n_name").isin("NATION_13", "NATION_19"))
+      .select(col("c_custkey"), col("n_name").as("cn"))
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sf).select(col("n_nationkey").as("nk2"), col("n_name").as("sn")),
+        col("s_nationkey") === col("nk2"))
+      .where(col("sn") =!= col("cn") && col("sn").isin("NATION_13", "NATION_19"))
+      .groupBy(col("sn"), col("cn"), year(col("l_shipdate")).cast("long").as("y"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("rev"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(rows.toSet == redo, s"join-order-independent result broken")
+  }
+
   test("rangeSearch: superset-consistent with topK and monotone in tau") {
     val emb = Tables.embeddings(spark, sf)
     val q0 = graft.search.QueryVectors.qvec(0)

@@ -31,12 +31,17 @@ object Bench {
     * registered queries (BenchLineSpec pins the worst case). */
   private[graft] def formatLine(results: Seq[(String, Double)], sfNum: String): String = {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val top = results.sortBy { case (_, v) => -v }.take(TopN).sortBy(_._1)
-    val rest = results.sortBy { case (_, v) => -v }.drop(TopN)
-    val otherSec = rest.collect { case (_, v) if v >= 0 => v }.sum
+    // failure sentinels (-1.0) must stay visible on the line no matter how
+    // many queries succeed: they'd otherwise sort below the top-N cut and
+    // vanish (only bench_queries.json would record them). Failed entries
+    // are ALWAYS listed; the top-N budget applies to the successes.
+    val (failed, ok) = results.partition { case (_, v) => v < 0 }
+    val top = (failed ++ ok.sortBy { case (_, v) => -v }.take(TopN)).sortBy(_._1)
+    val otherSec = ok.sortBy { case (_, v) => -v }.drop(TopN).map(_._2).sum
     s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",""" +
       s""""queries":${queriesJson(top, 2)},""" +
-      s""""n_queries":${results.length},"other_sec":${fmt(2)(otherSec)},"sf":$sfNum}"""
+      s""""n_queries":${results.length},"failed":${failed.length},""" +
+      s""""other_sec":${fmt(2)(otherSec)},"sf":$sfNum}"""
   }
 
   def main(args: Array[String]): Unit = {

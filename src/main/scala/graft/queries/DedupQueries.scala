@@ -144,17 +144,26 @@ object DedupQueries {
   private val bandsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Band geometry the persisted table was mined with — encoded into the
+    * cache path (like the Pq/IvfPq cache paths encode sub/k/nl) so a
+    * future change to the minhash parameters can NEVER load a stale table
+    * of mismatched signatures from a previous JVM's publish. Must match
+    * the Dedup.minhashBands call below. */
+  private val BandGeom = (4, 8, 42L, 4) // (bands, rows, seed, subRows)
+
   def corpusBands(s: SparkSession, d: String): DataFrame =
     bandsCache.computeIfAbsent(d, _ => {
       val corpus = corpusOf(Tables.documents(s, d))
       val key = d.replaceAll("[^A-Za-z0-9.]", "_")
       val mtime = corpus.inputFiles.map(f =>
         new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-      val path = s"${sys.props("java.io.tmpdir")}/graft-dedup-bands/$key-m$mtime"
+      val (nb, nr, sd, sub) = BandGeom
+      val path = s"${sys.props("java.io.tmpdir")}/graft-dedup-bands/$key-m$mtime-b$nb-r$nr-s$sd-sub$sub"
       def done = new java.io.File(s"$path/_SUCCESS").exists()
       if (!done) {
         val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
-        Dedup.minhashBands(corpus).write.mode("overwrite").parquet(tmp)
+        Dedup.minhashBands(corpus, bands = nb, rows = nr, seed = sd, subRows = sub)
+          .write.mode("overwrite").parquet(tmp)
         val dst = new java.io.File(path)
         dst.getParentFile.mkdirs()
         if (!new java.io.File(tmp).renameTo(dst)) {

@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * lowercase alphabet — see `perm`): within a replica every pairwise
   * token-set Jaccard is EXACTLY preserved (both docs map through the
   * same bijection, and the corpus text is all-lowercase), while across
-  * replicas no alphabetic token survives — so the near-dup pair
-  * structure scales linearly (R× pairs), not quadratically (naive
+  * replicas token collisions are rare and unbiased (seeded permutations
+  * do have fixed points and pairwise agreements — two perms agree on a
+  * 2-letter token with prob ≈ 1/650 — but a band key needs 8 minhash
+  * agreements, so cross-replica candidates stay negligible) — so the
+  * near-dup pair structure scales linearly (R× pairs), not quadratically
+  * (naive
   * copies would make every doc an R-way exact dup and explode candidate
   * pairs ~R², measuring the data's degeneracy rather than the
   * operator's scaling).

@@ -47,6 +47,23 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.formatLine(results, "0.001")
     assert(line.contains(""""value":2.00"""))
     assert(line.contains(""""bad":-1.00"""), "sentinel stays visible per-query")
+    assert(line.contains(""""failed":1"""))
+  }
+
+  test("sentinel stays visible even when more than TopN queries succeed") {
+    // 100 successes slower than the sentinel would previously push it off
+    // the top-N cut AND out of other_sec — an invisible failure
+    val results = (0 until 100).map(i => (f"q$i%03d", i.toDouble + 1.0)) :+ ("bad", -1.0)
+    val line = Bench.formatLine(results, "0.1")
+    assert(line.contains(""""bad":-1.00"""), "sentinel must survive the top-N cut")
+    assert(line.contains(""""failed":1"""))
+    // other_sec still sums only the non-top successes: 1+2+...+60 = 1830
+    assert(line.contains(""""other_sec":1830.00"""))
+  }
+
+  test("failed:0 when everything succeeds") {
+    val line = Bench.formatLine(Seq(("ok", 1.0)), "0.001")
+    assert(line.contains(""""failed":0"""))
   }
 
   test("line is parseable JSON (balanced braces, no trailing comma)") {

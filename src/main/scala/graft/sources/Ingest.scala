@@ -122,6 +122,34 @@ object Ingest {
           transform(col(vecCol), x => (x / n).cast(FloatType)))))
   }
 
+  /** Load the reference's canonical vector artifact — a NumPy `.npy`
+    * float matrix (reference loaders.py:73-80 memory-maps vectors.npy) —
+    * into the embeddings schema (vec_id = row index, the reference's id
+    * convention; embedding float32). The read is distributed byte-range
+    * tasks over the Hadoop FS (NpyIO.loadMatrix), so the reference's own
+    * published artifacts load without an external conversion step. */
+  def loadVectorsNpy(spark: SparkSession, path: String): DataFrame =
+    NpyIO.loadMatrix(spark, path, idCol = "vec_id", vecCol = "embedding")
+
+  /** Write an embeddings frame as the reference's vectors.npy artifact.
+    * Driver-side sequential by format (a .npy is one stream); rows pulled
+    * ordered by id via toLocalIterator — memory O(one partition). For
+    * corpus-scale data the parquet table IS the artifact; this exists for
+    * reference interop. */
+  def writeVectorsNpy(emb: DataFrame, path: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.spark.sql.Row
+    val r = emb.agg(count(lit(1)), first(size(col(vecCol)))).collect()(0)
+    val (n, d) = (r.getLong(0), r.getInt(1))
+    val it = emb.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .toLocalIterator().asInstanceOf[java.util.Iterator[Row]]
+    val rows = new Iterator[Array[Float]] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Array[Float] = it.next().getSeq[Float](1).toArray
+    }
+    NpyIO.write(path, rows, n, d)
+  }
+
   /** vectors.meta.json (reference artifacts.py writes N/D/normalized/
     * model/seed alongside the vectors): one aggregate over the embedding
     * table, hand-rolled JSON (stable key order). */

@@ -35,4 +35,37 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** City names for the derived metadata (embeddingsMeta). */
+  val MetaCities: Seq[String] =
+    Seq("springfield", "riverton", "lakewood", "fairview", "greenville",
+        "bristol", "clayton", "dayton", "ashland", "milton")
+
+  /** The reference's metadata table (validators.py filters target state/
+    * city/stars/latitude/longitude), which the driver testdata does not
+    * ship — derived DETERMINISTICALLY from vec_id with integer arithmetic
+    * both engines reproduce bit-for-bit, so geo/like hybrid queries stay
+    * fully oracle-checkable. Pure projection: no shuffle, prunes with the
+    * scan. Twin SQL: [[embeddingsMetaSql]]. */
+  def embeddingsMeta(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    embeddings(s, d).select(
+      col("vec_id"), col("embedding"), col("label"),
+      // lat ∈ [-30, 59.5] step .5; lon ∈ [-120, 119.25] step .75 — integer
+      // remainders scaled by exactly-representable binary fractions
+      (lit(-30.0) + (col("vec_id") % 180).cast("double") * 0.5).as("latitude"),
+      (lit(-120.0) + ((col("vec_id") * 7) % 320).cast("double") * 0.75).as("longitude"),
+      element_at(
+        array(MetaCities.map(lit): _*), (col("vec_id") % 10).cast("int") + 1).as("city"))
+  }
+
+  /** DuckDB twin of [[embeddingsMeta]] as a WITH-clause body. */
+  val embeddingsMetaSql: String = {
+    val cities = MetaCities.map(c => s"'$c'").mkString(", ")
+    s"""SELECT vec_id, embedding, label,
+       |  -30.0 + CAST(vec_id % 180 AS DOUBLE) * 0.5 AS latitude,
+       |  -120.0 + CAST((vec_id * 7) % 320 AS DOUBLE) * 0.75 AS longitude,
+       |  [$cities][CAST(vec_id % 10 AS INT) + 1] AS city
+       |FROM embeddings""".stripMargin
+  }
 }

@@ -568,7 +568,12 @@ object RunHarness {
       (m, lat.sum / lat.length, p50, rs.map(_.recallAtK).sum / rs.length)
     }
 
-  /** CLI twin of the reference's `python -m src.harness.run`. */
+  /** CLI twin of the reference's `python -m src.harness.run`.
+    * `--queries q.parquet` runs a persisted query table (the reference's
+    * qid/qtext/filters/K shape, Ingest.readQueries) instead of the
+    * built-in set; `--model-dir dir` resolves qtext through MiniLm
+    * weights exported at that path (MiniLm.load) instead of the seeded
+    * stand-in encoder. */
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
     val sfDir = opts.getOrElse("--sf-dir", "/root/testdata/sf0.01")
@@ -578,6 +583,10 @@ object RunHarness {
     val kOv = opts.get("--K").map(_.toInt)
     // reference run.py parity: cap the query set (default runs all)
     val maxQ = opts.get("--max_queries").map(_.toInt)
+    val queriesPath = opts.get("--queries")
+    val encoder: QueryEncoder = opts.get("--model-dir")
+      .map(dir => new graft.encode.MiniLm.Encoder(graft.encode.MiniLm.load(dir)): QueryEncoder)
+      .getOrElse(QueryEncoder.seeded())
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -586,11 +595,15 @@ object RunHarness {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = maxQ.map(QuerySet.default.take).getOrElse(QuerySet.default)
+    val base = queriesPath
+      .map(p => graft.sources.Ingest.readQueries(spark, p))
+      .getOrElse(QuerySet.default)
+    val qs = maxQ.map(base.take).getOrElse(base)
     // same serving tier as Bench/hybrid_stats: both paths write
     // results.jsonl, so the CLI must record the same-tier latencies
     val rows = runMany(spark, sfDir, backends, qs = qs, kOverride = kOv,
-      ram = graft.queries.VectorQueries.servingTier(spark, sfDir))
+      ram = graft.queries.VectorQueries.servingTier(spark, sfDir),
+      encoder = encoder)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), toJsonLines(rows))
     println(s"wrote ${rows.length} rows to $out")
     spark.stop()

@@ -304,6 +304,35 @@ object VectorQueries {
 
   val hybridQueriesSql: String = QuerySet.oracleSql()
 
+  /** #106 hybrid_qtext: the reference's ACTUAL interface — queries arrive
+    * as TEXT (run.py:137-147 embeds qtext with all-MiniLM-L6-v2) and the
+    * engine resolves qvec through the QueryEncoder seam before searching.
+    * Here the seam carries the deterministic tiny MiniLM (real
+    * architecture, seeded weights — MiniLm doc), so the whole
+    * tokenize → forward → normalize → hybrid-search pipeline is
+    * ORACLE-CHECKED: the oracle SQL renders the very vectors the encoder
+    * produced, and the search semantics compare exactly. A user with real
+    * exported weights swaps the encoder (MiniLm.load(dir)); nothing else
+    * changes. */
+  private lazy val qtextQuerySet: Seq[graft.search.HybridQuery] =
+    QuerySet.resolved(QuerySet.default.map(_.copy(qvec = Array.empty[Float])),
+      graft.encode.MiniLm.tinyEncoder())
+
+  def hybridQtext(s: SparkSession, d: String): DataFrame =
+    QuerySet.runAll(emb(s, d), qtextQuerySet)
+
+  lazy val hybridQtextSql: String = QuerySet.oracleSql(qtextQuerySet)
+
+  /** #107 hybrid_geo: geo-box / like / compound filters through the
+    * vector path (the reference's actual query mix, validators.py:289-329)
+    * over the derived-metadata table — filter compiles to one Catalyst
+    * predicate on lat/lon/city, pushes to the scan, TakeOrdered top-K. */
+  def hybridGeo(s: SparkSession, d: String): DataFrame =
+    QuerySet.runAll(Tables.embeddingsMeta(s, d), QuerySet.geo)
+
+  val hybridGeoSql: String =
+    QuerySet.oracleSql(QuerySet.geo, from = s"(${Tables.embeddingsMetaSql})")
+
   /** Reference results.jsonl equivalent: per-(query, backend) stats —
     * latency_ms, recall_at_k, scored_vectors, filter_selectivity,
     * kth_at_stop. Rows-only (latency is nondeterministic by nature). */
@@ -327,6 +356,8 @@ object VectorQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_queries" -> (hybridQueries _),
+    "hybrid_qtext" -> (hybridQtext _),
+    "hybrid_geo" -> (hybridGeo _),
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
@@ -348,6 +379,8 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "hybrid_queries" -> hybridQueriesSql,
+    "hybrid_qtext" -> hybridQtextSql,
+    "hybrid_geo" -> hybridGeoSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
     "vec_range_search" -> vecRangeSearchSql,

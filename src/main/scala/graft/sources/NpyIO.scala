@@ -189,6 +189,15 @@ object NpyIO {
     }
   }
 
+  /** In-process (driver- or executor-local) full read of one .npy file as
+    * a row-major float matrix — the weight-loading path (model tensors are
+    * MBs, not corpora; the distributed loadMatrix is for data). */
+  def readLocal(path: String, conf: Configuration = new Configuration()): Array[Array[Float]] = {
+    val h = readHeader(path, conf)
+    require(h.rows <= Int.MaxValue, s"readLocal on ${h.rows} rows — use loadMatrix")
+    readRows(path, h.descr, h.cols, h.dataOffset, 0L, h.rows).map(_._2).toArray
+  }
+
   /** Write a float32 .npy (v1.0 header, 64-aligned data offset) from a
     * row iterator — the reference's vectors.npy artifact shape. Driver-
     * side and sequential by format; memory O(one row). */

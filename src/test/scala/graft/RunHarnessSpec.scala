@@ -112,6 +112,32 @@ class RunHarnessSpec extends AnyFunSuite {
     assert(both.head.kthAtStop == viaVec.head.kthAtStop)
   }
 
+  test("queries.parquet of qtext-only rows drives the harness through the MiniLM encoder") {
+    import graft.encode.MiniLm
+    import graft.sources.Ingest
+    val enc = MiniLm.tinyEncoder()
+    // the reference's actual interface: a query table whose rows carry
+    // TEXT, no vectors (run.py:118-126 + 137-147)
+    val textOnly = QuerySet.default.map(_.copy(qvec = Array.empty[Float]))
+    val path = java.nio.file.Files.createTempDirectory("qp").toString + "/queries.parquet"
+    Ingest.writeQueries(spark, path, textOnly)
+    val fromDisk = Ingest.readQueries(spark, path)
+    assert(fromDisk.forall(q => q.qvec.isEmpty && q.qtext.nonEmpty))
+    // harness path: qtext → MiniLM forward → unit-norm qvec → search.
+    // recall 1.0 proves the encoded vector passed the ensure_unit_l2
+    // guard and exact search ran on it
+    val rows = RunHarness.runMany(spark, sf, Seq("exact"), qs = fromDisk, encoder = enc)
+    assert(rows.length == QuerySet.default.length)
+    rows.foreach(r => assert(r.recallAtK == 1.0, s"qid ${r.qid}"))
+    // parity across the write/read boundary: search results from the
+    // persisted table equal searching the same texts encoded in memory
+    val viaDisk = QuerySet.runAll(Tables.embeddings(spark, sf),
+      QuerySet.resolved(fromDisk, enc)).collect().map(_.toSeq)
+    val viaMem = QuerySet.runAll(Tables.embeddings(spark, sf),
+      QuerySet.resolved(textOnly, enc)).collect().map(_.toSeq)
+    assert(viaDisk.sameElements(viaMem))
+  }
+
   test("malformed and unknown filters are hard errors") {
     intercept[Exception] { // test_malformed_filters_hard_error
       RunHarness.run(spark, sf, "exact",

@@ -398,7 +398,6 @@ object RunHarness {
         // full ADC scan volume — no count job
         new PqBackend(p, model, shortlistN = sl, codeCount = total, ram = ram)
       case p if p == "ivfpq" || p.startsWith("ivfpq:") =>
-        val sl = if (p == "ivfpq") 100 else p.stripPrefix("ivfpq:").toInt
         val spark = emb.sparkSession
         val model = corpusKey match {
           case Some(key) => IvfPq.cached(spark, emb, key,
@@ -407,6 +406,10 @@ object RunHarness {
           case None => IvfPq.compose(
             Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))), Pq.build(emb))
         }
+        // bare "ivfpq" serves the index's auto-tuned default (meta.json);
+        // "ivfpq:N" dials it explicitly
+        val sl = if (p == "ivfpq") model.defaultShortlist
+                 else p.stripPrefix("ivfpq:").toInt
         new IvfPqBackend(p, model, nprobe, shortlistN = sl, ram = ram)
       case "ivf" =>
         val model = corpusKey match {

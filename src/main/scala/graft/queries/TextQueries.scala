@@ -248,7 +248,28 @@ object TextQueries {
        |FROM x ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  /** #108 text_embed: distributed document encoding — the artifacts.py
+    * build_embeddings step (text → sentence embedding per doc) through
+    * MiniLm.embedTable: weights broadcast once, one encoder per
+    * partition, forward pass per row. A deterministic 1-in-10 doc_id
+    * sample keeps the transformer cost out of bench's critical path while
+    * still crossing partitions; output is the per-doc embedding summary
+    * (dim + 6dp norm — unit by construction). Rows-only: no SQL oracle
+    * can run a transformer; per-row distributed-vs-driver parity is
+    * spec-pinned (MiniLmSpec), and the tiny model's weights are seeded so
+    * rows are identical across JVMs. */
+  def textEmbed(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit, size, round}
+    val sample = Tables.documents(s, d).where(pmod(col("doc_id"), lit(10)) === 0)
+    graft.encode.MiniLm.embedTable(sample, "text", "doc_id",
+        graft.encode.MiniLm.seededTiny(), maxLen = 64)
+      .select(col("doc_id"), size(col("embedding")).as("d"),
+        round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 6).as("norm"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_embed" -> (textEmbed _),
     "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),
     "text_tokens" -> (textTokens _),

@@ -254,7 +254,7 @@ object VectorQueries {
     * sampled KMeans; recall/equality contracts in VectorSearchSpec, the
     * pruned-scan plan pin in PlanSpec). */
   def vecIvfPqTopK(s: SparkSession, d: String): DataFrame =
-    ivfpqModel(s, d).search(q0, nprobe = 32, k = K, shortlist = 100)
+    ivfpqModel(s, d).search(q0, nprobe = 32, k = K) // shortlist: index meta default
 
   /** #101 shortlist-axis recall sweep for the compressed tier — the
     * latency_recall.py twin for the PQ family (reference

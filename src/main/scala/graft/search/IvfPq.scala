@@ -22,7 +22,16 @@ import org.apache.spark.sql.functions._
   * refine then touches only the ≤`shortlist` winners via a broadcast join
   * back to the vector table (never a second corpus scan).
   */
-final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame) {
+final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame,
+                            tuned: Option[(Int, Double)] = None) {
+
+  /** The shortlist used when the caller doesn't dial one: the build-time
+    * auto-tuned width (IvfPq.tuneShortlist) when the index carries it,
+    * else the historical 100. The fixed 100 was measured misleading on an
+    * i.i.d. corpus (recall 0.20 at reference scale, BASELINE §2) while
+    * fine on clustered ones — geometry the build can probe cheaply, so it
+    * does. */
+  def defaultShortlist: Int = tuned.map(_._1).getOrElse(100)
 
   /** list_id → row count, collected ONCE per model (O(nlist) rows — the
     * centroid discipline): serving-path stats (how many codes a probe
@@ -37,8 +46,9 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame) {
     * on round(·,6) with vec_id tiebreak (repo-wide ranking convention —
     * see VectorSearch doc), so results are deterministic per index. */
   def search(qvec: Array[Float], nprobe: Int, k: Int,
-             shortlist: Int = 100): DataFrame = {
-    val short = shortlistDf(qvec, nprobe, shortlist)
+             shortlist: Int = 0): DataFrame = {
+    val width = if (shortlist > 0) shortlist else defaultShortlist
+    val short = shortlistDf(qvec, nprobe, width)
     VectorSearch.topK(
       pq.corpus.join(broadcast(short.select("vec_id")), "vec_id"), qvec, k)
   }
@@ -55,6 +65,41 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame) {
       .select(col("vec_id"), round(pq.adcScore(qvec), 6).as("adc_score"))
       .orderBy(desc("adc_score"), col("vec_id"))
       .limit(n)
+  }
+
+  /** Build-time shortlist auto-tune: mean recall@k of every ladder prefix
+    * from ONE ADC ranking + ONE exact top-k per probe query (the
+    * vec_pq_sweep shared-pass shape — recall@width is pure driver prefix
+    * math because any true top-k member in the shortlist survives the
+    * exact refine). Probes are corpus vectors spread across the id range,
+    * so the measurement sees the index's OWN geometry — clustered corpora
+    * tune small, i.i.d. ones tune wide. Returns (smallest ladder width
+    * with mean recall ≥ floor — else the widest, capped at N) and its
+    * recall. 2·|probes| bounded jobs, once per index build. */
+  def tuneShortlist(nprobe: Int = 32, k: Int = 10,
+                    ladder: Seq[Int] = Seq(100, 500, 1000, 2000),
+                    floor: Double = 0.9, probes: Int = 3): (Int, Double) = {
+    val total = listSizes.values.sum
+    val rungs = ladder.sorted.map(_ min total.toInt).distinct
+    val step = math.max(1L, total / probes)
+    val qvecs = pq.corpus
+      .where(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy("vec_id").limit(probes)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(qvecs.nonEmpty, "empty corpus: nothing to tune against")
+    val ranked = qvecs.map { q =>
+      val adc = shortlistDf(q, nprobe, rungs.max)
+        .select("vec_id").collect().map(_.getLong(0))
+      val exact = VectorSearch.topK(pq.corpus, q, k)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (adc, exact)
+    }
+    val curve = rungs.map { s =>
+      s -> ranked.map { case (adc, ex) =>
+        adc.take(s).count(ex).toDouble / math.min(k, ex.size)
+      }.sum / ranked.length
+    }
+    curve.find(_._2 >= floor).getOrElse(curve.last)
   }
 
   /** Composed-index health: list-size skew (what kills nprobe recall)
@@ -92,18 +137,41 @@ object IvfPq {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
 
   def load(spark: SparkSession, path: String, ivf: IvfModel, pq: PqModel): IvfPqModel =
-    IvfPqModel(ivf, pq, spark.read.parquet(s"$path/codes"))
+    IvfPqModel(ivf, pq, spark.read.parquet(s"$path/codes"), readMeta(path))
+
+  /** meta.json: the auto-picked shortlist + its probe recall, recorded in
+    * the index metadata at build (the dial-default a serving layer reads
+    * back). Hand-rolled JSON like Ingest.writeVectorsMeta. */
+  private def writeMeta(path: String, tuned: (Int, Double)): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/meta.json"),
+      s"""{"default_shortlist": ${tuned._1}, "probe_recall": ${tuned._2}}""")
+
+  private def readMeta(path: String): Option[(Int, Double)] = {
+    val f = new java.io.File(s"$path/meta.json")
+    if (!f.exists()) None
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(f.toPath))
+      for {
+        s <- """"default_shortlist"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        r <- """"probe_recall"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } yield (s, r)
+    }
+  }
 
   /** Load-or-publish with the shared single-rename race discipline
     * (Ivf.buildOrLoad doc): a rename loser discards its copy and
-    * re-verifies the winner before loading. */
+    * re-verifies the winner before loading. The shortlist tune runs on
+    * the tmp copy and publishes atomically WITH the codes; a legacy dir
+    * without meta.json is tuned once on load and the result written
+    * alongside (deterministic — concurrent writers agree). */
   def buildOrLoad(spark: SparkSession, ivf: IvfModel, pq: PqModel,
                   path: String): IvfPqModel = {
     def done = new java.io.File(s"$path/codes/_SUCCESS").exists()
-    if (done) load(spark, path, ivf, pq)
-    else {
+    if (!done) {
       val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
       write(compose(ivf, pq), tmp)
+      writeMeta(tmp, load(spark, tmp, ivf, pq).tuneShortlist())
       val dst = new java.io.File(path)
       dst.getParentFile.mkdirs()
       if (!new java.io.File(tmp).renameTo(dst)) {
@@ -112,6 +180,11 @@ object IvfPq {
           throw new IllegalStateException(
             s"ivfpq publish failed: rename to $path lost without a complete index present")
       }
+    }
+    val m = load(spark, path, ivf, pq)
+    if (m.tuned.isDefined) m
+    else { // pre-meta cache dir: tune once, record, reload
+      writeMeta(path, m.tuneShortlist())
       load(spark, path, ivf, pq)
     }
   }

@@ -299,6 +299,56 @@ class VectorSearchSpec extends AnyFunSuite {
       .foreach { case (id, s) => assert(exactScores(id) == s) }
   }
 
+  test("shortlist auto-tune: floor met on both probe geometries, meta round-trips") {
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    // geometry 1: i.i.d. gaussian unit vectors (the shape where the old
+    // fixed shortlist=100 was measured misleading at reference scale)
+    val iid = (0L until 300L).map(i => (i, unit(Array.fill(dim)(rng.nextGaussian().toFloat))))
+    // geometry 2: clustered — 5 centers + small noise
+    val centers = Array.fill(5)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val clustered = (0L until 300L).map { i =>
+      val c = centers((i % 5).toInt)
+      (i, unit(c.zip(Array.fill(dim)(rng.nextGaussian().toFloat * 0.15f)).map { case (a, b) => a + b }))
+    }
+    Seq(("iid", iid), ("clustered", clustered)).foreach { case (name, rows) =>
+      val corpus = rows.toDF("vec_id", "embedding")
+      val model = IvfPq.compose(Ivf.build(corpus, nlist = 8), Pq.build(corpus))
+      val (width, recall) = model.tuneShortlist(nprobe = 8, k = 10)
+      val rungs = Seq(100, 300) // ladder ∩ capped-at-N on a 300-row corpus
+      assert(rungs.contains(width), s"$name: width $width not a capped ladder rung")
+      assert(recall >= 0.9 || width == rungs.max,
+        s"$name: tuned ($width, $recall) neither meets the floor nor is the widest rung")
+      // the auto default actually serves: held-out query, recall vs exact
+      val tunedModel = model.copy(tuned = Some((width, recall)))
+      assert(tunedModel.defaultShortlist == width)
+      val q = unit(Array.fill(dim)(rng.nextGaussian().toFloat))
+      val exactTop = VectorSearch.topK(corpus, q, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val got = tunedModel.search(q, nprobe = 8, k = 10)
+        .select("vec_id").as[Long].collect()
+      assert(got.count(exactTop) / 10.0 >= 0.7,
+        s"$name: auto-shortlist recall ${got.count(exactTop) / 10.0} at width $width")
+    }
+    // persistence: buildOrLoad writes meta.json with the tune; a reload
+    // carries it; a legacy dir (meta deleted) re-tunes deterministically
+    val corpus = iid.toDF("vec_id", "embedding")
+    val ivf = Ivf.build(corpus, nlist = 8)
+    val pqm = Pq.build(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-tune").toString + "/idx"
+    val built = IvfPq.buildOrLoad(spark, ivf, pqm, dir)
+    assert(built.tuned.isDefined, "build must record the tune in meta.json")
+    val reloaded = IvfPq.buildOrLoad(spark, ivf, pqm, dir)
+    assert(reloaded.tuned == built.tuned)
+    new java.io.File(s"$dir/meta.json").delete()
+    val legacy = IvfPq.buildOrLoad(spark, ivf, pqm, dir)
+    assert(legacy.tuned == built.tuned, "legacy dir re-tunes to the same result")
+  }
+
   test("IVFPQ stats: vectors conserved across the composed table") {
     val r = ivfpq.stats.collect().head
     assert(r.getAs[Long]("n_vectors") == emb.count())

@@ -50,19 +50,50 @@ object Dedup {
       .withColumnRenamed("_s", "_b")
       .select((keys :+ "_a" :+ "_b").map(col) ++
         (idCol +: payload).map(n => col(n).as(s"${n}_r")): _*)
-    left.join(right, keys ++ Seq("_a", "_b"))
+    // size-adaptive SHUFFLE_HASH (smallSource doc): at gate scale the
+    // hash join kills the sort-merge sorts that dominated the 1× mining
+    // profile; at 30–100× the planner's SMJ + AQE skew split wins.
+    val rightSide = if (smallSource(df)) right.hint("SHUFFLE_HASH") else right
+    left.join(rightSide, keys ++ Seq("_a", "_b"))
       .where(col(s"${idCol}_l") < col(s"${idCol}_r"))
       .drop("_a", "_b")
   }
 
-  /** Re-attach heavyweight per-doc columns to pruned id pairs. The pair
-    * side is the big one; the doc side is |corpus|-sized, so AQE picks a
-    * broadcast or shuffle join on the id as appropriate at scale. */
+  /** Plan-side source-size estimate (bytes of the backing files — the
+    * spread() discipline: no job, no RDD lineage). 0 for non-file
+    * sources, which routes them to the conservative branch. */
+  private def inputBytes(df: DataFrame): Long =
+    try df.inputFiles.map(f => new java.io.File(new java.net.URI(f).getPath).length()).sum
+    catch { case _: Exception => 0L }
+
+  /** Join-strategy dial for the mining joins, SIZE-ADAPTIVE and measured
+    * both ways at 1× and 100× (results_scale100.json lineage):
+    *  - small corpus (file bytes < 16 MB): SHUFFLE_HASH — streams probe
+    *    per-partition hash maps, no sorts anywhere (the sort-merge sorts
+    *    dominated the 1× mining profile: dedup_minhash_lsh 7.7 → 2.5 s
+    *    when they went);
+    *  - big corpus: leave the planner on sort-merge, where AQE's skew
+    *    split can cut the hot probe partitions a plain shuffled-hash
+    *    join would serialize (hinting at 100× measured 4–5× WORSE:
+    *    corpus_curate ratio 11.6 → 42 hint-everywhere, 57 salted-only —
+    *    the spill the sorts cost is managed, the straggler a skewed
+    *    probe stream costs is not). */
+  private def smallSource(df: DataFrame): Boolean = {
+    val b = inputBytes(df)
+    b > 0 && b < (16L << 20)
+  }
+
+  /** Re-attach heavyweight per-doc columns to pruned id pairs; the
+    * smallSource dial picks the join strategy. */
   private def withPayloads(pairs: DataFrame, docsPayload: DataFrame,
                            idCol: String, cols: Seq[String]): DataFrame = {
-    val l = docsPayload.select(col(idCol).as(s"${idCol}_l") +: cols.map(c => col(c).as(s"${c}_l")): _*)
-    val r = docsPayload.select(col(idCol).as(s"${idCol}_r") +: cols.map(c => col(c).as(s"${c}_r")): _*)
-    pairs.join(l, s"${idCol}_l").join(r, s"${idCol}_r")
+    val small = smallSource(docsPayload)
+    def side(suffix: String) = {
+      val s = docsPayload.select(
+        col(idCol).as(s"${idCol}_$suffix") +: cols.map(c => col(c).as(s"${c}_$suffix")): _*)
+      if (small) s.hint("SHUFFLE_HASH") else s
+    }
+    pairs.join(side("l"), s"${idCol}_l").join(side("r"), s"${idCol}_r")
   }
 
   /** Exact Jaccard from sorted token-id arrays:
@@ -119,8 +150,9 @@ object Dedup {
     * with Jaccard J share the min-hash token with probability ≥ J, so
     * blocking recall at tau=0.95 is ≥95%; candidates are verified with
     * the exact intersect/union ratio. */
-  def jaccardPairs(docs: DataFrame, tau: Double, salt: Int = 8): DataFrame =
-    jaccardOnText(docs, 1, tau, salt)
+  def jaccardPairs(docs: DataFrame, tau: Double, salt: Int = 8,
+                   maxBlock: Int = 4000): DataFrame =
+    jaccardOnText(docs, 1, tau, salt, maxBlock)
 
   /** #24b n-gram (shingle) Jaccard: distinct n-token shingles instead of
     * single tokens — finds copied SEQUENCES that token-set similarity
@@ -148,8 +180,22 @@ object Dedup {
   /** Shared exact-Jaccard-pairs pipeline: single-pass TokenSetSummary
     * (tokenize/shingle + hash + min-MD5 block), slim (id, size) candidate
     * generation through the salted triangle join, size-band prune, array
-    * re-join, two-pointer verify. */
-  private def jaccardOnText(docs: DataFrame, n: Int, tau: Double, salt: Int): DataFrame = {
+    * re-join, two-pointer verify.
+    *
+    * Degenerate blocking keys are SUB-BLOCKED, not suffered: a min-token
+    * shared by a super-linear share of the corpus (a ubiquitous common
+    * token — the shape the 100× scale probe measured as a 2300×
+    * shuffle/142 GB spill blow-up, results_scale100.json) would make its
+    * block's pair volume quadratic in corpus growth. Blocks larger than
+    * `maxBlock` are re-keyed by an (n+1)-shingle min-MD5 refinement (the
+    * refineOversized discipline from the banded-LSH path): within an
+    * oversized block, recall falls from "≥ J" to "≈ the (n+1)-shingle
+    * min agreement" (J ≥ 0.95 token sets share 2-shingle mins with prob
+    * ≈ 2J−1 ≥ 0.9) instead of work going quadratic. The gate corpus
+    * (≤ 60k docs, max block ≪ maxBlock) never triggers it, so the
+    * DuckDB oracle's plain block join stays exactly faithful. */
+  private def jaccardOnText(docs: DataFrame, n: Int, tau: Double, salt: Int,
+                            maxBlock: Int = 4000): DataFrame = {
     // each branch computes ONLY what it needs (single-purpose expressions:
     // a bundled struct would get re-expanded by projection pushdown into
     // one full evaluation per extracted field):
@@ -157,10 +203,25 @@ object Dedup {
     //  - payload sides:   token-id arrays (hash + sort)
     val src = docs.select(col("doc_id"), col("text"))
     val slim = spread(src, "doc_id")
-      .select(col("doc_id"), tokenSetSize(col("text"), n).as("n"),
+      .select(col("doc_id"), col("text"), tokenSetSize(col("text"), n).as("n"),
         tokenSetMinMd5(col("text"), n).as("blk"))
       .where(col("n") > 0)
-    val pruned = saltedPairs(slim, Seq("blk"), "doc_id", Seq("n"), salt)
+    val oversized = slim.groupBy("blk").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > maxBlock)
+      .select("blk").withColumn("over", lit(true))
+    // the (n+1)-shingle refinement min sits INSIDE the when-branch, so
+    // its md5 pass runs only for rows of oversized blocks (CaseWhen
+    // evaluates branches lazily in codegen) — the common path pays one
+    // md5 pass per slim evaluation, not two. `text` survives to here
+    // because the oversized join is a broadcast (no shuffle widens), and
+    // is dropped before the salted explosion.
+    val keyed = slim
+      .join(broadcast(oversized), Seq("blk"), "left")
+      .withColumn("blk",
+        when(col("over"), concat(col("blk"), tokenSetMinMd5(col("text"), n + 1)))
+          .otherwise(col("blk")))
+      .drop("over", "text")
+    val pruned = saltedPairs(keyed, Seq("blk"), "doc_id", Seq("n"), salt)
       .where(sizeBandN(col("n_l"), col("n_r"), tau))
       .select("doc_id_l", "doc_id_r")
     val payload = spread(src, "doc_id")

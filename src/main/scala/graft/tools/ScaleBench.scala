@@ -108,10 +108,36 @@ object ScaleBench {
     catch { case _: Throwable => }
   }
 
-  private def time(fn: => DataFrame): Double = {
+  /** Spill/shuffle accounting across every task of the timed query —
+    * the evidence that separates "algorithmic super-linearity" from
+    * "local[32] memory pressure" in the 30×→100× interval (VERDICT r10
+    * #3 asks for exactly this breakdown). */
+  private class SpillListener extends org.apache.spark.scheduler.SparkListener {
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { memSpill.set(0); diskSpill.set(0); shuffleWrite.set(0) }
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+  }
+
+  private case class Timing(sec: Double, memSpillMb: Long, diskSpillMb: Long,
+                            shuffleMb: Long)
+
+  private def time(spill: SpillListener)(fn: => DataFrame): Timing = {
+    spill.reset()
     val t0 = System.nanoTime()
     fn.write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    Timing(sec, spill.memSpill.get >> 20, spill.diskSpill.get >> 20,
+      spill.shuffleWrite.get >> 20)
   }
 
   def main(args: Array[String]): Unit = {
@@ -129,6 +155,12 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // start shuffles WIDE and let AQE coalesce: at 1x the mining
+      // shuffles coalesce to a handful of partitions (64 MB advisory
+      // target), while at 30-100x data the candidate shuffle keeps
+      // hundreds of partitions instead of spilling 32 giant ones --
+      // the corpus_curate 100x spill fix (VERDICT r10 #3)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -148,17 +180,22 @@ object ScaleBench {
       catch { case _: Throwable => }
     }
 
-    def runAll(dir: String): Map[String, Double] = {
+    val spill = new SpillListener
+    spark.sparkContext.addSparkListener(spill)
+
+    def runAll(dir: String): Map[String, Timing] = {
       warm(spark, dir)
-      Heavy.map(q => q -> time(graft.SparkEntry.queries(q)(spark, dir))).toMap
+      Heavy.map(q => q -> time(spill)(graft.SparkEntry.queries(q)(spark, dir))).toMap
     }
     val t1 = runAll(baseDir)
     val tR = runAll(scaleDir)
 
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = Heavy.map { q =>
-      val r = if (t1(q) > 0) tR(q) / t1(q) else -1.0
-      s""""$q":{"t1":${f2(t1(q))},"tR":${f2(tR(q))},"ratio":${f2(r)}}"""
+      val r = if (t1(q).sec > 0) tR(q).sec / t1(q).sec else -1.0
+      s""""$q":{"t1":${f2(t1(q).sec)},"tR":${f2(tR(q).sec)},"ratio":${f2(r)},""" +
+        s""""tR_spill_mem_mb":${tR(q).memSpillMb},"tR_spill_disk_mb":${tR(q).diskSpillMb},""" +
+        s""""tR_shuffle_mb":${tR(q).shuffleMb},"t1_shuffle_mb":${t1(q).shuffleMb},"t1_spill_mem_mb":${t1(q).memSpillMb}}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scale_ratio","queries":$qs,"replicas":$replicas}"""
     spark.sparkContext.setLogLevel("OFF")

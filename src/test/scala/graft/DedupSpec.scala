@@ -253,6 +253,29 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"refined-bucket recall $recall (want >= 0.5, drop gave 0)")
   }
 
+  test("jaccardPairs: degenerate min-token blocks sub-block by shingle, recall survives") {
+    // every doc shares the token "a" AND its md5-min status (md5("a") is
+    // tiny), so ALL docs land in one block — the shape the 100x scale
+    // probe measured as a 2300x shuffle blow-up. With maxBlock=10 the
+    // block is re-keyed by the 2-shingle min; true dup pairs (identical
+    // long prefix => shared 2-shingle min) must still be found.
+    val prefix = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = (0L until 40L).map { i =>
+      val twin = i / 2 // docs 2k and 2k+1 are near-dups of each other
+      (i, s"a $prefix twin$twin u$i")
+    }.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, tau = 0.9, maxBlock = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val truth = (0L until 40L by 2).map(k => (k, k + 1)).toSet
+    val recall = truth.count(got) / truth.size.toDouble
+    assert(recall >= 0.9, s"sub-blocked recall $recall (degenerate block must not drop dups)")
+    // and with the default cap (block of 40 << 4000) results are the
+    // plain-blocking ones — the oracle-faithful gate path is untouched
+    val plain = Dedup.jaccardPairs(docs, tau = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(plain))
+  }
+
   test("clusters: empty pair set yields empty clusters (no crash)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.clusters(empty).count() == 0)

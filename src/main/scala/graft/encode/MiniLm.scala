@@ -330,9 +330,15 @@ object MiniLm {
                  w: MiniLmWeights, maxLen: Int = 128): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(w)
-    val inRdd = df.select(org.apache.spark.sql.functions.col(idCol).cast(LongType),
+    val slim = df.select(org.apache.spark.sql.functions.col(idCol).cast(LongType),
         org.apache.spark.sql.functions.col(textCol))
-      .rdd.map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+    // the forward pass is COMPUTE-bound, so parallelism must track cores,
+    // not input splits: a small corpus in one parquet file would otherwise
+    // run every forward pass on a single thread (at warehouse scale the
+    // input already has >= cores splits and this is a no-op)
+    val want = spark.sparkContext.defaultParallelism
+    val inRdd0 = slim.rdd.map(r => (r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1)))
+    val inRdd = if (inRdd0.getNumPartitions < want) inRdd0.repartition(want) else inRdd0
     val outRdd = inRdd.mapPartitions { it =>
       val enc = new Encoder(bc.value, maxLen) // once per partition
       it.map { case (id, text) => org.apache.spark.sql.Row(id, enc.encode(text)) }

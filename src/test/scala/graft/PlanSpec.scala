@@ -207,6 +207,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!rep.contains("Exchange"), rep)
   }
 
+  test("jaccard mining joins: hash joins at gate scale, broadcast sub-block key join") {
+    val p = plan(graft.dedup.Dedup.jaccardPairs(Tables.documents(spark, sf), 0.95))
+    // smallSource dial (< 16 MB): the salted candidate join and the
+    // payload re-joins are SHUFFLE_HASH — no sort-merge sorts anywhere
+    // in the mining pipeline at this scale
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the oversized-block key join must never shuffle the stream side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("simhash signatures are row-local (no aggregate, no explode)") {
     val p = plan(graft.dedup.Dedup.simhashSignatures(Tables.documents(spark, sf)))
     // the signature is one codegen'd projection per row: a HashAggregate or

@@ -765,7 +765,149 @@ object RelationalQueries {
       |GROUP BY s_suppkey, s_name
       |ORDER BY s_suppkey""".stripMargin
 
+  /** #109 TPC-H Q8-shaped national market share: a supplier nation's
+    * share of ECONOMY-part revenue bought by AMERICA-region customers,
+    * per order year. The two facts join once on their natural key (the
+    * one shuffle); every dimension chain — filtered part, supplier→
+    * nation, customer→nation→region — broadcasts; numerator and
+    * denominator come out of the SAME decimal aggregate pass
+    * (conditional sum over sum), never a second scan or self-join. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    val part = Tables.part(spark, dir).where(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val supNat = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custAmerica = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+        lit("1997-12-31").cast("timestamp")))
+    Tables.lineitem(spark, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(custAmerica), col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+        sum(rev).cast("double"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(
+      |    CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+      |    6) AS mkt_share
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region   ON n1.n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #110 TPC-H Q9-shaped product-line profit per (supplier nation,
+    * order year) over '%red%' parts. This schema has no partsupp, so
+    * supply cost derives deterministically from the part dimension —
+    * 40% of retail price per unit — the same closed formula both
+    * engines evaluate (the q2 lineitem-stand-in discipline). Facts
+    * join once; part and supplier→nation broadcast; profit stays
+    * DECIMAL until the final cast. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val profit = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) -
+      dec(col("p_retailprice")) * lit(0.40).cast("decimal(18,2)") * dec(col("l_quantity"))
+    val part = Tables.part(spark, dir).where(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val supNat = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), desc("o_year"))
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) -
+      |    CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.40 AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+      |  ) AS DOUBLE) AS sum_profit
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN part     ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** #111 TPC-H Q11-shaped important stock: per-part traded value from
+    * two nations' suppliers, kept when above 0.1% of that trade's total
+    * — the group-by + HAVING-over-global-scalar shape. The scalar total
+    * is ONE tiny aggregate broadcast back (the q22 discipline, never a
+    * per-row subquery); value stays DECIMAL through the aggregate AND
+    * the threshold compare (exact on both engines), double only on
+    * output. lineitem stands in for partsupp at (part, supplier) grain
+    * (the q2 discipline). */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val supNat = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).where(
+        col("n_name").isin("NATION_0", "NATION_1"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(spark, dir)
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("value_d"))
+    val total = value.agg(sum(col("value_d")).as("total_d"))
+    value.crossJoin(broadcast(total))
+      .where(col("value_d") * 1000 > col("total_d"))
+      .select(col("partkey"), col("value_d").cast("double").as("value"))
+      .orderBy(desc("value"), col("partkey"))
+  }
+
+  val q11ImportantStockSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS value_d
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_0', 'NATION_1')
+      |  GROUP BY l_partkey),
+      |t AS (SELECT sum(value_d) AS total_d FROM v)
+      |SELECT partkey, CAST(value_d AS DOUBLE) AS value
+      |FROM v, t
+      |WHERE value_d * 1000 > total_d
+      |ORDER BY value DESC, partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_stock" -> (q11ImportantStock _),
     "q1_pricing" -> (q1Pricing _),
     "q3_priority" -> (q3Priority _),
     "q5_region" -> (q5Region _),
@@ -791,6 +933,9 @@ object RelationalQueries {
     "q7_volume_shipping" -> (q7VolumeShipping _))
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_product_profit" -> q9ProductProfitSql,
+    "q11_important_stock" -> q11ImportantStockSql,
     "q1_pricing" -> q1PricingSql,
     "q3_priority" -> q3PrioritySql,
     "q5_region" -> q5RegionSql,

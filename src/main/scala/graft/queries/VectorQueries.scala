@@ -156,6 +156,28 @@ object VectorQueries {
   def vecIvfTopK(s: SparkSession, d: String): DataFrame =
     ivfModel(s, d).search(q0, nprobe = 32, k = K)
 
+  /** #112 vec_ivf_append: the daily-ingest shape for vectors (FAISS
+    * add_with_ids; the dedup_incremental twin) — a resident index built
+    * on 9/10 of the corpus takes the held-out 1/10 as a new batch via
+    * IvfModel.append (centroid assignment only, no retraining) and
+    * serves the union. Deterministic split on vec_id; the resident model
+    * is cached per dir (JVM-local — the split model is query-specific,
+    * unlike the shared persisted full-corpus index). Rows-only like the
+    * other probe-path queries; append ≡ same-centroid-full-index and
+    * associativity contracts in VectorSearchSpec. */
+  private val ivfAppendCache = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+
+  def vecIvfAppend(s: SparkSession, d: String): DataFrame = {
+    val appended = ivfAppendCache.computeIfAbsent(d, _ => {
+      val e = emb(s, d)
+      val resident = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      Ivf.build(resident, Ivf.pickNlist(resident.count()), maxIter = 10)
+        .append(batch)
+    })
+    appended.search(q0, nprobe = 32, k = K)
+  }
+
   /** recall@K of IVF vs exact over the query batch — both sides batched:
     * ground truth is ONE knnJoin pass over the corpus (all queries share
     * the scan's bounded heaps), the IVF side ONE scan pruned to the union
@@ -366,6 +388,7 @@ object VectorQueries {
     "vec_knn_join" -> (vecKnnJoin _),
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
+    "vec_ivf_append" -> (vecIvfAppend _),
     "vec_ivf_stats" -> (vecIvfStats _),
     "vec_recall_ivf" -> (vecRecallIvf _),
     "vec_nprobe_sweep" -> (vecNprobeSweep _),

@@ -57,6 +57,22 @@ final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
     VectorSearch.knnJoin(pruned, queries, k, allowedLists = Some(perQ.toMap))
   }
 
+  /** Incremental add — the FAISS `add_with_ids` twin and the vector-side
+    * dedup_incremental shape: assign the new batch to the EXISTING
+    * centroids (one narrow codegen pass against the broadcast centroid
+    * literals — no retraining, no shuffle, resident rows untouched) and
+    * serve the union. Probing is centroid-driven, so search over the
+    * appended model is exactly search over a same-centroid index that
+    * contained the batch all along (spec-pinned: full-probe search ≡
+    * exact top-k over the union; appends compose associatively).
+    * Centroid drift under distribution shift is a rebuild-cadence
+    * decision, as with FAISS. */
+  def append(batch: DataFrame): IvfModel = {
+    val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
+    copy(indexed = indexed.unionByName(
+      batch.withColumn("list_id", argMaxDot(col("embedding"), centsLit))))
+  }
+
   /** Index-health report: inverted-list size distribution in ONE
     * map-side-combined aggregate — empty/overfull lists are what make
     * nprobe recall collapse, so this is the check an operator runs before

@@ -255,6 +255,29 @@ class VectorSearchSpec extends AnyFunSuite {
       .foreach { case (id, s) => assert(exactScores(id) == s) }
   }
 
+  test("IVF append: union conserved, full-probe search exact, appends compose") {
+    val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val m0 = graft.search.Ivf.build(resident, nlist = 8, maxIter = 5)
+    val m = m0.append(batch)
+    // the union is conserved and the batch landed in real lists
+    assert(m.indexed.count() == emb.count())
+    assert(m.indexed.where(col("list_id") < 0 || col("list_id") >= 8).count() == 0)
+    // full probe over the appended model == exact top-k over the full
+    // corpus: appended rows are first-class members of their lists
+    val got = m.search(q0, nprobe = 8, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = VectorSearch.topK(emb, q0, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want, s"append full-probe $got != exact $want")
+    // appends compose: (b1 then b2) == (b1 union b2) under the same centroids
+    val b1 = batch.where(col("vec_id") % 20 === 0)
+    val b2 = batch.where(col("vec_id") % 20 =!= 0)
+    val two = m0.append(b1).append(b2).search(q0, nprobe = 8, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(two == got, s"chained appends $two != single append $got")
+  }
+
   test("PQ stats invariants: vectors conserved, codes used, honest bytes") {
     val r = pq.stats().collect().head
     assert(r.getAs[Long]("n_vectors") == emb.count())

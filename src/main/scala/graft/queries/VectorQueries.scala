@@ -178,6 +178,26 @@ object VectorQueries {
     appended.search(q0, nprobe = 32, k = K)
   }
 
+  /** #113 vec_ivfpq_append: the same daily-ingest split on the COMPOSED
+    * serving tier (the designated 100 TB shape): one centroid assignment
+    * + one codebook encode per batch row, both quantizers frozen
+    * (IvfPqModel.append doc). Rows-only; exactness-at-full-dial and
+    * composition contracts in VectorSearchSpec. */
+  private val ivfpqAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.search.IvfPqModel]()
+
+  def vecIvfPqAppend(s: SparkSession, d: String): DataFrame = {
+    val appended = ivfpqAppendCache.computeIfAbsent(d, _ => {
+      val e = emb(s, d)
+      val resident = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = e.where(pmod(col("vec_id"), lit(10)) === 0)
+      graft.search.IvfPq.compose(
+        Ivf.build(resident, Ivf.pickNlist(resident.count()), maxIter = 10),
+        graft.search.Pq.build(resident)).append(batch)
+    })
+    appended.search(q0, nprobe = 32, k = K)
+  }
+
   /** recall@K of IVF vs exact over the query batch — both sides batched:
     * ground truth is ONE knnJoin pass over the corpus (all queries share
     * the scan's bounded heaps), the IVF side ONE scan pruned to the union
@@ -389,6 +409,7 @@ object VectorQueries {
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
+    "vec_ivfpq_append" -> (vecIvfPqAppend _),
     "vec_ivf_stats" -> (vecIvfStats _),
     "vec_recall_ivf" -> (vecRecallIvf _),
     "vec_nprobe_sweep" -> (vecNprobeSweep _),

@@ -67,10 +67,15 @@ final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
     * exact top-k over the union; appends compose associatively).
     * Centroid drift under distribution shift is a rebuild-cadence
     * decision, as with FAISS. */
-  def append(batch: DataFrame): IvfModel = {
+  def append(batch: DataFrame): IvfModel =
+    copy(indexed = indexed.unionByName(assign(batch)))
+
+  /** The batch with its nearest-centroid `list_id` — the assignment half
+    * of append, exposed so composed indexes (IVFPQ) can encode the same
+    * assignment without re-deriving it. */
+  def assign(batch: DataFrame): DataFrame = {
     val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
-    copy(indexed = indexed.unionByName(
-      batch.withColumn("list_id", argMaxDot(col("embedding"), centsLit))))
+    batch.withColumn("list_id", argMaxDot(col("embedding"), centsLit))
   }
 
   /** Index-health report: inverted-list size distribution in ONE

@@ -67,6 +67,23 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame,
       .limit(n)
   }
 
+  /** Incremental add on the composed tier — the 100 TB serving shape's
+    * daily ingest: ONE centroid assignment of the batch (shared with the
+    * IVF half via Ivf.assign) + ONE codebook encode, unioned into the
+    * list_id-partitioned code table; the refine corpus grows through
+    * PqModel.append. No quantizer retrains, resident codes untouched.
+    * Full-probe/full-shortlist search over the appended model is exact
+    * over the union (spec-pinned), so the recall dial semantics carry
+    * over unchanged. */
+  def append(batch: DataFrame): IvfPqModel = {
+    val assigned = ivf.assign(batch)
+    copy(
+      ivf = ivf.copy(indexed = ivf.indexed.unionByName(assigned)),
+      pq = pq.append(batch),
+      coded = coded.unionByName(assigned.select(col("vec_id"), col("list_id"),
+        Pq.encodeCol(pq.codebook, pq.dsub).as("pq_codes"))))
+  }
+
   /** Build-time shortlist auto-tune: mean recall@k of every ladder prefix
     * from ONE ADC ranking + ONE exact top-k per probe query (the
     * vec_pq_sweep shared-pass shape — recall@width is pure driver prefix

@@ -66,6 +66,16 @@ final case class PqModel(m: Int, dsub: Int, kCodes: Int,
     codes.select(col("vec_id"), round(adcScore(qvec), 6).as("score"))
       .orderBy(desc("score"), col("vec_id")).limit(k)
 
+  /** Incremental add: encode the new batch with the EXISTING codebooks
+    * (one codegen pass — no retraining) and union both the code table
+    * and the refine corpus. Quantizer drift under distribution shift is
+    * a rebuild-cadence decision, as with the IVF half. */
+  def append(batch: DataFrame): PqModel =
+    copy(
+      codes = codes.unionByName(
+        batch.select(col("vec_id"), Pq.encodeCol(codebook, dsub).as("pq_codes"))),
+      corpus = corpus.unionByName(batch))
+
   /** Index-health report in ONE aggregate: code-space usage per subspace
     * (a subspace collapsing to few codes is how PQ recall dies — the
     * quantizer wasted its bits) plus the compression ratio. */

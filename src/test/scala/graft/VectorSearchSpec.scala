@@ -278,6 +278,26 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(two == got, s"chained appends $two != single append $got")
   }
 
+  test("IVFPQ append: codes conserved, full-dial search == exact over the union") {
+    val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val m0 = graft.search.IvfPq.compose(
+      graft.search.Ivf.build(resident, nlist = 8, maxIter = 5),
+      graft.search.Pq.build(resident))
+    val m = m0.append(batch)
+    val n = emb.count()
+    // every table of the composed model grew by exactly the batch
+    assert(m.coded.count() == n)
+    assert(m.pq.codes.count() == n)
+    assert(m.pq.corpus.count() == n)
+    // full probe + full shortlist => the refine covers the union => exact
+    val got = m.search(q0, nprobe = 8, k = 10, shortlist = n.toInt)
+      .select("vec_id").as[Long].collect().toSeq
+    val want = VectorSearch.topK(emb, q0, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want, s"ivfpq append full-dial $got != exact $want")
+  }
+
   test("PQ stats invariants: vectors conserved, codes used, honest bytes") {
     val r = pq.stats().collect().head
     assert(r.getAs[Long]("n_vectors") == emb.count())

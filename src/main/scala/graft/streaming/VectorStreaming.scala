@@ -1,8 +1,8 @@
 package graft.streaming
 
-import graft.search.VecMath
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.search.{IvfModel, VecMath}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming vector search (SURVEY.md §2 #51): maintain the running
   * top-K inner-product neighbours of each registered query over an
@@ -52,4 +52,43 @@ object VectorStreaming {
       .flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
+}
+
+/** Streaming twin of vec_ivf_append — the ANN ingest pipeline's stream
+  * shape (the IncrementalDedup symmetry): each micro-batch of embeddings
+  * is centroid-assigned against the FROZEN resident quantizer
+  * (IvfModel.assign — one codegen pass, no retraining) and unioned into
+  * the serving index. foreachBatch, not a stream-static join, because
+  * the index must GROW across batches — accumulated state append-mode
+  * joins can't hold; in production the accumulated assignment is the
+  * list_id-partitioned warehouse table the job appends to, here it is
+  * localCheckpointed per batch to cut lineage. The sink receives the
+  * post-append model, so a serving layer can swap index snapshots
+  * atomically per micro-batch. StreamingSpec pins: streamed appends
+  * compose to the batch append (same model state), and full-probe
+  * search over the final model is exact over everything ingested. */
+final class IncrementalIvf(resident: IvfModel) {
+
+  @volatile private var current =
+    resident.copy(indexed = resident.indexed.localCheckpoint())
+
+  /** The serving snapshot: resident ∪ every batch absorbed so far. */
+  def model: IvfModel = current
+
+  /** Assign + union one batch; returns the new serving snapshot. */
+  def processBatch(batch: DataFrame): IvfModel = synchronized {
+    current = current.copy(indexed = current.indexed
+      .unionByName(current.assign(batch)).localCheckpoint())
+    current
+  }
+
+  /** foreachBatch writer over a streaming embeddings frame (the
+    * embeddings schema: vec_id, embedding, label); `sink` receives each
+    * micro-batch's post-append index snapshot. */
+  def writer(vecStream: DataFrame,
+             sink: (IvfModel, Long) => Unit): DataStreamWriter[Row] =
+    vecStream.writeStream
+      .outputMode("append")
+      .foreachBatch((df: Dataset[Row], batchId: Long) =>
+        sink(processBatch(df.toDF()), batchId))
 }

@@ -161,6 +161,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF ingest: micro-batch appends compose to the batch append, full probe exact") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val resident = emb.where(pmod(col("vec_id"), lit(3)) =!= 0)
+    val rest = emb.where(pmod(col("vec_id"), lit(3)) === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Long)].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+
+    val m0 = graft.search.Ivf.build(resident, nlist = 8, maxIter = 5)
+    val inc = new graft.streaming.IncrementalIvf(m0)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, Array[Float], Long)]
+    val q = inc.writer(stream.toDF().toDF("vec_id", "embedding", "label"),
+      (m, _) => counts.synchronized { counts += m.indexed.count() }).start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      // each snapshot absorbed exactly its batch
+      val base = resident.count()
+      assert(counts.toSeq == Seq(base + b1.length, base + b1.length + b2.length))
+      // the final snapshot serves exactly like the batch-append model:
+      // full probe == exact top-k over everything ingested
+      val qv = graft.search.QueryVectors.qvec(0)
+      val got = inc.model.search(qv, nprobe = 8, k = 10)
+        .select("vec_id").as[Long].collect().toSeq
+      val want = graft.search.VectorSearch.topK(emb, qv, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == want, s"streamed ingest $got != exact $want")
+    } finally q.stop()
+  }
+
   test("streaming kNN: running top-K converges to the batch knnJoin answer") {
     implicit val sq = spark.sqlContext
     val sf = "/root/testdata/sf0.001"

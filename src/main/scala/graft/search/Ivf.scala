@@ -234,6 +234,19 @@ object Ivf {
     * different-content would otherwise silently serve stale
     * assignments); `knownTotal` skips the count job when the caller
     * already has it. */
+  /** Persisted append — the warehouse-table form of IvfModel.append: the
+    * batch's centroid assignments land as NEW files under their list_id
+    * partition directories (mode append never rewrites resident files),
+    * so the next `load` serves resident ∪ batch with the same partition
+    * pruning. The clustering repartition keeps each touched list's new
+    * rows in O(1) files (IvfModel.write discipline). Concurrent appends
+    * of the SAME batch would duplicate rows — idempotence belongs to the
+    * ingest coordinator (e.g. streaming's exactly-once foreachBatch),
+    * same as any warehouse append. */
+  def appendToPath(model: IvfModel, batch: DataFrame, path: String): Unit =
+    model.assign(batch).repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/data")
+
   def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
              maxIter: Int = 10, knownTotal: Option[Long] = None): IvfModel = {
     val n = knownTotal.getOrElse(emb.count())

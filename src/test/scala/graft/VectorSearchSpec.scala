@@ -278,6 +278,29 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(two == got, s"chained appends $two != single append $got")
   }
 
+  test("IVF persisted append: reloaded index serves resident union batch") {
+    val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val m0 = graft.search.Ivf.build(resident, nlist = 8, maxIter = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    try {
+      m0.write(dir)
+      graft.search.Ivf.appendToPath(m0, batch, dir)
+      val m = graft.search.Ivf.load(spark, dir)
+      assert(m.indexed.count() == emb.count())
+      val got = m.search(q0, nprobe = 8, k = 10)
+        .select("vec_id").as[Long].collect().toSeq
+      val want = VectorSearch.topK(emb, q0, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == want, s"persisted append $got != exact $want")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(new java.io.File(dir))
+    }
+  }
+
   test("IVFPQ append: codes conserved, full-dial search == exact over the union") {
     val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
     val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)

@@ -96,6 +96,11 @@ object Bench {
     catch { case _: Throwable => }
     try { graft.queries.VectorQueries.vecIvfPqAppend(spark, sfDir); () }
     catch { case _: Throwable => }
+    // ...and the persisted corpus band table (dedup_incremental's
+    // pre-existing state): the entry times mining a batch against it,
+    // not building it — the same build-vs-probe split as the indexes.
+    try { graft.queries.DedupQueries.corpusBands(spark, sfDir); () }
+    catch { case _: Throwable => }
     // JIT-warm the heavy codegen paths (token-set hashing, intersect
     // verify, cluster resolution) at sf0.001: the alphabetically-first
     // timed query (corpus_curate) otherwise pays cold-compile for the

@@ -178,6 +178,17 @@ object VectorQueries {
     appended.search(q0, nprobe = 32, k = K)
   }
 
+  /** #115 vec_ivf_delete: the other half of index maintenance (FAISS
+    * remove_ids; the GDPR/right-to-be-forgotten shape) — every 10th
+    * vector tombstoned out of the shared persisted index via one LEFT
+    * ANTI join, then searched. Rows-only; full-probe-exactness-minus-
+    * tombstones contract in VectorSearchSpec. */
+  def vecIvfDelete(s: SparkSession, d: String): DataFrame = {
+    val tombstones = emb(s, d).select(col("vec_id"))
+      .where(pmod(col("vec_id"), lit(10)) === 0)
+    ivfModel(s, d).remove(tombstones).search(q0, nprobe = 32, k = K)
+  }
+
   /** #113 vec_ivfpq_append: the same daily-ingest split on the COMPOSED
     * serving tier (the designated 100 TB shape): one centroid assignment
     * + one codebook encode per batch row, both quantizers frozen
@@ -410,6 +421,7 @@ object VectorQueries {
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
     "vec_ivfpq_append" -> (vecIvfPqAppend _),
+    "vec_ivf_delete" -> (vecIvfDelete _),
     "vec_ivf_stats" -> (vecIvfStats _),
     "vec_recall_ivf" -> (vecRecallIvf _),
     "vec_nprobe_sweep" -> (vecNprobeSweep _),

@@ -70,6 +70,17 @@ final case class IvfModel(centroids: Array[Array[Float]], indexed: DataFrame) {
   def append(batch: DataFrame): IvfModel =
     copy(indexed = indexed.unionByName(assign(batch)))
 
+  /** Deletion (FAISS remove_ids twin): serve the index MINUS the given
+    * ids — one LEFT ANTI join on the key, which at persisted scale is
+    * the standard lakehouse tombstone pattern (keep a deleted-ids table,
+    * anti-join at serve time, compact the partitions on whatever cadence
+    * rewrites are worth it — a partitioned parquet table has no in-place
+    * delete). Centroids are untouched: removing members never invalidates
+    * the quantizer, it only empties lists. */
+  def remove(ids: DataFrame): IvfModel =
+    copy(indexed = indexed.join(
+      ids.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+
   /** The batch with its nearest-centroid `list_id` — the assignment half
     * of append, exposed so composed indexes (IVFPQ) can encode the same
     * assignment without re-deriving it. */

@@ -84,6 +84,12 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame,
         Pq.encodeCol(pq.codebook, pq.dsub).as("pq_codes"))))
   }
 
+  /** Deletion on the composed tier: tombstones anti-joined out of the
+    * code table and both halves (IvfModel.remove doc). */
+  def remove(ids: DataFrame): IvfPqModel =
+    copy(ivf = ivf.remove(ids), pq = pq.remove(ids),
+      coded = coded.join(ids.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+
   /** Build-time shortlist auto-tune: mean recall@k of every ladder prefix
     * from ONE ADC ranking + ONE exact top-k per probe query (the
     * vec_pq_sweep shared-pass shape — recall@width is pure driver prefix

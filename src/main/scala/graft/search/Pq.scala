@@ -76,6 +76,15 @@ final case class PqModel(m: Int, dsub: Int, kCodes: Int,
         batch.select(col("vec_id"), Pq.encodeCol(codebook, dsub).as("pq_codes"))),
       corpus = corpus.unionByName(batch))
 
+  /** Deletion (remove_ids): anti-join the tombstones out of both the
+    * code table and the refine corpus; codebooks untouched (IvfModel
+    * .remove doc — the lakehouse tombstone pattern at persisted scale). */
+  def remove(ids: DataFrame): PqModel = {
+    val t = ids.select(col("vec_id"))
+    copy(codes = codes.join(t, Seq("vec_id"), "left_anti"),
+         corpus = corpus.join(t, Seq("vec_id"), "left_anti"))
+  }
+
   /** Index-health report in ONE aggregate: code-space usage per subspace
     * (a subspace collapsing to few codes is how PQ recall dies — the
     * quantizer wasted its bits) plus the compression ratio. */

@@ -301,6 +301,28 @@ class VectorSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("remove: tombstoned ids vanish from every tier, full dial exact on the remainder") {
+    val tomb = emb.select(col("vec_id")).where(pmod(col("vec_id"), lit(10)) === 0)
+    val kept = emb.join(tomb, Seq("vec_id"), "left_anti")
+    val want = VectorSearch.topK(kept, q0, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    // IVF tier
+    val ivf = graft.search.Ivf.build(emb, nlist = 8, maxIter = 5).remove(tomb)
+    assert(ivf.indexed.count() == kept.count())
+    val gotIvf = ivf.search(q0, nprobe = 8, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gotIvf == want, s"ivf remove $gotIvf != exact-minus-tombstones $want")
+    // composed tier: codes, refine corpus, and both halves all pruned
+    val m = graft.search.IvfPq.compose(
+      graft.search.Ivf.build(emb, nlist = 8, maxIter = 5),
+      graft.search.Pq.build(emb)).remove(tomb)
+    assert(m.coded.count() == kept.count())
+    assert(m.pq.codes.count() == kept.count() && m.pq.corpus.count() == kept.count())
+    val gotPq = m.search(q0, nprobe = 8, k = 10, shortlist = kept.count().toInt)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gotPq == want, s"ivfpq remove $gotPq != exact-minus-tombstones $want")
+  }
+
   test("IVFPQ append: codes conserved, full-dial search == exact over the union") {
     val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
     val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)

@@ -162,6 +162,19 @@ object IvfPq {
   def load(spark: SparkSession, path: String, ivf: IvfModel, pq: PqModel): IvfPqModel =
     IvfPqModel(ivf, pq, spark.read.parquet(s"$path/codes"), readMeta(path))
 
+  /** Persisted append on the composed tier (Ivf.appendToPath twin): the
+    * batch's (vec_id, list_id, pq_codes) rows land as NEW files under
+    * their list_id partition directories — resident code files never
+    * rewritten, partition pruning unchanged on reload. The refine-side
+    * vector table is the caller's corpus artifact and grows through its
+    * own ingest; this appends only the index's code rows. */
+  def appendToPath(model: IvfPqModel, batch: DataFrame, path: String): Unit =
+    model.ivf.assign(batch)
+      .select(col("vec_id"), col("list_id"),
+        Pq.encodeCol(model.pq.codebook, model.pq.dsub).as("pq_codes"))
+      .repartition(col("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+
   /** meta.json: the auto-picked shortlist + its probe recall, recorded in
     * the index metadata at build (the dial-default a serving layer reads
     * back). Hand-rolled JSON like Ingest.writeVectorsMeta. */

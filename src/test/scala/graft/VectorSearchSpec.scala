@@ -323,6 +323,33 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(gotPq == want, s"ivfpq remove $gotPq != exact-minus-tombstones $want")
   }
 
+  test("IVFPQ persisted append: reloaded code table serves resident union batch") {
+    val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val ivf = graft.search.Ivf.build(resident, nlist = 8, maxIter = 5)
+    val pq = graft.search.Pq.build(resident)
+    val m0 = graft.search.IvfPq.compose(ivf, pq)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    try {
+      graft.search.IvfPq.write(m0, dir)
+      graft.search.IvfPq.appendToPath(m0, batch, dir)
+      // reload with the grown refine corpus (the caller's corpus artifact)
+      val m = graft.search.IvfPq.load(spark, dir, ivf, pq.copy(corpus = emb))
+      assert(m.coded.count() == emb.count())
+      val n = emb.count()
+      val got = m.search(q0, nprobe = 8, k = 10, shortlist = n.toInt)
+        .select("vec_id").as[Long].collect().toSeq
+      val want = VectorSearch.topK(emb, q0, 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == want, s"persisted ivfpq append $got != exact $want")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(new java.io.File(dir))
+    }
+  }
+
   test("IVFPQ append: codes conserved, full-dial search == exact over the union") {
     val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
     val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)

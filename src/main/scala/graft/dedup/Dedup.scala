@@ -357,6 +357,16 @@ object Dedup {
     * `allDocs` (corpus ∪ batch documents) supplies the verify-stage token
     * arrays for the candidate ids only — a keyed join, not a corpus scan.
     * Reference semantics = minhashLshPairs' (same params, same verify). */
+  /** Deletion from the persisted band table — the incremental-mining
+    * state's remove_ids (the IvfModel.remove symmetry): drop every band
+    * row of the tombstoned docs with one LEFT ANTI join, so later
+    * batches can no longer pair against them. Band rows are per-doc
+    * deterministic, so bandsRemove(minhashBands(A), D) ==
+    * minhashBands(A \ D) exactly — the incremental identity
+    * (DedupSpec) carries over to the pruned corpus unchanged. */
+  def bandsRemove(bandTable: DataFrame, ids: DataFrame): DataFrame =
+    bandTable.join(ids.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
   def minhashIncrementalPairs(
       allDocs: DataFrame,
       corpusBands: DataFrame,

@@ -87,6 +87,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bandsRemove: tombstoned docs vanish from incremental mining exactly") {
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val deleted = corpus.select(col("doc_id")).where(pmod(col("doc_id"), lit(3)) === 0)
+    val survivors = corpus.join(deleted, Seq("doc_id"), "left_anti")
+    // band rows are per-doc deterministic, so pruning the table IS
+    // rebuilding it on the surviving corpus
+    val pruned = Dedup.bandsRemove(Dedup.minhashBands(corpus), deleted)
+    val rebuilt = Dedup.minhashBands(survivors)
+    assert(pruned.as[(Long, Int, String, Int, String)].collect().toSet ==
+      rebuilt.as[(Long, Int, String, Int, String)].collect().toSet)
+    // ...so the incremental identity holds against the pruned state:
+    // mine(B | pruned) == full(survivors ∪ B) \ full(survivors)
+    val all = survivors.unionByName(batch)
+    val inc = Dedup.minhashIncrementalPairs(all, pruned, batch, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Dedup.minhashLshPairs(all, 0.95)
+      .as[(Long, Long, Double)].collect().toSet --
+      Dedup.minhashLshPairs(survivors, 0.95)
+        .as[(Long, Long, Double)].collect().toSet
+    assert(inc == want, s"|inc|=${inc.size} |want|=${want.size}")
+    val deadIds = deleted.as[Long].collect().toSet
+    inc.foreach { case (a, b, _) =>
+      assert(!deadIds(a) && !deadIds(b), s"pair ($a,$b) touches a deleted doc")
+    }
+  }
+
   test("ngramJaccardPairs: exact precision vs local shingle baseline, finds seeded near-dups") {
     val got = Dedup.ngramJaccardPairs(docs, n = 3, tau = 0.8)
       .as[(Long, Long, Double)].collect()

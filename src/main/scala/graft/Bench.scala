@@ -47,20 +47,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // start shuffles WIDE and let AQE coalesce: at 1x the mining
-      // shuffles coalesce to a handful of partitions (64 MB advisory
-      // target), while at 30-100x data the candidate shuffle keeps
-      // hundreds of partitions instead of spilling 32 giant ones --
-      // the corpus_curate 100x spill fix (VERDICT r10 #3)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    val spark = graft.tools.Sessions.local(cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -100,6 +87,11 @@ object Bench {
     // pre-existing state): the entry times mining a batch against it,
     // not building it — the same build-vs-probe split as the indexes.
     try { graft.queries.DedupQueries.corpusBands(spark, sfDir); () }
+    catch { case _: Throwable => }
+    // ...and the vectors.npy artifact (ingest_npy times the DISTRIBUTED
+    // byte-range load; the driver-side artifact write is one-time
+    // reference-parity work, artifacts.py's job)
+    try { graft.queries.IngestQueries.ingestNpy(spark, sfDir); () }
     catch { case _: Throwable => }
     // JIT-warm the heavy codegen paths (token-set hashing, intersect
     // verify, cluster resolution) at sf0.001: the alphabetically-first

@@ -215,10 +215,16 @@ object Dedup {
     // md5 pass per slim evaluation, not two. `text` survives to here
     // because the oversized join is a broadcast (no shuffle widens), and
     // is dropped before the salted explosion.
+    // coalesce: a doc too short to have any (n+1)-shingle (minMd5 null)
+    // must keep a NON-null key — null equi-join keys silently drop the
+    // row from candidate generation, losing even its exact duplicates.
+    // Such docs sub-block together under blk+"" — the right degraded
+    // grouping for sub-shingle-length members of a degenerate block.
     val keyed = slim
       .join(broadcast(oversized), Seq("blk"), "left")
       .withColumn("blk",
-        when(col("over"), concat(col("blk"), tokenSetMinMd5(col("text"), n + 1)))
+        when(col("over"), concat(col("blk"),
+          coalesce(tokenSetMinMd5(col("text"), n + 1), lit(""))))
           .otherwise(col("blk")))
       .drop("over", "text")
     val pruned = saltedPairs(keyed, Seq("blk"), "doc_id", Seq("n"), salt)

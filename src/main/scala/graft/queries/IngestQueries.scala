@@ -54,7 +54,9 @@ object IngestQueries {
     val f = new java.io.File(path)
     if (!f.exists()) {
       f.getParentFile.mkdirs()
-      val tmp = s"$path.tmp-${ProcessHandle.current().pid()}"
+      // pid AND thread id (the corpusBands/buildOrLoad discipline): two
+      // threads of one JVM must never interleave writes into one tmp file
+      val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
       graft.sources.Ingest.writeVectorsNpy(emb, tmp)
       if (!new java.io.File(tmp).renameTo(f) && !f.exists())
         throw new IllegalStateException(s"npy artifact publish failed: $path")

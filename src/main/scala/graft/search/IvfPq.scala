@@ -94,8 +94,9 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame,
     * from ONE ADC ranking + ONE exact top-k per probe query (the
     * vec_pq_sweep shared-pass shape — recall@width is pure driver prefix
     * math because any true top-k member in the shortlist survives the
-    * exact refine). Probes are corpus vectors spread across the id range,
-    * so the measurement sees the index's OWN geometry — clustered corpora
+    * exact refine). Probes are corpus vectors picked by id-hash rank
+    * (deterministic, spread across the corpus, total-order-free), so the
+    * measurement sees the index's OWN geometry — clustered corpora
     * tune small, i.i.d. ones tune wide. Returns (smallest ladder width
     * with mean recall ≥ floor — else the widest, capped at N) and its
     * recall. 2·|probes| bounded jobs, once per index build. */
@@ -103,11 +104,17 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame,
                     ladder: Seq[Int] = Seq(100, 500, 1000, 2000),
                     floor: Double = 0.9, probes: Int = 3): (Int, Double) = {
     val total = listSizes.values.sum
-    val rungs = ladder.sorted.map(_ min total.toInt).distinct
-    val step = math.max(1L, total / probes)
+    // clamp rung-by-rung (total.toInt on a >2^31-row corpus would go
+    // negative and poison every rung)
+    val rungs = ladder.sorted
+      .map(r => if (total < r) total.toInt else r).distinct
+    // probe ids picked by hash rank, not by divisibility: an id space
+    // with no multiples of total/probes (e.g. all-odd ids after
+    // tombstone deletion) would otherwise yield ZERO probes and fail
+    // the build of a perfectly valid index. Hash rank is deterministic,
+    // spread across the corpus, and non-empty whenever the corpus is.
     val qvecs = pq.corpus
-      .where(pmod(col("vec_id"), lit(step)) === 0)
-      .orderBy("vec_id").limit(probes)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(probes)
       .select("embedding").collect().map(_.getSeq[Float](0).toArray)
     require(qvecs.nonEmpty, "empty corpus: nothing to tune against")
     val ranked = qvecs.map { q =>

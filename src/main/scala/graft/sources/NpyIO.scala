@@ -146,6 +146,12 @@ object NpyIO {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val in = fs.open(p)
+    // a plan that stops early (limit/take/kill) abandons the iterator
+    // before exhaustion — close with the task, not only on full drain
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: java.io.IOException => }
+      })
     in.seek(dataOffset + start * rowBytes)
     val buf = new Array[Byte]((chunk * rowBytes).toInt)
     var emitted = 0L

@@ -41,19 +41,7 @@ object BaselineProbe {
     // tanh(sin·1e5) formula saturated to ±1/√D hypercube corners, fine
     // for latency but degenerate geometry for any recall reading)
     val dir = s"${sys.props("java.io.tmpdir")}/graft-baseline-n$N-d$D-g2"
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // start shuffles WIDE and let AQE coalesce: at 1x the mining
-      // shuffles coalesce to a handful of partitions (64 MB advisory
-      // target), while at 30-100x data the candidate shuffle keeps
-      // hundreds of partitions instead of spilling 32 giant ones --
-      // the corpus_curate 100x spill fix (VERDICT r10 #3)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.local(cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

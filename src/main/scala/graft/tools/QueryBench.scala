@@ -14,20 +14,7 @@ object QueryBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // start shuffles WIDE and let AQE coalesce: at 1x the mining
-      // shuffles coalesce to a handful of partitions (64 MB advisory
-      // target), while at 30-100x data the candidate shuffle keeps
-      // hundreds of partitions instead of spilling 32 giant ones --
-      // the corpus_curate 100x spill fix (VERDICT r10 #3)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.local(cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // code-warm at the smallest sf (Bench's discipline)

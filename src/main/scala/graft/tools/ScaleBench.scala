@@ -131,11 +131,18 @@ object ScaleBench {
   private case class Timing(sec: Double, memSpillMb: Long, diskSpillMb: Long,
                             shuffleMb: Long)
 
-  private def time(spill: SpillListener)(fn: => DataFrame): Timing = {
+  private def time(spark: SparkSession, spill: SpillListener)
+                  (fn: => DataFrame): Timing = {
+    // drain the async listener queue at BOTH boundaries: in-flight
+    // task-end events from the previous query must not land after
+    // reset() (cross-attribution), and this query's tail events must
+    // be delivered before the counters are read
+    org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
     spill.reset()
     val t0 = System.nanoTime()
     fn.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
     Timing(sec, spill.memSpill.get >> 20, spill.diskSpill.get >> 20,
       spill.shuffleWrite.get >> 20)
   }
@@ -151,20 +158,7 @@ object ScaleBench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(DefaultHeavy)
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/x$replicas"
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // start shuffles WIDE and let AQE coalesce: at 1x the mining
-      // shuffles coalesce to a handful of partitions (64 MB advisory
-      // target), while at 30-100x data the candidate shuffle keeps
-      // hundreds of partitions instead of spilling 32 giant ones --
-      // the corpus_curate 100x spill fix (VERDICT r10 #3)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+    val spark = Sessions.local(cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -185,7 +179,7 @@ object ScaleBench {
 
     def runAll(dir: String): Map[String, Timing] = {
       warm(spark, dir)
-      Heavy.map(q => q -> time(spill)(graft.SparkEntry.queries(q)(spark, dir))).toMap
+      Heavy.map(q => q -> time(spark, spill)(graft.SparkEntry.queries(q)(spark, dir))).toMap
     }
     val t1 = runAll(baseDir)
     val tR = runAll(scaleDir)

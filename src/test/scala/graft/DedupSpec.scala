@@ -287,13 +287,16 @@ class DedupSpec extends AnyFunSuite {
     // block is re-keyed by the 2-shingle min; true dup pairs (identical
     // long prefix => shared 2-shingle min) must still be found.
     val prefix = (0 until 30).map(i => s"w$i").mkString(" ")
-    val docs = (0L until 40L).map { i =>
+    val docs = ((0L until 40L).map { i =>
       val twin = i / 2 // docs 2k and 2k+1 are near-dups of each other
       (i, s"a $prefix twin$twin u$i")
-    }.toDF("doc_id", "text")
+    } ++ Seq((40L, "a"), (41L, "a"))) // single-token exact dups: no
+      // 2-shingle exists, so the refinement min is NULL — they must
+      // sub-block together under blk+"" and still pair, not vanish
+      .toDF("doc_id", "text")
     val got = Dedup.jaccardPairs(docs, tau = 0.9, maxBlock = 10)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val truth = (0L until 40L by 2).map(k => (k, k + 1)).toSet
+    val truth = (0L until 40L by 2).map(k => (k, k + 1)).toSet + ((40L, 41L))
     val recall = truth.count(got) / truth.size.toDouble
     assert(recall >= 0.9, s"sub-blocked recall $recall (degenerate block must not drop dups)")
     // and with the default cap (block of 40 << 4000) results are the

@@ -108,6 +108,40 @@ object TextQueries {
       |FROM t GROUP BY token
       |ORDER BY df DESC, tf DESC, token LIMIT 100""".stripMargin
 
+  /** #116 text_logprob: unigram language-model score per document — the
+    * KenLM-style curation signal without a model artifact: score each doc
+    * by the mean natural-log probability of its tokens under the corpus's
+    * OWN unigram distribution (docs of improbable tokens — noise, other
+    * languages, mojibake — score low; self-trained, so no OOV). Shapes:
+    * one token explode (linear), one map-side-combined frequency
+    * aggregate, one token-keyed join (AQE broadcasts the vocab when it
+    * fits), one per-doc aggregate. The mean is the one double-summed
+    * term (order-dependent at the last ulp); round(·,6) sits ~6 orders
+    * above ulp noise at ≤1e6-token docs — the jacCol discipline. */
+  def textLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).cast("double").as("total"))
+    toks.join(freq, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / col("total"))), 6).as("mean_logprob"))
+      .orderBy("doc_id")
+  }
+
+  val textLogprobSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |f AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+      |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM f)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(avg(ln(CAST(tf AS DOUBLE) / total)), 6) AS mean_logprob
+      |FROM t JOIN f USING (token), tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Corpus length profile: exact quartiles/p95 of document length plus
     * totals — the distribution snapshot a curation run reports before and
     * after filtering. Spark's exact `percentile` and DuckDB's
@@ -277,6 +311,7 @@ object TextQueries {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_vocab" -> (textVocab _),
+    "text_logprob" -> (textLogprob _),
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
     "corpus_report" -> (corpusReport _)
@@ -290,6 +325,7 @@ object TextQueries {
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_vocab" -> textVocabSql,
+    "text_logprob" -> textLogprobSql,
     "text_scrub" -> textScrubSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_report" -> corpusReportSql

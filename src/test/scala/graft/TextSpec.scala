@@ -88,6 +88,23 @@ class TextSpec extends AnyFunSuite {
   }
   private def VecMath6(x: Double) = graft.search.VecMath.round6(x)
 
+  test("text_logprob matches the local unigram LM exactly") {
+    val got = graft.queries.TextQueries.textLogprob(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    // local twin: corpus unigram distribution over the same tokenizer
+    val all = texts.values.toSeq.flatMap(_.toLowerCase.split(" ", -1))
+    val tf = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.size.toDouble
+    got.foreach { case (id, n, lp) =>
+      val toks = texts(id).toLowerCase.split(" ", -1).toSeq
+      assert(n == toks.size, s"doc $id token count")
+      val want = toks.map(t => math.log(tf(t) / total)).sum / toks.size
+      assert(math.abs(lp - BigDecimal(want).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-6, s"doc $id: $lp vs $want")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("fingerprint equals local rolling hash") {
     val got = TextAnalysis.withFingerprint(docs).as[(Long, Long)].collect()
     got.foreach { case (id, fp) =>

@@ -74,6 +74,10 @@ object Bench {
     // above in one projection + partitioned write — also build cost).
     try { graft.queries.VectorQueries.ivfpqModel(spark, sfDir); () }
     catch { case _: Throwable => }
+    // ...and the SQ8 code table (one min/max train + one encode pass —
+    // also build cost; the timed vec_sq_* entries measure the byte scan).
+    try { graft.queries.VectorQueries.sqModel(spark, sfDir); () }
+    catch { case _: Throwable => }
     // ...and the incremental-ingest RESIDENT models (vec_ivf[pq]_append):
     // the daily-ingest entries should time the batch assignment + probe,
     // not the pre-existing corpus's quantizer training. Calling the query

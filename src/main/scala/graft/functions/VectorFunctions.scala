@@ -75,4 +75,14 @@ object VectorFunctions {
   def pqAdcScore(codes: Column, lut: Array[Array[Double]]): Column =
     GraftBridge.column(
       org.apache.spark.sql.graft.PqAdcScore(GraftBridge.expression(codes), lut))
+
+  /** 8-bit scalar-quantization encode: one byte per dimension (binary). */
+  def sqEncode(vec: Column, vmin: Array[Float], delta: Array[Float]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.SqEncode(GraftBridge.expression(vec), vmin, delta))
+
+  /** Asymmetric SQ score bias + Σ code_i·w_i over a binary code column. */
+  def sqAdcScore(codes: Column, w: Array[Double], bias: Double): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.SqAdcScore(GraftBridge.expression(codes), w, bias))
 }

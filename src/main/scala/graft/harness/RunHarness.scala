@@ -266,6 +266,46 @@ object RunHarness {
       }
   }
 
+  /** SQ8 backend: asymmetric scan of the 1-byte-per-dim code table →
+    * shortlist → exact refine. The 4×-compression near-exact member of
+    * the recorded family set, between `exact` and `pq` on the ladder. */
+  private class SqBackend(val name: String, model: SqModel, shortlistN: Int,
+                          codeCount: Long, ram: Option[RamCorpus]) extends Backend {
+    private def note = s"sq8 dim=${model.dim} shortlist=$shortlistN"
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val (rows, ms) = timed {
+        val short = model.codes
+          .select(col("vec_id"), round(model.adcScore(qvec), 6).as("adc_score"))
+          .orderBy(desc("adc_score"), col("vec_id")).limit(shortlistN)
+        val refined = model.corpus.join(broadcast(short.select("vec_id")), "vec_id")
+        VectorSearch.topK(refined, qvec, k, pred).collect()
+      }
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, codeCount, None, None, rows.lastOption.map(_.getDouble(1)), None,
+          Some(note)))
+    }
+    /** RAM serving tier (PqBackend doc): ADC TakeOrdered + pinned-block
+      * refine of the shortlist ids — never a corpus DataFrame re-scan. */
+    override def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                        pred: Option[org.apache.spark.sql.Column],
+                        k: Int, allowed: Long): (Seq[Long], Stats) =
+      ram.flatMap(rc => RamCorpus.labelPredicate(spec).map((rc, _))) match {
+        case Some((rc, lp)) =>
+          val (rows, ms) = timed {
+            val shortIds = model.codes
+              .select(col("vec_id"), round(model.adcScore(qvec), 6).as("adc_score"))
+              .orderBy(desc("adc_score"), col("vec_id")).limit(shortlistN)
+              .select("vec_id").collect().map(_.getLong(0))
+            rc.scoreIds(qvec, shortIds, k, lp)
+          }
+          (rows.map(_._1),
+            Stats(ms, codeCount, None, None, rows.lastOption.map(_._2), None,
+              Some(note)))
+        case None => search(emb, qvec, pred, k, allowed)
+      }
+  }
+
   /** RAM serving tier for exact/pre_filter: scores the pinned flat blocks
     * when the filter is label-local, falls back to the Catalyst path
     * otherwise. Same semantics, no per-query columnar decode. */
@@ -397,6 +437,14 @@ object RunHarness {
         // codes are 1:1 with corpus rows, so the caller-known total IS the
         // full ADC scan volume — no count job
         new PqBackend(p, model, shortlistN = sl, codeCount = total, ram = ram)
+      // "sq" / "sq:<shortlist>" — same dial grammar as pq
+      case p if p == "sq" || p.startsWith("sq:") =>
+        val sl = if (p == "sq") 100 else p.stripPrefix("sq:").toInt
+        val model = corpusKey match {
+          case Some(key) => Sq.cached(emb.sparkSession, emb, key)
+          case None => Sq.build(emb)
+        }
+        new SqBackend(p, model, shortlistN = sl, codeCount = total, ram = ram)
       case p if p == "ivfpq" || p.startsWith("ivfpq:") =>
         val spark = emb.sparkSession
         val model = corpusKey match {

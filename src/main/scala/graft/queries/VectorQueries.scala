@@ -292,6 +292,25 @@ object VectorQueries {
   def vecPqStats(s: SparkSession, d: String): DataFrame =
     pqModel(s, d).stats()
 
+  /** One SQ8 model per sf dir, persisted like the PQ index: the first JVM
+    * trains the per-dim (vmin, delta) params + encodes (seed 42), later
+    * JVMs load the byte-code table and score it without the vectors. */
+  private val sqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.SqModel]()
+
+  def sqModel(s: SparkSession, d: String): graft.search.SqModel =
+    sqCache.computeIfAbsent(d, _ => graft.search.Sq.cached(s, emb(s, d), d))
+
+  /** #117 SQ8 top-K: asymmetric scan of the 1-byte-per-dim code table +
+    * exact refine of the shortlist (rows-only: params from a sampled
+    * min/max scan; reconstruction/equality contracts in SqSpec). */
+  def vecSqTopK(s: SparkSession, d: String): DataFrame =
+    sqModel(s, d).search(q0, k = K, shortlist = 100)
+
+  /** #118 SQ8 index health: compression geometry + constant-dimension and
+    * worst-step diagnostics in one aggregate (rows-only). */
+  def vecSqStats(s: SparkSession, d: String): DataFrame =
+    sqModel(s, d).stats()
+
   /** One composed IVF×PQ index per sf dir: reuses the persisted IVF and
     * PQ halves, persists the composed (vec_id, list_id, pq_codes) table
     * partitioned by list_id — so a probe is a partition-pruned scan of
@@ -348,7 +367,7 @@ object VectorQueries {
     * (BASELINE.md §2 keys on the `exact` family staying present). */
   val HarnessFamilies: Seq[String] = Seq(
     "exact", "pre_filter", "post_filter", "post_filter:ivf",
-    "ivf", "pq", "ivfpq", "lsh:1", "lsh:2x2", "random")
+    "ivf", "pq", "ivfpq", "sq", "lsh:1", "lsh:2x2", "random")
 
   /** Reference queries.parquet equivalent: run the whole deterministic
     * hybrid query set (filters JSON + seeded vectors + per-query K). */
@@ -430,7 +449,9 @@ object VectorQueries {
     "vec_pq_topk" -> (vecPqTopK _),
     "vec_pq_stats" -> (vecPqStats _),
     "vec_pq_sweep" -> (vecPqSweep _),
-    "vec_ivfpq_topk" -> (vecIvfPqTopK _)
+    "vec_ivfpq_topk" -> (vecIvfPqTopK _),
+    "vec_sq_topk" -> (vecSqTopK _),
+    "vec_sq_stats" -> (vecSqStats _)
   )
 
   val oracles: Map[String, String] = Map(

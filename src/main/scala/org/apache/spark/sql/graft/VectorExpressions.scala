@@ -723,6 +723,121 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
     copy(child = newChild)
 }
 
+/** 8-bit scalar quantization encode: per-dimension uniform code
+  * c_i = clamp(round((x_i − vmin_i) / delta_i), 0, 255) packed into ONE
+  * byte per dimension (BinaryType — 4× less scan I/O than f32). The
+  * FAISS IndexScalarQuantizer QT_8bit primitive, the remaining member of
+  * the compression family next to PQ (reference src/dataio/loaders.py
+  * builds the FAISS index family this ladder re-expresses). Train params
+  * (per-dim vmin, delta = (vmax−vmin)/255) are driver math over a bounded
+  * sample and ride in the expression as primitive float arrays — encode
+  * is row-local, shuffle-free, one codegen pass. delta_i == 0 (constant
+  * dimension) encodes to 0 and decodes exactly to vmin_i. */
+case class SqEncode(child: Expression, vmin: Array[Float], delta: Array[Float])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(vmin.nonEmpty && vmin.length == delta.length,
+    "sq_encode: vmin/delta must be non-empty and same length")
+
+  private val dim = vmin.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"sq_encode: vector dimension ${vec.numElements()} != $dim")
+    val out = new Array[Byte](dim)
+    var i = 0
+    while (i < dim) {
+      val d = delta(i)
+      if (d > 0f) {
+        val c = Math.round((vec.getFloat(i) - vmin(i)) / d)
+        out(i) = Math.max(0, Math.min(255, c)).toByte
+      } // else constant dimension: code 0 (decode == vmin)
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val vm = ctx.addReferenceObj("sqVmin", vmin, "float[]")
+      val dl = ctx.addReferenceObj("sqDelta", delta, "float[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException("sq_encode: vector dimension "
+         |    + $a.numElements() + " != $dim");
+         |}
+         |byte[] $out = new byte[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if ($dl[$i] > 0f) {
+         |    int $c = java.lang.Math.round(($a.getFloat($i) - $vm[$i]) / $dl[$i]);
+         |    $out[$i] = (byte) java.lang.Math.max(0, java.lang.Math.min(255, $c));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric SQ score over the byte-code column: the exact identity
+  * q · decode(code) = Σ q_i·(vmin_i + code_i·delta_i) = bias + Σ code_i·w_i
+  * with bias = Σ q_i·vmin_i and w_i = q_i·delta_i folded driver-side
+  * (SqModel.search), so the compressed scan is one unsigned-byte load and
+  * one multiply-add per dimension, fully inside whole-stage codegen — the
+  * vectors are never read. */
+case class SqAdcScore(child: Expression, w: Array[Double], bias: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w.nonEmpty, "sq_adc_score: empty weight vector")
+
+  private val dim = w.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_adc_score"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    if (codes.length != dim)
+      throw new IllegalArgumentException(
+        s"sq_adc_score: code width ${codes.length} != $dim")
+    var acc = bias
+    var i = 0
+    while (i < dim) { acc += (codes(i) & 0xFF) * w(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("sqW", w, "double[]")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.length != $dim) {
+         |  throw new IllegalArgumentException("sq_adc_score: code width "
+         |    + $a.length + " != $dim");
+         |}
+         |double $acc = $bias;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  $acc += ($a[$i] & 0xFF) * $wRef[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ADC score Σ_s lut[s][code_s] over an array<int> code column. The
   * per-query lookup table is driver math (PqModel.lut) and rides in the
   * expression as a primitive double[][] — the query-time scan over the

@@ -268,6 +268,20 @@ class RunHarnessSpec extends AnyFunSuite {
     assert(fams == Seq("exact", "pq"), fams.mkString(","))
   }
 
+  test("sq backend: full byte-scan accounting, refined scores, recall present") {
+    val rows = RunHarness.runMany(spark, sf, Seq("exact", "sq"),
+      qs = QuerySet.default.take(4))
+    val byM = rows.groupBy(_.method)
+    byM("sq").foreach { r =>
+      // like pq: the asymmetric pass scans EVERY byte code in the corpus
+      assert(r.scoredVectors == 500, "scored_vectors = the full SQ code scan")
+      assert(r.notes.exists(_.startsWith("sq8 dim=")), r.notes)
+      assert(r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
+    }
+    val meanSq = byM("sq").map(_.recallAtK).sum / byM("sq").size
+    assert(meanSq > 0.0, "sq backend found no oracle hits")
+  }
+
   test("ivfpq backend: probe stats + scans only the probed lists' codes") {
     val rows = RunHarness.runMany(spark, sf, Seq("ivf", "ivfpq"),
       qs = QuerySet.default.take(4))

@@ -378,7 +378,43 @@ object EventQueries {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin
 
+  /** #121 events_markov: first-order transition matrix over per-user
+    * event streams — the behavioral-model primitive behind events_paths'
+    * raw path counts: P(next | current) per ordered pair. Shapes: ONE
+    * lead() window over the (ts, event_id)-ordered user partition (the
+    * events_paths shuffle), one map-side-combined pair count, and the
+    * per-source normalization as a window over the SMALL (types²) count
+    * table — never a second pass over events. Counts are exact integers;
+    * the probability is one rounded division, so the compare is exact. */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .where(col("event_type").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("src")), 6))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val eventsMarkovSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events WHERE event_type IS NOT NULL),
+      |c AS (SELECT src, dst, count(*) AS n FROM t WHERE dst IS NOT NULL
+      |      GROUP BY src, dst)
+      |SELECT src, dst, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+      |FROM c ORDER BY src, dst""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_markov" -> (eventsMarkov _),
     "events_histogram" -> (eventsHistogram _),
     "events_paths" -> (eventsPaths _),
     "events_window" -> (eventsWindow _),
@@ -393,6 +429,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_markov" -> eventsMarkovSql,
     "events_histogram" -> eventsHistogramSql,
     "events_paths" -> eventsPathsSql,
     "events_window" -> eventsWindowSql,

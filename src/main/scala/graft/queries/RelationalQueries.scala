@@ -904,7 +904,49 @@ object RelationalQueries {
       |WHERE value_d * 1000 > total_d
       |ORDER BY value DESC, partkey""".stripMargin
 
+  /** #119 open order book per day — the POINT-IN-INTERVAL RANGE JOIN
+    * shape (graft.operators.RangeJoin): for each distinct 1995 order
+    * date, the number of orders whose fulfillment window
+    * [o_orderdate, max line ship date] contains it. A bare BETWEEN join
+    * is a BroadcastNestedLoopJoin in Spark — O(dates × orders) — so the
+    * operator turns it into a banded EQUI-join (bin by mean interval
+    * length, explode intervals over their bins, join on bin, exact
+    * containment filter); DuckDB serves the same SQL with its native
+    * IEJoin, which is the oracle. PlanSpec pins no-BNLJ/no-cartesian. */
+  def ordersOpenBook(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val win = ord.join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("hi_ts"))
+      .select(unix_date(to_date(col("o_orderdate"))).as("lo_day"),
+              unix_date(to_date(col("hi_ts"))).as("hi_day"))
+    val dates = ord
+      .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+             col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_orderdate").as("d")).distinct()
+      .withColumn("d_day", unix_date(to_date(col("d"))))
+    graft.operators.RangeJoin
+      .pointInInterval(dates, "d_day", win, "lo_day", "hi_day")
+      .groupBy(col("d")).agg(count(lit(1)).as("n_open"))
+      .orderBy(col("d"))
+  }
+
+  val ordersOpenBookSql: String =
+    """WITH win AS (
+      |  SELECT o_orderkey, o_orderdate AS lo, max(l_shipdate) AS hi
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, o_orderdate),
+      |dates AS (
+      |  SELECT DISTINCT o_orderdate AS d FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01')
+      |SELECT d, count(*) AS n_open
+      |FROM dates JOIN win ON lo <= d AND d <= hi
+      |GROUP BY d ORDER BY d""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_open_book" -> (ordersOpenBook _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q11_important_stock" -> (q11ImportantStock _),
@@ -958,5 +1000,6 @@ object RelationalQueries {
     "q21_sole_fault" -> q21SoleFaultSql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q20_volume_suppliers" -> q20VolumeSuppliersSql,
-    "q7_volume_shipping" -> q7VolumeShippingSql)
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "orders_open_book" -> ordersOpenBookSql)
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 #26–29: text analysis over documents.parquet, each with a
@@ -141,6 +142,53 @@ object TextQueries {
       |  round(avg(ln(CAST(tf AS DOUBLE) / total)), 6) AS mean_logprob
       |FROM t JOIN f USING (token), tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** #120 text_tfidf: top-3 TF-IDF terms per document — the keyword-
+    * extraction primitive (the classic curation/labeling signal next to
+    * the unigram LM score). Shapes: ONE token explode feeds both grains
+    * (per-doc tf and corpus df), the df side joins back token-keyed
+    * (AQE broadcasts the vocab when it fits), the per-doc top-3 is a
+    * row_number window over the doc partition — never a global sort.
+    * Ranking compares the ROUNDED score (6 dp) with the token as
+    * tiebreak, so the cross-engine rank can't flip on last-ulp ln()
+    * differences between the JVM and libm (the round-before-rank
+    * discipline; ties at equal rounded score break lexically). */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tfidf"))
+      .orderBy(col("doc_id"), desc("tfidf"), col("token"))
+  }
+
+  val textTfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT doc_id, token,
+      |    round(CAST(tf AS DOUBLE) * ln(n_docs / df), 6) AS tfidf
+      |  FROM tf JOIN df USING (token), n),
+      |r AS (
+      |  SELECT doc_id, token, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+      |  FROM s)
+      |SELECT doc_id, token, tfidf FROM r WHERE rk <= 3
+      |ORDER BY doc_id, tfidf DESC, token""".stripMargin
 
   /** Corpus length profile: exact quartiles/p95 of document length plus
     * totals — the distribution snapshot a curation run reports before and
@@ -312,6 +360,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_vocab" -> (textVocab _),
     "text_logprob" -> (textLogprob _),
+    "text_tfidf" -> (textTfidf _),
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
     "corpus_report" -> (corpusReport _)
@@ -326,6 +375,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_vocab" -> textVocabSql,
     "text_logprob" -> textLogprobSql,
+    "text_tfidf" -> textTfidfSql,
     "text_scrub" -> textScrubSql,
     "text_repetition" -> textRepetitionSql,
     "corpus_report" -> corpusReportSql

@@ -83,6 +83,7 @@ object BaselineProbe {
     //    artifact-build cost the reference's per-query numbers never pay
     RunHarness.runMany(spark, dir, Seq("pre_filter", "ivf"), qs.take(1))
     RunHarness.runMany(spark, dir, Seq("pq", "ivfpq"), qs.take(1))
+    RunHarness.runMany(spark, dir, Seq("sq"), qs.take(1)) // SQ8 params + byte codes
     //  - columnar cache for the backends that still scan the table
     //    (random, the per-query allowed-subset counts)
     graft.Tables.embeddings(spark, dir).cache().count()
@@ -95,7 +96,7 @@ object BaselineProbe {
     // the probed lists' codes — the corpus where the compression and
     // pruning actually pay, unlike the 2k-vector sf tables where both ride
     // the job-launch floor
-    val backends = Seq("exact", "pre_filter", "post_filter", "ivf", "pq", "ivfpq", "random")
+    val backends = Seq("exact", "pre_filter", "post_filter", "ivf", "pq", "ivfpq", "sq", "random")
     val repRows = (1 to reps).map { rep =>
       val rows = RunHarness.runMany(spark, dir, backends, qs, ram = Some(ram))
       val s = RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>

@@ -103,6 +103,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("range join plans as a banded equi-join, never a nested-loop/cartesian") {
+    val p = plan(RelationalQueries.ordersOpenBook(spark, sf))
+    // the entire point of RangeJoin: the BETWEEN predicate must ride an
+    // equi-join on the bin key, not a O(N*M) nested-loop plan
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q13 keeps the OUTER join so zero-order customers survive the filter") {
     val p = plan(RelationalQueries.q13Custdist(spark, sf))
     assert(p.contains("LeftOuter"), p) // a WHERE rewrite would plan Inner

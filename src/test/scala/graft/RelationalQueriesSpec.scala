@@ -24,6 +24,41 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(both.nonEmpty && both.forall(_ <= 0.05))
   }
 
+  test("events_markov: transitions conserve and probabilities sum to 1 per src") {
+    val rows = EventQueries.eventsMarkov(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // total transitions = events-with-successor count (exact conservation)
+    val nTransitions = rows.map(_._3).sum
+    val perUser = Tables.events(spark, sf).where(col("event_type").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") - 1)).first().getLong(0)
+    assert(nTransitions == perUser, s"$nTransitions vs $perUser")
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val p = rs.map(_._4).sum
+      assert(math.abs(p - 1.0) <= 1e-4, s"src $src probs sum to $p")
+    }
+  }
+
+  test("orders_open_book: per-day counts match a local interval recompute") {
+    val sf0 = "/root/testdata/sf0.001"
+    val got = RelationalQueries.ordersOpenBook(spark, sf0)
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    val wins = Tables.orders(spark, sf0)
+      .join(Tables.lineitem(spark, sf0), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(max(col("l_shipdate")).as("hi"))
+      .select(col("o_orderdate"), col("hi"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect()
+    val dates = Tables.orders(spark, sf0)
+      .select(col("o_orderdate")).as[java.sql.Timestamp].collect()
+      .filter(d => d.toString >= "1995-01-01" && d.toString < "1996-01-01").distinct
+    val want = dates.map { d =>
+      d -> wins.count { case (lo, hi) => !d.before(lo) && !d.after(hi) }.toLong
+    }.filter(_._2 > 0).sortBy(_._1.getTime)
+    assert(got == want.toSeq)
+  }
+
   test("q1_rollup: per-level sums reconcile and gid encodes the level") {
     val r = RelationalQueries.q1Rollup(spark, sf).collect()
     val leaf = r.filter(_.getInt(0) == 0)

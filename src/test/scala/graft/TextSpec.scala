@@ -42,6 +42,22 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("text_tfidf matches a local recompute; exactly the top 3 per doc") {
+    val got = graft.queries.TextQueries.textTfidf(spark, sf)
+      .as[(Long, String, Double)].collect().toSeq
+    // local oracle over the same corpus
+    def r6(x: Double) = graft.search.VecMath.round6(x)
+    val tokenized = texts.map { case (id, t) => id -> t.toLowerCase.split(" ", -1).toSeq }
+    val df = tokenized.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    val n = texts.size.toDouble
+    val want = tokenized.toSeq.flatMap { case (id, toks) =>
+      toks.groupBy(identity).map { case (t, xs) =>
+        (id, t, r6(xs.size * math.log(n / df(t))))
+      }.toSeq.sortBy { case (_, t, s) => (-s, t) }.take(3)
+    }.sortBy { case (id, t, s) => (id, -s, t) }
+    assert(got == want)
+  }
+
   test("langid picks the max-density language with priority tiebreak") {
     val got = TextAnalysis.withLangId(docs).as[(Long, String, Double)].collect()
     got.foreach { case (id, lang, score) =>

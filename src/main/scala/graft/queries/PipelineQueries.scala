@@ -309,7 +309,42 @@ object PipelineQueries {
       |  CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS INT) AS shard
       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
 
+  /** #122 layout_zorder: Morton-order clustering key for 2-D scan
+    * pruning (graft.sources.ZOrder — the Delta/Iceberg OPTIMIZE ZORDER
+    * idea as plain Spark). The z math is one quantize (subtract/divide/
+    * multiply/floor, IEEE-identical across engines) + an unrolled bit
+    * interleave, so the key itself is HASH-CHECKED against DuckDB running
+    * the same generated expression; bounds are discovered in-plan by both
+    * engines (one tiny aggregate), no literals baked in. ZOrderSpec pins
+    * the layout property this key buys: a 2-D box predicate touches far
+    * fewer range-partitions than under a 1-D sort when the box is thin in
+    * the non-sorted dimension. */
+  def layoutZorder(s: SparkSession, d: String): DataFrame =
+    graft.sources.ZOrder.withZ(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        "l_quantity", "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber"), col("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(500)
+
+  val layoutZorderSql: String = {
+    val terms = graft.sources.ZOrder.interleaveSql("qx", "qy", 16)
+    s"""WITH b AS (
+       |  SELECT min(l_quantity) AS xlo, max(l_quantity) AS xhi,
+       |         min(l_extendedprice) AS ylo, max(l_extendedprice) AS yhi
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(floor((l_quantity - xlo) / (xhi - xlo) * 65535) AS BIGINT) AS qx,
+       |    CAST(floor((l_extendedprice - ylo) / (yhi - ylo) * 65535) AS BIGINT) AS qy
+       |  FROM lineitem, b)
+       |SELECT l_orderkey, l_linenumber, $terms AS z
+       |FROM q ORDER BY z, l_orderkey, l_linenumber LIMIT 500""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (layoutZorder _),
     "corpus_shuffle" -> (corpusShuffle _),
     "pack_sequences" -> (packSequences _),
     "split_kfold" -> (splitKfold _),
@@ -321,6 +356,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_zorder" -> layoutZorderSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pack_sequences" -> packSequencesSql,
     "split_kfold" -> splitKfoldSql,

@@ -85,4 +85,15 @@ object VectorFunctions {
   def sqAdcScore(codes: Column, w: Array[Double], bias: Double): Column =
     GraftBridge.column(
       org.apache.spark.sql.graft.SqAdcScore(GraftBridge.expression(codes), w, bias))
+
+  /** Sign-bit binary-quantization encode: ceil(dim/8) bytes, bit i set iff
+    * vec_i > 0 (training-free 32× compression). */
+  def bqEncode(vec: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.BqEncode(GraftBridge.expression(vec)))
+
+  /** Hamming distance of a binary code column vs the query's code. */
+  def bqHamming(codes: Column, qcode: Array[Byte]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.BqHamming(GraftBridge.expression(codes), qcode))
 }

@@ -190,6 +190,17 @@ object TextQueries {
       |SELECT doc_id, token, tfidf FROM r WHERE rk <= 3
       |ORDER BY doc_id, tfidf DESC, token""".stripMargin
 
+  /** #123 text_bm25: Okapi BM25 keyword retrieval — the SPARSE half of
+    * hybrid search (fused with the dense side in hybrid_rrf; Bm25 doc for
+    * the 100 TB shapes: term-filtered postings scan, one-row stats
+    * broadcast, TakeOrdered top-K). Fixed 4-term query over the corpus
+    * vocab; hash-checked against the DuckDB twin computing the identical
+    * doubles (round-before-rank, doc_id tiebreak). */
+  def textBm25(s: SparkSession, d: String): DataFrame =
+    graft.text.Bm25.topK(docs(s, d), graft.text.Bm25.DefaultTerms, 20)
+
+  val textBm25Sql: String = graft.text.Bm25.oracleSql(graft.text.Bm25.DefaultTerms, 20)
+
   /** Corpus length profile: exact quartiles/p95 of document length plus
     * totals — the distribution snapshot a curation run reports before and
     * after filtering. Spark's exact `percentile` and DuckDB's
@@ -360,6 +371,7 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_vocab" -> (textVocab _),
     "text_logprob" -> (textLogprob _),
+    "text_bm25" -> (textBm25 _),
     "text_tfidf" -> (textTfidf _),
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
@@ -375,6 +387,7 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_vocab" -> textVocabSql,
     "text_logprob" -> textLogprobSql,
+    "text_bm25" -> textBm25Sql,
     "text_tfidf" -> textTfidfSql,
     "text_scrub" -> textScrubSql,
     "text_repetition" -> textRepetitionSql,

@@ -405,6 +405,55 @@ object VectorQueries {
   val hybridGeoSql: String =
     QuerySet.oracleSql(QuerySet.geo, from = s"(${Tables.embeddingsMetaSql})")
 
+  /** #124 hybrid_rrf: sparse+dense fusion — the industry "hybrid search"
+    * shape (dense vector top-N ∪ BM25 keyword top-N, reciprocal-rank
+    * fused; Fusion doc). The reference fuses dense with metadata FILTERS;
+    * this adds the lexical axis its user population expects from a hybrid
+    * engine. doc_id ≡ vec_id (the reference's contiguous-id data model,
+    * SURVEY §3), so the full-outer fusion join is well-defined. Heavy
+    * work is candidate generation (each side its own pruned plan); the
+    * fusion itself touches ≤ 2N=100 rows, bounded by contract.
+    * Hash-checked end to end against a DuckDB twin running both
+    * retrievers and the identical RRF arithmetic. */
+  private val RrfN = 50
+
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val dense = graft.search.Fusion.ranked(
+      VectorSearch.topK(emb(s, d), q0, RrfN), "vec_id", "score")
+    val sparse = graft.search.Fusion.ranked(
+      graft.text.Bm25.topK(Tables.documents(s, d), graft.text.Bm25.DefaultTerms, RrfN),
+      "doc_id", "bm25")
+    graft.search.Fusion.rrf(dense, sparse, K)
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH ${graft.text.Bm25.oracleCtes(graft.text.Bm25.DefaultTerms)},
+       |stop AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT $RrfN),
+       |sparse AS (
+       |  SELECT doc_id AS id,
+       |         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS sparse_rank
+       |  FROM stop),
+       |dtop AS (
+       |  SELECT vec_id,
+       |         round(list_dot_product(CAST(embedding AS DOUBLE[]), ${QueryVectors.sqlLit(q0)}), 6) AS score
+       |  FROM embeddings ORDER BY score DESC, vec_id LIMIT $RrfN),
+       |dense AS (
+       |  SELECT vec_id AS id,
+       |         CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS INT) AS dense_rank
+       |  FROM dtop),
+       |f AS (
+       |  SELECT coalesce(dense.id, sparse.id) AS id,
+       |         coalesce(dense_rank, 0) AS dense_rank,
+       |         coalesce(sparse_rank, 0) AS sparse_rank
+       |  FROM dense FULL OUTER JOIN sparse ON dense.id = sparse.id)
+       |SELECT id,
+       |  round(CASE WHEN dense_rank > 0
+       |             THEN CAST(1.0 AS DOUBLE) / (${graft.search.Fusion.C} + dense_rank) ELSE 0 END
+       |      + CASE WHEN sparse_rank > 0
+       |             THEN CAST(1.0 AS DOUBLE) / (${graft.search.Fusion.C} + sparse_rank) ELSE 0 END, 6) AS rrf,
+       |  dense_rank, sparse_rank
+       |FROM f ORDER BY rrf DESC, id LIMIT $K""".stripMargin
+
   /** Reference results.jsonl equivalent: per-(query, backend) stats —
     * latency_ms, recall_at_k, scored_vectors, filter_selectivity,
     * kth_at_stop. Rows-only (latency is nondeterministic by nature). */
@@ -430,6 +479,7 @@ object VectorQueries {
     "hybrid_queries" -> (hybridQueries _),
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
+    "hybrid_rrf" -> (hybridRrf _),
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
@@ -458,6 +508,7 @@ object VectorQueries {
     "hybrid_queries" -> hybridQueriesSql,
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
+    "hybrid_rrf" -> hybridRrfSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
     "vec_range_search" -> vecRangeSearchSql,

@@ -886,3 +886,98 @@ case class PqAdcScore(child: Expression, lut: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Sign-bit binary-quantization encode: bit i (of byte i/8, LSB-first) set
+  * iff vec_i > 0 — ceil(dim/8) bytes, 32× less scan I/O than f32 at zero
+  * training cost (FAISS IndexBinaryFlat's code layout; the training-free
+  * member of the compression ladder next to SQ8's 4× and PQ's trained 32×).
+  * Row-local, shuffle-free, one codegen pass; unused pad bits stay 0 so
+  * Hamming distances are unaffected. */
+case class BqEncode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bq_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (vec.getFloat(i) > 0f) out(i >> 3) = (out(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[($n + 7) / 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getFloat($i) > 0f) {
+         |    $out[$i >> 3] = (byte) ($out[$i >> 3] | (1 << ($i & 7)));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance of a binary code column against the query's code
+  * (driver-encoded, rides in the expression): one XOR + popcount per byte,
+  * fully inside whole-stage codegen — the binary-tier scan primitive. */
+case class BqHamming(child: Expression, qcode: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(qcode.nonEmpty, "bq_hamming: empty query code")
+
+  private val width = qcode.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bq_hamming"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    if (codes.length != width)
+      throw new IllegalArgumentException(
+        s"bq_hamming: code width ${codes.length} != $width")
+    var acc = 0
+    var i = 0
+    while (i < width) {
+      acc += java.lang.Integer.bitCount((codes(i) ^ qcode(i)) & 0xFF)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val q = ctx.addReferenceObj("bqQcode", qcode, "byte[]")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |if ($a.length != $width) {
+         |  throw new IllegalArgumentException("bq_hamming: code width "
+         |    + $a.length + " != $width");
+         |}
+         |int $acc = 0;
+         |for (int $i = 0; $i < $width; $i++) {
+         |  $acc += java.lang.Integer.bitCount(($a[$i] ^ $q[$i]) & 0xFF);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.search.Fusion
+import graft.text.Bm25
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BM25 scoring vs a local recompute of the exact formula, and RRF fusion
+  * vs hand-computed reciprocal ranks. */
+class Bm25FusionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def r6(x: Double) = graft.search.VecMath.round6(x)
+
+  /** Local BM25 recompute over a seq of (id, text). */
+  private def localBm25(corpus: Seq[(Long, String)], terms: Seq[String])
+      : Map[Long, Double] = {
+    val tokss = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = corpus.size.toDouble
+    val avgdl = tokss.map(_._2.size).sum.toDouble / n
+    val df = terms.map(t => t -> tokss.count(_._2.contains(t)).toDouble).toMap
+    tokss.flatMap { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val s = terms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0 || df(t) == 0) 0.0
+        else {
+          val idf = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+          idf * tf * (Bm25.K1 + 1.0) /
+            (tf + Bm25.K1 * (1.0 - Bm25.B + Bm25.B * dl / avgdl))
+        }
+      }.sum
+      if (s > 0) Some(id -> r6(s)) else None
+    }.toMap
+  }
+
+  private val tiny = Seq(
+    (0L, "a b a"), (1L, "b c"), (2L, "c c c"), (3L, "d d"))
+
+  test("bm25 scores match the exact formula on a hand corpus") {
+    val docs = tiny.toDF("doc_id", "text")
+    val got = Bm25.scores(docs, Seq("a", "c"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    val want = localBm25(tiny, Seq("a", "c"))
+    assert(got == want)
+    // doc 3 matches no term: absent, not zero-scored
+    assert(!got.contains(3L))
+    // idf ordering: 'a' (df=1) is rarer than 'c' (df=2); the tf=2 'a' doc
+    // must outrank the tf=1 'c' doc
+    assert(got(0L) > got(1L))
+  }
+
+  test("bm25 tf monotonicity at equal dl and df") {
+    val corpus = Seq((0L, "a a b"), (1L, "a b b"), (2L, "a x y"))
+    val got = Bm25.scores(corpus.toDF("doc_id", "text"), Seq("a"))
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(got(0L) > got(1L)) // tf 2 beats tf 1
+    assert(got(1L) == got(2L)) // same tf, same dl -> identical score
+  }
+
+  test("bm25 topK on the sf corpus: deterministic, k-bounded, sorted") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = Bm25.topK(docs, Bm25.DefaultTerms, 20).collect()
+    val b = Bm25.topK(docs, Bm25.DefaultTerms, 20).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 20)
+    val scores = a.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    // against the local recompute at full precision
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val want = localBm25(corpus, Bm25.DefaultTerms)
+    a.foreach(r => assert(math.abs(r.getDouble(1) - want(r.getLong(0))) <= 1e-6))
+  }
+
+  test("rrf fuses hand-built rank lists with exact reciprocal arithmetic") {
+    val dense = Seq((10L, 1), (20L, 2)).toDF("id", "rank")
+    val sparse = Seq((20L, 1), (30L, 2)).toDF("id", "rank")
+    val got = Fusion.rrf(dense, sparse, 10)
+      .as[(Long, Double, Int, Int)].collect()
+    val c = Fusion.C.toDouble
+    val want = Seq(
+      (20L, r6(1.0 / (c + 2) + 1.0 / (c + 1)), 2, 1), // both lists: top fused
+      (10L, r6(1.0 / (c + 1)), 1, 0),
+      (30L, r6(1.0 / (c + 2)), 0, 2))
+    assert(got.toSeq == want)
+  }
+
+  test("ranked() assigns dense ranks by rounded score with id tiebreak") {
+    val cands = Seq((5L, 0.9), (3L, 0.9), (7L, 0.8)).toDF("vec_id", "score")
+    val got = Fusion.ranked(cands, "vec_id", "score")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(3L -> 1, 5L -> 2, 7L -> 3))
+  }
+
+  test("hybrid_rrf end-to-end: k rows, every id from one of the top-N lists") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.VectorQueries.hybridRrf(spark, sf)
+      .as[(Long, Double, Int, Int)].collect()
+    assert(out.length == 10)
+    out.foreach { case (_, rrf, dr, sr) =>
+      assert(dr > 0 || sr > 0)
+      val c = Fusion.C.toDouble
+      val expect = r6((if (dr > 0) 1.0 / (c + dr) else 0.0) +
+        (if (sr > 0) 1.0 / (c + sr) else 0.0))
+      assert(rrf == expect)
+    }
+    // descending by fused score
+    val s = out.map(_._2)
+    assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+  }
+}

@@ -306,6 +306,46 @@ object RunHarness {
       }
   }
 
+  /** BQ backend: Hamming scan of the sign-bit code table → shortlist →
+    * exact refine. The training-free 32×-compression member — the
+    * cheapest first-pass filter on the ladder (Bq doc). */
+  private class BqBackend(val name: String, model: BqModel, shortlistN: Int,
+                          codeCount: Long, ram: Option[RamCorpus]) extends Backend {
+    private def note = s"bq sign-bit shortlist=$shortlistN"
+    private def shortlist(qvec: Array[Float]) = model.codes
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .bqHamming(col("bq_codes"), model.encodeQuery(qvec)).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id")).limit(shortlistN)
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val (rows, ms) = timed {
+        val refined = model.corpus
+          .join(broadcast(shortlist(qvec).select("vec_id")), "vec_id")
+        VectorSearch.topK(refined, qvec, k, pred).collect()
+      }
+      (rows.map(_.getLong(0)).toSeq,
+        Stats(ms, codeCount, None, None, rows.lastOption.map(_.getDouble(1)), None,
+          Some(note)))
+    }
+    /** RAM serving tier (SqBackend doc): Hamming TakeOrdered + pinned-block
+      * refine of the shortlist ids. */
+    override def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                        pred: Option[org.apache.spark.sql.Column],
+                        k: Int, allowed: Long): (Seq[Long], Stats) =
+      ram.flatMap(rc => RamCorpus.labelPredicate(spec).map((rc, _))) match {
+        case Some((rc, lp)) =>
+          val (rows, ms) = timed {
+            val shortIds = shortlist(qvec).select("vec_id").collect().map(_.getLong(0))
+            rc.scoreIds(qvec, shortIds, k, lp)
+          }
+          (rows.map(_._1),
+            Stats(ms, codeCount, None, None, rows.lastOption.map(_._2), None,
+              Some(note)))
+        case None => search(emb, qvec, pred, k, allowed)
+      }
+  }
+
   /** RAM serving tier for exact/pre_filter: scores the pinned flat blocks
     * when the filter is label-local, falls back to the Catalyst path
     * otherwise. Same semantics, no per-query columnar decode. */
@@ -445,6 +485,14 @@ object RunHarness {
           case None => Sq.build(emb)
         }
         new SqBackend(p, model, shortlistN = sl, codeCount = total, ram = ram)
+      // "bq" / "bq:<shortlist>" — same dial grammar; training-free tier
+      case p if p == "bq" || p.startsWith("bq:") =>
+        val sl = if (p == "bq") 100 else p.stripPrefix("bq:").toInt
+        val model = corpusKey match {
+          case Some(key) => Bq.cached(emb.sparkSession, emb, key)
+          case None => Bq.build(emb)
+        }
+        new BqBackend(p, model, shortlistN = sl, codeCount = total, ram = ram)
       case p if p == "ivfpq" || p.startsWith("ivfpq:") =>
         val spark = emb.sparkSession
         val model = corpusKey match {

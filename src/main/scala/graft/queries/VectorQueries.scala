@@ -189,6 +189,45 @@ object VectorQueries {
     ivfModel(s, d).remove(tombstones).search(q0, nprobe = 32, k = K)
   }
 
+  /** #127 vec_ivf_compact: small-file compaction — the maintenance op
+    * closing the persisted-append lifecycle (append lands each batch as
+    * new files under its list partitions; compaction is the OPTIMIZE
+    * rewrite that restores one-file-per-list layout; Compaction doc for
+    * the publish discipline). The query stages a throwaway partitioned
+    * copy from the shared index's assignments (no KMeans), lands two
+    * append batches as separate files, compacts, and reports the layout
+    * change + row conservation in one row. Rows-only (file counts are
+    * environment-shaped); reload-equivalence and crash-restore contracts
+    * in CompactionSpec. */
+  def vecIvfCompact(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = ivfModel(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val resident = model.indexed.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    resident.repartition(col("list_id"))
+      .write.partitionBy("list_id").parquet(s"$tmp/data")
+    val b1 = emb(s, d).where(pmod(col("vec_id"), lit(20)) === 0)
+    val b2 = emb(s, d).where(pmod(col("vec_id"), lit(20)) === 10)
+    graft.search.Ivf.appendToPath(model, b1, tmp)
+    graft.search.Ivf.appendToPath(model, b2, tmp)
+    val rowsBefore = s.read.parquet(s"$tmp/data").count()
+    val rep = graft.sources.Compaction.compactPartitioned(s, s"$tmp/data", "list_id")
+    val rowsAfter = s.read.parquet(s"$tmp/data").count()
+    val out = Seq((rep.partitions.toLong, rep.filesBefore.toLong, rep.filesAfter.toLong,
+      rowsBefore, rowsAfter, rowsBefore == rowsAfter && rep.filesAfter <= rep.partitions))
+      .toDF("n_lists", "files_before", "files_after", "rows_before", "rows_after", "compacted_ok")
+    deleteTmp(tmp)
+    out
+  }
+
+  private def deleteTmp(dir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rec))
+      f.delete(); ()
+    }
+    rec(new java.io.File(dir))
+  }
+
   /** #113 vec_ivfpq_append: the same daily-ingest split on the COMPOSED
     * serving tier (the designated 100 TB shape): one centroid assignment
     * + one codebook encode per batch row, both quantizers frozen
@@ -311,6 +350,33 @@ object VectorQueries {
   def vecSqStats(s: SparkSession, d: String): DataFrame =
     sqModel(s, d).stats()
 
+  /** One BQ model per sf dir, persisted like the other tiers — though
+    * "build" here is only a sign-bit encode pass (no training at all, the
+    * tier's defining property). */
+  private val bqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.BqModel]()
+
+  def bqModel(s: SparkSession, d: String): graft.search.BqModel =
+    bqCache.computeIfAbsent(d, _ => graft.search.Bq.cached(s, emb(s, d), d))
+
+  /** #125 BQ top-K: Hamming shortlist over the sign-bit code table + exact
+    * refine (rows-only; exactness-at-full-shortlist and recall-floor
+    * contracts in BqSpec). */
+  def vecBqTopK(s: SparkSession, d: String): DataFrame =
+    bqModel(s, d).search(q0, k = K, shortlist = 100)
+
+  /** #126 BQ index health: code geometry + sign-balance diagnostic in one
+    * aggregate (rows-only). */
+  def vecBqStats(s: SparkSession, d: String): DataFrame =
+    bqModel(s, d).stats()
+
+  /** #128 vec_mmr: Maximal-Marginal-Relevance diversity re-rank of the
+    * exact top-50 into a diverse top-K (Mmr doc: one TakeOrdered job,
+    * driver greedy over the bounded candidate set). Rows-only (the greedy
+    * loop is not SQL-expressible); reduction-to-topk at λ=1, dedup-slot,
+    * and determinism contracts in MmrSpec. */
+  def vecMmr(s: SparkSession, d: String): DataFrame =
+    graft.search.Mmr.rerank(emb(s, d), q0, K, n = 50, lambda = 0.7)
+
   /** One composed IVF×PQ index per sf dir: reuses the persisted IVF and
     * PQ halves, persists the composed (vec_id, list_id, pq_codes) table
     * partitioned by list_id — so a probe is a partition-pruned scan of
@@ -367,7 +433,7 @@ object VectorQueries {
     * (BASELINE.md §2 keys on the `exact` family staying present). */
   val HarnessFamilies: Seq[String] = Seq(
     "exact", "pre_filter", "post_filter", "post_filter:ivf",
-    "ivf", "pq", "ivfpq", "sq", "lsh:1", "lsh:2x2", "random")
+    "ivf", "pq", "ivfpq", "sq", "bq", "lsh:1", "lsh:2x2", "random")
 
   /** Reference queries.parquet equivalent: run the whole deterministic
     * hybrid query set (filters JSON + seeded vectors + per-query K). */
@@ -489,6 +555,7 @@ object VectorQueries {
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
+    "vec_ivf_compact" -> (vecIvfCompact _),
     "vec_ivfpq_append" -> (vecIvfPqAppend _),
     "vec_ivf_delete" -> (vecIvfDelete _),
     "vec_ivf_stats" -> (vecIvfStats _),
@@ -501,7 +568,10 @@ object VectorQueries {
     "vec_pq_sweep" -> (vecPqSweep _),
     "vec_ivfpq_topk" -> (vecIvfPqTopK _),
     "vec_sq_topk" -> (vecSqTopK _),
-    "vec_sq_stats" -> (vecSqStats _)
+    "vec_sq_stats" -> (vecSqStats _),
+    "vec_bq_topk" -> (vecBqTopK _),
+    "vec_bq_stats" -> (vecBqStats _),
+    "vec_mmr" -> (vecMmr _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,74 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98)
+  * — the standard diversity pass a retrieval stack runs over its top-N
+  * before returning top-k: greedily pick the candidate maximizing
+  *
+  *   λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)
+  *
+  * so near-duplicate hits (the thing a dedup'd-but-not-perfectly corpus
+  * still serves) can't occupy multiple result slots.
+  *
+  * Scale shape: ONE distributed TakeOrdered produces the top-N candidate
+  * set (ids + vectors + scores, N·dim floats — bounded by contract, the
+  * postFilterLadder collect discipline); the greedy selection is
+  * inherently sequential in k, so it runs driver-side over those ≤N rows
+  * — k·N dot products of driver math, never a distributed iteration.
+  * Determinism: ties break on lowest vec_id; scores rounded 6 dp on
+  * output (round-before-rank happens inside the greedy loop at full
+  * precision — the loop is exact arithmetic, not a cross-engine compare).
+  */
+object Mmr {
+
+  /** Re-rank the top-`n` candidates of `emb` for `qvec` into a diverse
+    * top-`k`: (rank, vec_id, relevance, mmr_score). */
+  def rerank(emb: DataFrame, qvec: Array[Float], k: Int, n: Int = 50,
+             lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmr: lambda $lambda outside [0,1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cands = VectorSearch.withScore(emb, qvec)
+      .select(col("vec_id"), col("embedding"), col("score"))
+      .orderBy(desc("score"), col("vec_id")).limit(n)
+      .as[(Long, Array[Float], Double)].collect()
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Int]
+    // max sim of each remaining candidate to the selected set, updated
+    // incrementally: one pass per pick, k·N dots total
+    val maxSim = Array.fill(cands.length)(0.0)
+    while (selected.size < math.min(k, cands.length)) {
+      var best = -1
+      var bestVal = Double.NegativeInfinity
+      var i = 0
+      while (i < cands.length) {
+        if (!chosen.contains(i)) {
+          val v = lambda * cands(i)._3 - (1.0 - lambda) * maxSim(i)
+          // strict > with ascending index: ties go to the higher-ranked
+          // (then lower-vec_id) candidate — cands is already in that order
+          if (v > bestVal) { bestVal = v; best = i }
+        }
+        i += 1
+      }
+      chosen += best
+      val (vid, vec, rel) = cands(best)
+      selected += ((vid, rel, bestVal))
+      var j = 0
+      while (j < cands.length) {
+        if (!chosen.contains(j)) {
+          val s = VecMath.dot(cands(j)._2, vec)
+          if (s > maxSim(j)) maxSim(j) = s
+        }
+        j += 1
+      }
+    }
+    selected.zipWithIndex
+      .map { case ((vid, rel, mmr), idx) =>
+        (idx + 1, vid, VecMath.round6(rel), VecMath.round6(mmr)) }
+      .toSeq
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
+}

@@ -520,6 +520,74 @@ object VectorQueries {
        |  dense_rank, sparse_rank
        |FROM f ORDER BY rrf DESC, id LIMIT $K""".stripMargin
 
+  /** #129 hybrid_rrf_batch: sparse+dense fusion for a WHOLE query batch —
+    * the actual 100 TB serving shape (per-query loops don't survive; the
+    * batch amortizes every corpus pass): the dense side is ONE knnJoin
+    * (bounded per-query heaps over one scan), the sparse side is ONE
+    * batched BM25 pass (the (qid, term) map is broadcast; postings, df,
+    * dl, corpus stats computed once for the whole batch), each side
+    * bounded to top-N per query by TopKPerKey (bounded heaps, no sort of
+    * doomed rows), fused on (qid, id) with top-k kept per query via a
+    * per-query window. Hash-checked against a DuckDB twin running both
+    * batch retrievers + identical RRF arithmetic. */
+  private val RrfBatchTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "scan"),
+    1L -> Seq("merge", "batch", "join"),
+    2L -> Seq("stream", "window"),
+    3L -> Seq("filter", "group", "sort"))
+
+  def hybridRrfBatch(s: SparkSession, d: String): DataFrame = {
+    val dense = VectorSearch.knnJoin(emb(s, d), knnQueries, RrfN)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val sparseTop = org.apache.spark.sql.graft.TopKPerKey(
+      graft.text.Bm25.batchScores(Tables.documents(s, d), RrfBatchTerms),
+      Seq(col("qid")), Seq(desc("bm25"), col("doc_id")), RrfN)
+    val sparse = graft.search.Fusion.rankedPerKey(sparseTop, "qid", "doc_id", "bm25")
+    graft.search.Fusion.rrfBatch(dense, sparse, K)
+  }
+
+  val hybridRrfBatchSql: String = {
+    val denseValues = knnQueries
+      .map { case (qid, v) => s"(CAST($qid AS BIGINT), ${QueryVectors.sqlLit(v)})" }
+      .mkString(",\n  ")
+    s"""WITH ${graft.text.Bm25.batchOracleCtes(RrfBatchTerms)},
+       |sp50 AS (
+       |  SELECT qid, doc_id, bm25,
+       |         row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM bm QUALIFY rk <= $RrfN),
+       |sparse AS (SELECT qid, doc_id AS id, CAST(rk AS INT) AS sparse_rank FROM sp50),
+       |q(qid, qv) AS (VALUES
+       |  $denseValues),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+       |  FROM embeddings e CROSS JOIN q),
+       |dtop AS (
+       |  SELECT qid, vec_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+       |  FROM scored QUALIFY rk <= $RrfN),
+       |dense AS (SELECT qid, vec_id AS id, CAST(rk AS INT) AS dense_rank FROM dtop),
+       |f AS (
+       |  SELECT coalesce(dense.qid, sparse.qid) AS qid,
+       |         coalesce(dense.id, sparse.id) AS id,
+       |         coalesce(dense_rank, 0) AS dense_rank,
+       |         coalesce(sparse_rank, 0) AS sparse_rank
+       |  FROM dense FULL OUTER JOIN sparse
+       |    ON dense.qid = sparse.qid AND dense.id = sparse.id),
+       |fused AS (
+       |  SELECT qid, id,
+       |    round(CASE WHEN dense_rank > 0
+       |               THEN CAST(1.0 AS DOUBLE) / (${graft.search.Fusion.C} + dense_rank) ELSE 0 END
+       |        + CASE WHEN sparse_rank > 0
+       |               THEN CAST(1.0 AS DOUBLE) / (${graft.search.Fusion.C} + sparse_rank) ELSE 0 END, 6) AS rrf,
+       |    dense_rank, sparse_rank
+       |  FROM f)
+       |SELECT qid, id, rrf, dense_rank, sparse_rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rk
+       |  FROM fused QUALIFY rk <= $K)
+       |ORDER BY qid, rrf DESC, id""".stripMargin
+  }
+
   /** Reference results.jsonl equivalent: per-(query, backend) stats —
     * latency_ms, recall_at_k, scored_vectors, filter_selectivity,
     * kth_at_stop. Rows-only (latency is nondeterministic by nature). */
@@ -546,6 +614,7 @@ object VectorQueries {
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "hybrid_rrf" -> (hybridRrf _),
+    "hybrid_rrf_batch" -> (hybridRrfBatch _),
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
@@ -579,6 +648,7 @@ object VectorQueries {
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "hybrid_rrf" -> hybridRrfSql,
+    "hybrid_rrf_batch" -> hybridRrfBatchSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
     "vec_range_search" -> vecRangeSearchSql,

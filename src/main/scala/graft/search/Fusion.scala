@@ -45,4 +45,34 @@ object Fusion {
       .orderBy(desc("rrf"), col("id"))
       .limit(k)
   }
+
+  /** Rank per-query candidate lists: (qid, id, rank from 1 within qid),
+    * ordered by scoreCol DESC with id tiebreak. The caller bounds each
+    * query's candidates first (TopKPerKey — bounded heaps, no sort of
+    * doomed rows), so the rank window runs over ≤N rows per query. */
+  def rankedPerKey(cands: DataFrame, keyCol: String, idCol: String,
+                   scoreCol: String): DataFrame =
+    cands.select(col(keyCol).as("qid"), col(idCol).as("id"),
+      row_number().over(
+        Window.partitionBy(keyCol).orderBy(desc(scoreCol), col(idCol))).as("rank"))
+
+  /** Batch RRF — fuse per-query ranked lists for a WHOLE query batch in
+    * one plan (the knnJoin symmetry: candidate generation amortizes the
+    * corpus passes over the batch, fusion joins on (qid, id) and keeps
+    * top-k per query via a per-query window, never a global sort). Both
+    * inputs are (qid, id, rank). */
+  def rrfBatch(dense: DataFrame, sparse: DataFrame, k: Int, c: Int = C): DataFrame = {
+    val d = dense.withColumnRenamed("rank", "dense_rank")
+    val s = sparse.withColumnRenamed("rank", "sparse_rank")
+    val contrib = (r: String) =>
+      when(col(r) > 0, lit(1.0) / (lit(c.toDouble) + col(r))).otherwise(lit(0.0))
+    d.join(s, Seq("qid", "id"), "full_outer")
+      .na.fill(0, Seq("dense_rank", "sparse_rank"))
+      .withColumn("rrf", round(contrib("dense_rank") + contrib("sparse_rank"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("rrf"), col("id"))))
+      .where(col("rk") <= k)
+      .select(col("qid"), col("id"), col("rrf"), col("dense_rank"), col("sparse_rank"))
+      .orderBy(col("qid"), desc("rrf"), col("id"))
+  }
 }

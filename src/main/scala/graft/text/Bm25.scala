@@ -40,34 +40,54 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
-  /** Per-doc BM25 of `terms`: (idCol, bm25 double ROUNDED 6 dp, n_terms).
-    * Only docs matching ≥1 term appear (BM25 of a non-matching doc is 0).
-    */
-  def scores(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
-             textCol: String = "text", k1: Double = K1, b: Double = B): DataFrame = {
+  /** Per-(query, doc) BM25 for a BATCH of term queries — the batched
+    * serving shape (one postings pass amortized over every query in the
+    * batch, the knnJoin symmetry on the sparse side):
+    * (qid, idCol, bm25 ROUNDED 6 dp, n_terms). Only (query, doc) pairs
+    * matching ≥1 term appear. The (qid, token) mapping is broadcast;
+    * corpus-grain work (tf, df, dl, stats) is computed ONCE regardless of
+    * batch size — df per token over the tf table itself via a window
+    * (O(matching postings) shuffle; a groupBy-and-join-back would re-run
+    * the filtered explode, i.e. a second corpus scan at 100 TB). */
+  def batchScores(docs: DataFrame, queryTerms: Seq[(Long, Seq[String])],
+                  idCol: String = "doc_id", textCol: String = "text",
+                  k1: Double = K1, b: Double = B): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = queryTerms.flatMap(_._2).distinct
+    val qt = queryTerms.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "token")
     val toks = docs
       .select(col(idCol), split(col(textCol), " ").as("toks"))
       .select(col(idCol), size(col("toks")).cast("double").as("dl"),
         explode(col("toks")).as("token"))
-      .where(col("token").isin(terms: _*)) // pushed below the shuffle
+      .where(col("token").isin(allTerms: _*)) // pushed below the shuffle
     // dl is constant per doc, so first() is deterministic here
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
-    // tf rows are distinct (doc, term), so df is a row count per term
-    val df = tf.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("token"))
+        .cast("double"))
     val stats = docs
       .select(size(split(col(textCol), " ")).cast("double").as("ndl"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg(col("ndl")).as("avgdl"))
-    tf.join(broadcast(df), "token")
+    withDf
+      .join(broadcast(qt), "token")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("w",
         col("idf") * col("tf") * (k1 + 1.0) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-      .groupBy(col(idCol))
+      .groupBy(col("qid"), col(idCol))
       .agg(round(sum(col("w")), 6).as("bm25"), count(lit(1)).as("n_terms"))
   }
+
+  /** Per-doc BM25 of one term query: (idCol, bm25, n_terms) — the
+    * single-query view of batchScores. */
+  def scores(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+             textCol: String = "text", k1: Double = K1, b: Double = B): DataFrame =
+    batchScores(docs, Seq(0L -> terms), idCol, textCol, k1, b).drop("qid")
 
   /** Top-k docs by BM25, rounded-score rank with id tiebreak. */
   def topK(docs: DataFrame, terms: Seq[String], k: Int, idCol: String = "doc_id",
@@ -120,4 +140,44 @@ object Bm25 {
     s"""WITH ${oracleCtes(terms, from)}
        |SELECT doc_id, bm25, n_terms FROM bm
        |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+
+  /** DuckDB twin of batchScores(): CTE chain ending in
+    * `bm(qid, doc_id, bm25, n_terms)`. df is computed by grouping the tf
+    * table — same values as the window formulation (tf rows are distinct
+    * (doc, term)). */
+  def batchOracleCtes(queryTerms: Seq[(Long, Seq[String])],
+                      from: String = "documents",
+                      k1: Double = K1, b: Double = B): String = {
+    val allTerms = queryTerms.flatMap(_._2).distinct
+    val inList = allTerms.map(t => s"'$t'").mkString(",")
+    val qtValues = queryTerms
+      .flatMap { case (q, ts) => ts.map(t => s"(CAST($q AS BIGINT), '$t')") }
+      .mkString(",\n    ")
+    s"""qt(qid, token) AS (VALUES
+       |    $qtValues),
+       |t AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM $from),
+       |m AS (SELECT * FROM t WHERE token IN ($inList)),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf,
+       |         CAST(min(dl) AS DOUBLE) AS dl
+       |  FROM m GROUP BY doc_id, token),
+       |df AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+       |st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |         avg(len(string_split(text, ' '))) AS avgdl
+       |  FROM $from),
+       |w AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    ln(1 + (n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+       |      * tf * CAST(${k1 + 1.0} AS DOUBLE) /
+       |      (tf + CAST($k1 AS DOUBLE) *
+       |        (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) * dl / avgdl)) AS w
+       |  FROM tf JOIN df USING (token) JOIN qt USING (token), st),
+       |bm AS (
+       |  SELECT qid, doc_id, round(sum(w), 6) AS bm25, count(*) AS n_terms
+       |  FROM w GROUP BY qid, doc_id)""".stripMargin
+  }
 }

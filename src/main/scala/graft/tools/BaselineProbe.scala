@@ -84,6 +84,7 @@ object BaselineProbe {
     RunHarness.runMany(spark, dir, Seq("pre_filter", "ivf"), qs.take(1))
     RunHarness.runMany(spark, dir, Seq("pq", "ivfpq"), qs.take(1))
     RunHarness.runMany(spark, dir, Seq("sq"), qs.take(1)) // SQ8 params + byte codes
+    RunHarness.runMany(spark, dir, Seq("bq"), qs.take(1)) // BQ sign-bit codes
     //  - columnar cache for the backends that still scan the table
     //    (random, the per-query allowed-subset counts)
     graft.Tables.embeddings(spark, dir).cache().count()
@@ -96,7 +97,7 @@ object BaselineProbe {
     // the probed lists' codes — the corpus where the compression and
     // pruning actually pay, unlike the 2k-vector sf tables where both ride
     // the job-launch floor
-    val backends = Seq("exact", "pre_filter", "post_filter", "ivf", "pq", "ivfpq", "sq", "random")
+    val backends = Seq("exact", "pre_filter", "post_filter", "ivf", "pq", "ivfpq", "sq", "bq", "random")
     val repRows = (1 to reps).map { rep =>
       val rows = RunHarness.runMany(spark, dir, backends, qs, ram = Some(ram))
       val s = RunHarness.summarize(rows).map { case (m, mean, p50, rec) =>
@@ -154,8 +155,9 @@ object BaselineProbe {
     // rule): queries sit inside real clusters
     val qsS = (0L until 6L).map(q => HybridQuery(q * 25000L, Array.empty[Float], "{}", "TRUE", 10))
     RunHarness.runMany(spark, dirS, Seq("pq", "ivfpq"), qsS.take(1)) // build, untimed
+    RunHarness.runMany(spark, dirS, Seq("bq"), qsS.take(1))          // sign-bit codes, untimed
     val ramS = RamCorpus.build(graft.Tables.embeddings(spark, dirS)) // serving tier, untimed
-    val rowsS = RunHarness.runMany(spark, dirS, Seq("pre_filter", "ivf", "pq", "ivfpq"), qsS,
+    val rowsS = RunHarness.runMany(spark, dirS, Seq("pre_filter", "ivf", "pq", "ivfpq", "bq"), qsS,
       ram = Some(ramS))
     val sS = RunHarness.summarize(rowsS).map { case (m, mean, p50, rec) =>
       s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
@@ -167,7 +169,8 @@ object BaselineProbe {
     // operating point trades away is recoverable without touching the
     // index, at a latency still at-or-below the flat probe's
     val rowsD = RunHarness.runMany(spark, dirS,
-      Seq("pq:500", "ivfpq:500", "pq:1000", "ivfpq:1000"), qsS, ram = Some(ramS))
+      Seq("pq:500", "ivfpq:500", "pq:1000", "ivfpq:1000", "bq:500", "bq:1000", "bq:5000"),
+      qsS, ram = Some(ramS))
     val sD = RunHarness.summarize(rowsD).map { case (m, mean, p50, rec) =>
       s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
     }.mkString("{", ",", "}")

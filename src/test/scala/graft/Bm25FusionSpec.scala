@@ -94,6 +94,54 @@ class Bm25FusionSpec extends AnyFunSuite {
     assert(got == Map(3L -> 1, 5L -> 2, 7L -> 3))
   }
 
+  test("batchScores over a batch agrees with per-query scores()") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = Seq(7L -> Seq("vector", "scan"), 9L -> Seq("merge", "batch"))
+    val got = Bm25.batchScores(docs, batch)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+    batch.foreach { case (qid, terms) =>
+      val single = Bm25.scores(docs, terms)
+        .as[(Long, Double, Long)].collect().toSet
+      assert(got(qid) == single, s"qid $qid batch != single")
+    }
+  }
+
+  test("rrfBatch equals per-qid rrf on hand-built rank lists") {
+    val dense = Seq((0L, 10L, 1), (0L, 20L, 2), (1L, 30L, 1))
+      .toDF("qid", "id", "rank")
+    val sparse = Seq((0L, 20L, 1), (1L, 40L, 1), (1L, 30L, 2))
+      .toDF("qid", "id", "rank")
+    val got = Fusion.rrfBatch(dense, sparse, 10)
+      .as[(Long, Long, Double, Int, Int)].collect().toSeq
+    val c = Fusion.C.toDouble
+    val want = Seq(
+      (0L, 20L, r6(1.0 / (c + 2) + 1.0 / (c + 1)), 2, 1),
+      (0L, 10L, r6(1.0 / (c + 1)), 1, 0),
+      (1L, 30L, r6(1.0 / (c + 1) + 1.0 / (c + 2)), 1, 2),
+      (1L, 40L, r6(1.0 / (c + 1)), 0, 1))
+    assert(got == want)
+  }
+
+  test("hybrid_rrf_batch end-to-end: k rows per qid, correct arithmetic") {
+    val out = graft.queries.VectorQueries.hybridRrfBatch(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Int, Int)].collect()
+    val byQid = out.groupBy(_._1)
+    assert(byQid.keySet == Set(0L, 1L, 2L, 3L))
+    byQid.foreach { case (qid, rows) =>
+      assert(rows.length == 10, s"qid $qid")
+      val c = Fusion.C.toDouble
+      rows.foreach { case (_, _, rrf, dr, sr) =>
+        assert(dr > 0 || sr > 0)
+        val expect = r6((if (dr > 0) 1.0 / (c + dr) else 0.0) +
+          (if (sr > 0) 1.0 / (c + sr) else 0.0))
+        assert(rrf == expect)
+      }
+      val s = rows.map(_._3)
+      assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("hybrid_rrf end-to-end: k rows, every id from one of the top-N lists") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.queries.VectorQueries.hybridRrf(spark, sf)

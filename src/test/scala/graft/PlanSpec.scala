@@ -27,6 +27,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"), p)
   }
 
+  test("bm25 scans documents at most twice (postings + stats), term filter below the shuffle") {
+    val df = graft.text.Bm25.topK(Tables.documents(spark, sf),
+      graft.text.Bm25.DefaultTerms, 20)
+    val p = plan(df)
+    // exactly 2 scans of documents: the term-filtered postings pass and the
+    // column-pruned stats aggregate. A regression to a groupBy-and-join-back
+    // df (3rd scan) or a per-term pass would show here.
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 documents scans, got $scans\n$p")
+    // the term filter sits in the scan stage (below any Exchange): the
+    // explode's output is filtered before the tf shuffle
+    assert(p.contains("token#") && p.contains("Exchange"), p)
+    val firstExchange = p.indexOf("Exchange")
+    assert(p.indexOf("vector") > firstExchange,
+      s"term-literal filter should appear below the first Exchange\n$p")
+    // top-k is a TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("brute-force topK plans as TakeOrderedAndProject (no global sort)") {
     val p = plan(VectorSearch.topK(Tables.embeddings(spark, sf), QueryVectors.qvec(0), 10))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -227,7 +227,54 @@ object DedupQueries {
        |  CAST(sum(sz - 1) AS BIGINT) AS n_dropped
        |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin
 
+  /** #130 dedup_canonical: best-quality canonical selection per dup
+    * cluster — the curation refinement of the min-id keep-list (when
+    * near-duplicates differ in quality, keep the BEST copy, not the
+    * lowest id; the keep-list corpus_curate consumes is then
+    * quality-optimal). One row per cluster (singletons included — the
+    * full keep-list artifact): the shared mined cluster table LEFT-joins
+    * the corpus (absent docs are their own cluster), quality rides the
+    * scan-only TextAnalysis pipeline, and the per-cluster argmax is a
+    * row_number window over the cluster partition — never a global sort.
+    * Ties at equal quality break on doc_id (round-before-rank: quality
+    * is already 6 dp). */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val q = graft.text.TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val member = docs.select(col("doc_id"))
+      .join(minedClusters(s, d), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val byCluster = Window.partitionBy("cluster_id")
+    member.join(q, "doc_id")
+      .withColumn("rk", row_number().over(
+        byCluster.orderBy(desc("quality_score"), col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .where(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc_id"),
+        col("n_members"), col("quality_score").as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
+  val dedupCanonicalSql: String =
+    s"""WITH q AS (${TextQueries.textQualityBodySql}),
+       |cl AS ($dedupClustersBodySql),
+       |mem AS (
+       |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+       |r AS (
+       |  SELECT mem.cluster_id, mem.doc_id, q.quality_score,
+       |    row_number() OVER (PARTITION BY mem.cluster_id
+       |                       ORDER BY q.quality_score DESC, mem.doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY mem.cluster_id) AS n_members
+       |  FROM mem JOIN q ON mem.doc_id = q.doc_id)
+       |SELECT cluster_id, doc_id AS canonical_doc_id, n_members,
+       |  quality_score AS best_quality
+       |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -244,6 +291,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_ngram" -> dedupNgramSql,
-    "dedup_clusters" -> dedupClustersSql
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_canonical" -> dedupCanonicalSql
   )
 }

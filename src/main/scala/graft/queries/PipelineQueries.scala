@@ -106,6 +106,59 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** #131 temperature (α) mixture sampling — the ACTUAL multilingual
+    * mixing formula LLM corpora ship (XLM-R / mT5 style: target share
+    * q_l ∝ p_l^α with α = 0.5 here, so minority languages up-weight and
+    * the head down-weights, total expected size preserved): keep factor
+    * f_l = N·q_l/n_l computed FROM THE CORPUS ITSELF (one tiny lang
+    * aggregate, broadcast back — unlike sample_stratified's fixed
+    * config), then the sampleUpweight mechanism realizes it exactly —
+    * floor(f) copies plus one more iff the doc's md5 bucket falls below
+    * the fractional part's threshold, rendered %04x so the compare is
+    * the same lexicographic-hex rule everywhere. Deterministic,
+    * engine-portable, expected copies = f exactly; f is rounded 6 dp
+    * before the floor/threshold split so both engines derive identical
+    * arithmetic (round-before-branch). Scale shape: stats agg +
+    * broadcast join + row-local sequence/explode — no shuffle of the
+    * corpus, no RNG state. */
+  val TemperatureAlpha = 0.5
+
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val stats = docs.groupBy("lang").agg(count(lit(1)).cast("double").as("n_l"))
+    val z = stats.agg(sum(sqrt(col("n_l"))).as("z"), sum(col("n_l")).as("n_tot"))
+    val f = stats.crossJoin(broadcast(z))
+      .withColumn("f", round(col("n_tot") * sqrt(col("n_l")) / col("z") / col("n_l"), 6))
+      .select(col("lang"), col("f"))
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+    val thr = format_string("%04x",
+      floor((col("f") - floor(col("f"))) * 65536).cast("int"))
+    docs.join(broadcast(f), "lang")
+      .withColumn("copies",
+        floor(col("f")).cast("int") + when(h < thr, 1).otherwise(0))
+      .where(col("copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0), col("copies") - 1)).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH st AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_l FROM documents GROUP BY lang),
+      |z AS (SELECT sum(sqrt(n_l)) AS z, sum(n_l) AS n_tot FROM st),
+      |f AS (SELECT lang, round(n_tot * sqrt(n_l) / z / n_l, 6) AS f FROM st, z),
+      |j AS (
+      |  SELECT d.doc_id, d.lang, f.f,
+      |         substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS h,
+      |         printf('%04x', CAST(floor((f.f - floor(f.f)) * 65536) AS INT)) AS thr
+      |  FROM documents d JOIN f USING (lang)),
+      |c AS (
+      |  SELECT doc_id, lang,
+      |         CAST(floor(f) AS INT) + CASE WHEN h < thr THEN 1 ELSE 0 END AS copies
+      |  FROM j)
+      |SELECT doc_id, lang, CAST(unnest(range(copies)) AS INT) AS copy_id
+      |FROM c WHERE copies > 0
+      |ORDER BY doc_id, copy_id""".stripMargin
+
   /** #99 per-language up-sampling factors: the >1 half of mixture
     * reweighting (sample_stratified is the <1 half). Languages absent
     * here repeat once (weight 1.0). */
@@ -350,6 +403,7 @@ object PipelineQueries {
     "split_kfold" -> (splitKfold _),
     "split_train_val" -> (splitTrainVal _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_temperature" -> (sampleTemperature _),
     "sample_upweight" -> (sampleUpweight _),
     "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "corpus_curate" -> (corpusCurate _)
@@ -362,6 +416,7 @@ object PipelineQueries {
     "split_kfold" -> splitKfoldSql,
     "split_train_val" -> splitTrainValSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_temperature" -> sampleTemperatureSql,
     "sample_upweight" -> sampleUpweightSql,
     "decontaminate" -> decontaminateSql,
     "corpus_curate" -> corpusCurateSql

@@ -354,4 +354,38 @@ class DedupSpec extends AnyFunSuite {
     // the sf corpus genuinely contains duplicate mass (non-vacuous report)
     assert(rows.exists(r => r._1 > 1 && r._2 > 0))
   }
+
+  test("dedup_canonical: one row per cluster, the best-quality member wins") {
+    val spark = SparkTest.session
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val out = graft.queries.DedupQueries.dedupCanonical(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val quality = graft.text.TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .as[(Long, Double)].collect().toMap
+    val clusters = graft.queries.DedupQueries.minedClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val n = docs.count()
+    // membership conservation: every doc counted exactly once
+    assert(out.map(_._3).sum == n)
+    // cluster ids distinct; canonical belongs to its cluster
+    assert(out.map(_._1).distinct.length == out.length)
+    val memberSets = (0L until n)
+      .groupBy(id => clusters.getOrElse(id, id))
+    out.foreach { case (cid, canon, nMembers, bestQ) =>
+      val members = memberSets(cid)
+      assert(members.contains(canon), s"cluster $cid canonical $canon")
+      assert(nMembers == members.size)
+      // the winner has max quality; ties break on lowest doc_id
+      val maxQ = members.map(quality).max
+      assert(bestQ == maxQ)
+      assert(canon == members.filter(m => quality(m) == maxQ).min)
+    }
+    // non-vacuous: at least one multi-member cluster whose canonical is
+    // NOT the min id (quality actually decided something) OR quality ties
+    // degrade to min-id — assert the multi-member case exists at all
+    assert(out.exists(_._3 > 1))
+  }
 }

@@ -117,6 +117,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.map(_._1).toSeq != a.map(_._1).sorted.toSeq)
   }
 
+  test("sample_temperature: alpha=0.5 factors flatten the mixture; copies realize f exactly") {
+    val docs = Tables.documents(spark, sf)
+    val langCounts = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val n = langCounts.values.sum.toDouble
+    val z = langCounts.values.map(c => math.sqrt(c.toDouble)).sum
+    def f(lang: String): Double =
+      graft.search.VecMath.round6(
+        n * math.sqrt(langCounts(lang).toDouble) / z / langCounts(lang))
+    // temperature flattening: the head language down-weights, the tail
+    // languages up-weight
+    val (head, _) = langCounts.maxBy(_._2)
+    val (tail, _) = langCounts.minBy(_._2)
+    assert(f(head) < 1.0 && f(tail) > 1.0)
+    val out = PipelineQueries.sampleTemperature(spark, sf)
+      .as[(Long, String, Int)].collect()
+    // per-doc copies is floor(f) or floor(f)+1, copy_ids contiguous from 0
+    val byDoc = out.groupBy(_._1)
+    byDoc.foreach { case (_, rows) =>
+      val lang = rows.head._2
+      val fl = f(lang)
+      assert(rows.length == fl.floor.toInt || rows.length == fl.floor.toInt + 1)
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length))
+    }
+    // total realized size: locally recompute the exact md5 rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h4(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"${b & 0xff}%02x").mkString
+    val docLangs = docs.select("doc_id", "lang").as[(Long, String)].collect()
+    val wantTotal = docLangs.map { case (id, lang) =>
+      val fl = f(lang)
+      val thr = f"${((fl - fl.floor) * 65536).floor.toInt}%04x"
+      fl.floor.toInt + (if (h4(id) < thr) 1 else 0)
+    }.sum
+    assert(out.length == wantTotal)
+    // deterministic
+    assert(PipelineQueries.sampleTemperature(spark, sf)
+      .as[(Long, String, Int)].collect().toSeq == out.toSeq)
+  }
+
   test("corpus_curate: kept docs pass every gate; dropped dup members absent") {
     val docs = Tables.documents(spark, sf)
     val kept = PipelineQueries.corpusCurate(spark, sf)

@@ -52,6 +52,8 @@ object Bm25 {
   def batchScores(docs: DataFrame, queryTerms: Seq[(Long, Seq[String])],
                   idCol: String = "doc_id", textCol: String = "text",
                   k1: Double = K1, b: Double = B): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.forall(_._2.nonEmpty),
+      "bm25: every query needs at least one term")
     val spark = docs.sparkSession
     import spark.implicits._
     val allTerms = queryTerms.flatMap(_._2).distinct
@@ -108,6 +110,10 @@ object Bm25 {
     * all-double pipeline. */
   def oracleCtes(terms: Seq[String], from: String = "documents",
                  k1: Double = K1, b: Double = B): String = {
+    // terms are rendered as SQL literals: constrain to the tokenizer's
+    // own alphabet so a quoted term can't break the oracle statement
+    require(terms.forall(_.matches("[A-Za-z0-9_-]+")),
+      s"bm25 oracle: non-alphanumeric term in ${terms.mkString(",")}")
     val inList = terms.map(t => s"'$t'").mkString(",")
     s"""t AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
@@ -148,6 +154,8 @@ object Bm25 {
   def batchOracleCtes(queryTerms: Seq[(Long, Seq[String])],
                       from: String = "documents",
                       k1: Double = K1, b: Double = B): String = {
+    require(queryTerms.flatMap(_._2).forall(_.matches("[A-Za-z0-9_-]+")),
+      "bm25 oracle: non-alphanumeric term")
     val allTerms = queryTerms.flatMap(_._2).distinct
     val inList = allTerms.map(t => s"'$t'").mkString(",")
     val qtValues = queryTerms

@@ -203,21 +203,23 @@ object VectorQueries {
     import s.implicits._
     val model = ivfModel(s, d)
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
-    val resident = model.indexed.where(pmod(col("vec_id"), lit(10)) =!= 0)
-    resident.repartition(col("list_id"))
-      .write.partitionBy("list_id").parquet(s"$tmp/data")
-    val b1 = emb(s, d).where(pmod(col("vec_id"), lit(20)) === 0)
-    val b2 = emb(s, d).where(pmod(col("vec_id"), lit(20)) === 10)
-    graft.search.Ivf.appendToPath(model, b1, tmp)
-    graft.search.Ivf.appendToPath(model, b2, tmp)
-    val rowsBefore = s.read.parquet(s"$tmp/data").count()
-    val rep = graft.sources.Compaction.compactPartitioned(s, s"$tmp/data", "list_id")
-    val rowsAfter = s.read.parquet(s"$tmp/data").count()
-    val out = Seq((rep.partitions.toLong, rep.filesBefore.toLong, rep.filesAfter.toLong,
-      rowsBefore, rowsAfter, rowsBefore == rowsAfter && rep.filesAfter <= rep.partitions))
-      .toDF("n_lists", "files_before", "files_after", "rows_before", "rows_after", "compacted_ok")
-    deleteTmp(tmp)
-    out
+    try {
+      val resident = model.indexed.where(pmod(col("vec_id"), lit(10)) =!= 0)
+      resident.repartition(col("list_id"))
+        .write.partitionBy("list_id").parquet(s"$tmp/data")
+      val b1 = emb(s, d).where(pmod(col("vec_id"), lit(20)) === 0)
+      val b2 = emb(s, d).where(pmod(col("vec_id"), lit(20)) === 10)
+      graft.search.Ivf.appendToPath(model, b1, tmp)
+      graft.search.Ivf.appendToPath(model, b2, tmp)
+      val rowsBefore = s.read.parquet(s"$tmp/data").count()
+      val rep = graft.sources.Compaction.compactPartitioned(s, s"$tmp/data", "list_id")
+      val rowsAfter = s.read.parquet(s"$tmp/data").count()
+      // every aggregate above is materialized, so the result survives the
+      // staging dir's deletion (LocalRelation of literals)
+      Seq((rep.partitions.toLong, rep.filesBefore.toLong, rep.filesAfter.toLong,
+        rowsBefore, rowsAfter, rowsBefore == rowsAfter && rep.filesAfter <= rep.partitions))
+        .toDF("n_lists", "files_before", "files_after", "rows_before", "rows_after", "compacted_ok")
+    } finally deleteTmp(tmp)
   }
 
   private def deleteTmp(dir: String): Unit = {

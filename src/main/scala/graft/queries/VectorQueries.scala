@@ -548,11 +548,18 @@ object VectorQueries {
     graft.search.Fusion.rrfBatch(dense, sparse, K)
   }
 
-  val hybridRrfBatchSql: String = {
-    val denseValues = knnQueries
+  /** Shared DuckDB twin for batch RRF fusion: both retrievers' CTEs +
+    * identical fusion arithmetic, parameterized by the batch's resolved
+    * vectors and term lists (hybrid_rrf_batch passes seeded vectors +
+    * fixed terms; hybrid_qtext_rrf passes the ENCODER's own outputs +
+    * the qtext's tokens — so the oracle checks the full text→fused-rank
+    * pipeline). */
+  private def rrfBatchOracle(queryVecs: Seq[(Long, Array[Float])],
+                             queryTerms: Seq[(Long, Seq[String])]): String = {
+    val denseValues = queryVecs
       .map { case (qid, v) => s"(CAST($qid AS BIGINT), ${QueryVectors.sqlLit(v)})" }
       .mkString(",\n  ")
-    s"""WITH ${graft.text.Bm25.batchOracleCtes(RrfBatchTerms)},
+    s"""WITH ${graft.text.Bm25.batchOracleCtes(queryTerms)},
        |sp50 AS (
        |  SELECT qid, doc_id, bm25,
        |         row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, doc_id) AS rk
@@ -590,6 +597,45 @@ object VectorQueries {
        |ORDER BY qid, rrf DESC, id""".stripMargin
   }
 
+  val hybridRrfBatchSql: String =
+    rrfBatchOracle(knnQueries, RrfBatchTerms)
+
+  /** #132 hybrid_qtext_rrf: the COMPLETE modern hybrid interface — ONE
+    * piece of query TEXT drives both retrievers: the MiniLM encoder
+    * resolves the dense vector (the hybrid_qtext seam), the same text's
+    * tokens drive BM25, and RRF fuses the two rankings. Text in, fused
+    * ranked ids out — what a user of a production hybrid engine actually
+    * calls. Hash-checked end to end: the oracle renders the encoder's
+    * OWN output vectors into the dense CTE (the hybrid_qtext discipline),
+    * so tokenize → forward → normalize → dense-rank ∪ sparse-rank → fuse
+    * is all under the DuckDB compare. */
+  private val QtextRrfQueries: Seq[(Long, String)] = Seq(
+    0L -> "vector scan merge",
+    1L -> "stream window filter",
+    2L -> "join batch sort")
+
+  private lazy val qtextRrfResolved: Seq[(Long, Array[Float], Seq[String])] = {
+    val enc = graft.encode.MiniLm.tinyEncoder()
+    QtextRrfQueries.map { case (qid, text) =>
+      (qid, enc.encode(text), text.split(" ").toSeq) }
+  }
+
+  def hybridQtextRrf(s: SparkSession, d: String): DataFrame = {
+    val vecs = qtextRrfResolved.map(q => (q._1, q._2))
+    val terms = qtextRrfResolved.map(q => q._1 -> q._3)
+    val dense = VectorSearch.knnJoin(emb(s, d), vecs, RrfN)
+      .select(col("qid"), col("vec_id").as("id"), col("rank"))
+    val sparseTop = org.apache.spark.sql.graft.TopKPerKey(
+      graft.text.Bm25.batchScores(Tables.documents(s, d), terms),
+      Seq(col("qid")), Seq(desc("bm25"), col("doc_id")), RrfN)
+    val sparse = graft.search.Fusion.rankedPerKey(sparseTop, "qid", "doc_id", "bm25")
+    graft.search.Fusion.rrfBatch(dense, sparse, K)
+  }
+
+  lazy val hybridQtextRrfSql: String =
+    rrfBatchOracle(qtextRrfResolved.map(q => (q._1, q._2)),
+      qtextRrfResolved.map(q => q._1 -> q._3))
+
   /** Reference results.jsonl equivalent: per-(query, backend) stats —
     * latency_ms, recall_at_k, scored_vectors, filter_selectivity,
     * kth_at_stop. Rows-only (latency is nondeterministic by nature). */
@@ -617,6 +663,7 @@ object VectorQueries {
     "hybrid_geo" -> (hybridGeo _),
     "hybrid_rrf" -> (hybridRrf _),
     "hybrid_rrf_batch" -> (hybridRrfBatch _),
+    "hybrid_qtext_rrf" -> (hybridQtextRrf _),
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
@@ -651,6 +698,7 @@ object VectorQueries {
     "hybrid_geo" -> hybridGeoSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_batch" -> hybridRrfBatchSql,
+    "hybrid_qtext_rrf" -> hybridQtextRrfSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
     "vec_range_search" -> vecRangeSearchSql,

@@ -142,6 +142,27 @@ class Bm25FusionSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid_qtext_rrf: one qtext drives both retrievers; k rows per qid") {
+    val out = graft.queries.VectorQueries.hybridQtextRrf(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double, Int, Int)].collect()
+    val byQid = out.groupBy(_._1)
+    assert(byQid.keySet == Set(0L, 1L, 2L))
+    val c = Fusion.C.toDouble
+    byQid.values.foreach { rows =>
+      assert(rows.length == 10)
+      rows.foreach { case (_, _, rrf, dr, sr) =>
+        assert(dr > 0 || sr > 0)
+        assert(rrf == r6((if (dr > 0) 1.0 / (c + dr) else 0.0) +
+          (if (sr > 0) 1.0 / (c + sr) else 0.0)))
+      }
+    }
+    // the sparse side genuinely fires: some fused row carries a BM25 rank
+    // (the qtext tokens are corpus-vocab words)
+    assert(out.exists(_._5 > 0))
+    // and the dense side too
+    assert(out.exists(_._4 > 0))
+  }
+
   test("hybrid_rrf end-to-end: k rows, every id from one of the top-N lists") {
     val sf = "/root/testdata/sf0.001"
     val out = graft.queries.VectorQueries.hybridRrf(spark, sf)

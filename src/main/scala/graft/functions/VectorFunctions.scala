@@ -96,4 +96,12 @@ object VectorFunctions {
   def bqHamming(codes: Column, qcode: Array[Byte]): Column =
     GraftBridge.column(
       org.apache.spark.sql.graft.BqHamming(GraftBridge.expression(codes), qcode))
+
+  /** Bloom-sketch membership probe over a bigint id column (exact-false,
+    * probabilistic-true): the pre-shuffle pruning primitive for
+    * small-set ⋈ huge-stream joins. See BloomMightContainLong. */
+  def bloomMightContainLong(id: Column, sketchBytes: Array[Byte]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.BloomMightContainLong(
+        GraftBridge.expression(id), sketchBytes))
 }

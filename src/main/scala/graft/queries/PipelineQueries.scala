@@ -255,18 +255,51 @@ object PipelineQueries {
     * shape: distinct benchmark shingle ids (broadcast when small, AQE
     * decides) ⋈ exploded corpus shingle ids → per-doc overlap count —
     * never an all-pairs document comparison. */
+  private def shingleIds(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(lower(col("text")), " ").as("s"))
+    .where(size(col("s")) >= DecontamN)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      s"transform(sequence(1, size(s) - ${DecontamN - 1}), " +
+        s"i -> xxhash64(concat_ws(' ', slice(s, i, $DecontamN))))"))).as("sh"))
+
   def decontaminate(docs: DataFrame, bench: DataFrame): DataFrame = {
-    def shingleIds(df: DataFrame) = df
-      .select(col("doc_id"), split(lower(col("text")), " ").as("s"))
-      .where(size(col("s")) >= DecontamN)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(s) - ${DecontamN - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(s, i, $DecontamN))))"))).as("sh"))
     val benchSh = shingleIds(bench).select("sh").distinct()
     shingleIds(docs)
       .join(benchSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .orderBy("doc_id")
+  }
+
+  /** #133 Bloom-pruned decontamination — [[decontaminate]]'s 100 TB serving
+    * shape, byte-for-byte identical results. The contaminant (benchmark)
+    * shingle set is SMALL by definition, so a driver-built Bloom sketch of
+    * its ids (~1.2 MB per million shingles at 1% fpp) ships to every task
+    * and prunes the corpus shingle stream INSIDE the scan stage — the
+    * shuffle then carries only matching shingles + the fpp sliver instead
+    * of every 8-gram in the corpus (at 100 TB that is the difference
+    * between shuffling terabytes and shuffling megabytes). The exact
+    * hash-id join downstream eats the false positives, so the result —
+    * and the DuckDB oracle — are exactly [[decontaminate]]'s. */
+  def decontaminateBloom(docs: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSh = shingleIds(bench).select("sh").distinct()
+    // two tiny bench-side jobs (count + sketch aggregate); the corpus side
+    // — the one that matters at scale — is touched exactly once
+    val bloom = benchSh.stat.bloomFilter("sh",
+      math.max(benchSh.count(), 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    shingleIds(docs)
+      .where(graft.functions.VectorFunctions.bloomMightContainLong(
+        col("sh"), bos.toByteArray))
+      .join(benchSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    decontaminateBloom(docs.where(col("doc_id") >= BenchDocs),
+      docs.where(col("doc_id") < BenchDocs))
   }
 
   /** The registered query: benchmark = the first 100 docs (a stand-in
@@ -406,6 +439,7 @@ object PipelineQueries {
     "sample_temperature" -> (sampleTemperature _),
     "sample_upweight" -> (sampleUpweight _),
     "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
+    "decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "corpus_curate" -> (corpusCurate _)
   )
 
@@ -419,6 +453,9 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperatureSql,
     "sample_upweight" -> sampleUpweightSql,
     "decontaminate" -> decontaminateSql,
+    // identical semantics by contract (bloom is a pre-shuffle prune, the
+    // exact join removes fp) — the SAME oracle hash-checks both plans
+    "decontaminate_bloom" -> decontaminateSql,
     "corpus_curate" -> corpusCurateSql
   )
 }

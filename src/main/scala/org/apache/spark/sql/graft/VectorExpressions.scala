@@ -981,3 +981,40 @@ case class BqHamming(child: Expression, qcode: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Membership probe of a 64-bit id column against a driver-built Bloom
+  * sketch of a SMALL id set — the 100 TB decontamination pre-filter
+  * shape: the sketch ships to every task as one compact blob (~1.2 MB
+  * per million ids at 1% fpp) and prunes the huge corpus-side stream
+  * BEFORE any shuffle; the exact join downstream removes false
+  * positives, so end results stay exact. Codegen keeps the probe inside
+  * whole-stage codegen next to the shingle hash that feeds it. */
+case class BloomMightContainLong(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(sketchBytes.nonEmpty, "bloom_might_contain_long: empty sketch")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+
+  // Deserialized once per JVM; @transient so only the wire bytes ride
+  // task serialization of the expression itself.
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      // the deserialized filter rides ctx.references (BloomFilterImpl is
+      // Serializable) — the same wiring Spark's runtime bloom filter uses
+      val f = ctx.addReferenceObj("bloomFilter", filter,
+        "org.apache.spark.util.sketch.BloomFilter")
+      s"${ev.value} = $f.mightContainLong($v);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

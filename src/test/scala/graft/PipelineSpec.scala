@@ -66,6 +66,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty, "no contamination found — operator vacuous on sf data")
   }
 
+  test("decontaminate_bloom: identical rows to exact decontaminate; bloom genuinely prunes") {
+    val exact = PipelineQueries.decontaminate(spark, sf).as[(Long, Long)].collect().toSeq
+    val bloom = PipelineQueries.decontaminateBloom(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(bloom == exact, "bloom-pruned plan must be result-identical (fp eaten by the exact join)")
+    assert(exact.nonEmpty)
+    // the sketch probe is a real prune, not a pass-through: most corpus
+    // shingles are NOT in the benchmark set, so the filter must reject a
+    // substantial majority (fpp 1% keeps rejects >> passes on this data)
+    val docs = Tables.documents(spark, sf)
+    def sh(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(lower(col("text")), " ").as("s"))
+      .where(size(col("s")) >= PipelineQueries.DecontamN)
+      .select(explode(expr(
+        s"transform(sequence(1, size(s) - ${PipelineQueries.DecontamN - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(s, i, ${PipelineQueries.DecontamN}))))")).as("sh"))
+    val corpusSh = sh(docs.where(col("doc_id") >= PipelineQueries.BenchDocs))
+    val benchShSet = sh(docs.where(col("doc_id") < PipelineQueries.BenchDocs))
+      .distinct().as[Long].collect().toSet
+    val total = corpusSh.count()
+    val bf = sh(docs.where(col("doc_id") < PipelineQueries.BenchDocs)).distinct()
+      .stat.bloomFilter("sh", math.max(benchShSet.size, 1).toLong, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val passed = corpusSh.where(graft.functions.VectorFunctions
+      .bloomMightContainLong(col("sh"), bos.toByteArray)).count()
+    assert(passed < total / 2, s"bloom passed $passed of $total corpus shingles — not pruning")
+    // no false negatives by construction: every truly-shared shingle passes
+    val matching = corpusSh.as[Long].collect().count(benchShSet.contains)
+    assert(passed >= matching, "bloom dropped a true member — impossible for a correct sketch")
+  }
+
+  test("bloom_might_contain_long: exact-false / probabilistic-true contract on raw ids") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 1000L).foreach(i => bf.putLong(i * 7919L))
+    val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos)
+    val ids = spark.range(0, 5000).select((col("id") * 7919L).as("v"))
+    val hits = ids.where(graft.functions.VectorFunctions
+      .bloomMightContainLong(col("v"), bos.toByteArray)).as[Long].collect()
+    // every inserted id passes (no false negatives)…
+    assert((0L until 1000L).map(_ * 7919L).forall(hits.contains))
+    // …and the 4000 absent ids mostly fail (fpp 1% → expect ~40, allow 10×)
+    assert(hits.length <= 1000 + 400, s"${hits.length - 1000} false positives of 4000 absent")
+  }
+
   test("sample_upweight: copies match floor(w) + md5-fraction rule exactly") {
     val rows = PipelineQueries.sampleUpweight(spark, sf)
       .as[(Long, String, Int)].collect()

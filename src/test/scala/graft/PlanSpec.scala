@@ -195,6 +195,22 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side partial count
   }
 
+  test("bloom decontamination probes the sketch scan-side, before the shuffle") {
+    val df = queries.PipelineQueries.decontaminateBloom(spark, sf)
+    val p = plan(df)
+    // the probe must sit in the plan as a Filter on the corpus side…
+    assert(p.contains("bloom_might_contain_long"), p)
+    // …and never degrade the join to a pairwise shape
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the probe is UPSTREAM of the join: in the tree string the filter
+    // line carrying the probe is indented deeper than the join node
+    val lines = p.linesIterator.toVector
+    val joinLine = lines.indexWhere(l => l.contains("Join") || l.contains("HashJoin"))
+    val probeLine = lines.indexWhere(_.contains("bloom_might_contain_long"))
+    assert(joinLine >= 0 && probeLine > joinLine,
+      s"probe (line $probeLine) should be below/inside the join (line $joinLine)")
+  }
+
   test("incremental dedup reads the persisted band table — corpus never re-hashed") {
     // plan STRINGS truncate on trees this deep (maxToStringFields), so the
     // pins walk the optimized logical plan programmatically

@@ -429,6 +429,39 @@ object PipelineQueries {
        |FROM q ORDER BY z, l_orderkey, l_linenumber LIMIT 500""".stripMargin
   }
 
+  /** Per-source contribution cap — the "domain cap" every web-scale
+    * curation run applies (RefinedWeb/C4 shape: no single domain may
+    * dominate the corpus): keep at most CapPerSource docs per source,
+    * preferring the LONGEST (ties to the lower doc_id) — length is the
+    * deterministic quality proxy both engines compute identically.
+    *
+    * Plan: the custom TopKPerKey physical operator — a bounded per-key
+    * heap on both the map and reduce side, so a source with a billion
+    * docs ships CapPerSource rows per task, never a full per-source sort
+    * (the window-function formulation sorts EVERY doc in every source;
+    * this one is O(n log cap) and shuffles only survivors). The ≤cap
+    * survivors then take their rank from a window over the tiny result. */
+  val CapPerSource = 15
+
+  def sampleCapSource(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val top = org.apache.spark.sql.graft.TopKPerKey(
+      docs, Seq(col("source")), Seq(desc("n_chars"), col("doc_id")), CapPerSource)
+    val w = Window.partitionBy("source").orderBy(desc("n_chars"), col("doc_id"))
+    top.withColumn("rk", row_number().over(w))
+      .orderBy("doc_id")
+  }
+
+  val sampleCapSourceSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |         ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars, rk FROM ranked
+       |WHERE rk <= $CapPerSource ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -438,6 +471,7 @@ object PipelineQueries {
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_upweight" -> (sampleUpweight _),
+    "sample_cap_source" -> (sampleCapSource _),
     "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "corpus_curate" -> (corpusCurate _)
@@ -452,6 +486,7 @@ object PipelineQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_upweight" -> sampleUpweightSql,
+    "sample_cap_source" -> sampleCapSourceSql,
     "decontaminate" -> decontaminateSql,
     // identical semantics by contract (bloom is a pre-shuffle prune, the
     // exact join removes fp) — the SAME oracle hash-checks both plans

@@ -263,6 +263,30 @@ object TextQueries {
       |        / CAST(len(t) AS DOUBLE), 6) AS top_token_frac
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Duplicated 13-gram span mass per doc (Lee et al. 2021 exact-substring
+    * detection shape — TextAnalysis.withDupSpans doc). Long/double casts
+    * chosen so both engines emit identical types. */
+  def textDupSpans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withDupSpans(docs(s, d)).orderBy("doc_id")
+
+  val textDupSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS gram
+      |  FROM toks, unnest(generate_series(1, len(t) - 12)) AS u(i)
+      |),
+      |dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+      |perdoc AS (SELECT doc_id, count(*) AS dup_grams
+      |           FROM grams JOIN dup USING (gram) GROUP BY doc_id)
+      |SELECT toks.doc_id,
+      |  CAST(greatest(len(t) - 12, 0) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(perdoc.dup_grams, 0) AS BIGINT) AS dup_grams,
+      |  CASE WHEN len(t) - 12 > 0
+      |       THEN round(coalesce(perdoc.dup_grams, 0) / (len(t) - 12.0), 6)
+      |       ELSE 0.0 END AS dup_frac
+      |FROM toks LEFT JOIN perdoc USING (doc_id)
+      |ORDER BY toks.doc_id""".stripMargin
+
   /** #58 per-(source, lang) curation report: doc counts, char volume and
     * mean quality — the breakdown a curation run publishes per slice.
     * Quality sums go through DECIMAL so both engines divide the same
@@ -375,6 +399,7 @@ object TextQueries {
     "text_tfidf" -> (textTfidf _),
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
+    "text_dup_spans" -> (textDupSpans _),
     "corpus_report" -> (corpusReport _)
   )
 
@@ -391,6 +416,7 @@ object TextQueries {
     "text_tfidf" -> textTfidfSql,
     "text_scrub" -> textScrubSql,
     "text_repetition" -> textRepetitionSql,
+    "text_dup_spans" -> textDupSpansSql,
     "corpus_report" -> corpusReportSql
   )
 }

@@ -163,4 +163,55 @@ object TextAnalysis {
         split(col("text"), ""),
         lit(0L),
         (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L))).as("fp"))
+
+  /** Duplicated-span mass per document: the fraction of each doc's token
+    * n-gram positions whose n-gram occurs more than once ANYWHERE in the
+    * corpus (within the same doc or across docs) — the detection half of
+    * exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", which dedups 50-BPE-token
+    * spans; n=13 whitespace tokens is the common MinHash-era shingle width
+    * and what this corpus' token density supports). Reference twin: the
+    * repo's near-dup miners flag whole documents; this flags the SPAN
+    * mass inside otherwise-unique documents — the memorization signal.
+    *
+    * Plan shape, and why it holds at 100 TB:
+    *  - n-gram generation is a row-local codegen HOF (sequence→transform→
+    *    slice→array_join) — no shuffle, scan speed;
+    *  - the duplicated-gram set is ONE hash aggregate with map-side
+    *    partial counts (`count > 1` survivors only — a vanishing fraction
+    *    of the gram mass);
+    *  - the flag-back is a LEFT SEMI join on the gram key, which AQE
+    *    broadcasts when the dup set is small and shuffles otherwise;
+    *  - the per-doc rollup re-aggregates on doc_id. Nothing is ever
+    *    materialized per PAIR of occurrences (a gram seen k times costs
+    *    k rows, not k² — degenerate grams cannot blow up the join).
+    * At scale you'd key the aggregate on xxhash64(gram) to shrink shuffle
+    * width; the registered query groups by the gram STRING so the DuckDB
+    * oracle computes the identical table. */
+  def withDupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    val t = toks(col("text"))
+    // empty-array guard: sequence(1, k) DESCENDS when k < 1, so short docs
+    // must produce zero positions explicitly, not a descending range
+    val grams = docs.select(
+      col("doc_id"),
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - n + 1),
+          i => array_join(slice(t, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")).as("grams"))
+    val pos = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val dup = pos.groupBy("gram").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("gram")
+    val perDoc = pos.join(dup, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    docs.select(col("doc_id"),
+      greatest(size(t) - n + 1, lit(0)).cast("long").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("dup_grams"), lit(0L)) / col("n_grams"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

@@ -216,4 +216,29 @@ class PipelineSpec extends AnyFunSuite {
     // and it's a strict filter: fewer rows than the corpus
     assert(kept.length < docs.count())
   }
+
+  test("sample_cap_source: cap respected; survivors are the per-source longest; caps bind at sf0.01") {
+    val cap = PipelineQueries.CapPerSource
+    // sf0.01 has 25 docs per source, so the cap actually cuts there
+    val big = "/root/testdata/sf0.01"
+    val got = PipelineQueries.sampleCapSource(spark, big)
+      .as[(Long, String, Long, Int)].collect().toSeq
+    val bySource = got.groupBy(_._2)
+    assert(bySource.values.forall(_.length <= cap), "cap exceeded")
+    assert(bySource.values.exists(_.length == cap), "cap never binds — test data too small")
+    // survivors = local top-cap per source by (n_chars desc, doc_id asc)
+    val docs = Tables.documents(spark, big)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSeq
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val want = rows.sortBy { case (id, _, nc) => (-nc, id) }.take(cap)
+        .map(r => (r._1, r._3)).toSet
+      val have = bySource.getOrElse(src, Seq.empty).map(r => (r._1, r._3)).toSet
+      assert(have == want, s"source $src survivor set")
+    }
+    // ranks are contiguous 1..|survivors| within each source
+    bySource.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+  }
 }

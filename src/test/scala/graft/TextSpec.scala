@@ -158,4 +158,39 @@ class TextSpec extends AnyFunSuite {
       if (toks.length <= W) assert(cs.length == 1 && sorted.head._4 == texts(id))
     }
   }
+
+  test("dup spans match a local recompute; planted duplicate span is flagged") {
+    val n = 13
+    val got = TextAnalysis.withDupSpans(docs, n)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == texts.keySet, "every doc reported")
+    // local oracle: corpus-wide n-gram counts, then per-doc dup positions
+    val gramsOf: Map[Long, Seq[String]] = texts.map { case (id, t) =>
+      val toks = t.split(" ", -1)
+      id -> (if (toks.length < n) Seq.empty[String]
+             else toks.sliding(n).map(_.mkString(" ")).toSeq)
+    }
+    val corpusCount = gramsOf.values.flatten
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    got.foreach { case (id, nGrams, dupGrams, frac) =>
+      val grams = gramsOf(id)
+      assert(nGrams == grams.length.toLong, s"doc $id n_grams")
+      val dups = grams.count(g => corpusCount(g) > 1).toLong
+      assert(dupGrams == dups, s"doc $id dup_grams")
+      val want = if (grams.isEmpty) 0.0
+                 else graft.search.VecMath.round6(dups.toDouble / grams.length)
+      assert(frac == want, s"doc $id dup_frac")
+    }
+    // a doc that repeats another doc's text verbatim must be fully flagged
+    val base = texts.values.find(_.split(" ", -1).length >= n).get
+    val planted = docs.sparkSession.createDataset(Seq(
+      (900001L, base), (900002L, base + " unique tail marker"),
+      (900003L, "short doc")))
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.withDupSpans(planted, n)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val full = flagged.find(_._1 == 900001L).get
+    assert(full._3 == full._2 && full._4 == 1.0, "verbatim copy fully flagged")
+    assert(flagged.find(_._1 == 900003L).get._2 == 0L, "short doc has zero positions")
+  }
 }

@@ -21,17 +21,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Requires spark.sql.legacy.parquet.nanosAsLong=true — set once
-    * in every session builder (Verify/Bench/SparkTest), keeping this loader
-    * pure. The read truncates to a microsecond timestamp (integer DIV —
-    * ns epoch values exceed 2^53, double math would drift).
-    */
+  /** events.parquet has shipped `ts` as either TIMESTAMP(NANOS) — which
+    * Spark 4 only reads with spark.sql.legacy.parquet.nanosAsLong=true
+    * (set in every session builder), surfacing as LongType — or as a plain
+    * TIMESTAMP(MICROS). Adapt on the read schema: a long is nanos and is
+    * truncated with integer DIV (ns epoch values exceed 2^53, double math
+    * would drift); a timestamp passes through. Either way downstream sees
+    * a microsecond timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true in the session builder")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // sessions run UTC (Verify/Bench/SparkTest builders), so the NTZ →
+        // instant cast is value-preserving and unix_micros/date_trunc work
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -413,7 +413,53 @@ object EventQueries {
       |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
       |FROM c ORDER BY src, dst""".stripMargin
 
+  /** #134 events_quantiles: EXACT interpolated percentiles (p50/p90/p99 of
+    * `value` per event type) by distributed rank selection — the shape that
+    * survives 100 TB. Spark's `percentile` aggregate buffers every value of
+    * a group in one aggregation buffer (fine at sf0.01, OOM at a trillion
+    * rows); here the only state is a sort within the hash partition: ONE
+    * row_number window ranks each group, each requested p needs just the
+    * rows at ranks floor/ceil of p·(n−1), and the interpolation
+    * vlo + (vhi−vlo)·frac is a single rounded expression — verified
+    * bit-identical to DuckDB's quantile_cont at 6 decimals. The 3-row
+    * quantile list is broadcast; the post-window filter keeps ≤ 6 rows per
+    * group, so the second aggregate is negligible. Skewed event types cost
+    * a big sorted partition, exactly what a range-partitioned sort absorbs
+    * on a real cluster. */
+  def eventsQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = Seq(0.5, 0.9, 0.99)
+    val w = Window.partitionBy("event_type").orderBy("value")
+    val ranked = Tables.events(s, d)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked
+      .crossJoin(broadcast(ps.toDF("p")))
+      .withColumn("idx", col("p") * (col("n") - 1))
+      .withColumn("lo", floor(col("idx")) + 1)
+      .withColumn("hi", ceil(col("idx")) + 1)
+      .where(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(
+        max(when(col("rn") === col("lo"), col("value"))).as("vlo"),
+        max(when(col("rn") === col("hi"), col("value"))).as("vhi"),
+        first(col("idx") - floor(col("idx"))).as("frac"))
+      .select(col("event_type"), col("p"),
+        round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as("q"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  /** quantile_cont demands a constant fraction, hence the UNION ALL. */
+  val eventsQuantilesSql: String =
+    Seq(0.5, 0.9, 0.99).map(p =>
+      s"""SELECT event_type, CAST($p AS DOUBLE) AS p, round(quantile_cont(value, $p), 6) AS q
+         |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY event_type, p")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_quantiles" -> (eventsQuantiles _),
     "events_markov" -> (eventsMarkov _),
     "events_histogram" -> (eventsHistogram _),
     "events_paths" -> (eventsPaths _),
@@ -429,6 +475,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_quantiles" -> eventsQuantilesSql,
     "events_markov" -> eventsMarkovSql,
     "events_histogram" -> eventsHistogramSql,
     "events_paths" -> eventsPathsSql,

@@ -104,4 +104,20 @@ object VectorFunctions {
     GraftBridge.column(
       org.apache.spark.sql.graft.BloomMightContainLong(
         GraftBridge.expression(id), sketchBytes))
+
+  /** All m residual-PQ codes of (vec − centroids[listId]) in one pass. */
+  def pqEncodeResidual(vec: Column, listId: Column,
+                       centroids: Array[Array[Float]],
+                       codebook: Array[Array[Array[Float]]]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.PqEncodeResidual(
+        GraftBridge.expression(vec), GraftBridge.expression(listId),
+        centroids, codebook))
+
+  /** y = basis·(x − mean): codegen'd affine projection (PCA/OPQ rotate). */
+  def pcaProject(vec: Column, mean: Array[Float],
+                 basis: Array[Array[Float]]): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.PcaProject(
+        GraftBridge.expression(vec), mean, basis))
 }

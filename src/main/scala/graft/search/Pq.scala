@@ -129,7 +129,7 @@ object Pq {
     * k=256 at m=48 a ~30-minute build; this trains it in seconds, which
     * is what makes FAISS-standard 8-bit codes affordable). Empty clusters
     * keep their previous centroid (FAISS does the same). */
-  private def localKMeans(points: Array[Array[Float]], k: Int, seed: Long,
+  private[search] def localKMeans(points: Array[Array[Float]], k: Int, seed: Long,
                           maxIter: Int): Array[Array[Float]] = {
     val n = points.length
     val dim = points(0).length

@@ -1018,3 +1018,192 @@ case class BloomMightContainLong(child: Expression, sketchBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Affine projection y = B·(x − μ) of an array<float> vector, ONE codegen'd
+  * pass with the basis as primitive float arrays (the PqEncode wiring —
+  * an ArrayData-literal basis would pay a virtual getFloat per multiply,
+  * d·r of them per row). `basis` rows are the projection directions
+  * (eigenvectors for PCA), so the output has length basis.length ≤ d.
+  * Accumulation is sequential double — deterministic across engines.
+  * Build-time cost only: downstream scans read the projected column. */
+case class PcaProject(child: Expression, mean: Array[Float],
+                      basis: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(basis.nonEmpty && basis.forall(_.length == mean.length),
+    "pca_project: basis rows must match mean dimension")
+
+  private val d = mean.length
+  private val r = basis.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "pca_project"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != d)
+      throw new IllegalArgumentException(
+        s"pca_project: vector dimension ${vec.numElements()} != $d")
+    val out = new Array[Float](r)
+    var j = 0
+    while (j < r) {
+      val row = basis(j)
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        acc += (vec.getFloat(i) - mean(i)).toDouble * row(i)
+        i += 1
+      }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mu = ctx.addReferenceObj("pcaMean", mean, "float[]")
+      val bs = ctx.addReferenceObj("pcaBasis", basis, "float[][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      s"""
+         |if ($a.numElements() != $d) {
+         |  throw new IllegalArgumentException("pca_project: vector dimension "
+         |    + $a.numElements() + " != $d");
+         |}
+         |float[] $out = new float[$r];
+         |for (int $j = 0; $j < $r; $j++) {
+         |  float[] $row = $bs[$j];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    $acc += ((double)$a.getFloat($i) - (double)$mu[$i]) * (double)$row[$i];
+         |  }
+         |  $out[$j] = (float)$acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Residual PQ encode: all m codes of (x − c_listId) in ONE pass — the
+  * true FAISS IndexIVFPQ fine quantizer (encode the residual against the
+  * assigned coarse centroid, not the raw vector). Residuals concentrate
+  * around the origin with far less variance than raw vectors, so the same
+  * m×k code budget quantizes them much more finely — that is the recall
+  * argument for composing the quantizers this way. Same argmax identity
+  * and primitive-array wiring as PqEncode; the coarse centroid table rides
+  * ctx.references alongside the codebook. */
+case class PqEncodeResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Float]],
+                            codebook: Array[Array[Array[Float]]])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty && codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "pq_encode_residual: empty centroids or codebook")
+
+  private val m = codebook.length
+  private val dsub = codebook(0)(0).length
+  require(centroids(0).length == m * dsub,
+    s"pq_encode_residual: centroid dim ${centroids(0).length} != m*dsub (${m * dsub})")
+
+  @transient private lazy val biases: Array[Array[Double]] =
+    codebook.map(_.map { c =>
+      var n2 = 0.0; var i = 0
+      while (i < c.length) { n2 += c(i).toDouble * c(i); i += 1 }
+      -0.5 * n2
+    })
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_residual"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val list = b.asInstanceOf[Int]
+    if (vec.numElements() != m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_encode_residual: vector dimension ${vec.numElements()} != m*dsub (${m * dsub})")
+    if (list < 0 || list >= centroids.length)
+      throw new IllegalArgumentException(
+        s"pq_encode_residual: list_id $list outside [0,${centroids.length})")
+    val cent = centroids(list)
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val cw = codebook(s)
+      val bias = biases(s)
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cw.length) {
+        val w = cw(c)
+        var acc = bias(c)
+        var i = 0
+        while (i < dsub) {
+          val off = s * dsub + i
+          acc += (vec.getFloat(off) - cent(off)).toDouble * w(i)
+          i += 1
+        }
+        if (acc > bestScore) { bestScore = acc; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cents = ctx.addReferenceObj("ivfCentroids", centroids, "float[][]")
+      val cb = ctx.addReferenceObj("pqCodebook", codebook, "float[][][]")
+      val bs = ctx.addReferenceObj("pqBiases", biases, "double[][]")
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val cw = ctx.freshName("cw")
+      val w = ctx.freshName("w")
+      val cent = ctx.freshName("cent")
+      s"""
+         |if ($a.numElements() != ${m * dsub}) {
+         |  throw new IllegalArgumentException("pq_encode_residual: vector dimension "
+         |    + $a.numElements() + " != m*dsub (${m * dsub})");
+         |}
+         |if ($b < 0 || $b >= $cents.length) {
+         |  throw new IllegalArgumentException("pq_encode_residual: list_id "
+         |    + $b + " outside [0," + $cents.length + ")");
+         |}
+         |float[] $cent = $cents[$b];
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  float[][] $cw = $cb[$s];
+         |  int $best = -1;
+         |  double $bestScore = Double.NEGATIVE_INFINITY;
+         |  for (int $c = 0; $c < $cw.length; $c++) {
+         |    float[] $w = $cw[$c];
+         |    double $acc = $bs[$s][$c];
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $off = $s * $dsub + $i;
+         |      $acc += ((double)$a.getFloat($off) - (double)$cent[$off]) * (double)$w[$i];
+         |    }
+         |    if ($acc > $bestScore) { $bestScore = $acc; $best = $c; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

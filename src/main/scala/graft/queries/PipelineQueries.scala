@@ -462,6 +462,48 @@ object PipelineQueries {
        |SELECT doc_id, source, n_chars, rk FROM ranked
        |WHERE rk <= $CapPerSource ORDER BY doc_id""".stripMargin
 
+  /** #139 Efraimidis–Spirakis weighted sampling WITHOUT replacement
+    * (IPL 2006): per source, the k docs with the largest u^(1/w) — here
+    * ranked by the monotone-equivalent ln(u)/w — where u is the doc's
+    * md5 bucket mapped to (0,1] and w = n_chars+1 (longer docs
+    * proportionally likelier). THE distributed weighted-reservoir
+    * primitive: engine-portable (no RNG state, u from the same md5-hex
+    * rule as the other samplers), one scan, and the per-source top-k runs
+    * on the bounded-heap TopKPerKey operator — a billion-doc source ships
+    * k rows per task, never a per-source sort. The key is scaled ×1e6
+    * before the 6 dp round so small-|ln(u)|/large-w keys keep 12
+    * significant decimals (rank margins stay ~10⁶ × the rounding grain —
+    * both engines' ln agree to ulps, far inside it). */
+  val WeightedPerSource = 5
+
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val h = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+      16, 10).cast("double")
+    val keyed = docs.withColumn("es_key",
+      round(lit(1e6) * log((h + 1.0) / 4294967296.0) /
+        (col("n_chars").cast("double") + 1.0), 6))
+    val top = org.apache.spark.sql.graft.TopKPerKey(
+      keyed, Seq(col("source")), Seq(desc("es_key"), col("doc_id")), WeightedPerSource)
+    val w = Window.partitionBy("source").orderBy(desc("es_key"), col("doc_id"))
+    top.withColumn("rk", row_number().over(w))
+      .orderBy("doc_id")
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, source, n_chars,
+       |    round(1e6 * ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+       |          / 4294967296.0) / (n_chars + 1.0), 6) AS es_key
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |       ORDER BY es_key DESC, doc_id) AS INT) AS rk
+       |  FROM k)
+       |SELECT doc_id, source, n_chars, es_key, rk FROM ranked
+       |WHERE rk <= $WeightedPerSource ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -472,6 +514,7 @@ object PipelineQueries {
     "sample_temperature" -> (sampleTemperature _),
     "sample_upweight" -> (sampleUpweight _),
     "sample_cap_source" -> (sampleCapSource _),
+    "sample_weighted" -> (sampleWeighted _),
     "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "corpus_curate" -> (corpusCurate _)
@@ -487,6 +530,7 @@ object PipelineQueries {
     "sample_temperature" -> sampleTemperatureSql,
     "sample_upweight" -> sampleUpweightSql,
     "sample_cap_source" -> sampleCapSourceSql,
+    "sample_weighted" -> sampleWeightedSql,
     "decontaminate" -> decontaminateSql,
     // identical semantics by contract (bloom is a pre-shuffle prune, the
     // exact join removes fp) — the SAME oracle hash-checks both plans

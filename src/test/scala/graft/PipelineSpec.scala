@@ -241,4 +241,40 @@ class PipelineSpec extends AnyFunSuite {
       assert(rows.map(_._4).sorted.toSeq == (1 to rows.length).toSeq)
     }
   }
+
+  test("sample_weighted: ES selection matches driver recomputation; weighting biases toward longer docs") {
+    val k = PipelineQueries.WeightedPerSource
+    val big = "/root/testdata/sf0.01"
+    val got = PipelineQueries.sampleWeighted(spark, big)
+      .select("doc_id", "source", "n_chars", "es_key", "rk")
+      .as[(Long, String, Long, Double, Int)].collect().toSeq
+    val bySource = got.groupBy(_._2)
+    assert(bySource.values.forall(_.length <= k))
+    assert(bySource.values.exists(_.length == k), "k never binds — data too small")
+    // exact replay of the ES key on the driver selects the same docs
+    val docs = Tables.documents(spark, big)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect().toSeq
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def esKey(id: Long, nChars: Long): Double = {
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16).toDouble
+      val u = (h + 1.0) / 4294967296.0
+      math.rint(1e6 * math.log(u) / (nChars + 1.0) * 1e6) / 1e6
+    }
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      val want = rows.map { case (id, _, nc) => (id, esKey(id, nc)) }
+        .sortBy { case (id, key) => (-key, id) }.take(k).map(_._1).toSet
+      val have = bySource.getOrElse(src, Seq.empty).map(_._1).toSet
+      assert(have == want, s"source $src ES selection")
+    }
+    // the weight does its job: selected docs are longer than average
+    val corpusMean = docs.map(_._3.toDouble).sum / docs.length
+    val selMean = got.map(_._3.toDouble).sum / got.length
+    assert(selMean > corpusMean,
+      s"selected mean length $selMean not above corpus mean $corpusMean")
+  }
 }

@@ -458,7 +458,26 @@ object EventQueries {
          |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY event_type, p")
 
+  /** #140 events_heavy: exact top-20 users by event count through the
+    * Misra–Gries candidates → exact-recount → certify pipeline
+    * (HeavyHitters doc) — the shape that ranks the top of a
+    * billion-cardinality key space while shuffling only O(partitions ×
+    * capacity) sketch rows plus a broadcast-pruned recount. The result is
+    * exact by construction (certified or fallback), so it faces a plain
+    * GROUP BY oracle. */
+  def eventsHeavy(s: SparkSession, d: String): DataFrame =
+    graft.operators.HeavyHitters.topK(
+      Tables.events(s, d), "user_id", k = 20)
+      .select(col("value").as("user_id"), col("n").as("n_events"), col("rk"))
+
+  val eventsHeavySql: String =
+    """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_events DESC, user_id) AS INT) AS rk
+      |      FROM c)
+      |SELECT user_id, n_events, rk FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_heavy" -> (eventsHeavy _),
     "events_quantiles" -> (eventsQuantiles _),
     "events_markov" -> (eventsMarkov _),
     "events_histogram" -> (eventsHistogram _),
@@ -475,6 +494,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_heavy" -> eventsHeavySql,
     "events_quantiles" -> eventsQuantilesSql,
     "events_markov" -> eventsMarkovSql,
     "events_histogram" -> eventsHistogramSql,

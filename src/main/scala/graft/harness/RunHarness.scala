@@ -266,6 +266,47 @@ object RunHarness {
       }
   }
 
+  /** Residual IVFPQ backend (the true FAISS IndexIVFPQ encoding): same
+    * partition-pruned scan/shortlist/refine shape as IvfPqBackend, but
+    * the ADC column scores residual codes — one query-only LUT plus the
+    * per-list ⟨q,c_l⟩ bias (IvfPqRes doc). Recorded as `ivfpq_res` /
+    * `ivfpq_res:<shortlist>` so results.jsonl separates the encodings. */
+  private class IvfPqResBackend(val name: String, model: IvfPqResModel,
+                                sizes: Map[Int, Long], nprobeN: Int,
+                                shortlistN: Int, ram: Option[RamCorpus])
+      extends Backend {
+    private def stats(ms: Double, lists: Seq[Int], kth: Option[Double]): Stats = {
+      val scanned = lists.map(sizes.getOrElse(_, 0L)).sum
+      Stats(ms, scanned, Some(lists.length), Some(nprobeN), kth, None,
+        Some(s"ivfpq residual-encoded m=${model.m} k=${model.kCodes} shortlist=$shortlistN"))
+    }
+    def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
+               k: Int, allowed: Long): (Seq[Long], Stats) = {
+      val lists = model.ivf.probes(qvec, nprobeN)
+      val (rows, ms) = timed {
+        val short = model.scoredShortlist(qvec, nprobeN, shortlistN)
+        val refined = model.corpus.join(broadcast(short.select("vec_id")), "vec_id")
+        VectorSearch.topK(refined, qvec, k, pred).collect()
+      }
+      (rows.map(_.getLong(0)).toSeq,
+        stats(ms, lists, rows.lastOption.map(_.getDouble(1))))
+    }
+    override def search(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                        pred: Option[org.apache.spark.sql.Column],
+                        k: Int, allowed: Long): (Seq[Long], Stats) =
+      ram.flatMap(rc => RamCorpus.labelPredicate(spec).map((rc, _))) match {
+        case Some((rc, lp)) =>
+          val lists = model.ivf.probes(qvec, nprobeN)
+          val (rows, ms) = timed {
+            val shortIds = model.scoredShortlist(qvec, nprobeN, shortlistN)
+              .select("vec_id").collect().map(_.getLong(0))
+            rc.scoreIds(qvec, shortIds, k, lp)
+          }
+          (rows.map(_._1), stats(ms, lists, rows.lastOption.map(_._2)))
+        case None => search(emb, qvec, pred, k, allowed)
+      }
+  }
+
   /** SQ8 backend: asymmetric scan of the 1-byte-per-dim code table →
     * shortlist → exact refine. The 4×-compression near-exact member of
     * the recorded family set, between `exact` and `pq` on the ladder. */
@@ -493,6 +534,22 @@ object RunHarness {
           case None => Bq.build(emb)
         }
         new BqBackend(p, model, shortlistN = sl, codeCount = total, ram = ram)
+      // residual-encoded composition, same dial grammar — matched BEFORE
+      // the plain "ivfpq" prefix rule
+      case p if p == "ivfpq_res" || p.startsWith("ivfpq_res:") =>
+        val spark = emb.sparkSession
+        val (model, sizes) = corpusKey match {
+          case Some(key) =>
+            val m = IvfPqRes.cached(emb, key,
+              Ivf.cached(spark, emb, key, knownTotal = Some(total)))
+            (m, IvfPqRes.listSizes(key, m))
+          case None =>
+            val m = IvfPqRes.build(
+              Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))))
+            (m, IvfPqRes.listSizes(s"anon-$total", m))
+        }
+        val sl = if (p == "ivfpq_res") 100 else p.stripPrefix("ivfpq_res:").toInt
+        new IvfPqResBackend(p, model, sizes, nprobe, shortlistN = sl, ram = ram)
       case p if p == "ivfpq" || p.startsWith("ivfpq:") =>
         val spark = emb.sparkSession
         val model = corpusKey match {

@@ -412,10 +412,8 @@ object VectorQueries {
   /** One residual IVFPQ model per sf dir (in-memory: the rows-only path —
     * the persisted composed tier stays vec_ivfpq_topk's). Reuses the
     * persisted IVF half's assignment. */
-  private val ivfpqResCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.IvfPqResModel]()
-
   def ivfpqResModel(s: SparkSession, d: String): graft.search.IvfPqResModel =
-    ivfpqResCache.computeIfAbsent(d, _ => graft.search.IvfPqRes.build(ivfModel(s, d)))
+    graft.search.IvfPqRes.cached(emb(s, d), d, ivfModel(s, d))
 
   /** #137 vec_ivfpq_res_topk: the true FAISS IndexIVFPQ semantics —
     * residual-encoded codes, query-only LUT + per-list bias scoring
@@ -512,7 +510,7 @@ object VectorQueries {
     * (BASELINE.md §2 keys on the `exact` family staying present). */
   val HarnessFamilies: Seq[String] = Seq(
     "exact", "pre_filter", "post_filter", "post_filter:ivf",
-    "ivf", "pq", "ivfpq", "sq", "bq", "lsh:1", "lsh:2x2", "random")
+    "ivf", "pq", "ivfpq", "ivfpq_res", "sq", "bq", "lsh:1", "lsh:2x2", "random")
 
   /** Reference queries.parquet equivalent: run the whole deterministic
     * hybrid query set (filters JSON + seeded vectors + per-query K). */

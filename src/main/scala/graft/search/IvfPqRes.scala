@@ -45,6 +45,11 @@ final case class IvfPqResModel(ivf: IvfModel, m: Int, dsub: Int, kCodes: Int,
     acc
   }
 
+  /** The probed-lists ADC shortlist (vec_id, adc_score) — public so the
+    * harness backend can time the identical scan the search path uses. */
+  def scoredShortlist(qvec: Array[Float], nprobe: Int, n: Int): DataFrame =
+    shortlistDf(qvec, nprobe, n)
+
   private def shortlistDf(qvec: Array[Float], nprobe: Int, n: Int): DataFrame = {
     val lists = ivf.probes(qvec, nprobe)
     val biasCol: Column = element_at(
@@ -87,6 +92,31 @@ final case class IvfPqResModel(ivf: IvfModel, m: Int, dsub: Int, kCodes: Int,
 
 object IvfPqRes {
 
+  /** list_id → row count, collected once per model (IvfPqModel.listSizes
+    * twin): serving-path probe-volume stats come from this map, never a
+    * per-query count() job. Kept here (not in the case class) so copies
+    * share nothing stale. */
+  private val sizesCache = new java.util.concurrent.ConcurrentHashMap[String, Map[Int, Long]]()
+
+  def listSizes(key: String, model: IvfPqResModel): Map[Int, Long] =
+    sizesCache.computeIfAbsent(key, _ =>
+      model.coded.groupBy(col("list_id").cast("int").as("list_id"))
+        .agg(count(lit(1)).as("sz"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+
+  /** Per-corpus in-memory cache (mtime+n keyed like the persisted tiers).
+    * The residual tier is the rows-only/probe path, so it skips disk
+    * persistence — a later JVM rebuilds in one sample+encode pass; the
+    * persisted composed tier remains IvfPq's. */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, IvfPqResModel]()
+
+  def cached(emb: DataFrame, corpusKey: String, ivf: IvfModel): IvfPqResModel = {
+    val mtime = emb.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
+    modelCache.computeIfAbsent(s"$corpusKey-m$mtime-nl${ivf.centroids.length}",
+      _ => build(ivf))
+  }
+
   /** Train the residual codebook on a bounded sample of (vector, list)
     * pairs — residuals computed driver-side against the coarse centroids
     * (ONE collect feeds all m local fits, the Pq.build discipline), then
@@ -122,7 +152,8 @@ object IvfPqRes {
     val coded = ivf.indexed.select(col("vec_id"), col("list_id"),
       pqEncodeResidual(col("embedding"), col("list_id").cast("int"),
         ivf.centroids, codebook).as("pq_codes"))
-    IvfPqResModel(ivf, m0, dsub, kEff, codebook, coded,
-      ivf.indexed.select(col("vec_id"), col("embedding")))
+    // refine corpus keeps every metadata column (filters resolve on it) —
+    // only the assignment column goes
+    IvfPqResModel(ivf, m0, dsub, kEff, codebook, coded, ivf.indexed.drop("list_id"))
   }
 }

@@ -156,8 +156,10 @@ object BaselineProbe {
     val qsS = (0L until 6L).map(q => HybridQuery(q * 25000L, Array.empty[Float], "{}", "TRUE", 10))
     RunHarness.runMany(spark, dirS, Seq("pq", "ivfpq"), qsS.take(1)) // build, untimed
     RunHarness.runMany(spark, dirS, Seq("bq"), qsS.take(1))          // sign-bit codes, untimed
+    RunHarness.runMany(spark, dirS, Seq("ivfpq_res"), qsS.take(1))   // residual codebook, untimed
     val ramS = RamCorpus.build(graft.Tables.embeddings(spark, dirS)) // serving tier, untimed
-    val rowsS = RunHarness.runMany(spark, dirS, Seq("pre_filter", "ivf", "pq", "ivfpq", "bq"), qsS,
+    val rowsS = RunHarness.runMany(spark, dirS,
+      Seq("pre_filter", "ivf", "pq", "ivfpq", "ivfpq_res", "bq"), qsS,
       ram = Some(ramS))
     val sS = RunHarness.summarize(rowsS).map { case (m, mean, p50, rec) =>
       s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
@@ -169,7 +171,8 @@ object BaselineProbe {
     // operating point trades away is recoverable without touching the
     // index, at a latency still at-or-below the flat probe's
     val rowsD = RunHarness.runMany(spark, dirS,
-      Seq("pq:500", "ivfpq:500", "pq:1000", "ivfpq:1000", "bq:500", "bq:1000", "bq:5000"),
+      Seq("pq:500", "ivfpq:500", "ivfpq_res:500", "pq:1000", "ivfpq:1000",
+        "ivfpq_res:1000", "bq:500", "bq:1000", "bq:5000"),
       qsS, ram = Some(ramS))
     val sD = RunHarness.summarize(rowsD).map { case (m, mean, p50, rec) =>
       s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""

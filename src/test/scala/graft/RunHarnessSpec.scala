@@ -299,6 +299,27 @@ class RunHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfpq_res backend: residual encoding rides the same probe stats; full dial is exact") {
+    val rows = RunHarness.runMany(spark, sf, Seq("ivfpq", "ivfpq_res"),
+      qs = QuerySet.default.take(4))
+    val byM = rows.groupBy(_.method)
+    byM("ivfpq_res").zip(byM("ivfpq")).foreach { case (r, p) =>
+      assert(r.listsProbed.nonEmpty && r.nprobe.contains(32))
+      assert(r.notes.exists(_.startsWith("ivfpq residual-encoded")), r.notes)
+      assert(r.recallAtK >= 0.0 && r.recallAtK <= 1.0)
+      // both compositions probe the same persisted IVF half at the same
+      // width — identical probe volume by construction
+      assert(r.scoredVectors == p.scoredVectors,
+        s"qid ${r.qid}: residual scan ${r.scoredVectors} != plain ${p.scoredVectors}")
+    }
+    // wide shortlist dial: recall within reach of exact on the unfiltered
+    // query (the refine path is exact over whatever the shortlist admits)
+    val full = RunHarness.runMany(spark, sf, Seq("exact", "ivfpq_res:2000"),
+      qs = QuerySet.default.filter(_.filters == "{}").take(1))
+    val ids = full.groupBy(_.method)
+    assert(ids("ivfpq_res:2000").head.recallAtK >= ids("exact").head.recallAtK - 0.2)
+  }
+
   test("summarize aggregates latency/recall per backend (latency_recall twin)") {
     val rows = RunHarness.run(spark, sf, "exact", qs = QuerySet.default.take(3))
     val s = RunHarness.summarize(rows)

@@ -945,7 +945,60 @@ object RelationalQueries {
       |FROM dates JOIN win ON lo <= d AND d <= hi
       |GROUP BY d ORDER BY d""".stripMargin
 
+  /** #141 orders_reconcile: the warehouse reconciliation job — diff the
+    * BOOKED order totals against totals DERIVED from their line items
+    * (TPC-H's own o_totalprice identity: Σ extprice·(1−disc)·(1+tax)),
+    * through the generic [[graft.operators.SnapshotDiff]] CDC operator
+    * (one full-outer key join, row-local null-safe comparison), then one
+    * tiny per-class aggregate: counts + the exact decimal sum of
+    * absolute discrepancy. "removed" = orders with no line items at all
+    * (the referential-integrity finding); "changed" = totals that
+    * disagree. Decimal arithmetic end-to-end, so the compare is exact. */
+  def ordersReconcile(s: SparkSession, d: String): DataFrame = {
+    // exact integer micro-units (10⁻⁶ currency): every 2-dp source value
+    // ×100 rounds to an exact integer, products/sums stay integers —
+    // engine-arithmetic differences can't enter the compare
+    val booked = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (round(col("o_totalprice") * 100).cast("long") * 10000L).as("total_micro"))
+    val derived = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) *
+          (lit(100L) + round(col("l_tax") * 100).cast("long")))
+        .as("total_micro"))
+    graft.operators.SnapshotDiff.diff(booked, derived, Seq("o_orderkey"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(abs(coalesce(col("new_total_micro"), lit(0L)) -
+                coalesce(col("old_total_micro"), lit(0L)))).as("abs_diff_micro"))
+      .orderBy("change_type")
+  }
+
+  val ordersReconcileSql: String =
+    """WITH booked AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000 AS old_total_micro
+      |  FROM orders),
+      |derived AS (
+      |  SELECT l_orderkey AS o_orderkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+      |        * (100 + CAST(round(l_tax * 100, 0) AS BIGINT))) AS BIGINT) AS new_total_micro
+      |  FROM lineitem GROUP BY l_orderkey),
+      |d AS (
+      |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+      |              WHEN v.o_orderkey IS NULL THEN 'removed'
+      |              WHEN b.old_total_micro IS DISTINCT FROM v.new_total_micro THEN 'changed'
+      |              ELSE 'unchanged' END AS change_type,
+      |         b.old_total_micro, v.new_total_micro
+      |  FROM booked b FULL OUTER JOIN derived v ON b.o_orderkey = v.o_orderkey)
+      |SELECT change_type, count(*) AS n_orders,
+      |  CAST(sum(abs(coalesce(new_total_micro, 0) - coalesce(old_total_micro, 0))) AS BIGINT) AS abs_diff_micro
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_reconcile" -> (ordersReconcile _),
     "orders_open_book" -> (ordersOpenBook _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
@@ -1001,5 +1054,6 @@ object RelationalQueries {
     "q15_top_supplier" -> q15TopSupplierSql,
     "q20_volume_suppliers" -> q20VolumeSuppliersSql,
     "q7_volume_shipping" -> q7VolumeShippingSql,
-    "orders_open_book" -> ordersOpenBookSql)
+    "orders_open_book" -> ordersOpenBookSql,
+    "orders_reconcile" -> ordersReconcileSql)
 }

@@ -292,4 +292,50 @@ class RelationalQueriesSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().filter(_._2 >= 0.2)
     assert(top.map(_._1).toSet.subsetOf(r02.map(_._1).toSet))
   }
+
+  test("orders_reconcile: classes partition the order set; removed = orders without lineitems") {
+    val rows = RelationalQueries.ordersReconcile(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, d) => k -> (n, d) }.toMap
+    val nOrders = Tables.orders(spark, sf).count()
+    val noItems = Tables.orders(spark, sf).join(
+      Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey")).distinct(),
+      Seq("o_orderkey"), "left_anti").count()
+    // every order lands in exactly one class (no lineitem orphans in this data)
+    assert(rows.values.map(_._1).sum == nOrders)
+    assert(rows.get("removed").map(_._1).contains(noItems))
+    assert(!rows.contains("added"))
+    // discrepancy totals are positive exactly where a diff exists
+    assert(rows.get("changed").forall(_._2 > 0))
+    rows.get("unchanged").foreach { case (_, d) => assert(d == 0L) }
+  }
+
+  test("events_anomaly_mad: robust flags agree with a driver replay of the MAD formula") {
+    val got = EventQueries.eventsAnomalyMad(spark, sf)
+      .select("event_type", "n", "rz")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, rz) => math.abs(rz) >= 2.0 })
+    // driver replay over the same daily counts
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select("event_type", "n").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2.toDouble).sorted.toSeq).toMap
+    def interp(v: Seq[Double], p: Double): Double = {
+      val idx = p * (v.length - 1)
+      val lo = math.floor(idx).toInt
+      val hi = math.ceil(idx).toInt
+      v(lo) + (v(hi) - v(lo)) * (idx - lo)
+    }
+    val flagged = daily.toSeq.flatMap { case (et, ns) =>
+      val med = interp(ns, 0.5)
+      val mad = interp(ns.map(x => math.abs(x - med)).sorted, 0.5)
+      if (mad <= 0) Seq.empty
+      else ns.map { n =>
+        (et, n.toLong, math.rint(0.6745 * (n - med) / mad * 1e6) / 1e6)
+      }.filter { case (_, _, rz) => math.abs(rz) >= 2.0 }
+    }
+    assert(got.sorted == flagged.sorted)
+  }
 }

@@ -476,7 +476,52 @@ object EventQueries {
       |      FROM c)
       |SELECT user_id, n_events, rk FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
 
+  /** #142 events_anomaly_mad: the ROBUST twin of #73 — modified z-score
+    * 0.6745·(x−median)/MAD (Iglewicz–Hoaglin), which a single extreme day
+    * cannot distort the way it inflates a stddev (the classic failure of
+    * z-score anomaly detection: the outlier masks itself). Shape: the
+    * same single day-grain pre-agg; median and MAD are percentile
+    * aggregates over the SMALL per-type day table (days-per-type grain —
+    * bounded state, unlike value-grain percentile at corpus scale, where
+    * events_quantiles' rank-selection is the shape), broadcast back.
+    * Interpolated medians are engine-identical (events_quantiles parity),
+    * so the compare is exact at 6 dp. MAD=0 types (>half the days at the
+    * median count) are excluded — the standard MAD caveat, made explicit. */
+  def eventsAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("delta", col("n") - col("med"))
+      .withColumn("adev", abs(col("delta")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .where(col("mad") > 0)
+      .withColumn("rz", round(lit(0.6745) * col("delta") / col("mad"), 6))
+      .where(abs(col("rz")) >= 2.0)
+      .select(col("event_type"), col("day"), col("n"), col("rz"))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsAnomalyMadSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, d.day, d.n, d.n - m.med AS delta, abs(d.n - m.med) AS adev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT v.event_type, v.day, v.n, round(0.6745 * v.delta / m.mad, 6) AS rz
+      |FROM dev v JOIN mad m USING (event_type)
+      |WHERE m.mad > 0 AND abs(round(0.6745 * v.delta / m.mad, 6)) >= 2.0
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_heavy" -> (eventsHeavy _),
     "events_quantiles" -> (eventsQuantiles _),
     "events_markov" -> (eventsMarkov _),
@@ -494,6 +539,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_anomaly_mad" -> eventsAnomalyMadSql,
     "events_heavy" -> eventsHeavySql,
     "events_quantiles" -> eventsQuantilesSql,
     "events_markov" -> eventsMarkovSql,

@@ -504,6 +504,55 @@ object PipelineQueries {
        |SELECT doc_id, source, n_chars, es_key, rk FROM ranked
        |WHERE rk <= $WeightedPerSource ORDER BY doc_id""".stripMargin
 
+  /** #143 corpus_prune_quantile: drop the worst decile PER LANGUAGE by
+    * quality score — the adaptive-threshold curation gate (a fixed global
+    * cutoff over-prunes whichever language scores systematically lower;
+    * the per-stratum percentile is how real corpus filters set floors).
+    * The p10 threshold is EXACT rank-selection interpolation (the
+    * events_quantiles shape — value-grain percentile with sort-window
+    * state only, never a buffer-everything aggregate), broadcast back as
+    * a tiny per-lang table; one scan of the quality pipeline feeds both
+    * the window and the filter. Threshold ties keep the doc (>= at 6 dp,
+    * identical rule both engines). */
+  def corpusPruneQuantile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.text.TextAnalysis.withQuality(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+    val w = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
+    val ranked = q
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("idx", lit(0.1) * (col("n") - 1))
+      .withColumn("lo", floor(col("idx")) + 1)
+      .withColumn("hi", ceil(col("idx")) + 1)
+    val thr = ranked
+      .where(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("lang"))
+      .agg(round(
+        max(when(col("rn") === col("lo"), col("quality_score"))) +
+          (max(when(col("rn") === col("hi"), col("quality_score"))) -
+           max(when(col("rn") === col("lo"), col("quality_score")))) *
+          first(col("idx") - floor(col("idx"))), 6).as("lang_p10"))
+    q.join(broadcast(thr), "lang")
+      .where(col("quality_score") >= col("lang_p10"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_p10"))
+      .orderBy("doc_id")
+  }
+
+  val corpusPruneQuantileSql: String =
+    s"""WITH q AS (${TextQueries.textQualityBodySql}),
+       |ql AS (
+       |  SELECT q.doc_id, d.lang, q.quality_score
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id),
+       |thr AS (
+       |  SELECT lang, round(quantile_cont(quality_score, 0.1), 6) AS lang_p10
+       |  FROM ql GROUP BY lang)
+       |SELECT ql.doc_id, ql.lang, ql.quality_score, thr.lang_p10
+       |FROM ql JOIN thr USING (lang)
+       |WHERE ql.quality_score >= thr.lang_p10
+       |ORDER BY ql.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
     "corpus_shuffle" -> (corpusShuffle _),
@@ -515,6 +564,7 @@ object PipelineQueries {
     "sample_upweight" -> (sampleUpweight _),
     "sample_cap_source" -> (sampleCapSource _),
     "sample_weighted" -> (sampleWeighted _),
+    "corpus_prune_quantile" -> (corpusPruneQuantile _),
     "decontaminate" -> ((s: SparkSession, d: String) => decontaminate(s, d)),
     "decontaminate_bloom" -> ((s: SparkSession, d: String) => decontaminateBloom(s, d)),
     "corpus_curate" -> (corpusCurate _)
@@ -531,6 +581,7 @@ object PipelineQueries {
     "sample_upweight" -> sampleUpweightSql,
     "sample_cap_source" -> sampleCapSourceSql,
     "sample_weighted" -> sampleWeightedSql,
+    "corpus_prune_quantile" -> corpusPruneQuantileSql,
     "decontaminate" -> decontaminateSql,
     // identical semantics by contract (bloom is a pre-shuffle prune, the
     // exact join removes fp) — the SAME oracle hash-checks both plans

@@ -277,4 +277,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(selMean > corpusMean,
       s"selected mean length $selMean not above corpus mean $corpusMean")
   }
+
+  test("corpus_prune_quantile: ~90% kept per language; nothing below its language threshold") {
+    val big = "/root/testdata/sf0.01"
+    val got = PipelineQueries.corpusPruneQuantile(spark, big)
+      .select("doc_id", "lang", "quality_score", "lang_p10")
+      .as[(Long, String, Double, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, q, t) => q >= t })
+    // per-lang kept fraction sits in the p10-cut band (ties can hold a
+    // little more than 90%, never less)
+    val totals = Tables.documents(spark, big).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val frac = rows.length.toDouble / totals(lang)
+      assert(frac >= 0.88 && frac <= 1.0, s"$lang kept $frac")
+    }
+    // threshold equals the driver-interpolated p10 of the same scores
+    val all = graft.text.TextAnalysis.withQuality(Tables.documents(spark, big))
+      .join(Tables.documents(spark, big).select("doc_id", "lang"), "doc_id")
+      .select("lang", "quality_score").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val v = all(lang)
+      val idx = 0.1 * (v.length - 1)
+      val lo = math.floor(idx).toInt
+      val want = math.rint((v(lo) + (v(math.ceil(idx).toInt) - v(lo)) * (idx - lo)) * 1e6) / 1e6
+      assert(rows.head._4 == want, s"$lang threshold ${rows.head._4} != $want")
+    }
+  }
 }

@@ -104,17 +104,76 @@ object IvfPqRes {
         .agg(count(lit(1)).as("sz"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
 
-  /** Per-corpus in-memory cache (mtime+n keyed like the persisted tiers).
-    * The residual tier is the rows-only/probe path, so it skips disk
-    * persistence — a later JVM rebuilds in one sample+encode pass; the
-    * persisted composed tier remains IvfPq's. */
+  /** Persist the residual code table (list_id-partitioned, one file per
+    * list — the IvfPq.write discipline) plus the residual codebook. The
+    * refine corpus is the caller's vector table; only index state lands
+    * on disk. Probing a PERSISTED table reads m bytes/vector of the
+    * probed partitions; the first probe-measured build (BASELINE §2)
+    * showed the un-persisted formulation re-encoding full f32 vectors
+    * under every query — 2.6× the plain composition's latency — which
+    * persistence removes. */
+  def write(model: IvfPqResModel, path: String): Unit = {
+    model.coded.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+    val spark = model.coded.sparkSession
+    import spark.implicits._
+    model.codebook.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, ci) => (s, ci, c.toSeq) }
+    }.toSeq.toDF("s", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+           ivf: IvfModel): IvfPqResModel = {
+    val rows = spark.read.parquet(s"$path/codebook").orderBy("s", "c").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val codebook = Array.tabulate(m) { s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    }
+    val dsub = codebook(0)(0).length
+    IvfPqResModel(ivf, m, dsub, codebook(0).length, codebook,
+      spark.read.parquet(s"$path/codes"), ivf.indexed.drop("list_id"))
+  }
+
+  /** Load-or-publish with the shared single-rename race discipline
+    * (IvfPq.buildOrLoad doc). */
+  def buildOrLoad(spark: org.apache.spark.sql.SparkSession, ivf: IvfModel,
+                  path: String): IvfPqResModel = {
+    def done = new java.io.File(s"$path/codes/_SUCCESS").exists()
+    if (!done) {
+      val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
+      write(build(ivf), tmp)
+      val dst = new java.io.File(path)
+      dst.getParentFile.mkdirs()
+      if (!new java.io.File(tmp).renameTo(dst)) {
+        deleteRecursively(new java.io.File(tmp))
+        if (!done)
+          throw new IllegalStateException(
+            s"ivfpq_res publish failed: rename to $path lost without a complete index present")
+      }
+    }
+    load(spark, path, ivf)
+  }
+
+  /** Mtime-keyed per-corpus cache (IvfPq.cached convention): the residual
+    * code table persists once per (corpus, ivf-geometry, pq-params) and
+    * every later JVM probes the list_id-partitioned on-disk layout. */
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, IvfPqResModel]()
 
   def cached(emb: DataFrame, corpusKey: String, ivf: IvfModel): IvfPqResModel = {
+    val n = emb.count()
+    val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val mtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    modelCache.computeIfAbsent(s"$corpusKey-m$mtime-nl${ivf.centroids.length}",
-      _ => build(ivf))
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpqres/$key-n$n-m$mtime-nl${ivf.centroids.length}"
+    modelCache.computeIfAbsent(path,
+      _ => buildOrLoad(emb.sparkSession, ivf, path))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   /** Train the residual codebook on a bounded sample of (vector, list)

@@ -102,6 +102,23 @@ class ResidualPqSpec extends AnyFunSuite {
     assert(a.forall(_.forall(c => c >= 0 && c < model.kCodes)))
   }
 
+  test("persist/reload round-trip: identical codes, codebook, and search results") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqres-spec").toString
+    IvfPqRes.write(model, dir)
+    val back = IvfPqRes.load(spark, dir, ivf)
+    assert(back.m == model.m && back.dsub == model.dsub && back.kCodes == model.kCodes)
+    assert(back.codebook.zip(model.codebook).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val a = model.coded.orderBy("vec_id")
+      .select(col("pq_codes")).as[Array[Int]].collect()
+    val b = back.coded.orderBy("vec_id")
+      .select(col("pq_codes")).as[Array[Int]].collect()
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    val s1 = model.search(q0, 8, k).select("vec_id").as[Long].collect().toSeq
+    val s2 = back.search(q0, 8, k).select("vec_id").as[Long].collect().toSeq
+    assert(s1 == s2)
+  }
+
   test("residual ADC recall is not materially below plain-composition ADC recall") {
     val plainPq = Pq.build(emb)
     val plain = IvfPq.compose(ivf, plainPq)

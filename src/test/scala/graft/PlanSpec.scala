@@ -378,4 +378,40 @@ class PlanSpec extends AnyFunSuite {
     // partial then final HashAggregate around the single shuffle
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  test("events_quantiles: ONE events scan feeds rank selection; quantile list broadcast") {
+    val p = plan(EventQueries.eventsQuantiles(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 events scan, got $scans\n$p")
+    // the 3-row quantile table joins without an Exchange of the ranked side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // percentile aggregate never appears — this is the rank-selection shape
+    assert(!p.contains("percentile"), p)
+  }
+
+  test("sample_weighted ranks per source with the bounded-heap operator, not a window sort") {
+    val p = plan(PipelineQueries.sampleWeighted(spark, sf))
+    assert(p.contains("TopKPerKey"), p)
+    // the window only ranks the <= k*sources survivors — it must sit ABOVE
+    // the TopKPerKey in the plan (applied to its output)
+    val lines = p.linesIterator.toSeq
+    val winAt = lines.indexWhere(l => l.contains("Window"))
+    val topAt = lines.indexWhere(l => l.contains("TopKPerKey"))
+    assert(winAt >= 0 && topAt > winAt, s"window/topk order wrong\n$p")
+  }
+
+  test("orders_reconcile: one full-outer key join, no cartesian anywhere") {
+    val p = plan(RelationalQueries.ordersReconcile(spark, sf))
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("corpus_prune_quantile: documents scanned at most twice; threshold join broadcast") {
+    val p = plan(PipelineQueries.corpusPruneQuantile(spark, sf))
+    // one scan feeds the ranking window, one the kept-side join (the
+    // quality projection is recomputed, not shuffled twice)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"documents scanned $scans times\n$p")
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }

@@ -386,4 +386,48 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want, s"got ${got.size} want ${want.size}\nmissing: ${want -- got}\nextra: ${got -- want}")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: mergeable-MG bound holds over batch replay; state stays bounded") {
+    val sf = "/root/testdata/sf0.01"
+    val users = Tables.events(spark, sf).select(col("user_id"))
+    val cap = 64 // << 150 distinct users: forces real merge-prunes
+    val hh = new graft.streaming.StreamingHeavyHitters("user_id", cap)
+    // replay in 4 deterministic micro-batches
+    (0 until 4).foreach { i =>
+      hh.processBatch(users.where(pmod(col("user_id"), lit(4)) === i))
+    }
+    val n = users.count()
+    assert(hh.totalSeen == n)
+    val exact = users.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val est = hh.topK(cap).toMap
+    assert(est.size <= cap, s"state ${est.size} exceeds capacity")
+    // never overcounts; undercounts by at most the bound
+    est.foreach { case (v, e) =>
+      assert(e <= exact(v), s"user $v overcounted: $e > ${exact(v)}")
+      assert(exact(v) - e <= hh.errorBound, s"user $v undercount ${exact(v) - e}")
+    }
+    // every key whose true count clears the bound is tracked
+    exact.foreach { case (v, c) =>
+      if (c > hh.errorBound) assert(est.contains(v), s"heavy user $v (count $c) lost")
+    }
+  }
+
+  test("streaming heavy hitters: foreachBatch wiring snapshots top-k per batch") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Long]
+    val hh = new graft.streaming.StreamingHeavyHitters("value", 16)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Long)]]
+    val q = hh.writer(stream.toDF().toDF("value"), k = 2,
+      (top, _) => snaps.synchronized { snaps += top; () }).start()
+    try {
+      stream.addData(Seq(7L, 7L, 7L, 3L, 3L, 9L): _*)
+      q.processAllAvailable()
+      stream.addData(Seq(3L, 3L, 3L): _*)
+      q.processAllAvailable()
+      assert(snaps.nonEmpty)
+      // after both batches: 3 has 5 hits, 7 has 3 — small state, exact
+      assert(snaps.last == Seq((3L, 5L), (7L, 3L)))
+    } finally q.stop()
+  }
 }

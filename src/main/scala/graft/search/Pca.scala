@@ -99,12 +99,37 @@ final case class PcaModel(mean: Array[Float], basis: Array[Array[Float]],
 
 object Pca {
 
-  /** One pass for the moments, driver Jacobi for the eigenpairs. */
-  def build(emb: DataFrame): PcaModel = {
+  /** Additive sufficient statistics for PCA — (n, Σx, packed-upper-tri
+    * Σxxᵀ). Moments ADD, so incremental maintenance is exact: absorbing a
+    * batch then building equals building on the union (up to summation
+    * order ulps) — the ivf/pq `append` symmetry for the rotation tier,
+    * and the streaming shape (a foreachBatch absorb is one bounded
+    * aggregate per micro-batch; state is d(d+3)/2 doubles forever). */
+  final case class PcaState(n: Long, sum: Array[Double], gram: Array[Double]) {
+    def d: Int = sum.length
+
+    /** Absorb another corpus' moments (one pass over it, KBs collected). */
+    def absorb(emb: DataFrame): PcaState = {
+      val o = moments(emb)
+      require(o.d == d, s"pca: dimension ${o.d} != $d")
+      val s2 = sum.clone(); val g2 = gram.clone()
+      var i = 0
+      while (i < d) { s2(i) += o.sum(i); i += 1 }
+      i = 0
+      while (i < gram.length) { g2(i) += o.gram(i); i += 1 }
+      PcaState(n + o.n, s2, g2)
+    }
+
+    /** Eigendecompose the accumulated moments into a model. */
+    def toModel: PcaModel = Pca.fromMoments(this)
+  }
+
+  /** ONE pass over the vectors: per-partition packed moments (a few KB
+    * per partition regardless of rows), combined in partition order. */
+  def moments(emb: DataFrame): PcaState = {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("embedding")).as[Array[Float]]
-    // per-partition packed moments: (partition, n, sum[d], upper-tri gram)
     val parts = vecs.rdd.mapPartitionsWithIndex { (pi, it) =>
       var n = 0L
       var sum: Array[Double] = null
@@ -140,6 +165,17 @@ object Pca {
       i = 0
       while (i < gram.length) { gram(i) += pg(i); i += 1 }
     }
+    PcaState(n, sum, gram)
+  }
+
+  /** One pass for the moments, driver Jacobi for the eigenpairs. */
+  def build(emb: DataFrame): PcaModel = fromMoments(moments(emb))
+
+  private[search] def fromMoments(st: PcaState): PcaModel = {
+    val d = st.d
+    val n = st.n
+    val sum = st.sum
+    val gram = st.gram
     val mean = sum.map(x => (x / n).toFloat)
     // population covariance C = G/n − μμᵀ, unpacked to full symmetric
     val cov = Array.ofDim[Double](d, d)

@@ -105,6 +105,26 @@ class PcaSpec extends AnyFunSuite {
       s"allocation spread ${logs.max - logs.min} worse than identity ${idLogs.max - idLogs.min}")
   }
 
+  test("incremental moments: absorb(batch) then build == build on the union (ulp tolerance)") {
+    val a = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b = emb.where(pmod(col("vec_id"), lit(2)) === 1)
+    val inc = Pca.moments(a).absorb(b).toModel
+    val full = Pca.build(emb)
+    assert(inc.d == full.d)
+    // moments are additive; only double summation ORDER differs, so the
+    // eigensystem agrees far inside any meaningful tolerance
+    inc.mean.zip(full.mean).foreach { case (x, y) =>
+      assert(math.abs(x - y) < 1e-6, s"mean drift $x vs $y") }
+    // eigenvalues are perturbation-stable (Weyl); eigenVECTORS under
+    // near-degenerate eigenvalues are not, so the basis is compared via
+    // the rounded scree table, not elementwise
+    inc.eigs.zip(full.eigs).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)), s"eig drift $x vs $y") }
+    val a6 = inc.explained(spark).orderBy("component").collect().map(_.toSeq)
+    val b6 = full.explained(spark).orderBy("component").collect().map(_.toSeq)
+    assert(a6.sameElements(b6), "scree tables differ at 6 dp")
+  }
+
   test("deterministic: two builds agree exactly") {
     val again = Pca.build(emb)
     assert(again.mean.sameElements(model.mean))

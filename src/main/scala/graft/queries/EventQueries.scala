@@ -520,7 +520,26 @@ object EventQueries {
       |WHERE m.mad > 0 AND abs(round(0.6745 * v.delta / m.mad, 6)) >= 2.0
       |ORDER BY event_type, day""".stripMargin
 
+  /** #145 events_uniques_approx: the HLL sketch path of #69 registered as
+    * a first-class query — at 100 TB the exact WAU contribution-expansion
+    * shuffle (7×|user-days|) is the cost you pay for exactness;
+    * approx_count_distinct's HyperLogLog++ sketch aggregates in O(sketch)
+    * per group with NO distinct shuffle, the standard trade for
+    * dashboard-grade uniques. Reports exact next to approx with the
+    * relative error, so the trade is visible in the result itself.
+    * Rows-only (the HLL estimate is engine-specific by nature); the ≤5%
+    * rsd=0.02 contract is spec-asserted in RelationalQueriesSpec. */
+  def eventsUniquesApprox(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count_distinct(col("user_id")).as("dau_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("dau_approx"))
+      .withColumn("rel_err", round(
+        abs(col("dau_approx") - col("dau_exact")) / col("dau_exact"), 6))
+      .orderBy("day")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_uniques_approx" -> (eventsUniquesApprox _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_heavy" -> (eventsHeavy _),
     "events_quantiles" -> (eventsQuantiles _),

@@ -380,6 +380,14 @@ object VectorQueries {
   def pcaModel(s: SparkSession, d: String): graft.search.PcaModel =
     pcaCache.computeIfAbsent(d, _ => graft.search.Pca.build(emb(s, d)))
 
+  /** #146 vec_ivfpq_batch: batched compressed-tier serving — ALL queries
+    * from ONE scan pruned to the union of probed list partitions
+    * (IvfPqModel.searchMany doc), per-query LUT heaps + one broadcast
+    * exact refine. Rows-only (sampled-KMeans codebooks); row-for-row
+    * equality with per-query search spec-pinned in VectorSearchSpec. */
+  def vecIvfPqBatch(s: SparkSession, d: String): DataFrame =
+    ivfpqModel(s, d).searchMany(knnQueries, nprobe = 32, k = 5)
+
   /** #135 vec_pca: the scree table — per-component eigenvalue, variance
     * ratio, cumulative ratio. Rows-only (a covariance eigendecomposition
     * has no SQL twin); orthonormality / variance-conservation / Jacobi
@@ -768,7 +776,8 @@ object VectorQueries {
     "vec_pca" -> (vecPca _),
     "vec_opq_topk" -> (vecOpqTopK _),
     "vec_ivfpq_res_topk" -> (vecIvfPqResTopK _),
-    "vec_residual_gain" -> (vecResidualGain _)
+    "vec_residual_gain" -> (vecResidualGain _),
+    "vec_ivfpq_batch" -> (vecIvfPqBatch _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -67,6 +67,79 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel, coded: DataFrame,
       .limit(n)
   }
 
+  /** Batched top-K on the compressed tier — the 100 TB batch-serving
+    * shape (Ivf.searchMany's twin over CODES): every query answered from
+    * ONE scan pruned to the union of probed list partitions, per-query
+    * list membership and ADC scoring row-local in bounded heaps (each
+    * query's own LUT rides one broadcast), then ONE exact refine of the
+    * ≤|Q|·shortlist survivors — a broadcast pair join against the vector
+    * table with per-qid query vectors, never a second corpus scan.
+    * Pays 1 job + 1 pruned m-byte scan instead of |Q|; row-for-row equal
+    * to per-query `search` at the same dial (spec-pinned — identical
+    * round-6/vec_id ranking rule on both paths). */
+  def searchMany(queries: Seq[(Long, Array[Float])], nprobe: Int, k: Int,
+                 shortlist: Int = 0): DataFrame = {
+    val width = if (shortlist > 0) shortlist else defaultShortlist
+    val spark = coded.sparkSession
+    import spark.implicits._
+    val qArr = queries.toArray
+    val allow = qArr.map { case (_, v) => ivf.probes(v, nprobe).toSet }
+    val union = allow.flatten.distinct.toSeq
+    val luts = qArr.map { case (_, v) => pq.lut(v) }
+    val qB = spark.sparkContext.broadcast((qArr.map(_._1), allow, luts))
+    val partial = coded.where(col("list_id").isin(union: _*))
+      .select(col("vec_id").cast("long"), col("list_id").cast("int"), col("pq_codes"))
+      .as[(Long, Int, Array[Int])]
+      .mapPartitions { it =>
+        val (qids, allowSets, ls) = qB.value
+        val worstFirst: Ordering[(Double, Long)] = Ordering.fromLessThan {
+          (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        }
+        val heaps = Array.fill(qids.length)(
+          collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        it.foreach { case (id, listId, codes) =>
+          var q = 0
+          while (q < qids.length) {
+            if (allowSets(q).contains(listId)) {
+              val lut = ls(q)
+              var acc = 0.0
+              var s = 0
+              while (s < codes.length) { acc += lut(s)(codes(s)); s += 1 }
+              val sc = VecMath.round6(acc)
+              val h = heaps(q)
+              if (h.size < width) h.enqueue((sc, id))
+              else {
+                val (ws, wid) = h.head
+                if (sc > ws || (sc == ws && id < wid)) { h.dequeue(); h.enqueue((sc, id)) }
+              }
+            }
+            q += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.iterator.map { case (sc, id) => (qids(q), id, sc) }
+        }
+      }
+      .toDF("qid", "vec_id", "adc_score")
+    val shortPairs = org.apache.spark.sql.graft.TopKPerKey(
+      partial, Seq(col("qid")), Seq(desc("adc_score"), col("vec_id")), width)
+    val qDf = qArr.toSeq.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvec")
+    val refined = pq.corpus
+      .join(broadcast(shortPairs.select("qid", "vec_id")), "vec_id")
+      .join(broadcast(qDf), "qid")
+      .withColumn("score",
+        round(graft.functions.VectorFunctions.dot(
+          col("embedding"), col("qvec").cast("array<float>")), 6))
+    val top = org.apache.spark.sql.graft.TopKPerKey(
+      refined.select(col("qid"), col("vec_id"), col("score")),
+      Seq(col("qid")), Seq(desc("score"), col("vec_id")), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Incremental add on the composed tier — the 100 TB serving shape's
     * daily ingest: ONE centroid assignment of the batch (shared with the
     * IVF half via Ivf.assign) + ONE codebook encode, unioned into the

@@ -109,6 +109,26 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("IVFPQ searchMany (one pruned code scan) equals per-query search") {
+    val ivf = Ivf.build(emb, nlist = 16)
+    val model = IvfPq.compose(ivf, Pq.build(emb))
+    val qs = QueryVectors.batch(4)
+    val got = model.searchMany(qs, nprobe = 12, k = 10, shortlist = 100)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val want = qs.flatMap { case (qid, v) =>
+      model.search(v, nprobe = 12, k = 10, shortlist = 100)
+        .as[(Long, Double)].collect()
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(got == want)
+    // ranks are contiguous per query
+    val ranks = model.searchMany(qs, nprobe = 12, k = 10, shortlist = 100)
+      .select("qid", "rank").as[(Long, Int)].collect().toSeq
+    ranks.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted == (1 to rs.length).toSeq)
+    }
+  }
+
   test("nprobe sweep: recall monotone, full probe reaches 1.0") {
     val model = Ivf.build(emb, nlist = 16)
     val qs = QueryVectors.batch(4)

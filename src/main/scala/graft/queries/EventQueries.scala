@@ -538,7 +538,55 @@ object EventQueries {
         abs(col("dau_approx") - col("dau_exact")) / col("dau_exact"), 6))
       .orderBy("day")
 
+  /** #147 events_cohort_revenue: the LTV cohort triangle — revenue per
+    * (cohort day, age-in-days) with the running cumulative per cohort:
+    * the table every growth team reads (how much has each acquisition
+    * cohort produced by age N). Shape: one first-touch aggregate (the
+    * retention cohort assignment), broadcast back to the event grain,
+    * day-grain revenue pre-agg, and the cumulative as a window over the
+    * SMALL (cohorts × ages) triangle — raw events are touched once.
+    * Revenue sums in decimal micro-exact form (dec6) so the compare is
+    * exact at 6 dp. */
+  def eventsCohortRevenue(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+    val tri = ev.join(broadcast(first), "user_id")
+      .withColumn("age", datediff(col("day"), col("cohort")))
+      .groupBy(col("cohort"), col("age"))
+      .agg(sum(dec6(col("value"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tri
+      .withColumn("cum_revenue",
+        round(sum(dec6(col("revenue"))).over(w).cast("double"), 6))
+      .select(col("cohort"), col("age"), round(col("revenue"), 6).as("revenue"),
+        col("n_events"), col("cum_revenue"))
+      .orderBy("cohort", "age")
+  }
+
+  val eventsCohortRevenueSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day, coalesce(value, 0.0) AS value
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+      |tri AS (
+      |  SELECT f.cohort, CAST(date_diff('day', f.cohort, ev.day) AS INT) AS age,
+      |    CAST(sum(CAST(ev.value AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |    count(*) AS n_events
+      |  FROM ev JOIN f USING (user_id)
+      |  GROUP BY f.cohort, CAST(date_diff('day', f.cohort, ev.day) AS INT))
+      |SELECT cohort, age, round(revenue, 6) AS revenue, n_events,
+      |  round(CAST(sum(CAST(revenue AS DECIMAL(18,6)))
+      |    OVER (PARTITION BY cohort ORDER BY age
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+      |    AS cum_revenue
+      |FROM tri ORDER BY cohort, age""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohort_revenue" -> (eventsCohortRevenue _),
     "events_uniques_approx" -> (eventsUniquesApprox _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_heavy" -> (eventsHeavy _),
@@ -558,6 +606,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_cohort_revenue" -> eventsCohortRevenueSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,
     "events_heavy" -> eventsHeavySql,
     "events_quantiles" -> eventsQuantilesSql,

@@ -380,6 +380,12 @@ object VectorQueries {
   def pcaModel(s: SparkSession, d: String): graft.search.PcaModel =
     pcaCache.computeIfAbsent(d, _ => graft.search.Pca.build(emb(s, d)))
 
+  /** #148 vec_ivfpq_res_stats: residual composed-index health — the
+    * IvfPqModel.stats twin with the encoding tagged (rows-only, list
+    * membership from the sampled-KMeans coarse quantizer). */
+  def vecIvfPqResStats(s: SparkSession, d: String): DataFrame =
+    ivfpqResModel(s, d).stats
+
   /** #146 vec_ivfpq_batch: batched compressed-tier serving — ALL queries
     * from ONE scan pruned to the union of probed list partitions
     * (IvfPqModel.searchMany doc), per-query LUT heaps + one broadcast
@@ -777,7 +783,8 @@ object VectorQueries {
     "vec_opq_topk" -> (vecOpqTopK _),
     "vec_ivfpq_res_topk" -> (vecIvfPqResTopK _),
     "vec_residual_gain" -> (vecResidualGain _),
-    "vec_ivfpq_batch" -> (vecIvfPqBatch _)
+    "vec_ivfpq_batch" -> (vecIvfPqBatch _),
+    "vec_ivfpq_res_stats" -> (vecIvfPqResStats _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -73,7 +73,8 @@ object ScaleBench {
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String, replicas: Int): Unit = {
     if (new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists() &&
-        new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists()) return
+        new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists() &&
+        new java.io.File(s"$outDir/events.parquet/_SUCCESS").exists()) return
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     // replica id spaces must not collide: base ids live below the offset
@@ -95,6 +96,21 @@ object ScaleBench {
     }
     embCopies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // events: replica users/events get fresh id space, identical
+    // timestamps/types/values — per-replica count and value distributions
+    // are preserved exactly, so quantile/heavy-hitter/cohort work scales
+    // with rows while each replica's answers stay the base corpus' (the
+    // documents-translate discipline, numeric flavor)
+    val ev = spark.read.parquet(s"$baseDir/events.parquet")
+    val evCopies = (0 until replicas).map { i =>
+      ev.select(
+        (col("event_id") + lit(i.toLong * IdOffset)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * IdOffset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    evCopies.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   private def warm(spark: SparkSession, dir: String): Unit = {

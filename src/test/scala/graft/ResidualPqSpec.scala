@@ -119,6 +119,18 @@ class ResidualPqSpec extends AnyFunSuite {
     assert(s1 == s2)
   }
 
+  test("residual searchMany (one pruned scan) equals per-query search") {
+    val qs = QueryVectors.batch(4)
+    val got = model.searchMany(qs, nprobe = 12, k = k, shortlist = 100)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val want = qs.flatMap { case (qid, v) =>
+      model.search(v, nprobe = 12, k = k, shortlist = 100)
+        .as[(Long, Double)].collect()
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("residual ADC recall is not materially below plain-composition ADC recall") {
     val plainPq = Pq.build(emb)
     val plain = IvfPq.compose(ivf, plainPq)

@@ -585,7 +585,63 @@ object EventQueries {
       |    AS cum_revenue
       |FROM tri ORDER BY cohort, age""".stripMargin
 
+  /** #149 events_gap_quantiles: p50/p90 of the inter-event gap (seconds
+    * since the same user's previous event) per event type — the
+    * arrival-process statistic that CALIBRATES the sessionization gap
+    * threshold (#35's 30-min cut should sit in the valley between
+    * within-session and between-session gap modes; this query is how an
+    * operator finds that valley). Shape: ONE lag window over the
+    * (ts, event_id)-ordered user partition (the events_paths shuffle),
+    * then the rank-selection percentile machinery per event type (#134).
+    * Gaps are exact integer microseconds / 1e6, so both engines derive
+    * identical doubles. */
+  def eventsGapQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ps = Seq(0.5, 0.9)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_s",
+        ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+          .cast("double") / 1e6))
+      .where(col("gap_s").isNotNull)
+      .select(col("event_type"), col("gap_s"))
+    val w = Window.partitionBy("event_type").orderBy("gap_s")
+    gaps
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .crossJoin(broadcast(ps.toDF("p")))
+      .withColumn("idx", col("p") * (col("n") - 1))
+      .withColumn("lo", floor(col("idx")) + 1)
+      .withColumn("hi", ceil(col("idx")) + 1)
+      .where(col("rn") === col("lo") || col("rn") === col("hi"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(
+        max(when(col("rn") === col("lo"), col("gap_s"))).as("vlo"),
+        max(when(col("rn") === col("hi"), col("gap_s"))).as("vhi"),
+        first(col("idx") - floor(col("idx"))).as("frac"))
+      .select(col("event_type"), col("p"),
+        round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as("q"))
+      .orderBy("event_type", "p")
+  }
+
+  val eventsGapQuantilesSql: String = {
+    val inner = Seq(0.5, 0.9).map(p =>
+      s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
+         |  round(quantile_cont(gap_s, $p), 6) AS q
+         |FROM g WHERE gap_s IS NOT NULL GROUP BY event_type""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "")
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    (epoch_us(ts) - lag(epoch_us(ts))
+       |       OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+       |  FROM events)
+       |$inner
+       |ORDER BY event_type, p""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gap_quantiles" -> (eventsGapQuantiles _),
     "events_cohort_revenue" -> (eventsCohortRevenue _),
     "events_uniques_approx" -> (eventsUniquesApprox _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
@@ -606,6 +662,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_gap_quantiles" -> eventsGapQuantilesSql,
     "events_cohort_revenue" -> eventsCohortRevenueSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,
     "events_heavy" -> eventsHeavySql,

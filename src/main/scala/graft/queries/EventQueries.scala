@@ -426,30 +426,10 @@ object EventQueries {
     * group, so the second aggregate is negligible. Skewed event types cost
     * a big sorted partition, exactly what a range-partitioned sort absorbs
     * on a real cluster. */
-  def eventsQuantiles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ps = Seq(0.5, 0.9, 0.99)
-    val w = Window.partitionBy("event_type").orderBy("value")
-    val ranked = Tables.events(s, d)
-      .where(col("value").isNotNull)
-      .select(col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-    ranked
-      .crossJoin(broadcast(ps.toDF("p")))
-      .withColumn("idx", col("p") * (col("n") - 1))
-      .withColumn("lo", floor(col("idx")) + 1)
-      .withColumn("hi", ceil(col("idx")) + 1)
-      .where(col("rn") === col("lo") || col("rn") === col("hi"))
-      .groupBy(col("event_type"), col("p"))
-      .agg(
-        max(when(col("rn") === col("lo"), col("value"))).as("vlo"),
-        max(when(col("rn") === col("hi"), col("value"))).as("vhi"),
-        first(col("idx") - floor(col("idx"))).as("frac"))
-      .select(col("event_type"), col("p"),
-        round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as("q"))
-      .orderBy(col("event_type"), col("p"))
-  }
+  def eventsQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Quantiles.perGroup(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      "event_type", "value", Seq(0.5, 0.9, 0.99))
 
   /** quantile_cont demands a constant fraction, hence the UNION ALL. */
   val eventsQuantilesSql: String =
@@ -596,33 +576,14 @@ object EventQueries {
     * Gaps are exact integer microseconds / 1e6, so both engines derive
     * identical doubles. */
   def eventsGapQuantiles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ps = Seq(0.5, 0.9)
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gaps = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("gap_s",
         ((unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
           .cast("double") / 1e6))
-      .where(col("gap_s").isNotNull)
       .select(col("event_type"), col("gap_s"))
-    val w = Window.partitionBy("event_type").orderBy("gap_s")
-    gaps
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .crossJoin(broadcast(ps.toDF("p")))
-      .withColumn("idx", col("p") * (col("n") - 1))
-      .withColumn("lo", floor(col("idx")) + 1)
-      .withColumn("hi", ceil(col("idx")) + 1)
-      .where(col("rn") === col("lo") || col("rn") === col("hi"))
-      .groupBy(col("event_type"), col("p"))
-      .agg(
-        max(when(col("rn") === col("lo"), col("gap_s"))).as("vlo"),
-        max(when(col("rn") === col("hi"), col("gap_s"))).as("vhi"),
-        first(col("idx") - floor(col("idx"))).as("frac"))
-      .select(col("event_type"), col("p"),
-        round(col("vlo") + (col("vhi") - col("vlo")) * col("frac"), 6).as("q"))
-      .orderBy("event_type", "p")
+    graft.operators.Quantiles.perGroup(gaps, "event_type", "gap_s", Seq(0.5, 0.9))
   }
 
   val eventsGapQuantilesSql: String = {

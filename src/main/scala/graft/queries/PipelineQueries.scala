@@ -515,25 +515,12 @@ object PipelineQueries {
     * the window and the filter. Threshold ties keep the doc (>= at 6 dp,
     * identical rule both engines). */
   def corpusPruneQuantile(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = graft.text.TextAnalysis.withQuality(Tables.documents(s, d))
       .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), col("quality_score"))
-    val w = Window.partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
-    val ranked = q
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-      .withColumn("idx", lit(0.1) * (col("n") - 1))
-      .withColumn("lo", floor(col("idx")) + 1)
-      .withColumn("hi", ceil(col("idx")) + 1)
-    val thr = ranked
-      .where(col("rn") === col("lo") || col("rn") === col("hi"))
-      .groupBy(col("lang"))
-      .agg(round(
-        max(when(col("rn") === col("lo"), col("quality_score"))) +
-          (max(when(col("rn") === col("hi"), col("quality_score"))) -
-           max(when(col("rn") === col("lo"), col("quality_score")))) *
-          first(col("idx") - floor(col("idx"))), 6).as("lang_p10"))
+    val thr = graft.operators.Quantiles
+      .perGroup(q, "lang", "quality_score", Seq(0.1))
+      .select(col("lang"), col("q").as("lang_p10"))
     q.join(broadcast(thr), "lang")
       .where(col("quality_score") >= col("lang_p10"))
       .select(col("doc_id"), col("lang"), col("quality_score"), col("lang_p10"))

@@ -546,7 +546,9 @@ object RunHarness {
           case None =>
             val m = IvfPqRes.build(
               Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))))
-            (m, IvfPqRes.listSizes(s"anon-$total", m))
+            // anonymous corpora get a per-model cache key: two un-keyed
+            // corpora with equal row counts must not share stale sizes
+            (m, IvfPqRes.listSizes(s"anon-${System.identityHashCode(m)}", m))
         }
         val sl = if (p == "ivfpq_res") 100 else p.stripPrefix("ivfpq_res:").toInt
         new IvfPqResBackend(p, model, sizes, nprobe, shortlistN = sl, ram = ram)

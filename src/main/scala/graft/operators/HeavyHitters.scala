@@ -33,19 +33,27 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Exact top-k most frequent values of `valueCol` (long), ranked by
-    * (count desc, value asc): columns (value, n, rk). */
+    * (count desc, value asc): columns (value, n, rk). NULL values are
+    * excluded on every path (sketch, recount, fallback) — the same
+    * contract as Quantiles.perGroup, and path-independent. */
   def topK(df: DataFrame, valueCol: String, k: Int,
            capacity: Int = 4096): DataFrame = {
     require(k >= 1, s"heavy_hitters: k $k < 1")
     require(capacity >= k, s"heavy_hitters: capacity $capacity < k $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val vals: Dataset[Long] = df.select(col(valueCol).cast("long")).as[Long]
-    val n = vals.count()
+    val nonNull = df.select(col(valueCol).cast("long").as("value"))
+      .where(col("value").isNotNull)
+    val vals: Dataset[Long] = nonNull.as[Long]
+    // one sketch pass emits BOTH the MG summaries and the per-partition
+    // row count (the `rows` field, non-zero on exactly one row per
+    // non-empty partition) — n needs no dedicated count() scan
     val summaries = vals.mapPartitions { it =>
       val mg = new scala.collection.mutable.HashMap[Long, Long]()
+      var rows = 0L
       while (it.hasNext) {
         val v = it.next()
+        rows += 1
         mg.get(v) match {
           case Some(c) => mg.update(v, c + 1)
           case None =>
@@ -58,17 +66,21 @@ object HeavyHitters {
             }
         }
       }
-      mg.iterator
-    }.toDF("value", "est")
-    val candidates = summaries.groupBy("value")
-      .agg(sum("est").as("est"))
-      .select("value")
+      val entries = mg.iterator.map { case (v, c) => (v, c, 0L) }
+      if (rows == 0L) entries else entries ++ Iterator((0L, 0L, rows))
+    }.toDF("value", "est", "rows")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = summaries.agg(coalesce(sum("rows"), lit(0L))).first().getLong(0)
+    // the distinct candidate set is all the merge needs — the summed
+    // estimate would be discarded anyway (the recount below is exact)
+    val candidates = summaries.where(col("est") > 0).select("value").distinct()
     // exact recount of candidates only; candidate set is ≤ P·c rows
-    val exact = df.select(col(valueCol).cast("long").as("value"))
+    val exact = nonNull
       .join(broadcast(candidates), "value")
       .groupBy("value").agg(count(lit(1)).as("n"))
     val top = exact.orderBy(desc("n"), col("value")).limit(k)
       .as[(Long, Long)].collect()
+    summaries.unpersist()
     val bound = n.toDouble / capacity
     // certify only a FULL top-k whose k-th exact count beats the bound —
     // with fewer candidates than k we can't exclude tail values
@@ -76,7 +88,7 @@ object HeavyHitters {
     val ranked =
       if (certified) top.toSeq.toDF("value", "n")
       else // bound can't separate candidates from the tail: exact fallback
-        df.select(col(valueCol).cast("long").as("value"))
+        nonNull
           .groupBy("value").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), col("value")).limit(k)
     ranked

@@ -202,6 +202,10 @@ object IvfPqRes {
         .map(_.getAs[scala.collection.Seq[Float]]("centroid").toArray)
     }
     val dsub = codebook(0)(0).length
+    val dim = ivf.centroids(0).length
+    require(m * dsub == dim,
+      s"ivfpq_res load: codebook geometry m=$m × dsub=$dsub != ivf centroid dim $dim " +
+        s"(index at $path was built against a different corpus/geometry)")
     IvfPqResModel(ivf, m, dsub, codebook(0).length, codebook,
       spark.read.parquet(s"$path/codes"), ivf.indexed.drop("list_id"))
   }
@@ -236,7 +240,11 @@ object IvfPqRes {
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val mtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpqres/$key-n$n-m$mtime-nl${ivf.centroids.length}"
+    // the path key covers (corpus, ivf-geometry, pq-params) — pq params are
+    // build()'s defaults here, spelled out so the IvfPq.cached `-sub$m-k$k`
+    // convention holds and a future non-default build can't alias this entry
+    val mSub = Pq.pickM(ivf.centroids(0).length)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpqres/$key-n$n-m$mtime-nl${ivf.centroids.length}-sub$mSub-k256"
     modelCache.computeIfAbsent(path,
       _ => buildOrLoad(emb.sparkSession, ivf, path))
   }

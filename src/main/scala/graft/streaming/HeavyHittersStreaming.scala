@@ -26,10 +26,14 @@ final class StreamingHeavyHitters(valueCol: String, capacity: Int = 4096) {
   private val state = scala.collection.mutable.HashMap.empty[Long, Long]
   @volatile private var total = 0L
 
-  /** Absorb one micro-batch; returns nothing — read via [[topK]]. */
+  /** Absorb one micro-batch; returns nothing — read via [[topK]]. NULL
+    * values are excluded — the batch [[graft.operators.HeavyHitters]]
+    * contract. */
   def processBatch(batch: DataFrame): Unit = synchronized {
     val counts = batch
-      .groupBy(col(valueCol).cast("long").as("value"))
+      .select(col(valueCol).cast("long").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("value")
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     total += counts.map(_._2).sum

@@ -51,6 +51,20 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(got(df, "v", 10, cap = 64) == exactTopK(df, "v", 10))
   }
 
+  test("null values are excluded identically on sketch and fallback paths") {
+    // nulls outnumber everything — if any path kept a null group (or NPE'd
+    // decoding it) the result would diverge; both capacities must agree
+    // with the non-null exact aggregate
+    val rows: Seq[java.lang.Long] =
+      Seq.fill(50)(null.asInstanceOf[java.lang.Long]) ++
+        (0 until 300).map(i => java.lang.Long.valueOf((i % 7).toLong)) ++
+        (1000L until 1200L).map(java.lang.Long.valueOf)
+    val df = spark.sparkContext.parallelize(rows, 4).toDF("v")
+    val want = exactTopK(df.where(col("v").isNotNull), "v", 5)
+    assert(got(df, "v", 5, cap = 512) == want)      // certified/sketch path
+    assert(got(df, "v", 5, cap = 5) == want)        // fallback path
+  }
+
   test("ranks are 1..k and ties break by value") {
     val rows = Seq(5L, 5L, 3L, 3L, 9L, 9L, 1L)
     val df = spark.sparkContext.parallelize(rows, 2).toDF("v")

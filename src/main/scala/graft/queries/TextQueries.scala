@@ -264,7 +264,11 @@ object TextQueries {
       |FROM s ORDER BY doc_id""".stripMargin
 
   /** Duplicated 13-gram span mass per doc (Lee et al. 2021 exact-substring
-    * detection shape — TextAnalysis.withDupSpans doc). Long/double casts
+    * detection shape — TextAnalysis.withDupSpans doc). The registered plan
+    * is the HASHED-key one (8-byte shuffle keys + Bloom flag-back,
+    * result-identical by construction — the decontaminate_bloom
+    * discipline); the oracle SQL below literally computes the string-keyed
+    * twin, so the hash check pins the identity per run. Long/double casts
     * chosen so both engines emit identical types. */
   def textDupSpans(s: SparkSession, d: String): DataFrame =
     TextAnalysis.withDupSpans(docs(s, d)).orderBy("doc_id")

@@ -174,21 +174,42 @@ object TextAnalysis {
     * repo's near-dup miners flag whole documents; this flags the SPAN
     * mass inside otherwise-unique documents — the memorization signal.
     *
-    * Plan shape, and why it holds at 100 TB:
+    * Plan shape, and why it holds at 100 TB (the DEFAULT, hashed-key
+    * plan — the decontaminate_bloom discipline, result-identical to the
+    * string-keyed twin by construction):
     *  - n-gram generation is a row-local codegen HOF (sequence→transform→
     *    slice→array_join) — no shuffle, scan speed;
-    *  - the duplicated-gram set is ONE hash aggregate with map-side
-    *    partial counts (`count > 1` survivors only — a vanishing fraction
-    *    of the gram mass);
-    *  - the flag-back is a LEFT SEMI join on the gram key, which AQE
-    *    broadcasts when the dup set is small and shuffles otherwise;
+    *  - the full-volume duplicated-gram aggregate keys on
+    *    `xxhash64(gram)` — the ONLY corpus-sized shuffle carries 8-byte
+    *    keys instead of ~80+-byte 13-token strings (map-side partials
+    *    don't help here: grams are near-unique, so key WIDTH is the
+    *    volume), `count > 1` survivors only;
+    *  - the flag-back is a driver-built Bloom sketch of the duplicated
+    *    hashes probed by the codegen'd BloomMightContainLong INSIDE the
+    *    scan stage — row-local, no join shuffle of gram strings;
+    *  - an exact string recount over the surviving sliver eats BOTH the
+    *    Bloom false positives and 64-bit hash collisions: every position
+    *    of a gram survives together (same gram ⇒ same hash ⇒ same probe),
+    *    so the survivor-set count of each surviving gram IS its corpus
+    *    count, and a truly-duplicated gram always survives (its hash
+    *    count ≥ 2 ⇒ in the sketch) — no false negatives, identical
+    *    output;
     *  - the per-doc rollup re-aggregates on doc_id. Nothing is ever
     *    materialized per PAIR of occurrences (a gram seen k times costs
     *    k rows, not k² — degenerate grams cannot blow up the join).
-    * At scale you'd key the aggregate on xxhash64(gram) to shrink shuffle
-    * width; the registered query groups by the gram STRING so the DuckDB
-    * oracle computes the identical table. */
-  def withDupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    * [[withDupSpansStringKeyed]] is the oracle twin (the plan DuckDB's
+    * SQL computes literally); DupSpansSpec pins row-for-row equality. */
+  def withDupSpans(docs: DataFrame, n: Int = 13): DataFrame =
+    dupSpans(docs, n, hashedKeys = true)
+
+  /** The string-keyed twin of [[withDupSpans]]: aggregate and flag-back
+    * both carry the gram STRING — the literal shape of the DuckDB oracle
+    * SQL. Kept for the result-identity spec; the hashed plan is the
+    * registered default. */
+  def withDupSpansStringKeyed(docs: DataFrame, n: Int = 13): DataFrame =
+    dupSpans(docs, n, hashedKeys = false)
+
+  private def dupSpans(docs: DataFrame, n: Int, hashedKeys: Boolean): DataFrame = {
     val t = toks(col("text"))
     // empty-array guard: sequence(1, k) DESCENDS when k < 1, so short docs
     // must produce zero positions explicitly, not a descending range
@@ -199,10 +220,32 @@ object TextAnalysis {
           i => array_join(slice(t, i, lit(n)), " ")))
         .otherwise(array().cast("array<string>")).as("grams"))
     val pos = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val dup = pos.groupBy("gram").agg(count(lit(1)).as("c"))
-      .where(col("c") > 1).select("gram")
-    val perDoc = pos.join(dup, Seq("gram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+    val perDoc =
+      if (hashedKeys) {
+        // stage 1: the corpus-sized shuffle, 8-byte keys only
+        val dupH = pos.select(xxhash64(col("gram")).as("gh"))
+          .groupBy("gh").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select("gh")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDup = dupH.count()
+        val bloom = dupH.stat.bloomFilter("gh", math.max(nDup, 1L), 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        val sketch = bos.toByteArray
+        dupH.unpersist()
+        // stage 2: row-local probe; only the dup sliver carries strings
+        val surv = pos.where(graft.functions.VectorFunctions
+          .bloomMightContainLong(xxhash64(col("gram")), sketch))
+        val dupExact = surv.groupBy("gram").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select("gram")
+        surv.join(dupExact, Seq("gram"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+      } else {
+        val dup = pos.groupBy("gram").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select("gram")
+        pos.join(dup, Seq("gram"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+      }
     docs.select(col("doc_id"),
       greatest(size(t) - n + 1, lit(0)).cast("long").as("n_grams"))
       .join(perDoc, Seq("doc_id"), "left")

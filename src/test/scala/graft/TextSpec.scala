@@ -193,4 +193,24 @@ class TextSpec extends AnyFunSuite {
     assert(full._3 == full._2 && full._4 == 1.0, "verbatim copy fully flagged")
     assert(flagged.find(_._1 == 900003L).get._2 == 0L, "short doc has zero positions")
   }
+
+  test("dup spans: hashed-key plan is row-for-row identical to the string-keyed twin") {
+    // the registered (hashed + Bloom flag-back) plan must equal the plan
+    // the DuckDB oracle computes literally — on the real corpus and on a
+    // crafted one with heavy duplication, overlap-within-doc, and shorts
+    val n = 13
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows(TextAnalysis.withDupSpans(docs, n)) ==
+      rows(TextAnalysis.withDupSpansStringKeyed(docs, n)))
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val crafted = docs.sparkSession.createDataset(Seq(
+      (1L, base), (2L, base),                         // verbatim pair
+      (3L, base + " " + base),                        // self-repetition
+      (4L, (1 to 12).map(i => s"w$i").mkString(" ")), // below n tokens
+      (5L, (100 to 160).map(i => s"u$i").mkString(" ")))) // all unique
+      .toDF("doc_id", "text")
+    assert(rows(TextAnalysis.withDupSpans(crafted, n)) ==
+      rows(TextAnalysis.withDupSpansStringKeyed(crafted, n)))
+  }
 }

@@ -37,9 +37,19 @@ object IngestQueries {
       |ORDER BY tbl""".stripMargin
 
   /** Random baseline (reference src/backends/random.py): deterministic
-    * seeded K ids — the recall floor. */
+    * seeded K ids — the recall floor. The selection rule is the portable
+    * md5-hex rank (VectorSearch.randomK), rendered literally in the
+    * oracle SQL, so this is a full hash-pass query — output ordered by
+    * vec_id for a stable row order. */
   def vecRandom(s: SparkSession, d: String): DataFrame =
     graft.search.VectorSearch.randomK(Tables.embeddings(s, d), 10)
+      .orderBy("vec_id")
+
+  val vecRandomSql: String =
+    """SELECT vec_id FROM (
+      |  SELECT vec_id FROM embeddings
+      |  ORDER BY md5('0:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 10
+      |) ORDER BY vec_id""".stripMargin
 
   /** The vectors.npy artifact for an sf dir, written ONCE per (dir,
     * mtime) under the system temp dir — artifact build is one-time
@@ -101,6 +111,7 @@ object IngestQueries {
 
   val oracles: Map[String, String] = Map(
     "ingest_check" -> ingestCheckSql,
-    "ingest_npy" -> ingestNpySql
+    "ingest_npy" -> ingestNpySql,
+    "vec_random" -> vecRandomSql
   )
 }

@@ -462,11 +462,45 @@ object VectorQueries {
 
   /** #128 vec_mmr: Maximal-Marginal-Relevance diversity re-rank of the
     * exact top-50 into a diverse top-K (Mmr doc: one TakeOrdered job,
-    * driver greedy over the bounded candidate set). Rows-only (the greedy
-    * loop is not SQL-expressible); reduction-to-topk at λ=1, dedup-slot,
-    * and determinism contracts in MmrSpec. */
+    * driver greedy over the bounded candidate set). Full hash-pass: every
+    * greedy comparison happens on 6-dp-rounded values (Mmr doc), so the
+    * DuckDB oracle replays the identical selection as a recursive CTE —
+    * one row picked per recursion step, the selected set carried as a
+    * list, the per-step argmax as a correlated LATERAL over the unpicked
+    * candidates. λ coefficients are rendered from the Scala doubles
+    * (1−λ = 0.30000000000000004, not the decimal 0.3) so both engines
+    * compute with bit-identical constants. */
   def vecMmr(s: SparkSession, d: String): DataFrame =
     graft.search.Mmr.rerank(emb(s, d), q0, K, n = 50, lambda = 0.7)
+
+  val vecMmrSql: String = {
+    val lam = 0.7
+    val oml = 1.0 - lam
+    s"""WITH RECURSIVE
+       |scored AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         round(list_dot_product(CAST(embedding AS DOUBLE[]), ${QueryVectors.sqlLit(q0)}), 6) AS rel
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT row_number() OVER (ORDER BY rel DESC, vec_id) AS i, vec_id, v, rel
+       |  FROM scored ORDER BY rel DESC, vec_id LIMIT 50),
+       |pick(rank, i, vec_id, rel, mmr, sel) AS (
+       |  (SELECT 1, i, vec_id, rel, round($lam * rel, 6), [i] FROM cand
+       |   ORDER BY round($lam * rel, 6) DESC, i LIMIT 1)
+       |  UNION ALL
+       |  SELECT p.rank + 1, c.i, c.vec_id, c.rel, c.score, list_append(p.sel, c.i)
+       |  FROM pick p, LATERAL (
+       |    SELECT cand.i, cand.vec_id, cand.rel,
+       |           round($lam * cand.rel - $oml * greatest(0.0, (
+       |             SELECT max(round(list_dot_product(cand.v, s.v), 6))
+       |             FROM cand s WHERE list_contains(p.sel, s.i))), 6) AS score
+       |    FROM cand
+       |    WHERE NOT list_contains(p.sel, cand.i)
+       |    ORDER BY score DESC, cand.i LIMIT 1) c
+       |  WHERE p.rank < $K)
+       |SELECT rank, vec_id, rel AS relevance, mmr AS mmr_score
+       |FROM pick ORDER BY rank""".stripMargin
+  }
 
   /** One composed IVF×PQ index per sf dir: reuses the persisted IVF and
     * PQ halves, persists the composed (vec_id, list_id, pq_codes) table
@@ -799,6 +833,7 @@ object VectorQueries {
     "vec_range_search" -> vecRangeSearchSql,
     "vec_postfilter_ladder" -> vecPostfilterLadderSql,
     "vec_knn_join" -> vecKnnJoinSql,
-    "vec_norm_check" -> vecNormCheckSql
+    "vec_norm_check" -> vecNormCheckSql,
+    "vec_mmr" -> vecMmrSql
   )
 }

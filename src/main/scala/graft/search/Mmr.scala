@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * postFilterLadder collect discipline); the greedy selection is
   * inherently sequential in k, so it runs driver-side over those ≤N rows
   * — k·N dot products of driver math, never a distributed iteration.
-  * Determinism: ties break on lowest vec_id; scores rounded 6 dp on
-  * output (round-before-rank happens inside the greedy loop at full
-  * precision — the loop is exact arithmetic, not a cross-engine compare).
+  * Determinism: ties break on lowest vec_id; every comparison inside the
+  * greedy loop happens on 6-dp-ROUNDED values (relevance comes rounded
+  * from withScore; each pairwise sim and each MMR objective is rounded
+  * before compare) — the round-before-rank discipline, so the loop's
+  * choices are reproducible by any engine that derives the same rounded
+  * doubles. The DuckDB oracle (vec_mmr) replays the identical greedy via
+  * a recursive CTE and hash-matches row for row.
   */
 object Mmr {
 
@@ -46,7 +50,7 @@ object Mmr {
       var i = 0
       while (i < cands.length) {
         if (!chosen.contains(i)) {
-          val v = lambda * cands(i)._3 - (1.0 - lambda) * maxSim(i)
+          val v = VecMath.round6(lambda * cands(i)._3 - (1.0 - lambda) * maxSim(i))
           // strict > with ascending index: ties go to the higher-ranked
           // (then lower-vec_id) candidate — cands is already in that order
           if (v > bestVal) { bestVal = v; best = i }
@@ -59,15 +63,14 @@ object Mmr {
       var j = 0
       while (j < cands.length) {
         if (!chosen.contains(j)) {
-          val s = VecMath.dot(cands(j)._2, vec)
+          val s = VecMath.round6(VecMath.dot(cands(j)._2, vec))
           if (s > maxSim(j)) maxSim(j) = s
         }
         j += 1
       }
     }
     selected.zipWithIndex
-      .map { case ((vid, rel, mmr), idx) =>
-        (idx + 1, vid, VecMath.round6(rel), VecMath.round6(mmr)) }
+      .map { case ((vid, rel, mmr), idx) => (idx + 1, vid, rel, mmr) }
       .toSeq
       .toDF("rank", "vec_id", "relevance", "mmr_score")
   }

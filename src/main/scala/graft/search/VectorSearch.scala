@@ -168,7 +168,10 @@ object VectorSearch {
     * ranking + TakeOrdered, no RNG state on executors. */
   def randomK(emb: DataFrame, k: Int, seed: Long = 0L): DataFrame =
     emb.select(col("vec_id"))
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      // engine-portable seeded selection: the sample_* md5-hex discipline
+      // (both engines derive the identical hex string, so the rule — and
+      // the DuckDB oracle — pick the same k ids)
+      .orderBy(md5(concat_ws(":", lit(seed), col("vec_id"))), col("vec_id"))
       .limit(k)
 
   /** recall@K (reference src/eval/metrics.py): |pred ∩ truth| / K per qid.

@@ -24,17 +24,22 @@ class MmrSpec extends AnyFunSuite {
 
   test("duplicate top hits cannot occupy two slots at moderate lambda") {
     // a and a' are the same vector (both top by relevance); b is close
-    // behind. Plain top-2 = {a, a'}; MMR must swap the duplicate out.
+    // behind but genuinely diverse. Plain top-2 = {a, a'}; MMR must swap
+    // the duplicate out. a is deliberately NOT parallel to q: with a ∥ q
+    // every candidate's sim-to-a equals its relevance and the λ=0.5
+    // objective ties at exactly 0 for all — margins here are ≫ the 6-dp
+    // rounding grid, so the displacement is forced, not an ulp artifact.
     val q = Array(1f, 0f)
     val data = Seq(
-      (0L, Array(1f, 0f)),          // a
-      (1L, Array(1f, 0f)),          // a' (exact duplicate)
-      (2L, Array(0.9f, 0.436f)))    // b
+      (0L, Array(0.99f, 0.14106736f)),   // a        (rel 0.99, unit)
+      (1L, Array(0.99f, 0.14106736f)),   // a' (exact duplicate)
+      (2L, Array(0.95f, -0.31224989f)))  // b        (rel 0.95, sim-to-a ≈ 0.896)
     val df = data.toDF("vec_id", "embedding")
     val plain = VectorSearch.topK(df, q, 2).select("vec_id").as[Long].collect().toSet
     assert(plain == Set(0L, 1L))
     val mmr = Mmr.rerank(df, q, 2, n = 3, lambda = 0.5)
       .select("vec_id").as[Long].collect().toSeq
+    // a': 0.5·0.99 − 0.5·1.0 = −0.005 < b: 0.5·0.95 − 0.5·0.8965 ≈ 0.0268
     assert(mmr == Seq(0L, 2L)) // duplicate a' displaced by diverse b
   }
 

@@ -7,11 +7,15 @@ import java.text.Normalizer
   * run.py:137-147 encodes queries with that model).
   *
   * Basic pass: NFD-decompose and strip combining accents, lowercase,
-  * split on whitespace, and split each punctuation character into its own
-  * token (HF BasicTokenizer semantics). WordPiece pass: greedy longest-
-  * match-first against the vocab, continuation pieces carry the `##`
-  * prefix; a word with any uncoverable remainder — or longer than
-  * `maxInputChars` — becomes [UNK] whole.
+  * drop control characters (HF `_clean_text` — removal, NOT a word
+  * boundary), split on whitespace, split each punctuation character into
+  * its own token, and split each CJK ideograph into its own token (the
+  * real model ships `tokenize_chinese_chars=true` — without this a CJK
+  * run would tokenize as one giant [UNK] word instead of per-character
+  * pieces). WordPiece pass: greedy longest-match-first against the
+  * vocab, continuation pieces carry the `##` prefix; a word with any
+  * uncoverable remainder — or longer than `maxInputChars` — becomes
+  * [UNK] whole.
   *
   * Pure, allocation-light, Serializable: one instance rides inside each
   * executor-side encoder (the per-partition batch shape).
@@ -24,13 +28,13 @@ final class WordPiece(val vocab: Map[String, Int],
 
   require(vocab.contains(unkToken), s"vocab missing $unkToken")
 
-  private def isPunct(c: Char): Boolean = {
+  private def isPunct(cp: Int): Boolean = {
     // HF BasicTokenizer: ASCII non-alphanumeric printables count as
     // punctuation even where Unicode classifies them otherwise ($, +, ~…)
-    val ascii = (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
-      (c >= 91 && c <= 96) || (c >= 123 && c <= 126)
+    val ascii = (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)
     ascii || {
-      val t = Character.getType(c)
+      val t = Character.getType(cp)
       t == Character.CONNECTOR_PUNCTUATION || t == Character.DASH_PUNCTUATION ||
       t == Character.START_PUNCTUATION || t == Character.END_PUNCTUATION ||
       t == Character.INITIAL_QUOTE_PUNCTUATION || t == Character.FINAL_QUOTE_PUNCTUATION ||
@@ -38,7 +42,20 @@ final class WordPiece(val vocab: Map[String, Int],
     }
   }
 
-  /** Basic tokenization: accent-strip, lowercase, whitespace + punct split. */
+  /** The public BERT `_is_chinese_char` ranges: the CJK Unified blocks
+    * (base + extensions A–F) and the compatibility ideographs. Kana and
+    * Hangul are deliberately NOT here — the real tokenizer leaves them as
+    * words (the same published rule). */
+  private def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+    (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0x2B820 && cp <= 0x2CEAF) ||
+    (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x2F800 && cp <= 0x2FA1F)
+
+  /** Basic tokenization: accent-strip, lowercase, control-char removal,
+    * whitespace + punct + CJK-ideograph split (class doc). Iterates by
+    * code point so supplementary-plane CJK (extensions B+) splits
+    * correctly instead of breaking surrogate pairs. */
   def tokenizeWords(text: String): Seq[String] = {
     val stripped = Normalizer.normalize(text, Normalizer.Form.NFD)
       .filter(c => Character.getType(c) != Character.NON_SPACING_MARK)
@@ -46,10 +63,15 @@ final class WordPiece(val vocab: Map[String, Int],
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     def flush(): Unit = { if (cur.nonEmpty) { out += cur.toString; cur.clear() } }
-    stripped.foreach { c =>
-      if (Character.isWhitespace(c) || Character.isISOControl(c)) flush()
-      else if (isPunct(c)) { flush(); out += c.toString }
-      else cur += c
+    var i = 0
+    while (i < stripped.length) {
+      val cp = stripped.codePointAt(i)
+      if (Character.isWhitespace(cp)) flush()
+      else if (Character.isISOControl(cp) || cp == 0xFFFD) () // HF _clean_text: dropped, NOT a boundary
+      else if (isCjk(cp)) { flush(); out += new String(Character.toChars(cp)) }
+      else if (isPunct(cp)) { flush(); out += new String(Character.toChars(cp)) }
+      else cur.appendAll(Character.toChars(cp))
+      i += Character.charCount(cp)
     }
     flush()
     out.result()

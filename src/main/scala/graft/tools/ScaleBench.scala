@@ -174,8 +174,21 @@ object ScaleBench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(DefaultHeavy)
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/x$replicas"
-    val spark = Sessions.local(cpus)
-      .getOrCreate()
+    // the §3b root-cause knobs, overridable per run for the memory-config
+    // A/B: at 100× data the per-thread SMJ sort runs exceed the 32-thread
+    // budget when AQE coalesces the candidate shuffle to 64 MB partitions
+    // (compressed bytes balloon ~10× as in-memory rows) — a SMALLER
+    // advisory target keeps more, smaller sorts that fit the budget, the
+    // exact shape a real cluster gets by spreading the same linear
+    // shuffle across executors
+    val initParts = sys.env.get("SPARK_GRAFT_INIT_PARTS")
+    val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
+    val builder = Sessions.local(cpus)
+    initParts.foreach(p =>
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", p))
+    advisoryMb.foreach(m =>
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${m}m"))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     buildScaled(spark, baseDir, scaleDir, replicas)
@@ -207,7 +220,10 @@ object ScaleBench {
         s""""tR_spill_mem_mb":${tR(q).memSpillMb},"tR_spill_disk_mb":${tR(q).diskSpillMb},""" +
         s""""tR_shuffle_mb":${tR(q).shuffleMb},"t1_shuffle_mb":${t1(q).shuffleMb},"t1_spill_mem_mb":${t1(q).memSpillMb}}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_ratio","queries":$qs,"replicas":$replicas}"""
+    val cfg = (initParts.map(p => s""""init_parts":$p""") ++
+      advisoryMb.map(m => s""""advisory_mb":$m""")).mkString(",")
+    val cfgJson = if (cfg.isEmpty) "" else s""","config":{$cfg}"""
+    val line = s"""{"metric":"scale_ratio","queries":$qs,"replicas":$replicas$cfgJson}"""
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)

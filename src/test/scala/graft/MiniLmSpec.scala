@@ -61,6 +61,84 @@ class MiniLmSpec extends AnyFunSuite {
     assert(toks.take(2) == Seq("a", "##f"))
   }
 
+  test("CJK ideographs split per character (tokenize_chinese_chars parity)") {
+    val v = wpVocab ++ Map("深" -> 20, "度" -> 21, "hi" -> 22)
+    val wpC = new WordPiece(v)
+    // each ideograph is its own word — NOT one [UNK] run, NOT glued to latin
+    assert(wpC.tokenize("hi深度hi") == Seq("hi", "深", "度", "hi"))
+    // an ideograph missing from the vocab UNKs alone, neighbors survive
+    assert(wpC.tokenize("深圳") == Seq("深", "[UNK]"))
+    // kana/hangul are NOT CJK-split (the published rule): uncovered → one UNK word
+    assert(wpC.tokenize("ひらがな") == Seq("[UNK]"))
+  }
+
+  test("control characters are removed, not word boundaries (HF _clean_text)") {
+    // a \u0001 inside a word joins the halves — 'hello' must still match
+    assert(wp.tokenize("hel\u0001lo") == Seq("hello"))
+    assert(wp.tokenize("hello\uFFFD") == Seq("hello"))
+    // but \t and \n stay whitespace (boundary), not removal
+    assert(wp.tokenize("hello\tworld") == Seq("hello", "world"))
+  }
+
+  test("word longer than maxInputChars becomes [UNK] whole") {
+    val wpShort = new WordPiece(WordPiece.charVocab)
+    val longWord = "a" * 101 // default maxInputChars = 100
+    assert(wpShort.tokenize(longWord) == Seq("[UNK]"))
+    assert(wpShort.tokenize("a" * 100) != Seq("[UNK]"), "100 chars still tokenizes")
+  }
+
+  // ---- real-weight golden parity (fixture-activated) ---------------------
+  //
+  // Zero-egress container: the real all-MiniLM-L6-v2 export cannot be
+  // downloaded here, so these tests CANCEL (assume) until a user drops the
+  // fixtures in — fixtures/minilm/README.md documents the five-line public
+  // export. Once present, they fail on ANY divergence from the reference
+  // model: tokenizer ids against the real vocab.txt (unicode, ##, unk,
+  // truncation — where silent drift hides) and sentence embeddings at
+  // 1e-5 (tensor-name mapping, head-split order, pooling).
+
+  private val goldenDir = sys.env.getOrElse("GRAFT_MINILM_GOLDEN", "fixtures/minilm")
+  private def golden(name: String) = new java.io.File(s"$goldenDir/$name")
+  private def goldenLines(name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(golden(name).toPath).asScala.toSeq
+      .filter(_.nonEmpty)
+  }
+
+  test("GOLDEN tokenizer: ids over the real vocab match the HF export") {
+    assume(golden("vocab.txt").exists() && golden("tokens.tsv").exists(),
+      s"real-model fixtures absent under $goldenDir")
+    val real = WordPiece.fromFile(s"$goldenDir/vocab.txt")
+    val cases = goldenLines("tokens.tsv")
+    assert(cases.nonEmpty, "tokens.tsv is empty")
+    cases.foreach { ln =>
+      val parts = ln.split("\t", 2)
+      val want = parts(1).trim.split("\\s+").map(_.toInt).toSeq
+      val got = real.encode(parts(0), maxLen = 128).toSeq
+      assert(got == want,
+        s"tokenizer divergence on '${parts(0)}': got $got want $want")
+    }
+  }
+
+  test("GOLDEN embeddings: real-weight encode matches reference vectors at 1e-5") {
+    assume(golden("vocab.txt").exists() && golden("embeddings.tsv").exists() &&
+      golden("embeddings.word_embeddings.weight.npy").exists(),
+      s"real-model fixtures absent under $goldenDir")
+    val enc = new MiniLm.Encoder(MiniLm.load(goldenDir))
+    val cases = goldenLines("embeddings.tsv")
+    assert(cases.nonEmpty, "embeddings.tsv is empty")
+    cases.foreach { ln =>
+      val parts = ln.split("\t", 2)
+      val want = parts(1).trim.split(",").map(_.toFloat)
+      val got = enc.encode(parts(0))
+      assert(got.length == want.length,
+        s"dim mismatch on '${parts(0)}': ${got.length} vs ${want.length}")
+      val maxDiff = got.zip(want).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxDiff < 1e-5,
+        s"embedding divergence on '${parts(0)}': max |Δ| $maxDiff")
+    }
+  }
+
   // ---- math kernels ------------------------------------------------------
 
   test("layerNorm: hand-computed values for [1,2,3,4]") {

@@ -211,20 +211,24 @@ object TextAnalysis {
 
   private def dupSpans(docs: DataFrame, n: Int, hashedKeys: Boolean): DataFrame = {
     val t = toks(col("text"))
-    // empty-array guard: sequence(1, k) DESCENDS when k < 1, so short docs
-    // must produce zero positions explicitly, not a descending range
-    val grams = docs.select(
-      col("doc_id"),
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - n + 1),
-          i => array_join(slice(t, i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>")).as("grams"))
-    val pos = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
     val perDoc =
       if (hashedKeys) {
+        // Gram fingerprints WITHOUT gram strings: xxhash64 hashes the
+        // token-array WINDOW directly (Spark's XxHash64 walks array
+        // elements) — measured, the string plan's cost is dominated by
+        // array_join BUILDING ~80-byte gram strings for every position,
+        // not by the shuffle; this pass allocates no strings. Strings are
+        // built post-filter for the dup sliver alone.
+        val base = docs.select(col("doc_id"), t.as("t"))
+          .withColumn("ghs", expr(
+            s"""CASE WHEN size(t) >= $n THEN
+               |  transform(sequence(1, size(t) - ${n - 1}),
+               |    i -> xxhash64(slice(t, i, $n)))
+               |ELSE cast(array() AS array<bigint>) END""".stripMargin))
+        val posH = base.select(col("doc_id"), col("t"),
+          posexplode(col("ghs")).as(Seq("i", "gh")))
         // stage 1: the corpus-sized shuffle, 8-byte keys only
-        val dupH = pos.select(xxhash64(col("gram")).as("gh"))
-          .groupBy("gh").agg(count(lit(1)).as("c"))
+        val dupH = posH.select("gh").groupBy("gh").agg(count(lit(1)).as("c"))
           .where(col("c") > 1).select("gh")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nDup = dupH.count()
@@ -233,14 +237,38 @@ object TextAnalysis {
         bloom.writeTo(bos)
         val sketch = bos.toByteArray
         dupH.unpersist()
-        // stage 2: row-local probe; only the dup sliver carries strings
-        val surv = pos.where(graft.functions.VectorFunctions
-          .bloomMightContainLong(xxhash64(col("gram")), sketch))
-        val dupExact = surv.groupBy("gram").agg(count(lit(1)).as("c"))
-          .where(col("c") > 1).select("gram")
-        surv.join(dupExact, Seq("gram"), "left_semi")
-          .groupBy("doc_id").agg(count(lit(1)).as("dup_grams"))
+        // stage 2: row-local probe BEFORE any string exists; the gram
+        // string materializes only for survivors (posexplode index i is
+        // 0-based, slice is 1-based). The exact recount and the per-doc
+        // rollup ride ONE pass: aggregate to the (gram, doc_id) grain
+        // (map-side combine eats within-doc repetition — skew-safe),
+        // attach each gram's corpus count as a window over that much
+        // smaller grain, keep t > 1, sum per-doc position counts.
+        // Exactness: same gram ⇒ same token window ⇒ same fingerprint, so
+        // every position of a truly-duplicated gram survives together and
+        // t IS its corpus count; fingerprint collisions and Bloom fps are
+        // killed by the string-keyed grouping (t stays 1 for a unique
+        // gram colliding with another).
+        val surv = posH
+          .where(graft.functions.VectorFunctions
+            .bloomMightContainLong(col("gh"), sketch))
+          .select(col("doc_id"),
+            expr(s"array_join(slice(t, i + 1, $n), ' ')").as("gram"))
+        val g = surv.groupBy("gram", "doc_id").agg(count(lit(1)).as("m"))
+        val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+        g.withColumn("t", sum("m").over(byGram))
+          .where(col("t") > 1)
+          .groupBy("doc_id").agg(sum("m").cast("long").as("dup_grams"))
       } else {
+        // empty-array guard: sequence(1, k) DESCENDS when k < 1, so short
+        // docs must produce zero positions, not a descending range
+        val grams = docs.select(
+          col("doc_id"),
+          when(size(t) >= n,
+            transform(sequence(lit(1), size(t) - n + 1),
+              i => array_join(slice(t, i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>")).as("grams"))
+        val pos = grams.select(col("doc_id"), explode(col("grams")).as("gram"))
         val dup = pos.groupBy("gram").agg(count(lit(1)).as("c"))
           .where(col("c") > 1).select("gram")
         pos.join(dup, Seq("gram"), "left_semi")

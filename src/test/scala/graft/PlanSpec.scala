@@ -211,6 +211,27 @@ class PlanSpec extends AnyFunSuite {
       s"probe (line $probeLine) should be below/inside the join (line $joinLine)")
   }
 
+  test("dup-spans volume pass shuffles fingerprints, strings only post-probe") {
+    val df = queries.TextQueries.textDupSpans(spark, sf)
+    val p = plan(df)
+    // gram fingerprints exist (xxhash64 over the token window) and the
+    // Bloom probe sits in the plan as a scan-side filter
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("bloom_might_contain_long"), p)
+    // the gram STRING (array_join) is built only DOWNSTREAM of the probe:
+    // in the tree string a parent (downstream op) prints above its child,
+    // so every array_join line must come before the probe-filter line —
+    // an array_join after it would mean strings built in the volume pass
+    val lines = p.linesIterator.toVector
+    val probeLine = lines.indexWhere(_.contains("bloom_might_contain_long"))
+    val joinStr = lines.zipWithIndex.filter(_._1.contains("array_join")).map(_._2)
+    assert(probeLine >= 0, p)
+    assert(joinStr.nonEmpty && joinStr.forall(_ < probeLine),
+      s"array_join at lines $joinStr vs probe at $probeLine — a gram string is built upstream of the probe")
+    // and nothing degrades to a pairwise shape
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("incremental dedup reads the persisted band table — corpus never re-hashed") {
     // plan STRINGS truncate on trees this deep (maxToStringFields), so the
     // pins walk the optimized logical plan programmatically

@@ -291,6 +291,45 @@ object TextQueries {
       |FROM toks LEFT JOIN perdoc USING (doc_id)
       |ORDER BY toks.doc_id""".stripMargin
 
+  /** #152 text_dedup_spans: the REMOVAL half of exact-substring dedup
+    * (Lee et al. 2021; TextAnalysis.withDedupSpans doc) — every token
+    * covered by a non-canonical duplicated 13-gram window is deleted,
+    * canonical = first occurrence by (doc_id, position). Full hash-pass:
+    * the selection rule is deterministic integer/string logic, so the
+    * DuckDB twin computes the identical cleaned text. */
+  def textDedupSpans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.withDedupSpans(docs(s, d)).orderBy("doc_id")
+
+  val textDedupSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i, array_to_string(t[i:i+12], ' ') AS g
+      |  FROM toks, unnest(generate_series(1, len(t) - 12)) AS u(i)
+      |),
+      |marked AS (
+      |  SELECT doc_id, i,
+      |    count(*) OVER (PARTITION BY g) AS c,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+      |  FROM pos),
+      |del AS (
+      |  SELECT DISTINCT doc_id, j
+      |  FROM marked, unnest(generate_series(i, i + 12)) AS v(j)
+      |  WHERE c > 1 AND rn >= 2),
+      |tokpos AS (
+      |  SELECT doc_id, j, t[j] AS tok
+      |  FROM toks, unnest(generate_series(1, len(t))) AS s(j)),
+      |kept AS (
+      |  SELECT tp.doc_id, count(*) AS kept_n,
+      |         string_agg(tp.tok, ' ' ORDER BY tp.j) AS clean
+      |  FROM tokpos tp ANTI JOIN del d ON tp.doc_id = d.doc_id AND tp.j = d.j
+      |  GROUP BY tp.doc_id)
+      |SELECT toks.doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(len(t) - coalesce(kept.kept_n, 0) AS BIGINT) AS n_removed,
+      |  coalesce(kept.clean, '') AS text_clean
+      |FROM toks LEFT JOIN kept USING (doc_id)
+      |ORDER BY toks.doc_id""".stripMargin
+
   /** #58 per-(source, lang) curation report: doc counts, char volume and
     * mean quality — the breakdown a curation run publishes per slice.
     * Quality sums go through DECIMAL so both engines divide the same
@@ -404,6 +443,7 @@ object TextQueries {
     "text_scrub" -> (textScrub _),
     "text_repetition" -> (textRepetition _),
     "text_dup_spans" -> (textDupSpans _),
+    "text_dedup_spans" -> (textDedupSpans _),
     "corpus_report" -> (corpusReport _)
   )
 
@@ -421,6 +461,7 @@ object TextQueries {
     "text_scrub" -> textScrubSql,
     "text_repetition" -> textRepetitionSql,
     "text_dup_spans" -> textDupSpansSql,
+    "text_dedup_spans" -> textDedupSpansSql,
     "corpus_report" -> corpusReportSql
   )
 }

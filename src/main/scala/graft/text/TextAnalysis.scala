@@ -285,4 +285,82 @@ object TextAnalysis {
           round(coalesce(col("dup_grams"), lit(0L)) / col("n_grams"), 6))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** The REMOVAL half of exact-substring deduplication (Lee et al. 2021
+    * delete all-but-one occurrence of each duplicated span;
+    * [[withDupSpans]] is the measurement half): every token covered by a
+    * NON-CANONICAL duplicated n-gram window is deleted, where the
+    * canonical occurrence of a gram is its first by (doc_id, position) —
+    * a verbatim re-post keeps its first copy and loses the rest, a
+    * within-doc self-repeat keeps its first span. Output per doc:
+    * (doc_id, n_tokens, n_removed, text_clean).
+    *
+    * Plan: the [[withDupSpans]] fingerprint discipline end to end — the
+    * volume pass aggregates xxhash64 window fingerprints (no strings),
+    * a Bloom sketch of duplicated fingerprints probes inside the scan,
+    * and only the surviving sliver carries gram strings, where ONE
+    * gram-window pass attaches both the corpus count and the canonical
+    * rank (collisions/fps die exactly as in withDupSpans: a unique gram
+    * sharing a fingerprint keeps t = 1). The delete set explodes each
+    * non-canonical window to its ≤ n covered positions (bounded by
+    * dup-sliver × n), and reconstruction is one posexplode anti-join +
+    * per-doc sorted re-join — token order restored by array_sort over
+    * (position, token) structs, never a global sort. */
+  def withDedupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    val t = toks(col("text"))
+    val base = docs.select(col("doc_id"), t.as("t"))
+      .withColumn("ghs", expr(
+        s"""CASE WHEN size(t) >= $n THEN
+           |  transform(sequence(1, size(t) - ${n - 1}),
+           |    i -> xxhash64(slice(t, i, $n)))
+           |ELSE cast(array() AS array<bigint>) END""".stripMargin))
+    val posH = base.select(col("doc_id"), col("t"),
+      posexplode(col("ghs")).as(Seq("i", "gh")))
+    val dupH = posH.select("gh").groupBy("gh").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("gh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDup = dupH.count()
+    val bloom = dupH.stat.bloomFilter("gh", math.max(nDup, 1L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val sketch = bos.toByteArray
+    dupH.unpersist()
+    // survivors with 1-based window start; exact count + canonical rank
+    // per STRING gram in one window pass
+    val surv = posH
+      .where(graft.functions.VectorFunctions
+        .bloomMightContainLong(col("gh"), sketch))
+      .select(col("doc_id"), (col("i") + 1).as("w"),
+        expr(s"array_join(slice(t, i + 1, $n), ' ')").as("gram"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val byGramAll = byGram.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val nonCanon = surv
+      .withColumn("cnt", count(lit(1)).over(byGramAll))
+      .withColumn("rn", row_number().over(byGram.orderBy(col("doc_id"), col("w"))))
+      .where(col("cnt") > 1 && col("rn") >= 2)
+    // positions covered by any non-canonical duplicated window
+    val del = nonCanon
+      .select(col("doc_id"),
+        explode(sequence(col("w"), col("w") + lit(n - 1))).as("j"))
+      .distinct()
+    // reconstruct: anti-join the delete set at token grain, re-join in
+    // position order (1-based j matches the oracle's generate_series)
+    val tokpos = docs.select(col("doc_id"), posexplode(t).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).as("j"), col("tok"))
+    val kept = tokpos.join(del, Seq("doc_id", "j"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_n"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean"))
+    docs.select(col("doc_id"), size(t).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_n"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("clean"), lit("")).as("text_clean"))
+  }
 }

@@ -194,6 +194,48 @@ class TextSpec extends AnyFunSuite {
     assert(flagged.find(_._1 == 900003L).get._2 == 0L, "short doc has zero positions")
   }
 
+  test("dedup spans: canonical kept, copies deleted, local recompute matches") {
+    val n = 13
+    // local oracle of the removal rule
+    def localClean(corpus: Map[Long, String]): Map[Long, (Long, Long, String)] = {
+      val grams = corpus.toSeq.sortBy(_._1).flatMap { case (id, txt) =>
+        val tk = txt.split(" ", -1)
+        if (tk.length < n) Seq.empty
+        else (0 to tk.length - n).map(i => (tk.slice(i, i + n).mkString(" "), id, i + 1))
+      }
+      val counts = grams.groupBy(_._1).map { case (g, occ) => g -> occ.size }
+      val canon = grams.groupBy(_._1).map { case (g, occ) =>
+        g -> occ.map(o => (o._2, o._3)).min }
+      val del: Set[(Long, Int)] = grams.collect {
+        case (g, id, w) if counts(g) > 1 && canon(g) != ((id, w)) =>
+          (w until w + n).map(j => (id, j))
+      }.flatten.toSet
+      corpus.map { case (id, txt) =>
+        val tk = txt.split(" ", -1)
+        val keptToks = tk.zipWithIndex.collect {
+          case (tok, p) if !del.contains((id, p + 1)) => tok }
+        id -> (tk.length.toLong, (tk.length - keptToks.length).toLong,
+          keptToks.mkString(" "))
+      }
+    }
+    val got = TextAnalysis.withDedupSpans(docs, n)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == localClean(texts), "sf corpus removal mismatch")
+    // crafted: canonical re-post, self-repeat, short, unique
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val crafted = Map(
+      1L -> base, 2L -> base, 3L -> (base + " " + base),
+      4L -> "short doc", 5L -> (100 to 160).map(i => s"u$i").mkString(" "))
+    val cdf = docs.sparkSession.createDataset(crafted.toSeq).toDF("doc_id", "text")
+    val cg = TextAnalysis.withDedupSpans(cdf, n)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(cg == localClean(crafted))
+    assert(cg(1L)._3 == base, "canonical copy untouched")
+    assert(cg(2L) == ((40L, 40L, "")), "verbatim re-post fully deleted")
+    assert(cg(3L) == ((80L, 80L, "")), "self-repeat of a duplicated base fully deleted")
+    assert(cg(4L)._2 == 0L && cg(5L)._2 == 0L, "short/unique docs untouched")
+  }
+
   test("dup spans: hashed-key plan is row-for-row identical to the string-keyed twin") {
     // the registered (hashed + Bloom flag-back) plan must equal the plan
     // the DuckDB oracle computes literally — on the real corpus and on a

@@ -1,0 +1,88 @@
+package graft.dedup
+
+import graft.functions.VectorFunctions.dot
+import graft.search.Ivf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication over an embedding column — the SemDeDup shape
+  * (Abbas et al., 2023, arXiv:2303.09540): k-means clusters BOUND the
+  * pairwise cosine search, then each near-duplicate component keeps one
+  * representative, chosen as the member LEAST similar to its cluster
+  * centroid (the paper's rule — the boundary point carries the most
+  * signal; ties break on vec_id so the keep-list is deterministic).
+  *
+  * How this differs from Dedup.embeddingPairs (#25): that op MINES the
+  * ≥τ pair graph through cosine-LSH buckets (probabilistic recall, pair
+  * output); this op is the curation DECISION — learned-cluster blocking,
+  * component resolution, and a kept/dropped verdict per vector, i.e. the
+  * keep-list a training run applies.
+  *
+  * Scale shape: one k-means fit on a bounded sample (Ivf.build's capped
+  * trainer), one codegen'd assignment pass, then a SELF-JOIN ON list_id
+  * — the quadratic is per-cluster (E[size] = N/k; the paper's reason for
+  * clustering first), the join shuffles each vector once on its list
+  * key, and component resolution reuses Dedup.clusters (pointer-jumping
+  * label propagation, O(log diameter) rounds, driver union-find fast
+  * path for small pair graphs). Oversized clusters are the skew case:
+  * AQE splits the join's hot partitions, and the k ≈ √N default keeps
+  * expected cluster size √N so per-cluster work stays O(N) total.
+  */
+object SemDedup {
+
+  /** k ≈ √N — expected cluster size √N, so the within-cluster quadratic
+    * totals O(N·√N / √N) = O(N) comparisons in expectation. */
+  def pickK(n: Long): Int =
+    math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Per-vector verdict: (vec_id, list_id, centroid_cos, sem_group,
+    * kept). `sem_group` is the near-dup component id (min member id —
+    * Dedup.clusters' label); singletons are their own group and are
+    * always kept. */
+  def semanticDedup(emb: DataFrame, tau: Double, k: Int = 0,
+                    seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val kk = if (k > 0) k else pickK(n)
+    val model = Ivf.build(emb, kk, seed)
+
+    // unit-normalized centroids so centroid_cos is a true cosine for the
+    // unit-norm corpus (k-means means are NOT unit even over unit inputs)
+    val cents = model.centroids.map { c =>
+      val nrm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+      if (nrm == 0.0) c else c.map(x => (x / nrm).toFloat)
+    }
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+
+    val assigned = model.indexed // (vec_id, embedding, list_id)
+      .withColumn("centroid_cos",
+        round(dot(col("embedding"), element_at(centsLit, col("list_id") + 1)), 6))
+      .select("vec_id", "embedding", "list_id", "centroid_cos")
+      .localCheckpoint() // k-means fit + assignment run once, three consumers
+
+    // within-cluster ≥τ pairs: the ONLY shuffle of the corpus (list_id
+    // key); per-pair work is one codegen'd dot
+    val a = assigned.select(col("list_id"), col("vec_id").as("doc_a"),
+      col("embedding").as("e_a"))
+    val b = assigned.select(col("list_id"), col("vec_id").as("doc_b"),
+      col("embedding").as("e_b"))
+    val pairs = a.join(b, Seq("list_id"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(round(dot(col("e_a"), col("e_b")), 6) >= tau)
+      .select(col("doc_a"), col("doc_b"))
+
+    val comps = Dedup.clusters(pairs) // (doc_id, cluster_id)
+
+    val labeled = assigned.drop("embedding")
+      .join(comps.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("sem_group", coalesce(col("cluster_id"), col("vec_id")))
+    // keep the member LEAST similar to its centroid (paper rule); the
+    // window is per-component — bounded by component size, never global
+    val w = Window.partitionBy("sem_group")
+      .orderBy(col("centroid_cos").asc, col("vec_id").asc)
+    labeled
+      .withColumn("kept", row_number().over(w) === 1)
+      .select("vec_id", "list_id", "centroid_cos", "sem_group", "kept")
+      .orderBy("vec_id")
+  }
+}

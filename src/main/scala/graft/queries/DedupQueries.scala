@@ -273,7 +273,19 @@ object DedupQueries {
        |  quality_score AS best_quality
        |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin
 
+  /** #157 dedup_semantic: the SemDeDup curation decision (Abbas et al.
+    * 2023) — k-means-cluster-bounded cosine components over the
+    * embedding corpus, one kept representative per component (the
+    * member least similar to its centroid, the paper's rule). Differs
+    * from dedup_embedding (#25): that mines the pair graph via LSH;
+    * this emits the per-vector KEEP-LIST a training run applies.
+    * Rows-only: k-means geometry is engine-specific; planted-geometry
+    * exactness + keep-rule + determinism spec-pinned (SemDedupSpec). */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    graft.dedup.SemDedup.semanticDedup(Tables.embeddings(s, d), CosineTau)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
     "dedup_exact" -> (dedupExact _),

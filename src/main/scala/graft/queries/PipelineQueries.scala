@@ -540,7 +540,64 @@ object PipelineQueries {
        |WHERE ql.quality_score >= thr.lang_p10
        |ORDER BY ql.doc_id""".stripMargin
 
+  /** #154 corpus_mix: the mixing PLAN table a multi-source training run
+    * ships — per source: size (docs, whitespace tokens), natural token
+    * share, temperature-target share (q_s ∝ tokens_s^α, α = 0.5 — the
+    * same XLM-R/mT5 rule sample_temperature realizes per-language, here
+    * produced as the PLAN artifact over sources), the token budget each
+    * source gets out of one corpus-epoch-equivalent total, and the
+    * resulting epochs (passes over that source). This is the table a
+    * run's data card publishes and the sampler consumes. Plan shape: one
+    * scan → per-source aggregate (tiny) → broadcast total → arithmetic;
+    * at 100 TB the only full-data touch is the one scan, and the plan
+    * itself is O(sources). Determinism: shares rounded 6 dp BEFORE the
+    * budget multiply (round-before-branch, the sample_temperature rule),
+    * budget floored — identical arithmetic in any engine. */
+  val MixAlpha = 0.5
+
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val tot = per.agg(
+      sum(col("tokens")).as("t_tokens"),
+      sum(pow(col("tokens").cast("double"), MixAlpha)).as("t_pow"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("natural_share",
+        round(col("tokens").cast("double") / col("t_tokens"), 6))
+      .withColumn("target_share",
+        round(pow(col("tokens").cast("double"), MixAlpha) / col("t_pow"), 6))
+      .withColumn("budget_tokens",
+        floor(col("t_tokens") * col("target_share")).cast("long"))
+      .withColumn("epochs",
+        round(col("budget_tokens").cast("double") / col("tokens"), 6))
+      .select("source", "docs", "tokens", "natural_share", "target_share",
+        "budget_tokens", "epochs")
+      .orderBy("source")
+  }
+
+  val corpusMixSql: String =
+    """WITH per AS (
+      |  SELECT source, count(*) AS docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(tokens) AS BIGINT) AS t_tokens,
+      |         sum(pow(CAST(tokens AS DOUBLE), 0.5)) AS t_pow
+      |  FROM per),
+      |sh AS (
+      |  SELECT source, docs, tokens, t_tokens,
+      |         round(CAST(tokens AS DOUBLE) / t_tokens, 6) AS natural_share,
+      |         round(pow(CAST(tokens AS DOUBLE), 0.5) / t_pow, 6) AS target_share
+      |  FROM per, tot)
+      |SELECT source, docs, tokens, natural_share, target_share,
+      |  CAST(floor(t_tokens * target_share) AS BIGINT) AS budget_tokens,
+      |  round(CAST(floor(t_tokens * target_share) AS BIGINT) / CAST(tokens AS DOUBLE), 6) AS epochs
+      |FROM sh ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_mix" -> (corpusMix _),
     "layout_zorder" -> (layoutZorder _),
     "corpus_shuffle" -> (corpusShuffle _),
     "pack_sequences" -> (packSequences _),
@@ -558,6 +615,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_mix" -> corpusMixSql,
     "layout_zorder" -> layoutZorderSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pack_sequences" -> packSequencesSql,

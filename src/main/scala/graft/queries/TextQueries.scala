@@ -428,7 +428,44 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** #155 text_bpe_train: BPE tokenizer training (Sennrich et al. 2016 —
+    * the vocabulary-learning step of every GPT/BERT-family pipeline) via
+    * the word-histogram bridge: ONE distributed word count capped
+    * deterministically, merge loop on the compact histogram driver-side
+    * (the HuggingFace-tokenizers shape — see graft.text.Bpe). Output is
+    * the merge table artifact (rank, left, right, freq). Rows-only: the
+    * merge loop is inherently iterative (each merge rewrites the symbol
+    * sequences the next merge counts), not SQL-expressible; determinism
+    * + classic-corpus goldens + histogram parity are spec-pinned
+    * (BpeSpec). */
+  val BpeMerges = 200
+  val BpeMaxWords = 50000
+
+  def textBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.text.Bpe.trainedFor(s, d, BpeMerges, BpeMaxWords)
+      .map(m => (m.rank, m.left, m.right, m.freq))
+      .toDF("rank", "left", "right", "freq")
+      .orderBy("rank")
+  }
+
+  /** #156 text_bpe_encode: tokenize the corpus with the learned merges —
+    * ranks broadcast once (KBs), greedy lowest-rank merge applied
+    * row-locally with a per-partition distinct-word memo; scan-only, no
+    * shuffle (the token-counting step a 100 TB run prices its batches
+    * with). Per-doc whitespace vs BPE token counts + fertility
+    * (bpe_per_word). Rows-only: encoding needs the iterative merge
+    * order; encode goldens + distributed-vs-driver parity spec-pinned
+    * (BpeSpec). */
+  def textBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.text.Bpe.trainedFor(s, d, BpeMerges, BpeMaxWords)
+    graft.text.Bpe.encodeDocs(Tables.documents(s, d), merges)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_embed" -> (textEmbed _),
     "text_chunks" -> (textChunks _),
     "text_stats" -> (textStats _),

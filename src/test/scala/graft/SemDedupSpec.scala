@@ -1,0 +1,93 @@
+package graft
+
+import graft.dedup.SemDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for dedup_semantic (SURVEY §2 #157): planted-geometry
+  * exactness, the SemDeDup keep rule (least-centroid-similar member
+  * survives), singleton safety, and determinism.
+  */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def unit(v: Array[Float]): Array[Float] = {
+    val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  /** Planted corpus in 8-d: four well-separated anchor directions; the
+    * first two anchors carry near-duplicate groups (copies with a tiny
+    * rotation toward a fixed off-axis direction), the rest are
+    * singletons. */
+  private def planted(): Seq[(Long, Array[Float])] = {
+    def axis(i: Int): Array[Float] = {
+      val a = Array.fill(8)(0f); a(i) = 1f; a
+    }
+    def jitter(base: Array[Float], j: Int, eps: Float): Array[Float] =
+      unit(base.zipWithIndex.map { case (x, idx) =>
+        if (idx == 7) x + eps * (j + 1) else x })
+    val g0 = (0 until 3).map(j => (j.toLong, jitter(axis(0), j, 0.02f)))
+    val g1 = (0 until 2).map(j => (10L + j, jitter(axis(1), j, 0.02f)))
+    val singles = Seq(20L -> axis(2), 21L -> axis(3))
+    g0 ++ g1 ++ singles.map { case (id, v) => (id, unit(v)) }
+  }
+
+  private def df(rows: Seq[(Long, Array[Float])]) =
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+  test("planted groups each keep exactly one; singletons survive") {
+    val out = SemDedup.semanticDedup(df(planted()), tau = 0.99, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getBoolean(4)))
+    val byGroup = out.groupBy(_._2)
+    // group of ids {0,1,2} and {10,11} resolve to min-id labels
+    assert(byGroup(0L).map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(byGroup(10L).map(_._1).toSet == Set(10L, 11L))
+    assert(byGroup(0L).count(_._3) == 1, "one representative in group 0")
+    assert(byGroup(10L).count(_._3) == 1, "one representative in group 10")
+    Seq(20L, 21L).foreach { id =>
+      assert(byGroup(id).map(_._1).toSeq == Seq(id) && byGroup(id).head._3,
+        s"singleton $id kept")
+    }
+  }
+
+  test("keep rule: the kept member has the group-min (centroid_cos, vec_id)") {
+    val out = SemDedup.semanticDedup(df(planted()), tau = 0.99, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    out.groupBy(_._3).values.foreach { grp =>
+      val kept = grp.filter(_._4)
+      assert(kept.length == 1)
+      val expect = grp.minBy(g => (g._2, g._1))
+      assert(kept.head._1 == expect._1,
+        s"group ${grp.head._3}: kept ${kept.head._1}, expected ${expect._1}")
+    }
+  }
+
+  test("verdict covers every vector exactly once and is deterministic") {
+    val rows = planted()
+    val a = SemDedup.semanticDedup(df(rows), tau = 0.99, k = 4).collect()
+    val b = SemDedup.semanticDedup(df(rows), tau = 0.99, k = 4).collect()
+    assert(a.map(_.getLong(0)).toSeq.sorted == rows.map(_._1).sorted)
+    assert(a.map(_.toSeq) sameElements b.map(_.toSeq))
+  }
+
+  test("tau below inter-anchor cosine merges nothing across anchors") {
+    // anchors are orthogonal: even tau=0.5 must not cross groups
+    val out = SemDedup.semanticDedup(df(planted()), tau = 0.5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    val groups = out.groupBy(_._2).map { case (g, m) => g -> m.map(_._1).toSet }
+    assert(groups.values.forall(s =>
+      s.subsetOf(Set(0L, 1L, 2L)) || s.subsetOf(Set(10L, 11L)) ||
+      s == Set(20L) || s == Set(21L)))
+  }
+
+  test("runs on the testdata embeddings table with full coverage") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count()
+    val out = SemDedup.semanticDedup(emb, tau = 0.4)
+    assert(out.count() == n)
+    assert(out.where(col("kept")).count() >= 1)
+  }
+}

@@ -420,9 +420,15 @@ object Dedup {
     * Blocking: split the 64-bit signature into 4 16-bit chunks — by
     * pigeonhole, any pair within hamming 3 agrees on ≥1 chunk, so the
     * chunk-equality join finds all of them without an all-pairs pass. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(docs), maxHamming)
+
+  /** Near-dup pairs over ANY 64-bit signature table (doc_id, sig) —
+    * shared by the text SimHash path and the multimodal perceptual-hash
+    * path; the chunk-blocking argument only needs the signature to be 64
+    * bits, not how it was computed. */
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk blocking is exact only for hamming <= 3")
-    val sigs = simhashSignatures(docs)
     val chunked = sigs.withColumn("chunk", explode(array(
       (0 until 4).map(i =>
         struct(lit(i).as("cid"),

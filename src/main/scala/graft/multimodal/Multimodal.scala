@@ -82,6 +82,65 @@ object Multimodal {
         (col("frame_idx") * stride).cast("long").as("byte_off"),
         hex(expr(s"substring(payload, frame_idx * $stride + 1, $frameBytes)")).as("frame_hex"))
 
+  /** 64-bit average-hash perceptual fingerprint of an opaque payload:
+    * the byte stream is cut into 64 equal cells (the 1-D analogue of
+    * aHash's 8×8 luma grid); bit c is set iff cell c's mean byte value
+    * exceeds the payload's overall mean. Integer-only compare
+    * (sum_c·n > total·count_c — exact up to ~1.5 GB payloads, 4n² < 2^63)
+    * so any engine derives the identical hash — the DuckDB oracle
+    * recomputes it byte for byte (mm_phash is FULL hash-pass).
+    *
+    * Same-length local edits flip few cells → few bits, so near-identical
+    * payloads land within small hamming distance and feed the SAME
+    * chunk-blocked join the text SimHash path uses (Dedup.hammingPairs).
+    * Byte INSERTIONS shift every later byte across cell boundaries —
+    * variable-length media must be decoded to a fixed grid first (what a
+    * real decoder does; stubDecode's slot), exactly why aHash is defined
+    * over resized frames, not containers. */
+  def aHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val c = ((i.toLong * 64) / n).toInt
+      sums(c) += payload(i) & 0xff
+      cnts(c) += 1
+      i += 1
+    }
+    var total = 0L
+    var c = 0
+    while (c < 64) { total += sums(c); c += 1 }
+    var h = 0L
+    c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * n > total * cnts(c)) h |= (1L << c)
+      c += 1
+    }
+    h
+  }
+
+  /** (doc_id, phash) over per-partition batches — the decode idiom
+    * (codec init amortized per partition; a real pipeline hashes the
+    * DECODED fixed-grid frame in the same pass as extractFeatures).
+    * Empty payloads are dropped (no content to fingerprint — and the
+    * SQL twin's per-byte unnest produces no rows for them). */
+  def withPerceptualHash(withBytes: DataFrame): DataFrame = {
+    val spark = withBytes.sparkSession
+    val rdd = withBytes.select(col("doc_id"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { row =>
+          val p = row.getAs[Array[Byte]]("payload")
+          if (p == null || p.isEmpty) None
+          else Some(Row(row.getLong(0), aHash64(p)))
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+  }
+
   /** Decode/feature-extract over per-partition batches. */
   def extractFeatures(withBytes: DataFrame): DataFrame = {
     val spark = withBytes.sparkSession

@@ -50,11 +50,41 @@ object MultimodalQueries {
       |       hex(CAST(substring(text, CAST(frame_idx * 64 + 1 AS INT), 16) AS BLOB)) AS frame_hex
       |FROM idx ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** #158 mm_phash: 64-bit perceptual fingerprint (1-D aHash) of every
+    * payload — integer-only cell-mean bits, so the DuckDB twin derives
+    * the identical signed long and the whole path is hash-checked. The
+    * dedup use feeds these into the SAME chunk-blocked hamming join as
+    * text SimHash (Dedup.hammingPairs — planted-payload behaviour
+    * spec-pinned in MultimodalSpec; this synthetic corpus has no
+    * byte-level near-dups, so the registered artifact is the
+    * fingerprint table itself). */
+  def mmPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.withPerceptualHash(Multimodal.withPayload(Tables.documents(s, d)))
+      .orderBy("doc_id")
+
+  val mmPhashSql: String =
+    """WITH b AS (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0),
+      |e AS (SELECT doc_id, n, unnest(range(n)) AS i FROM b),
+      |v AS (SELECT e.doc_id, e.n, e.i,
+      |             ascii(substr(b.text, CAST(e.i + 1 AS INT), 1)) AS val
+      |      FROM e JOIN b USING (doc_id)),
+      |seg AS (SELECT doc_id, n, CAST((i * 64) // n AS INT) AS c, val FROM v),
+      |agg AS (SELECT doc_id, n, c, sum(val) AS s, count(*) AS k FROM seg GROUP BY 1,2,3),
+      |tot AS (SELECT doc_id, sum(s) AS ts FROM agg GROUP BY 1)
+      |SELECT a.doc_id,
+      |  bit_or(CASE WHEN a.s * a.n <= t.ts * a.k THEN 0::BIGINT
+      |              WHEN a.c = 63 THEN (-9223372036854775807 - 1)
+      |              ELSE (1::BIGINT << a.c) END) AS phash
+      |FROM agg a JOIN tot t USING (doc_id)
+      |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Map("mm_features" -> (mmFeatures _),
-        "mm_frame_sample" -> (mmFrameSample _))
+        "mm_frame_sample" -> (mmFrameSample _),
+        "mm_phash" -> (mmPhash _))
 
   val oracles: Map[String, String] =
     Map("mm_features" -> mmFeaturesSql,
-        "mm_frame_sample" -> mmFrameSampleSql)
+        "mm_frame_sample" -> mmFrameSampleSql,
+        "mm_phash" -> mmPhashSql)
 }

@@ -560,10 +560,16 @@ object PipelineQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
-    val tot = per.agg(
-      sum(col("tokens")).as("t_tokens"),
-      sum(pow(col("tokens").cast("double"), MixAlpha)).as("t_pow"))
-    per.crossJoin(broadcast(tot))
+    // corpus totals as an unpartitioned window over the ALREADY-AGGREGATED
+    // per-source table (O(sources) rows — the documented bounded-window
+    // exception): the corpus is scanned ONCE; the agg-then-crossJoin
+    // alternative re-scans the full input for the totals branch
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    per
+      .withColumn("t_tokens", sum(col("tokens")).over(all))
+      .withColumn("t_pow",
+        sum(pow(col("tokens").cast("double"), MixAlpha)).over(all))
       .withColumn("natural_share",
         round(col("tokens").cast("double") / col("t_tokens"), 6))
       .withColumn("target_share",

@@ -48,16 +48,20 @@ object Bpe {
   // ---- stage 1: distributed word histogram --------------------------------
 
   /** Top-`maxWords` whitespace words by (count DESC, word ASC). One
-    * shuffle; the TakeOrdered cap keeps the driver transfer bounded no
-    * matter the corpus size. */
-  def wordHistogram(docs: DataFrame, maxWords: Int): Array[(String, Long)] = {
-    import docs.sparkSession.implicits._
+    * shuffle (map-side partial counts); the orderBy+limit plans as
+    * TakeOrdered (plan-pinned), so the driver transfer is bounded by the
+    * cap no matter the corpus size. */
+  def wordHistogramDf(docs: DataFrame, maxWords: Int): DataFrame =
     docs
       .select(explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)
+
+  def wordHistogram(docs: DataFrame, maxWords: Int): Array[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    wordHistogramDf(docs, maxWords)
       .as[(String, Long)]
       .collect() // bounded: ≤ maxWords rows by construction
   }

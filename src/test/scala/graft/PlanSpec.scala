@@ -306,6 +306,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!sp.contains("Exchange hashpartitioning"), sp)
   }
 
+  test("corpus_mix scans the corpus once (totals via bounded window, not a re-scan)") {
+    val p = plan(queries.PipelineQueries.corpusMix(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+    // partial aggregation below the source shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("bpe word histogram: map-side partial counts + TakeOrdered cap") {
+    val p = plan(graft.text.Bpe.wordHistogramDf(Tables.documents(spark, sf), 1000))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), s"cap must not plan a global sort\n$p")
+  }
+
+  test("semantic dedup pairs join on list_id — never a cartesian/nested-loop") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = plan(graft.dedup.SemDedup.semanticDedup(emb, tau = 0.4, k = 4))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("text_vocab aggregates with map-side partial aggregation") {
     val p = plan(queries.TextQueries.textVocab(spark, sf))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)

@@ -1,7 +1,7 @@
 package graft.dedup
 
 import graft.functions.VectorFunctions.dot
-import graft.search.Ivf
+import graft.search.{Ivf, IvfModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * path for small pair graphs). Oversized clusters are the skew case:
   * AQE splits the join's hot partitions, and the k ≈ √N default keeps
   * expected cluster size √N so per-cluster work stays O(N) total.
+  *
+  * Incremental maintenance (`appendVerdict`) follows the lakehouse
+  * partition-recompute discipline the IVF/minhash append ops use: the
+  * quantizer is FROZEN, the batch assigns to existing clusters, and only
+  * the TOUCHED clusters' verdicts recompute — untouched clusters pass
+  * through byte-identical. Equivalence with a frozen-model full run over
+  * the union is spec-pinned (SemDedupSpec); work scales with the batch's
+  * cluster footprint, not the corpus.
   */
 object SemDedup {
 
@@ -36,29 +44,31 @@ object SemDedup {
   def pickK(n: Long): Int =
     math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  /** Per-vector verdict: (vec_id, list_id, centroid_cos, sem_group,
-    * kept). `sem_group` is the near-dup component id (min member id —
-    * Dedup.clusters' label); singletons are their own group and are
-    * always kept. */
-  def semanticDedup(emb: DataFrame, tau: Double, k: Int = 0,
-                    seed: Long = 42L): DataFrame = {
-    val n = emb.count()
-    val kk = if (k > 0) k else pickK(n)
-    val model = Ivf.build(emb, kk, seed)
-
-    // unit-normalized centroids so centroid_cos is a true cosine for the
-    // unit-norm corpus (k-means means are NOT unit even over unit inputs)
-    val cents = model.centroids.map { c =>
+  /** Unit-normalized centroids so centroid_cos is a true cosine for the
+    * unit-norm corpus (k-means means are NOT unit even over unit
+    * inputs). */
+  def unitCentroids(model: IvfModel): Array[Array[Float]] =
+    model.centroids.map { c =>
       val nrm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
       if (nrm == 0.0) c else c.map(x => (x / nrm).toFloat)
     }
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
 
-    val assigned = model.indexed // (vec_id, embedding, list_id)
+  /** Assign `emb` to the model's FROZEN centroids (max-dot, the index
+    * convention) and attach the centroid cosine — one codegen'd pass. */
+  def assignWith(model: IvfModel, emb: DataFrame): DataFrame = {
+    val cents = unitCentroids(model)
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    model.assign(emb)
       .withColumn("centroid_cos",
         round(dot(col("embedding"), element_at(centsLit, col("list_id") + 1)), 6))
       .select("vec_id", "embedding", "list_id", "centroid_cos")
-      .localCheckpoint() // k-means fit + assignment run once, three consumers
+  }
+
+  /** The verdict over an ALREADY-ASSIGNED table (vec_id, embedding,
+    * list_id, centroid_cos): within-cluster ≥τ pairs, component
+    * resolution, keep rule. No presentation order (callers sort). */
+  def verdictFor(assigned0: DataFrame, tau: Double): DataFrame = {
+    val assigned = assigned0.localCheckpoint() // three consumers below
 
     // within-cluster ≥τ pairs: the ONLY shuffle of the corpus (list_id
     // key); per-pair work is one codegen'd dot
@@ -83,6 +93,39 @@ object SemDedup {
     labeled
       .withColumn("kept", row_number().over(w) === 1)
       .select("vec_id", "list_id", "centroid_cos", "sem_group", "kept")
-      .orderBy("vec_id")
+  }
+
+  /** Per-vector verdict: (vec_id, list_id, centroid_cos, sem_group,
+    * kept). `sem_group` is the near-dup component id (min member id —
+    * Dedup.clusters' label); singletons are their own group and are
+    * always kept. */
+  def semanticDedup(emb: DataFrame, tau: Double, k: Int = 0,
+                    seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val kk = if (k > 0) k else pickK(n)
+    val model = Ivf.build(emb, kk, seed)
+    verdictFor(assignWith(model, emb), tau).orderBy("vec_id")
+  }
+
+  /** Incremental verdict maintenance: `resident` (with its prior
+    * `residentVerdict`) plus a new `batch`, quantizer frozen. Only the
+    * clusters the batch lands in recompute — resident verdicts in
+    * untouched clusters pass through unchanged, so the work is bounded
+    * by the batch's cluster footprint. Result == `verdictFor` over the
+    * union under the same frozen model (spec-pinned), because verdicts
+    * never cross cluster boundaries. */
+  def appendVerdict(model: IvfModel, resident: DataFrame,
+                    residentVerdict: DataFrame, batch: DataFrame,
+                    tau: Double): DataFrame = {
+    val aBat = assignWith(model, batch).localCheckpoint()
+    val affected = aBat.select("list_id").distinct()
+    val aRes = assignWith(model, resident)
+    val recomputed = verdictFor(
+      aRes.join(broadcast(affected), Seq("list_id"), "left_semi")
+        .unionByName(aBat), tau)
+    residentVerdict
+      .join(broadcast(affected), Seq("list_id"), "left_anti")
+      .unionByName(recomputed)
+      .select("vec_id", "list_id", "centroid_cos", "sem_group", "kept")
   }
 }

@@ -284,8 +284,28 @@ object DedupQueries {
   def dedupSemantic(s: SparkSession, d: String): DataFrame =
     graft.dedup.SemDedup.semanticDedup(Tables.embeddings(s, d), CosineTau)
 
+  /** #159 dedup_semantic_inc: incremental maintenance of the SemDeDup
+    * keep-list — the batch (vec_id % 10 == 0, the dedup_incremental
+    * split) assigns to the RESIDENT corpus's frozen quantizer and only
+    * the touched clusters' verdicts recompute; untouched clusters pass
+    * through byte-identical. Equivalence with the frozen-model full run
+    * and keep-slot revocation are spec-pinned (SemDedupSpec). Rows-only
+    * (k-means geometry). */
+  def dedupSemanticInc(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+    val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val model = graft.search.Ivf.build(resident,
+      graft.dedup.SemDedup.pickK(resident.count()))
+    val rv = graft.dedup.SemDedup.verdictFor(
+      graft.dedup.SemDedup.assignWith(model, resident), CosineTau)
+    graft.dedup.SemDedup.appendVerdict(model, resident, rv, batch, CosineTau)
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_semantic_inc" -> (dedupSemanticInc _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
     "dedup_exact" -> (dedupExact _),

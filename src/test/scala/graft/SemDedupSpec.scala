@@ -83,6 +83,42 @@ class SemDedupSpec extends AnyFunSuite {
       s == Set(20L) || s == Set(21L)))
   }
 
+  test("appendVerdict == frozen-model full run over the union") {
+    import graft.search.Ivf
+    val all = planted()
+    val (batch, resident) = all.partition(_._1 % 10 == 1) // ids 1, 11, 21
+    val model = Ivf.build(df(resident), nlist = 4)
+    val residentVerdict = SemDedup.verdictFor(
+      SemDedup.assignWith(model, df(resident)), tau = 0.99)
+    val inc = SemDedup.appendVerdict(model, df(resident), residentVerdict,
+      df(batch), tau = 0.99)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    val full = SemDedup.verdictFor(
+      SemDedup.assignWith(model, df(all)), tau = 0.99)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(inc.toSeq == full.toSeq)
+  }
+
+  test("appendVerdict can revoke a resident's kept status in a touched cluster") {
+    import graft.search.Ivf
+    // resident: two far anchors (both kept as singletons); batch adds a
+    // near-dup of anchor 0 that sits FARTHER from the centroid, so the
+    // SemDeDup rule transfers kept to the newcomer
+    val anchor0 = unit(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val anchor1 = unit(Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))
+    val resident = Seq(0L -> anchor0, 1L -> anchor1)
+    val newcomer = unit(Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0.2f))
+    val model = Ivf.build(df(resident), nlist = 2)
+    val rv = SemDedup.verdictFor(SemDedup.assignWith(model, df(resident)), 0.9)
+    assert(rv.collect().forall(_.getBoolean(4)), "both residents start kept")
+    val out = SemDedup.appendVerdict(model, df(resident), rv,
+      df(Seq(5L -> newcomer)), tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(5L), "farther-from-centroid newcomer takes the slot")
+    assert(!out(0L), "prior representative revoked in the touched cluster")
+    assert(out(1L), "untouched cluster passes through")
+  }
+
   test("runs on the testdata embeddings table with full coverage") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()

@@ -518,6 +518,33 @@ object EventQueries {
         abs(col("dau_approx") - col("dau_exact")) / col("dau_exact"), 6))
       .orderBy("day")
 
+  /** #160 events_quantiles_approx: the SKETCH path of #134 registered
+    * first-class next to the exact answer (the events_uniques_approx
+    * symmetry for quantiles): percentile_approx (Spark's space-bounded
+    * rank sketch, accuracy 1e4 → rank error ≤ 1/1e4) per event type with
+    * the absolute error IN the result. At 100 TB the sketch carries O(1/ε)
+    * state per group through a map-side-combined aggregate — no per-group
+    * sort, the dashboard trade made visible. Rows-only by nature
+    * (sketch is engine-specific); error-bound contract spec-pinned. */
+  def eventsQuantilesApprox(s: SparkSession, d: String): DataFrame = {
+    val ps = Seq(0.5, 0.9, 0.99)
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .where(col("value").isNotNull)
+    val approx = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), typedlit(ps), lit(10000)).as("qa"))
+      .select(col("event_type"), posexplode(col("qa")).as(Seq("i", "q_approx")))
+      .withColumn("p", element_at(typedlit(ps), col("i") + 1))
+      .drop("i")
+    graft.operators.Quantiles.perGroup(ev, "event_type", "value", ps)
+      .withColumnRenamed("q", "q_exact")
+      .join(approx, Seq("event_type", "p"))
+      .withColumn("q_approx", round(col("q_approx"), 6))
+      .withColumn("abs_err", round(abs(col("q_approx") - col("q_exact")), 6))
+      .select("event_type", "p", "q_exact", "q_approx", "abs_err")
+      .orderBy("event_type", "p")
+  }
+
   /** #147 events_cohort_revenue: the LTV cohort triangle — revenue per
     * (cohort day, age-in-days) with the running cumulative per cohort:
     * the table every growth team reads (how much has each acquisition
@@ -605,6 +632,7 @@ object EventQueries {
     "events_gap_quantiles" -> (eventsGapQuantiles _),
     "events_cohort_revenue" -> (eventsCohortRevenue _),
     "events_uniques_approx" -> (eventsUniquesApprox _),
+    "events_quantiles_approx" -> (eventsQuantilesApprox _),
     "events_anomaly_mad" -> (eventsAnomalyMad _),
     "events_heavy" -> (eventsHeavy _),
     "events_quantiles" -> (eventsQuantiles _),

@@ -24,6 +24,24 @@ class RelationalQueriesSpec extends AnyFunSuite {
     assert(both.nonEmpty && both.forall(_ <= 0.05))
   }
 
+  test("events_quantiles_approx: sketch tracks exact per (type, p) within 5% of spread") {
+    val rows = EventQueries.eventsQuantilesApprox(spark, sf)
+      .as[(String, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    // error bound relative to each type's value spread (rank-sketch
+    // guarantees are in rank space; 1e4 accuracy makes value error tiny
+    // on this data — 5% of spread is a loose, stable ceiling)
+    val spread = Tables.events(spark, sf)
+      .groupBy("event_type").agg((max("value") - min("value")).as("w"))
+      .as[(String, Double)].collect().toMap
+    rows.foreach { case (t, p, _, _, err) =>
+      assert(err <= 0.05 * spread(t) + 1e-6, s"($t, $p): abs_err $err")
+    }
+    // coverage: every type × each of the three percentiles
+    val types = spread.keySet
+    assert(rows.map(_._1).toSet == types && rows.length == types.size * 3)
+  }
+
   test("events_markov: transitions conserve and probabilities sum to 1 per src") {
     val rows = EventQueries.eventsMarkov(spark, sf)
       .as[(String, String, Long, Double)].collect().toSeq

@@ -430,4 +430,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(snaps.last == Seq((3L, 5L), (7L, 3L)))
     } finally q.stop()
   }
+
+  test("streaming semantic dedup: batches compose to the frozen-model verdict") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val resident = emb.where(col("vec_id") % 10 =!= 0)
+    val rest = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Long)].collect().sortBy(_._1)
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+
+    val model = graft.search.Ivf.build(resident, nlist = 8, maxIter = 5)
+    val tau = 0.4
+    val inc = new graft.streaming.IncrementalSemDedup(model, resident, tau)
+    val stream = MemoryStream[(Long, Array[Float], Long)]
+    var batches = 0
+    val q = inc.writer(stream.toDF().toDF("vec_id", "embedding", "label"),
+      (_, _) => batches += 1).start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      assert(batches == 2)
+      val got = inc.verdict.orderBy("vec_id").collect().map(_.toSeq).toSeq
+      val want = graft.dedup.SemDedup.verdictFor(
+          graft.dedup.SemDedup.assignWith(model, emb), tau)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
 }

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * copies would make every doc an R-way exact dup and explode candidate
   * pairs ~R², measuring the data's degeneracy rather than the
   * operator's scaling).
-  * Embedding replicas keep their values (vector count is what the scan
-  * and index paths care about); vec_ids offset.
+  * Embedding replicas pass through a per-replica cyclic dimension
+  * rotation (see `rot`) — orthogonal, so within-replica geometry is
+  * exact while cross-replica similarity decorrelates; vec_ids offset.
   *
   * Timing mirrors Bench: noop sink, JIT-warm at sf0.001, index/serving
   * tiers warmed OUTSIDE the timed region at each scale (the reference
@@ -70,6 +71,24 @@ object ScaleBench {
 
   private val IdOffset = 10000000L
 
+  /** Per-replica cyclic dimension rotation for embedding replicas — the
+    * vector-space analog of the token bijection. A cyclic shift is an
+    * orthogonal permutation matrix, so WITHIN a replica every pairwise
+    * inner product (and every norm) is preserved EXACTLY — cluster
+    * geometry, near-dup structure, recall targets all carry over — while
+    * ACROSS replicas the similarity of a vector to its shifted copy is
+    * the embedding's autocorrelation at lag s, near zero for dense
+    * embeddings. Exact copies instead make every vector an R-way exact
+    * dup: SemDeDup/embedding-dedup cluster pair counts grow ~R² and the
+    * probe measures the synthetic corpus's degeneracy, not the operator.
+    * Stride 97 is coprime to the 384-d layout, so shifts are pairwise
+    * distinct for every replica range below the dimension; rot(0) = 0
+    * keeps replica 0 byte-identical (the perm(0) discipline). */
+  private[graft] def rot(i: Int, dim: Int): Int = {
+    require(i >= 0, s"replica index $i negative")
+    (i * 97) % dim
+  }
+
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String, replicas: Int): Unit = {
     if (new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists() &&
@@ -90,9 +109,15 @@ object ScaleBench {
     }
     docCopies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val embCopies = (0 until replicas).map { i =>
-      emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
-        col("embedding"), col("label"))
+      val s = rot(i, dim)
+      val rotated =
+        if (s == 0) col("embedding")
+        else concat(slice(col("embedding"), s + 1, dim - s),
+                    slice(col("embedding"), 1, s))
+      emb.select((col("vec_id") + lit(i.toLong * IdOffset)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
     }
     embCopies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -173,7 +198,8 @@ object ScaleBench {
     val Heavy = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(DefaultHeavy)
-    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/x$replicas"
+    // v2: embedding replicas rotated (rot) — v1 dirs hold exact copies
+    val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/v2/x$replicas"
     // the §3b root-cause knobs, overridable per run for the memory-config
     // A/B: at 100× data the per-thread SMJ sort runs exceed the 32-thread
     // budget when AQE coalesces the candidate shuffle to 64 MB partitions

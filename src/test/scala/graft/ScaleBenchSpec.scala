@@ -42,5 +42,17 @@ class ScaleBenchSpec extends AnyFunSuite {
 
   test("negative indices are rejected") {
     intercept[IllegalArgumentException](ScaleBench.perm(-1))
+    intercept[IllegalArgumentException](ScaleBench.rot(-1, 384))
+  }
+
+  test("embedding rotations: identity at 0, pairwise distinct below dim") {
+    // a repeated shift makes two embedding replicas exact vector dups —
+    // SemDeDup/embedding-dedup candidate pairs would grow ~R² in every
+    // cluster the copies share, the degeneracy the rotation exists to kill
+    assert(ScaleBench.rot(0, 384) == 0, "replica 0 must stay byte-identical")
+    val shifts = (0 until 384).map(ScaleBench.rot(_, 384))
+    assert(shifts.distinct.length == shifts.length,
+      "rotation shift repeated — two replicas would be exact vector dups")
+    assert(shifts.forall(s => s >= 0 && s < 384))
   }
 }

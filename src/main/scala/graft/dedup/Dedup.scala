@@ -246,7 +246,7 @@ object Dedup {
     * stay below 2^31 so the Long arithmetic cannot overflow. */
   private val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
 
-  private def minhashParams(perms: Int, seed: Long): Array[(Long, Long)] = {
+  private[graft] def minhashParams(perms: Int, seed: Long): Array[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
     Array.fill(perms)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
                        rng.nextInt(Int.MaxValue).toLong))
@@ -285,6 +285,53 @@ object Dedup {
       .select("doc_id_l", "doc_id_r")
       .distinct()
     verifyJaccard(pruned, docs, tau)
+  }
+
+  /** #163 banded MinHash-LSH with ENGINE-PORTABLE ingredients: token ids
+    * are the first 12 md5 hex chars as an integer (derivable exactly in
+    * any engine) instead of xxhash64, and band keys are the plain
+    * '_'-joined row minhashes instead of an xxhash64 compression — so an
+    * independent SQL engine derives the IDENTICAL candidate set and the
+    * oracle VALUE-checks the banded pipeline (signature → band collision
+    * → exact verify) end to end, including the one-codegen-pass
+    * [[org.apache.spark.sql.graft.MinHashSignature]] expression itself.
+    * The registered production path stays [[minhashLshPairs]] (xxhash64
+    * ids and compressed band keys — faster, engine-native, rows-only);
+    * what this twin swaps is ONLY the hash ingredients, so a divergence
+    * in the mechanics would surface as an oracle mismatch here. The
+    * size-band prune is kept because it is LOSSLESS (min/max size bounds
+    * Jaccard), so the pruned plan still equals the oracle's unpruned
+    * answer; the oversized-bucket refinement is omitted — at oracle
+    * scale no bucket approaches it, and sub-blocking is the production
+    * path's contract (spec-pinned there). */
+  def minhashPortablePairs(docs: DataFrame, tau: Double, bands: Int = 4,
+                           rows: Int = 8, seed: Long = 42L): DataFrame = {
+    val params = minhashParams(bands * rows, seed)
+    val ts = array_distinct(split(lower(col("text")), " "))
+    val base = spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        transform(ts, t =>
+          conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10)
+            .cast("long")).as("xs"))
+      .withColumn("sig", minhashSignature(col("xs"),
+        params.map(_._1).toSeq, params.map(_._2).toSeq, MinhashPrime))
+      .withColumn("n", size(col("xs")))
+    val bandKeys = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws("_", transform(slice(col("sig"), bd * rows + 1, rows),
+          v => v.cast("string"))).as("key"))
+    }
+    val exploded = base
+      .withColumn("bk", explode(array(bandKeys: _*)))
+      .select(col("doc_id"), col("n"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(sizeBandN(col("a.n"), col("b.n"), tau)) // lossless prune
+      .select(col("a.doc_id").as("doc_id_l"), col("b.doc_id").as("doc_id_r"))
+      .distinct()
+    verifyJaccard(cand, docs, tau)
   }
 
   /** The slim banded-signature table — (doc_id, n, subkey, band, key),

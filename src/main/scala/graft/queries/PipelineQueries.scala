@@ -602,8 +602,85 @@ object PipelineQueries {
       |  round(CAST(floor(t_tokens * target_share) AS BIGINT) / CAST(tokens AS DOUBLE), 6) AS epochs
       |FROM sh ORDER BY source""".stripMargin
 
+  /** #162 corpus_dsir: Data Selection via Importance Resampling (Xie et
+    * al. 2023, arXiv:2302.03169) — score every raw document by how much
+    * it resembles a TARGET domain under hashed n-gram bag models, the
+    * data-selection rule behind domain-matched pretraining corpora. The
+    * feature space is unigrams + adjacent bigrams of the whitespace
+    * tokenization hashed to 4096 md5 buckets (first 3 hex chars — the
+    * engine-portable bucket rule the sample_* family uses); the target
+    * here is the corpus's own `lang = 'en'` slice, the raw distribution
+    * the whole corpus. Per bucket, Laplace-smoothed probabilities over
+    * the FIXED 4096-bucket space give a log-ratio model; a document's
+    * log importance weight is the sum of its features' log-ratios
+    * (selection = downstream `corpus_prune_quantile`-style thresholding
+    * on `log_w`, or weighted draw via the md5 rule — both already in the
+    * library). Plan shape for 100 TB: the token stream is exploded twice
+    * (model pass, scoring pass — the paper's own two-pass shape); the
+    * histogram is a map-side-combined aggregate onto ≤4096 keys (tiny
+    * shuffle); corpus totals are a bounded window over the aggregated
+    * bucket table; the model joins back as a BROADCAST (≤4096 rows) so
+    * exploded features never shuffle; the per-doc sum partial-aggregates
+    * before its one doc_id-keyed shuffle. Determinism: log-ratios are
+    * rounded 8 dp BEFORE the per-doc sum (round-before-branch) and the
+    * sum 6 dp after, so both engines derive identical values — full
+    * hash-pass. */
+  val DsirBuckets = 4096
+
+  def corpusDsir(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arr = split(lower(col("text")), " ")
+    val bigrams = zip_with(
+      slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
+      (a, b) => concat(a, lit("_"), b))
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(arr, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("f").cast("binary")), 1, 3).as("b"))
+    val hist = feats.groupBy("b").agg(
+      count(lit(1)).as("cq"),
+      count(when(col("lang") === "en", 1)).as("cp"))
+    // totals via a window over the ALREADY-AGGREGATED ≤4096-row bucket
+    // table (the documented bounded-window exception — corpus_mix's shape)
+    val all = Window.partitionBy(lit(1))
+    val ratio = hist.select(col("b"),
+      round(
+        log((col("cp") + 1).cast("double") /
+            (sum("cp").over(all) + DsirBuckets).cast("double")) -
+        log((col("cq") + 1).cast("double") /
+            (sum("cq").over(all) + DsirBuckets).cast("double")), 8).as("lr"))
+    feats.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), round(sum("lr"), 6).as("log_w"))
+      .orderBy("doc_id")
+  }
+
+  val corpusDsirSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, unnest(list_concat(toks,
+      |    list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))) AS f
+      |  FROM t),
+      |fb AS (SELECT doc_id, lang, substr(md5(f), 1, 3) AS b FROM f),
+      |h AS (
+      |  SELECT b, count(*) AS cq,
+      |         count(CASE WHEN lang = 'en' THEN 1 END) AS cp
+      |  FROM fb GROUP BY b),
+      |r AS (
+      |  SELECT b, round(
+      |    ln(CAST(cp + 1 AS DOUBLE) / (sum(cp) OVER () + 4096))
+      |    - ln(CAST(cq + 1 AS DOUBLE) / (sum(cq) OVER () + 4096)), 8) AS lr
+      |  FROM h)
+      |SELECT fb.doc_id, count(*) AS n_features, round(sum(r.lr), 6) AS log_w
+      |FROM fb JOIN r USING (b)
+      |GROUP BY fb.doc_id ORDER BY fb.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_mix" -> (corpusMix _),
+    "corpus_dsir" -> (corpusDsir _),
     "layout_zorder" -> (layoutZorder _),
     "corpus_shuffle" -> (corpusShuffle _),
     "pack_sequences" -> (packSequences _),
@@ -622,6 +699,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "corpus_mix" -> corpusMixSql,
+    "corpus_dsir" -> corpusDsirSql,
     "layout_zorder" -> layoutZorderSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pack_sequences" -> packSequencesSql,

@@ -306,4 +306,30 @@ class PipelineSpec extends AnyFunSuite {
       assert(rows.head._4 == want, s"$lang threshold ${rows.head._4} != $want")
     }
   }
+
+  test("corpus_dsir: total, deterministic, and the target slice scores higher") {
+    val a = PipelineQueries.corpusDsir(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    val b = PipelineQueries.corpusDsir(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(a.toSeq == b.toSeq) // md5 buckets + rounded ratios: no drift
+    val n = Tables.documents(spark, sf).count()
+    assert(a.length == n, "every raw doc must get a score exactly once")
+    // n_features = unigrams + adjacent bigrams = 2*tokens - 1 per doc
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("nt"))
+      .as[(Long, Int)].collect().toMap
+    a.foreach { case (id, nf, _) =>
+      assert(nf == 2L * toks(id) - 1, s"doc $id: $nf features for ${toks(id)} tokens")
+    }
+    // the importance weight must actually separate the target domain:
+    // en docs (the target slice) average materially above every other lang
+    val lang = Tables.documents(spark, sf).select("doc_id", "lang")
+      .as[(Long, String)].collect().toMap
+    val byLang = a.groupBy(r => lang(r._1))
+      .view.mapValues(rs => rs.map(_._3).sum / rs.length).toMap
+    val others = byLang.filterNot(_._1 == "en").values
+    assert(others.forall(_ < byLang("en") - 1.0),
+      s"DSIR failed to separate target: $byLang")
+  }
 }

@@ -314,6 +314,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("corpus_dsir: model joins back as broadcast; doc agg partials below its shuffle") {
+    val p = plan(queries.PipelineQueries.corpusDsir(spark, sf))
+    // the ≤4096-row log-ratio model must broadcast — a sort-merge join here
+    // would shuffle the whole exploded feature stream by bucket at 100 TB
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"model join must not shuffle features\n$p")
+    // per-doc sum partial-aggregates before the one doc_id shuffle
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("bpe word histogram: map-side partial counts + TakeOrdered cap") {
     val p = plan(graft.text.Bpe.wordHistogramDf(Tables.documents(spark, sf), 1000))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)

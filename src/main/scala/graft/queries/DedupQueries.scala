@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * the identical blocking + verify pipeline). The LSH-family operators
   * (minhash / simhash / embedding) hash with engine-native xxhash64 or
   * seeded hyperplanes, so they are rows-only here; their recall/precision
-  * contracts vs exact baselines live in DedupSpec.
+  * contracts vs exact baselines live in DedupSpec, and the banded-MinHash
+  * machinery itself is value-checked by the md5-ingredient portable twin
+  * (#163 dedup_minhash_portable, full oracle hash-pass).
   */
 object DedupQueries {
 
@@ -303,8 +305,67 @@ object DedupQueries {
       .orderBy("vec_id")
   }
 
+  /** #163 dedup_minhash_portable: the banded MinHash-LSH pipeline with
+    * engine-portable hash ingredients (md5-derived token ids, literal
+    * '_'-joined band keys — Dedup.minhashPortablePairs doc), so the
+    * DuckDB oracle rebuilds the IDENTICAL 32-perm signatures, band
+    * collisions and exact verify, value-checking the LSH machinery —
+    * including the codegen'd MinHashSignature expression — end to end.
+    * The production operator stays dedup_minhash_lsh (xxhash64, faster,
+    * rows-only); this twin is the correctness witness for its mechanics. */
+  def dedupMinhashPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPortablePairs(Tables.documents(s, d), JaccardTau)
+
+  /** The oracle is GENERATED from the same (bands × rows, seed)
+    * permutation constants the Spark side uses — one source of truth. */
+  def dedupMinhashPortableSql: String = {
+    val (bands, rows, seed) = (4, 8, 42L)
+    val params = Dedup.minhashParams(bands * rows, seed)
+    val p = 2147483647L
+    // mh_j = min over token ids x of (a_j * (x mod p) + b_j) mod p;
+    // ids are the first 12 md5 hex chars parsed digit-by-digit (exact in
+    // doubles: < 2^48), matching Spark's conv(substr(md5,1,12),16,10)
+    val mhs = params.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(xs, x -> ($a * (x % $p) + $b) % $p)) AS mh$j"
+    }.mkString(",\n|    ")
+    val bandSelects = (0 until bands).map { bd =>
+      val cols = (bd * rows until (bd + 1) * rows).map("mh" + _).mkString(", ")
+      s"SELECT doc_id, $bd AS band, concat_ws('_', $cols) AS key FROM sigs"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |ids AS (
+       |  SELECT doc_id, list_transform(ts, t ->
+       |    CAST(list_sum(list_transform(range(1, 13), i ->
+       |      (strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1)
+       |        * pow(16.0, 12 - i))) AS BIGINT)) AS xs
+       |  FROM toks),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $mhs
+       |  FROM ids),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+       |        / len(list_distinct(ta.ts || tb.ts)), 6) AS jac
+       |FROM cand c
+       |JOIN toks ta ON c.doc_a = ta.doc_id
+       |JOIN toks tb ON c.doc_b = tb.doc_id
+       |WHERE round(CAST(len(list_intersect(ta.ts, tb.ts)) AS DOUBLE)
+       |            / len(list_distinct(ta.ts || tb.ts)), 6) >= $JaccardTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_semantic_inc" -> (dedupSemanticInc _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
@@ -319,6 +380,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_portable" -> dedupMinhashPortableSql,
     "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -62,6 +62,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall over ${truth.size} true pairs")
   }
 
+  test("minhashPortablePairs: exact precision, recall >= 0.9, deterministic") {
+    val got = Dedup.minhashPortablePairs(docs, 0.95).as[(Long, Long, Double)].collect()
+    // precision is exact by construction (verify stage) — assert it anyway
+    got.foreach { case (a, b, j) => assert(localJaccard((a, b)) == j && j >= 0.95) }
+    // the md5-ingredient banding must keep the production path's recall
+    val truth = localJaccard.filter(_._2 >= 0.95).keySet
+    val recall = got.map(t => (t._1, t._2)).count(truth) / truth.size.toDouble
+    assert(recall >= 0.9, s"portable LSH recall $recall over ${truth.size} true pairs")
+    val again = Dedup.minhashPortablePairs(docs, 0.95).as[(Long, Long, Double)].collect()
+    assert(got.toSeq == again.toSeq) // md5 ids + fixed perms: no drift
+  }
+
   test("incremental minhash: append(A,B) == full-mine(A∪B), corpus bands reused") {
     // 50/50 split so cross pairs certainly exist; the registered query
     // uses 90/10 — the contract is split-agnostic

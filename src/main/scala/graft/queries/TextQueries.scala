@@ -463,7 +463,21 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** #164 corpus_quality_probe: the TRAINED quality/domain linear probe
+    * (QualityProbe doc — normal-equations ridge fit in two scans, zero
+    * shuffle; GPT-3's trained-filter slot next to the heuristic
+    * text_quality). Target class here = the corpus's `lang='en'` slice,
+    * mirroring corpus_dsir's target. Rows-only: the Cholesky solve is
+    * linear algebra no SQL oracle replicates; distributed==driver
+    * parity, AUC separation, determinism and totality are spec-pinned
+    * (TextSpec). */
+  def corpusQualityProbe(s: SparkSession, d: String): DataFrame =
+    graft.text.QualityProbe
+      .trainAndScore(Tables.documents(s, d), col("lang") === "en")
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_probe" -> (corpusQualityProbe _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_embed" -> (textEmbed _),

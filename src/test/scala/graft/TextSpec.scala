@@ -255,4 +255,47 @@ class TextSpec extends AnyFunSuite {
     assert(rows(TextAnalysis.withDupSpans(crafted, n)) ==
       rows(TextAnalysis.withDupSpansStringKeyed(crafted, n)))
   }
+
+  test("quality probe: distributed fit == driver fit; separation; deterministic") {
+    import graft.text.QualityProbe
+    val labeled = docs.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)].collect()
+    // driver twin: identical features + identical solver, serial sums
+    val D = QualityProbe.D
+    val tri = D * (D + 1) / 2
+    val xtx = new Array[Double](tri)
+    val xty = new Array[Double](D)
+    labeled.foreach { case (_, text, lang) =>
+      val x = QualityProbe.features(text)
+      var i = 0; var t = 0
+      while (i < D) {
+        var j = i
+        while (j < D) { xtx(t) += x(i) * x(j); j += 1; t += 1 }
+        if (lang == "en") xty(i) += x(i)
+        i += 1
+      }
+    }
+    val wantW = QualityProbe.solveRidgeForTest(xtx, xty, QualityProbe.Lambda)
+    val model = QualityProbe.fit(docs, col("lang") === "en")
+    model.w.zip(wantW).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"weight drift: $g vs $w")
+    }
+    // scored margins separate the target class: AUC over en-vs-rest
+    val scored = QualityProbe.score(docs, model)
+      .as[(Long, Double)].collect().toMap
+    val lang = labeled.map(r => r._1 -> r._3).toMap
+    val pos = scored.filter(kv => lang(kv._1) == "en").values.toSeq
+    val neg = scored.filterNot(kv => lang(kv._1) == "en").values.toSeq
+    val wins = (for (p <- pos; q <- neg) yield
+      if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+    val auc = wins / (pos.size.toLong * neg.size)
+    assert(auc > 0.9, s"probe AUC $auc — fails to separate the target class")
+    // determinism + totality
+    val a = queries.TextQueries.corpusQualityProbe(spark, sf)
+      .as[(Long, Double)].collect()
+    val b = queries.TextQueries.corpusQualityProbe(spark, sf)
+      .as[(Long, Double)].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == labeled.length, "every doc scored exactly once")
+  }
 }

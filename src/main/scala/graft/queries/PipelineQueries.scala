@@ -627,33 +627,53 @@ object PipelineQueries {
     * hash-pass. */
   val DsirBuckets = 4096
 
-  def corpusDsir(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, lang, b): one md5-bucketed feature row per unigram +
+    * adjacent bigram — the shared feature stage of corpus_dsir and its
+    * streaming twin. */
+  private[graft] def dsirFeatures(docs: DataFrame): DataFrame = {
     val arr = split(lower(col("text")), " ")
     val bigrams = zip_with(
       slice(arr, lit(1), size(arr) - 1), slice(arr, lit(2), size(arr) - 1),
       (a, b) => concat(a, lit("_"), b))
-    val feats = Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("lang"),
         explode(concat(arr, bigrams)).as("f"))
       .select(col("doc_id"), col("lang"),
         substring(md5(col("f").cast("binary")), 1, 3).as("b"))
-    val hist = feats.groupBy("b").agg(
+  }
+
+  /** (b, cq, cp): the ≤4096-row bucket histogram — DSIR's ENTIRE model
+    * state, and ADDITIVE (integer counts), so incremental maintenance is
+    * exact (streaming/DsirStreaming.scala). */
+  private[graft] def dsirHistogram(feats: DataFrame): DataFrame =
+    feats.groupBy("b").agg(
       count(lit(1)).as("cq"),
       count(when(col("lang") === "en", 1)).as("cp"))
-    // totals via a window over the ALREADY-AGGREGATED ≤4096-row bucket
-    // table (the documented bounded-window exception — corpus_mix's shape)
+
+  /** (b, lr): Laplace-smoothed log-ratio per bucket, rounded 8 dp
+    * (round-before-branch). Totals via a window over the
+    * ALREADY-AGGREGATED ≤4096-row bucket table (the documented
+    * bounded-window exception — corpus_mix's shape). */
+  private[graft] def dsirRatio(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val all = Window.partitionBy(lit(1))
-    val ratio = hist.select(col("b"),
+    hist.select(col("b"),
       round(
         log((col("cp") + 1).cast("double") /
             (sum("cp").over(all) + DsirBuckets).cast("double")) -
         log((col("cq") + 1).cast("double") /
             (sum("cq").over(all) + DsirBuckets).cast("double")), 8).as("lr"))
+  }
+
+  /** Per-doc log importance weight under a ratio model (broadcast). */
+  private[graft] def dsirScore(feats: DataFrame, ratio: DataFrame): DataFrame =
     feats.join(broadcast(ratio), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_features"), round(sum("lr"), 6).as("log_w"))
-      .orderBy("doc_id")
+
+  def corpusDsir(s: SparkSession, d: String): DataFrame = {
+    val feats = dsirFeatures(Tables.documents(s, d))
+    dsirScore(feats, dsirRatio(dsirHistogram(feats))).orderBy("doc_id")
   }
 
   val corpusDsirSql: String =

@@ -71,9 +71,31 @@ object QualityProbe {
     x
   }
 
+  /** Additive normal-equation sufficient statistics — packed upper-tri
+    * XᵀX + Xᵀy. Moments ADD (the PcaState discipline), so incremental /
+    * streaming maintenance is exact up to summation-order ulps
+    * (streaming/QualityProbeStreaming.scala). */
+  final case class Moments(xtx: Array[Double], xty: Array[Double]) {
+    def absorb(o: Moments): Moments = {
+      val x2 = xtx.clone(); val y2 = xty.clone()
+      var i = 0
+      while (i < x2.length) { x2(i) += o.xtx(i); i += 1 }
+      i = 0
+      while (i < y2.length) { y2(i) += o.xty(i); i += 1 }
+      Moments(x2, y2)
+    }
+    def toModel: Model = Model(solveRidge(xtx, xty, Lambda))
+  }
+
+  object Moments {
+    def zero: Moments =
+      Moments(new Array[Double](D * (D + 1) / 2), new Array[Double](D))
+  }
+
   /** One pass: packed upper-tri XᵀX (d(d+1)/2) + Xᵀy (d) per partition,
     * combined in partition order on the driver. */
-  def fit(docs: DataFrame, positive: org.apache.spark.sql.Column): Model = {
+  def moments(docs: DataFrame,
+              positive: org.apache.spark.sql.Column): Moments = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = docs.select(col("text"),
@@ -103,7 +125,6 @@ object QualityProbe {
       }
       if (n == 0) Iterator.empty else Iterator.single((pi, xtx, xty))
     }.collect().sortBy(_._1)
-    require(parts.nonEmpty, "quality probe: empty corpus")
     val xtx = new Array[Double](tri)
     val xty = new Array[Double](D)
     parts.foreach { case (_, px, py) =>
@@ -112,7 +133,14 @@ object QualityProbe {
       i = 0
       while (i < D) { xty(i) += py(i); i += 1 }
     }
-    Model(solveRidge(xtx, xty, Lambda))
+    Moments(xtx, xty)
+  }
+
+  /** Fit = one moments pass + the driver solve. */
+  def fit(docs: DataFrame, positive: org.apache.spark.sql.Column): Model = {
+    val m = moments(docs, positive)
+    require(m.xtx.exists(_ != 0.0), "quality probe: empty corpus")
+    m.toModel
   }
 
   /** Test seam: the exact solver the fit uses (TextSpec driver parity). */

@@ -459,4 +459,64 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("streaming DSIR: absorbed batches reproduce the batch model bit-for-bit") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    val inc = graft.streaming.IncrementalDsir.empty(spark)
+    val stream = MemoryStream[(Long, String, String)]
+    var batches = 0
+    val q = inc.writer(stream.toDF().toDF("doc_id", "lang", "text"),
+      (df, _) => { batches += 1; assert(df.count() > 0) }).start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      assert(batches == 2)
+      // the histogram is additive integer state: scoring the corpus under
+      // the streamed model must equal batch corpus_dsir EXACTLY
+      val got = inc.scoreWith(docs).orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val want = queries.PipelineQueries.corpusDsir(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streaming quality probe: RLS moments == batch fit; prequential scores flow") {
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val rows = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    val inc = new graft.streaming.IncrementalQualityProbe(col("lang") === "en")
+    val stream = MemoryStream[(Long, String, String)]
+    var scored = 0L
+    val q = inc.writer(stream.toDF().toDF("doc_id", "lang", "text"),
+      (df, _) => scored += df.count()).start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      assert(scored == rows.length, "every streamed doc scored exactly once")
+      // moment additivity: streamed weights match the batch fit
+      val batchModel = graft.text.QualityProbe.fit(docs, col("lang") === "en")
+      val streamModel = inc.model.getOrElse(fail("no model after two batches"))
+      streamModel.w.zip(batchModel.w).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-6, s"weight drift: $g vs $w")
+      }
+      val got = inc.scoreWith(docs).as[(Long, Double)].collect().toMap
+      val want = graft.text.QualityProbe.score(docs, batchModel)
+        .as[(Long, Double)].collect().toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - want(id)) < 1e-5, s"doc $id: $s vs ${want(id)}")
+      }
+    } finally q.stop()
+  }
 }

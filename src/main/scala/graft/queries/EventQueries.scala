@@ -628,7 +628,95 @@ object EventQueries {
        |ORDER BY event_type, p""".stripMargin
   }
 
+  /** #167 events_pagerank: the stationary distribution of the session
+    * transition graph — where sessions actually SPEND their time, the
+    * product-analytics completion of events_markov (which emits the
+    * per-step transition probabilities; this emits their fixed point).
+    * PageRank with damping 0.85, 20 synchronous iterations, dangling
+    * mass redistributed uniformly.
+    *
+    * Shapes: the DATA pass is events_markov's (one user-partition lag
+    * window + one (src,dst) aggregate — linear, the only corpus touch);
+    * the iteration then runs on the COLLECTED transition table, bounded
+    * by |event types|² rows (the BPE-histogram / corpus_mix bounded-
+    * driver discipline — event-type cardinality is a schema property,
+    * not a data volume). Engine parity by round-before-branch at every
+    * step: transitions rounded 6 dp, each iterate 8 dp (half-up, both
+    * engines), final 6 dp — the oracle UNROLLS the same 20 iterations
+    * as generated MATERIALIZED CTEs and hash-matches. */
+  val PagerankIters = 20
+  val PagerankDamping = 0.85
+
+  /** The synchronous iteration, exposed for unit tests: transitions are
+    * (src, dst, p) with p already 6 dp; returns node → rank (6 dp). */
+  private[graft] def pagerankOf(trans: Seq[(String, String, Double)],
+                                nodes: Seq[String]): Map[String, Double] = {
+    def rnd(x: Double, dp: Int): Double = {
+      val f = math.pow(10, dp)
+      math.floor(x * f + 0.5) / f
+    }
+    val n = nodes.length.toDouble
+    val srcs = trans.map(_._1).toSet
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    var it = 1
+    while (it <= PagerankIters) {
+      val dangling = nodes.filterNot(srcs).map(r).sum
+      val in = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+      trans.foreach { case (s0, d0, p) => in(d0) += r(s0) * p }
+      val dp = if (it == PagerankIters) 6 else 8
+      r = nodes.map(v => v -> rnd((1 - PagerankDamping) / n +
+        PagerankDamping * (in(v) + dangling / n), dp)).toMap
+      it += 1
+    }
+    r
+  }
+
+  def eventsPagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val trans = eventsMarkov(s, d).select("src", "dst", "p")
+      .as[(String, String, Double)].collect().toSeq
+    val nodes = Tables.events(s, d).where(col("event_type").isNotNull)
+      .select(col("event_type")).distinct().as[String].collect().toSeq.sorted
+    val r = pagerankOf(trans, nodes)
+    nodes.map(v => (v, r(v))).toDF("node", "pagerank").orderBy("node")
+  }
+
+  /** Generated oracle: the SAME 20 iterations unrolled as MATERIALIZED
+    * CTEs (un-materialized CTEs re-expand the two references per level —
+    * 2²⁰ scans). */
+  val eventsPagerankSql: String = {
+    val iters = PagerankIters
+    val ctes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      val dp = if (i == iters) 6 else 8
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.node, round(0.15 / (SELECT cnt FROM nc)
+         |    + 0.85 * (coalesce(m.s, 0.0)
+         |      + (SELECT coalesce(sum(r), 0.0) FROM $prev
+         |         WHERE node NOT IN (SELECT src FROM tr)) / (SELECT cnt FROM nc)), $dp) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT tr.dst AS node, sum(p0.r * tr.p) AS s
+         |    FROM $prev p0 JOIN tr ON p0.node = tr.src GROUP BY tr.dst) m
+         |  ON n.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT event_type AS src,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM events WHERE event_type IS NOT NULL),
+       |c AS (SELECT src, dst, count(*) AS n FROM t WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |tr AS MATERIALIZED (
+       |  SELECT src, dst, round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+       |  FROM c),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT event_type AS node FROM events WHERE event_type IS NOT NULL),
+       |nc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM nc) AS r FROM nodes),
+       |$ctes
+       |SELECT node, r AS pagerank FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pagerank" -> (eventsPagerank _),
     "events_gap_quantiles" -> (eventsGapQuantiles _),
     "events_cohort_revenue" -> (eventsCohortRevenue _),
     "events_uniques_approx" -> (eventsUniquesApprox _),
@@ -651,6 +739,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_pagerank" -> eventsPagerankSql,
     "events_gap_quantiles" -> eventsGapQuantilesSql,
     "events_cohort_revenue" -> eventsCohortRevenueSql,
     "events_anomaly_mad" -> eventsAnomalyMadSql,

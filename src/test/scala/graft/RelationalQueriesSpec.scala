@@ -356,4 +356,29 @@ class RelationalQueriesSpec extends AnyFunSuite {
     }
     assert(got.sorted == flagged.sorted)
   }
+
+  test("events_pagerank: hub absorbs rank; dangling mass conserved; sums to 1") {
+    import graft.queries.EventQueries.pagerankOf
+    // hub graph: a and b feed c, c splits back — c must rank highest
+    val hub = pagerankOf(
+      Seq(("a", "c", 1.0), ("b", "c", 1.0), ("c", "a", 0.5), ("c", "b", 0.5)),
+      Seq("a", "b", "c"))
+    assert(hub("c") > hub("a") && hub("c") > hub("b"), hub.toString)
+    assert(math.abs(hub.values.sum - 1.0) < 1e-4, s"mass leaked: $hub")
+    // dangling node: b has no out-edges; its mass redistributes, total
+    // stays 1 and the fed node still outranks the feeder
+    val dang = pagerankOf(Seq(("a", "b", 1.0)), Seq("a", "b"))
+    assert(math.abs(dang.values.sum - 1.0) < 1e-4, s"dangling leaked: $dang")
+    assert(dang("b") > dang("a"), dang.toString)
+    // corpus run: total mass 1, deterministic, one row per event type
+    val a = queries.EventQueries.eventsPagerank(spark, sf)
+      .as[(String, Double)].collect()
+    val b = queries.EventQueries.eventsPagerank(spark, sf)
+      .as[(String, Double)].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(math.abs(a.map(_._2).sum - 1.0) < 1e-4)
+    val types = Tables.events(spark, sf).select("event_type")
+      .where(col("event_type").isNotNull).distinct().count()
+    assert(a.length == types)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -463,6 +463,67 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** #168 text_phrase: exact PHRASE search — the proximity half of the IR
+    * family next to text_bm25's bag-of-words ranking: per (phrase, doc),
+    * the number of positions where the full consecutive token sequence
+    * matches. Shape: ONE corpus scan, ZERO shuffle — each doc's token
+    * array is tested row-locally with codegen'd higher-order functions
+    * (`filter` over a position `sequence`), all phrases emitted from one
+    * `explode(array(struct…))` so the scan is never repeated per phrase
+    * (a per-phrase union would re-read the corpus |phrases| times). The
+    * known-phrase case needs no postings index — a scan IS the right
+    * 100 TB plan; the postings-join shape lives in text_bm25. Guarded
+    * `when(size ≥ k)` because Spark's `sequence(1, 0)` counts DOWN.
+    * Oracle generated from the same phrase list (one source of truth). */
+  val DefaultPhrases: Seq[String] =
+    Seq("table hash", "merge group", "stream table hash")
+
+  /** Test seam: the exact phrase-count column the query uses (TextSpec). */
+  private[graft] def phraseCountForTest(s: Column, terms: Seq[String]): Column =
+    phraseCount(s, terms)
+
+  private def phraseCount(s: Column, terms: Seq[String]): Column = {
+    val k = terms.length
+    val hits = filter(
+      sequence(lit(1), size(s) - (k - 1)),
+      i => terms.zipWithIndex.map { case (t, j) =>
+        element_at(s, (i + j).cast("int")) === t
+      }.reduce(_ && _))
+    when(size(s) >= k, size(hits)).otherwise(0).cast("long")
+  }
+
+  def textPhrase(s: SparkSession, d: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val perPhrase = DefaultPhrases.map { p =>
+      struct(lit(p).as("phrase"),
+        phraseCount(toks, p.split(" ").toSeq).as("n_matches"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(array(perPhrase: _*)).as("m"))
+      .select(col("m.phrase").as("phrase"), col("doc_id"),
+        col("m.n_matches").as("n_matches"))
+      .where(col("n_matches") > 0)
+      .orderBy("phrase", "doc_id")
+  }
+
+  val textPhraseSql: String = {
+    val branches = DefaultPhrases.map { p =>
+      val terms = p.split(" ")
+      val k = terms.length
+      val cond = terms.zipWithIndex
+        .map { case (t, j) => s"s[i + $j] = '$t'" }.mkString(" AND ")
+      s"""SELECT '$p' AS phrase, doc_id,
+         |  CAST(len(list_filter(range(1, len(s) - ${k - 2}), i -> $cond)) AS BIGINT) AS n_matches
+         |FROM t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+       |m AS (
+       |$branches)
+       |SELECT phrase, doc_id, n_matches FROM m WHERE n_matches > 0
+       |ORDER BY phrase, doc_id""".stripMargin
+  }
+
   /** #164 corpus_quality_probe: the TRAINED quality/domain linear probe
     * (QualityProbe doc — normal-equations ridge fit in two scans, zero
     * shuffle; GPT-3's trained-filter slot next to the heuristic
@@ -478,6 +539,7 @@ object TextQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_probe" -> (corpusQualityProbe _),
+    "text_phrase" -> (textPhrase _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_embed" -> (textEmbed _),
@@ -499,6 +561,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_phrase" -> textPhraseSql,
     "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,
     "text_tokens" -> textTokensSql,

@@ -314,6 +314,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("text_phrase: one scan, no hash shuffle (row-local sequence matching)") {
+    val p = plan(queries.TextQueries.textPhrase(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$p")
+    // per-phrase union would re-read the corpus; the explode(array(...))
+    // shape must keep a single scan with only the presentation sort's
+    // range exchange
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("corpus_dsir: model joins back as broadcast; doc agg partials below its shuffle") {
     val p = plan(queries.PipelineQueries.corpusDsir(spark, sf))
     // the ≤4096-row log-ratio model must broadcast — a sort-merge join here

@@ -256,6 +256,36 @@ class TextSpec extends AnyFunSuite {
       rows(TextAnalysis.withDupSpansStringKeyed(crafted, n)))
   }
 
+  test("text_phrase: counts consecutive sequences, overlaps included, short docs safe") {
+    import graft.queries.TextQueries
+    val crafted = spark.createDataset(Seq(
+      (1L, "table hash join table hash"),   // 2 matches of "table hash"
+      (2L, "stream table hash batch"),      // trigram + its embedded bigram
+      (3L, "hash table"),                   // reversed — no match
+      (4L, "merge"),                        // shorter than any phrase
+      (5L, "merge group merge group merge group"))) // 3 matches
+      .toDF("doc_id", "text")
+    // drive the same registered query body over a crafted table
+    val toks = split(lower(col("text")), " ")
+    val got = TextQueries.DefaultPhrases.map { p =>
+      val c = crafted.select(col("doc_id"),
+        TextQueries.phraseCountForTest(toks, p.split(" ").toSeq).as("n"))
+        .as[(Long, Long)].collect().toMap
+      p -> c
+    }.toMap
+    assert(got("table hash")(1L) == 2 && got("table hash")(2L) == 1)
+    assert(got("table hash")(3L) == 0 && got("table hash")(4L) == 0)
+    assert(got("stream table hash")(2L) == 1 && got("stream table hash")(1L) == 0)
+    assert(got("merge group")(5L) == 3 && got("merge group")(4L) == 0)
+    // corpus run: nonempty for every default phrase, deterministic
+    val a = TextQueries.textPhrase(spark, sf).as[(String, Long, Long)].collect()
+    val b = TextQueries.textPhrase(spark, sf).as[(String, Long, Long)].collect()
+    assert(a.toSeq == b.toSeq)
+    TextQueries.DefaultPhrases.foreach { p =>
+      assert(a.exists(_._1 == p), s"phrase '$p' found nowhere in the corpus")
+    }
+  }
+
   test("quality probe: distributed fit == driver fit; separation; deterministic") {
     import graft.text.QualityProbe
     val labeled = docs.select(col("doc_id"), col("text"), col("lang"))

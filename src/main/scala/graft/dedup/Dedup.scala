@@ -470,6 +470,27 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(simhashSignatures(docs), maxHamming)
 
+  /** #169 SimHash with ENGINE-PORTABLE ingredients (the
+    * minhashPortablePairs symmetry): token ids are the first 15 md5 hex
+    * chars as a 60-bit integer — derivable exactly in any engine (the
+    * top 4 bits of every id are 0, so signature bits 60–63 vote −n and
+    * stay 0 in both engines; 15 hex keeps the id inside BIGINT/long).
+    * The signature is the SAME codegen'd [[simHash64]] expression and
+    * the pair mining the SAME 16-bit-chunk [[hammingPairs]] join, so the
+    * generated DuckDB oracle (60 vote aggregates + the chunk join,
+    * rebuilt from the same rule) VALUE-checks the SimHash machinery end
+    * to end; the production path stays [[simhashPairs]] (xxhash64 ids —
+    * faster, engine-native, rows-only). */
+  def simhashPortablePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val ts = array_distinct(split(lower(col("text")), " "))
+    val sigs = spread(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"),
+        simHash64(array_compact(transform(ts, t =>
+          conv(substring(md5(encode(t, "UTF-8")), 1, 15), 16, 10)
+            .cast("long")))).as("sig"))
+    hammingPairs(sigs, maxHamming)
+  }
+
   /** Near-dup pairs over ANY 64-bit signature table (doc_id, sig) —
     * shared by the text SimHash path and the multimodal perceptual-hash
     * path; the chunk-blocking argument only needs the signature to be 64

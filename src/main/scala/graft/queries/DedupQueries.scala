@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * the identical blocking + verify pipeline). The LSH-family operators
   * (minhash / simhash / embedding) hash with engine-native xxhash64 or
   * seeded hyperplanes, so they are rows-only here; their recall/precision
-  * contracts vs exact baselines live in DedupSpec, and the banded-MinHash
-  * machinery itself is value-checked by the md5-ingredient portable twin
-  * (#163 dedup_minhash_portable, full oracle hash-pass).
+  * contracts vs exact baselines live in DedupSpec, and the MinHash /
+  * SimHash machineries themselves are value-checked by the
+  * md5-ingredient portable twins (#163 dedup_minhash_portable and
+  * #169 dedup_simhash_portable, full oracle hash-pass).
   */
 object DedupQueries {
 
@@ -363,9 +364,49 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** #169 dedup_simhash_portable: the SimHash near-dup pipeline with
+    * engine-portable ingredients (Dedup.simhashPortablePairs doc) — the
+    * generated DuckDB oracle rebuilds the identical 60-bit signatures
+    * (one ±1 vote aggregate per bit) and the 16-bit-chunk hamming join,
+    * value-checking the codegen'd SimHash64 expression and the shared
+    * hammingPairs machinery end to end. Production stays #23. */
+  def dedupSimhashPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPortablePairs(Tables.documents(s, d), maxHamming = 3)
+
+  val dedupSimhashPortableSql: String = {
+    val hexp = "CAST(list_sum(list_transform(range(1, 16), i -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1 AS BIGINT) " +
+      "<< (4 * (15 - i)))) AS BIGINT)"
+    val votes = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(",\n|    ")
+    val sigexpr = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN 1::BIGINT << $b ELSE 0::BIGINT END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |ids AS (SELECT doc_id, unnest(list_transform(ts, t -> $hexp)) AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM ids GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sigexpr AS sig FROM votes),
+       |chunks AS (
+       |  SELECT doc_id, sig, u.i AS cid, (sig >> (u.i * 16)) & 65535 AS cval
+       |  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS i) u),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM chunks a JOIN chunks b
+       |    ON a.cid = b.cid AND a.cval = b.cval AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_minhash_portable" -> (dedupMinhashPortable _),
+    "dedup_simhash_portable" -> (dedupSimhashPortable _),
     "dedup_semantic_inc" -> (dedupSemanticInc _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
@@ -381,6 +422,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_portable" -> dedupMinhashPortableSql,
+    "dedup_simhash_portable" -> dedupSimhashPortableSql,
     "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

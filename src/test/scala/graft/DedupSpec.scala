@@ -187,6 +187,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L).toSeq == Seq(0L, 0L, 0L))
   }
 
+  test("simhashPortablePairs: pairs verified <= 3 on locally-recomputed md5 sigs") {
+    val got = Dedup.simhashPortablePairs(docs, 3)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    // local twin of the portable signature: 60-bit md5 ids, +/-1 votes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sigOf(text: String): Long = {
+      val ids = text.toLowerCase.split(" ").distinct.map { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16)
+      }
+      (0 until 64).foldLeft(0L) { (sig, b) =>
+        val vote = ids.map(h => if (((h >>> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) sig | (1L << b) else sig
+      }
+    }
+    val sigs = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> sigOf(t) }.toMap
+    got.foreach { case (a, b, h) =>
+      val want = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      assert(h == want && h <= 3, s"pair ($a,$b): hamming $h vs local $want")
+    }
+    val again = Dedup.simhashPortablePairs(docs, 3).as[(Long, Long, Int)].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("simhashPairs finds all pairs within hamming 3 of its signatures") {
     val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().sortBy(_._1)
     val want = (for {

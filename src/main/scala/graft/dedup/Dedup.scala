@@ -98,7 +98,7 @@ object Dedup {
 
   /** Exact Jaccard from sorted token-id arrays:
     * |A∩B| / (|A| + |B| − |A∩B|), 6 dp. */
-  private def jacCol(a: Column, b: Column): Column = {
+  private[graft] def jacCol(a: Column, b: Column): Column = {
     val inter = sortedIntersectSize(a, b).cast("double")
     round(inter / (size(a) + size(b) - inter), 6)
   }
@@ -120,7 +120,7 @@ object Dedup {
     * principle be classified differently by the two paths; with |A∩B| ≤
     * s ≤ ~10⁶-token docs the quotient is exact to ~2⁻⁵² ≪ 5e-7-boundary
     * spacing, and no corpus has produced a disagreement. */
-  private def jacPass(a: Column, b: Column, tau: Double): Column = {
+  private[graft] def jacPass(a: Column, b: Column, tau: Double): Column = {
     val e2 = math.round(tau * 2e6) - 1 // 2e6·τ − 1, exact for 6-dp τ
     val s = (size(a) + size(b)).cast("long")
     sortedIntersectSize(a, b).cast("long") * lit(2000000L + e2) >= lit(e2) * s

@@ -403,8 +403,55 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** #170 dedup_recall: the sample-based blocking-recall AUDIT a dedup
+    * run publishes next to its pair tables (the vec_recall_ivf symmetry
+    * on the dedup axis): ground truth is EXACT all-pairs Jaccard over a
+    * seeded md5 sample of docs (the sample bounds the quadratic to
+    * |sample|² — exactly how a 100 TB run audits recall, since all-pairs
+    * on the corpus is impossible by definition), and each production
+    * pipeline's found pairs, restricted to the sample, are scored
+    * against it. All methods verify exactly at the same τ, so found ⊆
+    * truth and precision is 1 by construction — the number under audit
+    * is BLOCKING recall. One row per method. Rows-only (xxhash
+    * ingredients inside the audited pipelines); recall floors,
+    * found⊆truth and determinism spec-pinned (DedupSpec). */
+  def dedupRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val sample = docs.where(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "60")
+    val ts = sample.select(col("doc_id"),
+      graft.functions.VectorFunctions.tokenSetIds(col("text"), 1).as("tsi"))
+    // all-pairs truth on the bounded sample: a deliberate broadcast
+    // nested-loop over ~3/8 of the gate corpus (|sample|² pairs)
+    val truth = ts.as("a").join(broadcast(ts.as("b")),
+        col("a.doc_id") < col("b.doc_id"))
+      .where(Dedup.jacPass(col("a.tsi"), col("b.tsi"), JaccardTau))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .localCheckpoint()
+    val idSet = sample.select(col("doc_id")).as[Long].collect().toSet
+    def audit(method: String, found: DataFrame): DataFrame = {
+      val f = found.select(col("doc_a"), col("doc_b"))
+        .where(col("doc_a").isInCollection(idSet) &&
+               col("doc_b").isInCollection(idSet))
+        .withColumn("hit", lit(1))
+      truth.join(f, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("true_pairs"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("found_pairs"))
+        .select(lit(method).as("method"), col("true_pairs"), col("found_pairs"),
+          round(col("found_pairs").cast("double") / col("true_pairs"), 6).as("recall"))
+    }
+    Seq(
+      audit("jaccard_blocked", minedJaccardPairs(s, d)),
+      audit("minhash_lsh", dedupMinhashLsh(s, d)),
+      audit("minhash_portable", dedupMinhashPortable(s, d)))
+      .reduce(_ unionAll _)
+      .orderBy("method")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_recall" -> (dedupRecall _),
     "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_simhash_portable" -> (dedupSimhashPortable _),
     "dedup_semantic_inc" -> (dedupSemanticInc _),

@@ -214,6 +214,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("dedup_recall: found subset of truth, recall floors hold, deterministic") {
+    val a = graft.queries.DedupQueries.dedupRecall(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    val b = graft.queries.DedupQueries.dedupRecall(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._1).toSeq ==
+      Seq("jaccard_blocked", "minhash_lsh", "minhash_portable"))
+    a.foreach { case (m, t, f, r) =>
+      assert(t > 0, s"$m: empty truth — sample has no dup pairs")
+      assert(f <= t, s"$m: found $f pairs beyond the $t true ones")
+      assert(r >= 0.9, s"$m: blocking recall $r below the 0.9 floor")
+    }
+  }
+
   test("simhashPairs finds all pairs within hamming 3 of its signatures") {
     val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().sortBy(_._1)
     val want = (for {

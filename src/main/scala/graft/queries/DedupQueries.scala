@@ -414,12 +414,22 @@ object DedupQueries {
     * truth and precision is 1 by construction — the number under audit
     * is BLOCKING recall. One row per method. Rows-only (xxhash
     * ingredients inside the audited pipelines); recall floors,
-    * found⊆truth and determinism spec-pinned (DedupSpec). */
+    * found⊆truth and determinism spec-pinned (DedupSpec).
+    * The sample is FIXED-SIZE (RecallSampleN min-md5 docs), so the
+    * truth stays N²/2 pairs at any corpus scale. */
+  /** Audit sample size — FIXED, not a corpus fraction: a fractional
+    * sample makes the all-pairs truth grow quadratically with the corpus
+    * (measured: 2.3 GB spill at 10× under a 3/8 fraction); the N
+    * min-md5 docs (TakeOrdered — a per-partition heap, engine-portable
+    * rule) bound the truth to N²/2 pairs at ANY corpus scale. */
+  val RecallSampleN = 384
+
   def dedupRecall(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val sample = docs.where(
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "60")
+    val sample = docs
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      .limit(RecallSampleN)
     val ts = sample.select(col("doc_id"),
       graft.functions.VectorFunctions.tokenSetIds(col("text"), 1).as("tsi"))
     // all-pairs truth on the bounded sample: a deliberate broadcast

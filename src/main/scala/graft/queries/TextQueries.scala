@@ -547,9 +547,26 @@ object TextQueries {
       .trainAndScore(Tables.documents(s, d), col("lang") === "en")
       .orderBy("doc_id")
 
+  /** #171 text_unigram_train: the unigram-LM (SentencePiece) tokenizer
+    * trainer next to BPE (graft.text.Unigram doc — seed → Viterbi-EM →
+    * prune on the SAME capped word-histogram bridge). Output: the
+    * (piece, logprob, count) vocabulary artifact, ordered by
+    * (count DESC, piece ASC). Rows-only (iterative EM); goldens,
+    * coverage, Viterbi optimality, determinism spec-pinned
+    * (UnigramSpec). */
+  val UnigramTarget = 400
+
+  def textUnigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.text.Unigram.train(Tables.documents(s, d), UnigramTarget, BpeMaxWords)
+      .map(p => (p.piece, p.logprob, p.count))
+      .toDF("piece", "logprob", "count")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_quality_probe" -> (corpusQualityProbe _),
     "text_phrase" -> (textPhrase _),
+    "text_unigram_train" -> (textUnigramTrain _),
     "text_bpe_train" -> (textBpeTrain _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_embed" -> (textEmbed _),

@@ -64,6 +64,41 @@ object SemDedup {
       .select("vec_id", "embedding", "list_id", "centroid_cos")
   }
 
+  /** #172 cluster-BALANCED sampling (the DataComp/LAION curation rule
+    * next to SemDeDup's near-dup rule): cap every k-means cluster at the
+    * WATER-FILLING level c — the smallest cap with Σ min(sᵢ, c) ≥ budget
+    * — so over-represented modes shrink while small clusters survive
+    * whole. The cap search runs on the k-row cluster-size table
+    * (bounded driver work — k ≈ √N is index geometry); realization is
+    * deterministic: each cluster keeps its `cap` members with the
+    * smallest md5(vec_id) (the sample_* family's engine-portable rule)
+    * via one row_number window over the list_id partition — the one
+    * corpus shuffle. Returns (vec_id, list_id, kept). */
+  def balancedKeep(assigned: DataFrame, budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, s"budgetFrac $budgetFrac")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val sizes = assigned.groupBy("list_id").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val total = sizes.map(_._2).sum
+    val budget = math.ceil(total * budgetFrac).toLong
+    // water-filling: smallest integer cap whose kept-sum reaches budget
+    var lo = 1L
+    var hi = sizes.map(_._2).max
+    def keptAt(c: Long) = sizes.map(s => math.min(s._2, c)).sum
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (keptAt(mid) >= budget) hi = mid else lo = mid + 1
+    }
+    val cap = lo
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("list_id")
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    assigned
+      .withColumn("kept", row_number().over(w) <= cap)
+      .select(col("vec_id"), col("list_id"), col("kept"))
+  }
+
   /** The verdict over an ALREADY-ASSIGNED table (vec_id, embedding,
     * list_id, centroid_cos): within-cluster ≥τ pairs, component
     * resolution, keep rule. No presentation order (callers sort). */

@@ -287,6 +287,23 @@ object DedupQueries {
   def dedupSemantic(s: SparkSession, d: String): DataFrame =
     graft.dedup.SemDedup.semanticDedup(Tables.embeddings(s, d), CosineTau)
 
+  /** #172 sample_cluster_balance: cluster-BALANCED sampling (the
+    * DataComp/LAION curation rule — SemDedup.balancedKeep doc): k-means
+    * assign, water-filling cap over the k-row size table, deterministic
+    * min-md5 realization per cluster. Budget = half the corpus.
+    * Rows-only (k-means geometry); cap law, budget, minimality,
+    * determinism spec-pinned (SemDedupSpec). */
+  val BalanceBudgetFrac = 0.5
+
+  def sampleClusterBalance(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.search.Ivf.build(
+      emb, graft.dedup.SemDedup.pickK(emb.count()), seed = 42L)
+    graft.dedup.SemDedup
+      .balancedKeep(graft.dedup.SemDedup.assignWith(model, emb), BalanceBudgetFrac)
+      .orderBy("vec_id")
+  }
+
   /** #159 dedup_semantic_inc: incremental maintenance of the SemDeDup
     * keep-list — the batch (vec_id % 10 == 0, the dedup_incremental
     * split) assigns to the RESIDENT corpus's frozen quantizer and only
@@ -461,6 +478,7 @@ object DedupQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_semantic" -> (dedupSemantic _),
+    "sample_cluster_balance" -> (sampleClusterBalance _),
     "dedup_recall" -> (dedupRecall _),
     "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_simhash_portable" -> (dedupSimhashPortable _),

@@ -126,4 +126,33 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out.count() == n)
     assert(out.where(col("kept")).count() >= 1)
   }
+
+  test("balancedKeep: water-filling cap law, minimal cap, deterministic") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val a = graft.queries.DedupQueries.sampleClusterBalance(spark, sf)
+      .as[(Long, Int, Boolean)].collect()
+    val b = graft.queries.DedupQueries.sampleClusterBalance(spark, sf)
+      .as[(Long, Int, Boolean)].collect()
+    assert(a.toSeq == b.toSeq) // md5 rule + seeded kmeans: no drift
+    val n = emb.count()
+    assert(a.length == n, "every vector gets a verdict exactly once")
+    val budget = math.ceil(n * graft.queries.DedupQueries.BalanceBudgetFrac).toLong
+    val kept = a.count(_._3).toLong
+    assert(kept >= budget, s"kept $kept below budget $budget")
+    // per-cluster kept counts obey min(size, cap) for ONE shared cap,
+    // and that cap is minimal (cap-1 would miss the budget)
+    val byCluster = a.groupBy(_._2).map { case (c, rs) =>
+      c -> (rs.length.toLong, rs.count(_._3).toLong)
+    }
+    val cap = byCluster.values.map(_._2).max
+    byCluster.foreach { case (c, (size, k)) =>
+      assert(k == math.min(size, cap), s"cluster $c: kept $k of $size at cap $cap")
+    }
+    val keptAtCapMinus1 = byCluster.values.map { case (s, _) =>
+      math.min(s, cap - 1)
+    }.sum
+    assert(keptAtCapMinus1 < budget, s"cap $cap not minimal")
+  }
 }

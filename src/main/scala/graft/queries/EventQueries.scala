@@ -715,7 +715,214 @@ object EventQueries {
        |SELECT node, r AS pagerank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** #173 events_attribution: multi-touch marketing attribution — for each
+    * purchase, credit its value to the user's touch events (view/click)
+    * in the 7 days at-or-before the purchase, under the three standard
+    * models at once: last-touch (full value to the latest touch),
+    * first-touch (earliest), and linear (value split evenly). The join is
+    * a plain equi-join on user_id (both sides hash-partitioned once; the
+    * time predicate is a post-join filter Catalyst pushes into the join
+    * condition), and the per-purchase ranking windows partition by the
+    * purchase's event_id — bounded by one user's touches in a 7-day
+    * window, never a global sort. Per-touch credits are rounded to 6 dp
+    * and summed as DECIMAL so both engines aggregate order-independently.
+    * At 100 TB this is the standard shape: shuffle keyed on user_id
+    * (bounded per-user fan-out), purchase-grain windows bounded by
+    * per-user activity. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame =
+    eventsAttributionOf(Tables.events(s, d))
+
+  def eventsAttributionOf(ev: DataFrame): DataFrame = {
+    val WinUs = 7L * 24 * 3600 * 1000000
+    val touches = ev.where(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts").as("touch_ts"), col("event_id").as("touch_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts").as("p_ts"), col("value"))
+    val joined = purchases.join(touches, "user_id")
+      .where(col("touch_ts") <= col("p_ts") &&
+        unix_micros(col("p_ts")) - unix_micros(col("touch_ts")) <= WinUs)
+    val byPid = Window.partitionBy("pid")
+    val lastW = byPid.orderBy(col("touch_ts").desc, col("touch_id").desc)
+    val firstW = byPid.orderBy(col("touch_ts").asc, col("touch_id").asc)
+    joined
+      .withColumn("n_t", count(lit(1)).over(byPid))
+      .withColumn("rk_last", row_number().over(lastW))
+      .withColumn("rk_first", row_number().over(firstW))
+      .withColumn("c_linear", dec6(round(col("value") / col("n_t"), 6)))
+      .withColumn("c_last", dec6(when(col("rk_last") === 1, col("value")).otherwise(0.0)))
+      .withColumn("c_first", dec6(when(col("rk_first") === 1, col("value")).otherwise(0.0)))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(col("c_linear")).cast("double").as("rev_linear"),
+        sum(col("c_last")).cast("double").as("rev_last"),
+        sum(col("c_first")).cast("double").as("rev_first"))
+      .orderBy(col("touch_type"))
+  }
+
+  val eventsAttributionSql: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type AS touch_type, ts AS touch_ts,
+      |         event_id AS touch_id
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |p AS (
+      |  SELECT user_id, event_id AS pid, ts AS p_ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.pid, p.value, t.touch_type, t.touch_ts, t.touch_id
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |  WHERE t.touch_ts <= p.p_ts
+      |    AND epoch_us(p.p_ts) - epoch_us(t.touch_ts) <= 604800000000),
+      |r AS (
+      |  SELECT *,
+      |    count(*) OVER (PARTITION BY pid) AS n_t,
+      |    row_number() OVER (PARTITION BY pid ORDER BY touch_ts DESC, touch_id DESC) AS rk_last,
+      |    row_number() OVER (PARTITION BY pid ORDER BY touch_ts ASC, touch_id ASC) AS rk_first
+      |  FROM j)
+      |SELECT touch_type, count(*) AS n_touches,
+      |  count(DISTINCT pid) AS n_purchases,
+      |  CAST(sum(CAST(round(value / n_t, 6) AS DECIMAL(18,6))) AS DOUBLE) AS rev_linear,
+      |  CAST(sum(CAST(CASE WHEN rk_last = 1 THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS rev_last,
+      |  CAST(sum(CAST(CASE WHEN rk_first = 1 THEN value ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS rev_first
+      |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  /** #175 events_ab: experiment readout — users deterministically split
+    * into two variants (user_id mod 2, the hash-bucket assignment shape),
+    * then per-variant user counts, converter counts (≥1 purchase), ARPU,
+    * conversion rates, relative lift, and the pooled two-proportion
+    * z-score, all in one row. Plan: ONE shuffle keyed (variant, user_id)
+    * to user grain (map-side combined), then a singleton aggregate —
+    * per-user dedup is the only data-sized stage, so the shape survives
+    * any corpus size. All derived doubles follow round-before-compare:
+    * identical association order in both engines, 6 dp. */
+  def eventsAb(s: SparkSession, d: String): DataFrame =
+    eventsAbOf(Tables.events(s, d))
+
+  def eventsAbOf(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_type"), col("value"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    // conversion = a HIGH-VALUE purchase (value ≥ 90): on a dense event
+    // stream "any purchase" saturates to rate 1.0 for every user, which
+    // degenerates the pooled variance to 0 — the value-threshold form is
+    // both the realistic readout and statistically non-degenerate
+    val perUser = ev.groupBy("variant", "user_id")
+      .agg(max(when(col("event_type") === "purchase" && col("value") >= 90, 1L)
+        .otherwise(0L)).as("converted"),
+        sum(when(col("event_type") === "purchase", dec6(col("value")))).as("pv"))
+    perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L)).as("c0"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L)).as("c1"),
+      sum(when(col("variant") === 0, col("pv"))).as("v0"),
+      sum(when(col("variant") === 1, col("pv"))).as("v1"))
+      .selectExpr("n0", "n1", "c0", "c1",
+        "round(CAST(v0 AS DOUBLE) / n0, 6) AS arpu0",
+        "round(CAST(v1 AS DOUBLE) / n1, 6) AS arpu1",
+        "round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0",
+        "round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1",
+        "CASE WHEN c0 = 0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round(CAST(c1 AS DOUBLE) / n1 / (CAST(c0 AS DOUBLE) / n0) - CAST(1 AS DOUBLE), 6) END AS lift",
+        "CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(NULL AS DOUBLE) ELSE " +
+          "round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) / " +
+          "sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (CAST(1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * " +
+          "(CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6) END AS z")
+  }
+
+  val eventsAbSql: String =
+    """WITH pu AS (
+      |  SELECT user_id % 2 AS variant, user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value >= 90 THEN 1 ELSE 0 END) AS converted,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(value AS DECIMAL(18,6)) END) AS pv
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS c1,
+      |    sum(CASE WHEN variant = 0 THEN pv END) AS v0,
+      |    sum(CASE WHEN variant = 1 THEN pv END) AS v1
+      |  FROM pu)
+      |SELECT n0, n1, c0, c1,
+      |  round(CAST(v0 AS DOUBLE) / n0, 6) AS arpu0,
+      |  round(CAST(v1 AS DOUBLE) / n1, 6) AS arpu1,
+      |  round(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+      |  round(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+      |  CASE WHEN c0 = 0 THEN CAST(NULL AS DOUBLE) ELSE
+      |    round(CAST(c1 AS DOUBLE) / n1 / (CAST(c0 AS DOUBLE) / n0) - CAST(1 AS DOUBLE), 6) END AS lift,
+      |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN CAST(NULL AS DOUBLE) ELSE
+      |    round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0) /
+      |    sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) * (CAST(1 AS DOUBLE) - CAST(c0 + c1 AS DOUBLE) / (n0 + n1)) *
+      |    (CAST(1 AS DOUBLE) / n0 + CAST(1 AS DOUBLE) / n1)), 6) END AS z
+      |FROM t""".stripMargin
+
+  /** #181 events_ewma: exponentially-weighted moving average of daily
+    * event volume per type (α = 0.3, adjust=true: s_t = Σᵢ r^(t-i)·xᵢ /
+    * Σᵢ r^(t-i), r = 1−α) — the monitoring baseline behind volume
+    * anomaly alerts, next to the MAD detector (#143). The corpus is
+    * touched ONCE (the daily count aggregate); the smoothing then runs
+    * on the calendar-bounded series via a per-type triangle join (D²
+    * rows where D = observed days — a calendar property, not a data
+    * volume; the pagerank bounded-work discipline). Engine parity is
+    * EXACT, not ulp-tolerant: weights are rounded to 12 dp and cast
+    * DECIMAL before multiplying integer counts, so both numerator and
+    * denominator are order-independent exact decimal sums; only the
+    * final ratio is a double, rounded 6 dp. */
+  val EwmaAlpha = 0.3
+
+  def eventsEwma(s: SparkSession, d: String): DataFrame =
+    eventsEwmaOf(Tables.events(s, d))
+
+  def eventsEwmaOf(ev: DataFrame): DataFrame = {
+    val r = 1.0 - EwmaAlpha
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val idx = daily.withColumn("t", (row_number().over(byType) - 1).cast("long"))
+    val cur = idx.select(col("event_type"), col("day"), col("t"), col("x"))
+    val past = idx.select(col("event_type").as("et2"), col("t").as("i"),
+      col("x").as("xi"))
+    val weight = round(pow(lit(r), col("t") - col("i")), 12).cast("decimal(18,12)")
+    cur.join(past, col("event_type") === col("et2") && col("i") <= col("t"))
+      .groupBy(col("event_type"), col("day"), col("t"), col("x"))
+      .agg(sum(weight * col("xi").cast("decimal(18,0)")).as("num"),
+        sum(weight).as("den"))
+      .select(col("event_type"), col("day"), col("t"), col("x"),
+        round(col("num").cast("double") / col("den").cast("double"), 6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsEwmaSql: String = {
+    val r = 1.0 - EwmaAlpha
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, day, x,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS BIGINT) AS t
+       |  FROM daily),
+       |tri AS (
+       |  SELECT a.event_type, a.day, a.t, a.x,
+       |    CAST(round(pow(CAST($r AS DOUBLE), a.t - b.t), 12) AS DECIMAL(18,12)) AS w,
+       |    b.x AS xi
+       |  FROM idx a JOIN idx b
+       |    ON a.event_type = b.event_type AND b.t <= a.t)
+       |SELECT event_type, day, t, x,
+       |  round(CAST(sum(w * CAST(xi AS DECIMAL(18,0))) AS DOUBLE) /
+       |        CAST(sum(w) AS DOUBLE), 6) AS ewma
+       |FROM tri GROUP BY event_type, day, t, x
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma" -> (eventsEwma _),
+    "events_ab" -> (eventsAb _),
+    "events_attribution" -> (eventsAttribution _),
     "events_pagerank" -> (eventsPagerank _),
     "events_gap_quantiles" -> (eventsGapQuantiles _),
     "events_cohort_revenue" -> (eventsCohortRevenue _),
@@ -739,6 +946,9 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_ewma" -> eventsEwmaSql,
+    "events_ab" -> eventsAbSql,
+    "events_attribution" -> eventsAttributionSql,
     "events_pagerank" -> eventsPagerankSql,
     "events_gap_quantiles" -> eventsGapQuantilesSql,
     "events_cohort_revenue" -> eventsCohortRevenueSql,

@@ -429,6 +429,103 @@ object PipelineQueries {
        |FROM q ORDER BY z, l_orderkey, l_linenumber LIMIT 500""".stripMargin
   }
 
+  /** #177 layout_hilbert: Hilbert-curve clustering key (graft.sources.
+    * Hilbert) — layout_zorder's sibling with strictly better locality
+    * (consecutive curve positions are adjacent cells; Morton jumps
+    * quadrants), i.e. Delta liquid clustering / Iceberg's hilbert
+    * transform as plain Spark. The walk is iterative per level, so the
+    * Spark side is a native codegen expression (LayoutExpressions.scala)
+    * and the oracle REPLAYS the same per-level rotate/reflect as a
+    * generated materialized CTE chain — the key is hash-checked cell for
+    * cell. Same in-plan bounds discovery as z-order; HilbertSpec pins
+    * the curve properties (bijectivity, unit-step adjacency, pruning
+    * advantage). */
+  def layoutHilbert(s: SparkSession, d: String): DataFrame =
+    graft.sources.Hilbert.withH(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice")),
+        "l_quantity", "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber"), col("h"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+      .limit(500)
+
+  val layoutHilbertSql: String = {
+    val chain = graft.sources.Hilbert.chainSql(
+      Seq("l_orderkey", "l_linenumber"), "q", 16)
+    s"""WITH b AS (
+       |  SELECT min(l_quantity) AS xlo, max(l_quantity) AS xhi,
+       |         min(l_extendedprice) AS ylo, max(l_extendedprice) AS yhi
+       |  FROM lineitem),
+       |q AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    CAST(floor((l_quantity - xlo) / (xhi - xlo) * 65535) AS BIGINT) AS qx,
+       |    CAST(floor((l_extendedprice - ylo) / (yhi - ylo) * 65535) AS BIGINT) AS qy
+       |  FROM lineitem, b),
+       |$chain
+       |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS h
+       |FROM hlvl0 ORDER BY h, l_orderkey, l_linenumber LIMIT 500""".stripMargin
+  }
+
+  /** #179 corpus_drift: Population-Stability-Index drift report — the
+    * monitoring readout a continuously-ingesting training pipeline runs
+    * between corpus snapshots (here the deterministic doc_id-parity
+    * cohorts, the events_ab assignment shape, so the expected answer is
+    * ≈0 drift and any structure is real): per (dimension, category),
+    * cohort counts, add-1-smoothed shares, and the PSI contribution
+    * (p0−p1)·ln(p0/p1) whose per-dimension sum is the PSI. Both watched
+    * dimensions (lang, source) ride ONE scan — a row-local
+    * explode(array(struct…)) fans each doc into its dimension cells, so
+    * the plan is one scan + one (dim,category) aggregate + a broadcast
+    * join of the tiny per-dim totals; category cardinality bounds
+    * everything after the first aggregate. Shares are rounded 6 dp
+    * BEFORE the contribution (round-before-branch) so both engines
+    * derive contrib from identical doubles. */
+  def corpusDrift(s: SparkSession, d: String): DataFrame =
+    corpusDriftOf(Tables.documents(s, d))
+
+  def corpusDriftOf(documents: DataFrame): DataFrame = {
+    val cells = documents.select(pmod(col("doc_id"), lit(2L)).as("cohort"),
+      explode(array(
+        struct(lit("lang").as("dim"), col("lang").as("category")),
+        struct(lit("source").as("dim"), col("source").as("category")))).as("c"))
+      .select(col("cohort"), col("c.dim").as("dim"), col("c.category").as("category"))
+    val counts = cells.groupBy("dim", "category")
+      .agg(sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n1"))
+    val dims = counts.groupBy("dim")
+      .agg(sum("n0").as("t0"), sum("n1").as("t1"), count(lit(1)).as("ncat"))
+    counts.join(broadcast(dims), "dim")
+      .withColumn("p0", round((col("n0") + 1).cast("double") / (col("t0") + col("ncat")), 6))
+      .withColumn("p1", round((col("n1") + 1).cast("double") / (col("t1") + col("ncat")), 6))
+      .withColumn("contrib", round((col("p0") - col("p1")) * log(col("p0") / col("p1")), 6))
+      .select(col("dim"), col("category"), col("n0"), col("n1"),
+        col("p0"), col("p1"), col("contrib"))
+      .orderBy("dim", "category")
+  }
+
+  val corpusDriftSql: String =
+    """WITH cells AS (
+      |  SELECT doc_id % 2 AS cohort, 'lang' AS dim, lang AS category FROM documents
+      |  UNION ALL
+      |  SELECT doc_id % 2, 'source', source FROM documents),
+      |counts AS (
+      |  SELECT dim, category,
+      |    CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM cells GROUP BY 1, 2),
+      |dims AS (
+      |  SELECT dim, CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1,
+      |         count(*) AS ncat
+      |  FROM counts GROUP BY dim),
+      |pr AS (
+      |  SELECT c.dim, c.category, c.n0, c.n1,
+      |    round(CAST(c.n0 + 1 AS DOUBLE) / (d.t0 + d.ncat), 6) AS p0,
+      |    round(CAST(c.n1 + 1 AS DOUBLE) / (d.t1 + d.ncat), 6) AS p1
+      |  FROM counts c JOIN dims d USING (dim))
+      |SELECT dim, category, n0, n1, p0, p1,
+      |  round((p0 - p1) * ln(p0 / p1), 6) AS contrib
+      |FROM pr ORDER BY dim, category""".stripMargin
+
   /** Per-source contribution cap — the "domain cap" every web-scale
     * curation run applies (RefinedWeb/C4 shape: no single domain may
     * dominate the corpus): keep at most CapPerSource docs per source,
@@ -702,6 +799,8 @@ object PipelineQueries {
     "corpus_mix" -> (corpusMix _),
     "corpus_dsir" -> (corpusDsir _),
     "layout_zorder" -> (layoutZorder _),
+    "layout_hilbert" -> (layoutHilbert _),
+    "corpus_drift" -> (corpusDrift _),
     "corpus_shuffle" -> (corpusShuffle _),
     "pack_sequences" -> (packSequences _),
     "split_kfold" -> (splitKfold _),
@@ -721,6 +820,8 @@ object PipelineQueries {
     "corpus_mix" -> corpusMixSql,
     "corpus_dsir" -> corpusDsirSql,
     "layout_zorder" -> layoutZorderSql,
+    "layout_hilbert" -> layoutHilbertSql,
+    "corpus_drift" -> corpusDriftSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pack_sequences" -> packSequencesSql,
     "split_kfold" -> splitKfoldSql,

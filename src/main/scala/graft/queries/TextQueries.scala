@@ -563,7 +563,216 @@ object TextQueries {
       .toDF("piece", "logprob", "count")
   }
 
+  /** #174 text_collocations: PMI-scored bigram collocation mining — the
+    * corpus statistic behind phrase vocabularies ("new york"-style merges
+    * for tokenizer seeding) and MWE detection. Bigram extraction is
+    * ROW-LOCAL (a `transform` over the token array pairs each token with
+    * its successor — no posexplode + per-doc window sort), so the only
+    * shuffles are the two vocab-bounded count aggregates; corpus totals
+    * ride a broadcast 1-row crossJoin, and the unigram re-joins key on
+    * the vocabulary (bounded, not corpus-sized). PMI = ln(c_xy·Nu²
+    * / (Nb·c_x·c_y)) computed with the identical association order in
+    * both engines, rounded 6 dp before the rank; min support 5, top-100
+    * by (pmi desc, w1, w2) via TakeOrdered — never a global sort. */
+  def textCollocations(s: SparkSession, d: String): DataFrame =
+    textCollocationsOf(docs(s, d))
+
+  def textCollocationsOf(documents: DataFrame): DataFrame = {
+    val toks = documents.select(split(lower(col("text")), " ").as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val nu = uni.agg(sum(col("cw")).cast("double").as("nu"))
+    val nb = bi.agg(sum(col("n")).cast("double").as("nb"))
+    bi.where(col("n") >= 5)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("pmi", round(
+        log((col("n") * col("nu") * col("nu")) /
+          (col("nb") * col("c1") * col("c2"))), 6))
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2")).limit(100)
+  }
+
+  val textCollocationsSql: String =
+    """WITH tk AS (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+      |uc AS (SELECT w, count(*) AS cw
+      |       FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+      |bc AS (SELECT w1, w2, count(*) AS n FROM (
+      |         SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+      |         FROM (SELECT toks, unnest(range(len(toks) - 1)) AS i
+      |               FROM tk WHERE len(toks) >= 2))
+      |       GROUP BY w1, w2),
+      |nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uc),
+      |nb AS (SELECT CAST(sum(n) AS DOUBLE) AS nb FROM bc)
+      |SELECT bc.w1, bc.w2, bc.n,
+      |  round(ln((bc.n * nu.nu * nu.nu) / (nb.nb * c1.cw * c2.cw)), 6) AS pmi
+      |FROM bc
+      |JOIN uc c1 ON bc.w1 = c1.w
+      |JOIN uc c2 ON bc.w2 = c2.w
+      |CROSS JOIN nu CROSS JOIN nb
+      |WHERE bc.n >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin
+
+  /** #176 text_winnowing: winnowing fingerprint selection (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03 — the MOSS algorithm): hash every
+    * k-gram (k=8 chars, the same 31-polynomial mod 2^32 as
+    * text_fingerprint), slide a w=4 window over the hash sequence, and
+    * keep the window minimum (rightmost on ties — the robust-winnowing
+    * rule), deduplicated. Guarantees a shared substring of length
+    * k+w-1 = 11 yields a shared fingerprint, with ~2/(w+1) density —
+    * the local-selection upgrade over text_fingerprint's one-hash-per-doc
+    * and the standard prefilter for plagiarism/overlap mining. The whole
+    * selection is ROW-LOCAL (nested Catalyst HOFs over the char array);
+    * the only non-scan work is the output ordering. The DuckDB twin
+    * replays the identical arithmetic with list lambdas, so selection is
+    * hash-checked end to end. */
+  def textWinnowing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.graft.WinnowFingerprints
+    docs(s, d)
+      .select(col("doc_id"), explode(GraftBridge.column(
+        WinnowFingerprints(GraftBridge.expression(col("text")), 8, 4))).as("packed"))
+      .select(col("doc_id"),
+        expr("packed div 4294967296").as("pos"),
+        expr("packed % 4294967296").as("fp"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val textWinnowingSql: String =
+    """WITH cs AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS c
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(range(len(c) - 7), i ->
+      |      list_reduce([CAST(0 AS BIGINT)] || c[i + 1:i + 8],
+      |                  (h, x) -> (h * 31 + x) % 4294967296)) AS h
+      |  FROM cs WHERE len(c) >= 8),
+      |wj AS (
+      |  SELECT doc_id, h, unnest(range(len(h) - 3)) AS j
+      |  FROM hs WHERE len(h) >= 4),
+      |p AS (
+      |  SELECT doc_id, h,
+      |    list_max(list_transform(range(4), o ->
+      |      CASE WHEN h[CAST(j + o + 1 AS INT)] = list_min(h[j + 1:j + 4])
+      |           THEN j + o ELSE -1 END)) AS pos
+      |  FROM wj)
+      |SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+      |  h[CAST(pos + 1 AS INT)] AS fp
+      |FROM p ORDER BY doc_id, pos""".stripMargin
+
+  /** #178 text_perplexity: bigram-LM score per document — text_logprob's
+    * (#116) conditional upgrade and the self-trained stand-in for the
+    * KenLM perplexity filter every web-scale curation run applies
+    * (CCNet's quality signal): score each doc by the mean ln of add-1-
+    * smoothed transition probabilities P(w2|w1) = (c12+1)/(c1+V) under
+    * the corpus's OWN bigram counts, plus ppl = exp(−mean). Repetitive
+    * machine text scores high-probability; incoherent token soup scores
+    * low — complementary failure modes to the unigram score. Shapes:
+    * row-local bigram extraction (the #174 transform), one bigram-count
+    * aggregate (vocab²-bounded), one (w1,w2)-keyed join back (the BM25
+    * postings discipline — AQE broadcasts when the count table fits),
+    * one per-doc aggregate. Mean is double-summed (round(·,6) sits ~6
+    * orders above ulp noise — the text_logprob discipline); ppl is
+    * exp of the ROUNDED mean (round-before-branch) so both engines
+    * derive it from the identical double. */
+  def textPerplexity(s: SparkSession, d: String): DataFrame =
+    textPerplexityOf(docs(s, d))
+
+  def textPerplexityOf(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+    val bi = toks.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    bi.join(bc, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 6)
+          .as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 6))
+      .orderBy("doc_id")
+  }
+
+  val textPerplexitySql: String =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |bi AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+      |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+      |             FROM tk WHERE len(toks) >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+      |uni AS (SELECT w, count(*) AS c1
+      |        FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+      |vc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+      |sc AS (
+      |  SELECT bi.doc_id,
+      |    ln(CAST(bc.c12 + 1 AS DOUBLE) / (uni.c1 + vc.v)) AS lp
+      |  FROM bi
+      |  JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+      |  JOIN uni ON bi.w1 = uni.w
+      |  CROSS JOIN vc),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS mean_logprob
+      |  FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, mean_logprob, round(exp(-mean_logprob), 6) AS ppl
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** #180 text_entropy: per-document codepoint-distribution Shannon
+    * entropy (nats) + the bits/char form — the compression-ratio quality
+    * signal (base64 blobs ≈ ln|alphabet|, repeated padding ≈ 0, natural
+    * text between) completing the quality family next to #27/#116/#178.
+    * ONE native codegen expression per row (TextExpressions.scala): the
+    * explode-per-char + groupBy formulation would shuffle one row PER
+    * CHARACTER — the shuffle would be the corpus itself; here the
+    * histogram lives in a per-row map, zero shuffle, scan-speed at any
+    * scale. Native sums in codepoint order; the oracle's GROUP BY sum
+    * differs only at ulp, absorbed by round(·,6) (the text_logprob
+    * discipline). */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    textEntropyOf(docs(s, d))
+
+  def textEntropyOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.graft.CharEntropy
+    documents.where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        round(GraftBridge.column(CharEntropy(GraftBridge.expression(col("text")))), 6)
+          .as("entropy"))
+      .withColumn("bits_per_char", round(col("entropy") / lit(math.log(2.0)), 6))
+      .orderBy("doc_id")
+  }
+
+  val textEntropySql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c
+       |  FROM documents WHERE len(text) > 0),
+       |hist AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+       |n AS (SELECT doc_id, len(text) AS n FROM documents WHERE len(text) > 0),
+       |e AS (
+       |  SELECT h.doc_id,
+       |    round(-sum((CAST(h.k AS DOUBLE) / n.n) * ln(CAST(h.k AS DOUBLE) / n.n)), 6) AS entropy
+       |  FROM hist h JOIN n ON h.doc_id = n.doc_id GROUP BY h.doc_id)
+       |SELECT doc_id, entropy,
+       |  round(entropy / CAST(${math.log(2.0)} AS DOUBLE), 6) AS bits_per_char
+       |FROM e ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy" -> (textEntropy _),
+    "text_perplexity" -> (textPerplexity _),
+    "text_winnowing" -> (textWinnowing _),
+    "text_collocations" -> (textCollocations _),
     "corpus_quality_probe" -> (corpusQualityProbe _),
     "text_phrase" -> (textPhrase _),
     "text_unigram_train" -> (textUnigramTrain _),
@@ -588,6 +797,10 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" -> textEntropySql,
+    "text_perplexity" -> textPerplexitySql,
+    "text_winnowing" -> textWinnowingSql,
+    "text_collocations" -> textCollocationsSql,
     "text_phrase" -> textPhraseSql,
     "text_chunks" -> textChunksSql,
     "text_stats" -> textStatsSql,

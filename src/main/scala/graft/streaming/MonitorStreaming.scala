@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming twins of the round-12 monitoring operators — both are
+  * ADDITIVE-SUFFICIENT-STATISTICS incremental (the DSIR/quality-probe
+  * discipline): the only state is a category- or calendar-bounded count
+  * map, each micro-batch contributes one distributed map-side-combined
+  * count, and the report derived from the accumulated state is EXACTLY
+  * the batch operator's answer over everything ingested (spec-pinned, not
+  * approximate). That is what makes corpus-snapshot drift dashboards and
+  * volume-anomaly baselines maintainable on an unbounded ingest stream:
+  * per batch cost is one bounded aggregate, state never grows past the
+  * category/calendar cardinality.
+  */
+
+/** Incremental PSI drift (#179 corpus_drift's twin): per-batch one
+  * (dim, category, cohort) count over the two watched dimensions, merged
+  * additively. `report()` replays corpus_drift's exact arithmetic
+  * (add-1 shares rounded 6 dp, then contribution) on the accumulated
+  * counts. */
+final class StreamingDrift {
+
+  // (dim, category, cohort) -> count; bounded by category cardinality
+  private val state = scala.collection.mutable.HashMap.empty[(String, String, Long), Long]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val counts = batch
+      .select(pmod(col("doc_id"), lit(2L)).as("cohort"),
+        explode(array(
+          struct(lit("lang").as("dim"), col("lang").as("category")),
+          struct(lit("source").as("dim"), col("source").as("category")))).as("c"))
+      .select(col("c.dim"), col("c.category"), col("cohort"))
+      .groupBy("dim", "category", "cohort").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getLong(2)), r.getLong(3)))
+    counts.foreach { case (k, n) => state.update(k, state.getOrElse(k, 0L) + n) }
+  }
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** (dim, category, n0, n1, p0, p1, contrib) rows, the #179 schema,
+    * ordered (dim, category). */
+  def report(): Seq[(String, String, Long, Long, Double, Double, Double)] = synchronized {
+    val cats = state.keys.map { case (d, c, _) => (d, c) }.toSeq.distinct
+    val byDim = cats.groupBy(_._1)
+    cats.sorted.map { case (dim, cat) =>
+      val n0 = state.getOrElse((dim, cat, 0L), 0L)
+      val n1 = state.getOrElse((dim, cat, 1L), 0L)
+      val dimCats = byDim(dim)
+      val t0 = dimCats.map { case (d, c) => state.getOrElse((d, c, 0L), 0L) }.sum
+      val t1 = dimCats.map { case (d, c) => state.getOrElse((d, c, 1L), 0L) }.sum
+      val ncat = dimCats.size
+      val p0 = rnd6((n0 + 1).toDouble / (t0 + ncat))
+      val p1 = rnd6((n1 + 1).toDouble / (t1 + ncat))
+      (dim, cat, n0, n1, p0, p1, rnd6((p0 - p1) * math.log(p0 / p1)))
+    }
+  }
+}
+
+/** Incremental EWMA volume baseline (#181 events_ewma's twin): per-batch
+  * one (event_type, day) count, merged additively; the smoothing replays
+  * on the calendar-bounded accumulated series with the SAME exact
+  * decimal-weighted arithmetic (weights rounded 12 dp, integer counts —
+  * order-independent sums), so late-arriving events for an already-seen
+  * day are absorbed exactly, not approximated. */
+final class StreamingEwma(alpha: Double = 0.3) {
+
+  // (event_type, epochDay) -> count; bounded by types x calendar days
+  private val state = scala.collection.mutable.HashMap.empty[(String, java.sql.Date), Long]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val counts = batch
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => ((r.getString(0), r.getDate(1)), r.getLong(2)))
+    counts.foreach { case (k, n) => state.update(k, state.getOrElse(k, 0L) + n) }
+  }
+
+  private def rnd(x: Double, dp: Int): Double = {
+    val f = math.pow(10, dp)
+    math.floor(x * f + 0.5) / f
+  }
+
+  /** (event_type, day, t, x, ewma) rows, the #181 schema, ordered. */
+  def report(): Seq[(String, java.sql.Date, Long, Long, Double)] = synchronized {
+    val r = 1.0 - alpha
+    state.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (et, entries) =>
+      val series = entries.map { case ((_, day), x) => (day, x) }
+        .sortBy(_._1.getTime)
+      series.zipWithIndex.map { case ((day, x), t) =>
+        val ws = (0 to t).map(i => BigDecimal(rnd(math.pow(r, (t - i).toDouble), 12)))
+        val num = ws.zip(series.take(t + 1).map(_._2)).map { case (w, xi) => w * BigDecimal(xi) }.sum
+        val den = ws.sum
+        (et, day, t.toLong, x, rnd(num.toDouble / den.toDouble, 6))
+      }
+    }
+  }
+}

@@ -1,0 +1,192 @@
+package graft
+
+import graft.queries.{EventQueries, TextQueries}
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the round-12 analytics additions: multi-touch attribution
+  * (credit conservation + model semantics on planted journeys), the A/B
+  * readout (hand-computed z), and PMI collocations (local recompute).
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("attribution: linear conserves value; last/first go to the right touch") {
+    // user 1: view@0, click@10, purchase@20 (value 30) -> linear 15/15,
+    //   last to click, first to view
+    // user 2: click@0, purchase@5 (value 10) -> all 10 to click
+    // user 3: purchase@0 with NO touches -> unattributed (absent)
+    // user 4: view 8 days before purchase@0 (value 99) -> outside window
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0),
+      (2L, ts(10), 1L, "click", 0.0),
+      (3L, ts(20), 1L, "purchase", 30.0),
+      (4L, ts(0), 2L, "click", 0.0),
+      (5L, ts(5), 2L, "purchase", 10.0),
+      (6L, ts(0), 3L, "purchase", 50.0),
+      (7L, ts(0), 4L, "view", 0.0),
+      (8L, ts(8L * 24 * 60), 4L, "purchase", 99.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventQueries.eventsAttributionOf(ev)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nTc, nPc, linC, lastC, firstC) = got("click")
+    val (_, nTv, nPv, linV, lastV, firstV) = got("view")
+    assert(nTc == 2 && nPc == 2 && nTv == 1 && nPv == 1)
+    assert(linC == 25.0 && linV == 15.0)   // 15 + 10 vs 15
+    assert(lastC == 40.0 && lastV == 0.0)  // both purchases last-touched by click
+    assert(firstC == 10.0 && firstV == 30.0)
+    // conservation: every model distributes exactly the attributed value
+    assert(linC + linV == 40.0 && lastC + lastV == 40.0 && firstC + firstV == 40.0)
+  }
+
+  test("ab readout: counts, rates, and z match a hand computation") {
+    // variant 0 (even ids): users 2, 4 -> user 2 converts (value 95)
+    // variant 1 (odd ids): users 1, 3, 5 -> users 1, 3 convert
+    val ev = Seq(
+      (1L, 2L, "purchase", 95.0),
+      (2L, 2L, "view", 0.0),
+      (3L, 4L, "purchase", 10.0), // below 90: not a conversion, counts in ARPU
+      (4L, 1L, "purchase", 92.0),
+      (5L, 3L, "purchase", 99.0),
+      (6L, 5L, "view", 0.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+    val r = EventQueries.eventsAbOf(ev)
+      .select("n0", "n1", "c0", "c1", "rate0", "rate1", "z")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect().head
+    assert(r._1 == 2 && r._2 == 3 && r._3 == 1 && r._4 == 2)
+    assert(r._5 == 0.5 && math.abs(r._6 - 0.666667) < 1e-9)
+    val p0 = 0.5; val p1 = 2.0 / 3; val pp = 3.0 / 5
+    val z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1.0 / 2 + 1.0 / 3))
+    assert(math.abs(r._7 - math.floor(z * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("perplexity: bigram LM scores match a local recompute; repetition scores high") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),     // highly predictable transitions
+      (2L, "a b c d e f g h"),     // every transition seen once
+      (3L, "z")                    // < 2 tokens: absent from output
+    ).toDF("doc_id", "text")
+    val got = TextQueries.textPerplexityOf(docs)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(3L))
+    // local recompute
+    val corpus = Seq("a b a b a b a b", "a b c d e f g h", "z")
+    val toks = corpus.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val bi = toks.filter(_.size >= 2).flatMap(_.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uni.size.toDouble
+    def score(text: String): (Long, Double) = {
+      val t = text.split(" ").toSeq
+      val lps = t.sliding(2).toSeq.map { p =>
+        math.log((bi((p(0), p(1))) + 1).toDouble / (uni(p(0)) + v))
+      }
+      (lps.size.toLong, math.floor(lps.sum / lps.size * 1e6 + 0.5) / 1e6)
+    }
+    Seq(1L -> "a b a b a b a b", 2L -> "a b c d e f g h").foreach { case (id, t) =>
+      val (n, mean) = score(t)
+      val (_, gn, gm, gp) = got(id)
+      assert(gn == n && math.abs(gm - mean) < 1e-9, s"doc $id")
+      assert(math.abs(gp - math.floor(math.exp(-gm) * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+    // the repetitive doc is more probable than the all-distinct doc
+    assert(got(1L)._3 > got(2L)._3 && got(1L)._4 < got(2L)._4)
+  }
+
+  test("drift: identical cohort distributions give PSI contributions of 0") {
+    // parity-balanced: every (lang, source) appears once per cohort
+    val docs = (0L until 40L).map(i =>
+      (i, s"doc $i", if ((i / 2) % 2 == 0) "en" else "de", s"src${(i / 4) % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.queries.PipelineQueries.corpusDriftOf(docs)
+      .as[(String, String, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == 4) // 2 langs + 2 sources
+    got.foreach { case (dim, cat, n0, n1, p0, p1, contrib) =>
+      assert(n0 == n1, s"$dim/$cat")
+      assert(p0 == p1 && contrib == 0.0, s"$dim/$cat")
+    }
+  }
+
+  test("drift: a category present in only one cohort contributes positive PSI") {
+    val docs = (0L until 20L).map { i =>
+      val lang = if (i % 2 == 0) "en" else "fr" // en only in cohort 0, fr only in 1
+      (i, "x", lang, "s0")
+    }.toDF("doc_id", "text", "lang", "source")
+    val got = graft.queries.PipelineQueries.corpusDriftOf(docs)
+      .as[(String, String, Long, Long, Double, Double, Double)].collect()
+      .filter(_._1 == "lang").map(r => r._2 -> r).toMap
+    val (_, _, n0en, n1en, p0en, p1en, cEn) = got("en")
+    assert(n0en == 10 && n1en == 0 && p0en > p1en && cEn > 0)
+    val (_, _, _, _, _, _, cFr) = got("fr")
+    assert(cFr > 0) // symmetric shift: both categories contribute positively
+  }
+
+  test("entropy: uniform = ln k, constant = 0, mixed matches local recompute") {
+    val docs = Seq(
+      (1L, "abcd"),         // uniform over 4 -> ln 4
+      (2L, "aaaaaa"),       // constant -> 0
+      (3L, "aab")           // p = (2/3, 1/3)
+    ).toDF("doc_id", "text")
+    val got = TextQueries.textEntropyOf(docs)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L)._2 == rnd6(math.log(4)))
+    assert(got(2L)._2 == 0.0)
+    val e3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(got(3L)._2 - rnd6(e3)) < 1e-9)
+    // bits_per_char = entropy / ln 2 of the rounded entropy
+    got.values.foreach(r => assert(math.abs(r._3 - rnd6(r._2 / math.log(2.0))) < 1e-9))
+  }
+
+  test("ewma: adjust=true smoothing matches a hand recompute over a planted series") {
+    val ev = Seq(
+      // day 1: 2 events; day 2: 4; day 3: 1 (single type)
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(1), 2L, "click", 0.0),
+      (3L, ts(24 * 60), 1L, "click", 0.0), (4L, ts(24 * 60 + 1), 1L, "click", 0.0),
+      (5L, ts(24 * 60 + 2), 1L, "click", 0.0), (6L, ts(24 * 60 + 3), 1L, "click", 0.0),
+      (7L, ts(48 * 60), 1L, "click", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventQueries.eventsEwmaOf(ev)
+      .select("t", "x", "ewma").as[(Long, Long, Double)].collect().sortBy(_._1)
+    val xs = Seq(2L, 4L, 1L)
+    assert(got.map(_._2).toSeq == xs)
+    val r = 0.7
+    def rnd(x: Double, dp: Int) = math.floor(x * math.pow(10, dp) + 0.5) / math.pow(10, dp)
+    got.foreach { case (t, _, ewma) =>
+      val ws = (0L to t).map(i => rnd(math.pow(r, (t - i).toDouble), 12))
+      val want = rnd(ws.zip(xs).map { case (w, x) => w * x }.sum / ws.sum, 6)
+      assert(math.abs(ewma - want) < 1e-9, s"t=$t")
+    }
+    // smoothing pulls toward history: day-3 ewma sits between x3 and day-2 level
+    val e2 = got(1)._3; val e3 = got(2)._3
+    assert(e3 > 1.0 && e3 < e2)
+  }
+
+  test("collocations: PMI matches a local recompute on a planted corpus") {
+    // "new york" appears 6x; tokens engineered so counts are hand-checkable
+    val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"
+    val docs = Seq((1L, doc.trim)).toDF("doc_id", "text")
+    val got = TextQueries.textCollocationsOf(docs)
+      .as[(String, String, Long, Double)].collect()
+    val toks = doc.trim.toLowerCase.split(" ").toSeq
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = toks.sliding(2).toSeq.map(p => (p(0), p(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nu = toks.size.toDouble
+    val nb = (toks.size - 1).toDouble
+    got.foreach { case (w1, w2, n, pmi) =>
+      assert(bi((w1, w2)) == n, s"count $w1 $w2")
+      val want = math.log(n * nu * nu / (nb * uni(w1) * uni(w2)))
+      assert(math.abs(pmi - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9, s"pmi $w1 $w2")
+    }
+    // the engineered pair is present with its exact count
+    assert(got.exists(r => r._1 == "new" && r._2 == "york" && r._3 == 6))
+    // min-support: nothing below 5 occurrences surfaced
+    assert(got.forall(_._3 >= 5))
+  }
+}

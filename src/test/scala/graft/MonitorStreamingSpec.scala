@@ -1,0 +1,41 @@
+package graft
+
+import graft.queries.{EventQueries, PipelineQueries}
+import graft.streaming.{StreamingDrift, StreamingEwma}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact-incrementality contracts for the monitoring streaming twins:
+  * absorbing micro-batches must reproduce the batch operator over the
+  * union BIT-FOR-BIT (additive sufficient statistics — counts), including
+  * late-arriving rows for already-seen categories/days.
+  */
+class MonitorStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming drift: batched absorption == corpus_drift over the union") {
+    val docs = Tables.documents(spark, sf)
+    val sd = new StreamingDrift
+    // three uneven batches, split by doc_id ranges (order irrelevant)
+    Seq(docs.where(col("doc_id") % 3 === 2), docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 1)).foreach(sd.processBatch)
+    val want = PipelineQueries.corpusDriftOf(docs)
+      .as[(String, String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(sd.report() == want)
+  }
+
+  test("streaming ewma: batched absorption == events_ewma over the union, late rows exact") {
+    val ev = Tables.events(spark, sf)
+    val se = new StreamingEwma
+    // batch 2 delivers LATE rows for days batch 1 already saw — the
+    // additive state absorbs them exactly, no approximation
+    Seq(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1))
+      .foreach(se.processBatch)
+    val want = EventQueries.eventsEwmaOf(ev)
+      .as[(String, java.sql.Date, Long, Long, Double)].collect().toSeq
+    assert(se.report() == want)
+  }
+}

@@ -477,4 +477,45 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 4, s"documents scanned $scans times\n$p")
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("text_entropy: one scan, zero shuffle before the output sort") {
+    val p = plan(TextQueries.textEntropy(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans\n$p")
+    // the only Exchange is the rangepartitioning of the final orderBy —
+    // no hash Exchange means no per-character (or any) shuffle
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("text_winnowing: one scan, selection row-local, no hash shuffle") {
+    val p = plan(TextQueries.textWinnowing(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans\n$p")
+    assert(p.contains("winnow_fingerprints"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("layout_hilbert: key computed in one codegen'd projection over one scan + tiny bounds agg") {
+    val p = plan(PipelineQueries.layoutHilbert(spark, sf))
+    assert(p.contains("hilbert_index"), p)
+    assert(p.contains("BroadcastExchange"), p) // in-plan bounds, no literals
+    // top-500 by key is a TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("events_attribution: purchase/touch join is a single user_id equi-join, no cartesian") {
+    val p = plan(EventQueries.eventsAttribution(spark, sf))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    // the time-window predicate rides the join, not a post-join filter of
+    // a wider product: join condition mentions the microsecond bound
+    assert(p.contains("604800000000"), p)
+  }
+
+  test("text_collocations: bigram extraction is row-local (no per-doc window sort)") {
+    val p = plan(TextQueries.textCollocations(spark, sf))
+    // a posexplode+lag formulation would plan a Window; the transform
+    // formulation must not
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -919,7 +919,50 @@ object EventQueries {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** #185 events_dau: the engagement dashboard readout — daily active
+    * users, trailing-7-day weekly actives, and the DAU/WAU stickiness
+    * ratio per day. The distinct-over-a-sliding-window trap (a window
+    * frame cannot dedup) is avoided by the CONTRIBUTION rewrite: dedup
+    * once to (user, day) grain, then each user-day row fans out
+    * ROW-LOCALLY to the ≤7 window-end days it contributes to and one
+    * distinct aggregate per grain does the rest — every stage is an
+    * equi-shuffle on (day, user), no range join, no nested-loop. At
+    * 100 TB the user-day table is the only data-sized stage and the ×7
+    * fan-out is constant. Inner join restricts output to OBSERVED days
+    * (phantom trailing window-ends drop). */
+  def eventsDau(s: SparkSession, d: String): DataFrame =
+    eventsDauOf(Tables.events(s, d))
+
+  def eventsDauOf(ev: DataFrame): DataFrame = {
+    val ud = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val contrib = ud
+      .select(explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"),
+        col("user_id"))
+      .distinct()
+    val wau = contrib.groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", round(col("dau").cast("double") / col("wau"), 6))
+      .orderBy("day")
+  }
+
+  val eventsDauSql: String =
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      |c0 AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(CAST(day AS TIMESTAMP),
+      |                           CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+      |                           INTERVAL 1 DAY)) AS dts
+      |  FROM ud),
+      |contrib AS (SELECT DISTINCT CAST(dts AS DATE) AS day, user_id FROM c0),
+      |wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+      |SELECT d.day, d.dau, w.wau,
+      |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+      |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau" -> (eventsDau _),
     "events_ewma" -> (eventsEwma _),
     "events_ab" -> (eventsAb _),
     "events_attribution" -> (eventsAttribution _),
@@ -946,6 +989,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_dau" -> eventsDauSql,
     "events_ewma" -> eventsEwmaSql,
     "events_ab" -> eventsAbSql,
     "events_attribution" -> eventsAttributionSql,

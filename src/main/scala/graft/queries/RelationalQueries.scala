@@ -997,7 +997,97 @@ object RelationalQueries {
       |  CAST(sum(abs(coalesce(new_total_micro, 0) - coalesce(old_total_micro, 0))) AS BIGINT) AS abs_diff_micro
       |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
 
+  /** #186 customer_pareto: revenue-concentration readout — Gini
+    * coefficient (rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over
+    * ascending revenue) plus top-1/5/10/20% revenue shares, ONE summary
+    * row. The global ascending rank is computed the SCALE-SAFE way (the
+    * corpus_shuffle discipline — never a one-task window): range
+    * exchange on (rev, custkey) → per-shard row_number (windows
+    * partitioned by shard run parallel) → broadcast shard-count prefix
+    * offsets. Range partition boundaries are sampled (nondeterministic
+    * shard CUTS), but rank = offset + local rank is invariant to where
+    * the cuts fall — the total order (rev, custkey) is unique, so ranks
+    * and every downstream number are deterministic. All sums are exact
+    * DECIMAL (rank cast to DECIMAL(10,0) keeps products inside 38
+    * digits); only the final ratios are doubles, rounded 6 dp. Cuts
+    * ceil(p·n) are exact decimal arithmetic in both engines. */
+  def customerPareto(spark: SparkSession, dir: String): DataFrame =
+    customerParetoOf(Tables.orders(spark, dir))
+
+  def customerParetoOf(orders: DataFrame): DataFrame = {
+    val rev = orders.groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("rev"))
+    val parted = rev.repartitionByRange(32, col("rev"), col("o_custkey"))
+      .withColumn("pid", spark_partition_id())
+    val shard = Window.partitionBy("pid").orderBy(col("rev"), col("o_custkey"))
+    val local = parted.withColumn("lrk", row_number().over(shard).cast("long"))
+    val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
+      .select("pid", "off")
+    val ranked = local.join(broadcast(offsets), "pid")
+      .withColumn("rk", col("off") + col("lrk"))
+    val nRow = ranked.agg(count(lit(1)).as("n"))
+      .selectExpr("n",
+        "CAST(ceil(n * 0.01) AS BIGINT) AS c1",
+        "CAST(ceil(n * 0.05) AS BIGINT) AS c5",
+        "CAST(ceil(n * 0.10) AS BIGINT) AS c10",
+        "CAST(ceil(n * 0.20) AS BIGINT) AS c20")
+    ranked.crossJoin(broadcast(nRow))
+      .groupBy("n", "c1", "c5", "c10", "c20")
+      .agg(sum(col("rev")).as("s"),
+        sum(col("rev") * col("rk").cast("decimal(10,0)")).as("s2"),
+        sum(when(col("rk") >= col("n") - col("c1") + 1, col("rev"))).as("t1"),
+        sum(when(col("rk") >= col("n") - col("c5") + 1, col("rev"))).as("t5"),
+        sum(when(col("rk") >= col("n") - col("c10") + 1, col("rev"))).as("t10"),
+        sum(when(col("rk") >= col("n") - col("c20") + 1, col("rev"))).as("t20"))
+      .selectExpr("n",
+        "CAST(s AS DOUBLE) AS total_revenue",
+        "round(CAST(2 AS DOUBLE) * CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) " +
+          "- CAST(n + 1 AS DOUBLE) / n, 6) AS gini",
+        "round(CAST(t1 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top1_share",
+        "round(CAST(t5 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top5_share",
+        "round(CAST(t10 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top10_share",
+        "round(CAST(t20 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top20_share")
+  }
+
+  val customerParetoSql: String =
+    """WITH rev AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM orders GROUP BY 1),
+      |rk AS (
+      |  SELECT rev,
+      |    CAST(row_number() OVER (ORDER BY rev, o_custkey) AS BIGINT) AS rk
+      |  FROM rev),
+      |nn AS (
+      |  SELECT count(*) AS n,
+      |    CAST(ceil(count(*) * 0.01) AS BIGINT) AS c1,
+      |    CAST(ceil(count(*) * 0.05) AS BIGINT) AS c5,
+      |    CAST(ceil(count(*) * 0.10) AS BIGINT) AS c10,
+      |    CAST(ceil(count(*) * 0.20) AS BIGINT) AS c20
+      |  FROM rev),
+      |agg AS (
+      |  SELECT n, c1, c5, c10, c20,
+      |    sum(rev) AS s,
+      |    sum(rev * CAST(rk AS DECIMAL(10,0))) AS s2,
+      |    sum(CASE WHEN rk >= n - c1 + 1 THEN rev END) AS t1,
+      |    sum(CASE WHEN rk >= n - c5 + 1 THEN rev END) AS t5,
+      |    sum(CASE WHEN rk >= n - c10 + 1 THEN rev END) AS t10,
+      |    sum(CASE WHEN rk >= n - c20 + 1 THEN rev END) AS t20
+      |  FROM rk, nn GROUP BY 1, 2, 3, 4, 5)
+      |SELECT n,
+      |  CAST(s AS DOUBLE) AS total_revenue,
+      |  round(CAST(2 AS DOUBLE) * CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+      |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini,
+      |  round(CAST(t1 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top1_share,
+      |  round(CAST(t5 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top5_share,
+      |  round(CAST(t10 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top10_share,
+      |  round(CAST(t20 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top20_share
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "customer_pareto" -> (customerPareto _),
     "orders_reconcile" -> (ordersReconcile _),
     "orders_open_book" -> (ordersOpenBook _),
     "q8_market_share" -> (q8MarketShare _),
@@ -1028,6 +1118,7 @@ object RelationalQueries {
     "q7_volume_shipping" -> (q7VolumeShipping _))
 
   val oracles: Map[String, String] = Map(
+    "customer_pareto" -> customerParetoSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_product_profit" -> q9ProductProfitSql,
     "q11_important_stock" -> q11ImportantStockSql,

@@ -768,7 +768,81 @@ object TextQueries {
        |  round(entropy / CAST(${math.log(2.0)} AS DOUBLE), 6) AS bits_per_char
        |FROM e ORDER BY doc_id""".stripMargin
 
+  /** #184 text_langid_eval: classifier evaluation readout — per-class
+    * precision / recall / F1 of the language-ID heuristic (#28) against
+    * the corpus's labeled `lang` column: the evaluation harness every
+    * model-derived curation signal needs before it gates a corpus (the
+    * recall-eval idea of #18 applied to a classifier). Plan: the langid
+    * projection joins truth on doc_id (one corpus-sized equi-join), then
+    * EVERYTHING is class-bounded — a |classes|² confusion aggregate,
+    * truth- and prediction-grain rollups of it, one full-outer join so
+    * classes seen only in truth or only in prediction both surface.
+    * Metrics: zero denominators → NULL in both engines; F1 from the
+    * ROUNDED precision/recall (round-before-branch). */
+  def textLangidEval(s: SparkSession, d: String): DataFrame =
+    textLangidEvalOf(docs(s, d))
+
+  def textLangidEvalOf(documents: DataFrame): DataFrame = {
+    val joined = TextAnalysis.withLangId(documents)
+      .select(col("doc_id"), col("lang_pred"))
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val conf = joined.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val truth = conf.groupBy("lang")
+      .agg(sum(col("n")).as("support"),
+        sum(when(col("lang") === col("lang_pred"), col("n")).otherwise(0L)).as("tp"))
+    val predicted = conf.groupBy(col("lang_pred"))
+      .agg(sum(col("n")).as("predicted"))
+    truth.join(predicted, col("lang") === col("lang_pred"), "full_outer")
+      .select(coalesce(col("lang"), col("lang_pred")).as("cls"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("predicted"), lit(0L)).as("predicted"))
+      .withColumn("precision", when(col("predicted") === 0, lit(null).cast("double"))
+        .otherwise(round(col("tp").cast("double") / col("predicted"), 6)))
+      .withColumn("recall", when(col("support") === 0, lit(null).cast("double"))
+        .otherwise(round(col("tp").cast("double") / col("support"), 6)))
+      .withColumn("f1", when(col("precision").isNull || col("recall").isNull ||
+          col("precision") + col("recall") === 0.0, lit(null).cast("double"))
+        .otherwise(round(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall")), 6)))
+      .orderBy("cls")
+  }
+
+  val textLangidEvalSql: String =
+    s"""WITH pred AS ($textLangidBodySql),
+       |j AS (
+       |  SELECT p.doc_id, p.lang_pred, d.lang
+       |  FROM pred p JOIN documents d ON p.doc_id = d.doc_id),
+       |conf AS (SELECT lang, lang_pred, count(*) AS n FROM j GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT lang,
+       |    CAST(sum(n) AS BIGINT) AS support,
+       |    CAST(sum(CASE WHEN lang = lang_pred THEN n ELSE 0 END) AS BIGINT) AS tp
+       |  FROM conf GROUP BY lang),
+       |pr AS (
+       |  SELECT lang_pred, CAST(sum(n) AS BIGINT) AS predicted
+       |  FROM conf GROUP BY lang_pred),
+       |m AS (
+       |  SELECT coalesce(t.lang, p.lang_pred) AS cls,
+       |    coalesce(t.support, 0) AS support, coalesce(t.tp, 0) AS tp,
+       |    coalesce(p.predicted, 0) AS predicted
+       |  FROM truth t FULL OUTER JOIN pr p ON t.lang = p.lang_pred),
+       |pm AS (
+       |  SELECT cls, support, tp, predicted,
+       |    CASE WHEN predicted = 0 THEN NULL
+       |         ELSE round(CAST(tp AS DOUBLE) / predicted, 6) END AS precision,
+       |    CASE WHEN support = 0 THEN NULL
+       |         ELSE round(CAST(tp AS DOUBLE) / support, 6) END AS recall
+       |  FROM m)
+       |SELECT cls, support, tp, predicted, precision, recall,
+       |  CASE WHEN precision IS NULL OR recall IS NULL
+       |            OR precision + recall = 0.0 THEN NULL
+       |       ELSE round(CAST(2 AS DOUBLE) * precision * recall / (precision + recall), 6)
+       |  END AS f1
+       |FROM pm ORDER BY cls""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_eval" -> (textLangidEval _),
     "text_entropy" -> (textEntropy _),
     "text_perplexity" -> (textPerplexity _),
     "text_winnowing" -> (textWinnowing _),
@@ -797,6 +871,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_langid_eval" -> textLangidEvalSql,
     "text_entropy" -> textEntropySql,
     "text_perplexity" -> textPerplexitySql,
     "text_winnowing" -> textWinnowingSql,

@@ -167,6 +167,72 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(e3 > 1.0 && e3 < e2)
   }
 
+  test("langid eval: per-class precision/recall/f1 on a planted confusion") {
+    // truth en x3: two predicted en, one predicted de (marker words)
+    // truth de x1: predicted en -> en: tp=2 support=3 predicted=3
+    //                              de: tp=0 support=1 predicted=1
+    // truth fr x1: predicted und (no markers) -> und appears pred-only
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),
+      (2L, "a walk to the park", "en"),
+      (3L, "der hund und das", "en"),      // mislabeled truth: pred de
+      (4L, "the der into of to and", "de"),// pred en (more en markers)
+      (5L, "xyzzy plugh", "fr")            // no markers: pred und
+    ).toDF("doc_id", "text", "lang")
+    val got = TextQueries.textLangidEvalOf(docs)
+      .as[(String, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val en = got("en")
+    assert(en._2 == 3 && en._3 == 2 && en._4 == 3)
+    assert(en._5.contains(0.666667) && en._6.contains(0.666667) && en._7.contains(0.666667))
+    val de = got("de")
+    assert(de._2 == 1 && de._3 == 0 && de._4 == 1)
+    assert(de._5.contains(0.0) && de._6.contains(0.0) && de._7.isEmpty) // p+r=0 -> NULL f1
+    val fr = got("fr")
+    assert(fr._2 == 1 && fr._4 == 0 && fr._5.isEmpty) // never predicted: NULL precision
+    val und = got("und")
+    assert(und._2 == 0 && und._4 == 1 && und._6.isEmpty) // pred-only class: NULL recall
+  }
+
+  test("dau/wau: contribution rewrite matches hand counts, stickiness exact") {
+    val ev = Seq(
+      (1L, ts(0), 10L, "view", 0.0),              // user 10 day 0
+      (2L, ts(5), 11L, "view", 0.0),              // user 11 day 0
+      (3L, ts(3L * 24 * 60), 10L, "view", 0.0),   // user 10 day 3
+      (4L, ts(3L * 24 * 60 + 9), 10L, "click", 0.0) // same user+day dup
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventQueries.eventsDauOf(ev)
+      .as[(java.sql.Date, Long, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(got.length == 2) // only observed days surface
+    val (d0, d3) = (got(0), got(1))
+    assert(d0._2 == 2 && d0._3 == 2 && d0._4 == 1.0)      // day 0: both users
+    assert(d3._2 == 1 && d3._3 == 2 && d3._4 == 0.5)      // day 3: window spans day 0
+  }
+
+  test("pareto: gini 0 on equal revenues, (n-1)/n on total concentration, shares exact") {
+    import graft.queries.RelationalQueries
+    def orders(revs: Seq[Double]) =
+      revs.zipWithIndex.flatMap { case (r, i) =>
+        // split each customer's revenue over two orders to exercise the agg
+        Seq((i.toLong, r * 0.25), (i.toLong, r * 0.75))
+      }.toDF("o_custkey", "o_totalprice")
+    def run(revs: Seq[Double]) =
+      RelationalQueries.customerParetoOf(orders(revs))
+        .as[(Long, Double, Double, Double, Double, Double, Double)].collect().head
+    // equal: G = 0; every top-p% share = ceil(p n)/n
+    val eq = run(Seq.fill(10)(100.0))
+    assert(eq._1 == 10 && eq._2 == 1000.0 && eq._3 == 0.0)
+    assert(eq._4 == 0.1 && eq._5 == 0.1 && eq._6 == 0.1 && eq._7 == 0.2)
+    // total concentration: G = (n-1)/n, top shares = 1
+    val conc = run(Seq.fill(9)(0.0) :+ 900.0)
+    assert(conc._3 == math.floor((9.0 / 10) * 1e6 + 0.5) / 1e6)
+    assert(conc._4 == 1.0 && conc._7 == 1.0)
+    // hand case: revenues 1..10 -> gini = 2*sum(i*i)/(10*55) - 11/10 = 0.3
+    val lin = run((1 to 10).map(_.toDouble))
+    assert(lin._3 == 0.3)
+    assert(lin._4 == math.floor(10.0 / 55 * 1e6 + 0.5) / 1e6) // top1 = rank10 only
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

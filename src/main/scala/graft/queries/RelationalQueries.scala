@@ -1086,7 +1086,53 @@ object RelationalQueries {
       |  round(CAST(t20 AS DOUBLE) / CAST(s AS DOUBLE), 6) AS top20_share
       |FROM agg""".stripMargin
 
+  /** #187 orders_backlog: concurrent-interval counting — how many orders
+    * are OPEN (placed, not yet fully shipped) on each day an order
+    * opens or closes. The classic sweep-line rewrite: instead of joining
+    * every day against every order interval (quadratic), each order
+    * contributes a +1 delta at o_orderdate and a −1 the day after its
+    * last l_shipdate (this corpus's lineitem carries shipdate, not receipt); the backlog is the running sum of day-grain
+    * deltas. Shapes: one l_orderkey aggregate + one co-keyed equi-join
+    * (corpus-sized, the only data-sized stages), then a day-grain
+    * aggregate and ONE running-sum window over the ~2.5k-day calendar —
+    * bounded by the calendar, not the data (the ewma discipline).
+    * All-integer arithmetic: exact on both engines. */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame =
+    ordersBacklogOf(Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+
+  def ordersBacklogOf(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val closes = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("close_date"))
+    val spans = orders.select(col("o_orderkey"), col("o_orderdate"))
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+    val deltas = spans.select(col("o_orderdate").as("day"), lit(1L).as("d"))
+      .unionAll(spans.select(date_add(col("close_date"), 1).as("day"), lit(-1L).as("d")))
+    val daily = deltas.groupBy("day").agg(sum(col("d")).as("delta"))
+    val sweep = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("backlog", sum(col("delta")).over(sweep))
+      .orderBy("day")
+  }
+
+  val ordersBacklogSql: String =
+    """WITH closes AS (
+      |  SELECT l_orderkey, max(l_shipdate) AS close_date
+      |  FROM lineitem GROUP BY 1),
+      |spans AS (
+      |  SELECT o.o_orderkey, o.o_orderdate, c.close_date
+      |  FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey),
+      |deltas AS (
+      |  SELECT o_orderdate AS day, CAST(1 AS BIGINT) AS d FROM spans
+      |  UNION ALL
+      |  SELECT close_date + INTERVAL 1 DAY, CAST(-1 AS BIGINT) FROM spans),
+      |daily AS (SELECT CAST(day AS DATE) AS day, sum(d) AS delta FROM deltas GROUP BY 1)
+      |SELECT day, CAST(delta AS BIGINT) AS delta,
+      |  CAST(sum(delta) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+      |FROM daily ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_backlog" -> (ordersBacklog _),
     "customer_pareto" -> (customerPareto _),
     "orders_reconcile" -> (ordersReconcile _),
     "orders_open_book" -> (ordersOpenBook _),
@@ -1118,6 +1164,7 @@ object RelationalQueries {
     "q7_volume_shipping" -> (q7VolumeShipping _))
 
   val oracles: Map[String, String] = Map(
+    "orders_backlog" -> ordersBacklogSql,
     "customer_pareto" -> customerParetoSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_product_profit" -> q9ProductProfitSql,

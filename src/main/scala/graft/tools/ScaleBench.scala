@@ -89,11 +89,14 @@ object ScaleBench {
     (i * 97) % dim
   }
 
+  private def built(outDir: String, table: String): Boolean =
+    new java.io.File(s"$outDir/$table.parquet/_SUCCESS").exists()
+
   private def buildScaled(spark: SparkSession, baseDir: String,
                           outDir: String, replicas: Int): Unit = {
-    if (new java.io.File(s"$outDir/documents.parquet/_SUCCESS").exists() &&
-        new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS").exists() &&
-        new java.io.File(s"$outDir/events.parquet/_SUCCESS").exists()) return
+    buildScaledRelational(spark, baseDir, outDir, replicas)
+    if (built(outDir, "documents") && built(outDir, "embeddings") &&
+        built(outDir, "events")) return
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     // replica id spaces must not collide: base ids live below the offset
@@ -136,6 +139,32 @@ object ScaleBench {
     }
     evCopies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
+  /** Replicate the TPC-H side for the relational probes (pareto's rank,
+    * hilbert's layout): key columns offset per replica, every value
+    * column untouched — each replica reproduces the base distribution
+    * exactly (the events discipline, relational flavor), so rank/layout
+    * work scales with rows while per-replica answers stay the base
+    * corpus'. Built lazily and independently of the three core tables
+    * so pre-existing scale dirs upgrade in place. */
+  private def buildScaledRelational(spark: SparkSession, baseDir: String,
+                                    outDir: String, replicas: Int): Unit = {
+    if (!built(outDir, "orders")) {
+      val o = spark.read.parquet(s"$baseDir/orders.parquet")
+      (0 until replicas).map { i =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * IdOffset))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * IdOffset))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }
+    if (!built(outDir, "lineitem")) {
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      (0 until replicas).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * IdOffset))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
   }
 
   private def warm(spark: SparkSession, dir: String): Unit = {

@@ -233,6 +233,22 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(lin._4 == math.floor(10.0 / 55 * 1e6 + 0.5) / 1e6) // top1 = rank10 only
   }
 
+  test("backlog: sweep-line open-order counts match hand-tracked intervals") {
+    import graft.queries.RelationalQueries
+    def d(off: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(off))
+    val orders = Seq((1L, d(0)), (2L, d(1))).toDF("o_orderkey", "o_orderdate")
+    val lineitem = Seq(
+      (1L, d(1)), (1L, d(2)), // order 1 ships last on day 2
+      (2L, d(1))              // order 2 ships day 1
+    ).toDF("l_orderkey", "l_shipdate")
+    val got = RelationalQueries.ordersBacklogOf(orders, lineitem)
+      .select("day", "backlog").as[(java.sql.Date, Long)].collect()
+      .map { case (day, b) => day.toString -> b }.toMap
+    // d0: order1 open; d1: both; d2: order2 closed after d1 -> 1; d3: 0
+    assert(got == Map("2024-01-01" -> 1L, "2024-01-02" -> 2L,
+      "2024-01-03" -> 1L, "2024-01-04" -> 0L))
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

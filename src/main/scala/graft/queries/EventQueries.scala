@@ -961,7 +961,40 @@ object EventQueries {
       |  round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
       |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
 
+  /** #188 events_wau_sketch: the MERGEABLE-SKETCH scale path for #185's
+    * trailing-window distinct (the events_uniques_approx symmetry, window
+    * flavor): one Datasketches HLL per day (hll_sketch_agg, lgK=14 →
+    * ~1.6% rsd), then each WINDOW's count is the estimate of the UNION
+    * of its 7 daily sketches (hll_union_agg) — the property
+    * approx_count_distinct's opaque aggregate cannot offer. Why it
+    * matters at 100 TB: the exact contribution rewrite shuffles
+    * 7×|user-days| rows; this ships 7 KB-sized sketches per window-end
+    * REGARDLESS of user count — per-day sketches build once and serve
+    * every overlapping window (and any 30/90-day variant, free).
+    * Reports the exact WAU next to the estimate with the relative
+    * error (the trade visible in the result); rows-only by nature
+    * (sketch estimates are engine-specific); ≤5% error + day-count
+    * parity contracts spec-pinned (AnalyticsOpsSpec). */
+  def eventsWauSketch(s: SparkSession, d: String): DataFrame =
+    eventsWauSketchOf(Tables.events(s, d))
+
+  def eventsWauSketchOf(ev: DataFrame): DataFrame = {
+    val daily = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val contrib = daily.select(
+      explode(expr("sequence(day, date_add(day, 6), interval 1 day)")).as("day"),
+      col("sk"))
+    val est = contrib.groupBy("day")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
+    eventsDauOf(ev).select(col("day"), col("wau").as("wau_exact"))
+      .join(est, "day")
+      .withColumn("rel_err", round(
+        abs(col("wau_est") - col("wau_exact")).cast("double") / col("wau_exact"), 6))
+      .orderBy("day")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_wau_sketch" -> (eventsWauSketch _),
     "events_dau" -> (eventsDau _),
     "events_ewma" -> (eventsEwma _),
     "events_ab" -> (eventsAb _),

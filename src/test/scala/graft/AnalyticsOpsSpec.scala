@@ -249,6 +249,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       "2024-01-03" -> 1L, "2024-01-04" -> 0L))
   }
 
+  test("wau sketch: merged daily sketches track exact within the HLL bound") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val got = EventQueries.eventsWauSketchOf(ev)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+    val exactDays = EventQueries.eventsDauOf(ev)
+      .select("day").as[java.sql.Date].collect().toSet
+    assert(got.map(_._1).toSet == exactDays) // same observed-day set
+    assert(got.forall(_._4 <= 0.05), got.maxBy(_._4).toString)
+    // high cardinality actually exercises estimation: 40k users over 3
+    // days, the day-2 window unions all three sketches
+    val big = spark.range(40000).select(
+      col("id").as("user_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        (col("id") % 3) * 86400L * 1000000L).as("ts"))
+    val bigGot = EventQueries.eventsWauSketchOf(big)
+      .as[(java.sql.Date, Long, Long, Double)].collect().maxBy(_._1.getTime)
+    assert(bigGot._2 == 40000 && bigGot._4 <= 0.03,
+      s"exact=${bigGot._2} est=${bigGot._3} err=${bigGot._4}")
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

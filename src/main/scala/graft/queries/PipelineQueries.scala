@@ -526,6 +526,36 @@ object PipelineQueries {
       |  round((p0 - p1) * ln(p0 / p1), 6) AS contrib
       |FROM pr ORDER BY dim, category""".stripMargin
 
+  /** #189 corpus_manifest: the data-card reproducibility manifest — per
+    * source, row count, total chars, and an ORDER-INDEPENDENT content
+    * fingerprint: bit_xor of each doc's 60-bit md5 prefix. XOR is
+    * commutative/associative, so the fingerprint is invariant to row
+    * order, partitioning, and executor count (what makes it usable as a
+    * cross-engine, cross-run corpus identity check at any scale — two
+    * pipelines produced the same corpus iff the manifests match), while
+    * any single-character change flips it. One map-side-combined
+    * aggregate over one scan; the md5-hex → BIGINT bridge is the
+    * engine-portable sample_weighted trick, so the whole manifest is
+    * hash-checked against DuckDB. */
+  def corpusManifest(s: SparkSession, d: String): DataFrame =
+    corpusManifestOf(Tables.documents(s, d))
+
+  def corpusManifestOf(documents: DataFrame): DataFrame =
+    documents.select(col("source"), col("n_chars"),
+      conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        expr("bit_xor(h)").as("content_hash"))
+      .orderBy("source")
+
+  val corpusManifestSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_hash
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-source contribution cap — the "domain cap" every web-scale
     * curation run applies (RefinedWeb/C4 shape: no single domain may
     * dominate the corpus): keep at most CapPerSource docs per source,
@@ -801,6 +831,7 @@ object PipelineQueries {
     "layout_zorder" -> (layoutZorder _),
     "layout_hilbert" -> (layoutHilbert _),
     "corpus_drift" -> (corpusDrift _),
+    "corpus_manifest" -> (corpusManifest _),
     "corpus_shuffle" -> (corpusShuffle _),
     "pack_sequences" -> (packSequences _),
     "split_kfold" -> (splitKfold _),
@@ -822,6 +853,7 @@ object PipelineQueries {
     "layout_zorder" -> layoutZorderSql,
     "layout_hilbert" -> layoutHilbertSql,
     "corpus_drift" -> corpusDriftSql,
+    "corpus_manifest" -> corpusManifestSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pack_sequences" -> packSequencesSql,
     "split_kfold" -> splitKfoldSql,

@@ -58,6 +58,35 @@ final class StreamingDrift {
   }
 }
 
+/** Incremental corpus manifest (#189's twin): XOR is its own inverse and
+  * commutative, so the per-source fingerprint state absorbs micro-batches
+  * additively (and could even RETRACT a batch by re-absorbing it) — the
+  * report over accumulated state equals corpus_manifest over the union
+  * bit-for-bit. State: one (count, chars, hash) triple per source. */
+final class StreamingManifest {
+
+  private val state = scala.collection.mutable.HashMap.empty[String, (Long, Long, Long)]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val rows = batch.select(col("source"), col("n_chars"),
+      conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"),
+        expr("bit_xor(h)").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (src, n, c, x) =>
+      val (pn, pc, px) = state.getOrElse(src, (0L, 0L, 0L))
+      state.update(src, (pn + n, pc + c, px ^ x))
+    }
+  }
+
+  /** (source, n_docs, total_chars, content_hash), the #189 schema. */
+  def report(): Seq[(String, Long, Long, Long)] = synchronized {
+    state.toSeq.sortBy(_._1).map { case (s, (n, c, x)) => (s, n, c, x) }
+  }
+}
+
 /** Incremental EWMA volume baseline (#181 events_ewma's twin): per-batch
   * one (event_type, day) count, merged additively; the smoothing replays
   * on the calendar-bounded accumulated series with the SAME exact

@@ -269,6 +269,21 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"exact=${bigGot._2} est=${bigGot._3} err=${bigGot._4}")
   }
 
+  test("manifest: fingerprint invariant to partitioning; flips on a one-char edit") {
+    import graft.queries.PipelineQueries
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = PipelineQueries.corpusManifestOf(docs).collect().toSeq
+    val reparted = PipelineQueries.corpusManifestOf(docs.repartition(7)).collect().toSeq
+    assert(base == reparted) // XOR fingerprint is order/partition independent
+    val touchedSource = docs.where(col("doc_id") === 0)
+      .select("source").as[String].collect().head
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit("x"))).otherwise(col("text")))
+    val editedMan = PipelineQueries.corpusManifestOf(edited).collect().toSeq
+    val changed = base.zip(editedMan).filter { case (a, b) => a != b }
+    assert(changed.size == 1 && changed.head._1.getString(0) == touchedSource)
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

@@ -27,6 +27,16 @@ class MonitorStreamingSpec extends AnyFunSuite {
     assert(sd.report() == want)
   }
 
+  test("streaming manifest: batched absorption == corpus_manifest over the union") {
+    val docs = Tables.documents(spark, sf)
+    val sm = new graft.streaming.StreamingManifest
+    Seq(docs.where(col("doc_id") % 3 === 1), docs.where(col("doc_id") % 3 === 0),
+      docs.where(col("doc_id") % 3 === 2)).foreach(sm.processBatch)
+    val want = PipelineQueries.corpusManifestOf(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(sm.report() == want)
+  }
+
   test("streaming ewma: batched absorption == events_ewma over the union, late rows exact") {
     val ev = Tables.events(spark, sf)
     val se = new StreamingEwma

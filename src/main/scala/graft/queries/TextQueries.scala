@@ -841,7 +841,50 @@ object TextQueries {
        |  END AS f1
        |FROM pm ORDER BY cls""".stripMargin
 
+  /** #191 text_readability: Flesch Reading Ease per document — the
+    * classic readability signal (206.835 − 1.015·words/sentences −
+    * 84.6·syllables/word) with the standard corpus-scale proxies:
+    * sentences = runs of [.!?] (floored at 1), syllables = vowel-group
+    * count (the rule-based approximation every readability library uses
+    * when no dictionary is available). Complements the quality family
+    * (#27 surface ratios, #180 entropy, #178 perplexity) with the one
+    * signal teachers of the genre actually quote. Scan-only row-local
+    * regex counting (patterns valid in BOTH Java regex and RE2 — the
+    * scrub discipline), zero shuffle; ratios computed double with the
+    * identical association order, 6 dp. */
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    textReadabilityOf(docs(s, d))
+
+  def textReadabilityOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast("long").as("n_sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("fre", round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+      .orderBy("doc_id")
+
+  val textReadabilitySql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+      |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  round(CAST(206.835 AS DOUBLE)
+      |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences)
+      |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS fre
+      |FROM f WHERE n_words > 0 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> (textReadability _),
     "text_langid_eval" -> (textLangidEval _),
     "text_entropy" -> (textEntropy _),
     "text_perplexity" -> (textPerplexity _),
@@ -871,6 +914,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_langid_eval" -> textLangidEvalSql,
     "text_entropy" -> textEntropySql,
     "text_perplexity" -> textPerplexitySql,

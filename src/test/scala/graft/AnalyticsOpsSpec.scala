@@ -284,6 +284,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(changed.size == 1 && changed.head._1.getString(0) == touchedSource)
   }
 
+  test("readability: Flesch formula matches hand computation; ranks simple above dense") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran. It was fun."),   // short sentences
+      (2L, "Extraordinarily sophisticated considerations necessitate comprehensive experimentation")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.textReadabilityOf(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    def fre(w: Long, s: Long, sy: Long): Double = {
+      val x = 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w)
+      math.floor(x * 1e6 + 0.5) / 1e6
+    }
+    val d1 = got(1L)
+    assert(d1._2 == 9 && d1._3 == 3, d1.toString) // 9 ws tokens, 3 sentences
+    assert(d1._5 == fre(d1._2, d1._3, d1._4))
+    val d2 = got(2L)
+    assert(d2._3 == 1) // no terminator: floored at 1
+    assert(d2._5 == fre(d2._2, d2._3, d2._4))
+    // the polysyllabic doc must score far lower
+    assert(d1._5 > d2._5 + 50)
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

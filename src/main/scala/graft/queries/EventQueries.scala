@@ -993,7 +993,50 @@ object EventQueries {
       .orderBy("day")
   }
 
+  /** #192 events_cohort_matrix: the D0–D7 retention triangle — #64's
+    * single-offset D1 readout generalized to the matrix every growth
+    * dashboard actually renders: per (first-seen cohort day, day offset
+    * 0..7), how many cohort users were active and what fraction of the
+    * cohort that is. Shapes: one per-user min(day) aggregate + one
+    * user-keyed equi-join of the deduped user-day table (both shuffles
+    * on user_id — the key reuse discipline), then everything is
+    * (cohort × 8)-bounded; rates join the offset-0 row back on the tiny
+    * cohort table. Rates are exact integer ratios rounded 6 dp. */
+  def eventsCohortMatrix(s: SparkSession, d: String): DataFrame =
+    eventsCohortMatrixOf(Tables.events(s, d))
+
+  def eventsCohortMatrixOf(ev: DataFrame): DataFrame = {
+    val ud = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = ud.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val cells = ud.join(first, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")))
+      .where(col("offset") <= 7)
+      .groupBy("cohort_day", "offset").agg(count(lit(1)).as("n_active"))
+    val sizes = cells.where(col("offset") === 0)
+      .select(col("cohort_day"), col("n_active").as("n_cohort"))
+    cells.join(sizes, "cohort_day")
+      .withColumn("rate", round(col("n_active").cast("double") / col("n_cohort"), 6))
+      .select(col("cohort_day"), col("offset"), col("n_active"), col("n_cohort"), col("rate"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  val eventsCohortMatrixSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+      |cells AS (
+      |  SELECT f.cohort_day, CAST(ud.day - f.cohort_day AS INT) AS "offset",
+      |         count(*) AS n_active
+      |  FROM ud JOIN f ON ud.user_id = f.user_id
+      |  WHERE ud.day - f.cohort_day <= 7
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT cohort_day, n_active AS n_cohort FROM cells WHERE "offset" = 0)
+      |SELECT c.cohort_day, c."offset", c.n_active, s.n_cohort,
+      |  round(CAST(c.n_active AS DOUBLE) / s.n_cohort, 6) AS rate
+      |FROM cells c JOIN sz s USING (cohort_day)
+      |ORDER BY cohort_day, "offset"""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cohort_matrix" -> (eventsCohortMatrix _),
     "events_wau_sketch" -> (eventsWauSketch _),
     "events_dau" -> (eventsDau _),
     "events_ewma" -> (eventsEwma _),
@@ -1022,6 +1065,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_cohort_matrix" -> eventsCohortMatrixSql,
     "events_dau" -> eventsDauSql,
     "events_ewma" -> eventsEwmaSql,
     "events_ab" -> eventsAbSql,

@@ -305,6 +305,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(d1._5 > d2._5 + 50)
   }
 
+  test("cohort matrix: planted journeys produce the hand-built D0-D7 triangle") {
+    def dmin(days: Long) = ts(days * 24 * 60)
+    val ev = Seq(
+      (1L, dmin(0), 1L, "view", 0.0), (2L, dmin(1), 1L, "view", 0.0),
+      (3L, dmin(3), 1L, "view", 0.0),                      // A: d0, d1, d3
+      (4L, dmin(0), 2L, "view", 0.0),                      // B: d0 only
+      (5L, dmin(1), 3L, "view", 0.0), (6L, dmin(2), 3L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventQueries.eventsCohortMatrixOf(ev)
+      .as[(java.sql.Date, Int, Long, Long, Double)].collect()
+      .map(r => (r._1.toString, r._2) -> (r._3, r._4, r._5)).toMap
+    val d0 = got.keys.map(_._1).min
+    val d1 = java.time.LocalDate.parse(d0).plusDays(1).toString
+    assert(got((d0, 0)) == ((2L, 2L, 1.0)))
+    assert(got((d0, 1)) == ((1L, 2L, 0.5)))
+    assert(got((d0, 3)) == ((1L, 2L, 0.5)))
+    assert(got((d1, 0)) == ((1L, 1L, 1.0)))
+    assert(got((d1, 1)) == ((1L, 1L, 1.0)))
+    assert(got.size == 5)
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

@@ -596,6 +596,68 @@ object VectorQueries {
   val hybridGeoSql: String =
     QuerySet.oracleSql(QuerySet.geo, from = s"(${Tables.embeddingsMetaSql})")
 
+  /** #193 geo_pairs: spatial radius self-join — every pair of points
+    * within [[GeoRadiusKm]] km over the derived lat/lon metadata (the
+    * dedup blocking discipline, geographic flavor): each point lands in
+    * one 0.5°×0.5° grid cell; the LEFT side explodes row-locally to its
+    * 3×3 cell neighborhood and equi-joins the RIGHT side's home cell, so
+    * candidates are a LINEAR ×9 fan-out keyed by cell — never an
+    * all-pairs product. Cell size is chosen so the neighborhood is
+    * COMPLETE for the radius over this view's latitude range (25 km ≤
+    * 0.225° lat; lon at the worst |lat| = 59.5° is 0.443° < 0.5°), and
+    * a pair meets in exactly ONE cell (the right point's home), so no
+    * post-join dedup. Haversine distance written with the identical
+    * association order in both engines, rounded 6 dp BEFORE the
+    * threshold (round-before-branch). The DuckDB oracle runs the NAIVE
+    * all-pairs join — a dropped-candidate bug in the blocking would
+    * hash-mismatch, so completeness is verified per row, per round. */
+  val GeoRadiusKm = 25.0
+
+  private val haversineSqlFmt =
+    "round(2 * 6371.0088 * asin(sqrt(" +
+      "pow(sin(radians(%s - %s) / 2), 2) + " +
+      "cos(radians(%s)) * cos(radians(%s)) * " +
+      "pow(sin(radians(%s - %s) / 2), 2))), 6)"
+
+  def geoPairs(s: SparkSession, d: String): DataFrame =
+    geoPairsOf(Tables.embeddingsMeta(s, d))
+
+  def geoPairsOf(meta: org.apache.spark.sql.DataFrame): DataFrame = {
+    val pts = meta.select(col("vec_id").as("id"),
+      col("latitude").as("lat"), col("longitude").as("lon"))
+      .withColumn("cl", floor(col("lat") / 0.5).cast("long"))
+      .withColumn("co", floor(col("lon") / 0.5).cast("long"))
+    val probe = pts
+      .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+        explode(expr(
+          "transform(sequence(0, 8), i -> " +
+            "struct(cl + (i div 3) - 1 AS cl, co + (i % 3) - 1 AS co))")).as("c"))
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
+        col("c.cl").as("cl"), col("c.co").as("co"))
+    val build = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),
+      col("lon").as("lon_b"), col("cl"), col("co"))
+    val dist = expr(haversineSqlFmt.format(
+      "lat_b", "lat_a", "lat_a", "lat_b", "lon_b", "lon_a"))
+    probe.join(build, Seq("cl", "co"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist_km", dist)
+      .where(col("dist_km") <= GeoRadiusKm)
+      .select(col("id_a"), col("id_b"), col("dist_km"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val geoPairsSql: String = {
+    val dist = haversineSqlFmt.format(
+      "b.latitude", "a.latitude", "a.latitude", "b.latitude",
+      "b.longitude", "a.longitude")
+    s"""WITH m AS (${graft.Tables.embeddingsMetaSql}),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $dist AS dist_km
+       |  FROM m a JOIN m b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, dist_km FROM p
+       |WHERE dist_km <= $GeoRadiusKm ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** #124 hybrid_rrf: sparse+dense fusion — the industry "hybrid search"
     * shape (dense vector top-N ∪ BM25 keyword top-N, reciprocal-rank
     * fused; Fusion doc). The reference fuses dense with metadata FILTERS;
@@ -784,6 +846,7 @@ object VectorQueries {
     "hybrid_queries" -> (hybridQueries _),
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
+    "geo_pairs" -> (geoPairs _),
     "hybrid_rrf" -> (hybridRrf _),
     "hybrid_rrf_batch" -> (hybridRrfBatch _),
     "hybrid_qtext_rrf" -> (hybridQtextRrf _),
@@ -825,6 +888,7 @@ object VectorQueries {
     "hybrid_queries" -> hybridQueriesSql,
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
+    "geo_pairs" -> geoPairsSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_batch" -> hybridRrfBatchSql,
     "hybrid_qtext_rrf" -> hybridQtextRrfSql,

@@ -326,6 +326,40 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("geo pairs: boundary-straddling pairs found; equals a naive recompute") {
+    import graft.queries.VectorQueries
+    def hav(la1: Double, lo1: Double, la2: Double, lo2: Double): Double = {
+      def r(d: Double) = math.toRadians(d)
+      val x = math.pow(math.sin(r(la2 - la1) / 2), 2) +
+        math.cos(r(la1)) * math.cos(r(la2)) * math.pow(math.sin(r(lo2 - lo1) / 2), 2)
+      math.floor(2 * 6371.0088 * math.asin(math.sqrt(x)) * 1e6 + 0.5) / 1e6
+    }
+    // points 1,2 straddle the 0.0/0.5-degree cell boundary ~2.2 km apart;
+    // 3 is far away; 4 sits ~24.9 km from 1 (inside radius), 5 ~27 km (out)
+    val meta = Seq(
+      (1L, 0.249, 10.0), (2L, 0.251, 10.0), (3L, 50.0, -100.0),
+      (4L, 0.249, 10.224), (5L, 0.249, 10.243)
+    ).toDF("vec_id", "latitude", "longitude")
+    val got = VectorQueries.geoPairsOf(meta)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.contains((1L, 2L)), "boundary pair missed")
+    assert(got((1L, 2L)) == hav(0.249, 10.0, 0.251, 10.0))
+    assert(got.keys.forall { case (a, b) => a != 3L && b != 3L })
+    assert(got.contains((1L, 4L)) && !got.contains((1L, 5L)))
+    // completeness vs a naive all-pairs recompute on a real slice
+    val slice = Tables.embeddingsMeta(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "latitude", "longitude").limit(300)
+    val pts = slice.as[(Long, Double, Double)].collect()
+    val naive = (for {
+      (a, la1, lo1) <- pts; (b, la2, lo2) <- pts if a < b
+      d = hav(la1, lo1, la2, lo2) if d <= VectorQueries.GeoRadiusKm
+    } yield (a, b, d)).toSet
+    val blocked = VectorQueries.geoPairsOf(slice)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == naive,
+      s"missing=${(naive -- blocked).take(3)} extra=${(blocked -- naive).take(3)}")
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

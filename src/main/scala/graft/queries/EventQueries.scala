@@ -1035,7 +1035,45 @@ object EventQueries {
       |FROM cells c JOIN sz s USING (cohort_day)
       |ORDER BY cohort_day, "offset"""".stripMargin
 
+  /** #194 events_props_agg: schema-on-read over the semi-structured
+    * `props` JSON column — the shape every event pipeline needs when
+    * payloads carry ad-hoc fields the table schema doesn't: `from_json`
+    * with an explicit schema projects the field INSIDE the scan stage
+    * (one pass, codegen'd Jackson parse, no shuffle beyond the per-type
+    * aggregate; malformed or missing keys degrade to NULL, never an
+    * error), then exact integer aggregates per event type with the mean
+    * derived as exact-sum / count (round 6). The oracle extracts the
+    * same path with DuckDB's JSON reader — parser-independence of the
+    * VALUES is what the hash compare proves. */
+  def eventsPropsAgg(s: SparkSession, d: String): DataFrame =
+    eventsPropsAggOf(Tables.events(s, d))
+
+  def eventsPropsAggOf(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val eventsPropsAggSql: String =
+    """WITH x AS (
+      |  SELECT event_type,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
     "events_wau_sketch" -> (eventsWauSketch _),
     "events_dau" -> (eventsDau _),
@@ -1065,6 +1103,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,
     "events_dau" -> eventsDauSql,
     "events_ewma" -> eventsEwmaSql,

@@ -360,6 +360,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"missing=${(naive -- blocked).take(3)} extra=${(blocked -- naive).take(3)}")
   }
 
+  test("props agg: schema-on-read degrades malformed/missing JSON to NULL") {
+    import graft.queries.EventQueries
+    val ev = Seq(
+      (1L, "a", """{"k": 5}"""),
+      (2L, "a", """{"k": 7}"""),
+      (3L, "a", """not json at all"""),   // malformed -> NULL k
+      (4L, "a", """{"other": 1}"""),      // missing key -> NULL k
+      (5L, "b", """{"k": 10}""")
+    ).toDF("event_id", "event_type", "props")
+    val got = EventQueries.eventsPropsAggOf(ev)
+      .as[(String, Long, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val a = got("a")
+    assert(a._2 == 4 && a._3 == 2 && a._4 == 12 && a._5 == 6.0 && a._6 == 5 && a._7 == 7)
+    val b = got("b")
+    assert(b._2 == 1 && b._3 == 1 && b._4 == 10)
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

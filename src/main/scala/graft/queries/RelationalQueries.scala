@@ -1131,7 +1131,46 @@ object RelationalQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
       |FROM daily ORDER BY day""".stripMargin
 
+  /** #195 orders_seasonality: the month-grain BI readout — order volume,
+    * exact DECIMAL revenue, and month-over-month / year-over-year growth
+    * per calendar month. One map-side-combined month aggregate is the
+    * only corpus pass; the lag windows ride the ~80-row month series
+    * (bounded by the calendar — the ewma/backlog discipline). Growth =
+    * (rev − lag)/lag on doubles both engines derive from the same exact
+    * decimal, rounded 6 dp; leading months (no lag) are NULL in both. */
+  def ordersSeasonality(spark: SparkSession, dir: String): DataFrame =
+    ordersSeasonalityOf(Tables.orders(spark, dir))
+
+  def ordersSeasonalityOf(orders: DataFrame): DataFrame = {
+    val m = orders.groupBy(
+        date_trunc("MONTH", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+    val w = Window.orderBy("month")
+    m.withColumn("mom", round(
+        (col("revenue") - lag(col("revenue"), 1).over(w)) /
+          lag(col("revenue"), 1).over(w), 6))
+      .withColumn("yoy", round(
+        (col("revenue") - lag(col("revenue"), 12).over(w)) /
+          lag(col("revenue"), 12).over(w), 6))
+      .orderBy("month")
+  }
+
+  val ordersSeasonalitySql: String =
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders GROUP BY 1)
+      |SELECT month, n_orders, revenue,
+      |  round((revenue - lag(revenue, 1) OVER (ORDER BY month)) /
+      |        lag(revenue, 1) OVER (ORDER BY month), 6) AS mom,
+      |  round((revenue - lag(revenue, 12) OVER (ORDER BY month)) /
+      |        lag(revenue, 12) OVER (ORDER BY month), 6) AS yoy
+      |FROM m ORDER BY month""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_seasonality" -> (ordersSeasonality _),
     "orders_backlog" -> (ordersBacklog _),
     "customer_pareto" -> (customerPareto _),
     "orders_reconcile" -> (ordersReconcile _),
@@ -1164,6 +1203,7 @@ object RelationalQueries {
     "q7_volume_shipping" -> (q7VolumeShipping _))
 
   val oracles: Map[String, String] = Map(
+    "orders_seasonality" -> ordersSeasonalitySql,
     "orders_backlog" -> ordersBacklogSql,
     "customer_pareto" -> customerParetoSql,
     "q8_market_share" -> q8MarketShareSql,

@@ -378,6 +378,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(b._2 == 1 && b._3 == 1 && b._4 == 10)
   }
 
+  test("seasonality: monthly rollup with hand-checked MoM/YoY growth") {
+    import graft.queries.RelationalQueries
+    def d(y: Int, m: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(y, m, 15))
+    // 14 consecutive months, revenue = 100 * monthIndex (so growth is known)
+    val orders = (1 to 14).flatMap { i =>
+      val dt = d(2023 + (i - 1) / 12, (i - 1) % 12 + 1)
+      Seq((i.toLong, dt, i * 100.0))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = RelationalQueries.ordersSeasonalityOf(orders)
+      .as[(java.sql.Date, Long, Double, Option[Double], Option[Double])]
+      .collect().sortBy(_._1.getTime)
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.length == 14 && got.forall(_._2 == 1))
+    assert(got.head._4.isEmpty && got.head._5.isEmpty)      // no lag yet
+    assert(got(1)._4.contains(rnd6((200.0 - 100.0) / 100.0)))
+    assert(got(12)._5.contains(rnd6((1300.0 - 100.0) / 100.0))) // first YoY
+    assert(got(11)._5.isEmpty)                               // month 12: lag 12 missing
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

@@ -658,6 +658,46 @@ object VectorQueries {
        |WHERE dist_km <= $GeoRadiusKm ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** #196 vec_dim_stats: per-dimension embedding health — mean, variance,
+    * range, and near-zero fraction for every coordinate: the table that
+    * catches dead dimensions, anisotropy, and mis-scaled encoder exports
+    * before they poison an index build. The posexplode is row-local and
+    * the aggregate is MAP-SIDE COMBINED on the dim key, so each partition
+    * ships exactly `dim` partial rows regardless of row count — the
+    * shuffle is O(partitions × dim), not O(rows × dim). Mean/variance as
+    * round(avg(·),6) (the text_logprob ulp discipline; variance by the
+    * moments identity with round-before-compare); min/max exact. */
+  def vecDimStats(s: SparkSession, d: String): DataFrame =
+    vecDimStatsOf(emb(s, d))
+
+  def vecDimStatsOf(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean"),
+        round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 6).as("variance"),
+        round(min(col("x")), 6).as("min_x"),
+        round(max(col("x")), 6).as("max_x"),
+        round(avg(when(abs(col("x")) < 1e-8, 1.0).otherwise(0.0)), 6).as("zero_frac"))
+      .orderBy("dim")
+
+  val vecDimStatsSql: String =
+    """WITH e AS (
+      |  SELECT embedding, unnest(range(len(embedding))) AS dim FROM embeddings),
+      |x AS (
+      |  SELECT CAST(dim AS INT) AS dim,
+      |         CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE) AS x
+      |  FROM e)
+      |SELECT dim, count(*) AS n,
+      |  round(avg(x), 6) AS mean,
+      |  round(avg(x * x) - avg(x) * avg(x), 6) AS variance,
+      |  round(min(x), 6) AS min_x,
+      |  round(max(x), 6) AS max_x,
+      |  round(avg(CASE WHEN abs(x) < 1e-8 THEN 1.0 ELSE 0.0 END), 6) AS zero_frac
+      |FROM x GROUP BY dim ORDER BY dim""".stripMargin
+
   /** #124 hybrid_rrf: sparse+dense fusion — the industry "hybrid search"
     * shape (dense vector top-N ∪ BM25 keyword top-N, reciprocal-rank
     * fused; Fusion doc). The reference fuses dense with metadata FILTERS;
@@ -847,6 +887,7 @@ object VectorQueries {
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
+    "vec_dim_stats" -> (vecDimStats _),
     "hybrid_rrf" -> (hybridRrf _),
     "hybrid_rrf_batch" -> (hybridRrfBatch _),
     "hybrid_qtext_rrf" -> (hybridQtextRrf _),
@@ -889,6 +930,7 @@ object VectorQueries {
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,
+    "vec_dim_stats" -> vecDimStatsSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_batch" -> hybridRrfBatchSql,
     "hybrid_qtext_rrf" -> hybridQtextRrfSql,

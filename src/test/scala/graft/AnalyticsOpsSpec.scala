@@ -397,6 +397,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got(11)._5.isEmpty)                               // month 12: lag 12 missing
   }
 
+  test("dim stats: planted vectors give exact means/vars; dead dim flagged") {
+    import graft.queries.VectorQueries
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f)),
+      (2L, Array(3.0f, 0.0f, 2.0f)),
+      (3L, Array(5.0f, 0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = VectorQueries.vecDimStatsOf(emb)
+      .as[(Int, Long, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val d0 = got(0)
+    assert(d0._2 == 3 && d0._3 == 3.0)
+    assert(d0._4 == math.floor((35.0 / 3 - 9.0) * 1e6 + 0.5) / 1e6)
+    assert(d0._5 == 1.0 && d0._6 == 5.0 && d0._7 == 0.0)
+    val d1 = got(1) // dead dimension
+    assert(d1._3 == 0.0 && d1._4 == 0.0 && d1._7 == 1.0)
+    val d2 = got(2) // constant non-zero: variance 0, zero_frac 0
+    assert(d2._3 == 2.0 && d2._4 == 0.0 && d2._7 == 0.0)
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

@@ -1072,7 +1072,50 @@ object EventQueries {
       |  min(k) AS min_k, max(k) AS max_k
       |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** #197 events_overlap_matrix: audience overlap between event types —
+    * |users(A)∩users(B)|, and the Jaccard of the two audiences, for every
+    * unordered type pair: the readout behind "do clickers also buy"
+    * segmentation questions. Shapes: dedup to (user, type) grain (one
+    * shuffle), then a SELF-JOIN ON user_id whose fan-out is bounded by
+    * the type cardinality per user (≤ T, so ≤ T² pair rows per user —
+    * a schema property, not a data volume), one bounded pair aggregate,
+    * and broadcast audience sizes. Exact integer Jaccard rounded 6 dp. */
+  def eventsOverlapMatrix(s: SparkSession, d: String): DataFrame =
+    eventsOverlapMatrixOf(Tables.events(s, d))
+
+  def eventsOverlapMatrixOf(ev: DataFrame): DataFrame = {
+    val ut = ev.select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .withColumn("jaccard", round(
+        col("n_both").cast("double") / (col("n_a") + col("n_b") - col("n_both")), 6))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"), col("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val eventsOverlapMatrixSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+      |SELECT p.type_a, p.type_b, sa.n AS n_a, sb.n AS n_b, p.n_both,
+      |  round(CAST(p.n_both AS DOUBLE) / (sa.n + sb.n - p.n_both), 6) AS jaccard
+      |FROM p
+      |JOIN sz sa ON p.type_a = sa.event_type
+      |JOIN sz sb ON p.type_b = sb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
     "events_wau_sketch" -> (eventsWauSketch _),
@@ -1103,6 +1146,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,
     "events_dau" -> eventsDauSql,

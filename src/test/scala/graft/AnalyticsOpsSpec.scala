@@ -417,6 +417,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(d2._3 == 2.0 && d2._4 == 0.0 && d2._7 == 0.0)
   }
 
+  test("overlap matrix: hand-built audiences give exact intersection Jaccard") {
+    import graft.queries.EventQueries
+    // view audience {1,2,3}; click {2,3}; purchase {3}
+    val ev = Seq(
+      (1L, 1L, "view"), (2L, 2L, "view"), (3L, 3L, "view"), (4L, 2L, "view"),
+      (5L, 2L, "click"), (6L, 3L, "click"),
+      (7L, 3L, "purchase")
+    ).toDF("event_id", "user_id", "event_type")
+    val got = EventQueries.eventsOverlapMatrixOf(ev)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val cv = got(("click", "view"))
+    assert(cv._3 == 2 && cv._4 == 3 && cv._5 == 2)
+    assert(cv._6 == math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6)
+    val cp = got(("click", "purchase"))
+    assert(cp._5 == 1 && cp._6 == 0.5) // {2,3} vs {3}: 1 / 2
+    assert(got.size == 3)
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

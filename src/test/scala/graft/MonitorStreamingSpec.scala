@@ -37,6 +37,23 @@ class MonitorStreamingSpec extends AnyFunSuite {
     assert(sm.report() == want)
   }
 
+  test("streaming wau: per-day sketch unions track the exact windowed count") {
+    val ev = Tables.events(spark, sf)
+    val sw = new graft.streaming.StreamingWau
+    // batch 2 delivers LATE rows for days batch 1 already saw
+    Seq(ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1))
+      .foreach(sw.processBatch)
+    val exact = graft.queries.EventQueries.eventsDauOf(ev)
+      .select("day", "wau").as[(java.sql.Date, Long)].collect()
+      .map { case (d, w) => d.toString -> w }.toMap
+    val got = sw.report().map { case (d, e) => d.toString -> e }.toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (d, est) =>
+      val ex = exact(d).toDouble
+      assert(math.abs(est - ex) / ex <= 0.05, s"$d est=$est exact=$ex")
+    }
+  }
+
   test("streaming ewma: batched absorption == events_ewma over the union, late rows exact") {
     val ev = Tables.events(spark, sf)
     val se = new StreamingEwma

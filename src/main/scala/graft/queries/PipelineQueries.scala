@@ -556,6 +556,61 @@ object PipelineQueries {
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_hash
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** #199 split_leakage: the eval-leakage audit — near-dup pairs that
+    * CROSS the train/val boundary: a val doc with a τ≥0.95 train twin
+    * leaks the benchmark into training even after exact decontamination,
+    * which is why split audits must run on the MINED pair table, not on
+    * ids. Composition: the shared mined Jaccard pairs (computed once per
+    * corpus — the corpus_curate discipline) joined twice against the
+    * deterministic md5 split rule (#49), pair types normalized
+    * least-greatest so the report is orientation-free; counts + shares
+    * over the ≤3-row type table. The oracle recomputes pairs AND splits
+    * from scratch, so the audit's whole pipeline is hash-checked. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupQueries.minedJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val split = Tables.documents(s, d).select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "f3",
+        "train").otherwise("val").as("split"))
+    val typed = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .withColumn("pair_type",
+        concat_ws("-", least(col("sa"), col("sb")), greatest(col("sa"), col("sb"))))
+      .groupBy("pair_type").agg(count(lit(1)).as("n_pairs"))
+    val total = typed.agg(sum(col("n_pairs")).as("total"))
+    typed.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n_pairs").cast("double") / col("total"), 6))
+      .select(col("pair_type"), col("n_pairs"), col("share"))
+      .orderBy("pair_type")
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, ts,
+       |         list_aggregate(list_apply(ts, t -> md5(t)), 'min') AS blk
+       |  FROM toks),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |              / len(list_distinct(a.ts || b.ts)), 6) >= ${DedupQueries.JaccardTau}),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+       |         THEN 'train' ELSE 'val' END AS split
+       |  FROM documents),
+       |j AS (
+       |  SELECT least(sa.split, sb.split) || '-' || greatest(sa.split, sb.split) AS pair_type
+       |  FROM p JOIN sp sa ON p.doc_a = sa.doc_id JOIN sp sb ON p.doc_b = sb.doc_id),
+       |c AS (SELECT pair_type, count(*) AS n_pairs FROM j GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM c)
+       |SELECT pair_type, n_pairs,
+       |  round(CAST(n_pairs AS DOUBLE) / t.total, 6) AS share
+       |FROM c, t ORDER BY pair_type""".stripMargin
+
   /** Per-source contribution cap — the "domain cap" every web-scale
     * curation run applies (RefinedWeb/C4 shape: no single domain may
     * dominate the corpus): keep at most CapPerSource docs per source,
@@ -832,6 +887,7 @@ object PipelineQueries {
     "layout_hilbert" -> (layoutHilbert _),
     "corpus_drift" -> (corpusDrift _),
     "corpus_manifest" -> (corpusManifest _),
+    "split_leakage" -> (splitLeakage _),
     "corpus_shuffle" -> (corpusShuffle _),
     "pack_sequences" -> (packSequences _),
     "split_kfold" -> (splitKfold _),
@@ -854,6 +910,7 @@ object PipelineQueries {
     "layout_hilbert" -> layoutHilbertSql,
     "corpus_drift" -> corpusDriftSql,
     "corpus_manifest" -> corpusManifestSql,
+    "split_leakage" -> splitLeakageSql,
     "corpus_shuffle" -> corpusShuffleSql,
     "pack_sequences" -> packSequencesSql,
     "split_kfold" -> splitKfoldSql,

@@ -436,6 +436,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("split leakage: type partition matches pairs x splits recomputed locally") {
+    import graft.queries.{DedupQueries, PipelineQueries}
+    val sf = "/root/testdata/sf0.001"
+    val pairs = DedupQueries.minedJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assume(pairs.nonEmpty)
+    val splits = PipelineQueries.splitTrainVal(spark, sf)
+      .as[(Long, String)].collect().toMap
+    val want = pairs.map { case (a, b) =>
+      val s = Seq(splits(a), splits(b)).sorted
+      s"${s.head}-${s.last}"
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = PipelineQueries.splitLeakage(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4) // shares partition
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

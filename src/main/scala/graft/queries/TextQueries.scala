@@ -883,7 +883,59 @@ object TextQueries {
       |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS fre
       |FROM f WHERE n_words > 0 ORDER BY doc_id""".stripMargin
 
+  /** #200 corpus_scorecard: the per-document curation FEATURE VECTOR —
+    * every row-local quality signal joined into one row per doc (token
+    * count, composite quality score, predicted language, codepoint
+    * entropy, Flesch reading ease): the sheet a labeling UI or a
+    * downstream filter model actually consumes, and the composition
+    * proof that the signal family shares one doc_id grain. Each
+    * component is a scan-only pipeline; Catalyst plans the joins on the
+    * common key (broadcast/shuffle per AQE) and the oracle recomputes
+    * every signal from scratch in one WITH chain — the whole feature
+    * vector is hash-checked per document. */
+  def corpusScorecard(s: SparkSession, d: String): DataFrame =
+    corpusScorecardOf(docs(s, d))
+
+  def corpusScorecardOf(documents: DataFrame): DataFrame = {
+    val q = TextAnalysis.withQuality(documents)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val l = TextAnalysis.withLangId(documents)
+      .select(col("doc_id"), col("lang_pred"))
+    val e = textEntropyOf(documents).select(col("doc_id"), col("entropy"))
+    val r = textReadabilityOf(documents).select(col("doc_id"), col("fre"))
+    q.join(l, "doc_id").join(e, "doc_id").join(r, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val corpusScorecardSql: String =
+    s"""WITH q AS (${textQualityBodySql}),
+       |l AS (${textLangidBodySql}),
+       |ech AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c
+       |  FROM documents WHERE len(text) > 0),
+       |ehist AS (SELECT doc_id, c, count(*) AS k FROM ech GROUP BY 1, 2),
+       |en AS (SELECT doc_id, len(text) AS n FROM documents WHERE len(text) > 0),
+       |e AS (
+       |  SELECT h.doc_id,
+       |    round(-sum((CAST(h.k AS DOUBLE) / en.n) * ln(CAST(h.k AS DOUBLE) / en.n)), 6) AS entropy
+       |  FROM ehist h JOIN en ON h.doc_id = en.doc_id GROUP BY h.doc_id),
+       |r AS (
+       |  SELECT doc_id,
+       |    round(CAST(206.835 AS DOUBLE)
+       |      - CAST(1.015 AS DOUBLE) * (CAST(len(string_split(lower(text), ' ')) AS DOUBLE)
+       |          / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+       |      - CAST(84.6 AS DOUBLE) * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+       |          / len(string_split(lower(text), ' '))), 6) AS fre
+       |  FROM documents WHERE len(string_split(lower(text), ' ')) > 0)
+       |SELECT q.doc_id, q.n_tokens, q.quality_score, l.lang_pred, e.entropy, r.fre
+       |FROM q
+       |JOIN l ON q.doc_id = l.doc_id
+       |JOIN e ON q.doc_id = e.doc_id
+       |JOIN r ON q.doc_id = r.doc_id
+       |ORDER BY q.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_scorecard" -> (corpusScorecard _),
     "text_readability" -> (textReadability _),
     "text_langid_eval" -> (textLangidEval _),
     "text_entropy" -> (textEntropy _),
@@ -914,6 +966,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_scorecard" -> corpusScorecardSql,
     "text_readability" -> textReadabilitySql,
     "text_langid_eval" -> textLangidEvalSql,
     "text_entropy" -> textEntropySql,

@@ -454,6 +454,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4) // shares partition
   }
 
+  test("scorecard: each feature equals its standalone operator per doc") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val sc = TextQueries.corpusScorecardOf(docs)
+      .as[(Long, Long, Double, String, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sc.nonEmpty)
+    val q = graft.text.TextAnalysis.withQuality(docs)
+      .select("doc_id", "n_tokens", "quality_score")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val e = TextQueries.textEntropyOf(docs).select("doc_id", "entropy")
+      .as[(Long, Double)].collect().toMap
+    val r = TextQueries.textReadabilityOf(docs).select("doc_id", "fre")
+      .as[(Long, Double)].collect().toMap
+    sc.foreach { case (id, row) =>
+      assert(row._2 == q(id)._2 && row._3 == q(id)._3, s"doc $id quality")
+      assert(row._5 == e(id), s"doc $id entropy")
+      assert(row._6 == r(id), s"doc $id readability")
+    }
+    assert(sc.keySet == q.keySet) // the join drops nothing on this corpus
+  }
+
   test("collocations: PMI matches a local recompute on a planted corpus") {
     // "new york" appears 6x; tokens engineered so counts are hand-checkable
     val doc = ("new york " * 6) + ("of the " * 10) + "misc tail"

@@ -16,11 +16,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ FilterQueries.all ++ VectorQueries.all ++
     DedupQueries.all ++ TextQueries.all ++ EventQueries.all ++
-    MultimodalQueries.all ++ IngestQueries.all ++ PipelineQueries.all
+    MultimodalQueries.all ++ IngestQueries.all ++ PipelineQueries.all ++
+    AnalyticsQueries.all
 
   /** DuckDB-runnable ANSI SQL twin per query (same column names/order-by). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FilterQueries.oracles ++ VectorQueries.oracles ++
     DedupQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
-    MultimodalQueries.oracles ++ IngestQueries.oracles ++ PipelineQueries.oracles
+    MultimodalQueries.oracles ++ IngestQueries.oracles ++ PipelineQueries.oracles ++
+    AnalyticsQueries.oracles
 }

@@ -1,0 +1,335 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-13 analytics additions over the TPC-H-ish substrate: CUBE
+  * grouping sets, RFM segmentation, the skyline (Pareto-frontier)
+  * operator, and a referential-integrity audit. Same oracle-parity rules
+  * as RelationalQueries (decimal-exact money math, total ordering by a
+  * unique key).
+  */
+object AnalyticsQueries {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  // -------------------------------------------------------------------
+  // #201 q1_cube — Q1 pricing summary over GROUP BY CUBE.
+
+  /** One-pass CUBE over (returnflag, linestatus): like q1_rollup, the
+    * grouping-set expansion happens in a single Expand node feeding ONE
+    * shuffled aggregate (4 group-sets × group-key cardinality rows —
+    * the Expand multiplies rows map-side but partial aggregation
+    * collapses them before the exchange, so shuffle volume is bounded by
+    * the tiny result cardinality, not the fact table). Subtotal rows
+    * surface as 'ALL' (the data's flags are never NULL, so the coalesce
+    * is unambiguous). */
+  def q1Cube(spark: SparkSession, dir: String): DataFrame =
+    q1CubeOf(Tables.lineitem(spark, dir))
+
+  def q1CubeOf(li: DataFrame): DataFrame =
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("count_order"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("count_order"), col("sum_qty"), col("sum_base_price"))
+      .orderBy("returnflag", "linestatus")
+
+  val q1CubeSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS count_order,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #202 orders_rfm — recency/frequency/monetary quintile segmentation.
+
+  /** Scale-safe global row_number: range-partition on the sort key,
+    * per-shard local row_number, broadcast per-shard offsets (the
+    * customer_pareto machinery in reusable form). localCheckpoint pins
+    * ONE materialized partitioning so the offsets aggregate and the
+    * ranked rows observe identical partition boundaries — without it a
+    * plan change could silently re-sample the range boundaries between
+    * the two subtrees and mis-rank. */
+  private[graft] def globalRowNumber(df: DataFrame, out: String,
+                                       sortCols: Column*): DataFrame = {
+    val parted = df.repartitionByRange(32, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val shard = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    val local = parted.withColumn("__lrk", row_number().over(shard).cast("long"))
+    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, col("__off") + col("__lrk"))
+      .drop("__pid", "__lrk", "__off")
+  }
+
+  /** SQL ntile(B) replayed from an explicit global rank: the first
+    * n%B buckets take floor(n/B)+1 rows, the rest floor(n/B). Rendered
+    * as the SAME arithmetic in both engines (rather than each engine's
+    * ntile builtin) so bucket assignment is parity by construction.
+    * n<B degenerates to bucket=rank, like ntile. */
+  private def ntileExpr(rk: String, n: String, b: Int): String =
+    s"""CAST(CASE WHEN $n DIV $b = 0 THEN $rk
+       | WHEN $rk <= ($n % $b) * ($n DIV $b + 1)
+       |   THEN ($rk - 1) DIV ($n DIV $b + 1) + 1
+       | ELSE ($n % $b) + ($rk - ($n % $b) * ($n DIV $b + 1) - 1) DIV ($n DIV $b) + 1
+       |END AS INT)""".stripMargin.replaceAll("\n", " ")
+
+  private def ntileSqlExpr(rk: String, n: String, b: Int): String =
+    s"""CAST(CASE WHEN $n // $b = 0 THEN $rk
+       | WHEN $rk <= ($n % $b) * ($n // $b + 1)
+       |   THEN ($rk - 1) // ($n // $b + 1) + 1
+       | ELSE ($n % $b) + ($rk - ($n % $b) * ($n // $b + 1) - 1) // ($n // $b) + 1
+       |END AS INT)""".stripMargin.replaceAll("\n", " ")
+
+  /** Per-customer RFM segmentation — the classic mailing-list readout and
+    * the canonical "three global ranks over one aggregate" shape. One
+    * orders aggregate to customer grain, then THREE scale-safe global
+    * ranks (recency asc / frequency desc / monetary desc, custkey
+    * tiebreak) via range-partition + broadcast offsets — no
+    * single-partition window anywhere — and quintile buckets derived
+    * from (rank, n) arithmetic replayed identically in the oracle. */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame =
+    ordersRfmOf(Tables.orders(spark, dir))
+
+  def ordersRfmOf(orders: DataFrame): DataFrame = {
+    val mx = orders.agg(max(col("o_orderdate")).as("__mxd"))
+    val base = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).as("__mon"))
+      .crossJoin(broadcast(mx))
+      .withColumn("recency_days", datediff(col("__mxd"), col("__last")).cast("long"))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("__mon"))
+    val nRow = base.agg(count(lit(1)).as("__n"))
+    val ranked = globalRowNumber(
+      globalRowNumber(
+        globalRowNumber(base, "__rrk", col("recency_days").asc, col("o_custkey").asc),
+        "__frk", col("frequency").desc, col("o_custkey").asc),
+      "__mrk", col("__mon").desc, col("o_custkey").asc)
+      .crossJoin(broadcast(nRow))
+    ranked
+      .withColumn("r", expr(ntileExpr("__rrk", "__n", 5)))
+      .withColumn("f", expr(ntileExpr("__frk", "__n", 5)))
+      .withColumn("m", expr(ntileExpr("__mrk", "__n", 5)))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("__mon").cast("double").as("monetary"),
+        col("r"), col("f"), col("m"),
+        concat(col("r"), col("f"), col("m")).as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  val ordersRfmSql: String = {
+    val r = ntileSqlExpr("r_rk", "n", 5)
+    val f = ntileSqlExpr("f_rk", "n", 5)
+    val m = ntileSqlExpr("m_rk", "n", 5)
+    s"""WITH base AS (
+       |  SELECT o_custkey,
+       |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+       |      CAST((SELECT max(o_orderdate) FROM orders) AS DATE)) AS recency_days,
+       |    count(*) AS frequency,
+       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+       |  FROM orders GROUP BY 1),
+       |rk AS (
+       |  SELECT base.*,
+       |    CAST(row_number() OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_rk,
+       |    CAST(row_number() OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_rk,
+       |    CAST(row_number() OVER (ORDER BY mon DESC, o_custkey) AS BIGINT) AS m_rk,
+       |    (SELECT count(*) FROM base) AS n
+       |  FROM base)
+       |SELECT o_custkey, recency_days, frequency,
+       |  CAST(mon AS DOUBLE) AS monetary,
+       |  $r AS r, $f AS f, $m AS m,
+       |  CAST($r AS VARCHAR) || CAST($f AS VARCHAR) || CAST($m AS VARCHAR) AS segment
+       |FROM rk ORDER BY o_custkey""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // #203 part_skyline — the 2-D skyline (Pareto frontier) operator.
+
+  /** Skyline of parts minimizing p_retailprice and maximizing p_size:
+    * a part is dominated iff some part has price ≤ AND size ≥ with at
+    * least one strict. The naive operator is the O(n²) dominance
+    * self-join; this plan is O(n) + bounded driver state instead:
+    *  1. bucket prices into ≤256 fixed-width bins (one broadcast min/max),
+    *  2. aggregate to (bucket, price) grain with the per-price max size,
+    *  3. per-bucket running max over prior DISTINCT prices (bounded
+    *     window partitions — never a global sort),
+    *  4. per-bucket max collected to the driver (≤256 rows, bounded by
+    *     construction) → prefix max over LOWER buckets, broadcast back.
+    * A row is dominated iff max-size-at-strictly-lower-price ≥ its size,
+    * or a same-price part has strictly larger size. The same-bucket
+    * window gives the in-bucket lower-price term; the prefix map gives
+    * the cross-bucket term (floor-bucketing ⇒ every lower bucket holds
+    * strictly lower prices). The oracle is the O(n²) NOT EXISTS replay —
+    * affordable at gate scale, which is exactly the point of having the
+    * linear plan. */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame =
+    partSkylineOf(Tables.part(spark, dir))
+
+  def partSkylineOf(part: DataFrame): DataFrame = {
+    val nb = 256
+    val b = part.agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
+      .first()
+    val lo = b.getDouble(0)
+    val width = math.max((b.getDouble(1) - lo) / nb, 1e-9)
+    val bucketed = part.withColumn("__b",
+      least(lit(nb - 1), floor((col("p_retailprice") - lit(lo)) / lit(width))).cast("int"))
+    val perPrice = bucketed.groupBy(col("__b"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("__gmax"))
+    val w = Window.partitionBy("__b").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = perPrice.withColumn("__inb", max(col("__gmax")).over(w))
+    // ≤256 per-bucket maxima: bounded driver hop by construction
+    val bm = perPrice.groupBy("__b").agg(max(col("__gmax")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val prefix = (0 until nb).scanLeft(Int.MinValue) { (acc, i) =>
+      math.max(acc, bm.getOrElse(i, Int.MinValue))
+    } // prefix(i) = max over buckets < i
+    val spark = part.sparkSession
+    val prefixDf = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize((0 until nb).map(i => org.apache.spark.sql.Row(i, prefix(i))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__b", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__pfx", org.apache.spark.sql.types.IntegerType)))))
+    bucketed
+      .join(withPrev, Seq("__b", "p_retailprice"))
+      .join(prefixDf, Seq("__b"))
+      .withColumn("__mlt", greatest(coalesce(col("__inb"), lit(Int.MinValue)), col("__pfx")))
+      .where(!(col("__mlt") >= col("p_size") || col("__gmax") > col("p_size")))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  val partSkylineSql: String =
+    """SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      |ORDER BY p.p_partkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #204 fk_audit — the referential-integrity / domain-constraint audit.
+
+  /** The data-quality gate a 100 TB warehouse runs before publishing a
+    * snapshot: orphan-key counts (every FK edge of the star schema) and
+    * domain-constraint violations, one row per check. Join checks are
+    * LEFT ANTI — dim-sided ones broadcast, the fact-fact
+    * lineitem→orders edge shuffles on the join key exactly like any
+    * production semi-join; AQE picks broadcast when the right side fits.
+    * Domain checks for a table fold into ONE conditional-sum aggregate
+    * pass, not one scan per predicate. */
+  def fkAudit(spark: SparkSession, dir: String): DataFrame =
+    fkAuditOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.part(spark, dir),
+      Tables.supplier(spark, dir))
+
+  def fkAuditOf(li: DataFrame, ord: DataFrame, cust: DataFrame,
+                part: DataFrame, supp: DataFrame): DataFrame = {
+    def checkRow(name: String, checked: Column, violations: Column): Column =
+      struct(lit(name).as("check_name"), checked.as("n_checked"), violations.as("n_violations"))
+
+    // one aggregate pass for all lineitem domain checks
+    val liDomain = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("bad_qty"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("bad_price"),
+      sum(when(col("l_orderkey").isNull || col("l_partkey").isNull ||
+               col("l_suppkey").isNull, 1L).otherwise(0L)).as("null_keys"))
+      .select(explode(array(
+        checkRow("lineitem_nonpositive_price", col("n"), col("bad_price")),
+        checkRow("lineitem_nonpositive_qty", col("n"), col("bad_qty")),
+        checkRow("lineitem_null_keys", col("n"), col("null_keys")))).as("r"))
+    val ordDomain = ord.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("bad_total"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_keys"))
+      .select(explode(array(
+        checkRow("orders_nonpositive_total", col("n"), col("bad_total")),
+        checkRow("orders_null_keys", col("n"), col("null_keys")))).as("r"))
+
+    def orphans(name: String, fact: DataFrame, factKey: String,
+                dim: DataFrame, dimKey: String, bcast: Boolean): DataFrame = {
+      val d = dim.select(col(dimKey))
+      val joined = fact.join(if (bcast) broadcast(d) else d,
+        col(factKey) === col(dimKey), "left_anti")
+      val total = fact.count()
+      joined.agg(count(lit(1)).as("v"))
+        .select(checkRow(name, lit(total), col("v")).as("r"))
+    }
+
+    val checks = Seq(
+      liDomain, ordDomain,
+      orphans("lineitem_orphan_order", li, "l_orderkey", ord, "o_orderkey", bcast = false),
+      orphans("lineitem_orphan_part", li, "l_partkey", part, "p_partkey", bcast = true),
+      orphans("lineitem_orphan_supplier", li, "l_suppkey", supp, "s_suppkey", bcast = true),
+      orphans("orders_orphan_customer", ord, "o_custkey", cust, "c_custkey", bcast = true))
+    checks.reduce(_ unionAll _)
+      .select(col("r.check_name").as("check_name"), col("r.n_checked").as("n_checked"),
+        col("r.n_violations").as("n_violations"))
+      .orderBy("check_name")
+  }
+
+  val fkAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'lineitem_nonpositive_price' AS check_name, count(*) AS n_checked,
+      |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_nonpositive_qty', count(*),
+      |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem_null_keys', count(*),
+      |    sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+      |             OR l_suppkey IS NULL THEN 1 ELSE 0 END) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_nonpositive_total', count(*),
+      |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_null_keys', count(*),
+      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_order', (SELECT count(*) FROM lineitem),
+      |    count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_part', (SELECT count(*) FROM lineitem),
+      |    count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |  UNION ALL
+      |  SELECT 'lineitem_orphan_supplier', (SELECT count(*) FROM lineitem),
+      |    count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      |  UNION ALL
+      |  SELECT 'orders_orphan_customer', (SELECT count(*) FROM orders),
+      |    count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |) ORDER BY check_name""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_cube" -> (q1Cube _),
+    "orders_rfm" -> (ordersRfm _),
+    "part_skyline" -> (partSkyline _),
+    "fk_audit" -> (fkAudit _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_cube" -> q1CubeSql,
+    "orders_rfm" -> ordersRfmSql,
+    "part_skyline" -> partSkylineSql,
+    "fk_audit" -> fkAuditSql)
+}

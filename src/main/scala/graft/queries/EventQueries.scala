@@ -1064,7 +1064,8 @@ object EventQueries {
   val eventsPropsAggSql: String =
     """WITH x AS (
       |  SELECT event_type,
-      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |    CASE WHEN json_valid(props)
+      |         THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
       |  FROM events)
       |SELECT event_type, count(*) AS n, count(k) AS n_with_k,
       |  CAST(sum(k) AS BIGINT) AS sum_k,

@@ -1017,8 +1017,15 @@ object RelationalQueries {
   def customerParetoOf(orders: DataFrame): DataFrame = {
     val rev = orders.groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("rev"))
+    // localCheckpoint pins ONE materialized range partitioning: the
+    // broadcast-offset rank is only correct if the offsets aggregate and
+    // the ranked join observe the IDENTICAL partition boundaries, and
+    // relying on deterministic RangePartitioner sampling + ReuseExchange
+    // would silently mis-rank under any plan change (the DedupQueries
+    // pair-cache discipline).
     val parted = rev.repartitionByRange(32, col("rev"), col("o_custkey"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val shard = Window.partitionBy("pid").orderBy(col("rev"), col("o_custkey"))
     val local = parted.withColumn("lrk", row_number().over(shard).cast("long"))
     val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -85,13 +85,18 @@ final class StreamingWau(lgK: Int = 14) {
     }
   }
 
-  /** (day, wau_estimate) over the trailing 7 days per observed day. */
+  /** (day, wau_estimate) over the trailing 7 days per observed day.
+    * Day offsets use calendar-day arithmetic (not epoch-millis division):
+    * java.sql.Date values are local midnights, so across a DST
+    * spring-forward a 7-day gap is 167h and millis/86400000 floors to 6,
+    * which would wrongly admit an 8th day into the window in a
+    * DST-observing default timezone. */
   def report(): Seq[(java.sql.Date, Double)] = synchronized {
     val days = state.keys.toSeq.sortBy(_.getTime)
     days.map { d =>
       val u = new Union(lgK)
       days.filter { p =>
-        val diff = (d.getTime - p.getTime) / 86400000L
+        val diff = java.time.temporal.ChronoUnit.DAYS.between(p.toLocalDate, d.toLocalDate)
         diff >= 0 && diff <= 6
       }.foreach(p => u.update(state(p).getResult(TgtHllType.HLL_8)))
       (d, u.getEstimate)

@@ -152,6 +152,13 @@ object ScaleBench {
                                     outDir: String, replicas: Int): Unit = {
     if (!built(outDir, "orders")) {
       val o = spark.read.parquet(s"$baseDir/orders.parquet")
+      // Same collision guard as the documents/embeddings path: TPC-H
+      // orderkeys pass 10M around SF>=2, and colliding replica keys would
+      // silently cross-join replicas and corrupt the scale evidence.
+      val maxKey = o.agg(greatest(max(col("o_orderkey")), max(col("o_custkey"))))
+        .first().getLong(0)
+      require(maxKey < IdOffset,
+        s"base orders keys reach $maxKey >= offset $IdOffset — replica ids would collide")
       (0 until replicas).map { i =>
         o.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * IdOffset))
           .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * IdOffset))
@@ -160,6 +167,9 @@ object ScaleBench {
     }
     if (!built(outDir, "lineitem")) {
       val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      val maxKey = li.agg(max(col("l_orderkey"))).first().getLong(0)
+      require(maxKey < IdOffset,
+        s"base lineitem keys reach $maxKey >= offset $IdOffset — replica ids would collide")
       (0 until replicas).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * IdOffset))
       }.reduce(_ unionAll _)

@@ -498,4 +498,94 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // min-support: nothing below 5 occurrences surfaced
     assert(got.forall(_._3 >= 5))
   }
+
+  test("q1_cube: subtotals and grand total are consistent with the leaves") {
+    val li = Seq(
+      ("A", "F", 1.0, 10.0), ("A", "O", 2.0, 20.0),
+      ("N", "F", 3.0, 30.0), ("N", "F", 4.0, 40.0)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val got = graft.queries.AnalyticsQueries.q1CubeOf(li)
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // 3 leaves + 2 flag margins + 2 status margins + grand total
+    assert(got.size == 8)
+    assert(got(("ALL", "ALL"))._3 == 4 && got(("ALL", "ALL"))._4 == 10.0)
+    assert(got(("N", "ALL"))._4 == 7.0 && got(("ALL", "F"))._4 == 8.0)
+    assert(got(("A", "ALL"))._3 == 2 && got(("N", "F"))._3 == 2)
+  }
+
+  test("orders_rfm: buckets replay ntile populations; extremes land in bucket 1/5") {
+    val ts0 = 1700000000000L
+    val orders = (1L to 23L).flatMap { c =>
+      // customer c: c orders (frequency grows with c), each priced 10*c,
+      // all placed c days before the newest order in the table
+      (1L to c).map(i => (c * 100 + i, c, 10.0 * c,
+        new Timestamp(ts0 - c * 86400000L)))
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    val got = graft.queries.AnalyticsQueries.ordersRfmOf(orders)
+      .select("o_custkey", "recency_days", "frequency", "monetary", "r", "f", "m")
+      .as[(Long, Long, Long, Double, Int, Int, Int)].collect()
+    assert(got.length == 23)
+    // ntile(5) of 23 rows: buckets sized 5,5,5,4,4
+    for (col <- Seq(got.map(_._5), got.map(_._6), got.map(_._7))) {
+      val sizes = col.groupBy(identity).view.mapValues(_.size).toMap
+      // ntile(5) of 23 rows: first 23%5=3 buckets take 5, the rest 4
+      assert(sizes == Map(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 4, 5 -> 4), s"sizes $sizes")
+    }
+    val byCust = got.map(r => r._1 -> r).toMap
+    // customer 1: most recent (r=1), fewest orders (f=5), lowest spend (m=5)
+    assert(byCust(1L)._5 == 1 && byCust(1L)._6 == 5 && byCust(1L)._7 == 5)
+    // customer 23: least recent (r=5), most orders (f=1), highest spend (m=1)
+    assert(byCust(23L)._5 == 5 && byCust(23L)._6 == 1 && byCust(23L)._7 == 1)
+    assert(byCust(1L)._2 == 0L && byCust(23L)._2 == 22L)   // recency vs max date
+  }
+
+  test("part_skyline: equals the brute-force dominance replay; frontier is an antichain") {
+    val rng = new scala.util.Random(7)
+    val parts = (1L to 300L).map { id =>
+      (id, s"p$id", math.floor(rng.nextDouble() * 500) / 10.0, rng.nextInt(40) + 1)
+    }
+    val df = parts.toDF("p_partkey", "p_name", "p_retailprice", "p_size")
+    val got = graft.queries.AnalyticsQueries.partSkylineOf(df)
+      .select("p_partkey").as[Long].collect().toSet
+    def dominated(p: (Long, String, Double, Int)) = parts.exists(q =>
+      q._3 <= p._3 && q._4 >= p._4 && (q._3 < p._3 || q._4 > p._4))
+    val want = parts.filterNot(dominated).map(_._1).toSet
+    assert(got == want)
+    // antichain: no member dominates another
+    val sky = parts.filter(p => got(p._1))
+    sky.foreach { p => assert(!sky.exists(q => q != p &&
+      q._3 <= p._3 && q._4 >= p._4 && (q._3 < p._3 || q._4 > p._4))) }
+  }
+
+  test("fk_audit: planted orphans and domain violations are counted exactly") {
+    val li = Seq(
+      (1L, 10L, 100L, 5.0, 50.0),   // clean
+      (2L, 10L, 100L, -1.0, 50.0),  // bad qty
+      (9L, 77L, 100L, 5.0, 0.0)     // orphan order + orphan part + bad price
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val ord = Seq((1L, 1L, 10.0), (2L, 99L, -5.0)).toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Seq(Tuple1(1L)).toDF("c_custkey")
+    val part = Seq(Tuple1(10L)).toDF("p_partkey")
+    val supp = Seq(Tuple1(100L)).toDF("s_suppkey")
+    val got = graft.queries.AnalyticsQueries.fkAuditOf(li, ord, cust, part, supp)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("lineitem_nonpositive_qty") == (3L, 1L))
+    assert(got("lineitem_nonpositive_price") == (3L, 1L))
+    assert(got("lineitem_orphan_order") == (3L, 1L))
+    assert(got("lineitem_orphan_part") == (3L, 1L))
+    assert(got("lineitem_orphan_supplier") == (3L, 0L))
+    assert(got("orders_orphan_customer") == (2L, 1L))
+    assert(got("orders_nonpositive_total") == (2L, 1L))
+    assert(got("orders_null_keys") == (2L, 0L))
+  }
+
+  test("globalRowNumber: matches a single-partition row_number on every permutation of ties") {
+    val df = Seq((5, "a"), (5, "b"), (3, "c"), (9, "d"), (3, "e"), (5, "f"))
+      .toDF("k", "id")
+    val got = graft.queries.AnalyticsQueries.globalRowNumber(df, "rk",
+        col("k").desc, col("id").asc)
+      .select("id", "rk").as[(String, Long)].collect().toMap
+    assert(got == Map("d" -> 1L, "a" -> 2L, "b" -> 3L, "f" -> 4L, "c" -> 5L, "e" -> 6L))
+  }
 }

@@ -1115,8 +1115,54 @@ object EventQueries {
       |JOIN sz sb ON p.type_b = sb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+
+  /** #205 events_dedup_window: throttle-style event deduplication — drop
+    * any event that lands within 5 minutes of the PREVIOUS event of the
+    * same (user, type), keep the rest (the at-least-once ingest cleanup
+    * every event pipeline runs before analytics). lag() against the raw
+    * predecessor (not the last KEPT row) keeps the operator a single
+    * stateless window pass: ONE shuffle on the (user, type) key, no
+    * sequential chain dependency, so it scales as a plain keyed window.
+    * Exact µs arithmetic (unix_micros — the sessionize discipline), and
+    * the kept set is PROVEN content-wise to the oracle via a per-type
+    * bit_xor of kept event_ids, not just counts. */
+  def eventsDedupWindow(s: SparkSession, d: String): DataFrame =
+    eventsDedupWindowOf(Tables.events(s, d))
+
+  def eventsDedupWindowOf(ev: DataFrame): DataFrame = {
+    val WinUs = 5L * 60 * 1000000
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byKey))
+      .withColumn("keep",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >= WinUs, 1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("keep")).as("n_kept"),
+        (count(lit(1)) - sum(col("keep"))).as("n_dropped"),
+        expr("bit_xor(CASE WHEN keep = 1 THEN event_id END)").as("kept_xor"))
+      .orderBy("event_type")
+  }
+
+  val eventsDedupWindowSql: String =
+    """WITH k AS (
+      |  SELECT event_type, event_id,
+      |    CASE WHEN lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL
+      |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |           (PARTITION BY user_id, event_type ORDER BY ts, event_id) >= 300000000
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_total,
+      |  CAST(sum(keep) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped,
+      |  bit_xor(CASE WHEN keep = 1 THEN event_id END) AS kept_xor
+      |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
+    "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
     "events_wau_sketch" -> (eventsWauSketch _),
@@ -1148,6 +1194,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
+    "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,
     "events_dau" -> eventsDauSql,

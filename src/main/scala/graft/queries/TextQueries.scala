@@ -934,7 +934,49 @@ object TextQueries {
        |JOIN r ON q.doc_id = r.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
+
+  /** #206 text_zipf: the rank-frequency (Zipf) readout of the corpus
+    * vocabulary — the one-glance sanity check that a crawl slice has a
+    * natural-language token distribution (a flat curve means boilerplate
+    * or spam; a cliff means template text). Scale shape: one token
+    * explode, one map-side-combined frequency aggregate, top-200 via
+    * TakeOrdered (per-partition heaps, no global sort); the rank and
+    * cumulative-share window then runs over the BOUNDED 200-row survivor
+    * set only (the Fusion bounded-window discipline). Integer
+    * frequencies and one rounded division keep it engine-exact. */
+  def textZipf(s: SparkSession, d: String): DataFrame =
+    textZipfOf(docs(s, d))
+
+  def textZipfOf(documents: DataFrame): DataFrame = {
+    val toks = documents.select(explode(split(lower(col("text")), " ")).as("token"))
+    val total = toks.agg(count(lit(1)).as("__t"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token")).limit(200)
+    val w = Window.orderBy(desc("freq"), col("token"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("__cum",
+        sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rnk"), col("token"), col("freq"),
+        round(col("__cum").cast("double") / col("__t"), 6).as("cum_share"))
+      .orderBy("rnk")
+  }
+
+  val textZipfSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |top AS (
+      |  SELECT token, count(*) AS freq FROM t GROUP BY 1
+      |  ORDER BY freq DESC, token LIMIT 200),
+      |tot AS (SELECT count(*) AS n FROM t)
+      |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk,
+      |  token, freq,
+      |  round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n, 6) AS cum_share
+      |FROM top, tot ORDER BY rnk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf" -> (textZipf _),
     "corpus_scorecard" -> (corpusScorecard _),
     "text_readability" -> (textReadability _),
     "text_langid_eval" -> (textLangidEval _),
@@ -966,6 +1008,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_zipf" -> textZipfSql,
     "corpus_scorecard" -> corpusScorecardSql,
     "text_readability" -> textReadabilitySql,
     "text_langid_eval" -> textLangidEvalSql,

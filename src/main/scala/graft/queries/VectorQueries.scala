@@ -882,8 +882,74 @@ object VectorQueries {
       .orderBy("qid", "method")
   }
 
+
+  /** #207 vec_knn_classify: leave-one-out kNN label classification over
+    * the embedding corpus — the standard embedding-quality probe (a
+    * label-coherent embedding space classifies well; a collapsed or noisy
+    * one doesn't). Eval set = the vec_id % 10 == 0 probe slice, BOUNDED
+    * by construction (the knnJoin driver-side query-batch contract);
+    * the corpus side stays fully distributed: ONE knnJoin pass (bounded
+    * per-query heaps, no N×Q shuffle), votes over the top-10 non-self
+    * neighbors with (count desc, label) tie-break, per-label accuracy
+    * readout. The oracle replays the same rule with an O(|eval|·N)
+    * DuckDB join — affordable at gate scale only, which is the point of
+    * the heap-based plan. */
+  def vecKnnClassify(s: SparkSession, d: String): DataFrame =
+    vecKnnClassifyOf(emb(s, d))
+
+  def vecKnnClassifyOf(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val eval = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
+      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+    val nn = VectorSearch.knnJoin(e, eval.map(t => (t._1, t._2)).toSeq, 12)
+      .where(col("vec_id") =!= col("qid"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    val top10 = nn.withColumn("__rnk", row_number().over(w)).where(col("__rnk") <= 10)
+    val labels = e.select(col("vec_id").cast("long").as("vec_id"),
+      col("label").cast("int").as("nlabel"))
+    val votes = top10.join(labels, "vec_id")
+      .groupBy(col("qid"), col("nlabel")).agg(count(lit(1)).as("n"))
+    val vw = org.apache.spark.sql.expressions.Window.partitionBy("qid").orderBy(desc("n"), col("nlabel"))
+    val pred = votes.withColumn("__vr", row_number().over(vw)).where(col("__vr") === 1)
+      .select(col("qid"), col("nlabel").as("pred"))
+    val qlab = s.createDataset(eval.toSeq.map(t => (t._1, t._3))).toDF("qid", "label")
+    pred.join(broadcast(qlab), "qid")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct").cast("double") / col("n_eval"), 6))
+      .orderBy("label")
+  }
+
+  val vecKnnClassifySql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+      |sc AS (
+      |  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nid,
+      |    e.label AS nlabel, round(list_dot_product(e.v, q.v), 6) AS score
+      |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+      |top AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+      |  FROM sc),
+      |votes AS (
+      |  SELECT qid, qlabel, nlabel, count(*) AS n
+      |  FROM top WHERE rnk <= 10 GROUP BY 1, 2, 3),
+      |win AS (
+      |  SELECT qid, qlabel, nlabel AS pred,
+      |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, nlabel) AS vr
+      |  FROM votes)
+      |SELECT qlabel AS label, count(*) AS n_eval,
+      |  CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  round(CAST(sum(CASE WHEN pred = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS accuracy
+      |FROM win WHERE vr = 1 GROUP BY 1 ORDER BY label""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_queries" -> (hybridQueries _),
+    "vec_knn_classify" -> (vecKnnClassify _),
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
@@ -927,6 +993,7 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "hybrid_queries" -> hybridQueriesSql,
+    "vec_knn_classify" -> vecKnnClassifySql,
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,

@@ -588,4 +588,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .select("id", "rk").as[(String, Long)].collect().toMap
     assert(got == Map("d" -> 1L, "a" -> 2L, "b" -> 3L, "f" -> 4L, "c" -> 5L, "e" -> 6L))
   }
+
+  test("events_dedup_window: planted bursts collapse by the 5-minute lag rule") {
+    def t(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val ev = Seq(
+      // user 1 click burst: 0s, 10s, 200s, 400s -> keep 0s (10s,200s within
+      // 300s of predecessor; 400s only 200s after 200s) = keep 1
+      (1L, t(0), 1L, "click"), (2L, t(10), 1L, "click"),
+      (3L, t(200), 1L, "click"), (4L, t(400), 1L, "click"),
+      // user 1 view: 0s, 300s (exactly the window) -> both kept (>= rule)
+      (5L, t(0), 1L, "view"), (6L, t(300), 1L, "view"),
+      // user 2 click: isolated -> kept; not merged with user 1's key
+      (7L, t(5), 2L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.queries.EventQueries.eventsDedupWindowOf(ev)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val (_, ct, ck, cd, cx) = got("click")
+    assert(ct == 5 && ck == 2 && cd == 3)
+    assert(cx == (1L ^ 7L))              // kept click ids: 1 and 7
+    val (_, vt, vk, vd, vx) = got("view")
+    assert(vt == 2 && vk == 2 && vd == 0 && vx == (5L ^ 6L))
+  }
+
+  test("text_zipf: ranks, frequencies, and cumulative share replay a local count") {
+    val docs = Seq(
+      (1L, "a a a b b c"), (2L, "a b d"), (3L, "a c c e")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.textZipfOf(docs)
+      .as[(Long, String, Long, Double)].collect()
+    val toks = Seq("a a a b b c", "a b d", "a c c e").flatMap(_.split(" "))
+    val tf = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = tf.toSeq.sortBy { case (t, f) => (-f, t) }
+    assert(got.map(r => (r._2, r._3)).toSeq == want)
+    assert(got.map(_._1).toSeq == (1L to got.length))
+    // cumulative share is monotone and ends at 1 (all tokens within top-200)
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(math.abs(got.last._4 - 1.0) < 1e-9)
+  }
+
+  test("vec_knn_classify: well-separated clusters classify perfectly") {
+    // 40 vectors in 2 orthogonal clusters (unit basis + small same-cluster
+    // jitter): every eval point's neighbors share its label
+    val vecs = (0L until 40L).map { id =>
+      val lab = (id / 20).toInt
+      val v = Array.fill(8)(0.001f * ((id % 5) + 1))
+      v(lab) = 1f
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (id, v.map(_ / n), lab)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = graft.queries.VectorQueries.vecKnnClassifyOf(df)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.map(_._2).sum == 4)       // eval ids 0,10 (label 0), 20,30 (label 1)
+    got.foreach { case (_, nEval, nCorrect, acc) =>
+      assert(nEval == nCorrect && acc == 1.0)
+    }
+    assert(got.map(_._1).toSeq == Seq(0, 1))
+  }
 }

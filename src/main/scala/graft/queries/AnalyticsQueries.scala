@@ -77,19 +77,44 @@ object AnalyticsQueries {
       .drop("__pid", "__lrk", "__off")
   }
 
+  /** Per-GROUP scale-safe row_number (the CCNet-bucket shape: rank within
+    * language over billions of docs): range-partition on (group, sort
+    * key) so a big group spans many partitions, per-shard local
+    * row_number restarting per group, offsets per (shard, group) rolled
+    * up per group — the offsets table is |shards|x|groups| rows, tiny by
+    * construction. Same localCheckpoint pinning as the global form. */
+  private[graft] def groupedRowNumber(df: DataFrame, out: String,
+                                      groupCol: Column,
+                                      sortCols: Column*): DataFrame = {
+    val parted = df.repartitionByRange(32, (groupCol.asc +: sortCols): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__grp", groupCol)
+      .localCheckpoint()
+    val shard = Window.partitionBy("__pid", "__grp").orderBy(sortCols: _*)
+    val local = parted.withColumn("__lrk", row_number().over(shard).cast("long"))
+    val offW = Window.partitionBy("__grp").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("__pid", "__grp").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
+      .select("__pid", "__grp", "__off")
+    local.join(broadcast(offsets), Seq("__pid", "__grp"))
+      .withColumn(out, col("__off") + col("__lrk"))
+      .drop("__pid", "__grp", "__lrk", "__off")
+  }
+
   /** SQL ntile(B) replayed from an explicit global rank: the first
     * n%B buckets take floor(n/B)+1 rows, the rest floor(n/B). Rendered
     * as the SAME arithmetic in both engines (rather than each engine's
     * ntile builtin) so bucket assignment is parity by construction.
     * n<B degenerates to bucket=rank, like ntile. */
-  private def ntileExpr(rk: String, n: String, b: Int): String =
+  private[graft] def ntileExpr(rk: String, n: String, b: Int): String =
     s"""CAST(CASE WHEN $n DIV $b = 0 THEN $rk
        | WHEN $rk <= ($n % $b) * ($n DIV $b + 1)
        |   THEN ($rk - 1) DIV ($n DIV $b + 1) + 1
        | ELSE ($n % $b) + ($rk - ($n % $b) * ($n DIV $b + 1) - 1) DIV ($n DIV $b) + 1
        |END AS INT)""".stripMargin.replaceAll("\n", " ")
 
-  private def ntileSqlExpr(rk: String, n: String, b: Int): String =
+  private[graft] def ntileSqlExpr(rk: String, n: String, b: Int): String =
     s"""CAST(CASE WHEN $n // $b = 0 THEN $rk
        | WHEN $rk <= ($n % $b) * ($n // $b + 1)
        |   THEN ($rk - 1) // ($n // $b + 1) + 1
@@ -319,17 +344,75 @@ object AnalyticsQueries {
       |    count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
       |) ORDER BY check_name""".stripMargin
 
+
+  // -------------------------------------------------------------------
+  // #209 basket_pairs — brand co-occurrence (association) mining.
+
+  /** Market-basket pair mining over orders: for every unordered brand
+    * pair, the number of orders containing both, the support share, and
+    * the lift vs independence — the association-rule readout. Shapes:
+    * lineitem x broadcast part dim, dedup to (order, brand) grain (ONE
+    * shuffle), then a self-join ON the order key whose fan-out is
+    * bounded by brands-per-order (a schema-bounded constant squared per
+    * order, not a data-volume blowup — the events_overlap_matrix
+    * discipline), one bounded pair aggregate, broadcast brand
+    * frequencies. Exact integer counts; two rounded divisions. */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    basketPairsOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  def basketPairsOf(li: DataFrame, part: DataFrame): DataFrame = {
+    val ob = li.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+    val nOrders = ob.select(col("ok")).distinct().agg(count(lit(1)).as("__no"))
+    val sizes = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("__nb"))
+    val pairs = ob.select(col("ok"), col("p_brand").as("brand_a"))
+      .join(ob.select(col("ok"), col("p_brand").as("brand_b")), "ok")
+      .where(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("p_brand").as("brand_a"), col("__nb").as("n_a"))), "brand_a")
+      .join(broadcast(sizes.select(col("p_brand").as("brand_b"), col("__nb").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double") / col("__no"), 6).as("support"),
+        round(col("n_both").cast("double") * col("__no") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+      .orderBy("brand_a", "brand_b")
+  }
+
+  val basketPairsSql: String =
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |no AS (SELECT count(DISTINCT ok) AS n FROM ob),
+      |sz AS (SELECT p_brand, count(*) AS nb FROM ob GROUP BY 1),
+      |p AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_both
+      |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, sa.nb AS n_a, sb.nb AS n_b, n_both,
+      |  round(CAST(n_both AS DOUBLE) / no.n, 6) AS support,
+      |  round(CAST(n_both AS DOUBLE) * no.n / (sa.nb * sb.nb), 6) AS lift
+      |FROM p
+      |JOIN sz sa ON p.brand_a = sa.p_brand
+      |JOIN sz sb ON p.brand_b = sb.p_brand
+      |CROSS JOIN no
+      |ORDER BY brand_a, brand_b""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
     "orders_rfm" -> (ordersRfm _),
     "part_skyline" -> (partSkyline _),
-    "fk_audit" -> (fkAudit _))
+    "fk_audit" -> (fkAudit _),
+    "basket_pairs" -> (basketPairs _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
     "orders_rfm" -> ordersRfmSql,
     "part_skyline" -> partSkylineSql,
-    "fk_audit" -> fkAuditSql)
+    "fk_audit" -> fkAuditSql,
+    "basket_pairs" -> basketPairsSql)
 }

@@ -1160,8 +1160,31 @@ object EventQueries {
       |  bit_xor(CASE WHEN keep = 1 THEN event_id END) AS kept_xor
       |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin
 
+
+  /** #211 events_hourly: the hour-of-day x day-of-week load matrix — the
+    * capacity-planning heatmap (when do users act, when to schedule
+    * compaction). One scan, one map-side-combined aggregate on a 7x24-
+    * bounded key; value sums decimal-exact. weekday()+1 here == DuckDB's
+    * isodow (Mon=1..Sun=7) — pinned explicitly rather than relying on
+    * either engine's dayofweek convention. */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    eventsHourlyOf(Tables.events(s, d))
+
+  def eventsHourlyOf(ev: DataFrame): DataFrame =
+    ev.groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("dow", "hour")
+
+  val eventsHourlySql: String =
+    """SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
+    "events_hourly" -> (eventsHourly _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -1194,6 +1217,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
+    "events_hourly" -> eventsHourlySql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

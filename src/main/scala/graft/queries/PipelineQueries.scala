@@ -880,7 +880,81 @@ object PipelineQueries {
       |FROM fb JOIN r USING (b)
       |GROUP BY fb.doc_id ORDER BY fb.doc_id""".stripMargin
 
+
+  /** #210 corpus_ccnet_buckets: the CCNet head/middle/tail split — rank
+    * each document WITHIN ITS LANGUAGE by LM perplexity (text_perplexity,
+    * the shared bigram-LM signal) and cut per-language terciles: head =
+    * the cleanest third, tail = the noisiest, the standard
+    * quality-stratified sampling substrate for web-crawl curation.
+    * Scale shapes: the per-language rank is AnalyticsQueries.
+    * groupedRowNumber (range partition on (lang, ppl) so a big language
+    * spans many partitions; offsets per (shard, lang) — never a
+    * one-partition-per-language window), language sizes broadcast, and
+    * the tercile from (rank, n) arithmetic replayed identically in the
+    * oracle. Docs with <2 tokens have no bigram score and are excluded,
+    * matching text_perplexity. */
+  def corpusCcnetBuckets(s: SparkSession, d: String): DataFrame =
+    corpusCcnetBucketsOf(Tables.documents(s, d))
+
+  def corpusCcnetBucketsOf(documents: DataFrame): DataFrame = {
+    val ppl = TextQueries.textPerplexityOf(documents)
+      .select(col("doc_id"), col("ppl"))
+    val withLang = ppl.join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    val ranked = AnalyticsQueries.groupedRowNumber(withLang, "__rk",
+      col("lang"), col("ppl").asc, col("doc_id").asc)
+    val sizes = withLang.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(sizes), "lang")
+      .withColumn("__b", expr(AnalyticsQueries.ntileExpr("__rk", "__n", 3)))
+      .withColumn("bucket", expr(
+        "CASE __b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("ppl")).as("min_ppl"),
+        max(col("ppl")).as("max_ppl"),
+        round((sum(col("ppl").cast("decimal(18,6)")) / count(lit(1)))
+          .cast("double"), 6).as("avg_ppl"))
+      .orderBy("lang", "bucket")
+  }
+
+  val corpusCcnetBucketsSql: String = {
+    val b = AnalyticsQueries.ntileSqlExpr("rk", "n", 3)
+    s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+       |bi AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+       |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+       |             FROM tk WHERE len(toks) >= 2)),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+       |uni AS (SELECT w, count(*) AS c1
+       |        FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+       |vc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+       |sc AS (
+       |  SELECT bi.doc_id, ln(CAST(bc.c12 + 1 AS DOUBLE) / (uni.c1 + vc.v)) AS lp
+       |  FROM bi
+       |  JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
+       |  JOIN uni ON bi.w1 = uni.w
+       |  CROSS JOIN vc),
+       |ppl AS (
+       |  SELECT doc_id, round(exp(-round(avg(lp), 6)), 6) AS ppl
+       |  FROM sc GROUP BY doc_id),
+       |wl AS (
+       |  SELECT p.doc_id, p.ppl, d.lang FROM ppl p
+       |  JOIN documents d ON p.doc_id = d.doc_id),
+       |rk AS (
+       |  SELECT wl.*,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM wl),
+       |bk AS (
+       |  SELECT lang, ppl,
+       |    CASE $b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |  FROM rk)
+       |SELECT lang, bucket, count(*) AS n_docs,
+       |  min(ppl) AS min_ppl, max(ppl) AS max_ppl,
+       |  round(CAST(sum(CAST(ppl AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_ppl
+       |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
     "corpus_mix" -> (corpusMix _),
     "corpus_dsir" -> (corpusDsir _),
     "layout_zorder" -> (layoutZorder _),
@@ -904,6 +978,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
     "corpus_mix" -> corpusMixSql,
     "corpus_dsir" -> corpusDsirSql,
     "layout_zorder" -> layoutZorderSql,

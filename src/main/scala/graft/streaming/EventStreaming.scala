@@ -186,4 +186,39 @@ object EventStreaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class DedupKeep(event_id: Long, user_id: Long, event_type: String)
+
+  /** Streaming twin of #205 events_dedup_window: per-(user, type) state is
+    * ONE last-seen timestamp (µs) — emit the event iff it lands ≥ 5 min
+    * after the key's previous event, update the state either way (the
+    * batch lag-rule compares against the previous RAW event, kept or
+    * dropped, which is exactly what a single last-ts state replays).
+    * Equality with the batch operator holds under (ts, event_id) ordered
+    * replay; out-of-order WITHIN a micro-batch is handled by the
+    * per-group sort, across batches is the stream's approximation — the
+    * sessionization twin's contract. State is O(#active keys), bytes per
+    * key constant. */
+  def dedupWindowStream(events: Dataset[Event], windowUs: Long = 5L * 60 * 1000000)
+                       (implicit spark: org.apache.spark.sql.SparkSession): Dataset[DedupKeep] = {
+    import spark.implicits._
+
+    def fn(key: (Long, String), it: Iterator[Event],
+           state: GroupState[Long]): Iterator[DedupKeep] = {
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val out = List.newBuilder[DedupKeep]
+      it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
+        val us = tsUs(e.ts)
+        if (last == Long.MinValue || us - last >= windowUs)
+          out += DedupKeep(e.event_id, key._1, key._2)
+        last = us
+      }
+      state.update(last)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -645,4 +645,71 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(got.map(_._1).toSeq == Seq(0, 1))
   }
+
+  test("basket_pairs: counts, support, and lift replay a hand computation") {
+    // orders: 1:{B1,B2}, 2:{B1,B2,B3}, 3:{B1}, 4:{B2,B3} -> N=4
+    val li = Seq(
+      (1L, 11L), (1L, 12L), (1L, 11L),      // duplicate item dedups to grain
+      (2L, 11L), (2L, 12L), (2L, 13L),
+      (3L, 11L), (4L, 12L), (4L, 13L)
+    ).toDF("l_orderkey", "l_partkey")
+    val part = Seq((11L, "B1"), (12L, "B2"), (13L, "B3")).toDF("p_partkey", "p_brand")
+    val got = graft.queries.AnalyticsQueries.basketPairsOf(li, part)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val (_, _, na, nb, both, sup, lift) = got(("B1", "B2"))
+    assert(na == 3 && nb == 3 && both == 2)
+    assert(sup == 0.5)                      // 2/4
+    assert(lift == math.floor(2.0 * 4 / 9 * 1e6 + 0.5) / 1e6)
+    assert(got(("B2", "B3"))._5 == 2 && got(("B1", "B3"))._5 == 1)
+    assert(got.size == 3)
+  }
+
+  test("events_hourly: the 7x24 matrix replays a local count") {
+    def at(day: String, h: Int) =
+      java.sql.Timestamp.valueOf(s"$day ${"%02d".format(h)}:30:00")
+    val ev = Seq(
+      (1L, at("2024-01-01", 9), 1.5),   // Monday -> isodow 1
+      (2L, at("2024-01-01", 9), 2.5),
+      (3L, at("2024-01-01", 17), 1.0),
+      (4L, at("2024-01-07", 9), 4.0)    // Sunday -> isodow 7
+    ).toDF("event_id", "ts", "value")
+    val got = graft.queries.EventQueries.eventsHourlyOf(ev)
+      .as[(Int, Int, Long, Double)].collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1, 9)) == ((2L, 4.0)))
+    assert(got((1, 17)) == ((1L, 1.0)))
+    assert(got((7, 9)) == ((1L, 4.0)))
+    assert(got.size == 3)
+  }
+
+  test("corpus_ccnet_buckets: per-lang tercile populations and ppl ordering") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(SparkTest.session, sf)
+    val got = graft.queries.PipelineQueries.corpusCcnetBucketsOf(docs)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    val byLang = got.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val m = rows.map(r => r._2 -> r).toMap
+      // tercile populations differ by at most 1
+      val ns = rows.map(_._3)
+      assert(ns.max - ns.min <= 1, s"$lang sizes $ns")
+      // quality ordering: head's worst ppl <= middle's best, etc.
+      for ((a, b) <- Seq(("head", "middle"), ("middle", "tail")))
+        (m.get(a), m.get(b)) match {
+          case (Some(x), Some(y)) => assert(x._5 <= y._4, s"$lang $a..$b")
+          case _ =>
+        }
+    }
+  }
+
+  test("groupedRowNumber: matches a per-group local row_number") {
+    val df = Seq(
+      ("en", 3.0, 1L), ("en", 1.0, 2L), ("en", 1.0, 3L), ("en", 2.0, 4L),
+      ("fr", 9.0, 5L), ("fr", 0.5, 6L)
+    ).toDF("g", "v", "id")
+    val got = graft.queries.AnalyticsQueries.groupedRowNumber(df, "rk",
+        col("g"), col("v").asc, col("id").asc)
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 1L -> 4L, 6L -> 1L, 5L -> 2L))
+  }
 }

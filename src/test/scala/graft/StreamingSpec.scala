@@ -519,4 +519,33 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("dedupWindowStream == batch events_dedup_window under ordered replay") {
+    implicit val ss = spark
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val evs = graft.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val stream = MemoryStream[Event]
+    val q = graft.streaming.EventStreaming.dedupWindowStream(stream.toDS())
+      .writeStream.format("memory").queryName("dedup_win")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { chunk =>
+        stream.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val got = spark.table("dedup_win")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("bit_xor(event_id)").as("kept_xor"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = graft.queries.EventQueries.eventsDedupWindow(spark, sf)
+        .select("event_type", "n_kept", "kept_xor")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
 }

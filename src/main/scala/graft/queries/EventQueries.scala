@@ -1182,9 +1182,54 @@ object EventQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin
 
+
+  /** #213 events_burstiness: the Fano factor (variance/mean of daily
+    * event counts) per type — the dispersion monitor that separates
+    * steady traffic (~Poisson, fano ~1) from bursty incident-driven
+    * patterns (fano >> 1). All moments are EXACT integer sums (the
+    * events_anomaly discipline): the only doubles are three final
+    * single-step divisions of exact integers, identical in both engines
+    * — no summation-order drift possible. One day-grain pre-aggregate,
+    * one bounded per-type rollup. */
+  def eventsBurstiness(s: SparkSession, d: String): DataFrame =
+    eventsBurstinessOf(Tables.events(s, d))
+
+  def eventsBurstinessOf(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .where(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"), col("s1").as("n_events"),
+        round(col("s1").cast("double") / col("n_days"), 6).as("mean_daily"),
+        round((col("n_days") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n_days") * (col("n_days") - 1)), 6).as("var_daily"),
+        round((col("n_days") * col("s2") - col("s1") * col("s1")).cast("double") /
+          ((col("n_days") - 1) * col("s1")), 6).as("fano"))
+      .orderBy("event_type")
+
+  val eventsBurstinessSql: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n_days,
+      |    CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM d GROUP BY 1)
+      |SELECT event_type, n_days, s1 AS n_events,
+      |  round(CAST(s1 AS DOUBLE) / n_days, 6) AS mean_daily,
+      |  round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+      |    / (n_days * (n_days - 1)), 6) AS var_daily,
+      |  round(CAST(n_days * s2 - s1 * s1 AS DOUBLE)
+      |    / ((n_days - 1) * s1), 6) AS fano
+      |FROM m WHERE n_days > 1 ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
+    "events_burstiness" -> (eventsBurstiness _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -1218,6 +1263,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_hourly" -> eventsHourlySql,
+    "events_burstiness" -> eventsBurstinessSql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

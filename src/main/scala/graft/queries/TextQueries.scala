@@ -975,7 +975,47 @@ object TextQueries {
       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n, 6) AS cum_share
       |FROM top, tot ORDER BY rnk""".stripMargin
 
+
+  /** #212 text_heaps: vocabulary-growth health per source — token count,
+    * type count, hapax legomena (freq-1 types), hapax share and
+    * type/token ratio: the Heaps'-law readout that separates natural
+    * prose (hapax share ~0.4-0.6) from template/boilerplate slices
+    * (tiny TTR) and random noise (TTR ~1). Shapes: one token explode,
+    * one (source, token) aggregate (map-side combined), one bounded
+    * per-source rollup. Integer counts, two rounded divisions. */
+  def textHeaps(s: SparkSession, d: String): DataFrame =
+    textHeapsOf(docs(s, d))
+
+  def textHeapsOf(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("source")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("hapax_share",
+        round(col("n_hapax").cast("double") / col("n_types"), 6))
+      .withColumn("type_token_ratio",
+        round(col("n_types").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+
+  val textHeapsSql: String =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS hapax_share,
+      |  round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS type_token_ratio
+      |FROM tf GROUP BY source ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),
     "corpus_scorecard" -> (corpusScorecard _),
     "text_readability" -> (textReadability _),
@@ -1008,6 +1048,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_heaps" -> textHeapsSql,
     "text_zipf" -> textZipfSql,
     "corpus_scorecard" -> corpusScorecardSql,
     "text_readability" -> textReadabilitySql,

@@ -619,6 +619,70 @@ object VectorQueries {
       "cos(radians(%s)) * cos(radians(%s)) * " +
       "pow(sin(radians(%s - %s) / 2), 2))), 6)"
 
+
+  /** #214 geo_knn: radius-bounded k-nearest-neighbors over the derived
+    * lat/lon metadata — for every point, its 3 nearest neighbors WITHIN
+    * the 3x3 grid-cell neighborhood (complete for any neighbor inside
+    * [[GeoRadiusKm]] km by the geo_pairs cell-size argument; a true
+    * neighbor farther than the radius is out of contract — this is the
+    * bounded-kNN every geo service runs, not unbounded all-pairs).
+    * Shapes: the geo_pairs blocking (row-local x9 cell explode, equi-join
+    * on cell), then TopKPerKey bounded heaps per probe point — no global
+    * sort, no quadratic candidate set; the oracle replays the identical
+    * cell rule with an O(n^2) DuckDB join. */
+  def geoKnn(s: SparkSession, d: String): DataFrame =
+    geoKnnOf(Tables.embeddingsMeta(s, d))
+
+  def geoKnnOf(meta: org.apache.spark.sql.DataFrame): DataFrame = {
+    val pts = meta.select(col("vec_id").as("id"),
+      col("latitude").as("lat"), col("longitude").as("lon"))
+      .withColumn("cl", floor(col("lat") / 0.5).cast("long"))
+      .withColumn("co", floor(col("lon") / 0.5).cast("long"))
+    val probe = pts
+      .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
+        explode(expr(
+          "transform(sequence(0, 8), i -> " +
+            "struct(cl + (i div 3) - 1 AS cl, co + (i % 3) - 1 AS co))")).as("c"))
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
+        col("c.cl").as("cl"), col("c.co").as("co"))
+    val build = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),
+      col("lon").as("lon_b"), col("cl"), col("co"))
+    val dist = expr(haversineSqlFmt.format(
+      "lat_b", "lat_a", "lat_a", "lat_b", "lon_b", "lon_a"))
+    val cand = probe.join(build, Seq("cl", "co"))
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("dist_km", dist)
+      .select(col("id_a"), col("id_b"), col("dist_km"))
+    val survivors = org.apache.spark.sql.graft.TopKPerKey(
+      cand, Seq(col("id_a")), Seq(col("dist_km").asc, col("id_b").asc), 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a").orderBy(col("dist_km"), col("id_b"))
+    survivors.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("id_a"), col("rnk"), col("id_b"), col("dist_km"))
+      .orderBy("id_a", "rnk")
+  }
+
+  val geoKnnSql: String = {
+    val dist = haversineSqlFmt.format(
+      "b.latitude", "a.latitude", "a.latitude", "b.latitude",
+      "b.longitude", "a.longitude")
+    s"""WITH m AS (${graft.Tables.embeddingsMetaSql}),
+       |p AS (
+       |  SELECT vec_id, latitude, longitude,
+       |    CAST(floor(latitude / 0.5) AS BIGINT) AS cl,
+       |    CAST(floor(longitude / 0.5) AS BIGINT) AS co
+       |  FROM m),
+       |c AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $dist AS dist_km
+       |  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+       |    AND abs(a.cl - b.cl) <= 1 AND abs(a.co - b.co) <= 1),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY dist_km, id_b) AS rnk
+       |  FROM c)
+       |SELECT id_a, CAST(rnk AS BIGINT) AS rnk, id_b, dist_km
+       |FROM r WHERE rnk <= 3 ORDER BY id_a, rnk""".stripMargin
+  }
+
   def geoPairs(s: SparkSession, d: String): DataFrame =
     geoPairsOf(Tables.embeddingsMeta(s, d))
 
@@ -953,6 +1017,7 @@ object VectorQueries {
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
+    "geo_knn" -> (geoKnn _),
     "vec_dim_stats" -> (vecDimStats _),
     "hybrid_rrf" -> (hybridRrf _),
     "hybrid_rrf_batch" -> (hybridRrfBatch _),
@@ -997,6 +1062,7 @@ object VectorQueries {
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,
+    "geo_knn" -> geoKnnSql,
     "vec_dim_stats" -> vecDimStatsSql,
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_batch" -> hybridRrfBatchSql,

@@ -712,4 +712,55 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .select("id", "rk").as[(Long, Long)].collect().toMap
     assert(got == Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 1L -> 4L, 6L -> 1L, 5L -> 2L))
   }
+
+  test("text_heaps: token/type/hapax accounting replays a local count") {
+    val docs = Seq(
+      (1L, "a a b c", "s1"), (2L, "a d", "s1"),   // s1: tokens=6 types=4 hapax b,c,d=3
+      (3L, "x x x", "s2")                          // s2: tokens=3 types=1 hapax=0
+    ).toDF("doc_id", "text", "source")
+    val got = graft.queries.TextQueries.textHeapsOf(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("s1") == (("s1", 6L, 4L, 3L, 0.75, math.floor(4.0 / 6 * 1e6 + 0.5) / 1e6)))
+    assert(got("s2") == (("s2", 3L, 1L, 0L, 0.0, math.floor(1.0 / 3 * 1e6 + 0.5) / 1e6)))
+  }
+
+  test("events_burstiness: exact-moment fano replays a hand computation") {
+    def at(day: String) = java.sql.Timestamp.valueOf(s"$day 12:00:00")
+    // steady: 2,2,2 -> var 0, fano 0 ; bursty: 1,1,10 -> var 27, fano 6.75
+    val ev = (Seq.fill(2)(at("2024-01-01")) ++ Seq.fill(2)(at("2024-01-02")) ++
+        Seq.fill(2)(at("2024-01-03"))).map(t => ("steady", t)) ++
+      (Seq.fill(1)(at("2024-01-01")) ++ Seq.fill(1)(at("2024-01-02")) ++
+        Seq.fill(10)(at("2024-01-03"))).map(t => ("bursty", t))
+    val df = ev.zipWithIndex.map { case ((ty, t), i) => (i.toLong, t, ty) }
+      .toDF("event_id", "ts", "event_type")
+    val got = graft.queries.EventQueries.eventsBurstinessOf(df)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("steady") == (("steady", 3L, 6L, 2.0, 0.0, 0.0)))
+    val (_, nd, ne, mean, v, fano) = got("bursty")
+    assert(nd == 3 && ne == 12 && mean == 4.0 && v == 27.0 && fano == 6.75)
+  }
+
+  test("geo_knn: in-cell brute force agrees; out-of-neighborhood points excluded") {
+    // four points inside one 0.5-degree cell + one far point two cells away
+    val meta = Seq(
+      (1L, 10.10, 20.10), (2L, 10.11, 20.10), (3L, 10.20, 20.20),
+      (4L, 10.40, 20.40), (5L, 12.00, 25.00)
+    ).toDF("vec_id", "latitude", "longitude")
+    val got = graft.queries.VectorQueries.geoKnnOf(meta)
+      .as[(Long, Long, Long, Double)].collect()
+    val byA = got.groupBy(_._1)
+    // the far point has no neighbors in its 3x3 cells, and vice versa
+    assert(!byA.contains(5L))
+    assert(byA(1L).map(_._3).toSet.subsetOf(Set(2L, 3L, 4L)))
+    // point 1's nearest is 2 (0.01 deg apart), then 3, then 4
+    assert(byA(1L).sortBy(_._2).map(_._3).toSeq == Seq(2L, 3L, 4L))
+    // ranks are 1..k and distances nondecreasing in rank
+    byA.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length))
+      assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    }
+  }
 }

@@ -476,7 +476,41 @@ object DedupQueries {
       .orderBy("method")
   }
 
+
+  /** #216 dedup_cdc: cross-document duplicate CDC chunks — the
+    * chunk-hash dedup report over #215's content-defined chunks (the
+    * casync/restic dedup store readout, text flavor): every >= 16-char
+    * chunk whose hash appears in more than one document, with occurrence
+    * and document counts. Because CDC boundaries are insertion-stable,
+    * this finds shared passages that offset-based shingle dedup misses
+    * after an edit shifts the frame. One row-local chunking pass, one
+    * map-side-combined hash aggregate — the shuffle carries (md5, count)
+    * partials, never chunk text. */
+  def dedupCdc(s: SparkSession, d: String): DataFrame =
+    dedupCdcOf(graft.Tables.documents(s, d))
+
+  def dedupCdcOf(documents: DataFrame): DataFrame =
+    TextQueries.textCdcChunksOf(documents)
+      .where(col("chunk_len") >= 16)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("chunk_len")).as("chunk_len"))
+      .where(col("n_docs") > 1)
+      .orderBy("chunk_md5")
+
+  val dedupCdcSql: String =
+    s"""WITH ${TextQueries.cdcChunksCte}
+       |SELECT chunk_md5, count(*) AS n_occurrences,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  min(doc_id) AS first_doc, max(chunk_len) AS chunk_len
+       |FROM ch WHERE chunk_len >= 16
+       |GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1
+       |ORDER BY chunk_md5""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc" -> (dedupCdc _),
     "dedup_semantic" -> (dedupSemantic _),
     "sample_cluster_balance" -> (sampleClusterBalance _),
     "dedup_recall" -> (dedupRecall _),
@@ -496,6 +530,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc" -> dedupCdcSql,
     "dedup_minhash_portable" -> dedupMinhashPortableSql,
     "dedup_simhash_portable" -> dedupSimhashPortableSql,
     "dedup_report" -> dedupReportSql,

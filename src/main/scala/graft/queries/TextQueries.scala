@@ -1014,7 +1014,66 @@ object TextQueries {
       |  round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS type_token_ratio
       |FROM tf GROUP BY source ORDER BY source""".stripMargin
 
+
+  /** #215 text_cdc_chunks: content-defined chunking — the rsync/LBFS/
+    * casync boundary rule re-expressed engine-portably: a position is a
+    * chunk boundary iff the md5 of the TRAILING 16-char window opens
+    * below 0x04 (p = 4/256, mean chunk ~64 chars). Because boundaries
+    * depend only on LOCAL content, an insertion early in a document
+    * shifts every fixed-size shingle but leaves all later CDC chunks
+    * (and their hashes) IDENTICAL — the property that makes chunk-hash
+    * dedup robust where offset-based shingles break. Entirely row-local
+    * (one HOF filter over positions + one explode): zero shuffle, scan
+    * cost O(chars × window). No min/max clamps — clamps reintroduce a
+    * sequential cut dependency; the raw rule keeps every position
+    * independent, which is exactly what makes it replayable as a plain
+    * list expression in BOTH engines (full hash-pass). */
+  def textCdcChunks(s: SparkSession, d: String): DataFrame =
+    textCdcChunksOf(docs(s, d))
+
+  def textCdcChunksOf(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val cuts = GraftBridge.column(org.apache.spark.sql.graft.CdcBoundaries(
+      GraftBridge.expression(col("text"))))
+    documents
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("bigint").as("n"))
+      .withColumn("bs", concat(array(lit(1L)), cuts, array(col("n") + 1)))
+      .select(col("doc_id"), col("text"), col("bs"),
+        explode(expr("sequence(0L, size(bs) - 2)")).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("element_at(bs, CAST(chunk_idx AS INT) + 1)").as("start_pos"),
+        expr("element_at(bs, CAST(chunk_idx AS INT) + 2) - element_at(bs, CAST(chunk_idx AS INT) + 1)").as("chunk_len"),
+        expr("md5(substring(text, CAST(element_at(bs, CAST(chunk_idx AS INT) + 1) AS INT), CAST(element_at(bs, CAST(chunk_idx AS INT) + 2) - element_at(bs, CAST(chunk_idx AS INT) + 1) AS INT)))").as("chunk_md5"))
+      .where(col("chunk_len") > 0)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** The shared CDC chunk CTE for the DuckDB twins (#215/#216). */
+  private[queries] val cdcChunksCte: String =
+    """b AS (SELECT doc_id, text, len(text) AS n FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, text, n,
+      |    list_filter(range(16, n + 1),
+      |      i -> CAST(('0x' || substr(md5(substr(text, CAST(i - 15 AS INT), 16)), 1, 2)) AS BIGINT) < 4) AS cs
+      |  FROM b),
+      |bounds AS (
+      |  SELECT doc_id, text, n,
+      |    list_prepend(CAST(1 AS BIGINT), list_append(cs, CAST(n + 1 AS BIGINT))) AS bs
+      |  FROM cuts),
+      |ch AS (
+      |  SELECT doc_id, i AS chunk_idx, bs[i + 1] AS start_pos,
+      |    bs[i + 2] - bs[i + 1] AS chunk_len,
+      |    md5(substr(text, CAST(bs[i + 1] AS INT), CAST(bs[i + 2] - bs[i + 1] AS INT))) AS chunk_md5
+      |  FROM bounds, unnest(range(len(bs) - 1)) AS t(i))""".stripMargin
+
+  val textCdcChunksSql: String =
+    s"""WITH $cdcChunksCte
+       |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5
+       |FROM ch WHERE chunk_len > 0 ORDER BY doc_id, chunk_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cdc_chunks" -> (textCdcChunks _),
     "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),
     "corpus_scorecard" -> (corpusScorecard _),
@@ -1048,6 +1107,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_cdc_chunks" -> textCdcChunksSql,
     "text_heaps" -> textHeapsSql,
     "text_zipf" -> textZipfSql,
     "corpus_scorecard" -> corpusScorecardSql,

@@ -59,3 +59,54 @@ object CharEntropy {
     e
   }
 }
+
+/** Content-defined chunk boundaries (#215 text_cdc_chunks): every 1-based
+  * position i in [16, len] whose TRAILING 16-char window's MD5 opens with
+  * a byte < 0x04 (p = 4/256, mean chunk ~64 chars) — exactly the rule the
+  * DuckDB twin replays with list_filter + md5 + substr. A native one-pass
+  * expression because the HOF formulation (filter over sequence + md5 +
+  * conv per element) runs interpreted per position and measured 10 s at
+  * sf0.1 — the text_winnowing lesson again: per-position lambdas don't
+  * codegen, a compiled loop with ONE reused MessageDigest does. */
+case class CdcBoundaries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcBoundaries.boundaries(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val cls = CdcBoundaries.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.boundaries($in.toString());"
+    })
+}
+
+object CdcBoundaries {
+  private val Window = 16
+
+  /** One pass, one reused digest; UTF-8 window bytes so the rule equals
+    * md5(substr(text, i-15, 16)) in both engines. */
+  def boundaries(s: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    if (n >= Window) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var i = Window
+      while (i <= n) {
+        md.reset()
+        md.update(s.substring(i - Window, i)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((md.digest()(0) & 0xFF) < 4) out += i.toLong
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+}

@@ -763,4 +763,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(sorted.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
     }
   }
+
+  test("text_cdc_chunks: boundaries reconstruct the text; insertion leaves tail chunks stable") {
+    val rng = new scala.util.Random(11)
+    def words(n: Int) = Seq.fill(n)("w" + rng.nextInt(500)).mkString(" ")
+    val prefix = words(60); val suffix = words(120)
+    val a = prefix + " " + suffix
+    val b = prefix + " INSERTED PAYLOAD HERE " + suffix
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = graft.queries.TextQueries.textCdcChunksOf(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // 1. per doc, chunks tile the text exactly
+    for ((id, text) <- Seq((1L, a), (2L, b))) {
+      val rows = ch.filter(_._1 == id).sortBy(_._2)
+      assert(rows.head._3 == 1)
+      rows.sliding(2).foreach { p =>
+        if (p.length == 2) assert(p(0)._3 + p(0)._4 == p(1)._3) }
+      assert(rows.map(_._4).sum == text.length)
+      val rebuilt = rows.map(r => text.substring(r._3.toInt - 1, (r._3 + r._4).toInt - 1)).mkString
+      assert(rebuilt == text)
+    }
+    // 2. content-defined stability: the suffix's interior chunks coincide
+    //    across the insertion (fixed-offset shingles would all differ)
+    val ha = ch.filter(_._1 == 1L).map(_._5).toSet
+    val hb = ch.filter(_._1 == 2L).map(_._5).toSet
+    val shared = ha intersect hb
+    assert(shared.size >= 2, s"expected shared tail chunks, got ${shared.size}")
+  }
+
+  test("dedup_cdc: reported duplicate chunks occur in multiple documents, and are complete") {
+    val rng = new scala.util.Random(12)
+    def words(n: Int) = Seq.fill(n)("t" + rng.nextInt(300)).mkString(" ")
+    val passage = words(150)
+    val docs = Seq(
+      (1L, words(40) + " " + passage),
+      (2L, words(55) + " " + passage + " " + words(10)),
+      (3L, words(80))
+    ).toDF("doc_id", "text")
+    val chunks = graft.queries.TextQueries.textCdcChunksOf(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val got = graft.queries.DedupQueries.dedupCdcOf(docs)
+      .select("chunk_md5", "n_docs").as[(String, Long)].collect().toMap
+    // local replay: >=16-char chunk hashes present in more than one doc
+    val want = chunks.filter(_._4 >= 16).groupBy(_._5)
+      .view.mapValues(_.map(_._1).distinct.size).filter(_._2 > 1).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (h, n) => assert(n == want(h)) }
+    assert(got.nonEmpty)   // the planted shared passage yields stable shared chunks
+  }
 }

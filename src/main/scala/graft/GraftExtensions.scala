@@ -53,7 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       unary("simhash64", "simhash64(hashes) - row-local 64-bit SimHash of bigint element hashes", SimHash64),
       textN("token_set_ids", "token_set_ids(text, n) - sorted distinct XXH64 token/shingle hashes", TokenSetIds),
       textN("token_set_min_md5", "token_set_min_md5(text, n) - min MD5 of the token/shingle set", TokenSetMinMd5),
-      textN("token_set_size", "token_set_size(text, n) - distinct token/shingle count", TokenSetSize))
+      textN("token_set_size", "token_set_size(text, n) - distinct token/shingle count", TokenSetSize),
+      unary("char_entropy", "char_entropy(text) - codepoint Shannon entropy (nats)", CharEntropy),
+      unary("cdc_boundaries", "cdc_boundaries(text) - content-defined chunk boundary positions", CdcBoundaries))
     fns.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKPerKeyStrategy)
   }

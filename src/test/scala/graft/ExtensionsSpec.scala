@@ -56,4 +56,22 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(bad == 0)
   }
+
+  test("char_entropy / cdc_boundaries callable from SQL") {
+    val e = spark.sql("SELECT char_entropy('aabb') AS e").collect().head.getDouble(0)
+    assert(math.abs(e - math.log(2)) < 1e-12)
+    val text = Seq.fill(40)("alpha beta gamma delta").mkString(" ")
+    val bs = spark.sql(s"SELECT cdc_boundaries('$text') AS b")
+      .collect().head.getSeq[Long](0)
+    // matches the operator's rule: every boundary indexes a window whose
+    // md5 opens below 0x04
+    val md = java.security.MessageDigest.getInstance("MD5")
+    bs.foreach { i =>
+      md.reset()
+      val d = md.digest(text.substring(i.toInt - 16, i.toInt)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert((d(0) & 0xFF) < 4)
+    }
+    assert(bs == bs.sorted)
+  }
 }

@@ -1226,10 +1226,65 @@ object EventQueries {
       |    / ((n_days - 1) * s1), 6) AS fano
       |FROM m WHERE n_days > 1 ORDER BY event_type""".stripMargin
 
+
+  /** #218 events_autocorr: lag-k autocorrelation (k = 1..7) of the daily
+    * count series per event type — the weekly-seasonality detector next
+    * to events_burstiness (a strong r at k=7 says weekly rhythm; r~0
+    * everywhere says memoryless traffic). Pearson r over the (x_t,
+    * x_{t-k}) aligned pairs with EVERY moment an exact integer sum (lag
+    * window over the calendar-bounded daily series, partitioned by
+    * type); doubles enter only in the final sqrt and one division —
+    * engine-identical (the events_burstiness discipline). NULL r when a
+    * side is constant (zero variance). */
+  def eventsAutocorr(s: SparkSession, d: String): DataFrame =
+    eventsAutocorrOf(Tables.events(s, d))
+
+  def eventsAutocorrOf(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lags = (1 to 7).map(k =>
+      daily.withColumn("y", lag(col("x"), k).over(w)).withColumn("k", lit(k)))
+    lags.reduce(_ unionAll _)
+      .where(col("y").isNotNull)
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("k"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy"))).cast("double")),
+          6).as("r"))
+      .orderBy("event_type", "k")
+  }
+
+  val eventsAutocorrSql: String =
+    """WITH d AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, k.k, x,
+      |    lag(x, k.k) OVER (PARTITION BY event_type, k.k ORDER BY day) AS y
+      |  FROM d, (SELECT unnest(range(1, 8)) AS k) k),
+      |m AS (
+      |  SELECT event_type, CAST(k AS INT) AS k, count(*) AS n_pairs,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM l WHERE y IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, k, n_pairs,
+      |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) AS DOUBLE)),
+      |    6) AS r
+      |FROM m ORDER BY event_type, k""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
     "events_burstiness" -> (eventsBurstiness _),
+    "events_autocorr" -> (eventsAutocorr _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -1264,6 +1319,7 @@ object EventQueries {
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_hourly" -> eventsHourlySql,
     "events_burstiness" -> eventsBurstinessSql,
+    "events_autocorr" -> eventsAutocorrSql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2 #49–50: end-to-end training-data pipeline compositions —
@@ -953,7 +954,73 @@ object PipelineQueries {
        |FROM bk GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
   }
 
+
+  /** #219 split_ks: the exact two-sample Kolmogorov–Smirnov distance
+    * between the train and val length (n_chars) distributions — the
+    * IID-split audit published next to split_leakage: a D near 0 says
+    * the md5 split didn't bias the folds on the watched covariate; a
+    * structured D says the split leaked a correlate. Exact, not sampled:
+    * per-value counts per split (one map-side-combined aggregate on the
+    * value key), cumulative shares via a DISTINCT-VALUE-bounded sweep
+    * (the orders_backlog sweep-line discipline — the window runs over
+    * value cardinality, never rows), D = max |F_train - F_val| with the
+    * smallest achieving value reported. Single-step divisions of exact
+    * integers — engine-identical. */
+  def splitKs(s: SparkSession, d: String): DataFrame =
+    splitKsOf(Tables.documents(s, d))
+
+  def splitKsOf(documents: DataFrame): DataFrame = {
+    val tagged = documents.select(col("n_chars"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "f3",
+        "train").otherwise("val").as("split"))
+    val perValue = tagged.groupBy(col("n_chars"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_val"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perValue.agg(sum(col("c_train")).as("n_train"),
+      sum(col("c_val")).as("n_val"))
+    perValue
+      .withColumn("cum_train", sum(col("c_train")).over(w))
+      .withColumn("cum_val", sum(col("c_val")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("diff", round(abs(
+        col("cum_train").cast("double") / col("n_train") -
+        col("cum_val").cast("double") / col("n_val")), 6))
+      .orderBy(desc("diff"), col("n_chars"))
+      .limit(1)
+      .select(col("n_train"), col("n_val"),
+        col("diff").as("ks_d"), col("n_chars").as("at_value"))
+  }
+
+  val splitKsSql: String =
+    """WITH tagged AS (
+      |  SELECT n_chars,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+      |         THEN 'train' ELSE 'val' END AS split
+      |  FROM documents),
+      |pv AS (
+      |  SELECT n_chars,
+      |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS c_train,
+      |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS c_val
+      |  FROM tagged GROUP BY 1),
+      |cum AS (
+      |  SELECT n_chars,
+      |    CAST(sum(c_train) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_train,
+      |    CAST(sum(c_val) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_val
+      |  FROM pv),
+      |tot AS (
+      |  SELECT CAST(sum(c_train) AS BIGINT) AS n_train,
+      |    CAST(sum(c_val) AS BIGINT) AS n_val FROM pv)
+      |SELECT n_train, n_val,
+      |  round(abs(CAST(cum_train AS DOUBLE) / n_train
+      |    - CAST(cum_val AS DOUBLE) / n_val), 6) AS ks_d,
+      |  n_chars AS at_value
+      |FROM cum, tot
+      |ORDER BY ks_d DESC, at_value LIMIT 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_ks" -> (splitKs _),
     "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
     "corpus_mix" -> (corpusMix _),
     "corpus_dsir" -> (corpusDsir _),
@@ -978,6 +1045,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "split_ks" -> splitKsSql,
     "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
     "corpus_mix" -> corpusMixSql,
     "corpus_dsir" -> corpusDsirSql,

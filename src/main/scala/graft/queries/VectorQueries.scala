@@ -1011,9 +1011,62 @@ object VectorQueries {
       |    / count(*), 6) AS accuracy
       |FROM win WHERE vr = 1 GROUP BY 1 ORDER BY label""".stripMargin
 
+
+  /** #217 vec_matryoshka: the truncated-dimension (Matryoshka / MRL)
+    * recall sweep — serve top-K from only the FIRST d coordinates and
+    * score recall against the full-dimension answer: the readout that
+    * decides how far a Matryoshka-trained embedding can be truncated
+    * before retrieval quality pays (a 64->16 cut is a 4x index-size and
+    * bandwidth win at 100 TB). Four bounded TakeOrdered jobs (one per
+    * rung, the ladder discipline) over sliced vectors — slicing happens
+    * IN the scan expression, so only prefix arithmetic runs per row.
+    * Oracle replays each rung with DuckDB list slices — full hash-pass. */
+  def vecMatryoshka(s: SparkSession, d: String): DataFrame =
+    vecMatryoshkaOf(emb(s, d))
+
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  def vecMatryoshkaOf(e: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val s = e.sparkSession
+    import s.implicits._
+    def top10(dims: Int): Seq[(Long, Double)] = {
+      val qs = typedlit(q0.take(dims))
+      val score = round(GraftBridge.column(org.apache.spark.sql.graft.DotProductF32(
+        GraftBridge.expression(slice(col("embedding"), 1, dims)),
+        GraftBridge.expression(qs))).cast("double"), 6)
+      e.select(col("vec_id").cast("long"), score.as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+        .as[(Long, Double)].collect().toSeq
+    }
+    val full = top10(64).map(_._1).toSet
+    val rows = MatryoshkaDims.map { dims =>
+      val t = top10(dims)
+      (dims, math.floor(t.count(r => full(r._1)) / 10.0 * 1e6 + 0.5) / 1e6,
+        t.map(_._2).min)
+    }
+    s.createDataset(rows).toDF("d", "recall_at_10", "kth_score").orderBy("d")
+  }
+
+  val vecMatryoshkaSql: String = {
+    val ctes = MatryoshkaDims.map { dims =>
+      s"""t$dims AS (
+         |  SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[])[1:$dims],
+         |    ${QueryVectors.sqlLit(q0.take(dims))}), 6) AS score
+         |  FROM embeddings ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin
+    }.mkString(",\n")
+    val rows = MatryoshkaDims.map { dims =>
+      s"""SELECT $dims AS d,
+         |  round((SELECT count(*) FROM t$dims WHERE vec_id IN (SELECT vec_id FROM t64)) / 10.0, 6) AS recall_at_10,
+         |  (SELECT min(score) FROM t$dims) AS kth_score""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\nSELECT * FROM (\n$rows\n) ORDER BY d"
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_queries" -> (hybridQueries _),
     "vec_knn_classify" -> (vecKnnClassify _),
+    "vec_matryoshka" -> (vecMatryoshka _),
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
@@ -1059,6 +1112,7 @@ object VectorQueries {
   val oracles: Map[String, String] = Map(
     "hybrid_queries" -> hybridQueriesSql,
     "vec_knn_classify" -> vecKnnClassifySql,
+    "vec_matryoshka" -> vecMatryoshkaSql,
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,

@@ -811,4 +811,61 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     got.foreach { case (h, n) => assert(n == want(h)) }
     assert(got.nonEmpty)   // the planted shared passage yields stable shared chunks
   }
+
+  test("vec_matryoshka: prefix-dominant embeddings keep recall 1.0 at every rung") {
+    // score order is decided entirely by dim 0, identical at every prefix
+    val q = graft.search.QueryVectors.qvec(0)
+    val vecs = (0L until 12L).map { id =>
+      val v = new Array[Float](64)
+      v(0) = (if (q(0) >= 0) 1f else -1f) * (1f + id * 0.01f)
+      (id, v, 0)
+    }
+    val got = graft.queries.VectorQueries.vecMatryoshkaOf(
+        vecs.toDF("vec_id", "embedding", "label"))
+      .as[(Int, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    got.foreach { case (_, rec, _) => assert(rec == 1.0) }
+  }
+
+  test("events_autocorr: a period-2 series gives r=-1 at lag 1 and r=+1 at lag 2") {
+    def at(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // daily counts 1,3,1,3,1,3,1,3,1,3 for one type
+    val ev = (1 to 10).flatMap { d =>
+      val n = if (d % 2 == 0) 3 else 1
+      Seq.fill(n)(at(d))
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t, "pulse") }
+      .toDF("event_id", "ts", "event_type")
+    val got = graft.queries.EventQueries.eventsAutocorrOf(ev)
+      .as[(String, Int, Long, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got(1) == ((9L, -1.0)))
+    assert(got(2) == ((8L, 1.0)))
+    assert(got(3)._2 == -1.0 && got(4)._2 == 1.0)
+  }
+
+  test("split_ks: equals a local exact KS replay over the md5 split") {
+    val docs = graft.Tables.documents(SparkTest.session, "/root/testdata/sf0.001")
+    val (nT, nV, ksD, atV) = graft.queries.PipelineQueries.splitKsOf(docs)
+      .as[(Long, Long, Double, Long)].collect().head
+    // local replay
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = docs.select("doc_id", "n_chars").as[(Long, Long)].collect()
+    def isTrain(id: Long): Boolean = {
+      md.reset()
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+      h < "f3"
+    }
+    val (tr, va) = rows.partition(r => isTrain(r._1))
+    assert(nT == tr.length && nV == va.length)
+    val values = rows.map(_._2).distinct.sorted
+    var best = (0.0, Long.MaxValue)
+    values.foreach { v =>
+      val d = math.abs(tr.count(_._2 <= v).toDouble / tr.length -
+        va.count(_._2 <= v).toDouble / va.length)
+      val dr = math.floor(d * 1e6 + 0.5) / 1e6
+      if (dr > best._1 || (dr == best._1 && v < best._2)) best = (dr, v)
+    }
+    assert(ksD == best._1 && atV == best._2)
+  }
 }

@@ -1280,11 +1280,70 @@ object EventQueries {
       |    6) AS r
       |FROM m ORDER BY event_type, k""".stripMargin
 
+
+  /** #220 events_conv_time: view->purchase conversion latency quantiles
+    * per A/B variant (the events_ab assignment rule: user_id parity) —
+    * the experiment readout after the z-test says WHETHER variants
+    * differ: HOW LONG users take to convert. Per user: first view, first
+    * purchase AT-OR-AFTER it (one user_id-keyed join, no pair
+    * explosion), exact microsecond latency; quantiles by the shared
+    * exact rank-selection operator (Quantiles.perGroup — engine-
+    * identical linear interpolation, the events_quantiles discipline).
+    */
+  def eventsConvTime(s: SparkSession, d: String): DataFrame =
+    eventsConvTimeOf(Tables.events(s, d))
+
+  private val ConvPs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  def eventsConvTimeOf(ev: DataFrame): DataFrame = {
+    val firstView = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t_view"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t_p"))
+      .join(firstView, "user_id")
+      .where(col("t_p") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("t_p")).as("t_purchase"))
+      .select(col("user_id"),
+        ((col("t_purchase") - col("t_view")).cast("double") / 1e6).as("latency_s"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+    val counts = conv.groupBy(col("variant")).agg(count(lit(1)).as("n_conversions"))
+    graft.operators.Quantiles.perGroup(conv, "variant", "latency_s", ConvPs)
+      .join(broadcast(counts), "variant")
+      .select(col("variant"), col("p"), col("q"), col("n_conversions"))
+      .orderBy("variant", "p")
+  }
+
+  val eventsConvTimeSql: String = {
+    val inner = Seq(0.25, 0.5, 0.75, 0.9).map(p =>
+      s"""SELECT variant, CAST($p AS DOUBLE) AS p,
+         |  round(quantile_cont(latency_s, $p), 6) AS q
+         |FROM conv GROUP BY variant""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "")
+    s"""WITH fv AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t_view
+       |  FROM events WHERE event_type = 'view' GROUP BY 1),
+       |conv AS (
+       |  SELECT e.user_id,
+       |    (min(epoch_us(e.ts)) - fv.t_view) / 1000000.0 AS latency_s,
+       |    CASE WHEN e.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events e JOIN fv ON e.user_id = fv.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.t_view
+       |  GROUP BY e.user_id, fv.t_view),
+       |q AS ($inner),
+       |c AS (SELECT variant, count(*) AS n_conversions FROM conv GROUP BY 1)
+       |SELECT q.variant, q.p, q.q, c.n_conversions
+       |FROM q JOIN c ON q.variant = c.variant
+       |ORDER BY q.variant, p""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
     "events_burstiness" -> (eventsBurstiness _),
     "events_autocorr" -> (eventsAutocorr _),
+    "events_conv_time" -> (eventsConvTime _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -1320,6 +1379,7 @@ object EventQueries {
     "events_hourly" -> eventsHourlySql,
     "events_burstiness" -> eventsBurstinessSql,
     "events_autocorr" -> eventsAutocorrSql,
+    "events_conv_time" -> eventsConvTimeSql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

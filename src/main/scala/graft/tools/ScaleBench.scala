@@ -175,6 +175,39 @@ object ScaleBench {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
+    // Dimension tables for the round-13 probes (skyline, fk_audit,
+    // basket_pairs): customer replicates KEYED (orders' o_custkey is
+    // offset per replica, so matching customers must be too — keeps
+    // fk_audit's orphan counts zero at any scale); part replicates keyed
+    // for row volume (lineitem's l_partkey keeps referencing the base
+    // replica — per-order join matches are unchanged, the probe scales
+    // rows); supplier/nation/region are copied as-is (their keys are
+    // never offset in the fact replicas).
+    if (!built(outDir, "customer")) {
+      val c = spark.read.parquet(s"$baseDir/customer.parquet")
+      val maxKey = c.agg(max(col("c_custkey"))).first().getLong(0)
+      require(maxKey < IdOffset,
+        s"base customer keys reach $maxKey >= offset $IdOffset — replica ids would collide")
+      (0 until replicas).map { i =>
+        c.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * IdOffset))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    }
+    if (!built(outDir, "part")) {
+      val p = spark.read.parquet(s"$baseDir/part.parquet")
+      val maxKey = p.agg(max(col("p_partkey"))).first().getLong(0)
+      require(maxKey < IdOffset,
+        s"base part keys reach $maxKey >= offset $IdOffset — replica ids would collide")
+      (0 until replicas).map { i =>
+        p.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * IdOffset))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    }
+    Seq("supplier", "nation", "region").foreach { t =>
+      if (!built(outDir, t))
+        spark.read.parquet(s"$baseDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
   }
 
   private def warm(spark: SparkSession, dir: String): Unit = {

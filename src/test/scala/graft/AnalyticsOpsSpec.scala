@@ -868,4 +868,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(ksD == best._1 && atV == best._2)
   }
+
+  test("events_conv_time: first-view to first-purchase-after latency, per variant") {
+    def t(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val ev = Seq(
+      // user 2 (variant A): view@0, purchase@30 -> 1800 s
+      (1L, t(0), 2L, "view"), (2L, t(30), 2L, "purchase"),
+      // user 4 (A): purchase BEFORE first view -> excluded; later purchase@50 counts
+      (3L, t(10), 4L, "purchase"), (4L, t(20), 4L, "view"), (5L, t(50), 4L, "purchase"),
+      // user 1 (B): view@0, purchases at 10 and 90 -> first = 600 s
+      (6L, t(0), 1L, "view"), (7L, t(10), 1L, "purchase"), (8L, t(90), 1L, "purchase"),
+      // user 3 (B): view only -> no conversion
+      (9L, t(5), 3L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.queries.EventQueries.eventsConvTimeOf(ev)
+      .as[(String, Double, Double, Long)].collect()
+    val a = got.filter(_._1 == "A"); val b = got.filter(_._1 == "B")
+    assert(a.forall(_._4 == 2) && b.forall(_._4 == 1))
+    // A latencies: 1800 (user 2), 1800 (user 4: 50-20=30min) -> all quantiles 1800
+    a.foreach { case (_, _, q, _) => assert(q == 1800.0) }
+    // B: single latency 600 -> all quantiles 600
+    b.foreach { case (_, _, q, _) => assert(q == 600.0) }
+    assert(got.map(_._2).distinct.sorted.toSeq == Seq(0.25, 0.5, 0.75, 0.9))
+  }
 }

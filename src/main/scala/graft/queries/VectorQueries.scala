@@ -964,7 +964,12 @@ object VectorQueries {
   def vecKnnClassifyOf(e: DataFrame): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val eval = e.where(col("vec_id") % 10 === 0)
+    // FIXED-SIZE eval slice (the dedup_recall audit discipline): a
+    // fractional slice makes the probe's work grow quadratically with the
+    // corpus (10x eval x 10x corpus measured ratio 3.06 at 10x); the id
+    // cap bounds it to <=500 eval points at ANY scale, rendered literally
+    // in the oracle.
+    val eval = e.where(col("vec_id") % 10 === 0 && col("vec_id") < 5000)
       .select(col("vec_id").cast("long"), col("embedding"), col("label").cast("int"))
       .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
     val nn = VectorSearch.knnJoin(e, eval.map(t => (t._1, t._2)).toSeq, 12)
@@ -990,7 +995,7 @@ object VectorQueries {
   val vecKnnClassifySql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
-      |q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+      |q AS (SELECT * FROM e WHERE vec_id % 10 = 0 AND vec_id < 5000),
       |sc AS (
       |  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS nid,
       |    e.label AS nlabel, round(list_dot_product(e.v, q.v), 6) AS score

@@ -172,3 +172,71 @@ final class StreamingEwma(alpha: Double = 0.3) {
     }
   }
 }
+
+/** Incremental hourly load matrix (#211 events_hourly's twin): state is
+  * the (dow, hour) -> (count, value-micro-units) map — bounded at 7x24
+  * forever — absorbed additively per micro-batch; value sums kept in
+  * exact integer micro-units (the sessionize discipline) so the report
+  * equals the batch operator's DECIMAL sums bit-for-bit over everything
+  * ingested. */
+final class StreamingHourly {
+
+  // (dow, hour) -> (n, value in 1e-2 units); bounded at 7*24 keys
+  private val state = scala.collection.mutable.HashMap.empty[(Int, Int), (Long, Long)]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val rows = batch
+      .groupBy((weekday(col("ts")) + 1).as("dow"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("v"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+    rows.foreach { case (k, (n, v)) =>
+      val (pn, pv) = state.getOrElse(k, (0L, 0L))
+      state.update(k, (pn + n, pv + v))
+    }
+  }
+
+  /** (dow, hour, n_events, total_value) rows, the #211 schema, ordered. */
+  def report(): Seq[(Int, Int, Long, Double)] = synchronized {
+    state.toSeq.sortBy(_._1).map { case ((d, h), (n, v)) =>
+      (d, h, n, v.toDouble / 100.0)
+    }
+  }
+}
+
+/** Incremental burstiness (#213 events_burstiness's twin): daily counts
+  * are additive (late events for a seen day are absorbed exactly), and
+  * the Fano readout needs only the calendar-bounded accumulated series —
+  * the report replays the batch operator's exact integer-moment
+  * arithmetic on it, so streamed == batch over everything ingested. */
+final class StreamingBurstiness {
+
+  private val state = scala.collection.mutable.HashMap.empty[(String, java.sql.Date), Long]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val rows = batch
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getDate(1)), r.getLong(2)))
+    rows.foreach { case (k, n) => state.update(k, state.getOrElse(k, 0L) + n) }
+  }
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** (event_type, n_days, n_events, mean_daily, var_daily, fano), the
+    * #213 schema (types with >1 observed day), ordered by type. */
+  def report(): Seq[(String, Long, Long, Double, Double, Double)] = synchronized {
+    state.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (et, entries) =>
+      val xs = entries.map(_._2)
+      val n = xs.length.toLong
+      if (n <= 1) None
+      else {
+        val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+        Some((et, n, s1,
+          rnd6(s1.toDouble / n),
+          rnd6((n * s2 - s1 * s1).toDouble / (n * (n - 1))),
+          rnd6((n * s2 - s1 * s1).toDouble / ((n - 1) * s1))))
+      }
+    }
+  }
+}

@@ -65,4 +65,25 @@ class MonitorStreamingSpec extends AnyFunSuite {
       .as[(String, java.sql.Date, Long, Long, Double)].collect().toSeq
     assert(se.report() == want)
   }
+
+  test("streaming hourly: batched absorption == events_hourly over the union") {
+    val ev = Tables.events(spark, sf)
+    val sh = new graft.streaming.StreamingHourly
+    Seq(ev.where(col("event_id") % 3 === 2), ev.where(col("event_id") % 3 === 0),
+      ev.where(col("event_id") % 3 === 1)).foreach(sh.processBatch)
+    val want = EventQueries.eventsHourlyOf(ev)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(sh.report() == want)
+  }
+
+  test("streaming burstiness: batched absorption == events_burstiness, late rows exact") {
+    val ev = Tables.events(spark, sf)
+    val sb = new graft.streaming.StreamingBurstiness
+    // late-arrival shape: the middle batch revisits days the first touched
+    Seq(ev.where(col("event_id") % 3 === 0), ev.where(col("event_id") % 3 === 1),
+      ev.where(col("event_id") % 3 === 2)).foreach(sb.processBatch)
+    val want = EventQueries.eventsBurstinessOf(ev)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(sb.report() == want)
+  }
 }

@@ -518,4 +518,51 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q1_cube plans ONE Expand feeding one aggregate (no per-group-set scans)") {
+    val p = plan(AnalyticsQueries.q1Cube(spark, sf))
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("fk_audit broadcasts the dims and never builds a cartesian product") {
+    val p = plan(AnalyticsQueries.fkAudit(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin") == false, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("leftanti"), p)
+  }
+
+  test("basket_pairs broadcasts the part dim and the brand frequency sides") {
+    val p = plan(AnalyticsQueries.basketPairs(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("part_skyline never sorts globally and keeps the window per bucket") {
+    val p = plan(AnalyticsQueries.partSkyline(spark, sf))
+    // the in-bucket running max is a partitioned window: no
+    // single-partition Window (the empty partitionBy warning shape)
+    assert(!p.contains("Window [") || p.contains("windowspecdefinition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_dedup_window is ONE keyed exchange + window + aggregate") {
+    val p = plan(EventQueries.eventsDedupWindow(spark, sf))
+    // exactly one shuffle introduces the (user, type) clustering; the
+    // final orderBy adds a bounded range exchange over <=|types| rows
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges\n$p")
+  }
+
+  test("text_cdc_chunks runs the native boundary expression with zero joins") {
+    val df = TextQueries.textCdcChunks(spark, sf)
+    val p = plan(df)
+    assert(p.contains("cdc_boundaries"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("geo_knn plans the bounded TopKPerKey operator, not a global sort") {
+    val p = plan(VectorQueries.geoKnn(spark, sf))
+    assert(p.contains("TopKPerKey"), p)
+  }
 }

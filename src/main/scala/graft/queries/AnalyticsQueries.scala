@@ -400,6 +400,99 @@ object AnalyticsQueries {
       |CROSS JOIN no
       |ORDER BY brand_a, brand_b""".stripMargin
 
+
+  // -------------------------------------------------------------------
+  // #223 market_hhi — exact-integer Herfindahl concentration index.
+
+  /** Revenue-concentration (HHI) per brand market: how concentrated is
+    * each brand's revenue across suppliers — the antitrust/market-power
+    * readout, and the dedup of the float-summation trap: HHI is
+    * Σ share_i², which naively sums squared DOUBLE shares in engine-
+    * dependent order. Here every term is EXACT — revenue in integer
+    * cents, Σ rev_i² and (Σ rev_i)² as DECIMAL(38,0), and the index is
+    * ONE division of exact integers (HHI = Σr²/ (Σr)²) — so both
+    * engines derive the identical double. Shapes: one broadcast dim
+    * join, one (brand, supplier) aggregate, one bounded per-brand
+    * rollup. */
+  def marketHhi(spark: SparkSession, dir: String): DataFrame =
+    marketHhiOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  def marketHhiOf(li: DataFrame, part: DataFrame): DataFrame =
+    li.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(sum((dec(col("l_extendedprice")) * 100).cast("decimal(38,0)")).as("rc"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rc")).as("tot"),
+        sum(col("rc") * col("rc")).as("sq"))
+      .select(col("p_brand"), col("n_suppliers"),
+        (col("tot").cast("double") / 100).as("revenue"),
+        round(col("sq").cast("double") / (col("tot").cast("double") * col("tot").cast("double")), 6).as("hhi"))
+      .orderBy("p_brand")
+
+  val marketHhiSql: String =
+    """WITH r AS (
+      |  SELECT p_brand, l_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rc
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT p_brand, count(*) AS n_suppliers,
+      |  CAST(sum(rc) AS DOUBLE) / 100 AS revenue,
+      |  round(CAST(sum(rc * rc) AS DOUBLE)
+      |    / (CAST(sum(rc) AS DOUBLE) * CAST(sum(rc) AS DOUBLE)), 6) AS hhi
+      |FROM r GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #224 supplier_otd — on-time-delivery ranked by the Wilson lower bound.
+
+  /** Supplier on-time-delivery scorecard ranked by the WILSON LOWER
+    * BOUND (z = 1.96), not the raw share — the canonical
+    * small-sample-ranking correction (a 3/3 supplier must NOT outrank a
+    * 95/100 one). On-time = shipped within 90 days of the order (the q12
+    * rule). The bound's sqrt/divisions run the SAME IEEE expression tree
+    * on exact integer inputs in both engines, then round 6 dp. One
+    * fact-fact key join + one supplier aggregate; top-25 via TakeOrdered.
+    */
+  def supplierOtd(spark: SparkSession, dir: String): DataFrame =
+    supplierOtdOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  def supplierOtdOf(li: DataFrame, ord: DataFrame): DataFrame = {
+    val z2 = "3.8415999999999997"  // 1.96^2 pinned to the exact double literal
+    val agg = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ontime",
+        when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"), 1L)
+          .otherwise(0L))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_ship"), sum(col("ontime")).as("n_ontime"))
+    agg
+      .withColumn("share", round(col("n_ontime").cast("double") / col("n_ship"), 6))
+      .withColumn("wilson_lb", round(expr(
+        s"""((n_ontime / CAST(n_ship AS DOUBLE)) + $z2 / (2 * n_ship)
+           | - 1.96 * sqrt((n_ontime / CAST(n_ship AS DOUBLE)) * (1 - n_ontime / CAST(n_ship AS DOUBLE)) / n_ship
+           |   + $z2 / (4 * CAST(n_ship AS DOUBLE) * n_ship)))
+           | / (1 + $z2 / n_ship)""".stripMargin.replaceAll("\n", " ")), 6))
+      .orderBy(desc("wilson_lb"), col("l_suppkey"))
+      .limit(25)
+  }
+
+  val supplierOtdSql: String = {
+    val z2 = "3.8415999999999997"
+    s"""WITH a AS (
+       |  SELECT l_suppkey, count(*) AS n_ship,
+       |    CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY
+       |             THEN 1 ELSE 0 END) AS BIGINT) AS n_ontime
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1)
+       |SELECT l_suppkey, n_ship, n_ontime,
+       |  round(CAST(n_ontime AS DOUBLE) / n_ship, 6) AS share,
+       |  round(((n_ontime / CAST(n_ship AS DOUBLE)) + $z2 / (2 * n_ship)
+       |    - 1.96 * sqrt((n_ontime / CAST(n_ship AS DOUBLE)) * (1 - n_ontime / CAST(n_ship AS DOUBLE)) / n_ship
+       |      + $z2 / (4 * CAST(n_ship AS DOUBLE) * n_ship)))
+       |    / (1 + $z2 / n_ship), 6) AS wilson_lb
+       |FROM a ORDER BY wilson_lb DESC, l_suppkey LIMIT 25""".stripMargin
+  }
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,12 +500,16 @@ object AnalyticsQueries {
     "orders_rfm" -> (ordersRfm _),
     "part_skyline" -> (partSkyline _),
     "fk_audit" -> (fkAudit _),
-    "basket_pairs" -> (basketPairs _))
+    "basket_pairs" -> (basketPairs _),
+    "market_hhi" -> (marketHhi _),
+    "supplier_otd" -> (supplierOtd _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
     "orders_rfm" -> ordersRfmSql,
     "part_skyline" -> partSkylineSql,
     "fk_audit" -> fkAuditSql,
-    "basket_pairs" -> basketPairsSql)
+    "basket_pairs" -> basketPairsSql,
+    "market_hhi" -> marketHhiSql,
+    "supplier_otd" -> supplierOtdSql)
 }

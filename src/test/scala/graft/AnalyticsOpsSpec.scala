@@ -891,4 +891,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     b.foreach { case (_, _, q, _) => assert(q == 600.0) }
     assert(got.map(_._2).distinct.sorted.toSeq == Seq(0.25, 0.5, 0.75, 0.9))
   }
+
+  test("market_hhi: monopoly scores 1, even split scores 1/n, exactly") {
+    val li = Seq(
+      (1L, 10L, 100L, 50.0), (2L, 10L, 100L, 30.0),          // B1: one supplier
+      (3L, 20L, 200L, 40.0), (4L, 20L, 300L, 40.0),          // B2: 50/50 split
+      (5L, 30L, 400L, 60.0), (6L, 30L, 500L, 20.0), (7L, 30L, 600L, 20.0)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+    val part = Seq((10L, "B1"), (20L, "B2"), (30L, "B3")).toDF("p_partkey", "p_brand")
+    val got = graft.queries.AnalyticsQueries.marketHhiOf(li, part)
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("B1") == (("B1", 1L, 80.0, 1.0)))
+    assert(got("B2") == (("B2", 2L, 80.0, 0.5)))
+    // B3: shares 0.6, 0.2, 0.2 -> 0.36 + 0.04 + 0.04 = 0.44
+    assert(got("B3") == (("B3", 3L, 100.0, 0.44)))
+  }
+
+  test("supplier_otd: Wilson bound demotes small-sample perfection below large-sample excellence") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def day(d: Int) = new java.sql.Timestamp(base.getTime + d * 86400000L)
+    // supplier 1: 3/3 on time; supplier 2: 95/100 on time
+    val li = (1 to 3).map(i => (i.toLong, 1L, day(10))) ++
+      (1 to 100).map(i => (100L + i, 2L, if (i <= 95) day(10) else day(200)))
+    val ord = (1 to 203).map(i => (i.toLong, day(0)))
+    val got = graft.queries.AnalyticsQueries.supplierOtdOf(
+        li.toDF("l_orderkey", "l_suppkey", "l_shipdate"),
+        ord.toDF("o_orderkey", "o_orderdate"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1L)._4 == 1.0 && m(2L)._4 == 0.95)
+    // raw share ranks supplier 1 first; the Wilson bound must not
+    assert(m(2L)._5 > m(1L)._5, s"wilson ${m(1L)._5} vs ${m(2L)._5}")
+    assert(got.head._1 == 2L)
+  }
 }

@@ -1338,12 +1338,117 @@ object EventQueries {
        |ORDER BY q.variant, p""".stripMargin
   }
 
+
+  /** #225 events_streaks: longest consecutive-day activity streak per
+    * user, read out as a histogram — the gaps-and-islands operator every
+    * engagement dashboard runs. The islands trick keeps it ONE window
+    * pass: epoch_day - row_number is constant exactly within a
+    * consecutive run, so streaks fall out of a (user, diff) aggregate —
+    * no self-join, no recursion; the histogram key is bounded by the
+    * calendar. */
+  def eventsStreaks(s: SparkSession, d: String): DataFrame =
+    eventsStreaksOf(Tables.events(s, d))
+
+  def eventsStreaksOf(ev: DataFrame): DataFrame = {
+    val ud = ev.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val streaks = ud.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp")).agg(count(lit(1)).as("len"))
+    streaks.groupBy(col("user_id")).agg(max(col("len")).as("max_streak"))
+      .groupBy(col("max_streak")).agg(count(lit(1)).as("n_users"))
+      .orderBy("max_streak")
+  }
+
+  val eventsStreaksSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM ud),
+      |ln AS (
+      |  SELECT user_id, count(*) AS len FROM st GROUP BY user_id, grp),
+      |mx AS (
+      |  SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak FROM ln GROUP BY 1)
+      |SELECT max_streak, count(*) AS n_users
+      |FROM mx GROUP BY 1 ORDER BY max_streak""".stripMargin
+
+  /** #226 events_growth: daily growth accounting — every active user-day
+    * classified new / retained (active yesterday) / resurrected (seen
+    * before, not yesterday), churn attributed to the day AFTER the last
+    * consecutive active day: the new+retained+resurrected−churned
+    * decomposition that explains a DAU curve's movement. One user-day
+    * dedup shuffle, one lag/lead window per user, one calendar-bounded
+    * day aggregate; exact integer counts — full hash-pass. */
+  def eventsGrowth(s: SparkSession, d: String): DataFrame =
+    eventsGrowthOf(Tables.events(s, d))
+
+  def eventsGrowthOf(ev: DataFrame): DataFrame = {
+    val ud = ev.select(col("user_id"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val tagged = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("next", lead(col("day"), 1).over(w))
+      .withColumn("status",
+        when(col("prev").isNull, "new")
+          .when(col("day") - col("prev") === 1, "retained")
+          .otherwise("resurrected"))
+    val active = tagged.groupBy(col("day"))
+      .agg(sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val churned = tagged
+      .where(col("next").isNull || col("next") > col("day") + 1)
+      .select((col("day") + 1).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy("day")
+  }
+
+  val eventsGrowthSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |tg AS (
+      |  SELECT user_id, day,
+      |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+      |  FROM ud),
+      |act AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN day - prev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN prev IS NOT NULL AND day - prev > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM tg GROUP BY 1),
+      |ch AS (
+      |  SELECT day + 1 AS day, count(*) AS n_churned
+      |  FROM tg WHERE next IS NULL OR next > day + 1 GROUP BY 1)
+      |SELECT coalesce(act.day, ch.day) AS day,
+      |  coalesce(n_new, 0) AS n_new,
+      |  coalesce(n_retained, 0) AS n_retained,
+      |  coalesce(n_resurrected, 0) AS n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned
+      |FROM act FULL OUTER JOIN ch ON act.day = ch.day
+      |ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
     "events_burstiness" -> (eventsBurstiness _),
     "events_autocorr" -> (eventsAutocorr _),
     "events_conv_time" -> (eventsConvTime _),
+    "events_streaks" -> (eventsStreaks _),
+    "events_growth" -> (eventsGrowth _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -1380,6 +1485,8 @@ object EventQueries {
     "events_burstiness" -> eventsBurstinessSql,
     "events_autocorr" -> eventsAutocorrSql,
     "events_conv_time" -> eventsConvTimeSql,
+    "events_streaks" -> eventsStreaksSql,
+    "events_growth" -> eventsGrowthSql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

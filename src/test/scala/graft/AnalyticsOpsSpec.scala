@@ -924,4 +924,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(m(2L)._5 > m(1L)._5, s"wilson ${m(1L)._5} vs ${m(2L)._5}")
     assert(got.head._1 == 2L)
   }
+
+  test("events_streaks: islands collapse to per-user max streak histogram") {
+    def at(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq(
+      // user 1: days 1,2,3 then 7,8 -> max streak 3
+      (1L, at(1), 1L), (2L, at(2), 1L), (3L, at(3), 1L), (4L, at(7), 1L), (5L, at(8), 1L),
+      // user 2: days 5 only -> max streak 1 (two events same day dedup)
+      (6L, at(5), 2L), (7L, at(5), 2L),
+      // user 3: days 1,2 -> max streak 2
+      (8L, at(1), 3L), (9L, at(2), 3L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = graft.queries.EventQueries.eventsStreaksOf(ev)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("events_growth: new/retained/resurrected/churned replay a hand journal") {
+    def at(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // user 1 active d1,d2,d4; user 2 active d2 only
+    val ev = Seq(
+      (1L, at(1), 1L), (2L, at(2), 1L), (3L, at(4), 1L),
+      (4L, at(2), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = graft.queries.EventQueries.eventsGrowthOf(ev)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val d1 = 19723L  // 2024-01-01 as epoch day
+    assert(got(d1) == ((1L, 0L, 0L, 0L)))          // u1 new
+    assert(got(d1 + 1) == ((1L, 1L, 0L, 0L)))      // u2 new, u1 retained
+    assert(got(d1 + 2) == ((0L, 0L, 0L, 2L)))      // both churn on d3
+    assert(got(d1 + 3) == ((0L, 0L, 1L, 0L)))      // u1 resurrects d4
+    assert(got(d1 + 4) == ((0L, 0L, 0L, 1L)))      // u1 churns after d4
+  }
 }

@@ -86,4 +86,20 @@ class MonitorStreamingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
     assert(sb.report() == want)
   }
+
+  test("wau window arithmetic is DST-safe (the round-12 advice fix)") {
+    // In a DST zone, local midnights 7 calendar days apart across the
+    // spring-forward are 167h apart: millis/86400000 floors to 6 and
+    // would wrongly admit the 8th day into a trailing-7 window. The
+    // calendar-day arithmetic the fix switched to gives 7.
+    val tz = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val before = java.sql.Date.valueOf("2024-03-04") // 7 days pre  2024-03-11
+      val after = java.sql.Date.valueOf("2024-03-11")  // DST jump on 03-10
+      assert((after.getTime - before.getTime) / 86400000L == 6) // the trap
+      assert(java.time.temporal.ChronoUnit.DAYS.between(
+        before.toLocalDate, after.toLocalDate) == 7)            // the fix
+    } finally java.util.TimeZone.setDefault(tz)
+  }
 }

@@ -957,4 +957,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got(d1 + 3) == ((0L, 0L, 1L, 0L)))      // u1 resurrects d4
     assert(got(d1 + 4) == ((0L, 0L, 0L, 1L)))      // u1 churns after d4
   }
+
+  test("CdcBoundaries: matches a direct replay on random strings, unicode included") {
+    val rng = new scala.util.Random(99)
+    val alphabets = Seq("abcdefgh ", "αβγδ εζ", "日本語テキスト ", "mix αb 語x ")
+    val cases = (0 until 24).map { i =>
+      val a = alphabets(i % alphabets.size)
+      (0 until (rng.nextInt(120))).map(_ => a(rng.nextInt(a.length))).mkString
+    } :+ "" :+ "short" :+ ("x" * 16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def replay(t: String): Seq[Long] =
+      (16 to t.length).filter { i =>
+        md.reset()
+        (md.digest(t.substring(i - 16, i).getBytes("UTF-8"))(0) & 0xFF) < 4
+      }.map(_.toLong)
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.graft.CdcBoundaries(
+          org.apache.spark.sql.GraftBridge.expression(col("text")))).as("b"))
+      .as[(Long, Seq[Long])].collect().toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == replay(t), s"case $i: '$t'")
+    }
+  }
 }

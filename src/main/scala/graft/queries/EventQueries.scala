@@ -1441,6 +1441,56 @@ object EventQueries {
       |FROM act FULL OUTER JOIN ch ON act.day = ch.day
       |ORDER BY day""".stripMargin
 
+
+  /** #228 events_spine: the date-spine gap fill — every (event_type,
+    * calendar day) cell over the corpus' full date range, zero-filled
+    * where nothing happened, with days-since-last-activity carried
+    * forward (the dbt date-spine / AS OF dashboard substrate: real
+    * series have holes, BI queries must not). Shapes: the spine is a
+    * row-local sequence() explode of types x broadcast bounds (bounded
+    * by calendar x type cardinality, NEVER a corpus-sized operation),
+    * one left join against the daily pre-aggregate, carry-forward as a
+    * max-over-monotone-day window (identical trick in both engines).
+    */
+  def eventsSpine(s: SparkSession, d: String): DataFrame =
+    eventsSpineOf(Tables.events(s, d))
+
+  def eventsSpineOf(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("days_since_active",
+        col("day") - max(when(col("n_events") > 0, col("day"))).over(w))
+      .select(col("event_type"), col("day"), col("n_events"), col("days_since_active"))
+      .orderBy("event_type", "day")
+  }
+
+  val eventsSpineSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+      |spine AS (
+      |  SELECT t.event_type, d.day
+      |  FROM (SELECT DISTINCT event_type FROM daily) t,
+      |    (SELECT unnest(range(lo, hi + 1)) AS day FROM b) d)
+      |SELECT s.event_type, s.day,
+      |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+      |  s.day - max(CASE WHEN coalesce(daily.n, 0) > 0 THEN s.day END)
+      |    OVER (PARTITION BY s.event_type ORDER BY s.day
+      |          ROWS UNBOUNDED PRECEDING) AS days_since_active
+      |FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.day = daily.day
+      |ORDER BY s.event_type, s.day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
@@ -1449,6 +1499,7 @@ object EventQueries {
     "events_conv_time" -> (eventsConvTime _),
     "events_streaks" -> (eventsStreaks _),
     "events_growth" -> (eventsGrowth _),
+    "events_spine" -> (eventsSpine _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -1487,6 +1538,7 @@ object EventQueries {
     "events_conv_time" -> eventsConvTimeSql,
     "events_streaks" -> eventsStreaksSql,
     "events_growth" -> eventsGrowthSql,
+    "events_spine" -> eventsSpineSql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

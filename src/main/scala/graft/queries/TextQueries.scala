@@ -1072,7 +1072,56 @@ object TextQueries {
        |SELECT doc_id, chunk_idx, start_pos, chunk_len, chunk_md5
        |FROM ch WHERE chunk_len > 0 ORDER BY doc_id, chunk_idx""".stripMargin
 
+
+  /** #227 text_novelty: per-document 8-gram novelty — the share of a
+    * doc's distinct shingles whose FIRST corpus occurrence (min doc_id)
+    * is this document: the curriculum/freshness signal that separates
+    * novel contributions from recombinations of already-seen text (a
+    * near-dup scores ~0 without any pair mining). Shapes: one shingle
+    * explode to (gram, doc) DISTINCT grain, one min-doc_id aggregate on
+    * the gram key (map-side combined), one gram-keyed join back, one
+    * per-doc rollup — the decontaminate machinery pointed at the corpus
+    * itself. Exact integer counts, one rounded division. */
+  def textNovelty(s: SparkSession, d: String): DataFrame =
+    textNoveltyOf(docs(s, d))
+
+  def textNoveltyOf(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), explode(expr(
+        // CASE guard: Spark's sequence(1, 0) counts DOWN — docs under 8
+        // tokens must yield an empty gram array, as DuckDB's range does
+        """CASE WHEN size(split(lower(text), ' ')) >= 8 THEN transform(
+          |  sequence(1, size(split(lower(text), ' ')) - 7),
+          |  i -> array_join(slice(split(lower(text), ' '), i, 8), ' '))
+          |ELSE array() END""".stripMargin))
+        .as("gram"))
+      .distinct()
+    val firstSeen = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel").cast("double") / col("n_grams"), 6))
+      .orderBy("doc_id")
+  }
+
+  val textNoveltySql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id,
+      |      array_to_string(toks[i:i+7], ' ') AS gram
+      |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+      |      unnest(range(1, greatest(1, len(toks) - 6))) AS t(i))),
+      |fs AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS novelty
+      |FROM g JOIN fs ON g.gram = fs.gram
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty" -> (textNovelty _),
     "text_cdc_chunks" -> (textCdcChunks _),
     "text_heaps" -> (textHeaps _),
     "text_zipf" -> (textZipf _),
@@ -1107,6 +1156,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" -> textNoveltySql,
     "text_cdc_chunks" -> textCdcChunksSql,
     "text_heaps" -> textHeapsSql,
     "text_zipf" -> textZipfSql,

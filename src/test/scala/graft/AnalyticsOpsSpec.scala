@@ -981,4 +981,38 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(got(i.toLong) == replay(t), s"case $i: '$t'")
     }
   }
+
+  test("text_novelty: first doc scores 1, an exact copy scores 0, a remix in between") {
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val remix = ((1 to 10).map(i => s"w$i") ++ (1 to 10).map(i => s"x$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, remix)).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.textNoveltyOf(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 == 1.0)
+    assert(got(2L)._4 == 0.0)                   // every gram first seen in doc 1
+    assert(got(3L)._4 > 0.0 && got(3L)._4 < 1.0) // w1..w10 prefix grams shared
+    assert(got(1L)._2 == 13)                     // 20 tokens -> 13 grams
+  }
+
+  test("events_spine: zero-filled gaps and carry-forward distance") {
+    def at(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    val ev = Seq(
+      (1L, at(1), "click"), (2L, at(1), "click"), (3L, at(4), "click"),
+      (4L, at(2), "view")
+    ).toDF("event_id", "ts", "event_type")
+    val got = graft.queries.EventQueries.eventsSpineOf(ev)
+      .as[(String, Long, Long, Option[Long])].collect()
+    val d1 = 19723L
+    val clicks = got.filter(_._1 == "click").map(r => r._2 -> ((r._3, r._4))).toMap
+    // full spine d1..d4 for every type
+    assert(got.count(_._1 == "click") == 4 && got.count(_._1 == "view") == 4)
+    assert(clicks(d1) == ((2L, Some(0L))))
+    assert(clicks(d1 + 1) == ((0L, Some(1L))))   // gap, 1 day since activity
+    assert(clicks(d1 + 2) == ((0L, Some(2L))))
+    assert(clicks(d1 + 3) == ((1L, Some(0L))))
+    val views = got.filter(_._1 == "view").map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(views(d1) == ((0L, None)))            // before first activity
+    assert(views(d1 + 1) == ((1L, Some(0L))))
+    assert(views(d1 + 3) == ((0L, Some(2L))))
+  }
 }

@@ -509,8 +509,69 @@ object DedupQueries {
        |GROUP BY chunk_md5 HAVING count(DISTINCT doc_id) > 1
        |ORDER BY chunk_md5""".stripMargin
 
+
+  /** #229 dedup_containment: the ASYMMETRY readout over near-dup
+    * candidates — containment |A∩B|/|A| vs |A∩B|/|B| decides WHICH doc
+    * subsumes which (the keep-the-superset policy exact Jaccard can't
+    * express: a passage copied into a longer article has low Jaccard but
+    * containment ~1 on the short side; 3-gram SHINGLES so only copied
+    * sequences count, not shared vocabulary). Candidates by the shared
+    * min-md5 3-gram-shingle blocking (recall follows the Jaccard bound, so this
+    * is the containment readout over NEAR-DUP candidates, not a full
+    * containment search — documented contract, identical rule in the
+    * oracle); verify is one codegen'd sorted-intersect; emitted where
+    * the larger containment side clears 0.9, round-before-branch. */
+  val ContainmentTau = 0.9
+
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    dedupContainmentOf(Tables.documents(s, d))
+
+  def dedupContainmentOf(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val ts = docs.select(col("doc_id"),
+      tokenSetIds(col("text"), 3).as("tsi"),
+      tokenSetMinMd5(col("text"), 3).as("blk"))
+      .where(size(col("tsi")) > 0)
+    val a = ts.select(col("doc_id").as("doc_a"), col("tsi").as("tsa"), col("blk"))
+    val b = ts.select(col("doc_id").as("doc_b"), col("tsi").as("tsb"), col("blk"))
+    a.join(b, Seq("blk")).where(col("doc_a") < col("doc_b"))
+      .withColumn("n_common", sortedIntersectSize(col("tsa"), col("tsb")).cast("long"))
+      .withColumn("n_a", size(col("tsa")).cast("long"))
+      .withColumn("n_b", size(col("tsb")).cast("long"))
+      .withColumn("cont_a", round(col("n_common").cast("double") / col("n_a"), 6))
+      .withColumn("cont_b", round(col("n_common").cast("double") / col("n_b"), 6))
+      .where(greatest(col("cont_a"), col("cont_b")) >= ContainmentTau)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("cont_a"), col("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([list_aggregate(s[i:i+2], 'string_agg', ' ') FOR i IN range(1, len(s) - 1)]) AS ts
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents)
+       |  WHERE len(s) >= 3),
+       |blocked AS (
+       |  SELECT doc_id, ts,
+       |    list_aggregate(list_apply(ts, t -> md5(t)), 'min') AS blk
+       |  FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(a.ts) AS BIGINT) AS n_a, CAST(len(b.ts) AS BIGINT) AS n_b,
+       |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_common
+       |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, n_a, n_b, n_common,
+       |  round(CAST(n_common AS DOUBLE) / n_a, 6) AS cont_a,
+       |  round(CAST(n_common AS DOUBLE) / n_b, 6) AS cont_b
+       |FROM cand
+       |WHERE greatest(round(CAST(n_common AS DOUBLE) / n_a, 6),
+       |               round(CAST(n_common AS DOUBLE) / n_b, 6)) >= $ContainmentTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cdc" -> (dedupCdc _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_semantic" -> (dedupSemantic _),
     "sample_cluster_balance" -> (sampleClusterBalance _),
     "dedup_recall" -> (dedupRecall _),
@@ -531,6 +592,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_cdc" -> dedupCdcSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_portable" -> dedupMinhashPortableSql,
     "dedup_simhash_portable" -> dedupSimhashPortableSql,
     "dedup_report" -> dedupReportSql,

@@ -1015,4 +1015,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(views(d1 + 1) == ((1L, Some(0L))))
     assert(views(d1 + 3) == ((0L, Some(2L))))
   }
+
+  test("dedup_containment: a copied passage scores ~1 on the short side, Jaccard-low") {
+    val rng = new scala.util.Random(17)
+    def words(n: Int, tag: String) = Seq.fill(n)(tag + rng.nextInt(200)).mkString(" ")
+    val passage = words(30, "p")
+    val article = words(100, "a") + " " + passage + " " + words(100, "b")
+    val docs = Seq((1L, passage), (2L, article), (3L, words(50, "z")))
+      .toDF("doc_id", "text")
+    val got = graft.queries.DedupQueries.dedupContainmentOf(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    // blocking: the passage's min-shingle is shared iff the article's global
+    // min shingle lies inside the copied span — engineered corpus where the
+    // passage tag sorts below a/b/z md5s is not guaranteed, so assert on
+    // the CONTRACT for surfaced pairs instead, plus exactness of the math
+    got.foreach { case (da, db, na, nb, nc, ca, cb) =>
+      assert(nc <= math.min(na, nb) && math.max(ca, cb) >= 0.9)
+      assert(ca == math.floor(nc.toDouble / na * 1e6 + 0.5) / 1e6)
+      assert(cb == math.floor(nc.toDouble / nb * 1e6 + 0.5) / 1e6)
+    }
+    // and the pair (1,2) is found when they share the blocking min: check
+    // directly whether the blocking keys coincide, and if so require it
+    import graft.functions.VectorFunctions._
+    val blks = docs.select(col("doc_id"), tokenSetMinMd5(col("text"), 3).as("b"))
+      .as[(Long, String)].collect().toMap
+    if (blks(1L) == blks(2L))
+      assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._6 == 1.0))
+  }
 }

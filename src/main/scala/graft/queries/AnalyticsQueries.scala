@@ -493,6 +493,54 @@ object AnalyticsQueries {
        |FROM a ORDER BY wilson_lb DESC, l_suppkey LIMIT 25""".stripMargin
   }
 
+
+  // -------------------------------------------------------------------
+  // #231 part_corr — exact-moment Pearson correlation per brand.
+
+  /** Pearson correlation of p_size vs p_retailprice per brand — the
+    * correlation-matrix staple with the float trap removed: price in
+    * integer cents, size integer, EVERY moment (Σx, Σy, Σx², Σy², Σxy)
+    * an exact DECIMAL(38,0) sum, doubles entering only in the final
+    * sqrt and one division (the events_autocorr discipline — engines
+    * cannot drift). One map-side-combined aggregate on the bounded
+    * brand key; NULL r for degenerate (constant) sides. */
+  def partCorr(spark: SparkSession, dir: String): DataFrame =
+    partCorrOf(Tables.part(spark, dir))
+
+  def partCorrOf(part: DataFrame): DataFrame = {
+    val x = col("p_size").cast("decimal(38,0)")
+    val y = (col("p_retailprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)")
+    part.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .withColumn("__d", ((col("n") * col("sxx") - col("sx") * col("sx")) *
+        (col("n") * col("syy") - col("sy") * col("sy"))).cast("double"))
+      // degenerate (constant) side -> NULL, matching DuckDB's
+      // double-div-by-zero semantics (Spark ANSI would throw)
+      .select(col("p_brand"), col("n"),
+        when(col("__d") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("__d")), 6)).as("r"))
+      .orderBy("p_brand")
+  }
+
+  val partCorrSql: String =
+    """WITH m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |    sum(CAST(p_size AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS sy,
+      |    sum(CAST(p_size AS DECIMAL(38,0)) * CAST(p_size AS DECIMAL(38,0))) AS sxx,
+      |    sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))
+      |      * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS syy,
+      |    sum(CAST(p_size AS DECIMAL(38,0))
+      |      * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS sxy
+      |  FROM part GROUP BY 1)
+      |SELECT p_brand, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS r
+      |FROM m ORDER BY p_brand""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -502,7 +550,8 @@ object AnalyticsQueries {
     "fk_audit" -> (fkAudit _),
     "basket_pairs" -> (basketPairs _),
     "market_hhi" -> (marketHhi _),
-    "supplier_otd" -> (supplierOtd _))
+    "supplier_otd" -> (supplierOtd _),
+    "part_corr" -> (partCorr _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -511,5 +560,6 @@ object AnalyticsQueries {
     "fk_audit" -> fkAuditSql,
     "basket_pairs" -> basketPairsSql,
     "market_hhi" -> marketHhiSql,
-    "supplier_otd" -> supplierOtdSql)
+    "supplier_otd" -> supplierOtdSql,
+    "part_corr" -> partCorrSql)
 }

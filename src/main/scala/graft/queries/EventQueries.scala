@@ -1252,11 +1252,14 @@ object EventQueries {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
+      .withColumn("__d", ((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+        (col("n_pairs") * col("syy") - col("sy") * col("sy"))).cast("double"))
+      // constant series -> NULL r (DuckDB double-div-by-zero semantics;
+      // Spark ANSI would throw on the division)
       .select(col("event_type"), col("k"), col("n_pairs"),
-        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt(((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
-                (col("n_pairs") * col("syy") - col("sy") * col("sy"))).cast("double")),
-          6).as("r"))
+        when(col("__d") > 0,
+          round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("__d")), 6)).as("r"))
       .orderBy("event_type", "k")
   }
 

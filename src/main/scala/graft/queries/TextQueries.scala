@@ -1120,7 +1120,46 @@ object TextQueries {
       |FROM g JOIN fs ON g.gram = fs.gram
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
 
+
+  /** #230 text_script: per-document character-class profile — Latin
+    * letters, CJK, digits, whitespace, other — the script-mix signal a
+    * multilingual curation pass cuts on (a "lang=en" doc that is 40%
+    * CJK is mislabeled; a 30%-digit doc is a table dump). Counts via
+    * the length-minus-regexp_replace trick (one scan, zero shuffle, no
+    * per-char explode); the SAME character classes are rendered in both
+    * engines' regexes, shares rounded 6 dp. */
+  def textScript(s: SparkSession, d: String): DataFrame =
+    textScriptOf(docs(s, d))
+
+  def textScriptOf(documents: DataFrame): DataFrame = {
+    def cnt(re: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), re, ""))).cast("long")
+    documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("n_latin"),
+        cnt("[\\u4e00-\\u9fff\\u3040-\\u30ff]").as("n_cjk"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("[ ]").as("n_space"))
+      .where(col("n_chars") > 0)
+      .withColumn("latin_share", round(col("n_latin").cast("double") / col("n_chars"), 6))
+      .withColumn("cjk_share", round(col("n_cjk").cast("double") / col("n_chars"), 6))
+      .orderBy("doc_id")
+  }
+
+  val textScriptSql: String =
+    """SELECT doc_id, length(text) AS n_chars,
+      |  length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+      |  length(text) - length(regexp_replace(text, '[\u4e00-\u9fff\u3040-\u30ff]', '', 'g')) AS n_cjk,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+      |  length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS n_space,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+      |    / length(text), 6) AS latin_share,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[\u4e00-\u9fff\u3040-\u30ff]', '', 'g')) AS DOUBLE)
+      |    / length(text), 6) AS cjk_share
+      |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script" -> (textScript _),
     "text_novelty" -> (textNovelty _),
     "text_cdc_chunks" -> (textCdcChunks _),
     "text_heaps" -> (textHeaps _),
@@ -1156,6 +1195,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_script" -> textScriptSql,
     "text_novelty" -> textNoveltySql,
     "text_cdc_chunks" -> textCdcChunksSql,
     "text_heaps" -> textHeapsSql,

@@ -841,6 +841,12 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got(1) == ((9L, -1.0)))
     assert(got(2) == ((8L, 1.0)))
     assert(got(3)._2 == -1.0 && got(4)._2 == 1.0)
+    // constant series: NULL r at every lag (not a crash, not Infinity)
+    val flat = (1 to 6).map(d => (100L + d, java.sql.Timestamp.valueOf(
+      f"2024-02-$d%02d 08:00:00"), "flat")).toDF("event_id", "ts", "event_type")
+    val fr = graft.queries.EventQueries.eventsAutocorrOf(flat)
+      .select("k", "r").as[(Int, Option[Double])].collect()
+    assert(fr.nonEmpty && fr.forall(_._2.isEmpty))
   }
 
   test("split_ks: equals a local exact KS replay over the md5 split") {
@@ -1041,5 +1047,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     if (blks(1L) == blks(2L))
       assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._6 == 1.0))
+  }
+
+  test("text_script: planted CJK and digit content counted exactly") {
+    val docs = Seq(
+      (1L, "hello World 123"),
+      (2L, "\u4e16\u754c abc \u3042\u308a"),
+      (3L, "12345")
+    ).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.textScriptOf(docs)
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, n1, lat1, cjk1, dig1, sp1, ls1, _) = got(1L)
+    assert(n1 == 15 && lat1 == 10 && cjk1 == 0 && dig1 == 3 && sp1 == 2)
+    assert(ls1 == math.floor(10.0 / 15 * 1e6 + 0.5) / 1e6)
+    val (_, n2, lat2, cjk2, _, _, _, cs2) = got(2L)
+    assert(lat2 == 3 && cjk2 == 4)             // 世界 + あり
+    assert(cs2 == math.floor(4.0 / n2 * 1e6 + 0.5) / 1e6)
+    assert(got(3L)._4 == 0 && got(3L)._5 == 5)
+  }
+
+  test("part_corr: perfect linear relation gives r=1, anti-linear r=-1") {
+    val part = Seq(
+      // B1: price = 10*size -> r = 1
+      (1L, "B1", 1, 10.0), (2L, "B1", 2, 20.0), (3L, "B1", 3, 30.0),
+      // B2: price = -5*size + 100 -> r = -1
+      (4L, "B2", 2, 90.0), (5L, "B2", 4, 80.0), (6L, "B2", 6, 70.0),
+      // B3: constant size -> NULL r
+      (7L, "B3", 5, 10.0), (8L, "B3", 5, 99.0)
+    ).toDF("p_partkey", "p_brand", "p_size", "p_retailprice")
+    val got = graft.queries.AnalyticsQueries.partCorrOf(part)
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got("B1")._3.contains(1.0))
+    assert(got("B2")._3.contains(-1.0))
+    assert(got("B3")._3.isEmpty)
   }
 }

@@ -1068,10 +1068,56 @@ object VectorQueries {
     s"WITH $ctes\nSELECT * FROM (\n$rows\n) ORDER BY d"
   }
 
+
+  /** #232 vec_dist_hist: pairwise cosine-similarity histogram over a
+    * FIXED-SIZE min-md5 sample — the embedding-collapse / anisotropy
+    * diagnostic next to vec_dim_stats (a healthy space has a broad
+    * centered similarity mass; a collapsed encoder piles up near 1).
+    * The sample is 128 docs by the engine-portable min-md5 rule
+    * (dedup_recall's fixed-size audit discipline — the quadratic is
+    * 128²/2 pairs at ANY corpus scale), pairs via one broadcast self
+    * join on the bounded sample, integer histogram buckets on round-6
+    * scores — full hash-pass. */
+  private val DistHistSample = 128
+
+  def vecDistHist(s: SparkSession, d: String): DataFrame =
+    vecDistHistOf(emb(s, d))
+
+  def vecDistHistOf(e: org.apache.spark.sql.DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val sample = e
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(DistHistSample)
+      .select(col("vec_id"), col("embedding"))
+    val a = sample.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = sample.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val score = round(GraftBridge.column(org.apache.spark.sql.graft.DotProductF32(
+      GraftBridge.expression(col("va")), GraftBridge.expression(col("vb"))))
+      .cast("double"), 6)
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("bucket",
+        least(lit(19), greatest(lit(0), floor((score + 1.0) * 10))).cast("int"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  val vecDistHistSql: String =
+    s"""WITH sm AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |  LIMIT $DistHistSample),
+       |p AS (
+       |  SELECT CAST(least(19, greatest(0,
+       |    floor((round(list_dot_product(a.v, b.v), 6) + 1.0) * 10))) AS INT) AS bucket
+       |  FROM sm a JOIN sm b ON a.vec_id < b.vec_id)
+       |SELECT bucket, count(*) AS n_pairs
+       |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_queries" -> (hybridQueries _),
     "vec_knn_classify" -> (vecKnnClassify _),
     "vec_matryoshka" -> (vecMatryoshka _),
+    "vec_dist_hist" -> (vecDistHist _),
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
@@ -1118,6 +1164,7 @@ object VectorQueries {
     "hybrid_queries" -> hybridQueriesSql,
     "vec_knn_classify" -> vecKnnClassifySql,
     "vec_matryoshka" -> vecMatryoshkaSql,
+    "vec_dist_hist" -> vecDistHistSql,
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,

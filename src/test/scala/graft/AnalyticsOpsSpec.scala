@@ -1082,4 +1082,16 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got("B2")._3.contains(-1.0))
     assert(got("B3")._3.isEmpty)
   }
+
+  test("vec_dist_hist: identical vectors pile at the top bucket, orthogonal at the middle") {
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    // 6 copies of e1 and 4 of e2: C(6,2)=15 pairs at score 1 (bucket 19),
+    // C(4,2)=6 pairs at score 1, 6*4=24 cross pairs at 0 (bucket 10)
+    val vecs = (0L until 6L).map(i => (i, e1, 0)) ++ (6L until 10L).map(i => (i, e2, 1))
+    val got = graft.queries.VectorQueries.vecDistHistOf(
+        vecs.toDF("vec_id", "embedding", "label"))
+      .as[(Int, Long)].collect().toMap
+    assert(got == Map(19 -> 21L, 10 -> 24L))
+  }
 }

@@ -1494,6 +1494,79 @@ object EventQueries {
       |FROM spine s LEFT JOIN daily ON s.event_type = daily.event_type AND s.day = daily.day
       |ORDER BY s.event_type, s.day""".stripMargin
 
+
+  /** #233 events_dow_index: the day-of-week seasonal index per event
+    * type — mean count on each weekday over the type's overall daily
+    * mean (index 1.0 = no weekly rhythm; the multiplicative-seasonality
+    * readout events_autocorr detects and this one QUANTIFIES, per dow).
+    * Exact arithmetic: per-(type, dow) counts and day tallies are
+    * integers, the index is (sum_dow * n_days) / (n_dow * total) — ONE
+    * division of exact integer products (the market_hhi discipline).
+    * Day-grain pre-aggregate, 7-bounded rollup. */
+  def eventsDowIndex(s: SparkSession, d: String): DataFrame =
+    eventsDowIndexOf(Tables.events(s, d))
+
+  def eventsDowIndexOf(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", (weekday(col("day")) + 1).cast("int"))
+    val perDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("n_days_dow"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    perDow.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("s").as("n_events"),
+        col("n_days_dow"),
+        round((col("s") * col("n_days")).cast("double") /
+          (col("n_days_dow") * col("total")), 6).as("dow_index"))
+      .orderBy("event_type", "dow")
+  }
+
+  val eventsDowIndexSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (SELECT event_type, CAST(isodow(day) AS INT) AS dow, n FROM daily),
+      |pd AS (
+      |  SELECT event_type, dow, CAST(sum(n) AS BIGINT) AS n_events,
+      |    count(*) AS n_days_dow
+      |  FROM d2 GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(n) AS BIGINT) AS total, count(*) AS n_days
+      |  FROM daily GROUP BY 1)
+      |SELECT pd.event_type, dow, n_events, n_days_dow,
+      |  round(CAST(n_events * n_days AS DOUBLE) / (n_days_dow * total), 6) AS dow_index
+      |FROM pd JOIN t ON pd.event_type = t.event_type
+      |ORDER BY pd.event_type, dow""".stripMargin
+
+  /** #234 events_activity_quantiles: the events-per-user distribution
+    * per type (p50/p90/p99 of user activity — the whale-vs-casual
+    * engagement readout, and the skew diagnostic that predicts which
+    * keys need salting downstream). One (type, user) aggregate, then
+    * the shared exact rank-selection quantile operator. */
+  def eventsActivityQuantiles(s: SparkSession, d: String): DataFrame =
+    eventsActivityQuantilesOf(Tables.events(s, d))
+
+  def eventsActivityQuantilesOf(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    graft.operators.Quantiles.perGroup(perUser, "event_type", "n",
+      Seq(0.5, 0.9, 0.99))
+  }
+
+  val eventsActivityQuantilesSql: String = {
+    val inner = Seq(0.5, 0.9, 0.99).map(p =>
+      s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
+         |  round(quantile_cont(n, $p), 6) AS q
+         |FROM pu GROUP BY event_type""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "")
+    s"""WITH pu AS (
+       |  SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS n
+       |  FROM events GROUP BY 1, 2)
+       |$inner
+       |ORDER BY event_type, p""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
@@ -1503,6 +1576,8 @@ object EventQueries {
     "events_streaks" -> (eventsStreaks _),
     "events_growth" -> (eventsGrowth _),
     "events_spine" -> (eventsSpine _),
+    "events_dow_index" -> (eventsDowIndex _),
+    "events_activity_quantiles" -> (eventsActivityQuantiles _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
     "events_cohort_matrix" -> (eventsCohortMatrix _),
@@ -1542,6 +1617,8 @@ object EventQueries {
     "events_streaks" -> eventsStreaksSql,
     "events_growth" -> eventsGrowthSql,
     "events_spine" -> eventsSpineSql,
+    "events_dow_index" -> eventsDowIndexSql,
+    "events_activity_quantiles" -> eventsActivityQuantilesSql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,
     "events_cohort_matrix" -> eventsCohortMatrixSql,

@@ -1094,4 +1094,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(Int, Long)].collect().toMap
     assert(got == Map(19 -> 21L, 10 -> 24L))
   }
+
+  test("events_dow_index: a Monday-heavy series indexes Monday above 1, exactly") {
+    def at(day: Int, n: Int) = Seq.fill(n)(
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00"))
+    // Mondays Jan 1/8: 6 events each; Tuesdays Jan 2/9: 2 each
+    // overall: 16 events over 4 days -> mean 4
+    val ev = (at(1, 6) ++ at(8, 6) ++ at(2, 2) ++ at(9, 2))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "click") }
+      .toDF("event_id", "ts", "event_type")
+    val got = graft.queries.EventQueries.eventsDowIndexOf(ev)
+      .as[(String, Int, Long, Long, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(1) == (("click", 1, 12L, 2L, 1.5)))   // 6/4
+    assert(got(2) == (("click", 2, 4L, 2L, 0.5)))    // 2/4
+  }
+
+  test("events_activity_quantiles: linear interpolation replays quantile_cont") {
+    // user counts for one type: 1, 2, 3, 10 -> p50 = 2.5, p90 = 7.9
+    val ev = (Seq.fill(1)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(3)(3L) ++ Seq.fill(10)(4L))
+      .zipWithIndex.map { case (u, i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, "view") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.queries.EventQueries.eventsActivityQuantilesOf(ev)
+      .as[(String, Double, Double)].collect().map(r => r._2 -> r._3).toMap
+    // sorted per-user counts: 1,2,3,10; idx = p*(n-1)
+    def q(p: Double) = {
+      val v = Seq(1.0, 2.0, 3.0, 10.0); val idx = p * 3
+      val lo = idx.toInt; val f = idx - lo
+      val x = v(lo) + (if (lo + 1 < 4) (v(lo + 1) - v(lo)) * f else 0)
+      math.floor(x * 1e6 + 0.5) / 1e6
+    }
+    assert(got(0.5) == q(0.5) && got(0.9) == q(0.9) && got(0.99) == q(0.99))
+  }
 }

@@ -290,14 +290,23 @@ object AnalyticsQueries {
         checkRow("orders_nonpositive_total", col("n"), col("bad_total")),
         checkRow("orders_null_keys", col("n"), col("null_keys")))).as("r"))
 
+    // Orphan semantics pinned NULL-SAFE in BOTH engines: a NULL FK is
+    // counted by the *_null_keys domain check, NOT as an orphan — the
+    // Spark side excludes NULL keys before the anti join, and the oracle
+    // adds the same IS NOT NULL guard (its NOT IN would otherwise return
+    // zero orphans for every row the moment one NULL key exists). Totals
+    // ride a broadcast scalar aggregate, not an eager driver count() —
+    // no construction-time jobs, no redundant fact scans.
     def orphans(name: String, fact: DataFrame, factKey: String,
                 dim: DataFrame, dimKey: String, bcast: Boolean): DataFrame = {
       val d = dim.select(col(dimKey))
-      val joined = fact.join(if (bcast) broadcast(d) else d,
-        col(factKey) === col(dimKey), "left_anti")
-      val total = fact.count()
+      val joined = fact.where(col(factKey).isNotNull)
+        .join(if (bcast) broadcast(d) else d,
+          col(factKey) === col(dimKey), "left_anti")
+      val total = fact.agg(count(lit(1)).as("__t"))
       joined.agg(count(lit(1)).as("v"))
-        .select(checkRow(name, lit(total), col("v")).as("r"))
+        .crossJoin(broadcast(total))
+        .select(checkRow(name, col("__t"), col("v")).as("r"))
     }
 
     val checks = Seq(
@@ -332,16 +341,20 @@ object AnalyticsQueries {
       |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
       |  UNION ALL
       |  SELECT 'lineitem_orphan_order', (SELECT count(*) FROM lineitem),
-      |    count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |    count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+      |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
       |  UNION ALL
       |  SELECT 'lineitem_orphan_part', (SELECT count(*) FROM lineitem),
-      |    count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+      |    count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+      |      AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
       |  UNION ALL
       |  SELECT 'lineitem_orphan_supplier', (SELECT count(*) FROM lineitem),
-      |    count(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+      |    count(*) FROM lineitem WHERE l_suppkey IS NOT NULL
+      |      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
       |  UNION ALL
       |  SELECT 'orders_orphan_customer', (SELECT count(*) FROM orders),
-      |    count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+      |    count(*) FROM orders WHERE o_custkey IS NOT NULL
+      |      AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
       |) ORDER BY check_name""".stripMargin
 
 
@@ -537,8 +550,10 @@ object AnalyticsQueries {
       |      * CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0))) AS sxy
       |  FROM part GROUP BY 1)
       |SELECT p_brand, n,
-      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |    sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) AS r
+      |  CASE WHEN CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE) > 0
+      |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6)
+      |  END AS r
       |FROM m ORDER BY p_brand""".stripMargin
 
   // -------------------------------------------------------------------

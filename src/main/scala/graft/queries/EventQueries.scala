@@ -1278,9 +1278,10 @@ object EventQueries {
       |    CAST(sum(x * y) AS BIGINT) AS sxy
       |  FROM l WHERE y IS NOT NULL GROUP BY 1, 2)
       |SELECT event_type, k, n_pairs,
-      |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
-      |    sqrt(CAST((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) AS DOUBLE)),
-      |    6) AS r
+      |  CASE WHEN CAST((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) AS DOUBLE) > 0
+      |    THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy) AS DOUBLE)), 6)
+      |  END AS r
       |FROM m ORDER BY event_type, k""".stripMargin
 
 
@@ -1319,7 +1320,7 @@ object EventQueries {
   }
 
   val eventsConvTimeSql: String = {
-    val inner = Seq(0.25, 0.5, 0.75, 0.9).map(p =>
+    val inner = ConvPs.map(p =>
       s"""SELECT variant, CAST($p AS DOUBLE) AS p,
          |  round(quantile_cont(latency_s, $p), 6) AS q
          |FROM conv GROUP BY variant""".stripMargin)
@@ -1550,12 +1551,13 @@ object EventQueries {
   def eventsActivityQuantilesOf(ev: DataFrame): DataFrame = {
     val perUser = ev.groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).cast("double").as("n"))
-    graft.operators.Quantiles.perGroup(perUser, "event_type", "n",
-      Seq(0.5, 0.9, 0.99))
+    graft.operators.Quantiles.perGroup(perUser, "event_type", "n", ActivityPs)
   }
 
+  private val ActivityPs = Seq(0.5, 0.9, 0.99)
+
   val eventsActivityQuantilesSql: String = {
-    val inner = Seq(0.5, 0.9, 0.99).map(p =>
+    val inner = ActivityPs.map(p =>
       s"""SELECT event_type, CAST($p AS DOUBLE) AS p,
          |  round(quantile_cont(n, $p), 6) AS q
          |FROM pu GROUP BY event_type""".stripMargin)

@@ -903,7 +903,10 @@ object PipelineQueries {
     val withLang = ppl.join(documents.select(col("doc_id"), col("lang")), "doc_id")
     val ranked = AnalyticsQueries.groupedRowNumber(withLang, "__rk",
       col("lang"), col("ppl").asc, col("doc_id").asc)
-    val sizes = withLang.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
+    // sizes from the RANKED side: groupedRowNumber localCheckpoints its
+    // input, so this counts the materialized rows instead of re-running
+    // the whole perplexity lineage a second time
+    val sizes = ranked.groupBy(col("lang")).agg(count(lit(1)).as("__n"))
     ranked.join(broadcast(sizes), "lang")
       .withColumn("__b", expr(AnalyticsQueries.ntileExpr("__rk", "__n", 3)))
       .withColumn("bucket", expr(
@@ -919,23 +922,7 @@ object PipelineQueries {
 
   val corpusCcnetBucketsSql: String = {
     val b = AnalyticsQueries.ntileSqlExpr("rk", "n", 3)
-    s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
-       |bi AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
-       |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
-       |             FROM tk WHERE len(toks) >= 2)),
-       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
-       |uni AS (SELECT w, count(*) AS c1
-       |        FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
-       |vc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
-       |sc AS (
-       |  SELECT bi.doc_id, ln(CAST(bc.c12 + 1 AS DOUBLE) / (uni.c1 + vc.v)) AS lp
-       |  FROM bi
-       |  JOIN bc ON bi.w1 = bc.w1 AND bi.w2 = bc.w2
-       |  JOIN uni ON bi.w1 = uni.w
-       |  CROSS JOIN vc),
-       |ppl AS (
-       |  SELECT doc_id, round(exp(-round(avg(lp), 6)), 6) AS ppl
-       |  FROM sc GROUP BY doc_id),
+    s"""WITH ${TextQueries.perplexityCte},
        |wl AS (
        |  SELECT p.doc_id, p.ppl, d.lang FROM ppl p
        |  JOIN documents d ON p.doc_id = d.doc_id),

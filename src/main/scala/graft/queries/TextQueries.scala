@@ -707,8 +707,12 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val textPerplexitySql: String =
-    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+  /** The shared bigram-LM perplexity CTE chain for the DuckDB twins
+    * (#178 text_perplexity, #210 corpus_ccnet_buckets — the cdcChunksCte
+    * discipline: one replay definition, two consumers). Ends with
+    * ppl(doc_id, n_bigrams, mean_logprob, ppl). */
+  private[queries] val perplexityCte: String =
+    """tk AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
       |bi AS (SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
       |       FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
       |             FROM tk WHERE len(toks) >= 2)),
@@ -725,9 +729,18 @@ object TextQueries {
       |  CROSS JOIN vc),
       |agg AS (
       |  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS mean_logprob
-      |  FROM sc GROUP BY doc_id)
-      |SELECT doc_id, n_bigrams, mean_logprob, round(exp(-mean_logprob), 6) AS ppl
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |  FROM sc GROUP BY doc_id),
+      |ppl AS (
+      |  SELECT doc_id, n_bigrams, mean_logprob,
+      |    round(exp(-mean_logprob), 6) AS ppl FROM agg)""".stripMargin
+
+  val textPerplexitySql: String =
+    s"""WITH $perplexityCte
+       |SELECT doc_id, n_bigrams, mean_logprob, ppl
+       |FROM ppl ORDER BY doc_id""".stripMargin
+
+
+
 
   /** #180 text_entropy: per-document codepoint-distribution Shannon
     * entropy (nats) + the bits/char form — the compression-ratio quality

@@ -91,17 +91,23 @@ case class CdcBoundaries(child: Expression)
 object CdcBoundaries {
   private val Window = 16
 
-  /** One pass, one reused digest; UTF-8 window bytes so the rule equals
-    * md5(substr(text, i-15, 16)) in both engines. */
+  /** One pass, one reused digest. Positions are CODE POINTS, not UTF-16
+    * units: the consumers (Spark SQL substring/length and DuckDB
+    * substr/len) both index by code point, so a supplementary-plane char
+    * (emoji) counted as 2 would shift every later cut and break the
+    * tile-the-text invariant. Window bytes are the UTF-8 encoding of the
+    * 16-code-point window — equal to md5(substr(text, i-15, 16)) in
+    * both engines for ANY input. */
   def boundaries(s: String): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val n = s.length
+    val cp = s.codePoints().toArray
+    val n = cp.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     if (n >= Window) {
       val md = java.security.MessageDigest.getInstance("MD5")
       var i = Window
       while (i <= n) {
         md.reset()
-        md.update(s.substring(i - Window, i)
+        md.update(new String(cp, i - Window, Window)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         if ((md.digest()(0) & 0xFF) < 4) out += i.toLong
         i += 1

@@ -789,6 +789,18 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val hb = ch.filter(_._1 == 2L).map(_._5).toSet
     val shared = ha intersect hb
     assert(shared.size >= 2, s"expected shared tail chunks, got ${shared.size}")
+    // 3. supplementary-plane text: positions are code points end to end,
+    //    so chunks still tile exactly (UTF-16 indexing would shift cuts)
+    val emoji = new String(Character.toChars(0x1F600))
+    val astral = (words(40).split(" ").flatMap(w => Seq(w, emoji)) ++ Seq("tail")).mkString(" ")
+    val ch3 = graft.queries.TextQueries.textCdcChunksOf(
+        Seq((9L, astral)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._2)
+    val cps = astral.codePoints().toArray
+    assert(ch3.map(_._4).sum == cps.length)
+    val rebuilt3 = ch3.map(r =>
+      new String(cps, r._3.toInt - 1, r._4.toInt)).mkString
+    assert(rebuilt3 == astral)
   }
 
   test("dedup_cdc: reported duplicate chunks occur in multiple documents, and are complete") {
@@ -966,17 +978,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   test("CdcBoundaries: matches a direct replay on random strings, unicode included") {
     val rng = new scala.util.Random(99)
+    // alphabets as WHOLE characters (the astral ones are 2 UTF-16 units,
+    // 1 code point — sampling by charAt would create lone surrogates)
     val alphabets = Seq("abcdefgh ", "αβγδ εζ", "日本語テキスト ", "mix αb 語x ")
-    val cases = (0 until 24).map { i =>
+      .map(_.map(_.toString)) :+
+      Seq("a", "b", " ", new String(Character.toChars(0x1F600)),
+        new String(Character.toChars(0x1F680)))
+    val cases = (0 until 30).map { i =>
       val a = alphabets(i % alphabets.size)
       (0 until (rng.nextInt(120))).map(_ => a(rng.nextInt(a.length))).mkString
     } :+ "" :+ "short" :+ ("x" * 16)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def replay(t: String): Seq[Long] =
-      (16 to t.length).filter { i =>
+    def replay(t: String): Seq[Long] = {
+      val cp = t.codePoints().toArray
+      (16 to cp.length).filter { i =>
         md.reset()
-        (md.digest(t.substring(i - 16, i).getBytes("UTF-8"))(0) & 0xFF) < 4
+        (md.digest(new String(cp, i - 16, 16).getBytes("UTF-8"))(0) & 0xFF) < 4
       }.map(_.toLong)
+    }
     val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
       .select(col("id"), org.apache.spark.sql.GraftBridge.column(

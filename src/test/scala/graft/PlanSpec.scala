@@ -527,7 +527,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("fk_audit broadcasts the dims and never builds a cartesian product") {
     val p = plan(AnalyticsQueries.fkAudit(spark, sf))
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin") == false, p)
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.toLowerCase.contains("leftanti"), p)
   }
@@ -540,9 +540,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("part_skyline never sorts globally and keeps the window per bucket") {
     val p = plan(AnalyticsQueries.partSkyline(spark, sf))
-    // the in-bucket running max is a partitioned window: no
-    // single-partition Window (the empty partitionBy warning shape)
-    assert(!p.contains("Window [") || p.contains("windowspecdefinition"), p)
+    // the in-bucket running max is PARTITIONED on the bucket key — an
+    // empty-partitionBy window (single-partition shape) would print
+    // windowspecdefinition( without a leading partition column
+    assert(p.contains("windowspecdefinition(__b"), p)
+    assert(!p.contains("windowspecdefinition(p_retailprice"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -1006,9 +1006,73 @@ object PipelineQueries {
       |FROM cum, tot
       |ORDER BY ks_d DESC, at_value LIMIT 1""".stripMargin
 
+
+  /** #235 corpus_vocab_drift: token-level PSI between corpus cohorts —
+    * corpus_drift's vocabulary-grain sibling: the lang/source PSI can
+    * read ~0 while the WORD distribution shifts (a new crawl slice, a
+    * template flood); this watches the top-200 global tokens directly.
+    * Shapes: one token explode with map-side-combined (token, cohort)
+    * counts, the vocabulary bounded via TakeOrdered top-200 (the
+    * text_zipf heap discipline), broadcast join back, per-cohort totals
+    * broadcast; add-1 shares rounded 6 dp BEFORE the contribution
+    * (corpus_drift's round-before-branch) — full hash-pass. */
+  def corpusVocabDrift(s: SparkSession, d: String): DataFrame =
+    corpusVocabDriftOf(Tables.documents(s, d))
+
+  def corpusVocabDriftOf(documents: DataFrame): DataFrame = {
+    val toks = documents.select(pmod(col("doc_id"), lit(2L)).as("cohort"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    val counts = toks.groupBy(col("token"), col("cohort")).agg(count(lit(1)).as("n"))
+    val top = counts.groupBy(col("token")).agg(sum(col("n")).as("tf"))
+      .orderBy(desc("tf"), col("token")).limit(200).select(col("token"))
+    val inTop = counts.join(broadcast(top), "token")
+    val totals = inTop.groupBy(col("cohort")).agg(sum(col("n")).as("tot"))
+    val t0 = totals.where(col("cohort") === 0).select(col("tot").as("t0"))
+    val t1 = totals.where(col("cohort") === 1).select(col("tot").as("t1"))
+    inTop.groupBy(col("token"))
+      .agg(sum(when(col("cohort") === 0, col("n")).otherwise(0L)).as("n0"),
+        sum(when(col("cohort") === 1, col("n")).otherwise(0L)).as("n1"))
+      .crossJoin(broadcast(t0)).crossJoin(broadcast(t1))
+      .withColumn("p0", round((col("n0") + 1).cast("double") / (col("t0") + 200), 6))
+      .withColumn("p1", round((col("n1") + 1).cast("double") / (col("t1") + 200), 6))
+      .withColumn("psi_contrib",
+        round((col("p0") - col("p1")) * log(col("p0") / col("p1")), 6))
+      .select(col("token"), col("n0"), col("n1"), col("p0"), col("p1"), col("psi_contrib"))
+      .orderBy("token")
+  }
+
+  val corpusVocabDriftSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id % 2 AS cohort, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |c AS (SELECT token, cohort, count(*) AS n FROM toks GROUP BY 1, 2),
+      |top AS (
+      |  SELECT token FROM (
+      |    SELECT token, sum(n) AS tf FROM c GROUP BY 1
+      |    ORDER BY tf DESC, token LIMIT 200)),
+      |it AS (SELECT c.* FROM c JOIN top ON c.token = top.token),
+      |g AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN cohort = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN cohort = 1 THEN n ELSE 0 END) AS BIGINT) AS n1
+      |  FROM it GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(CASE WHEN cohort = 0 THEN n ELSE 0 END) AS BIGINT) AS t0,
+      |    CAST(sum(CASE WHEN cohort = 1 THEN n ELSE 0 END) AS BIGINT) AS t1
+      |  FROM it),
+      |p AS (
+      |  SELECT token, n0, n1,
+      |    round(CAST(n0 + 1 AS DOUBLE) / (t0 + 200), 6) AS p0,
+      |    round(CAST(n1 + 1 AS DOUBLE) / (t1 + 200), 6) AS p1
+      |  FROM g, t)
+      |SELECT token, n0, n1, p0, p1,
+      |  round((p0 - p1) * ln(p0 / p1), 6) AS psi_contrib
+      |FROM p ORDER BY token""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_ks" -> (splitKs _),
     "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
+    "corpus_vocab_drift" -> (corpusVocabDrift _),
     "corpus_mix" -> (corpusMix _),
     "corpus_dsir" -> (corpusDsir _),
     "layout_zorder" -> (layoutZorder _),
@@ -1034,6 +1098,7 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "split_ks" -> splitKsSql,
     "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
+    "corpus_vocab_drift" -> corpusVocabDriftSql,
     "corpus_mix" -> corpusMixSql,
     "corpus_dsir" -> corpusDsirSql,
     "layout_zorder" -> layoutZorderSql,

@@ -1146,4 +1146,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(got(0.5) == q(0.5) && got(0.9) == q(0.9) && got(0.99) == q(0.99))
   }
+
+  test("corpus_vocab_drift: a token flooding one cohort carries the PSI mass") {
+    // even docs (cohort 0) say "spam" a lot; both cohorts share "base"
+    val docs = (0L until 20L).map { id =>
+      val words = if (id % 2 == 0) Seq.fill(10)("spam") ++ Seq.fill(10)("base")
+                  else Seq.fill(20)("base")
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.corpusVocabDriftOf(docs)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, s0, s1, p0, p1, contrib) = got("spam")
+    assert(s0 == 100 && s1 == 0)
+    assert(p0 > p1 && contrib > 0)
+    // hand replay: p0 = (100+1)/(200+200), p1 = (0+1)/(200+200)
+    assert(p0 == math.floor(101.0 / 400 * 1e6 + 0.5) / 1e6)
+    assert(p1 == math.floor(1.0 / 400 * 1e6 + 0.5) / 1e6)
+    val want = (p0 - p1) * math.log(p0 / p1)
+    assert(contrib == math.floor(want * 1e6 + 0.5) / 1e6)
+    // base is 100-vs-200 across cohorts: replay its contribution too
+    val (_, b0, b1, bp0, bp1, bContrib) = got("base")
+    assert(b0 == 100 && b1 == 200)
+    val bWant = (bp0 - bp1) * math.log(bp0 / bp1)
+    assert(bContrib == math.floor(bWant * 1e6 + 0.5) / 1e6)
+  }
 }

@@ -556,6 +556,49 @@ object AnalyticsQueries {
       |  END AS r
       |FROM m ORDER BY p_brand""".stripMargin
 
+
+  // -------------------------------------------------------------------
+  // #236 orders_aging — the open-order aging (AR-aging) report.
+
+  /** Open orders bucketed by age band as of the book's newest order date
+    * — the receivables-aging shape every finance close runs: per
+    * (status, band) counts and decimal-exact value, open = status P/O
+    * (F is filled). The as-of date is a broadcast one-row aggregate and
+    * the band is a row-local CASE — one scan, one bounded aggregate;
+    * band edges land on the SAME datediff arithmetic in both engines. */
+  def ordersAging(spark: SparkSession, dir: String): DataFrame =
+    ordersAgingOf(Tables.orders(spark, dir))
+
+  def ordersAgingOf(orders: DataFrame): DataFrame = {
+    val asOf = orders.agg(max(col("o_orderdate")).as("__asof"))
+    orders.where(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(asOf))
+      .withColumn("__age", datediff(col("__asof"), col("o_orderdate")))
+      .withColumn("age_band",
+        when(col("__age") < 30, "a_0_29")
+          .when(col("__age") < 90, "b_30_89")
+          .when(col("__age") < 180, "c_90_179")
+          .when(col("__age") < 365, "d_180_364")
+          .otherwise("e_365_plus"))
+      .groupBy(col("o_orderstatus"), col("age_band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total_value"))
+      .orderBy("o_orderstatus", "age_band")
+  }
+
+  val ordersAgingSql: String =
+    """WITH a AS (SELECT CAST(max(o_orderdate) AS DATE) AS cutoff FROM orders)
+      |SELECT o_orderstatus,
+      |  CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) < 30 THEN 'a_0_29'
+      |       WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) < 90 THEN 'b_30_89'
+      |       WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) < 180 THEN 'c_90_179'
+      |       WHEN date_diff('day', CAST(o_orderdate AS DATE), cutoff) < 365 THEN 'd_180_364'
+      |       ELSE 'e_365_plus' END AS age_band,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders, a WHERE o_orderstatus <> 'F'
+      |GROUP BY 1, 2 ORDER BY o_orderstatus, age_band""".stripMargin
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -566,7 +609,8 @@ object AnalyticsQueries {
     "basket_pairs" -> (basketPairs _),
     "market_hhi" -> (marketHhi _),
     "supplier_otd" -> (supplierOtd _),
-    "part_corr" -> (partCorr _))
+    "part_corr" -> (partCorr _),
+    "orders_aging" -> (ordersAging _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -576,5 +620,6 @@ object AnalyticsQueries {
     "basket_pairs" -> basketPairsSql,
     "market_hhi" -> marketHhiSql,
     "supplier_otd" -> supplierOtdSql,
-    "part_corr" -> partCorrSql)
+    "part_corr" -> partCorrSql,
+    "orders_aging" -> ordersAgingSql)
 }

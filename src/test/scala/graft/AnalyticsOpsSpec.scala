@@ -1171,4 +1171,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val bWant = (bp0 - bp1) * math.log(bp0 / bp1)
     assert(bContrib == math.floor(bWant * 1e6 + 0.5) / 1e6)
   }
+
+  test("orders_aging: bands split on exact day edges; filled orders excluded") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, "O", 10.0, d("2024-06-01")),   // age 0  -> a_0_29
+      (2L, "O", 20.0, d("2024-05-03")),   // age 29 -> a_0_29
+      (3L, "P", 30.0, d("2024-05-02")),   // age 30 -> b_30_89
+      (4L, "P", 40.0, d("2023-12-04")),   // age 180 -> d_180_364
+      (5L, "O", 50.0, d("2020-01-01")),   // 365+
+      (6L, "F", 99.0, d("2020-01-01"))    // filled: excluded
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val got = graft.queries.AnalyticsQueries.ordersAgingOf(orders)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("O", "a_0_29")) == ((2L, 30.0)))
+    assert(got(("P", "b_30_89")) == ((1L, 30.0)))
+    assert(got(("P", "d_180_364")) == ((1L, 40.0)))
+    assert(got(("O", "e_365_plus")) == ((1L, 50.0)))
+    assert(got.size == 4)
+  }
 }

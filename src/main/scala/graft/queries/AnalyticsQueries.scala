@@ -599,6 +599,41 @@ object AnalyticsQueries {
       |FROM orders, a WHERE o_orderstatus <> 'F'
       |GROUP BY 1, 2 ORDER BY o_orderstatus, age_band""".stripMargin
 
+
+  // -------------------------------------------------------------------
+  // #238 orders_ship_lag — order-to-ship latency quantiles per priority.
+
+  /** Fulfillment-latency distribution per order priority: p50/p90/p99 of
+    * order-date -> ship-date days, per o_orderpriority — the SLA readout
+    * that tells whether URGENT orders actually ship faster. One key join
+    * to attach the priority, exact day lags, then the shared exact
+    * rank-selection quantile operator. */
+  def ordersShipLag(spark: SparkSession, dir: String): DataFrame =
+    ordersShipLagOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  private val ShipLagPs = Seq(0.5, 0.9, 0.99)
+
+  def ordersShipLagOf(li: DataFrame, ord: DataFrame): DataFrame = {
+    val lags = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("double").as("lag_days"))
+    graft.operators.Quantiles.perGroup(lags, "o_orderpriority", "lag_days", ShipLagPs)
+  }
+
+  val ordersShipLagSql: String = {
+    val inner = ShipLagPs.map(p =>
+      s"""SELECT o_orderpriority, CAST($p AS DOUBLE) AS p,
+         |  round(quantile_cont(lag_days, $p), 6) AS q
+         |FROM lg GROUP BY o_orderpriority""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "")
+    s"""WITH lg AS (
+       |  SELECT o_orderpriority,
+       |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE) AS lag_days
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |$inner
+       |ORDER BY o_orderpriority, p""".stripMargin
+  }
+
   // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -610,7 +645,8 @@ object AnalyticsQueries {
     "market_hhi" -> (marketHhi _),
     "supplier_otd" -> (supplierOtd _),
     "part_corr" -> (partCorr _),
-    "orders_aging" -> (ordersAging _))
+    "orders_aging" -> (ordersAging _),
+    "orders_ship_lag" -> (ordersShipLag _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -621,5 +657,6 @@ object AnalyticsQueries {
     "market_hhi" -> marketHhiSql,
     "supplier_otd" -> supplierOtdSql,
     "part_corr" -> partCorrSql,
-    "orders_aging" -> ordersAgingSql)
+    "orders_aging" -> ordersAgingSql,
+    "orders_ship_lag" -> ordersShipLagSql)
 }

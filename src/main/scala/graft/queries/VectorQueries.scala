@@ -1113,11 +1113,59 @@ object VectorQueries {
        |SELECT bucket, count(*) AS n_pairs
        |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin
 
+
+  /** #237 vec_ood_score: kNN-distance outlier scoring — for each probe
+    * point, the similarity of its 10th neighbor and the mean of its
+    * top-10 (low = isolated = out-of-distribution or junk; near-1 =
+    * duplicate mass): the kNN-OOD detector every embedding-ingest gate
+    * runs. Same bounded fixed-size probe slice + ONE knnJoin pass as
+    * vec_knn_classify (the corpus side stays fully distributed); oracle
+    * replays with the O(|eval| x N) DuckDB join. Mean over EXACTLY 10
+    * round-6 scores — the one double sum is over a fixed tiny set, and
+    * the oracle sums the identical 10 values. */
+  def vecOodScore(s: SparkSession, d: String): DataFrame =
+    vecOodScoreOf(emb(s, d))
+
+  def vecOodScoreOf(e: org.apache.spark.sql.DataFrame): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val eval = e.where(col("vec_id") % 10 === 0 && col("vec_id") < 5000)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val nn = VectorSearch.knnJoin(e, eval.toSeq, 11)
+      .where(col("vec_id") =!= col("qid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+    nn.withColumn("__rnk", row_number().over(w)).where(col("__rnk") <= 10)
+      .groupBy(col("qid"))
+      .agg(min(col("score")).as("kth_score"),
+        round(sum(col("score").cast("decimal(18,6)")).cast("double") / 10, 6)
+          .as("mean_top10"))
+      .select(col("qid").as("vec_id"), col("kth_score"), col("mean_top10"))
+      .orderBy("vec_id")
+  }
+
+  val vecOodScoreSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id % 10 = 0 AND vec_id < 5000),
+      |sc AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |    round(list_dot_product(e.v, q.v), 6) AS score
+      |  FROM q JOIN e ON e.vec_id <> q.vec_id),
+      |top AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rnk
+      |  FROM sc)
+      |SELECT qid AS vec_id, min(score) AS kth_score,
+      |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / 10, 6) AS mean_top10
+      |FROM top WHERE rnk <= 10 GROUP BY qid ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hybrid_queries" -> (hybridQueries _),
     "vec_knn_classify" -> (vecKnnClassify _),
     "vec_matryoshka" -> (vecMatryoshka _),
     "vec_dist_hist" -> (vecDistHist _),
+    "vec_ood_score" -> (vecOodScore _),
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
@@ -1165,6 +1213,7 @@ object VectorQueries {
     "vec_knn_classify" -> vecKnnClassifySql,
     "vec_matryoshka" -> vecMatryoshkaSql,
     "vec_dist_hist" -> vecDistHistSql,
+    "vec_ood_score" -> vecOodScoreSql,
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,

@@ -1191,4 +1191,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got(("O", "e_365_plus")) == ((1L, 50.0)))
     assert(got.size == 4)
   }
+
+  test("vec_ood_score: an isolated probe scores low, an in-cluster probe near 1") {
+    // 20 near-identical cluster vectors (ids 0..19, unit on dim 0 with
+    // small same-dim jitter) + one orthogonal outlier at id 20
+    val vecs = (0L until 20L).map { id =>
+      val v = new Array[Float](8); v(0) = 1f; v(1) = 0.001f * (id % 7)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (id, v.map(_ / n), 0)
+    } :+ {
+      val v = new Array[Float](8); v(3) = 1f; (20L, v, 1)
+    }
+    val got = graft.queries.VectorQueries.vecOodScoreOf(
+        vecs.toDF("vec_id", "embedding", "label"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // eval slice: ids 0, 10, 20
+    assert(got.keySet == Set(0L, 10L, 20L))
+    assert(got(0L)._2 > 0.99 && got(10L)._2 > 0.99)
+    assert(got(20L)._2 < 0.01 && got(20L)._3 < 0.01)
+    assert(got(0L)._3 >= got(0L)._2)   // mean of top-10 >= its min
+  }
+
+  test("orders_ship_lag: per-priority quantiles replay linear interpolation") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val ord = Seq((1L, "1-URGENT", d("2024-01-01")), (2L, "1-URGENT", d("2024-01-01")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    // urgent lags: 1, 3, 5, 100 days
+    val li = Seq((1L, d("2024-01-02")), (1L, d("2024-01-04")),
+      (2L, d("2024-01-06")), (2L, d("2024-04-10")))
+      .toDF("l_orderkey", "l_shipdate")
+    val got = graft.queries.AnalyticsQueries.ordersShipLagOf(li, ord)
+      .as[(String, Double, Double)].collect().map(r => r._2 -> r._3).toMap
+    def q(p: Double) = {
+      val v = Seq(1.0, 3.0, 5.0, 100.0); val idx = p * 3
+      val lo = idx.toInt; val f = idx - lo
+      val x = v(lo) + (if (lo + 1 < 4) (v(lo + 1) - v(lo)) * f else 0)
+      math.floor(x * 1e6 + 0.5) / 1e6
+    }
+    assert(got(0.5) == q(0.5) && got(0.9) == q(0.9) && got(0.99) == q(0.99))
+  }
 }

@@ -1569,6 +1569,49 @@ object EventQueries {
        |ORDER BY event_type, p""".stripMargin
   }
 
+
+  /** #240 events_velocity: week-over-week volume growth per type — the
+    * monitoring readout between the daily EWMA and the monthly
+    * seasonality: weekly counts on the epoch-week grain (engine-portable
+    * integer week = epoch_day DIV 7 — no ISO-week-boundary ambiguity),
+    * previous week attached by a calendar-bounded lag window, growth as
+    * ONE division of exact integers. NULL growth for a type's first
+    * week or after a silent week (prev_week gap). */
+  def eventsVelocity(s: SparkSession, d: String): DataFrame =
+    eventsVelocityOf(Tables.events(s, d))
+
+  def eventsVelocityOf(ev: DataFrame): DataFrame = {
+    val weekly = ev.select(col("event_type"),
+      (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long") / 7)
+        .cast("long").as("week"))
+      .groupBy("event_type", "week").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("wow_growth",
+        when(col("prev_week") === col("week") - 1,
+          round((col("n") - col("prev_n")).cast("double") / col("prev_n"), 6)))
+      .select(col("event_type"), col("week"), col("n"), col("wow_growth"))
+      .orderBy("event_type", "week")
+  }
+
+  val eventsVelocitySql: String =
+    """WITH wk AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS week,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, week, n,
+      |    lag(week) OVER (PARTITION BY event_type ORDER BY week) AS prev_week,
+      |    lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      |  FROM wk)
+      |SELECT event_type, week, n,
+      |  CASE WHEN prev_week = week - 1
+      |    THEN round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) END AS wow_growth
+      |FROM l ORDER BY event_type, week""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
@@ -1579,6 +1622,7 @@ object EventQueries {
     "events_growth" -> (eventsGrowth _),
     "events_spine" -> (eventsSpine _),
     "events_dow_index" -> (eventsDowIndex _),
+    "events_velocity" -> (eventsVelocity _),
     "events_activity_quantiles" -> (eventsActivityQuantiles _),
     "events_dedup_window" -> (eventsDedupWindow _),
     "events_props_agg" -> (eventsPropsAgg _),
@@ -1620,6 +1664,7 @@ object EventQueries {
     "events_growth" -> eventsGrowthSql,
     "events_spine" -> eventsSpineSql,
     "events_dow_index" -> eventsDowIndexSql,
+    "events_velocity" -> eventsVelocitySql,
     "events_activity_quantiles" -> eventsActivityQuantilesSql,
     "events_dedup_window" -> eventsDedupWindowSql,
     "events_props_agg" -> eventsPropsAggSql,

@@ -1069,8 +1069,58 @@ object PipelineQueries {
       |  round((p0 - p1) * ln(p0 / p1), 6) AS psi_contrib
       |FROM p ORDER BY token""".stripMargin
 
+
+  /** #239 split_balance: the categorical balance audit between train and
+    * val — per (split, lang) observed vs expected counts and the
+    * chi-square contribution: split_ks watches a numeric covariate,
+    * this watches the categorical one (an unbalanced language split
+    * biases eval). Emitted PER CELL (bounded by splits x langs) so
+    * every number is one exact-integer expression or a single division
+    * — no cross-row double sum to drift. */
+  def splitBalance(s: SparkSession, d: String): DataFrame =
+    splitBalanceOf(Tables.documents(s, d))
+
+  def splitBalanceOf(documents: DataFrame): DataFrame = {
+    val tagged = documents.select(col("lang"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "f3",
+        "train").otherwise("val").as("split"))
+    val cells = tagged.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("observed"))
+    val bySplit = cells.groupBy(col("split")).agg(sum(col("observed")).as("n_split"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("observed")).as("n_lang"))
+    val total = cells.agg(sum(col("observed")).as("n_total"))
+    cells.join(broadcast(bySplit), "split").join(broadcast(byLang), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("expected",
+        round((col("n_split") * col("n_lang")).cast("double") / col("n_total"), 6))
+      .withColumn("chisq_contrib", round(
+        (col("observed") - col("expected")) * (col("observed") - col("expected"))
+          / col("expected"), 6))
+      .select(col("split"), col("lang"), col("observed"), col("expected"),
+        col("chisq_contrib"))
+      .orderBy("split", "lang")
+  }
+
+  val splitBalanceSql: String =
+    """WITH tagged AS (
+      |  SELECT lang,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+      |         THEN 'train' ELSE 'val' END AS split
+      |  FROM documents),
+      |c AS (SELECT split, lang, count(*) AS observed FROM tagged GROUP BY 1, 2),
+      |bs AS (SELECT split, CAST(sum(observed) AS BIGINT) AS n_split FROM c GROUP BY 1),
+      |bl AS (SELECT lang, CAST(sum(observed) AS BIGINT) AS n_lang FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM c),
+      |e AS (
+      |  SELECT c.split, c.lang, observed,
+      |    round(CAST(n_split * n_lang AS DOUBLE) / n_total, 6) AS expected
+      |  FROM c JOIN bs ON c.split = bs.split JOIN bl ON c.lang = bl.lang, t)
+      |SELECT split, lang, observed, expected,
+      |  round((observed - expected) * (observed - expected) / expected, 6) AS chisq_contrib
+      |FROM e ORDER BY split, lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "split_ks" -> (splitKs _),
+    "split_balance" -> (splitBalance _),
     "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
     "corpus_vocab_drift" -> (corpusVocabDrift _),
     "corpus_mix" -> (corpusMix _),
@@ -1097,6 +1147,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "split_ks" -> splitKsSql,
+    "split_balance" -> splitBalanceSql,
     "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,
     "corpus_vocab_drift" -> corpusVocabDriftSql,
     "corpus_mix" -> corpusMixSql,

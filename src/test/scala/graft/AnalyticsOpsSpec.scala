@@ -1230,4 +1230,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     assert(got(0.5) == q(0.5) && got(0.9) == q(0.9) && got(0.99) == q(0.99))
   }
+
+  test("split_balance: expected counts and chi-square contributions replay by hand") {
+    // build docs whose split assignment we recompute locally via the md5 rule
+    val docs = graft.Tables.documents(SparkTest.session, "/root/testdata/sf0.001")
+    val got = graft.queries.PipelineQueries.splitBalanceOf(docs)
+      .as[(String, String, Long, Double, Double)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def split(id: Long) = {
+      md.reset()
+      val h = md.digest(id.toString.getBytes("UTF-8")).take(1).map(b => f"$b%02x").mkString
+      if (h < "f3") "train" else "val"
+    }
+    val rows = docs.select("doc_id", "lang").as[(Long, String)].collect()
+      .map { case (id, l) => (split(id), l) }
+    val n = rows.length.toDouble
+    got.foreach { case (sp, lang, obs, exp, chi) =>
+      val o = rows.count(r => r._1 == sp && r._2 == lang)
+      assert(obs == o, s"$sp/$lang observed")
+      val e = rows.count(_._1 == sp) * rows.count(_._2 == lang) / n
+      assert(exp == math.floor(e * 1e6 + 0.5) / 1e6, s"$sp/$lang expected")
+      val want = (o - exp) * (o - exp) / exp
+      assert(chi == math.floor(want * 1e6 + 0.5) / 1e6, s"$sp/$lang chi")
+    }
+    // totals conserve
+    assert(got.map(_._3).sum == rows.length)
+  }
+
+  test("events_velocity: consecutive weeks get exact growth; gaps get NULL") {
+    def at(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // week A: 4 events; week B (next): 6 events; then a silent week; week D: 3
+    val ev = (Seq.fill(4)(at("2024-01-01")) ++ Seq.fill(6)(at("2024-01-08")) ++
+      Seq.fill(3)(at("2024-01-22")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, "click") }
+      .toDF("event_id", "ts", "event_type")
+    val got = graft.queries.EventQueries.eventsVelocityOf(ev)
+      .as[(String, Long, Long, Option[Double])].collect().sortBy(_._2)
+    assert(got.length == 3)
+    assert(got(0)._4.isEmpty)                 // first week
+    assert(got(1)._4.contains(0.5))           // (6-4)/4
+    assert(got(2)._4.isEmpty)                 // after the silent week
+  }
 }

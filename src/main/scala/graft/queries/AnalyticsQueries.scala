@@ -635,6 +635,64 @@ object AnalyticsQueries {
   }
 
   // -------------------------------------------------------------------
+  // #241 supplier_concurrency — peak simultaneously-in-transit lineitems.
+
+  /** Interval-stabbing via the classic sweep: each lineitem is "open"
+    * over [o_orderdate, l_shipdate] (order placed → shipped); emit +1 at
+    * the start day and −1 the day AFTER the end (closed interval), sum
+    * deltas per (supplier, day), and a per-supplier running sum over
+    * days is the number of concurrently open items. The peak and its
+    * first day come from a second window over the SAME partitioning —
+    * one shuffle total, and each supplier's window partition is bounded
+    * by the calendar (≤ distinct days, ~2.5k), never by fact rows, so
+    * the sweep survives any fact-table scale. Top 25 by peak (suppkey
+    * tie-break; one row per supplier keeps the order total). */
+  def supplierConcurrency(spark: SparkSession, dir: String): DataFrame =
+    supplierConcurrencyOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  def supplierConcurrencyOf(li: DataFrame, ord: DataFrame): DataFrame = {
+    val iv = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), to_date(col("o_orderdate")).as("s"),
+        date_add(to_date(col("l_shipdate")), 1).as("e"))
+    val deltas = iv.select(col("l_suppkey"), col("s").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("l_suppkey"), col("e").as("day"), lit(-1L).as("delta")))
+      .groupBy("l_suppkey", "day").agg(sum(col("delta")).as("d"))
+    val wRun = Window.partitionBy("l_suppkey").orderBy("day")
+    val wAll = Window.partitionBy("l_suppkey")
+    deltas
+      .withColumn("n_open", sum(col("d")).over(wRun))
+      .withColumn("peak", max(col("n_open")).over(wAll))
+      .where(col("n_open") === col("peak"))
+      .groupBy(col("l_suppkey"), col("peak"))
+      .agg(min(col("day")).as("peak_day"))
+      .orderBy(desc("peak"), col("l_suppkey")).limit(25)
+      .select(col("l_suppkey"), col("peak"), col("peak_day"))
+  }
+
+  val supplierConcurrencySql: String =
+    """WITH iv AS (
+      |  SELECT l_suppkey, CAST(o_orderdate AS DATE) AS s,
+      |         CAST(l_shipdate AS DATE) + 1 AS e
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |d AS (
+      |  SELECT l_suppkey, day, CAST(sum(delta) AS BIGINT) AS d FROM (
+      |    SELECT l_suppkey, s AS day, 1 AS delta FROM iv
+      |    UNION ALL
+      |    SELECT l_suppkey, e AS day, -1 AS delta FROM iv) u
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_suppkey, day,
+      |    CAST(sum(d) OVER (PARTITION BY l_suppkey ORDER BY day) AS BIGINT) AS n_open
+      |  FROM d),
+      |p AS (
+      |  SELECT l_suppkey, day, n_open,
+      |    max(n_open) OVER (PARTITION BY l_suppkey) AS peak
+      |  FROM r)
+      |SELECT l_suppkey, peak, min(day) AS peak_day
+      |FROM p WHERE n_open = peak GROUP BY 1, 2
+      |ORDER BY peak DESC, l_suppkey LIMIT 25""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -646,7 +704,8 @@ object AnalyticsQueries {
     "supplier_otd" -> (supplierOtd _),
     "part_corr" -> (partCorr _),
     "orders_aging" -> (ordersAging _),
-    "orders_ship_lag" -> (ordersShipLag _))
+    "orders_ship_lag" -> (ordersShipLag _),
+    "supplier_concurrency" -> (supplierConcurrency _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -658,5 +717,6 @@ object AnalyticsQueries {
     "supplier_otd" -> supplierOtdSql,
     "part_corr" -> partCorrSql,
     "orders_aging" -> ordersAgingSql,
-    "orders_ship_lag" -> ordersShipLagSql)
+    "orders_ship_lag" -> ordersShipLagSql,
+    "supplier_concurrency" -> supplierConcurrencySql)
 }

@@ -1612,7 +1612,107 @@ object EventQueries {
       |    THEN round(CAST(n - prev_n AS DOUBLE) / prev_n, 6) END AS wow_growth
       |FROM l ORDER BY event_type, week""".stripMargin
 
+  /** #242 events_changepoint: single most likely level-shift day per
+    * event type by the CUSUM statistic — cusum_k = Σ_{i≤k}(n_i − mean)
+    * over the observed daily counts, changepoint at argmax |cusum|.
+    * The float trap is removed by comparing the EXACT integer numerator
+    * D·prefix_k − k·total (cusum_k = that / D): argmax and its
+    * earliest-day tie-break are integer decisions, so the two engines
+    * cannot drift on near-ties. One shuffle (the daily rollup); every
+    * window partition is bounded by distinct days (~2.5k), not fact
+    * rows. */
+  def eventsChangepoint(s: SparkSession, d: String): DataFrame =
+    eventsChangepointOf(Tables.events(s, d))
+
+  def eventsChangepointOf(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("pre", sum(col("n")).over(wOrd))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("cs", col("nd") * col("pre") - col("k") * col("tot"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("cs")).desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        round(abs(col("cs")).cast("double") / col("nd"), 6).as("max_cusum"),
+        round(col("pre").cast("double") / col("k"), 6).as("mean_before"),
+        when(col("nd") > col("k"),
+          round((col("tot") - col("pre")).cast("double") / (col("nd") - col("k")), 6))
+          .as("mean_after"))
+      .orderBy("event_type")
+  }
+
+  val eventsChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT event_type, day,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS pre,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+      |  FROM daily),
+      |x AS (
+      |  SELECT event_type, day, k, pre, tot, nd, nd * pre - k * tot AS cs FROM c),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY abs(cs) DESC, day) AS rk FROM x)
+      |SELECT event_type, day AS cp_day,
+      |  round(CAST(abs(cs) AS DOUBLE) / nd, 6) AS max_cusum,
+      |  round(CAST(pre AS DOUBLE) / k, 6) AS mean_before,
+      |  CASE WHEN nd > k
+      |    THEN round(CAST(tot - pre AS DOUBLE) / (nd - k), 6) END AS mean_after
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
+  /** #243 events_mau: the monthly active-user rollout — MAU, average DAU
+    * over the month's OBSERVED days, and monthly stickiness avg_dau/MAU
+    * (the daily 7-day variant lives in events_dau). Everything is
+    * integer until the two final divisions: one distinct pass over
+    * (day, user) feeds both the daily counts and (re-deduped to month
+    * grain) the MAU counts, so the heavy distinct shuffle happens
+    * once on the finest grain and the month rollups are cheap. */
+  def eventsMau(s: SparkSession, d: String): DataFrame =
+    eventsMauOf(Tables.events(s, d))
+
+  def eventsMauOf(ev: DataFrame): DataFrame = {
+    val du = ev.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .withColumn("month", date_format(col("day"), "yyyy-MM"))
+    val dau = du.groupBy("month", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("month").agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val mau = du.select("month", "user_id").distinct()
+      .groupBy("month").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "month")
+      .select(col("month"),
+        round(col("sum_dau").cast("double") / col("n_days"), 6).as("avg_dau"),
+        col("mau"),
+        round(col("sum_dau").cast("double") / (col("n_days") * col("mau")), 6)
+          .as("stickiness"))
+      .orderBy("month")
+  }
+
+  val eventsMauSql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |wm AS (SELECT strftime(day, '%Y-%m') AS month, day, user_id FROM du),
+      |d AS (SELECT month, day, count(*) AS dau FROM wm GROUP BY 1, 2),
+      |dm AS (SELECT month, CAST(sum(dau) AS BIGINT) AS sum_dau,
+      |         CAST(count(*) AS BIGINT) AS n_days FROM d GROUP BY 1),
+      |m AS (SELECT month, count(*) AS mau
+      |      FROM (SELECT DISTINCT month, user_id FROM wm) GROUP BY 1)
+      |SELECT dm.month,
+      |  round(CAST(sum_dau AS DOUBLE) / n_days, 6) AS avg_dau, mau,
+      |  round(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6) AS stickiness
+      |FROM dm JOIN m ON dm.month = m.month ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_changepoint" -> (eventsChangepoint _),
+    "events_mau" -> (eventsMau _),
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
     "events_burstiness" -> (eventsBurstiness _),
@@ -1655,6 +1755,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_changepoint" -> eventsChangepointSql,
+    "events_mau" -> eventsMauSql,
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_hourly" -> eventsHourlySql,
     "events_burstiness" -> eventsBurstinessSql,

@@ -1271,4 +1271,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got(1)._4.contains(0.5))           // (6-4)/4
     assert(got(2)._4.isEmpty)                 // after the silent week
   }
+
+  test("supplier_concurrency: sweep finds the overlap peak and its first day") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // supplier 1: [jan01,jan03] and [jan02,jan04] overlap on jan02-03 -> peak 2 @ jan02
+    // supplier 2: one closed interval [jan01,jan01] -> peak 1 @ jan01
+    val ord = Seq(
+      (10L, d("2024-01-01")), (11L, d("2024-01-02")), (12L, d("2024-01-01"))
+    ).toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (10L, 1L, d("2024-01-03")), (11L, 1L, d("2024-01-04")),
+      (12L, 2L, d("2024-01-01"))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val got = graft.queries.AnalyticsQueries.supplierConcurrencyOf(li, ord)
+      .as[(Long, Long, java.sql.Date)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 2L, d("2024-01-02")), (2L, 1L, d("2024-01-01"))))
+  }
+
+  test("events_changepoint: planted level shift is found with exact stats") {
+    def at(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // days 1-4: 2 events/day; days 5-8: 10/day -> cp at day 4,
+    // cusum peak |8 - 4*6| = 16, mean_before 2, mean_after 10
+    val rows = (1 to 4).flatMap(d => Seq.fill(2)(at(d))) ++
+      (5 to 8).flatMap(d => Seq.fill(10)(at(d)))
+    val ev = rows.map(t => (t, "a")).toDF("ts", "event_type")
+    val got = graft.queries.EventQueries.eventsChangepointOf(ev)
+      .as[(String, java.sql.Date, Double, Double, Option[Double])].collect()
+    assert(got.toSeq == Seq(
+      ("a", java.sql.Date.valueOf("2024-01-04"), 16.0, 2.0, Some(10.0))))
+  }
+
+  test("events_mau: observed-day avg DAU and monthly stickiness") {
+    def at(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // Jan: day1 users {1,2}, day2 user {2} -> sum_dau 3, 2 days, mau 2
+    // Feb: day1 user {3} -> avg_dau 1, mau 1, stickiness 1
+    val ev = Seq(
+      (at("2024-01-01"), 1L), (at("2024-01-01"), 2L), (at("2024-01-01"), 2L),
+      (at("2024-01-02"), 2L), (at("2024-02-01"), 3L)
+    ).toDF("ts", "user_id")
+    val got = graft.queries.EventQueries.eventsMauOf(ev)
+      .as[(String, Double, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("2024-01", 1.5, 2L, 0.75), ("2024-02", 1.0, 1L, 1.0)))
+  }
 }

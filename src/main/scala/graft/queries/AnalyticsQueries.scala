@@ -693,6 +693,110 @@ object AnalyticsQueries {
       |ORDER BY peak DESC, l_suppkey LIMIT 25""".stripMargin
 
   // -------------------------------------------------------------------
+  // #245 supplier_triangles — triangle census of the co-order graph.
+
+  /** Triangle counting over the supplier co-occurrence graph (edge =
+    * two suppliers REPEATEDLY sharing orders — RELATIVE min-support
+    * max(5, n_orders/30000) co-orders, the frequent-itemset
+    * discipline: a low-cardinality key set makes the raw co-occurrence
+    * graph near-complete (sf0.1: 454k of 499.5k possible pairs), and
+    * only a support floor that scales WITH the corpus keeps it sparse
+    * under growth — a fixed absolute floor re-densifies as soon as the
+    * corpus grows past it (measured: ratio 8.91 with 5 GB spill at 10×
+    * under the fixed floor, 47k stable edges under the relative one);
+    * noise pairs stay Poisson-thin relative to volume, recurring
+    * partnerships survive). Edge
+    * enumeration is bounded by order size (≤ ~7 lineitems ⇒ ≤ 21 pairs
+    * per order, never a global cross product). Spark counts triangles
+    * with the DEGREE-ORIENTED wedge join — every undirected edge is
+    * directed from its (degree, id)-smaller endpoint, so a hub of
+    * degree d contributes O(√m) out-wedges instead of O(d²), the
+    * standard arboricity bound that keeps the wedge fan-out flat at
+    * 100 TB; the oracle counts the same triangles with the naive a<b
+    * orientation (count is orientation-invariant, so the hash compare
+    * proves the oriented rewrite exact). Output: one census row —
+    * nodes, edges, triangles, and the global clustering coefficient
+    * 3·tri/wedges as ONE guarded division of exact integers. */
+  def supplierTriangles(spark: SparkSession, dir: String): DataFrame =
+    supplierTrianglesOf(Tables.lineitem(spark, dir))
+
+  val TriangleMinSupport = 5
+  val TriangleSupportDiv = 30000L
+
+  def supplierTrianglesOf(li: DataFrame,
+      minSupport: Int = TriangleMinSupport): DataFrame = {
+    val os = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")).distinct()
+    val nOrd = os.agg(countDistinct(col("ok")).as("n_ok"))
+    val e = os.as("x").join(os.as("y"),
+        col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .crossJoin(broadcast(nOrd))
+      .where(col("w") >= greatest(lit(minSupport.toLong),
+        expr(s"n_ok div $TriangleSupportDiv")))
+      .select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient by the (deg, v) total order; keep the head's rank key so
+    // wedge endpoints order WITHOUT another degree join
+    val eo = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+    val tri = eo.as("w1").join(eo.as("w2"),
+        col("w1.src") === col("w2.src") &&
+          (col("w1.ddeg") < col("w2.ddeg") ||
+            (col("w1.ddeg") === col("w2.ddeg") && col("w1.dst") < col("w2.dst"))))
+      .join(eo.as("w3"),
+        col("w1.dst") === col("w3.src") && col("w2.dst") === col("w3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3) * col("n_triangles").cast("double") / col("n_wedges"), 6))
+          .as("clustering"))
+  }
+
+  val supplierTrianglesSql: String =
+    """WITH os AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+      |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_ok FROM os),
+      |p AS (
+      |  SELECT x.s AS a, y.s AS b, CAST(count(*) AS BIGINT) AS w
+      |  FROM os x JOIN os y ON x.ok = y.ok AND x.s < y.s
+      |  GROUP BY 1, 2),
+      |e AS (
+      |  SELECT a, b FROM p, no
+      |  WHERE w >= greatest(5, n_ok // 30000)),
+      |deg AS (
+      |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) u
+      |  GROUP BY 1),
+      |tri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |       JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |    CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+      |    CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+      |  FROM deg)
+      |SELECT n_nodes, n_edges, n_triangles,
+      |  CASE WHEN n_wedges > 0
+      |    THEN round(3 * CAST(n_triangles AS DOUBLE) / n_wedges, 6)
+      |  END AS clustering
+      |FROM st, tri""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -705,7 +809,8 @@ object AnalyticsQueries {
     "part_corr" -> (partCorr _),
     "orders_aging" -> (ordersAging _),
     "orders_ship_lag" -> (ordersShipLag _),
-    "supplier_concurrency" -> (supplierConcurrency _))
+    "supplier_concurrency" -> (supplierConcurrency _),
+    "supplier_triangles" -> (supplierTriangles _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -718,5 +823,6 @@ object AnalyticsQueries {
     "part_corr" -> partCorrSql,
     "orders_aging" -> ordersAgingSql,
     "orders_ship_lag" -> ordersShipLagSql,
-    "supplier_concurrency" -> supplierConcurrencySql)
+    "supplier_concurrency" -> supplierConcurrencySql,
+    "supplier_triangles" -> supplierTrianglesSql)
 }

@@ -1118,7 +1118,71 @@ object PipelineQueries {
       |  round((observed - expected) * (observed - expected) / expected, 6) AS chisq_contrib
       |FROM e ORDER BY split, lang""".stripMargin
 
+  /** #244 split_temporal: time-based train/test split with a 30-day
+    * embargo gap (the purged-CV discipline from financial ML — a model
+    * trained through day T and tested from day T+1 leaks any label or
+    * feature computed over windows that straddle T; the embargo buys
+    * the window length). The cutoff is the EXACT 80th-percentile order
+    * day, found on the calendar-bounded daily rollup (running count ×5
+    * ≥ total ×4 — an integer decision, no quantile interpolation), so
+    * both engines pick the identical day; the per-split audit (orders,
+    * distinct customers, decimal-exact value, date range) is one
+    * aggregate over the tagged frame. Scale: the only fact-sized ops
+    * are the daily rollup and the final aggregate — the cutoff is a
+    * broadcast one-row frame. */
+  def splitTemporal(s: SparkSession, d: String): DataFrame =
+    splitTemporalOf(Tables.orders(s, d))
+
+  def splitTemporalOf(ord: DataFrame): DataFrame = {
+    val base = ord.select(to_date(col("o_orderdate")).as("day"),
+      col("o_custkey"), col("o_totalprice"))
+    val daily = base.groupBy("day").agg(count(lit(1)).as("n"))
+    // unpartitioned window over the AGGREGATED ~2.5k-day frame only
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("n")).as("tot"))
+    val cutoff = daily.withColumn("cum", sum(col("n")).over(wc))
+      .crossJoin(broadcast(tot))
+      .where(col("cum") * 5 >= col("tot") * 4)
+      .agg(min(col("day")).as("cutoff"))
+    base.crossJoin(broadcast(cutoff))
+      .withColumn("split",
+        when(col("day") <= col("cutoff"), "train")
+          .when(col("day") <= date_add(col("cutoff"), 30), "embargo")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("value"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("split")
+  }
+
+  val splitTemporalSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey, o_totalprice
+      |  FROM orders),
+      |daily AS (SELECT day, count(*) AS n FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT day,
+      |    CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM daily),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM daily),
+      |k AS (SELECT min(day) AS cutoff FROM c, t WHERE cum * 5 >= tot * 4),
+      |tagged AS (
+      |  SELECT CASE WHEN day <= cutoff THEN 'train'
+      |              WHEN day <= cutoff + 30 THEN 'embargo'
+      |              ELSE 'test' END AS split, o_custkey, o_totalprice, day
+      |  FROM d, k)
+      |SELECT split, count(*) AS n_orders,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value,
+      |  min(day) AS min_day, max(day) AS max_day
+      |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_temporal" -> (splitTemporal _),
     "split_ks" -> (splitKs _),
     "split_balance" -> (splitBalance _),
     "corpus_ccnet_buckets" -> (corpusCcnetBuckets _),
@@ -1146,6 +1210,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "split_temporal" -> splitTemporalSql,
     "split_ks" -> splitKsSql,
     "split_balance" -> splitBalanceSql,
     "corpus_ccnet_buckets" -> corpusCcnetBucketsSql,

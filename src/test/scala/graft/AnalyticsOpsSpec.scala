@@ -1315,4 +1315,53 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       ("2024-01", 1.5, 2L, 0.75), ("2024-02", 1.0, 1L, 1.0)))
   }
+
+  test("supplier_triangles: degree-oriented wedge join counts exactly") {
+    // K4 minus edge (1,4): edges (1,2)(1,3)(2,3)(2,4)(3,4)
+    // -> triangles {1,2,3} and {2,3,4}; degs 2,3,3,2 -> wedges 1+3+3+1 = 8
+    // -> clustering 3*2/8 = 0.75
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L), (12L, 2L), (12L, 3L),
+      (13L, 2L), (13L, 4L), (14L, 3L), (14L, 4L),
+      (15L, 2L), (15L, 3L) // duplicate co-order of an existing edge: no new edge
+    ).toDF("l_orderkey", "l_suppkey")
+    val got = graft.queries.AnalyticsQueries.supplierTrianglesOf(li, minSupport = 1)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq == Seq((4L, 5L, 2L, Some(0.75))))
+    // min-support prunes: only (2,3) co-orders twice -> no triangle, 1 edge
+    val thr = graft.queries.AnalyticsQueries.supplierTrianglesOf(li, minSupport = 2)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(thr.toSeq == Seq((2L, 1L, 0L, None)))
+  }
+
+  test("supplier_triangles: triangle-free star graph gives zero clustering") {
+    // star center 1 with leaves 2,3,4 (each edge from its own order)
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 3L), (12L, 1L), (12L, 4L))
+      .toDF("l_orderkey", "l_suppkey")
+    val got = graft.queries.AnalyticsQueries.supplierTrianglesOf(li, minSupport = 1)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.toSeq == Seq((4L, 3L, 0L, Some(0.0))))
+  }
+
+  test("split_temporal: cutoff at the exact p80 day; embargo excluded from both sides") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // 10 orders over days jan01..jan10 (1/day): p80 cutoff = jan08
+    // embargo (jan09..feb07], test = none after feb07 except the one planted in march
+    val rows = (1 to 10).map(i => (f"2024-01-$i%02d", 100L + i, 10.0)) :+
+      (("2024-03-15", 200L, 50.0))
+    val ord = rows.map { case (day, c, v) =>
+      (java.sql.Timestamp.valueOf(s"$day 00:00:00"), c, v)
+    }.toDF("o_orderdate", "o_custkey", "o_totalprice")
+    val got = graft.queries.PipelineQueries.splitTemporalOf(ord)
+      .select("split", "n_orders", "n_customers", "min_day", "max_day")
+      .as[(String, Long, Long, java.sql.Date, java.sql.Date)].collect()
+      .map(r => r._1 -> r).toMap
+    // 11 orders total: cum*5 >= tot*4 -> first day with cum >= 8.8 -> jan09
+    val (_, nT, _, minT, maxT) = got("train")
+    assert(nT == 9 && minT == d("2024-01-01") && maxT == d("2024-01-09"))
+    val (_, nE, _, minE, maxE) = got("embargo")
+    assert(nE == 1 && minE == d("2024-01-10") && maxE == d("2024-01-10"))
+    val (_, nX, _, minX, _) = got("test")
+    assert(nX == 1 && minX == d("2024-03-15"))
+  }
 }

@@ -797,6 +797,78 @@ object AnalyticsQueries {
       |FROM st, tri""".stripMargin
 
   // -------------------------------------------------------------------
+  // #246 orders_abc — ABC (80/15/5) revenue classification of parts.
+
+  /** The inventory-management classic: parts ranked by revenue, class A
+    * = the prefix reaching 80% of total revenue, B to 95%, C the tail
+    * (a part is classed by its cumulative revenue EXCLUDING itself, so
+    * the crossing part lands in the class it completes). The global
+    * cumulative sum uses the customerPareto discipline — one pinned
+    * (localCheckpoint) range partitioning, per-shard prefix-sum window
+    * + broadcast per-shard revenue offsets — so no single-partition
+    * window ever sees fact-scale rows; class membership is decided by
+    * EXACT decimal comparisons ((cum−rev)·5 < tot·4, ·20 < ·19 — no
+    * double thresholds to drift on). Output: three audit rows. */
+  def ordersAbc(spark: SparkSession, dir: String): DataFrame =
+    ordersAbcOf(Tables.lineitem(spark, dir))
+
+  def ordersAbcOf(li: DataFrame): DataFrame = {
+    val rev = li.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("rev"))
+    val parted = rev.repartitionByRange(32, col("rev").desc, col("l_partkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val shard = Window.partitionBy("pid").orderBy(col("rev").desc, col("l_partkey"))
+    val local = parted.withColumn("lcum", sum(col("rev")).over(shard))
+    val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("pid")
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("srev"))
+      .withColumn("off",
+        coalesce(sum(col("srev")).over(offW), lit(0).cast("decimal(18,2)")))
+      .select("pid", "off")
+    val tot = parted.agg(sum(col("rev")).cast("decimal(18,2)").as("tot"),
+      count(lit(1)).as("np"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum", (col("off") + col("lcum")).cast("decimal(18,2)"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when((col("cum") - col("rev")) * 5 < col("tot") * 4, "A")
+          .when((col("cum") - col("rev")) * 20 < col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy("cls", "tot", "np")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("decimal(18,2)").as("revenue"))
+      .select(col("cls"), col("n_parts"), col("revenue"),
+        round(col("revenue").cast("double") / col("tot").cast("double"), 6)
+          .as("rev_share"),
+        round(col("n_parts").cast("double") / col("np"), 6).as("part_share"))
+      .orderBy("cls")
+  }
+
+  val ordersAbcSql: String =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT l_partkey, rev,
+      |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+      |      ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS cum
+      |  FROM rev),
+      |t AS (SELECT CAST(sum(rev) AS DECIMAL(18,2)) AS tot,
+      |        CAST(count(*) AS BIGINT) AS np FROM rev),
+      |x AS (
+      |  SELECT CASE WHEN (cum - rev) * 5 < tot * 4 THEN 'A'
+      |              WHEN (cum - rev) * 20 < tot * 19 THEN 'B'
+      |              ELSE 'C' END AS cls, rev, tot, np
+      |  FROM c, t)
+      |SELECT cls, count(*) AS n_parts,
+      |  CAST(sum(rev) AS DECIMAL(18,2)) AS revenue,
+      |  round(CAST(sum(rev) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share,
+      |  round(CAST(count(*) AS DOUBLE) / np, 6) AS part_share
+      |FROM x GROUP BY 1, tot, np ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -810,7 +882,8 @@ object AnalyticsQueries {
     "orders_aging" -> (ordersAging _),
     "orders_ship_lag" -> (ordersShipLag _),
     "supplier_concurrency" -> (supplierConcurrency _),
-    "supplier_triangles" -> (supplierTriangles _))
+    "supplier_triangles" -> (supplierTriangles _),
+    "orders_abc" -> (ordersAbc _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -824,5 +897,6 @@ object AnalyticsQueries {
     "orders_aging" -> ordersAgingSql,
     "orders_ship_lag" -> ordersShipLagSql,
     "supplier_concurrency" -> supplierConcurrencySql,
-    "supplier_triangles" -> supplierTrianglesSql)
+    "supplier_triangles" -> supplierTrianglesSql,
+    "orders_abc" -> ordersAbcSql)
 }

@@ -722,6 +722,61 @@ object VectorQueries {
        |WHERE dist_km <= $GeoRadiusKm ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** #247 geo_hotspots: 5°×5° grid-density readout — the geohash-style
+    * spatial binning shape: bucket every point into a grid cell by
+    * EXACT integer index arithmetic (the synthetic lat/lon are k·0.5 /
+    * j·0.75 — binary-exact doubles, so the ×2/×4 scale-to-integer is
+    * lossless in BOTH engines and DuckDB's round-on-cast vs Spark's
+    * truncate-on-cast cannot diverge), then z-score each cell's count
+    * against the occupied-cell population. Counts and Σn/Σn² are exact
+    * (DECIMAL(38,0) — n² overflows BIGINT once cells hold >3·10⁹ rows);
+    * doubles enter only in the final z, and the top-15 selection orders
+    * by the EXACT count. The grid is bounded (≤864 cells) so the stats
+    * row is a broadcast one-row frame and the per-cell rollup map-side
+    * combines: shuffle O(partitions × cells), never O(rows). */
+  def geoHotspots(s: SparkSession, d: String): DataFrame =
+    geoHotspotsOf(graft.Tables.embeddingsMeta(s, d))
+
+  def geoHotspotsOf(meta: DataFrame): DataFrame = {
+    val cells = meta
+      .withColumn("ci", expr("CAST((latitude + 30.0) * 2 AS BIGINT) div 10"))
+      .withColumn("cj", expr("CAST((longitude + 120.0) * 4 AS BIGINT) div 20"))
+      .groupBy("ci", "cj").agg(count(lit(1)).as("n"))
+    val st = cells.agg(count(lit(1)).cast("double").as("dc"),
+      sum(col("n")).cast("decimal(38,0)").cast("double").as("s"),
+      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").cast("double").as("s2"))
+    cells.crossJoin(broadcast(st))
+      .withColumn("den", col("dc") * col("s2") - col("s") * col("s"))
+      .select((col("ci") * 5 - 30).as("cell_lat"),
+        (col("cj") * 5 - 120).as("cell_lon"), col("n"),
+        when(col("den") > 0,
+          round((col("dc") * col("n").cast("double") - col("s")) /
+            sqrt(col("den")), 6)).as("z"))
+      .orderBy(desc("n"), col("cell_lat"), col("cell_lon"))
+      .limit(15)
+  }
+
+  val geoHotspotsSql: String =
+    s"""WITH m AS (${graft.Tables.embeddingsMetaSql}),
+       |cells AS (
+       |  SELECT CAST((latitude + 30.0) * 2 AS BIGINT) // 10 AS ci,
+       |         CAST((longitude + 120.0) * 4 AS BIGINT) // 20 AS cj,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM m GROUP BY 1, 2),
+       |st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS dc,
+       |    CAST(CAST(sum(n) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+       |    CAST(CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+       |      AS DECIMAL(38,0)) AS DOUBLE) AS s2
+       |  FROM cells)
+       |SELECT ci * 5 - 30 AS cell_lat, cj * 5 - 120 AS cell_lon, n,
+       |  CASE WHEN dc * s2 - s * s > 0
+       |    THEN round((dc * CAST(n AS DOUBLE) - s) / sqrt(dc * s2 - s * s), 6)
+       |  END AS z
+       |FROM cells, st
+       |ORDER BY n DESC, cell_lat, cell_lon LIMIT 15""".stripMargin
+
   /** #196 vec_dim_stats: per-dimension embedding health — mean, variance,
     * range, and near-zero fraction for every coordinate: the table that
     * catches dead dimensions, anisotropy, and mis-scaled encoder exports
@@ -1169,6 +1224,7 @@ object VectorQueries {
     "hybrid_qtext" -> (hybridQtext _),
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
+    "geo_hotspots" -> (geoHotspots _),
     "geo_knn" -> (geoKnn _),
     "vec_dim_stats" -> (vecDimStats _),
     "hybrid_rrf" -> (hybridRrf _),
@@ -1217,6 +1273,7 @@ object VectorQueries {
     "hybrid_qtext" -> hybridQtextSql,
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,
+    "geo_hotspots" -> geoHotspotsSql,
     "geo_knn" -> geoKnnSql,
     "vec_dim_stats" -> vecDimStatsSql,
     "hybrid_rrf" -> hybridRrfSql,

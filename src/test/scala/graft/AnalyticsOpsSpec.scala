@@ -1364,4 +1364,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val (_, nX, _, minX, _) = got("test")
     assert(nX == 1 && minX == d("2024-03-15"))
   }
+
+  test("orders_abc: crossing part completes its class; shares are exact") {
+    // parts with revenue 50, 30, 15, 5 (total 100):
+    //   p1 (50): cum_before 0  < 80  -> A
+    //   p2 (30): cum_before 50 < 80  -> A (completes the 80% band)
+    //   p3 (15): cum_before 80 < 95  -> B (completes the 95% band)
+    //   p4 (5):  cum_before 95       -> C
+    val li = Seq((1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 5.0))
+      .toDF("l_partkey", "l_extendedprice")
+    val got = graft.queries.AnalyticsQueries.ordersAbcOf(li)
+      .select("cls", "n_parts", "rev_share", "part_share")
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("A", 2L, 0.8, 0.5), ("B", 1L, 0.15, 0.25), ("C", 1L, 0.05, 0.25)))
+  }
+
+  test("geo_hotspots: a flooded cell carries the density z-score") {
+    // 3 occupied cells: counts 8, 1, 1 -> mean 10/3, z of the 8-cell =
+    // (3*8-10)/sqrt(3*66-100) = 14/sqrt(98)
+    val pts = Seq.fill(8)((-30.0, -120.0)) ++ Seq((0.0, 0.0), (55.0, 110.0))
+    val meta = pts.toDF("latitude", "longitude")
+    val got = graft.queries.VectorQueries.geoHotspotsOf(meta)
+      .as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.length == 3)
+    assert(got.head._3 == 8L)
+    val want = math.floor(14.0 / math.sqrt(98.0) * 1e6 + 0.5) / 1e6
+    assert(got.head._4.contains(want))
+    // grid origin of (-30,-120) is the cell itself
+    assert(got.head._1 == -30L && got.head._2 == -120L)
+  }
 }

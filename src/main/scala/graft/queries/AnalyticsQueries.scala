@@ -869,6 +869,62 @@ object AnalyticsQueries {
       |FROM x GROUP BY 1, tot, np ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------
+  // #249 supplier_lead_trend — grouped OLS slope of ship lag over time.
+
+  /** Per-supplier linear trend of fulfillment lag (days from order to
+    * ship) regressed on the order month — the grouped-OLS shape: ONE
+    * map-side-combined aggregate collects the exact moments (n, Σx, Σy,
+    * Σxy, Σx²) per supplier with x = calendar month index
+    * (year·12+month, an exact integer) and y = exact day lag, every
+    * moment a DECIMAL(38,0) sum (the part_corr discipline — Σxy
+    * brushes int64 at fact scale), and slope = ONE division of the
+    * exact num/den, rounded before the ordering so both engines rank
+    * identically. Suppliers active in a single month (den = 0) are
+    * excluded. Top 10 worsening (slope desc). */
+  def supplierLeadTrend(spark: SparkSession, dir: String): DataFrame =
+    supplierLeadTrendOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  def supplierLeadTrendOf(li: DataFrame, ord: DataFrame): DataFrame = {
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("decimal(38,0)").as("x"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("decimal(38,0)").as("y"))
+    base.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", (col("n") * col("sxx") - col("sx") * col("sx")))
+      .where(col("den") > 0)
+      .select(col("l_suppkey"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          col("den").cast("double"), 6).as("slope"))
+      .orderBy(desc("slope"), col("l_suppkey"))
+      .limit(10)
+  }
+
+  val supplierLeadTrendSql: String =
+    """WITH b AS (
+      |  SELECT l_suppkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS DECIMAL(38,0)) AS x,
+      |    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      |      AS DECIMAL(38,0)) AS y
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |m AS (
+      |  SELECT l_suppkey, count(*) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM b GROUP BY 1),
+      |s AS (
+      |  SELECT l_suppkey, n, n * sxx - sx * sx AS den,
+      |    n * sxy - sx * sy AS num
+      |  FROM m)
+      |SELECT l_suppkey, n,
+      |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope
+      |FROM s WHERE den > 0
+      |ORDER BY slope DESC, l_suppkey LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -883,7 +939,8 @@ object AnalyticsQueries {
     "orders_ship_lag" -> (ordersShipLag _),
     "supplier_concurrency" -> (supplierConcurrency _),
     "supplier_triangles" -> (supplierTriangles _),
-    "orders_abc" -> (ordersAbc _))
+    "orders_abc" -> (ordersAbc _),
+    "supplier_lead_trend" -> (supplierLeadTrend _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -898,5 +955,6 @@ object AnalyticsQueries {
     "orders_ship_lag" -> ordersShipLagSql,
     "supplier_concurrency" -> supplierConcurrencySql,
     "supplier_triangles" -> supplierTrianglesSql,
-    "orders_abc" -> ordersAbcSql)
+    "orders_abc" -> ordersAbcSql,
+    "supplier_lead_trend" -> supplierLeadTrendSql)
 }

@@ -1710,7 +1710,80 @@ object EventQueries {
       |  round(CAST(sum_dau AS DOUBLE) / (n_days * mau), 6) AS stickiness
       |FROM dm JOIN m ON dm.month = m.month ORDER BY 1""".stripMargin
 
+  /** #248 events_survival: Kaplan–Meier user-lifetime curve — the
+    * survival-analysis staple with right-censoring: lifetime = last −
+    * first active day; users still active in the corpus' final 7 days
+    * are CENSORED (they leave the at-risk set without counting as
+    * churn). At-risk n_t = total − Σ_{s<t}(d_s + c_s) from one
+    * cumulative window over the day-grain rollup (bounded by the
+    * calendar, the splitKs discipline); the product-limit estimate is
+    * exp(Σ ln(1 − d/n)) with the SAME ordered summation in both
+    * engines, and the everyone-dies day (d = n) is handled by an
+    * explicit zero flag rather than ln(0) (Spark NULLs it, DuckDB
+    * gives −inf — the one place the engines disagree). One user-grain
+    * shuffle total. */
+  def eventsSurvival(s: SparkSession, d: String): DataFrame =
+    eventsSurvivalOf(Tables.events(s, d))
+
+  def eventsSurvivalOf(ev: DataFrame): DataFrame = {
+    val ul = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("user_id").agg(min(col("day")).as("fd"), max(col("day")).as("ld"))
+    val end = ul.agg(max(col("ld")).as("obs_end"), count(lit(1)).as("n_users"))
+    val byT = ul.crossJoin(broadcast(end))
+      .withColumn("t", datediff(col("ld"), col("fd")).cast("long"))
+      .withColumn("cens",
+        when(col("ld") > date_sub(col("obs_end"), 7), 1L).otherwise(0L))
+      .groupBy("t", "n_users")
+      .agg(sum(lit(1L) - col("cens")).as("d"), sum(col("cens")).as("c"))
+    val wOrd = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byT
+      .withColumn("n_risk",
+        col("n_users") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("f",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk"))))
+      .withColumn("dead", max(when(col("d") >= col("n_risk"), 1L).otherwise(0L))
+        .over(wOrd))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(sum(col("f")).over(wOrd)), 6)).as("survival"))
+      .orderBy("t")
+  }
+
+  val eventsSurvivalSql: String =
+    """WITH ul AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS fd, max(CAST(ts AS DATE)) AS ld
+      |  FROM events GROUP BY 1),
+      |e AS (SELECT max(ld) AS obs_end, CAST(count(*) AS BIGINT) AS n_users FROM ul),
+      |bt AS (
+      |  SELECT date_diff('day', fd, ld) AS t, n_users,
+      |    CAST(sum(CASE WHEN ld > obs_end - 7 THEN 0 ELSE 1 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN ld > obs_end - 7 THEN 1 ELSE 0 END) AS BIGINT) AS c
+      |  FROM ul, e GROUP BY 1, 2),
+      |r AS (
+      |  SELECT t, d, c,
+      |    n_users - COALESCE(CAST(sum(d + c) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS n_risk
+      |  FROM bt),
+      |f AS (
+      |  SELECT t, n_risk, d, c,
+      |    CASE WHEN d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) END AS f,
+      |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS died
+      |  FROM r)
+      |SELECT t, n_risk, d, c,
+      |  CASE WHEN max(died) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+      |    ELSE round(exp(sum(f) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |  END AS survival
+      |FROM f ORDER BY t""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_survival" -> (eventsSurvival _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_mau" -> (eventsMau _),
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
@@ -1755,6 +1828,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,
     "events_mau" -> eventsMauSql,
     "events_overlap_matrix" -> eventsOverlapMatrixSql,

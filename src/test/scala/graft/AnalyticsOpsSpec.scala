@@ -1394,4 +1394,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // grid origin of (-30,-120) is the cell itself
     assert(got.head._1 == -30L && got.head._2 == -120L)
   }
+
+  test("events_survival: KM product-limit with censoring replays by hand") {
+    def at(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // obs_end = mar31. users:
+    //  u1: jan01..jan01 -> t=0, death
+    //  u2: jan01..jan03 -> t=2, death
+    //  u3: jan01..jan05 -> t=4, death
+    //  u4: mar01..mar30 -> t=29, ld > mar24 -> CENSORED
+    //  u5: mar31 only -> t=0, censored (final-week activity)
+    // at-risk: t0: 5, d=1 c=1 -> S=4/5; t2: 3, d=1 -> S=0.8*2/3
+    // t4: 2, d=1 -> S=*1/2; t29: 1, d=0 c=1 -> S unchanged
+    val ev = Seq(
+      (at("2024-01-01"), 1L), (at("2024-01-01"), 2L), (at("2024-01-03"), 2L),
+      (at("2024-01-01"), 3L), (at("2024-01-05"), 3L),
+      (at("2024-03-01"), 4L), (at("2024-03-30"), 4L), (at("2024-03-31"), 5L)
+    ).toDF("ts", "user_id")
+    // u5 single event on obs_end: t=0 but censored (ld in final week)
+    val got = graft.queries.EventQueries.eventsSurvivalOf(ev)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 5L, 1L, 1L, 0.8)))
+    assert(got(2L) == ((2L, 3L, 1L, 0L, 0.533333)))
+    assert(got(4L) == ((4L, 2L, 1L, 0L, 0.266667)))
+    assert(got(29L) == ((29L, 1L, 0L, 1L, 0.266667)))
+  }
+
+  test("supplier_lead_trend: a planted linear lag trend recovers its slope") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    // supplier 1: lag rises 2 days/month over jan..apr (x=m, y=2m+1)
+    // supplier 2: constant lag (slope 0); supplier 3: one month -> excluded
+    val months = Seq("2024-01-15", "2024-02-15", "2024-03-15", "2024-04-15")
+    val rows =
+      months.zipWithIndex.map { case (m, i) =>
+        (10L + i, 1L, ts(m),
+          ts(java.time.LocalDate.parse(m).plusDays(2 * i + 1).toString)) } ++
+      months.zipWithIndex.map { case (m, i) =>
+        (20L + i, 2L, ts(m),
+          ts(java.time.LocalDate.parse(m).plusDays(5).toString)) } :+
+      ((30L, 3L, ts("2024-01-15"), ts("2024-01-20")))
+    val ord = rows.map(r => (r._1, r._3)).toDF("o_orderkey", "o_orderdate")
+    val li = rows.map(r => (r._1, r._2, r._4))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val got = graft.queries.AnalyticsQueries.supplierLeadTrendOf(li, ord)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 4L, 2.0), (2L, 4L, 0.0)))
+  }
 }

@@ -925,6 +925,62 @@ object AnalyticsQueries {
       |ORDER BY slope DESC, l_suppkey LIMIT 10""".stripMargin
 
   // -------------------------------------------------------------------
+  // #251 part_rank_shift — year-over-year revenue rank movers.
+
+  /** The "movers report": top-20 parts by latest-year revenue with
+    * their prior-year rank and the rank delta. Revenue per (year,
+    * part) is decimal-exact off one map-side-combined aggregate; the
+    * per-year global ranks come from [[groupedRowNumber]] (range
+    * partition on (year, rev desc, partkey) + per-(shard, year)
+    * broadcast offsets — no single-partition fact-scale window); the
+    * latest year is a broadcast one-row max. Parts absent the prior
+    * year surface with NULL prior rank/delta (left join — new
+    * entrants are the interesting rows). */
+  def partRankShift(spark: SparkSession, dir: String): DataFrame =
+    partRankShiftOf(Tables.lineitem(spark, dir))
+
+  def partRankShiftOf(li: DataFrame): DataFrame = {
+    val rev = li.select(year(col("l_shipdate")).as("yr"), col("l_partkey"),
+        col("l_extendedprice"))
+      .groupBy("yr", "l_partkey")
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("rev"))
+    val ranked = groupedRowNumber(rev, "rk", col("yr"),
+      col("rev").desc, col("l_partkey").asc)
+    val maxYr = ranked.agg(max(col("yr")).as("y1"))
+    val cur = ranked.crossJoin(broadcast(maxYr))
+      .where(col("yr") === col("y1") && col("rk") <= 20)
+      .select(col("l_partkey"), col("y1"), col("rev"), col("rk"))
+    val prev = ranked.crossJoin(broadcast(maxYr))
+      .where(col("yr") === col("y1") - 1)
+      .select(col("l_partkey"), col("rk").as("prev_rk"))
+    cur.join(prev, Seq("l_partkey"), "left")
+      .select(col("l_partkey"), col("rev"), col("rk"), col("prev_rk"),
+        (col("prev_rk") - col("rk")).as("rank_gain"))
+      .orderBy("rk")
+  }
+
+  val partRankShiftSql: String =
+    """WITH rev AS (
+      |  SELECT year(l_shipdate) AS yr, l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM lineitem GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT yr, l_partkey, rev,
+      |    CAST(row_number() OVER (PARTITION BY yr
+      |      ORDER BY rev DESC, l_partkey) AS BIGINT) AS rk
+      |  FROM rev),
+      |y AS (SELECT max(yr) AS y1 FROM rk),
+      |cur AS (
+      |  SELECT l_partkey, rev, rk FROM rk, y
+      |  WHERE yr = y1 AND rk <= 20),
+      |prev AS (
+      |  SELECT l_partkey, rk AS prev_rk FROM rk, y WHERE yr = y1 - 1)
+      |SELECT c.l_partkey, c.rev, c.rk, p.prev_rk,
+      |  p.prev_rk - c.rk AS rank_gain
+      |FROM cur c LEFT JOIN prev p ON c.l_partkey = p.l_partkey
+      |ORDER BY c.rk""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -940,7 +996,8 @@ object AnalyticsQueries {
     "supplier_concurrency" -> (supplierConcurrency _),
     "supplier_triangles" -> (supplierTriangles _),
     "orders_abc" -> (ordersAbc _),
-    "supplier_lead_trend" -> (supplierLeadTrend _))
+    "supplier_lead_trend" -> (supplierLeadTrend _),
+    "part_rank_shift" -> (partRankShift _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -956,5 +1013,6 @@ object AnalyticsQueries {
     "supplier_concurrency" -> supplierConcurrencySql,
     "supplier_triangles" -> supplierTrianglesSql,
     "orders_abc" -> ordersAbcSql,
-    "supplier_lead_trend" -> supplierLeadTrendSql)
+    "supplier_lead_trend" -> supplierLeadTrendSql,
+    "part_rank_shift" -> partRankShiftSql)
 }

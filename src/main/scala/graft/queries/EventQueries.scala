@@ -1782,7 +1782,47 @@ object EventQueries {
       |  END AS survival
       |FROM f ORDER BY t""".stripMargin
 
+  /** #250 events_backtest: seasonal-naive forecast backtest per type —
+    * the forecasting-eval staple: predict each day's count by the count
+    * exactly 7 calendar days earlier (a self-join on (type, day−7), not
+    * a 7-rows-back lag — silent weeks must not shift the season), then
+    * score MAE and WAPE (Σ|n−f| / Σf — the weighted-percentage form
+    * whose numerator and denominator are EXACT integers; per-day sMAPE
+    * would sum doubles in engine-dependent order). One daily rollup
+    * shuffle; the self-join runs on the calendar-bounded frame. */
+  def eventsBacktest(s: SparkSession, d: String): DataFrame =
+    eventsBacktestOf(Tables.events(s, d))
+
+  def eventsBacktestOf(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val f = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("n").as("fc"))
+    daily.join(f, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("fc"))).as("sad"), sum(col("fc")).as("sf"))
+      .select(col("event_type"), col("n_days"),
+        round(col("sad").cast("double") / col("n_days"), 6).as("mae"),
+        round(col("sad").cast("double") / col("sf"), 6).as("wape"))
+      .orderBy("event_type")
+  }
+
+  val eventsBacktestSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d.event_type, d.n, f.n AS fc
+      |  FROM daily d JOIN daily f
+      |    ON d.event_type = f.event_type AND d.day = f.day + 7)
+      |SELECT event_type, count(*) AS n_days,
+      |  round(CAST(sum(abs(n - fc)) AS DOUBLE) / count(*), 6) AS mae,
+      |  round(CAST(sum(abs(n - fc)) AS DOUBLE) / sum(fc), 6) AS wape
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_backtest" -> (eventsBacktest _),
     "events_survival" -> (eventsSurvival _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_mau" -> (eventsMau _),
@@ -1828,6 +1868,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_backtest" -> eventsBacktestSql,
     "events_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,
     "events_mau" -> eventsMauSql,

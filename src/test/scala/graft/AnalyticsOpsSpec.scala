@@ -1439,4 +1439,35 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(got.toSeq == Seq((1L, 4L, 2.0), (2L, 4L, 0.0)))
   }
+
+  test("events_backtest: calendar lag-7 forecast, silent weeks not shifted") {
+    def at(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // type a: jan01:2, jan08:4, jan15:3. forecasts: jan08<-2 (|4-2|=2),
+    //   jan15<-4 (|3-4|=1). sad=3, sf=6 -> mae 1.5, wape 0.5
+    // type b: jan01:1, jan09:9 (no day exactly 7 before) -> no scored days
+    val ev = (Seq.fill(2)(at("2024-01-01")) ++ Seq.fill(4)(at("2024-01-08")) ++
+      Seq.fill(3)(at("2024-01-15"))).map(t => (t, "a")) ++
+      (Seq(at("2024-01-01")) ++ Seq.fill(9)(at("2024-01-09"))).map(t => (t, "b"))
+    val got = graft.queries.EventQueries.eventsBacktestOf(
+        ev.toDF("ts", "event_type"))
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq(("a", 2L, 1.5, 0.5)))
+  }
+
+  test("part_rank_shift: movers get prior ranks, entrants get NULL") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    // 1997: p1=100, p2=50; 1998: p2=90, p3=80, p1=10
+    val li = Seq(
+      (1L, 100.0, "1997-06-01"), (2L, 50.0, "1997-06-01"),
+      (2L, 90.0, "1998-06-01"), (3L, 80.0, "1998-06-01"), (1L, 10.0, "1998-06-01")
+    ).map { case (p, v, d) => (p, v, ts(d)) }
+      .toDF("l_partkey", "l_extendedprice", "l_shipdate")
+    val got = graft.queries.AnalyticsQueries.partRankShiftOf(li)
+      .select("l_partkey", "rk", "prev_rk", "rank_gain")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.toSeq == Seq(
+      (2L, 1L, Some(2L), Some(1L)),   // rose 2 -> 1
+      (3L, 2L, None, None),           // new entrant
+      (1L, 3L, Some(1L), Some(-2L)))) // fell 1 -> 3
+  }
 }

@@ -240,3 +240,49 @@ final class StreamingBurstiness {
     }
   }
 }
+
+/** Incremental CUSUM changepoint (#242 events_changepoint's twin): daily
+  * counts are the additive sufficient statistic, so late rows for a seen
+  * day are absorbed exactly; the report replays the batch operator's
+  * EXACT integer argmax (numerator D·prefix − k·total, earliest-day
+  * tie-break) on the calendar-bounded accumulated series — streamed ==
+  * batch over everything ingested, including the changepoint's position,
+  * which a windowed/decayed detector could not promise. */
+final class StreamingChangepoint {
+
+  private val state = scala.collection.mutable.HashMap.empty[(String, java.sql.Date), Long]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val rows = batch
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getDate(1)), r.getLong(2)))
+    rows.foreach { case (k, n) => state.update(k, state.getOrElse(k, 0L) + n) }
+  }
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** (event_type, cp_day, max_cusum, mean_before, mean_after), the #242
+    * schema, ordered by type. */
+  def report(): Seq[(String, java.sql.Date, Double, Double, Option[Double])] =
+    synchronized {
+      state.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (et, entries) =>
+        val days = entries.map { case ((_, d), n) => (d, n) }.sortBy(_._1.getTime)
+        val nd = days.length.toLong
+        val tot = days.map(_._2).sum
+        var pre = 0L
+        var best = (0L, 0, 0L) // (|cs|, index, prefix-at-index)
+        days.zipWithIndex.foreach { case ((_, n), i) =>
+          pre += n
+          val cs = math.abs(nd * pre - (i + 1).toLong * tot)
+          if (cs > best._1) best = (cs, i, pre)
+        }
+        val (csAbs, idx, preAt) = best
+        val k = idx + 1L
+        (et, days(idx)._1,
+          rnd6(csAbs.toDouble / nd),
+          rnd6(preAt.toDouble / k),
+          if (nd > k) Some(rnd6((tot - preAt).toDouble / (nd - k))) else None)
+      }
+    }
+}

@@ -87,6 +87,18 @@ class MonitorStreamingSpec extends AnyFunSuite {
     assert(sb.report() == want)
   }
 
+  test("streaming changepoint: batched absorption == events_changepoint, late rows exact") {
+    val ev = Tables.events(spark, sf)
+    val sc = new graft.streaming.StreamingChangepoint
+    // batch 2/3 deliver LATE rows for days batch 1 already saw — daily
+    // counts are the additive sufficient statistic, absorption is exact
+    Seq(ev.where(col("event_id") % 3 === 2), ev.where(col("event_id") % 3 === 0),
+      ev.where(col("event_id") % 3 === 1)).foreach(sc.processBatch)
+    val want = EventQueries.eventsChangepointOf(ev)
+      .as[(String, java.sql.Date, Double, Double, Option[Double])].collect().toSeq
+    assert(sc.report() == want)
+  }
+
   test("wau window arithmetic is DST-safe (the round-12 advice fix)") {
     // In a DST zone, local midnights 7 calendar days apart across the
     // spring-forward are 167h apart: millis/86400000 floors to 6 and

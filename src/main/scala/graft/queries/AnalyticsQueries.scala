@@ -641,12 +641,15 @@ object AnalyticsQueries {
     * over [o_orderdate, l_shipdate] (order placed → shipped); emit +1 at
     * the start day and −1 the day AFTER the end (closed interval), sum
     * deltas per (supplier, day), and a per-supplier running sum over
-    * days is the number of concurrently open items. The peak and its
-    * first day come from a second window over the SAME partitioning —
-    * one shuffle total, and each supplier's window partition is bounded
-    * by the calendar (≤ distinct days, ~2.5k), never by fact rows, so
-    * the sweep survives any fact-table scale. Top 25 by peak (suppkey
-    * tie-break; one row per supplier keeps the order total). */
+    * days is the number of concurrently open items. The fact-scale rows
+    * cross ONE exchange — the (supplier, day) rollup, collapsed by
+    * map-side partial aggregation wherever the fact table is
+    * date-clustered (the usual layout); the windows re-shuffle only the
+    * calendar-bounded cells (≤ suppliers × ~2.5k days — deliberately a
+    * SECOND tiny exchange rather than pre-hashing raw rows on the
+    * supplier key, which would skip the combine and skew). Top 25 by
+    * peak (suppkey tie-break; one row per supplier keeps the order
+    * total). */
   def supplierConcurrency(spark: SparkSession, dir: String): DataFrame =
     supplierConcurrencyOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
 

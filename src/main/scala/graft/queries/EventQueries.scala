@@ -1618,9 +1618,10 @@ object EventQueries {
     * The float trap is removed by comparing the EXACT integer numerator
     * D·prefix_k − k·total (cusum_k = that / D): argmax and its
     * earliest-day tie-break are integer decisions, so the two engines
-    * cannot drift on near-ties. One shuffle (the daily rollup); every
-    * window partition is bounded by distinct days (~2.5k), not fact
-    * rows. */
+    * cannot drift on near-ties. Fact rows cross only the daily-rollup
+    * exchange (map-side combined); the windows re-shuffle the
+    * calendar-bounded cells, and every window partition is bounded by
+    * distinct days (~2.5k), not fact rows. */
   def eventsChangepoint(s: SparkSession, d: String): DataFrame =
     eventsChangepointOf(Tables.events(s, d))
 

@@ -817,6 +817,96 @@ object VectorQueries {
       |  round(avg(CASE WHEN abs(x) < 1e-8 THEN 1.0 ELSE 0.0 END), 6) AS zero_frac
       |FROM x GROUP BY dim ORDER BY dim""".stripMargin
 
+  /** #253 vec_centroid_drift: embedding-distribution shift between the
+    * two doc_id-parity cohorts (the corpus_drift discipline applied to
+    * the VECTOR column — the monitor that catches encoder drift or a
+    * mis-scaled re-embedding batch before it poisons an index). The
+    * float trap is removed end-to-end: every coordinate is scaled to an
+    * exact integer (floor(x·1e7 + 0.5) — float32→double is exact, the
+    * same rounding formula in both engines), per-(cohort, dim) sums are
+    * DECIMAL(19,0) (exact for ≤10¹² rows/cohort), and the cosine's
+    * dot/norms are DECIMAL(38,0) sums of exact products over the
+    * dim-bounded joined frame — cosine(sum vectors) = cosine(mean
+    * vectors) by scale invariance, so no division ever happens in
+    * decimal. The top drifted dimension is an EXACT decimal argmax
+    * (|saᵈ·n1 − sbᵈ·n0|, dim tie-break). One posexplode shuffle onto
+    * the (cohort, dim)-bounded key; everything after is ≤dim rows. */
+  def vecCentroidDrift(s: SparkSession, d: String): DataFrame =
+    vecCentroidDriftOf(emb(s, d))
+
+  def vecCentroidDriftOf(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select((col("vec_id") % 2).as("cohort"),
+        posexplode(col("embedding")))
+      .select(col("cohort"), col("pos").cast("long").as("d"),
+        floor(col("col").cast("double") * lit(1e7) + lit(0.5))
+          .cast("decimal(19,0)").as("q"))
+    val sums = e.groupBy("cohort", "d")
+      .agg(sum(col("q")).cast("decimal(19,0)").as("s"))
+    val counts = embeddings.agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+    val j = sums.where(col("cohort") === 0).select(col("d"), col("s").as("sa"))
+      .join(sums.where(col("cohort") === 1).select(col("d"), col("s").as("sb")), "d")
+      .crossJoin(broadcast(counts))
+      .withColumn("gap", abs(col("sa") * col("n1").cast("decimal(19,0)") -
+        col("sb") * col("n0").cast("decimal(19,0)")))
+    val mom = j.groupBy("n0", "n1").agg(
+      sum(col("sa") * col("sb")).as("dot"),
+      sum(col("sa") * col("sa")).as("na"),
+      sum(col("sb") * col("sb")).as("nb"))
+    val top = j.orderBy(desc("gap"), col("d")).limit(1)
+      .select(col("d").as("top_dim"), col("gap"))
+    mom.crossJoin(broadcast(top))
+      .select(col("n0"), col("n1"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+          .as("centroid_cosine"),
+        col("top_dim"),
+        when(col("n0") > 0 && col("n1") > 0,
+          round(col("gap").cast("double") /
+            (col("n0").cast("double") * col("n1") * lit(1e7)), 6))
+          .as("top_dim_gap"))
+  }
+
+  val vecCentroidDriftSql: String =
+    """WITH e0 AS (
+      |  SELECT vec_id % 2 AS cohort, embedding,
+      |    unnest(range(len(embedding))) AS dim
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT cohort, CAST(dim AS BIGINT) AS d,
+      |    CAST(floor(CAST(embedding[CAST(dim + 1 AS INT)] AS DOUBLE)
+      |      * 10000000 + 0.5) AS DECIMAL(19,0)) AS q
+      |  FROM e0),
+      |s AS (SELECT cohort, d, CAST(sum(q) AS DECIMAL(19,0)) AS s
+      |      FROM e GROUP BY 1, 2),
+      |c AS (
+      |  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM embeddings),
+      |j AS (
+      |  SELECT a.d, a.s AS sa, b.s AS sb, n0, n1,
+      |    abs(a.s * CAST(n1 AS DECIMAL(19,0))
+      |      - b.s * CAST(n0 AS DECIMAL(19,0))) AS gap
+      |  FROM (SELECT d, s FROM s WHERE cohort = 0) a
+      |  JOIN (SELECT d, s FROM s WHERE cohort = 1) b USING (d), c),
+      |m AS (
+      |  SELECT n0, n1, sum(sa * sb) AS dot,
+      |    sum(sa * sa) AS na, sum(sb * sb) AS nb
+      |  FROM j GROUP BY 1, 2),
+      |t AS (SELECT d AS top_dim, gap FROM j ORDER BY gap DESC, d LIMIT 1)
+      |SELECT n0, n1,
+      |  CASE WHEN na > 0 AND nb > 0 THEN
+      |    round(CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+      |  END AS centroid_cosine,
+      |  top_dim,
+      |  CASE WHEN n0 > 0 AND n1 > 0 THEN
+      |    round(CAST(gap AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1 * 10000000), 6)
+      |  END AS top_dim_gap
+      |FROM m, t""".stripMargin
+
   /** #124 hybrid_rrf: sparse+dense fusion — the industry "hybrid search"
     * shape (dense vector top-N ∪ BM25 keyword top-N, reciprocal-rank
     * fused; Fusion doc). The reference fuses dense with metadata FILTERS;
@@ -1225,6 +1315,7 @@ object VectorQueries {
     "hybrid_geo" -> (hybridGeo _),
     "geo_pairs" -> (geoPairs _),
     "geo_hotspots" -> (geoHotspots _),
+    "vec_centroid_drift" -> (vecCentroidDrift _),
     "geo_knn" -> (geoKnn _),
     "vec_dim_stats" -> (vecDimStats _),
     "hybrid_rrf" -> (hybridRrf _),
@@ -1274,6 +1365,7 @@ object VectorQueries {
     "hybrid_geo" -> hybridGeoSql,
     "geo_pairs" -> geoPairsSql,
     "geo_hotspots" -> geoHotspotsSql,
+    "vec_centroid_drift" -> vecCentroidDriftSql,
     "geo_knn" -> geoKnnSql,
     "vec_dim_stats" -> vecDimStatsSql,
     "hybrid_rrf" -> hybridRrfSql,

@@ -1470,4 +1470,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (3L, 2L, None, None),           // new entrant
       (1L, 3L, Some(1L), Some(-2L)))) // fell 1 -> 3
   }
+
+  test("vec_centroid_drift: orthogonal cohorts give cosine 0, exact top gap") {
+    // cohort 0 (even ids): two copies of (1, 0); cohort 1: one (0, 1)
+    // A=(2e7,0), B=(0,1e7): cos=0; gaps |2e7*1-0|=2e7 both dims -> tie
+    // breaks to dim 0; mean gap 2e7/(2*1*1e7)=1.0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.queries.VectorQueries.vecCentroidDriftOf(emb)
+      .as[(Long, Long, Option[Double], Long, Option[Double])].collect()
+    assert(got.toSeq == Seq((2L, 1L, Some(0.0), 0L, Some(1.0))))
+  }
+
+  test("vec_centroid_drift: identical cohorts give cosine 1 and zero gap") {
+    val emb = Seq(
+      (0L, Array(0.6f, 0.8f)), (1L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.queries.VectorQueries.vecCentroidDriftOf(emb)
+      .as[(Long, Long, Option[Double], Long, Option[Double])].collect()
+    assert(got.toSeq == Seq((1L, 1L, Some(1.0), 0L, Some(0.0))))
+  }
 }

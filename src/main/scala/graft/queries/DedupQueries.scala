@@ -569,7 +569,74 @@ object DedupQueries {
        |               round(CAST(n_common AS DOUBLE) / n_b, 6)) >= $ContainmentTau
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** #254 dedup_cross_source: the WHO-copies-from-WHOM matrix — dup-pair
+    * counts between (and within) sources off the SHARED mined τ=0.95
+    * Jaccard pair table (mine once, feed every consumer), with the pair
+    * UNIVERSE (n_a·n_b cross, n·(n−1)/2 within) and a parts-per-million
+    * rate so the number survives corpus growth (a raw rate rounds to
+    * zero at 6 dp on any real corpus). The pair set is broadcast-small
+    * by construction; sources attach via two joins against the
+    * projected (doc_id, source) dimension; everything downstream is
+    * source²-bounded. Exact integers until the one ppm division. */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame =
+    dedupCrossSourceOf(minedJaccardPairs(s, d),
+      Tables.documents(s, d).select(col("doc_id"), col("source")))
+
+  def dedupCrossSourceOf(pairs: DataFrame, src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ps = src.as("x")
+      .join(broadcast(pairs), col("x.doc_id") === col("doc_a"))
+      .join(src.as("y"), col("y.doc_id") === col("doc_b"))
+      .select(least(col("x.source"), col("y.source")).as("src_a"),
+        greatest(col("x.source"), col("y.source")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("dup_pairs"))
+    val sz = src.groupBy("source").agg(count(lit(1)).as("n"))
+    ps
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("universe",
+        when(col("src_a") === col("src_b"),
+          expr("n_a * (n_a - 1) div 2")).otherwise(col("n_a") * col("n_b")))
+      .select(col("src_a"), col("src_b"), col("dup_pairs"), col("universe"),
+        round(col("dup_pairs").cast("double") * 1000000 / col("universe"), 6)
+          .as("rate_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val dedupCrossSourceSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, ts,
+       |         list_aggregate(list_apply(ts, t -> md5(t)), 'min') AS blk
+       |  FROM toks),
+       |p AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db
+       |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |              / len(list_distinct(a.ts || b.ts)), 6) >= $JaccardTau),
+       |ds AS (SELECT doc_id, source FROM documents),
+       |ps AS (
+       |  SELECT least(x.source, y.source) AS src_a,
+       |         greatest(x.source, y.source) AS src_b
+       |  FROM p JOIN ds x ON p.da = x.doc_id JOIN ds y ON p.db = y.doc_id),
+       |cnt AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS dup_pairs
+       |        FROM ps GROUP BY 1, 2),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       |       FROM documents GROUP BY 1),
+       |u AS (
+       |  SELECT c.src_a, c.src_b, dup_pairs,
+       |    CASE WHEN c.src_a = c.src_b THEN sa.n * (sa.n - 1) // 2
+       |         ELSE sa.n * sb.n END AS universe
+       |  FROM cnt c JOIN sz sa ON c.src_a = sa.source
+       |       JOIN sz sb ON c.src_b = sb.source)
+       |SELECT src_a, src_b, dup_pairs, universe,
+       |  round(CAST(dup_pairs AS DOUBLE) * 1000000 / universe, 6) AS rate_ppm
+       |FROM u ORDER BY src_a, src_b""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_cdc" -> (dedupCdc _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_semantic" -> (dedupSemantic _),
@@ -591,6 +658,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_cdc" -> dedupCdcSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_portable" -> dedupMinhashPortableSql,

@@ -1483,6 +1483,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 1L, Some(0.0), 0L, Some(1.0))))
   }
 
+  test("dedup_cross_source: universes and ppm rates replay by hand") {
+    // sources: web {1,2,3}, books {10,11}. pairs: (1,2) web-web,
+    // (2,10) web-books, (3,11) web-books
+    val pairs = Seq((1L, 2L), (2L, 10L), (3L, 11L)).toDF("doc_a", "doc_b")
+    val src = Seq((1L, "web"), (2L, "web"), (3L, "web"),
+      (10L, "books"), (11L, "books")).toDF("doc_id", "source")
+    val got = graft.queries.DedupQueries.dedupCrossSourceOf(pairs, src)
+      .as[(String, String, Long, Long, Double)].collect()
+    // web-web universe C(3,2)=3; books-web universe 2*3=6
+    assert(got.toSeq == Seq(
+      ("books", "web", 2L, 6L, 333333.333333),
+      ("web", "web", 1L, 3L, 333333.333333)))
+  }
+
   test("vec_centroid_drift: identical cohorts give cosine 1 and zero gap") {
     val emb = Seq(
       (0L, Array(0.6f, 0.8f)), (1L, Array(0.6f, 0.8f))

@@ -984,6 +984,66 @@ object AnalyticsQueries {
       |ORDER BY c.rk""".stripMargin
 
   // -------------------------------------------------------------------
+  // #256 brand_bridge — YoY revenue bridge (price vs volume effects).
+
+  /** The FP&A waterfall: decompose each brand's latest-year revenue
+    * change into a volume effect ((q1−q0)·p0) and a price effect
+    * (rev1 − q1·p0), which sum to rev1 − rev0 BY CONSTRUCTION. Both
+    * effects are written so the prior-year unit price p0 = rev0/q0 is
+    * the ONLY division — one double division per term over exact
+    * decimal inputs, so both engines derive identical doubles (no
+    * float summation anywhere: quantities and revenues aggregate as
+    * decimals). One broadcast dim join + one (year, brand) rollup;
+    * the latest year is a broadcast one-row max. Brands absent either
+    * year are excluded (no bridge without both endpoints). */
+  def brandBridge(spark: SparkSession, dir: String): DataFrame =
+    brandBridgeOf(Tables.lineitem(spark, dir), Tables.part(spark, dir))
+
+  def brandBridgeOf(li: DataFrame, part: DataFrame): DataFrame = {
+    val base = li.join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(year(col("l_shipdate")).as("yr"), col("p_brand"),
+        col("l_quantity"), col("l_extendedprice"))
+      .groupBy("yr", "p_brand")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("rev"))
+    val maxYr = base.agg(max(col("yr")).as("y1"))
+    val cur = base.crossJoin(broadcast(maxYr)).where(col("yr") === col("y1"))
+      .select(col("p_brand"), col("qty").as("q1"), col("rev").as("rev1"))
+    val prev = base.crossJoin(broadcast(maxYr)).where(col("yr") === col("y1") - 1)
+      .select(col("p_brand"), col("qty").as("q0"), col("rev").as("rev0"))
+    cur.join(prev, "p_brand")
+      .where(col("q0") > 0)
+      .select(col("p_brand"), col("rev0"), col("rev1"),
+        round((col("q1") - col("q0")).cast("double") *
+          (col("rev0").cast("double") / col("q0").cast("double")), 6)
+          .as("volume_effect"),
+        round(col("rev1").cast("double") - col("q1").cast("double") *
+          (col("rev0").cast("double") / col("q0").cast("double")), 6)
+          .as("price_effect"))
+      .orderBy("p_brand")
+  }
+
+  val brandBridgeSql: String =
+    """WITH b AS (
+      |  SELECT year(l_shipdate) AS yr, p_brand,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |y AS (SELECT max(yr) AS y1 FROM b),
+      |cur AS (SELECT p_brand, qty AS q1, rev AS rev1 FROM b, y WHERE yr = y1),
+      |prev AS (SELECT p_brand, qty AS q0, rev AS rev0 FROM b, y
+      |         WHERE yr = y1 - 1)
+      |SELECT c.p_brand, rev0, rev1,
+      |  round(CAST(q1 - q0 AS DOUBLE)
+      |    * (CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 6) AS volume_effect,
+      |  round(CAST(rev1 AS DOUBLE) - CAST(q1 AS DOUBLE)
+      |    * (CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 6) AS price_effect
+      |FROM cur c JOIN prev p ON c.p_brand = p.p_brand
+      |WHERE q0 > 0 ORDER BY c.p_brand""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -1000,7 +1060,8 @@ object AnalyticsQueries {
     "supplier_triangles" -> (supplierTriangles _),
     "orders_abc" -> (ordersAbc _),
     "supplier_lead_trend" -> (supplierLeadTrend _),
-    "part_rank_shift" -> (partRankShift _))
+    "part_rank_shift" -> (partRankShift _),
+    "brand_bridge" -> (brandBridge _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -1017,5 +1078,6 @@ object AnalyticsQueries {
     "supplier_triangles" -> supplierTrianglesSql,
     "orders_abc" -> ordersAbcSql,
     "supplier_lead_trend" -> supplierLeadTrendSql,
-    "part_rank_shift" -> partRankShiftSql)
+    "part_rank_shift" -> partRankShiftSql,
+    "brand_bridge" -> brandBridgeSql)
 }

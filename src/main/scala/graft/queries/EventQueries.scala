@@ -1822,7 +1822,94 @@ object EventQueries {
       |  round(CAST(sum(abs(n - fc)) AS DOUBLE) / sum(fc), 6) AS wape
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #255 events_seasonal_strength: how much of each type's daily-count
+    * variance the weekly rhythm explains — the one-number seasonality
+    * R² = SSB/SST over the day-of-week grouping (events_dow_index shows
+    * the profile; this scores it). Cross-multiplied integer numerators:
+    * SSB·D² = Σ_w (S_w·D − T·c_w)²/c_w (each dow term ONE division of
+    * exact DECIMAL(38,0) integers) and SST·D² = D·(Q·D − T²) exactly;
+    * the ≤7 dow terms combine through an ORDERED running window (the KM
+    * discipline — both engines accumulate doubles in the identical dow
+    * order), so the engines cannot drift. Day-grain rollup, then
+    * everything is (type × 7)-bounded. */
+  def eventsSeasonalStrength(s: SparkSession, d: String): DataFrame =
+    eventsSeasonalStrengthOf(Tables.events(s, d))
+
+  def eventsSeasonalStrengthOf(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("c"), sum(col("n")).as("sw"),
+        sum(col("n") * col("n")).as("q"))
+    val tot = byDow.groupBy("event_type")
+      .agg(sum(col("c")).as("d_days"), sum(col("sw")).as("t"),
+        sum(col("q")).as("qq"))
+    // num ≤ ~5e15: exact in DECIMAL(25,0) AND as a double (< 2^53), so
+    // the squaring happens in DOUBLE on the identical exact value in
+    // both engines (DuckDB cannot multiply DECIMAL(38,0)s — p1+p2 ≤ 38)
+    val terms = byDow.join(tot, "event_type")
+      .withColumn("num",
+        (col("sw").cast("decimal(18,0)") * col("d_days").cast("decimal(6,0)") -
+          col("t").cast("decimal(18,0)") * col("c").cast("decimal(6,0)"))
+          .cast("double"))
+      .withColumn("term", col("num") * col("num") / col("c"))
+    val w = Window.partitionBy("event_type").orderBy("dow")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    terms
+      .withColumn("ssb_d2", sum(col("term")).over(w))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("dow").desc)))
+      .where(col("rk") === 1)
+      .withColumn("sst_num",
+        col("qq").cast("decimal(25,0)") * col("d_days").cast("decimal(6,0)") -
+          col("t").cast("decimal(15,0)") * col("t").cast("decimal(15,0)"))
+      .select(col("event_type"), col("d_days").as("n_days"),
+        when(col("sst_num") > 0,
+          round(col("ssb_d2") /
+            (col("sst_num").cast("double") * col("d_days").cast("double")), 6))
+          .as("strength"))
+      .orderBy("event_type")
+  }
+
+  val eventsSeasonalStrengthSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT event_type, dayofweek(day) + 1 AS dow, n FROM daily),
+      |bd AS (
+      |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(n) AS BIGINT) AS sw, CAST(sum(n * n) AS BIGINT) AS q
+      |  FROM dd GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS d_days,
+      |    CAST(sum(sw) AS BIGINT) AS t, CAST(sum(q) AS BIGINT) AS qq
+      |  FROM bd GROUP BY 1),
+      |terms AS (
+      |  SELECT bd.event_type, dow, c, d_days, t.t, qq,
+      |    CAST(CAST(sw AS DECIMAL(18,0)) * CAST(d_days AS DECIMAL(6,0))
+      |      - CAST(t.t AS DECIMAL(18,0)) * CAST(c AS DECIMAL(6,0))
+      |      AS DOUBLE) AS num
+      |  FROM bd JOIN t USING (event_type)),
+      |s AS (
+      |  SELECT event_type, d_days, t, qq,
+      |    sum(num * num / c) OVER (PARTITION BY event_type ORDER BY dow
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssb_d2,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dow DESC) AS rk
+      |  FROM terms)
+      |SELECT event_type, d_days AS n_days,
+      |  CASE WHEN CAST(qq AS DECIMAL(25,0)) * CAST(d_days AS DECIMAL(6,0))
+      |         - CAST(t AS DECIMAL(15,0)) * CAST(t AS DECIMAL(15,0)) > 0 THEN
+      |    round(ssb_d2 / (CAST(CAST(qq AS DECIMAL(25,0))
+      |        * CAST(d_days AS DECIMAL(6,0))
+      |      - CAST(t AS DECIMAL(15,0)) * CAST(t AS DECIMAL(15,0)) AS DOUBLE)
+      |      * d_days), 6)
+      |  END AS strength
+      |FROM s WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_seasonal_strength" -> (eventsSeasonalStrength _),
     "events_backtest" -> (eventsBacktest _),
     "events_survival" -> (eventsSurvival _),
     "events_changepoint" -> (eventsChangepoint _),
@@ -1869,6 +1956,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_seasonal_strength" -> eventsSeasonalStrengthSql,
     "events_backtest" -> eventsBacktestSql,
     "events_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,

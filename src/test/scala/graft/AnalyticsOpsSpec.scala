@@ -1483,6 +1483,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 1L, Some(0.0), 0L, Some(1.0))))
   }
 
+  test("events_seasonal_strength: pure weekly rhythm scores 1, flat scores 0") {
+    def at(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    // type a: two full weeks where the count is a pure function of dow
+    // (dow index 1..7 events) -> SSW = 0 -> strength 1
+    // type b: constant 3/day over 14 days -> SST = 0 -> NULL
+    val days = (1 to 14).map(i => f"2024-01-$i%02d")
+    val ev = days.zipWithIndex.flatMap { case (d, i) =>
+      Seq.fill(i % 7 + 1)((at(d), "a")) ++ Seq.fill(3)((at(d), "b"))
+    }
+    val got = graft.queries.EventQueries.eventsSeasonalStrengthOf(
+        ev.toDF("ts", "event_type"))
+      .as[(String, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 14L, Some(1.0))))
+    assert(got("b") == (("b", 14L, None)))
+  }
+
+  test("brand_bridge: effects conserve the revenue delta by construction") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    // brand X: 1997 qty 10 rev 100 (p0=10); 1998 qty 12 rev 150
+    //   volume = (12-10)*10 = 20; price = 150 - 12*10 = 30; sum = 50 = Δrev
+    val part = Seq((1L, "X")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 10.0, 100.0, ts("1997-06-01")), (1L, 12.0, 150.0, ts("1998-06-01"))
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+    val got = graft.queries.AnalyticsQueries.brandBridgeOf(li, part)
+      .select("p_brand", "volume_effect", "price_effect")
+      .as[(String, Double, Double)].collect()
+    assert(got.toSeq == Seq(("X", 20.0, 30.0)))
+  }
+
   test("dedup_cross_source: universes and ppm rates replay by hand") {
     // sources: web {1,2,3}, books {10,11}. pairs: (1,2) web-web,
     // (2,10) web-books, (3,11) web-books

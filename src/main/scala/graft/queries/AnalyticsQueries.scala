@@ -1044,6 +1044,89 @@ object AnalyticsQueries {
       |WHERE q0 > 0 ORDER BY c.p_brand""".stripMargin
 
   // -------------------------------------------------------------------
+  // #257 customer_migration — monetary-quintile transition matrix.
+
+  /** The segment-migration readout: customers quintiled by spend in the
+    * FIRST half of the book (exact p50-day cutoff, the split_temporal
+    * integer rule) and again in the second, with the 5×5 transition
+    * matrix plus 'new' (no prior activity) and 'churned' (no latest)
+    * margins — the upgrade/downgrade flow a retention team actually
+    * reads. Each half gets ONE scale-safe global rank (globalRowNumber)
+    * and quintiles from the shared (rank, n) ntile arithmetic — both
+    * rendered identically in the oracle, so bucket edges cannot drift;
+    * the matrix is a full-outer join on the customer key + a 36-cell
+    * bounded rollup. */
+  def customerMigration(spark: SparkSession, dir: String): DataFrame =
+    customerMigrationOf(Tables.orders(spark, dir))
+
+  def customerMigrationOf(ord: DataFrame): DataFrame = {
+    val base = ord.select(to_date(col("o_orderdate")).as("day"),
+      col("o_custkey"), col("o_totalprice"))
+    val daily = base.groupBy("day").agg(count(lit(1)).as("n"))
+    val wc = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("n")).as("tot"))
+    val cutoff = daily.withColumn("cum", sum(col("n")).over(wc))
+      .crossJoin(broadcast(tot)).where(col("cum") * 2 >= col("tot"))
+      .agg(min(col("day")).as("cutoff"))
+    val tagged = base.crossJoin(broadcast(cutoff))
+    def quintiles(filter: Column, out: String): DataFrame = {
+      val h = tagged.where(filter).groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("mon"))
+      val n = h.agg(count(lit(1)).as("__n"))
+      globalRowNumber(h, "__mrk", col("mon").desc, col("o_custkey").asc)
+        .crossJoin(broadcast(n))
+        .withColumn(out, expr(ntileExpr("__mrk", "__n", 5)))
+        .select(col("o_custkey"), col(out))
+    }
+    val p0 = quintiles(col("day") <= col("cutoff"), "q0")
+    val p1 = quintiles(col("day") > col("cutoff"), "q1")
+    p0.join(p1, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("q0").cast("string"), lit("new")).as("seg_prior"),
+        coalesce(col("q1").cast("string"), lit("churned")).as("seg_latest"))
+      .groupBy("seg_prior", "seg_latest").agg(count(lit(1)).as("n_customers"))
+      .orderBy("seg_prior", "seg_latest")
+  }
+
+  val customerMigrationSql: String = {
+    val q0 = ntileSqlExpr("m_rk", "n", 5)
+    s"""WITH d AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey, o_totalprice
+       |  FROM orders),
+       |daily AS (SELECT day, count(*) AS n FROM d GROUP BY 1),
+       |c AS (
+       |  SELECT day,
+       |    CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM daily),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM daily),
+       |k AS (SELECT min(day) AS cutoff FROM c, t WHERE cum * 2 >= tot),
+       |h0 AS (
+       |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+       |  FROM d, k WHERE day <= cutoff GROUP BY 1),
+       |h1 AS (
+       |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+       |  FROM d, k WHERE day > cutoff GROUP BY 1),
+       |r0 AS (
+       |  SELECT o_custkey,
+       |    CAST(row_number() OVER (ORDER BY mon DESC, o_custkey) AS BIGINT) AS m_rk,
+       |    (SELECT count(*) FROM h0) AS n
+       |  FROM h0),
+       |r1 AS (
+       |  SELECT o_custkey,
+       |    CAST(row_number() OVER (ORDER BY mon DESC, o_custkey) AS BIGINT) AS m_rk,
+       |    (SELECT count(*) FROM h1) AS n
+       |  FROM h1),
+       |s0 AS (SELECT o_custkey, $q0 AS q FROM r0),
+       |s1 AS (SELECT o_custkey, $q0 AS q FROM r1),
+       |j AS (
+       |  SELECT COALESCE(CAST(s0.q AS VARCHAR), 'new') AS seg_prior,
+       |         COALESCE(CAST(s1.q AS VARCHAR), 'churned') AS seg_latest
+       |  FROM s0 FULL OUTER JOIN s1 ON s0.o_custkey = s1.o_custkey)
+       |SELECT seg_prior, seg_latest, count(*) AS n_customers
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -1061,7 +1144,8 @@ object AnalyticsQueries {
     "orders_abc" -> (ordersAbc _),
     "supplier_lead_trend" -> (supplierLeadTrend _),
     "part_rank_shift" -> (partRankShift _),
-    "brand_bridge" -> (brandBridge _))
+    "brand_bridge" -> (brandBridge _),
+    "customer_migration" -> (customerMigration _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -1079,5 +1163,6 @@ object AnalyticsQueries {
     "orders_abc" -> ordersAbcSql,
     "supplier_lead_trend" -> supplierLeadTrendSql,
     "part_rank_shift" -> partRankShiftSql,
-    "brand_bridge" -> brandBridgeSql)
+    "brand_bridge" -> brandBridgeSql,
+    "customer_migration" -> customerMigrationSql)
 }

@@ -1513,6 +1513,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("X", 20.0, 30.0)))
   }
 
+  test("customer_migration: margins catch entrants and churners, matrix conserves") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    // 10 orders jan01..jan10 (p50 cutoff jan05). prior half: customers
+    // 1..5 (one order each); latest half: customers 1..4 and 9 (new).
+    // 5 customers per half -> quintiles are the spend ranks themselves.
+    val rows =
+      (1 to 5).map(i => (ts(f"2024-01-0$i%01d"), i.toLong, i * 100.0)) ++
+      (1 to 4).map(i => (ts(f"2024-01-0${5 + i}%01d"), i.toLong, i * 100.0)) :+
+      ((ts("2024-01-10"), 9L, 50.0))
+    val ord = rows.toDF("o_orderdate", "o_custkey", "o_totalprice")
+    val got = graft.queries.AnalyticsQueries.customerMigrationOf(ord)
+      .as[(String, String, Long)].collect().toSeq
+    // n=5 per half so quintile == spend rank. prior: c5→1 … c1→5;
+    // latest: c4→1, c3→2, c2→3, c1→4, c9→5. c5 churned, c9 new.
+    assert(got == Seq(
+      ("1", "churned", 1L), ("2", "1", 1L), ("3", "2", 1L),
+      ("4", "3", 1L), ("5", "4", 1L), ("new", "5", 1L)))
+  }
+
   test("dedup_cross_source: universes and ppm rates replay by hand") {
     // sources: web {1,2,3}, books {10,11}. pairs: (1,2) web-web,
     // (2,10) web-books, (3,11) web-books

@@ -1127,6 +1127,136 @@ object AnalyticsQueries {
   }
 
   // -------------------------------------------------------------------
+  // #258 supplier_scorecard — the one-pass fused composite aggregate.
+
+  /** Everything a supplier review reads — revenue, shipment count,
+    * on-time share (the supplier_otd 90-day rule), average lead days,
+    * and the monthly lead-time OLS slope — computed in ONE map-side-
+    * combined aggregate instead of five operator runs: the fusion
+    * pattern that matters at 100 TB, where each extra pass is a full
+    * fact scan. Every accumulator is exact (decimal revenue, integer
+    * counts, DECIMAL(38,0) regression moments); doubles only in the
+    * final per-row divisions. Top 25 by revenue (decimal-exact order,
+    * suppkey tie-break). */
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame =
+    supplierScorecardOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  def supplierScorecardOf(li: DataFrame, ord: DataFrame): DataFrame = {
+    val base = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        dec(col("l_extendedprice")).as("rev"),
+        when(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAY"), 1L)
+          .otherwise(0L).as("ontime"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("decimal(38,0)").as("x"))
+    base.groupBy(col("l_suppkey"))
+      .agg(sum(col("rev")).cast("decimal(18,2)").as("revenue"),
+        count(lit(1)).as("n_ship"),
+        sum(col("ontime")).as("n_ontime"),
+        sum(col("lag")).as("lag_sum"),
+        sum(col("x")).as("sx"),
+        sum(col("lag").cast("decimal(38,0)")).as("sy"),
+        sum(col("x") * col("lag").cast("decimal(38,0)")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("den", col("n_ship") * col("sxx") - col("sx") * col("sx"))
+      .select(col("l_suppkey"), col("revenue"), col("n_ship"),
+        round(col("n_ontime").cast("double") / col("n_ship"), 6)
+          .as("ontime_share"),
+        round(col("lag_sum").cast("double") / col("n_ship"), 6).as("avg_lead"),
+        when(col("den") > 0,
+          round((col("n_ship") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den").cast("double"), 6)).as("lead_slope"))
+      .orderBy(desc("revenue"), col("l_suppkey")).limit(25)
+  }
+
+  val supplierScorecardSql: String =
+    """WITH b AS (
+      |  SELECT l_suppkey,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS rev,
+      |    CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |         THEN 1 ELSE 0 END AS ontime,
+      |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS DECIMAL(38,0)) AS x
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |m AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(rev) AS DECIMAL(18,2)) AS revenue,
+      |    count(*) AS n_ship,
+      |    CAST(sum(ontime) AS BIGINT) AS n_ontime,
+      |    CAST(sum(lag) AS BIGINT) AS lag_sum,
+      |    sum(x) AS sx, sum(CAST(lag AS DECIMAL(38,0))) AS sy,
+      |    sum(x * CAST(lag AS DECIMAL(38,0))) AS sxy, sum(x * x) AS sxx
+      |  FROM b GROUP BY 1)
+      |SELECT l_suppkey, revenue, n_ship,
+      |  round(CAST(n_ontime AS DOUBLE) / n_ship, 6) AS ontime_share,
+      |  round(CAST(lag_sum AS DOUBLE) / n_ship, 6) AS avg_lead,
+      |  CASE WHEN n_ship * sxx - sx * sx > 0 THEN
+      |    round(CAST(n_ship * sxy - sx * sy AS DOUBLE)
+      |      / CAST(n_ship * sxx - sx * sx AS DOUBLE), 6)
+      |  END AS lead_slope
+      |FROM m ORDER BY revenue DESC, l_suppkey LIMIT 25""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #259 nation_trade_balance — export vs import revenue per nation.
+
+  /** The balance-of-trade view: revenue where the nation's SUPPLIERS
+    * ship (exports) vs where its CUSTOMERS buy (imports), with the
+    * decimal-exact net. Two fact aggregates (each its dimension chain
+    * broadcast), full-outer joined on the ≤25-row nation key — absent
+    * sides surface as 0.00 so the net is always defined. */
+  def nationTradeBalance(spark: SparkSession, dir: String): DataFrame =
+    nationTradeBalanceOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.supplier(spark, dir), Tables.customer(spark, dir),
+      Tables.nation(spark, dir))
+
+  def nationTradeBalanceOf(li: DataFrame, ord: DataFrame, sup: DataFrame,
+      cust: DataFrame, nation: DataFrame): DataFrame = {
+    val exp = li.join(broadcast(sup.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("exports"))
+    val imp = li.join(ord.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("imports"))
+    val zero = lit(0).cast("decimal(18,2)")
+    exp.join(imp, Seq("nk"), "full_outer")
+      .join(broadcast(nation.select(col("n_nationkey").as("nk"), col("n_name"))), "nk")
+      .select(col("n_name"),
+        coalesce(col("exports"), zero).as("exports"),
+        coalesce(col("imports"), zero).as("imports"),
+        (coalesce(col("exports"), zero) - coalesce(col("imports"), zero))
+          .cast("decimal(18,2)").as("net"))
+      .orderBy("n_name")
+  }
+
+  val nationTradeBalanceSql: String =
+    """WITH e AS (
+      |  SELECT s_nationkey AS nk,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS exports
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1),
+      |i AS (
+      |  SELECT c_nationkey AS nk,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS imports
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |       JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT COALESCE(e.nk, i.nk) AS nk,
+      |    COALESCE(exports, CAST(0 AS DECIMAL(18,2))) AS exports,
+      |    COALESCE(imports, CAST(0 AS DECIMAL(18,2))) AS imports
+      |  FROM e FULL OUTER JOIN i ON e.nk = i.nk)
+      |SELECT n_name, exports, imports,
+      |  CAST(exports - imports AS DECIMAL(18,2)) AS net
+      |FROM j JOIN nation ON nk = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_cube" -> (q1Cube _),
@@ -1145,7 +1275,9 @@ object AnalyticsQueries {
     "supplier_lead_trend" -> (supplierLeadTrend _),
     "part_rank_shift" -> (partRankShift _),
     "brand_bridge" -> (brandBridge _),
-    "customer_migration" -> (customerMigration _))
+    "customer_migration" -> (customerMigration _),
+    "supplier_scorecard" -> (supplierScorecard _),
+    "nation_trade_balance" -> (nationTradeBalance _))
 
   val oracles: Map[String, String] = Map(
     "q1_cube" -> q1CubeSql,
@@ -1164,5 +1296,7 @@ object AnalyticsQueries {
     "supplier_lead_trend" -> supplierLeadTrendSql,
     "part_rank_shift" -> partRankShiftSql,
     "brand_bridge" -> brandBridgeSql,
-    "customer_migration" -> customerMigrationSql)
+    "customer_migration" -> customerMigrationSql,
+    "supplier_scorecard" -> supplierScorecardSql,
+    "nation_trade_balance" -> nationTradeBalanceSql)
 }

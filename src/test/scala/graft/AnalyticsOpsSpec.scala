@@ -1532,6 +1532,43 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("4", "3", 1L), ("5", "4", 1L), ("new", "5", 1L)))
   }
 
+  test("supplier_scorecard: the fused pass reproduces otd share and lead slope") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    // supplier 1 replays the lead-trend fixture: lag 1,3,5,7 over four
+    // months (slope 2, avg 4), all within 90 days (ontime share 1)
+    val months = Seq("2024-01-15", "2024-02-15", "2024-03-15", "2024-04-15")
+    val rows = months.zipWithIndex.map { case (m, i) =>
+      (10L + i, 1L, 100.0, ts(m),
+        ts(java.time.LocalDate.parse(m).plusDays(2 * i + 1).toString))
+    }
+    val ord = rows.map(r => (r._1, r._4)).toDF("o_orderkey", "o_orderdate")
+    val li = rows.map(r => (r._1, r._2, r._3, r._5))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate")
+    val got = graft.queries.AnalyticsQueries.supplierScorecardOf(li, ord)
+      .as[(Long, java.math.BigDecimal, Long, Double, Double, Option[Double])]
+      .collect()
+    val (sk, rev, n, otd, lead, slope) = got.head
+    assert(sk == 1L && rev.doubleValue == 400.0 && n == 4L)
+    assert(otd == 1.0 && lead == 4.0 && slope.contains(2.0))
+  }
+
+  test("nation_trade_balance: absent sides zero-fill and the net is exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"$s 00:00:00")
+    val nation = Seq((0L, "peru"), (1L, "chad")).toDF("n_nationkey", "n_name")
+    val sup = Seq((7L, 0L)).toDF("s_suppkey", "s_nationkey")     // peru supplies
+    val cust = Seq((3L, 1L)).toDF("c_custkey", "c_nationkey")    // chad buys
+    val ord = Seq((10L, 3L)).toDF("o_orderkey", "o_custkey")
+    val li = Seq((10L, 7L, 120.5, ts("1998-01-01")))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate")
+    val got = graft.queries.AnalyticsQueries
+      .nationTradeBalanceOf(li, ord, sup, cust, nation)
+      .select(col("n_name"), col("exports").cast("double"),
+        col("imports").cast("double"), col("net").cast("double"))
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("chad", 0.0, 120.5, -120.5), ("peru", 120.5, 0.0, 120.5)))
+  }
+
   test("dedup_cross_source: universes and ppm rates replay by hand") {
     // sources: web {1,2,3}, books {10,11}. pairs: (1,2) web-web,
     // (2,10) web-books, (3,11) web-books

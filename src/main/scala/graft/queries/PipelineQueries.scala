@@ -1181,7 +1181,70 @@ object PipelineQueries {
       |  min(day) AS min_day, max(day) AS max_day
       |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #260 split_runs_test: the Wald–Wolfowitz runs test on the train/val
+    * assignment along the contiguous doc_id order — the IID audit that
+    * catches a streaky split (id-correlated assignment) that per-class
+    * counts can't see: split_balance checks HOW MANY landed in each
+    * side, this checks WHERE. Runs are counted with an equi-join on
+    * (doc_id, doc_id−1) — contiguous ids are the reference's data model
+    * — never a global-order window; the z-score's μ and σ come from
+    * exact integer n0·n1 (DECIMAL — the product passes int64 at ~3·10⁹
+    * per side) through one identically-written double expression. */
+  def splitRunsTest(s: SparkSession, d: String): DataFrame =
+    splitRunsTestOf(Tables.documents(s, d))
+
+  def splitRunsTestOf(documents: DataFrame): DataFrame = {
+    val tagged = documents.select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "f3",
+        lit(1L)).otherwise(lit(0L)).as("t"))
+    val diffs = tagged.as("a")
+      .join(tagged.select((col("doc_id") + 1).as("doc_id"), col("t").as("pt")).as("b"),
+        "doc_id")
+      .agg(sum(when(col("t") =!= col("pt"), 1L).otherwise(0L)).as("switches"))
+    val counts = tagged.agg(sum(col("t")).as("n1"),
+      sum(lit(1L) - col("t")).as("n0"), count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(diffs))
+      .withColumn("runs", col("switches") + 1)
+      .withColumn("a",
+        (col("n0").cast("decimal(19,0)") * col("n1").cast("decimal(19,0)"))
+          .cast("double"))
+      .select(col("n0"), col("n1"), col("runs"),
+        when(col("n") > 1 && col("n0") > 0 && col("n1") > 0,
+          round((col("runs").cast("double") -
+            (lit(1.0) + lit(2.0) * col("a") / col("n"))) /
+            sqrt(lit(2.0) * col("a") * (lit(2.0) * col("a") - col("n")) /
+              (col("n").cast("double") * col("n") * (col("n") - lit(1.0)))), 6))
+          .as("z"))
+  }
+
+  val splitRunsTestSql: String =
+    """WITH tagged AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+      |         THEN 1 ELSE 0 END AS t
+      |  FROM documents),
+      |d AS (
+      |  SELECT CAST(sum(CASE WHEN a.t <> b.t THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS switches
+      |  FROM tagged a JOIN tagged b ON a.doc_id = b.doc_id + 1),
+      |c AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS n1,
+      |    CAST(sum(1 - t) AS BIGINT) AS n0, CAST(count(*) AS BIGINT) AS n
+      |  FROM tagged),
+      |x AS (
+      |  SELECT n0, n1, n, switches + 1 AS runs,
+      |    CAST(CAST(n0 AS DECIMAL(19,0)) * CAST(n1 AS DECIMAL(19,0)) AS DOUBLE) AS a
+      |  FROM c, d)
+      |SELECT n0, n1, runs,
+      |  CASE WHEN n > 1 AND n0 > 0 AND n1 > 0 THEN
+      |    round((CAST(runs AS DOUBLE) - (1.0 + 2.0 * a / n)) /
+      |      sqrt(2.0 * a * (2.0 * a - n) /
+      |        (CAST(n AS DOUBLE) * n * (n - 1.0))), 6)
+      |  END AS z
+      |FROM x""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_runs_test" -> (splitRunsTest _),
     "split_temporal" -> (splitTemporal _),
     "split_ks" -> (splitKs _),
     "split_balance" -> (splitBalance _),
@@ -1210,6 +1273,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "split_runs_test" -> splitRunsTestSql,
     "split_temporal" -> splitTemporalSql,
     "split_ks" -> splitKsSql,
     "split_balance" -> splitBalanceSql,

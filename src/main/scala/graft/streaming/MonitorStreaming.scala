@@ -241,6 +241,46 @@ final class StreamingBurstiness {
   }
 }
 
+/** Incremental forecast backtest (#250 events_backtest's twin): daily
+  * counts are the additive sufficient statistic; the report replays the
+  * batch operator's calendar lag-7 join and integer-exact MAE/WAPE on the
+  * accumulated series, so the scored days and metrics equal the batch
+  * answer over everything ingested — late rows can even change which
+  * days are scorable (a newly-seen day d−7 adds day d), and the replay
+  * picks that up exactly where a decayed estimator could not. */
+final class StreamingBacktest {
+
+  private val state = scala.collection.mutable.HashMap.empty[(String, java.sql.Date), Long]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val rows = batch
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getDate(1)), r.getLong(2)))
+    rows.foreach { case (k, n) => state.update(k, state.getOrElse(k, 0L) + n) }
+  }
+
+  private def rnd6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** (event_type, n_days, mae, wape), the #250 schema, ordered by type;
+    * types with no scorable day are absent (matching the batch join). */
+  def report(): Seq[(String, Long, Double, Double)] = synchronized {
+    state.toSeq.groupBy(_._1._1).toSeq.sortBy(_._1).flatMap { case (et, entries) =>
+      val byDay = entries.map { case ((_, d), n) => (d.toLocalDate, n) }.toMap
+      val scored = byDay.toSeq.flatMap { case (d, n) =>
+        byDay.get(d.minusDays(7)).map(fc => (math.abs(n - fc), fc))
+      }
+      if (scored.isEmpty) None
+      else {
+        val sad = scored.map(_._1).sum
+        val sf = scored.map(_._2).sum
+        Some((et, scored.length.toLong,
+          rnd6(sad.toDouble / scored.length), rnd6(sad.toDouble / sf)))
+      }
+    }
+  }
+}
+
 /** Incremental CUSUM changepoint (#242 events_changepoint's twin): daily
   * counts are the additive sufficient statistic, so late rows for a seen
   * day are absorbed exactly; the report replays the batch operator's

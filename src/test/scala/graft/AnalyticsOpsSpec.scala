@@ -1569,6 +1569,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       ("chad", 0.0, 120.5, -120.5), ("peru", 120.5, 0.0, 120.5)))
   }
 
+  test("split_runs_test: runs count and z replay the md5 rule locally") {
+    val n = 500
+    val docs = (0 until n).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.splitRunsTestOf(docs)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    // local replay of the tagging rule + runs statistic
+    def tag(i: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      if (hex.substring(0, 2) < "f3") 1L else 0L
+    }
+    val tags = (0 until n).map(i => tag(i.toLong))
+    val n1 = tags.count(_ == 1L).toLong
+    val n0 = n - n1
+    val runs = 1L + tags.sliding(2).count(p => p(0) != p(1))
+    assert(got._1 == n0 && got._2 == n1 && got._3 == runs)
+    val a = n0.toDouble * n1
+    val z = (runs.toDouble - (1.0 + 2.0 * a / n)) /
+      math.sqrt(2.0 * a * (2.0 * a - n) / (n.toDouble * n * (n - 1.0)))
+    assert(got._4.contains(math.floor(z * 1e6 + 0.5) / 1e6))
+  }
+
   test("dedup_cross_source: universes and ppm rates replay by hand") {
     // sources: web {1,2,3}, books {10,11}. pairs: (1,2) web-web,
     // (2,10) web-books, (3,11) web-books

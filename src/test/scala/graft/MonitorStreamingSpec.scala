@@ -99,6 +99,16 @@ class MonitorStreamingSpec extends AnyFunSuite {
     assert(sc.report() == want)
   }
 
+  test("streaming backtest: batched absorption == events_backtest, late rows exact") {
+    val ev = Tables.events(spark, sf)
+    val sb = new graft.streaming.StreamingBacktest
+    Seq(ev.where(col("event_id") % 3 === 1), ev.where(col("event_id") % 3 === 2),
+      ev.where(col("event_id") % 3 === 0)).foreach(sb.processBatch)
+    val want = EventQueries.eventsBacktestOf(ev)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(sb.report() == want)
+  }
+
   test("wau window arithmetic is DST-safe (the round-12 advice fix)") {
     // In a DST zone, local midnights 7 calendar days apart across the
     // spring-forward are 167h apart: millis/86400000 floors to 6 and

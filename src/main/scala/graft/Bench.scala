@@ -20,6 +20,29 @@ object Bench {
     * map is written to bench_queries.json. */
   private[graft] val TopN = 36
 
+  /** Run order: measured-heaviest FIRST (BENCH_r13 top of the per-query
+    * map), then the rest alphabetically. The alphabetical order ran the
+    * most expensive pair (text_dup_spans/text_dedup_spans) LAST, after
+    * ~200 queries of accumulated JVM debt (old-gen pressure, code-cache
+    * churn), and their recorded numbers tripled round over round
+    * (8.4 → 19.1 → 58.0 s) while warm A/B medians stayed ~5.7 s. Running
+    * the heavy set against a fresh heap records the cost a reader should
+    * act on; the cheap tail tolerates the debt. Names absent from the
+    * registry are skipped, new queries land in the alphabetical tail. */
+  private[graft] val HeavyFirst: Seq[String] = Seq(
+    "text_dup_spans", "text_dedup_spans", "hybrid_stats", "q1_rollup",
+    "text_winnowing", "dedup_recall", "corpus_curate", "vec_ivf_compact",
+    "dedup_minhash_portable", "q20_volume_suppliers", "dedup_ngram",
+    "corpus_ccnet_buckets", "supplier_triangles", "customer_migration",
+    "text_novelty", "text_zipf", "dedup_minhash_lsh")
+
+  private[graft] def orderedQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val all = SparkEntry.queries
+    val head = HeavyFirst.filter(all.contains)
+    val rest = (all.keySet -- head).toSeq.sorted
+    (head ++ rest).map(n => n -> all(n))
+  }
+
   private[graft] def fmt(dp: Int)(v: Double): String =
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -125,9 +148,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       graft.queries.DedupQueries.dedupMinhashLsh(spark, warm)
         .write.format("noop").mode("overwrite").save()
+      // the dup-spans pair now runs FIRST (HeavyFirst) — prime its codegen
+      // (fingerprint volume pass + Bloom flag-back) so the recorded number
+      // is the warm plan cost, not first-in-JVM compile
+      graft.queries.TextQueries.textDupSpans(spark, warm)
+        .write.format("noop").mode("overwrite").save()
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = orderedQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -93,7 +93,7 @@ object HeavyHitters {
           .orderBy(desc("n"), col("value")).limit(k)
     ranked
       .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("n"), col("value"))))
+        BoundedWindow.keyed(col("value")).orderBy(desc("n"), col("value"))))
       .orderBy("rk")
   }
 }

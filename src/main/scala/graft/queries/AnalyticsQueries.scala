@@ -68,7 +68,8 @@ object AnalyticsQueries {
       .localCheckpoint()
     val shard = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val local = parted.withColumn("__lrk", row_number().over(shard).cast("long"))
-    val offW = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offW = graft.operators.BoundedWindow.keyed(col("__pid")).orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(sum(col("__cnt")).over(offW), lit(0L)))
       .select("__pid", "__off")
@@ -211,6 +212,11 @@ object AnalyticsQueries {
     val nb = 256
     val b = part.agg(min(col("p_retailprice")).as("lo"), max(col("p_retailprice")).as("hi"))
       .first()
+    // Empty input: min/max are NULL — return the (empty) frame directly
+    // instead of NPE-ing on getDouble.
+    if (b.isNullAt(0))
+      return part.select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("p_size")).orderBy("p_partkey")
     val lo = b.getDouble(0)
     val width = math.max((b.getDouble(1) - lo) / nb, 1e-9)
     val bucketed = part.withColumn("__b",
@@ -324,21 +330,21 @@ object AnalyticsQueries {
   val fkAuditSql: String =
     """SELECT * FROM (
       |  SELECT 'lineitem_nonpositive_price' AS check_name, count(*) AS n_checked,
-      |    sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS n_violations
+      |    CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
       |  FROM lineitem
       |  UNION ALL
       |  SELECT 'lineitem_nonpositive_qty', count(*),
-      |    sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) FROM lineitem
+      |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL
       |  SELECT 'lineitem_null_keys', count(*),
-      |    sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
-      |             OR l_suppkey IS NULL THEN 1 ELSE 0 END) FROM lineitem
+      |    CAST(sum(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+      |             OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
       |  UNION ALL
       |  SELECT 'orders_nonpositive_total', count(*),
-      |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+      |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
       |  UNION ALL
       |  SELECT 'orders_null_keys', count(*),
-      |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+      |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
       |  UNION ALL
       |  SELECT 'lineitem_orphan_order', (SELECT count(*) FROM lineitem),
       |    count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
@@ -389,8 +395,10 @@ object AnalyticsQueries {
       .crossJoin(broadcast(nOrders))
       .select(col("brand_a"), col("brand_b"), col("n_a"), col("n_b"), col("n_both"),
         round(col("n_both").cast("double") / col("__no"), 6).as("support"),
+        // denominator in double: BIGINT n_a*n_b can wrap past ~3e9 counts
+        // at 100 TB while DuckDB's HUGEINT would not — keep engines aligned
         round(col("n_both").cast("double") * col("__no") /
-          (col("n_a") * col("n_b")), 6).as("lift"))
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
       .orderBy("brand_a", "brand_b")
   }
 
@@ -406,7 +414,8 @@ object AnalyticsQueries {
       |  GROUP BY 1, 2)
       |SELECT brand_a, brand_b, sa.nb AS n_a, sb.nb AS n_b, n_both,
       |  round(CAST(n_both AS DOUBLE) / no.n, 6) AS support,
-      |  round(CAST(n_both AS DOUBLE) * no.n / (sa.nb * sb.nb), 6) AS lift
+      |  round(CAST(n_both AS DOUBLE) * no.n
+      |    / (CAST(sa.nb AS DOUBLE) * CAST(sb.nb AS DOUBLE)), 6) AS lift
       |FROM p
       |JOIN sz sa ON p.brand_a = sa.p_brand
       |JOIN sz sb ON p.brand_b = sb.p_brand
@@ -728,11 +737,21 @@ object AnalyticsQueries {
 
   def supplierTrianglesOf(li: DataFrame,
       minSupport: Int = TriangleMinSupport): DataFrame = {
-    val os = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s")).distinct()
-    val nOrd = os.agg(countDistinct(col("ok")).as("n_ok"))
-    val e = os.as("x").join(os.as("y"),
-        col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+    // Per-order supplier sets via ONE hash aggregate (collect_set subsumes
+    // the distinct), then the ≤C(7,2)=21 in-order pairs expanded row-local
+    // by a higher-order expression. The former os⋈os self-join shuffled
+    // and SORTED the fact projection twice (4.75 GB spill at the 100×
+    // probe); this shape's only fact-scale exchange is the map-side-
+    // combined groupBy, and pair fan-out happens after it, in-stage.
+    val perOrder = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .groupBy("ok").agg(sort_array(collect_set(col("s"))).as("ss"))
+    val nOrd = perOrder.agg(count(lit(1)).as("n_ok"))
+    val e = perOrder.where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("w"))
       .crossJoin(broadcast(nOrd))
       .where(col("w") >= greatest(lit(minSupport.toLong),
@@ -823,7 +842,8 @@ object AnalyticsQueries {
       .localCheckpoint()
     val shard = Window.partitionBy("pid").orderBy(col("rev").desc, col("l_partkey"))
     val local = parted.withColumn("lcum", sum(col("rev")).over(shard))
-    val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offW = graft.operators.BoundedWindow.keyed(col("pid")).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy("pid")
       .agg(sum(col("rev")).cast("decimal(18,2)").as("srev"))
       .withColumn("off",
@@ -841,7 +861,10 @@ object AnalyticsQueries {
       .groupBy("cls", "tot", "np")
       .agg(count(lit(1)).as("n_parts"),
         sum(col("rev")).cast("decimal(18,2)").as("revenue"))
-      .select(col("cls"), col("n_parts"), col("revenue"),
+      // revenue rendered as double (decimal parquet vs DuckDB float64
+      // fetchdf would hash-diverge the moment a value has trailing-zero
+      // cents — latent flake caught by the dtype-strict local gate)
+      .select(col("cls"), col("n_parts"), col("revenue").cast("double").as("revenue"),
         round(col("revenue").cast("double") / col("tot").cast("double"), 6)
           .as("rev_share"),
         round(col("n_parts").cast("double") / col("np"), 6).as("part_share"))
@@ -866,7 +889,7 @@ object AnalyticsQueries {
       |              ELSE 'C' END AS cls, rev, tot, np
       |  FROM c, t)
       |SELECT cls, count(*) AS n_parts,
-      |  CAST(sum(rev) AS DECIMAL(18,2)) AS revenue,
+      |  CAST(CAST(sum(rev) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
       |  round(CAST(sum(rev) AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share,
       |  round(CAST(count(*) AS DOUBLE) / np, 6) AS part_share
       |FROM x GROUP BY 1, tot, np ORDER BY 1""".stripMargin
@@ -957,7 +980,10 @@ object AnalyticsQueries {
       .where(col("yr") === col("y1") - 1)
       .select(col("l_partkey"), col("rk").as("prev_rk"))
     cur.join(prev, Seq("l_partkey"), "left")
-      .select(col("l_partkey"), col("rev"), col("rk"), col("prev_rk"),
+      // Rank on the exact decimal; RENDER as double — parquet decimal vs
+      // DuckDB's decimal→float64 fetchdf rendering would hash-diverge.
+      .select(col("l_partkey"), col("rev").cast("double").as("rev"),
+        col("rk"), col("prev_rk"),
         (col("prev_rk") - col("rk")).as("rank_gain"))
       .orderBy("rk")
   }
@@ -978,7 +1004,7 @@ object AnalyticsQueries {
       |  WHERE yr = y1 AND rk <= 20),
       |prev AS (
       |  SELECT l_partkey, rk AS prev_rk FROM rk, y WHERE yr = y1 - 1)
-      |SELECT c.l_partkey, c.rev, c.rk, p.prev_rk,
+      |SELECT c.l_partkey, CAST(c.rev AS DOUBLE) AS rev, c.rk, p.prev_rk,
       |  p.prev_rk - c.rk AS rank_gain
       |FROM cur c LEFT JOIN prev p ON c.l_partkey = p.l_partkey
       |ORDER BY c.rk""".stripMargin
@@ -1014,7 +1040,10 @@ object AnalyticsQueries {
       .select(col("p_brand"), col("qty").as("q0"), col("rev").as("rev0"))
     cur.join(prev, "p_brand")
       .where(col("q0") > 0)
-      .select(col("p_brand"), col("rev0"), col("rev1"),
+      // rev0/rev1 rendered as double (same reason as part_rank_shift):
+      // exact decimal internally, one correctly-rounded cast at the edge.
+      .select(col("p_brand"), col("rev0").cast("double").as("rev0"),
+        col("rev1").cast("double").as("rev1"),
         round((col("q1") - col("q0")).cast("double") *
           (col("rev0").cast("double") / col("q0").cast("double")), 6)
           .as("volume_effect"),
@@ -1035,7 +1064,7 @@ object AnalyticsQueries {
       |cur AS (SELECT p_brand, qty AS q1, rev AS rev1 FROM b, y WHERE yr = y1),
       |prev AS (SELECT p_brand, qty AS q0, rev AS rev0 FROM b, y
       |         WHERE yr = y1 - 1)
-      |SELECT c.p_brand, rev0, rev1,
+      |SELECT c.p_brand, CAST(rev0 AS DOUBLE) AS rev0, CAST(rev1 AS DOUBLE) AS rev1,
       |  round(CAST(q1 - q0 AS DOUBLE)
       |    * (CAST(rev0 AS DOUBLE) / CAST(q0 AS DOUBLE)), 6) AS volume_effect,
       |  round(CAST(rev1 AS DOUBLE) - CAST(q1 AS DOUBLE)
@@ -1063,7 +1092,7 @@ object AnalyticsQueries {
     val base = ord.select(to_date(col("o_orderdate")).as("day"),
       col("o_custkey"), col("o_totalprice"))
     val daily = base.groupBy("day").agg(count(lit(1)).as("n"))
-    val wc = Window.orderBy("day")
+    val wc = graft.operators.BoundedWindow.keyed(col("day")).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(sum(col("n")).as("tot"))
     val cutoff = daily.withColumn("cum", sum(col("n")).over(wc))
@@ -1161,7 +1190,10 @@ object AnalyticsQueries {
         sum(col("x") * col("lag").cast("decimal(38,0)")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .withColumn("den", col("n_ship") * col("sxx") - col("sx") * col("sx"))
-      .select(col("l_suppkey"), col("revenue"), col("n_ship"),
+      // revenue rendered as double; BOTH engines then order by the same
+      // double (+ suppkey tie-break), so order cannot drift either.
+      .select(col("l_suppkey"), col("revenue").cast("double").as("revenue"),
+        col("n_ship"),
         round(col("n_ontime").cast("double") / col("n_ship"), 6)
           .as("ontime_share"),
         round(col("lag_sum").cast("double") / col("n_ship"), 6).as("avg_lead"),
@@ -1189,7 +1221,7 @@ object AnalyticsQueries {
       |    sum(x) AS sx, sum(CAST(lag AS DECIMAL(38,0))) AS sy,
       |    sum(x * CAST(lag AS DECIMAL(38,0))) AS sxy, sum(x * x) AS sxx
       |  FROM b GROUP BY 1)
-      |SELECT l_suppkey, revenue, n_ship,
+      |SELECT l_suppkey, CAST(revenue AS DOUBLE) AS revenue, n_ship,
       |  round(CAST(n_ontime AS DOUBLE) / n_ship, 6) AS ontime_share,
       |  round(CAST(lag_sum AS DOUBLE) / n_ship, 6) AS avg_lead,
       |  CASE WHEN n_ship * sxx - sx * sx > 0 THEN
@@ -1226,11 +1258,13 @@ object AnalyticsQueries {
     val zero = lit(0).cast("decimal(18,2)")
     exp.join(imp, Seq("nk"), "full_outer")
       .join(broadcast(nation.select(col("n_nationkey").as("nk"), col("n_name"))), "nk")
+      // net computed on exact decimals; all three money columns rendered
+      // as double at the edge (decimal parquet vs DuckDB float64 fetchdf).
       .select(col("n_name"),
-        coalesce(col("exports"), zero).as("exports"),
-        coalesce(col("imports"), zero).as("imports"),
+        coalesce(col("exports"), zero).cast("double").as("exports"),
+        coalesce(col("imports"), zero).cast("double").as("imports"),
         (coalesce(col("exports"), zero) - coalesce(col("imports"), zero))
-          .cast("decimal(18,2)").as("net"))
+          .cast("decimal(18,2)").cast("double").as("net"))
       .orderBy("n_name")
   }
 
@@ -1251,8 +1285,9 @@ object AnalyticsQueries {
       |    COALESCE(exports, CAST(0 AS DECIMAL(18,2))) AS exports,
       |    COALESCE(imports, CAST(0 AS DECIMAL(18,2))) AS imports
       |  FROM e FULL OUTER JOIN i ON e.nk = i.nk)
-      |SELECT n_name, exports, imports,
-      |  CAST(exports - imports AS DECIMAL(18,2)) AS net
+      |SELECT n_name, CAST(exports AS DOUBLE) AS exports,
+      |  CAST(imports AS DOUBLE) AS imports,
+      |  CAST(CAST(exports - imports AS DECIMAL(18,2)) AS DOUBLE) AS net
       |FROM j JOIN nation ON nk = n_nationkey
       |ORDER BY n_name""".stripMargin
 

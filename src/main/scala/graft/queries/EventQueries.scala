@@ -1736,9 +1736,9 @@ object EventQueries {
         when(col("ld") > date_sub(col("obs_end"), 7), 1L).otherwise(0L))
       .groupBy("t", "n_users")
       .agg(sum(lit(1L) - col("cens")).as("d"), sum(col("cens")).as("c"))
-    val wOrd = Window.orderBy("t")
+    val wOrd = graft.operators.BoundedWindow.keyed(col("t")).orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy("t")
+    val wPrev = graft.operators.BoundedWindow.keyed(col("t")).orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
     byT
       .withColumn("n_risk",

@@ -747,8 +747,7 @@ object PipelineQueries {
     // per-source table (O(sources) rows — the documented bounded-window
     // exception): the corpus is scanned ONCE; the agg-then-crossJoin
     // alternative re-scans the full input for the totals branch
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy(lit(1))
+    val all = graft.operators.BoundedWindow.keyed(col("source"))
     per
       .withColumn("t_tokens", sum(col("tokens")).over(all))
       .withColumn("t_pow",
@@ -838,8 +837,7 @@ object PipelineQueries {
     * ALREADY-AGGREGATED ≤4096-row bucket table (the documented
     * bounded-window exception — corpus_mix's shape). */
   private[graft] def dsirRatio(hist: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val all = Window.partitionBy(lit(1))
+    val all = graft.operators.BoundedWindow.keyed(col("b"))
     hist.select(col("b"),
       round(
         log((col("cp") + 1).cast("double") /
@@ -963,7 +961,7 @@ object PipelineQueries {
     val perValue = tagged.groupBy(col("n_chars"))
       .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_train"),
         sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_val"))
-    val w = Window.orderBy("n_chars")
+    val w = graft.operators.BoundedWindow.keyed(col("n_chars")).orderBy("n_chars")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = perValue.agg(sum(col("c_train")).as("n_train"),
       sum(col("c_val")).as("n_val"))
@@ -1138,7 +1136,7 @@ object PipelineQueries {
       col("o_custkey"), col("o_totalprice"))
     val daily = base.groupBy("day").agg(count(lit(1)).as("n"))
     // unpartitioned window over the AGGREGATED ~2.5k-day frame only
-    val wc = Window.orderBy("day")
+    val wc = graft.operators.BoundedWindow.keyed(col("day")).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = daily.agg(sum(col("n")).as("tot"))
     val cutoff = daily.withColumn("cum", sum(col("n")).over(wc))
@@ -1153,8 +1151,10 @@ object PipelineQueries {
       .groupBy("split")
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
+        // exact decimal sum, rendered as double (decimal-vs-float64
+        // parquet/fetchdf rendering would hash-flake on trailing zeros)
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)")
-          .as("value"),
+          .cast("double").as("value"),
         min(col("day")).as("min_day"), max(col("day")).as("max_day"))
       .orderBy("split")
   }
@@ -1177,7 +1177,7 @@ object PipelineQueries {
       |  FROM d, k)
       |SELECT split, count(*) AS n_orders,
       |  count(DISTINCT o_custkey) AS n_customers,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS value,
       |  min(day) AS min_day, max(day) AS max_day
       |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -1243,7 +1243,79 @@ object PipelineQueries {
       |  END AS z
       |FROM x""".stripMargin
 
+  /** #262 pipeline_e2e: the WHOLE curation pipeline as one artifact —
+    * curate (quality ≥ 0.6 + lang=en + near-dup keep-list, the
+    * corpusCurate composition) → split (md5 train/val, the
+    * splitTrainVal rule) → pack (token-budget prefix-sum packing per
+    * (source, split) shard, the packSequences rule) — reduced to the
+    * manifest a training launch reads: per (split, source) doc/pack/
+    * token totals and the mean pack fill. This is the end-to-end gate
+    * row: one hash compare pins the composed semantics of quality,
+    * langid, cluster resolution, split and packing simultaneously.
+    * Scale shape is the union of its parts' (each individually
+    * 100×-probed): scan-only quality/langid columns, one anti-join
+    * against the pre-mined cluster table, shard-parallel packing
+    * windows, and a ≤(splits×sources) bounded final rollup — no new
+    * shuffle class is introduced by the composition. */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val curated = corpusCurate(docs, DedupQueries.minedClusters(s, d))
+      .select("doc_id")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.BpePattern), lit(0)))
+        .cast("long").as("n_tokens"))
+    val base = curated.join(toks, "doc_id")
+      .withColumn("split",
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "f3",
+          "train").otherwise("val"))
+    val w = Window.partitionBy("source", "split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("before") / PackBudget.toDouble).cast("long"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill",
+        round(col("n_tokens").cast("double") /
+          (col("n_packs") * lit(PackBudget)).cast("double"), 6))
+      .orderBy("split", "source")
+  }
+
+  val pipelineE2eSql: String =
+    s"""WITH q AS (${TextQueries.textQualityBodySql}),
+       |l AS (${TextQueries.textLangidBodySql}),
+       |cl AS (${DedupQueries.dedupClustersBodySql}),
+       |cur AS (
+       |  SELECT q.doc_id FROM q JOIN l ON q.doc_id = l.doc_id
+       |  LEFT JOIN cl ON q.doc_id = cl.doc_id AND cl.cluster_id <> cl.doc_id
+       |  WHERE cl.doc_id IS NULL AND q.quality_score >= 0.6 AND l.lang_pred = 'en'),
+       |t AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(regexp_extract_all(d.text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < 'f3'
+       |         THEN 'train' ELSE 'val' END AS split
+       |  FROM documents d JOIN cur ON d.doc_id = cur.doc_id),
+       |c AS (
+       |  SELECT split, source, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY source, split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf
+       |  FROM t),
+       |p AS (
+       |  SELECT split, source, n_tokens,
+       |    CAST(floor(bf / $PackBudget.0) AS BIGINT) AS pack_id
+       |  FROM c)
+       |SELECT split, source, count(*) AS n_docs,
+       |  CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(n_tokens) AS DOUBLE)
+       |    / CAST(count(DISTINCT pack_id) * $PackBudget AS DOUBLE), 6) AS fill
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> (pipelineE2e _),
     "split_runs_test" -> (splitRunsTest _),
     "split_temporal" -> (splitTemporal _),
     "split_ks" -> (splitKs _),
@@ -1273,6 +1345,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "split_runs_test" -> splitRunsTestSql,
     "split_temporal" -> splitTemporalSql,
     "split_ks" -> splitKsSql,

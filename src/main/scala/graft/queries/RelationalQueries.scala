@@ -1028,7 +1028,8 @@ object RelationalQueries {
       .localCheckpoint()
     val shard = Window.partitionBy("pid").orderBy(col("rev"), col("o_custkey"))
     val local = parted.withColumn("lrk", row_number().over(shard).cast("long"))
-    val offW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offW = graft.operators.BoundedWindow.keyed(col("pid")).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
       .withColumn("off", coalesce(sum(col("cnt")).over(offW), lit(0L)))
       .select("pid", "off")
@@ -1115,7 +1116,7 @@ object RelationalQueries {
     val deltas = spans.select(col("o_orderdate").as("day"), lit(1L).as("d"))
       .unionAll(spans.select(date_add(col("close_date"), 1).as("day"), lit(-1L).as("d")))
     val daily = deltas.groupBy("day").agg(sum(col("d")).as("delta"))
-    val sweep = Window.orderBy("day")
+    val sweep = graft.operators.BoundedWindow.keyed(col("day")).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily.withColumn("backlog", sum(col("delta")).over(sweep))
       .orderBy("day")
@@ -1153,7 +1154,7 @@ object RelationalQueries {
         date_trunc("MONTH", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
-    val w = Window.orderBy("month")
+    val w = graft.operators.BoundedWindow.keyed(col("month")).orderBy("month")
     m.withColumn("mom", round(
         (col("revenue") - lag(col("revenue"), 1).over(w)) /
           lag(col("revenue"), 1).over(w), 6))

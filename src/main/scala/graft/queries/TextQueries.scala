@@ -965,7 +965,7 @@ object TextQueries {
     val total = toks.agg(count(lit(1)).as("__t"))
     val top = toks.groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), col("token")).limit(200)
-    val w = Window.orderBy(desc("freq"), col("token"))
+    val w = graft.operators.BoundedWindow.keyed(col("token")).orderBy(desc("freq"), col("token"))
     top.crossJoin(broadcast(total))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .withColumn("__cum",

@@ -28,7 +28,8 @@ object Fusion {
     * single task). Scores must already be rounded (round-before-rank). */
   def ranked(cands: DataFrame, idCol: String, scoreCol: String): DataFrame =
     cands.select(col(idCol).as("id"),
-      row_number().over(Window.orderBy(desc(scoreCol), col(idCol))).as("rank"))
+      row_number().over(graft.operators.BoundedWindow.keyed(col(idCol))
+        .orderBy(desc(scoreCol), col(idCol))).as("rank"))
 
   /** Fuse two ranked lists (full outer on id — a doc found by only one
     * retriever still scores). Absent ranks surface as 0, contributing

@@ -1545,10 +1545,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val li = rows.map(r => (r._1, r._2, r._3, r._5))
       .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_shipdate")
     val got = graft.queries.AnalyticsQueries.supplierScorecardOf(li, ord)
-      .as[(Long, java.math.BigDecimal, Long, Double, Double, Option[Double])]
+      .as[(Long, Double, Long, Double, Double, Option[Double])]
       .collect()
     val (sk, rev, n, otd, lead, slope) = got.head
-    assert(sk == 1L && rev.doubleValue == 400.0 && n == 4L)
+    assert(sk == 1L && rev == 400.0 && n == 4L)
     assert(otd == 1.0 && lead == 4.0 && slope.contains(2.0))
   }
 

@@ -217,6 +217,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept.length < docs.count())
   }
 
+  test("pipeline_e2e: manifest conserves the curated corpus; packing arithmetic holds per cell") {
+    val rows = PipelineQueries.pipelineE2e(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // stage conservation: manifest docs == curated docs (split is total,
+    // packing reassigns but never drops)
+    val curated = PipelineQueries.corpusCurate(spark, sf).count()
+    assert(rows.map(_._3).sum == curated)
+    rows.foreach { case (split, source, nDocs, nPacks, nTokens, fill) =>
+      assert(Set("train", "val")(split), s"unknown split $split")
+      assert(nDocs >= 1 && nPacks >= 1 && nPacks <= nDocs)
+      // budget arithmetic: nPacks can't exceed what the token mass plus
+      // one-doc-per-pack overflow allows, and fill is the recomputable ratio
+      assert(nTokens >= nPacks - 1, s"$split/$source: $nTokens tokens, $nPacks packs")
+      assert(math.abs(fill -
+        nTokens.toDouble / (nPacks * PipelineQueries.PackBudget)) < 1e-5)
+    }
+    // deterministic: a rerun reproduces the manifest exactly
+    val again = PipelineQueries.pipelineE2e(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("sample_cap_source: cap respected; survivors are the per-source longest; caps bind at sf0.01") {
     val cap = PipelineQueries.CapPerSource
     // sf0.01 has 25 docs per source, so the cap actually cuts there

@@ -8,9 +8,45 @@ oracle SQL from oracle_sql.json in DuckDB (tables = parquet files in sf_dir),
 sorts columns by name, and compares values.
 """
 import json, sys, glob, os
+import datetime
+import decimal
 import duckdb
 import pandas as pd
 import numpy as np
+
+
+def render_cell(v):
+    """Canonical rendering of one value, dtype-faithful.
+
+    The driver gate hashes RENDERED values after a pandas round-trip, so a
+    Spark DECIMAL (pandas object of Decimal) vs a DuckDB float64, or a Spark
+    int64 vs a DuckDB HUGEINT-rendered float64, must FAIL here even when the
+    numbers are equal — that is exactly the round-13 five-query miss.
+    """
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if np.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return "dec:" + str(v)
+    if isinstance(v, (np.datetime64, pd.Timestamp, datetime.datetime)):
+        ts = pd.Timestamp(v)
+        # DATE columns round-trip as date objects from Spark parquet but as
+        # midnight datetime64 from DuckDB fetchdf; the driver treats those
+        # as equal, so canonicalize midnight to the date rendering
+        if ts.tzinfo is None and ts == ts.normalize():
+            return ts.date().isoformat()
+        return ts.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(render_cell(x) for x in v) + "]"
+    return str(v)
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -61,17 +97,25 @@ def main():
         bad = []
         for c in g.columns:
             gv, wv = g[c].to_numpy(), w[c].to_numpy()
-            if np.issubdtype(gv.dtype, np.floating) or np.issubdtype(wv.dtype, np.floating):
-                eq = np.allclose(gv.astype(float), wv.astype(float), rtol=0, atol=0, equal_nan=True)
-                exact = eq
-                close = np.allclose(gv.astype(float), wv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True)
-                if not exact:
-                    md = np.nanmax(np.abs(gv.astype(float) - wv.astype(float)))
-                    bad.append(f"{c}: max|diff|={md:.3e}{' (close)' if close else ''}")
-            else:
-                if not (pd.Series(gv).astype(str) == pd.Series(wv).astype(str)).all():
-                    n = int((pd.Series(gv).astype(str) != pd.Series(wv).astype(str)).sum())
-                    bad.append(f"{c}: {n} mismatched values")
+            gr = pd.Series(gv, dtype=object).map(render_cell)
+            wr = pd.Series(wv, dtype=object).map(render_cell)
+            ne = (gr != wr)
+            if ne.any():
+                n = int(ne.sum())
+                note = ""
+                # numeric diagnostic: equal-but-differently-typed vs truly off
+                try:
+                    gf = gv.astype(float)
+                    wf = wv.astype(float)
+                    if np.allclose(gf, wf, rtol=0, atol=0, equal_nan=True):
+                        note = " (values equal, DTYPE/RENDER mismatch: " \
+                            f"{gr[ne].iloc[0]!r} vs {wr[ne].iloc[0]!r})"
+                    else:
+                        md = np.nanmax(np.abs(gf - wf))
+                        note = f" max|diff|={md:.3e}"
+                except Exception:
+                    note = f" e.g. {gr[ne].iloc[0]!r} vs {wr[ne].iloc[0]!r}"
+                bad.append(f"{c}: {n} mismatched{note}")
         results[name] = "OK" if not bad else "VALUE MISMATCH: " + "; ".join(bad)
 
     width = max(len(k) for k in results) if results else 10

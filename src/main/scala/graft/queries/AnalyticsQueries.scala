@@ -737,21 +737,27 @@ object AnalyticsQueries {
 
   def supplierTrianglesOf(li: DataFrame,
       minSupport: Int = TriangleMinSupport): DataFrame = {
-    // Per-order supplier sets via ONE hash aggregate (collect_set subsumes
-    // the distinct), then the ≤C(7,2)=21 in-order pairs expanded row-local
-    // by a higher-order expression. The former os⋈os self-join shuffled
-    // and SORTED the fact projection twice (4.75 GB spill at the 100×
-    // probe); this shape's only fact-scale exchange is the map-side-
-    // combined groupBy, and pair fan-out happens after it, in-stage.
-    val perOrder = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
-      .groupBy("ok").agg(sort_array(collect_set(col("s"))).as("ss"))
-    val nOrd = perOrder.agg(count(lit(1)).as("n_ok"))
-    val e = perOrder.where(size(col("ss")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ss, (x, i) -> " +
-          "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"))
-        .as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    // Pair stage, spill-free by construction (100×-probe-attributed):
+    //  1. `.distinct()` on the raw projection ran a MAP-SIDE partial
+    //     aggregate over each 2M-row input split — per-task dedup maps
+    //     were the probe's whole 4.75 GB spill (SMJ vs SHJ join choice
+    //     didn't move it; a collect_set shape halved it but paid its own
+    //     sort fallback). Pre-shuffling on the key FIRST (AQE-sized
+    //     REPARTITION_BY_COL) makes the dedup run post-exchange on small
+    //     partitions, and (ok,s) dedup barely compresses lineitem anyway,
+    //     so the partial pass saved no shuffle volume.
+    //  2. The self-join then finds both sides already hash-partitioned on
+    //     ok (ONE reused exchange) and runs as a SHUFFLED HASH join — the
+    //     build is one small partition of order keys; SMJ's sorts and
+    //     their spill never happen. Per-order fan-out stays bounded
+    //     (≤ ~7 suppliers/order ⇒ ≤21 pairs).
+    val os = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .repartition(col("ok"))
+      .dropDuplicates("ok", "s")
+    val nOrd = os.agg(countDistinct(col("ok")).as("n_ok"))
+    val e = os.as("x").join(os.as("y").hint("SHUFFLE_HASH"),
+        col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
       .agg(count(lit(1)).as("w"))
       .crossJoin(broadcast(nOrd))
       .where(col("w") >= greatest(lit(minSupport.toLong),

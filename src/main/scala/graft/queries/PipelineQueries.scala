@@ -1314,7 +1314,82 @@ object PipelineQueries {
        |    / CAST(count(DISTINCT pack_id) * $PackBudget AS DOUBLE), 6) AS fill
        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** #263 pipeline_ingest: the DAILY-INGEST admission funnel — what a
+    * continuously-fed training corpus runs on every new batch: the last
+    * 20% of the book by doc_id (exact integer rule doc_id·5 ≥ max·4, a
+    * broadcast one-row max) is admitted against the resident 80% through
+    * exact-dup (content md5 vs the resident fingerprint set), near-dup
+    * (the shared mined cluster table: a batch doc matches resident
+    * content iff its cluster ROOT — the min doc id — is resident),
+    * quality (≥ 0.6), language (en) and finally the md5 split rule, each
+    * doc counted once under its FIRST failing stage. Output is the
+    * bounded admission report (≤6 rows) a data-ops rotation reads.
+    * Scale shapes: fingerprint membership is a key-only join (16-byte
+    * keys; at 100 TB the decontaminate_bloom in-scan sketch is the
+    * drop-in prune), the cluster table is the pre-mined shared artifact
+    * every dedup consumer reuses, quality/langid are scan-only column
+    * pipelines, and the rollup is stage-bounded. Within-batch dups are
+    * deliberately NOT dropped here — that's dedup_canonical's job at
+    * merge time; this operator answers "what does this batch add against
+    * what we already hold". */
+  def pipelineIngest(s: SparkSession, d: String): DataFrame =
+    pipelineIngestOf(Tables.documents(s, d), DedupQueries.minedClusters(s, d))
+
+  def pipelineIngestOf(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val tagged = docs.crossJoin(broadcast(mx))
+      .withColumn("is_batch", col("doc_id") * 5 >= col("mx") * 4)
+    val resFp = tagged.where(!col("is_batch"))
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+      .withColumn("fp_hit", lit(true))
+    val residentCluster = clusters.crossJoin(broadcast(mx))
+      .where(col("cluster_id") * 5 < col("mx") * 4)
+      .select(col("doc_id")).withColumn("near_res", lit(true))
+    val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality_score"))
+    val l = TextAnalysis.withLangId(docs).select(col("doc_id"), col("lang_pred"))
+    tagged.where(col("is_batch"))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(resFp, Seq("fp"), "left")
+      .join(residentCluster, Seq("doc_id"), "left")
+      .join(q, "doc_id").join(l, "doc_id")
+      .select(
+        when(col("fp_hit"), "dropped_exact")
+          .when(col("near_res"), "dropped_neardup")
+          .when(col("quality_score") < 0.6, "dropped_quality")
+          .when(col("lang_pred") =!= "en", "dropped_lang")
+          .when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "f3",
+            "admitted_train")
+          .otherwise("admitted_val").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage")
+  }
+
+  val pipelineIngestSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |q AS (${TextQueries.textQualityBodySql}),
+       |l AS (${TextQueries.textLangidBodySql}),
+       |cl AS (${DedupQueries.dedupClustersBodySql}),
+       |bat AS (
+       |  SELECT d.doc_id, d.text FROM documents d, mx WHERE d.doc_id * 5 >= mx * 4),
+       |resfp AS (
+       |  SELECT DISTINCT md5(d.text) AS fp
+       |  FROM documents d, mx WHERE d.doc_id * 5 < mx * 4),
+       |nearres AS (
+       |  SELECT cl.doc_id FROM cl, mx WHERE cl.cluster_id * 5 < mx * 4),
+       |staged AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN md5(b.text) IN (SELECT fp FROM resfp) THEN 'dropped_exact'
+       |         WHEN b.doc_id IN (SELECT doc_id FROM nearres) THEN 'dropped_neardup'
+       |         WHEN q.quality_score < 0.6 THEN 'dropped_quality'
+       |         WHEN l.lang_pred <> 'en' THEN 'dropped_lang'
+       |         WHEN substring(md5(CAST(b.doc_id AS VARCHAR)), 1, 2) < 'f3'
+       |           THEN 'admitted_train'
+       |         ELSE 'admitted_val' END AS stage
+       |  FROM bat b JOIN q ON b.doc_id = q.doc_id JOIN l ON b.doc_id = l.doc_id)
+       |SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_e2e" -> (pipelineE2e _),
     "split_runs_test" -> (splitRunsTest _),
     "split_temporal" -> (splitTemporal _),
@@ -1345,6 +1420,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_ingest" -> pipelineIngestSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "split_runs_test" -> splitRunsTestSql,
     "split_temporal" -> splitTemporalSql,

@@ -240,6 +240,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("pipeline_ingest: batch conserved; every doc lands on its FIRST failing stage") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    val got = PipelineQueries.pipelineIngest(spark, sf)
+      .as[(String, Long)].collect().toMap
+    // independent replay: derive the per-doc stage with Scala set logic
+    // (no joins), then compare the rollup — catches join-type/null bugs
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val mx = docs.map(_._1).max
+    val (batch, resident) = docs.partition { case (id, _) => id * 5 >= mx * 4 }
+    val residentFp = resident.map(r => md5hex(r._2)).toSet
+    val clusterOf = queries.DedupQueries.minedClusters(spark, sf)
+      .select(col("doc_id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    val q = graft.text.TextAnalysis.withQuality(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("quality_score")).as[(Long, Double)].collect().toMap
+    val l = graft.text.TextAnalysis.withLangId(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang_pred")).as[(Long, String)].collect().toMap
+    val want = batch.map { case (id, text) =>
+      if (residentFp(md5hex(text))) "dropped_exact"
+      else if (clusterOf.get(id).exists(root => root * 5 < mx * 4)) "dropped_neardup"
+      else if (q(id) < 0.6) "dropped_quality"
+      else if (l(id) != "en") "dropped_lang"
+      else if (md5hex(id.toString).substring(0, 2) < "f3") "admitted_train"
+      else "admitted_val"
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want, s"stage rollup: got $got want $want")
+    // conservation: every batch doc counted exactly once
+    assert(got.values.sum == batch.length)
+    // the funnel actually discriminates at sf0.001: something admitted,
+    // something dropped
+    assert(got.keys.exists(_.startsWith("admitted_")))
+    assert(got.keys.exists(_.startsWith("dropped_")))
+  }
+
   test("sample_cap_source: cap respected; survivors are the per-source longest; caps bind at sf0.01") {
     val cap = PipelineQueries.CapPerSource
     // sf0.01 has 25 docs per source, so the cap actually cuts there

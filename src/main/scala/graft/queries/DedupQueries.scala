@@ -635,7 +635,87 @@ object DedupQueries {
        |  round(CAST(dup_pairs AS DOUBLE) * 1000000 / universe, 6) AS rate_ppm
        |FROM u ORDER BY src_a, src_b""".stripMargin
 
+  /** #266 dedup_sweep: threshold-sensitivity audit ABOVE the mined floor —
+    * "how much does the dedup rate move if we tighten τ?", the number
+    * that decides whether 0.95 is a cliff or a plateau before a corpus
+    * ships. Every pair the miner emits carries its exact 6-dp Jaccard,
+    * so each rung τ ∈ {.95,.96,.97,.98} is a FILTER on the one shared
+    * mined pair set (zero re-mining — the corpus_curate discipline) +
+    * a re-cluster of the filtered dup sliver; per rung: surviving
+    * pairs, connected components, dropped members, dedup rate. Four
+    * bounded rungs = a driver loop over cluster jobs on the sliver
+    * (the ladder discipline); at 100 TB each rung clusters only the
+    * pair table, never the corpus. The oracle replays mining once and
+    * all four recursive-CTE clusterings from scratch. */
+  val SweepTaus: Seq[Double] = Seq(0.95, 0.96, 0.97, 0.98)
+
+  def dedupSweep(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).count()
+    val pairs = minedJaccardPairs(s, d)
+    val rows = SweepTaus.map { t =>
+      val p = pairs.where(col("jac") >= t)
+      val nPairs = p.count()
+      val (nCl, nDrop) =
+        if (nPairs == 0) (0L, 0L)
+        else {
+          val r = Dedup.clusters(p)
+            .agg(countDistinct(col("cluster_id")).as("nc"),
+              sum(when(col("cluster_id") =!= col("doc_id"), 1L)
+                .otherwise(0L)).as("nd")).first()
+          (r.getLong(0), r.getLong(1))
+        }
+      (t, nPairs, nCl, nDrop)
+    }
+    import s.implicits._
+    rows.toDF("tau", "n_pairs", "n_clusters", "n_dropped")
+      .withColumn("dedup_rate",
+        round(col("n_dropped").cast("double") / lit(nDocs.toDouble), 6))
+      .orderBy("tau")
+  }
+
+  val dedupSweepSql: String = {
+    val rungs = SweepTaus.map { t =>
+      val k = math.round(t * 100).toString // 95, 96, ...
+      s"""p$k AS (SELECT doc_a, doc_b FROM allp WHERE jac >= $t),
+         |e$k AS (SELECT doc_a AS src, doc_b AS dst FROM p$k
+         |        UNION SELECT doc_b, doc_a FROM p$k),
+         |r$k(id, r) AS (
+         |  SELECT src, src FROM e$k
+         |  UNION
+         |  SELECT e.src, r.r FROM e$k e JOIN r$k r ON e.dst = r.id),
+         |c$k AS (SELECT id, min(r) AS cid FROM r$k GROUP BY id),
+         |s$k AS (
+         |  SELECT CAST($t AS DOUBLE) AS tau,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p$k) AS n_pairs,
+         |    (SELECT CAST(count(DISTINCT cid) AS BIGINT) FROM c$k) AS n_clusters,
+         |    (SELECT COALESCE(CAST(sum(CASE WHEN cid <> id THEN 1 ELSE 0 END)
+         |                     AS BIGINT), 0) FROM c$k) AS n_dropped)""".stripMargin
+    }.mkString(",\n")
+    val body = SweepTaus.map(t => s"SELECT * FROM s${math.round(t * 100)}")
+      .mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, ts,
+       |         list_aggregate(list_apply(ts, t -> md5(t)), 'min') AS blk
+       |  FROM toks),
+       |allp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |               / len(list_distinct(a.ts || b.ts)), 6) AS jac
+       |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |              / len(list_distinct(a.ts || b.ts)), 6) >= $JaccardTau),
+       |$rungs,
+       |nd AS (SELECT count(*) AS n FROM documents)
+       |SELECT u.tau, u.n_pairs, u.n_clusters, u.n_dropped,
+       |  round(CAST(u.n_dropped AS DOUBLE) / nd.n, 6) AS dedup_rate
+       |FROM ($body) u, nd ORDER BY u.tau""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_sweep" -> (dedupSweep _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_cdc" -> (dedupCdc _),
     "dedup_containment" -> (dedupContainment _),
@@ -658,6 +738,7 @@ object DedupQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_sweep" -> dedupSweepSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_cdc" -> dedupCdcSql,
     "dedup_containment" -> dedupContainmentSql,

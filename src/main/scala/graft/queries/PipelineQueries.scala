@@ -557,6 +557,120 @@ object PipelineQueries {
       |  bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS content_hash
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** #265 corpus_release: the PRE-RELEASE audit — the sign-off report a
+    * data lead reads before a corpus ships to training: every non-bench
+    * doc lands on its FIRST failing gate (near-dup non-representative →
+    * quality < 0.6 → non-English → benchmark 8-gram contamination) or is
+    * `released`, rolled up per (source, stage) with doc and whitespace
+    * token mass — so "how many tokens does source X actually contribute,
+    * and where do the rest go?" is ONE bounded (≤ sources×5 rows) table.
+    * Composes four library operators (mined clusters, quality, langid,
+    * decontaminate) in one hash-checked row — the contamination stage is
+    * what pipeline_e2e's curation deliberately omits. Scale shapes are
+    * the parts' own: the dup sliver left-join, two scan-only column
+    * pipelines, the shingle-id contamination join (Bloom drop-in at
+    * 100 TB), a ≤5-way rollup. */
+  def corpusRelease(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.documents(s, d)
+    corpusReleaseOf(all.where(col("doc_id") >= BenchDocs),
+      all.where(col("doc_id") < BenchDocs), DedupQueries.minedClusters(s, d))
+  }
+
+  def corpusReleaseOf(docs: DataFrame, bench: DataFrame,
+                      clusters: DataFrame): DataFrame = {
+    val dup = clusters.where(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id").withColumn("is_dup", lit(true))
+    val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality_score"))
+    val l = TextAnalysis.withLangId(docs).select(col("doc_id"), col("lang_pred"))
+    val cont = decontaminate(docs, bench)
+      .select("doc_id").withColumn("is_cont", lit(true))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .join(dup, Seq("doc_id"), "left")
+      .join(q, "doc_id").join(l, "doc_id")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("is_dup"), "dropped_dup")
+          .when(col("quality_score") < 0.6, "dropped_quality")
+          .when(col("lang_pred") =!= "en", "dropped_lang")
+          .when(col("is_cont"), "dropped_contaminated")
+          .otherwise("released").as("stage"),
+        col("n_tok"))
+      .groupBy("source", "stage")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("source", "stage")
+  }
+
+  val corpusReleaseSql: String = {
+    val n = DecontamN
+    s"""WITH cl AS (${DedupQueries.dedupClustersBodySql}),
+       |q AS (${TextQueries.textQualityBodySql}),
+       |l AS (${TextQueries.textLangidBodySql}),
+       |t AS (SELECT doc_id, string_split(lower(text), ' ') AS s FROM documents),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([list_aggregate(s[i:i+${n - 1}], 'string_agg', ' ')
+       |                        FOR i IN range(1, len(s) - ${n - 2})]) AS g
+       |       FROM t WHERE len(s) >= $n),
+       |bench AS (SELECT DISTINCT unnest(g) AS sg FROM sh WHERE doc_id < $BenchDocs),
+       |cont AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, unnest(g) AS sg FROM sh WHERE doc_id >= $BenchDocs) c
+       |  JOIN bench USING (sg)),
+       |staged AS (
+       |  SELECT d.source,
+       |    CASE WHEN cl.doc_id IS NOT NULL AND cl.cluster_id <> d.doc_id
+       |           THEN 'dropped_dup'
+       |         WHEN q.quality_score < 0.6 THEN 'dropped_quality'
+       |         WHEN l.lang_pred <> 'en' THEN 'dropped_lang'
+       |         WHEN d.doc_id IN (SELECT doc_id FROM cont)
+       |           THEN 'dropped_contaminated'
+       |         ELSE 'released' END AS stage,
+       |    len(string_split(d.text, ' ')) AS n_tok
+       |  FROM documents d
+       |  JOIN q ON d.doc_id = q.doc_id JOIN l ON d.doc_id = l.doc_id
+       |  LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |  WHERE d.doc_id >= $BenchDocs)
+       |SELECT source, stage, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM staged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** #264 split_cluster: the LEAKAGE-PROOF split — the constructive twin
+    * of split_leakage's audit. split_train_val hashes the doc id, so a
+    * τ≥0.95 near-dup pair can straddle train/val (exactly what
+    * split_leakage counts); this operator hashes the doc's CLUSTER ROOT
+    * instead (its component id in the shared mined cluster table;
+    * singletons root at themselves), so every near-dup component lands
+    * in ONE split atomically and cross-boundary leakage is ZERO by
+    * construction — the standard dedup-aware split every eval-hygiene
+    * pipeline runs (and what split_leakage verifies after the fact).
+    * Plan shape: ids-only scan, ONE left join against the pre-mined
+    * (doc_id, cluster_id) table (the dup sliver — broadcast or shuffle,
+    * AQE decides), then the same engine-portable md5 projection as #49.
+    * No new shuffle class at 100 TB; the mining cost is the shared
+    * artifact every dedup consumer already pays once. */
+  def splitCluster(s: SparkSession, d: String): DataFrame =
+    splitClusterOf(Tables.documents(s, d), DedupQueries.minedClusters(s, d))
+
+  def splitClusterOf(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("root_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("root_id"),
+        when(substring(md5(col("root_id").cast("string").cast("binary")), 1, 2) < "f3",
+          "train").otherwise("val").as("split"))
+      .orderBy("doc_id")
+
+  val splitClusterSql: String =
+    s"""WITH cl AS (${DedupQueries.dedupClustersBodySql}),
+       |r AS (
+       |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS root_id
+       |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+       |SELECT doc_id, root_id,
+       |  CASE WHEN substring(md5(CAST(root_id AS VARCHAR)), 1, 2) < 'f3'
+       |       THEN 'train' ELSE 'val' END AS split
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** #199 split_leakage: the eval-leakage audit — near-dup pairs that
     * CROSS the train/val boundary: a val doc with a τ≥0.95 train twin
     * leaks the benchmark into training even after exact decontamination,
@@ -1389,6 +1503,8 @@ object PipelineQueries {
        |SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_release" -> (corpusRelease _),
+    "split_cluster" -> (splitCluster _),
     "pipeline_ingest" -> (pipelineIngest _),
     "pipeline_e2e" -> (pipelineE2e _),
     "split_runs_test" -> (splitRunsTest _),
@@ -1420,6 +1536,8 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_release" -> corpusReleaseSql,
+    "split_cluster" -> splitClusterSql,
     "pipeline_ingest" -> pipelineIngestSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "split_runs_test" -> splitRunsTestSql,

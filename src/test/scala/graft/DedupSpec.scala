@@ -442,4 +442,31 @@ class DedupSpec extends AnyFunSuite {
     // degrade to min-id — assert the multi-member case exists at all
     assert(out.exists(_._3 > 1))
   }
+
+  test("dedup_sweep: monotone in tau; floor rung replays the shared mined clustering") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.DedupQueries.dedupSweep(spark, sf)
+      .as[(Double, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == graft.queries.DedupQueries.SweepTaus)
+    // tightening tau can only remove pairs and dropped members
+    got.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 >= hi._2, s"n_pairs not monotone: $lo -> $hi")
+      assert(lo._4 >= hi._4, s"n_dropped not monotone: $lo -> $hi")
+      assert(lo._5 >= hi._5, s"dedup_rate not monotone: $lo -> $hi")
+    }
+    // the floor rung IS the shared mined clustering: same pair count,
+    // same dropped-member count as the canonical artifacts
+    val floor = got.head
+    assert(floor._2 == graft.queries.DedupQueries.minedJaccardPairs(spark, sf).count())
+    val drop = graft.queries.DedupQueries.minedClusters(spark, sf)
+      .where(col("cluster_id") =!= col("doc_id")).count()
+    assert(floor._4 == drop)
+    // rate arithmetic: n_dropped / |documents| at 6 dp
+    val n = Tables.documents(spark, sf).count()
+    got.foreach { r =>
+      assert(math.abs(r._5 - r._4.toDouble / n) < 1e-6, s"rate recompute: $r")
+    }
+    // discriminates at sf0.001: the sweep isn't flat to the cap
+    assert(floor._4 > got.last._4, "sweep flat — fixture lost its graded near-dups")
+  }
 }

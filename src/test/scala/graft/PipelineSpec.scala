@@ -278,6 +278,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.keys.exists(_.startsWith("dropped_")))
   }
 
+  test("corpus_release: conserves docs and token mass; stage precedence replayed independently") {
+    val got = PipelineQueries.corpusRelease(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .where(col("doc_id") >= PipelineQueries.BenchDocs)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("nt"))
+      .as[(Long, String, Int)].collect()
+    // conservation of docs AND token mass across the funnel
+    assert(got.map(_._3).sum == docs.length)
+    assert(got.map(_._4).sum == docs.map(_._3.toLong).sum)
+    // independent set-logic replay of the first-failing-stage rule
+    val dup = queries.DedupQueries.minedClusters(spark, sf)
+      .where(col("cluster_id") =!= col("doc_id")).select("doc_id")
+      .as[Long].collect().toSet
+    val q = graft.text.TextAnalysis.withQuality(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("quality_score")).as[(Long, Double)].collect().toMap
+    val l = graft.text.TextAnalysis.withLangId(Tables.documents(spark, sf))
+      .select(col("doc_id"), col("lang_pred")).as[(Long, String)].collect().toMap
+    val cont = PipelineQueries.decontaminate(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val want = docs.map { case (id, src, nt) =>
+      val stage =
+        if (dup(id)) "dropped_dup"
+        else if (q(id) < 0.6) "dropped_quality"
+        else if (l(id) != "en") "dropped_lang"
+        else if (cont(id)) "dropped_contaminated"
+        else "released"
+      (src, stage) -> nt.toLong
+    }.groupBy(_._1).map { case (k, v) => (k._1, k._2, v.size.toLong, v.map(_._2).sum) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want, s"rollup mismatch:\n got ${got.toSeq}\nwant $want")
+    // the audit discriminates at sf0.001
+    assert(got.exists(_._2 == "released") && got.exists(_._2.startsWith("dropped_")))
+  }
+
+  test("split_cluster: leakage-proof by construction; singletons match the plain md5 rule") {
+    val got = PipelineQueries.splitCluster(spark, sf)
+      .as[(Long, Long, String)].collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(got.length == n) // total: every doc assigned exactly once
+    val splitOf = got.map(r => r._1 -> r._3).toMap
+    // ZERO mined pairs cross the boundary — the whole point
+    val pairs = queries.DedupQueries.minedJaccardPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "no mined pairs at sf0.001 — vacuous test")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles the split")
+    }
+    // singletons (not in any cluster) root at themselves = the #49 rule
+    val clustered = queries.DedupQueries.minedClusters(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = PipelineQueries.splitTrainVal(spark, sf)
+      .as[(Long, String)].collect().toMap
+    got.filterNot(r => clustered(r._1)).foreach { case (id, root, s) =>
+      assert(root == id && s == plain(id))
+    }
+    // both buckets are populated and the split skews ~95/5
+    val trainFrac = got.count(_._3 == "train").toDouble / n
+    assert(trainFrac > 0.85 && trainFrac < 1.0, s"train fraction $trainFrac")
+  }
+
   test("sample_cap_source: cap respected; survivors are the per-source longest; caps bind at sf0.01") {
     val cap = PipelineQueries.CapPerSource
     // sf0.01 has 25 docs per source, so the cap actually cuts there

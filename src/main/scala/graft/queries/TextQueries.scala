@@ -1171,7 +1171,45 @@ object TextQueries {
       |    / length(text), 6) AS cjk_share
       |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin
 
+  /** #267 text_fertility: the TOKENIZER-FERTILITY audit — BPE-ish tokens
+    * per whitespace word and chars per BPE token, by language. Fertility
+    * is the number labs track per language before fixing a tokenizer
+    * (high fertility = the vocabulary fragments that language, inflating
+    * its effective cost per document); chars/token is the compression
+    * ratio that converts corpus bytes to training-token budgets. Exact
+    * integer sums (the #26 token-count ingredients) with one double
+    * division per output cell; ONE scan, two row-local projections, a
+    * ≤|langs| map-side-combined rollup — scan-speed at any scale. */
+  def textFertility(s: SparkSession, d: String): DataFrame = {
+    val t = TextAnalysis.withTokenCounts(docs(s, d))
+    docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(t, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6).as("fertility"),
+        round(col("chars").cast("double") / col("bpe_tokens"), 6).as("chars_per_bpe"))
+      .orderBy("lang")
+  }
+
+  val textFertilitySql: String =
+    s"""WITH t AS (
+       |  SELECT lang, n_chars,
+       |    len(string_split(text, ' ')) AS ws,
+       |    len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS bpe
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
+       |  round(CAST(sum(n_chars) AS DOUBLE) / sum(bpe), 6) AS chars_per_bpe
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fertility" -> (textFertility _),
     "text_script" -> (textScript _),
     "text_novelty" -> (textNovelty _),
     "text_cdc_chunks" -> (textCdcChunks _),
@@ -1208,6 +1246,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_fertility" -> textFertilitySql,
     "text_script" -> textScriptSql,
     "text_novelty" -> textNoveltySql,
     "text_cdc_chunks" -> textCdcChunksSql,

@@ -328,4 +328,25 @@ class TextSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.length == labeled.length, "every doc scored exactly once")
   }
+
+  test("text_fertility: per-language sums and ratios match local recomputation") {
+    val got = queries.TextQueries.textFertility(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val meta = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val want = meta.groupBy(_._2).map { case (lang, rows) =>
+      val ws = rows.map(r => texts(r._1).split(" ", -1).length.toLong).sum
+      val bpe = rows.map(r =>
+        TextAnalysis.BpePattern.r.findAllIn(texts(r._1)).length.toLong).sum
+      val ch = rows.map(_._3).sum
+      (lang, rows.length.toLong, ws, bpe,
+        math.rint(bpe.toDouble / ws * 1e6) / 1e6,
+        math.rint(ch.toDouble / bpe * 1e6) / 1e6)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // the corpus has >1 language, so the audit discriminates
+    assert(got.length > 1)
+    // sanity: fertility >= 1 (the BPE-ish pattern splits punctuation off)
+    got.foreach(r => assert(r._5 >= 1.0, s"fertility < 1: $r"))
+  }
 }

@@ -917,7 +917,7 @@ object VectorQueries {
     * fusion itself touches ≤ 2N=100 rows, bounded by contract.
     * Hash-checked end to end against a DuckDB twin running both
     * retrievers and the identical RRF arithmetic. */
-  private val RrfN = 50
+  private[graft] val RrfN = 50
 
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val dense = graft.search.Fusion.ranked(
@@ -1069,6 +1069,159 @@ object VectorQueries {
   lazy val hybridQtextRrfSql: String =
     rrfBatchOracle(qtextRrfResolved.map(q => (q._1, q._2)),
       qtextRrfResolved.map(q => q._1 -> q._3))
+
+  // ---- #268 pipeline_serve: the COMPLETE serving path as one gate row ----
+
+  /** The serving query table: qtext + filter DSL JSON + its DuckDB WHERE
+    * twin (the reference's queries.parquet row shape, run.py:137-147). */
+  private[graft] val ServeQueries: Seq[(Long, String, String, String)] = Seq(
+    (0L, "vector scan merge", "{}", "TRUE"),
+    (1L, "stream window filter", """{"label":{"between":[0,4]}}""",
+      "label BETWEEN 0 AND 4"),
+    (2L, "join batch sort", """{"label":{"ne":3}}""",
+      "label IS NOT NULL AND label <> 3"))
+  private[graft] val ServeCand = 20 // fused candidates entering the MMR stage
+  private[graft] val ServeK = 10    // final diverse results per query
+  private[graft] val ServeLambda = 0.7
+
+  /** (qid, encoded qvec, BM25 terms, filter JSON, oracle WHERE). */
+  private[graft] lazy val serveResolved: Seq[(Long, Array[Float], Seq[String], String, String)] = {
+    val enc = graft.encode.MiniLm.tinyEncoder()
+    ServeQueries.map { case (qid, text, fj, where) =>
+      (qid, enc.encode(text), text.split(" ").toSeq, fj, where) }
+  }
+
+  /** #268 pipeline_serve: the reference's WHOLE serving path composed as
+    * ONE hash-checked row — what a production hybrid engine executes per
+    * request (run.py's loop ending in a diversity rerank): query TEXT →
+    * MiniLM encoder (the hybrid_qtext seam) → filter-DSL predicate pushed
+    * to the embedding scan → exact dense top-N within the allowed subset;
+    * the SAME text's tokens → one batched BM25 postings pass → the same
+    * filter through the id space → sparse top-N; RRF fuses both rankings;
+    * MMR (λ=0.7, fused RRF as relevance) diversifies the fused top-20
+    * into the final top-10. Composes FIVE subsystems — FilterDsl, the
+    * encoder, VectorSearch, Bm25, Fusion, Mmr — under one DuckDB compare.
+    *
+    * Scale shape: dense = per-query pushed-predicate TakeOrdered heaps
+    * (never a global sort); sparse = ONE postings pass for the whole
+    * batch joined to an ids+label-only scan, filtered by the per-qid
+    * predicate, TopKPerKey bounded heaps; fusion joins ≤N-per-qid rows;
+    * MMR collects 3×20 bounded candidates (the postFilterLadder collect
+    * contract) for the driver greedy. The oracle replays encoder outputs
+    * verbatim (rendered vectors), both retrievals, the fusion arithmetic
+    * and the greedy via a per-qid recursive CTE — tokenize → forward →
+    * filter → retrieve² → fuse → diversify is ALL under the hash. */
+  def pipelineServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    // dense: per-query DSL-compiled predicate (reaches the parquet scan),
+    // exact top-RrfN within the allowed subset; rank over the union where
+    // qid genuinely varies (the QuerySet.runAll window discipline)
+    val dense = serveResolved.map { case (qid, qv, _, fj, _) =>
+      val spec = graft.filters.FilterDsl.parseJson(fj)
+      val pred = if (spec.isEmpty) None else Some(graft.filters.FilterDsl.compile(e, spec))
+      VectorSearch.topK(e, qv, RrfN, pred).withColumn("qid", lit(qid))
+    }.reduce(_ unionAll _)
+    val denseRanked = graft.search.Fusion.rankedPerKey(dense, "qid", "vec_id", "score")
+    // sparse: one batched postings pass; the filter applies through the
+    // shared id space (doc_id ≡ vec_id) via an ids+label-only scan — one
+    // metadata scan for the whole batch, predicate per qid
+    val bm = graft.text.Bm25.batchScores(
+      Tables.documents(s, d), serveResolved.map(q => q._1 -> q._3))
+    val meta = e.select(col("vec_id").as("doc_id"), col("label"))
+    val joined = bm.join(meta, "doc_id")
+    val pass = serveResolved.map { case (qid, _, _, fj, _) =>
+      val spec = graft.filters.FilterDsl.parseJson(fj)
+      val p = if (spec.isEmpty) lit(true)
+              else graft.filters.FilterDsl.compile(joined, spec)
+      (col("qid") === lit(qid)) && p
+    }.reduce(_ || _)
+    val sparseTop = org.apache.spark.sql.graft.TopKPerKey(
+      joined.where(pass), Seq(col("qid")), Seq(desc("bm25"), col("doc_id")), RrfN)
+    val sparseRanked = graft.search.Fusion.rankedPerKey(sparseTop, "qid", "doc_id", "bm25")
+    // fuse, then MMR-diversify the bounded fused candidates driver-side
+    val fused = graft.search.Fusion.rrfBatch(denseRanked, sparseRanked, ServeCand)
+    val cands = fused
+      .join(e.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(col("qid"), col("id"), col("rrf"), col("embedding"))
+      .as[(Long, Long, Double, Array[Float])].collect() // ≤ |queries|·ServeCand rows by contract
+    val rows = cands.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val ordered = cs.sortBy(c => (-c._3, c._2)).map(c => (c._2, c._4, c._3))
+      graft.search.Mmr.greedy(ordered, ServeK, ServeLambda)
+        .map { case (rank, id, rel, mmr) => (qid, rank, id, rel, mmr) }
+    }.sortBy(r => (r._1, r._2))
+    rows.toDF("qid", "rank", "id", "rrf", "mmr_score")
+  }
+
+  lazy val pipelineServeSql: String = {
+    val lam = ServeLambda
+    val oml = 1.0 - ServeLambda // rendered from the Scala double (0.30000000000000004)
+    val denseValues = serveResolved
+      .map { case (qid, qv, _, _, _) => s"(CAST($qid AS BIGINT), ${QueryVectors.sqlLit(qv)})" }
+      .mkString(",\n  ")
+    val allowedSelects = serveResolved
+      .map { case (qid, _, _, _, where) =>
+        s"SELECT CAST($qid AS BIGINT) AS qid, vec_id AS id FROM embeddings WHERE $where" }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE ${graft.text.Bm25.batchOracleCtes(serveResolved.map(q => q._1 -> q._3))},
+       |allowed AS (
+       |  $allowedSelects),
+       |sp50 AS (
+       |  SELECT bm.qid, bm.doc_id, bm.bm25,
+       |         row_number() OVER (PARTITION BY bm.qid ORDER BY bm.bm25 DESC, bm.doc_id) AS rk
+       |  FROM bm JOIN allowed a ON a.qid = bm.qid AND a.id = bm.doc_id
+       |  QUALIFY rk <= $RrfN),
+       |sparse AS (SELECT qid, doc_id AS id, CAST(rk AS INT) AS sparse_rank FROM sp50),
+       |q(qid, qv) AS (VALUES
+       |  $denseValues),
+       |scored AS (
+       |  SELECT q.qid, e.vec_id,
+       |         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+       |  FROM embeddings e CROSS JOIN q
+       |  JOIN allowed a ON a.qid = q.qid AND a.id = e.vec_id),
+       |dtop AS (
+       |  SELECT qid, vec_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rk
+       |  FROM scored QUALIFY rk <= $RrfN),
+       |dense AS (SELECT qid, vec_id AS id, CAST(rk AS INT) AS dense_rank FROM dtop),
+       |f AS (
+       |  SELECT coalesce(dense.qid, sparse.qid) AS qid,
+       |         coalesce(dense.id, sparse.id) AS id,
+       |         coalesce(dense_rank, 0) AS dense_rank,
+       |         coalesce(sparse_rank, 0) AS sparse_rank
+       |  FROM dense FULL OUTER JOIN sparse
+       |    ON dense.qid = sparse.qid AND dense.id = sparse.id),
+       |fused AS (
+       |  SELECT qid, id,
+       |    round(CASE WHEN dense_rank > 0
+       |               THEN CAST(1.0 AS DOUBLE) / (${graft.search.Fusion.C} + dense_rank) ELSE 0 END
+       |        + CASE WHEN sparse_rank > 0
+       |               THEN CAST(1.0 AS DOUBLE) / (${graft.search.Fusion.C} + sparse_rank) ELSE 0 END, 6) AS rrf
+       |  FROM f),
+       |ftop AS (
+       |  SELECT qid, id, rrf,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS i
+       |  FROM fused QUALIFY i <= $ServeCand),
+       |cand AS (
+       |  SELECT ft.qid, ft.id, ft.rrf, ft.i, CAST(e.embedding AS DOUBLE[]) AS v
+       |  FROM ftop ft JOIN embeddings e ON e.vec_id = ft.id),
+       |pick(qid, rank, i, id, rrf, mmr, sel) AS (
+       |  (SELECT qid, 1, i, id, rrf, round($lam * rrf, 6), [i] FROM cand
+       |   QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round($lam * rrf, 6) DESC, i) = 1)
+       |  UNION ALL
+       |  SELECT p.qid, p.rank + 1, c.i, c.id, c.rrf, c.score, list_append(p.sel, c.i)
+       |  FROM pick p, LATERAL (
+       |    SELECT cand.i, cand.id, cand.rrf,
+       |           round($lam * cand.rrf - $oml * greatest(0.0, (
+       |             SELECT max(round(list_dot_product(cand.v, s2.v), 6))
+       |             FROM cand s2 WHERE s2.qid = p.qid AND list_contains(p.sel, s2.i))), 6) AS score
+       |    FROM cand
+       |    WHERE cand.qid = p.qid AND NOT list_contains(p.sel, cand.i)
+       |    ORDER BY score DESC, cand.i LIMIT 1) c
+       |  WHERE p.rank < $ServeK)
+       |SELECT qid, CAST(rank AS INT) AS rank, id, rrf, mmr AS mmr_score
+       |FROM pick ORDER BY qid, rank""".stripMargin
+  }
 
   /** Reference results.jsonl equivalent: per-(query, backend) stats —
     * latency_ms, recall_at_k, scored_vectors, filter_selectivity,
@@ -1321,6 +1474,7 @@ object VectorQueries {
     "hybrid_rrf" -> (hybridRrf _),
     "hybrid_rrf_batch" -> (hybridRrfBatch _),
     "hybrid_qtext_rrf" -> (hybridQtextRrf _),
+    "pipeline_serve" -> (pipelineServe _),
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
@@ -1371,6 +1525,7 @@ object VectorQueries {
     "hybrid_rrf" -> hybridRrfSql,
     "hybrid_rrf_batch" -> hybridRrfBatchSql,
     "hybrid_qtext_rrf" -> hybridQtextRrfSql,
+    "pipeline_serve" -> pipelineServeSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
     "vec_range_search" -> vecRangeSearchSql,

@@ -31,14 +31,25 @@ object Mmr {
     * top-`k`: (rank, vec_id, relevance, mmr_score). */
   def rerank(emb: DataFrame, qvec: Array[Float], k: Int, n: Int = 50,
              lambda: Double = 0.7): DataFrame = {
-    require(lambda >= 0.0 && lambda <= 1.0, s"mmr: lambda $lambda outside [0,1]")
     val spark = emb.sparkSession
     import spark.implicits._
     val cands = VectorSearch.withScore(emb, qvec)
       .select(col("vec_id"), col("embedding"), col("score"))
       .orderBy(desc("score"), col("vec_id")).limit(n)
       .as[(Long, Array[Float], Double)].collect()
+    greedy(cands, k, lambda)
+      .toDF("rank", "vec_id", "relevance", "mmr_score")
+  }
 
+  /** The greedy MMR core over an already-bounded candidate list
+    * (id, vector, 6dp-rounded relevance), in tie-break order (the
+    * caller's ranking order — earlier index wins ties): returns
+    * (rank, id, relevance, mmr_score). Shared by rerank (dense-score
+    * relevance) and pipeline_serve (fused-RRF relevance); both oracles
+    * replay this exact loop as a recursive CTE. */
+  def greedy(cands: Array[(Long, Array[Float], Double)], k: Int,
+             lambda: Double): Seq[(Int, Long, Double, Double)] = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"mmr: lambda $lambda outside [0,1]")
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
     val chosen = scala.collection.mutable.Set.empty[Int]
     // max sim of each remaining candidate to the selected set, updated
@@ -72,6 +83,5 @@ object Mmr {
     selected.zipWithIndex
       .map { case ((vid, rel, mmr), idx) => (idx + 1, vid, rel, mmr) }
       .toSeq
-      .toDF("rank", "vec_id", "relevance", "mmr_score")
   }
 }

@@ -179,4 +179,74 @@ class Bm25FusionSpec extends AnyFunSuite {
     val s = out.map(_._2)
     assert(s.zip(s.tail).forall { case (x, y) => x >= y })
   }
+
+  test("pipeline_serve: full local replay of filter→retrieve²→fuse→MMR") {
+    import graft.queries.VectorQueries
+    val sf = "/root/testdata/sf0.001"
+    val got = VectorQueries.pipelineServe(spark, sf)
+      .as[(Long, Int, Long, Double, Double)].collect().toSeq
+
+    // local corpus
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Option[Int])].collect()
+    val docTexts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val vecOf = embs.map(e => e._1 -> e._2).toMap
+
+    val want = VectorQueries.serveResolved.flatMap { case (qid, qv, terms, fj, _) =>
+      val allow: Option[Int] => Boolean = fj match {
+        case "{}" => _ => true
+        case s if s.contains("between") => { case Some(l) => l >= 0 && l <= 4; case None => false }
+        case _ => { case Some(l) => l != 3; case None => false } // ne 3; NULL fails
+      }
+      val allowed = embs.filter(e => allow(e._3)).map(_._1).toSet
+      // dense: exact IP top-N within the allowed subset
+      val dense = embs.filter(e => allowed(e._1))
+        .map(e => e._1 -> r6(graft.search.VecMath.dot(e._2, qv)))
+        .sortBy(x => (-x._2, x._1)).take(VectorQueries.RrfN)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      // sparse: BM25 over the whole corpus, then the filter, then top-N
+      val sparse = localBm25(docTexts, terms.distinct).toSeq
+        .filter(x => allowed(x._1))
+        .sortBy(x => (-x._2, x._1)).take(VectorQueries.RrfN)
+        .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      // RRF fuse, top-ServeCand candidates
+      val c = Fusion.C.toDouble
+      val fused = (dense.keySet ++ sparse.keySet).toSeq.map { id =>
+        id -> r6(dense.get(id).map(r => 1.0 / (c + r)).getOrElse(0.0) +
+                 sparse.get(id).map(r => 1.0 / (c + r)).getOrElse(0.0))
+      }.sortBy(x => (-x._2, x._1)).take(VectorQueries.ServeCand)
+      // naive quadratic MMR greedy (independent of Mmr.greedy)
+      val lam = VectorQueries.ServeLambda
+      var sel = Vector.empty[(Int, Long, Double, Double)]
+      var rest = fused.zipWithIndex.map { case ((id, rrf), i) => (i, id, rrf) }
+      while (sel.size < math.min(VectorQueries.ServeK, fused.size)) {
+        val scored = rest.map { case (i, id, rrf) =>
+          val red = sel.map(s => r6(graft.search.VecMath.dot(vecOf(id), vecOf(s._2))))
+            .foldLeft(0.0)(math.max)
+          (i, id, rrf, r6(lam * rrf - (1.0 - lam) * red))
+        }
+        val best = scored.minBy { case (i, _, _, v) => (-v, i) }
+        sel :+= ((sel.size + 1, best._2, best._3, best._4))
+        rest = rest.filterNot(_._1 == best._1)
+      }
+      sel.map { case (rank, id, rrf, mmr) => (qid, rank, id, rrf, mmr) }
+    }.sortBy(r => (r._1, r._2))
+
+    assert(got == want, s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
+    // contracts: K rows per qid with contiguous ranks; filters respected
+    VectorQueries.ServeQueries.foreach { case (qid, _, _, _) =>
+      val rs = got.filter(_._1 == qid)
+      assert(rs.map(_._2) == (1 to VectorQueries.ServeK))
+    }
+    val labelOf = embs.map(e => e._1 -> e._3).toMap
+    got.filter(_._1 == 1L).foreach(r => assert(labelOf(r._3).exists(l => l >= 0 && l <= 4)))
+    got.filter(_._1 == 2L).foreach(r => assert(labelOf(r._3).exists(_ != 3)))
+    // diversity is live: some qid's MMR order differs from pure-rrf order
+    assert(got.groupBy(_._1).values.exists { rs =>
+      rs.sortBy(_._2).map(_._3) != rs.sortBy(r => (-r._4, r._3)).map(_._3) ||
+      rs.map(_._5).distinct.length > 1
+    })
+  }
 }

@@ -1822,6 +1822,136 @@ object EventQueries {
       |  round(CAST(sum(abs(n - fc)) AS DOUBLE) / sum(fc), 6) AS wape
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #269 pipeline_monitor: the on-call MORNING REPORT as one gate row —
+    * the events-side composition (the pipeline_e2e symmetry turned toward
+    * observability): ONE daily rollup feeds four readouts per event type,
+    * joined into the single bounded frame a rotation reads at 9am:
+    * volume (n_days, total), TODAY'S health (the latest observed day's
+    * count scored by the events_anomaly_mad robust z — median/MAD over
+    * the type's full daily history, flag at |rz| ≥ 2), the most likely
+    * LEVEL-SHIFT day (the events_changepoint exact-integer CUSUM), and
+    * forecastability (the events_backtest seasonal-naive MAE/WAPE).
+    * Composes three proven detectors under ONE hash compare — and pins
+    * their interaction (shared rollup grain, per-type joins, NULL
+    * conventions: MAD=0 types report no rz, types absent on the latest
+    * day score a 0 count, types with no day−7 overlap report no error).
+    * Scale shape: fact rows cross only the map-side-combined daily
+    * rollup; everything after is (types × days)-bounded — the windows,
+    * percentile aggregates and five joins all run on calendar-grain
+    * frames, broadcast-joined. */
+  def pipelineMonitor(s: SparkSession, d: String): DataFrame =
+    pipelineMonitorOf(Tables.events(s, d))
+
+  def pipelineMonitorOf(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val base = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total_events"))
+    val med = daily.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val mad = daily.join(broadcast(med), "event_type")
+      .groupBy("event_type").agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+    val lastDay = daily.agg(max(col("day")).as("last_day"))
+    val latest = daily.join(broadcast(lastDay), col("day") === col("last_day"))
+      .select(col("event_type"), col("n").as("latest_n"))
+    // the events_changepoint exact-integer CUSUM (argmax on nd·pre − k·tot)
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val cp = daily
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("pre", sum(col("n")).over(wOrd))
+      .withColumn("tot", sum(col("n")).over(wAll))
+      .withColumn("nd", count(lit(1)).over(wAll))
+      .withColumn("cs", col("nd") * col("pre") - col("k") * col("tot"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("cs")).desc, col("day"))))
+      .where(col("rk") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        round(abs(col("cs")).cast("double") / col("nd"), 6).as("max_cusum"))
+    // the events_backtest seasonal-naive error (exact-integer sums)
+    val f = daily.select(col("event_type"),
+      date_add(col("day"), 7).as("day"), col("n").as("fc"))
+    val bt = daily.join(f, Seq("event_type", "day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("bt_days"),
+        sum(abs(col("n") - col("fc"))).as("sad"), sum(col("fc")).as("sf"))
+      .select(col("event_type"),
+        round(col("sad").cast("double") / col("bt_days"), 6).as("mae"),
+        round(col("sad").cast("double") / col("sf"), 6).as("wape"))
+    base
+      .join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .join(broadcast(latest), Seq("event_type"), "left")
+      .join(broadcast(cp), "event_type")
+      .join(broadcast(bt), Seq("event_type"), "left")
+      .withColumn("latest_n", coalesce(col("latest_n"), lit(0L)))
+      .withColumn("latest_rz", when(col("mad") > 0,
+        round(lit(0.6745) * (col("latest_n").cast("double") - col("med")) / col("mad"), 6)))
+      .withColumn("anomaly",
+        when(col("mad") > 0 && abs(col("latest_rz")) >= 2.0, 1).otherwise(0))
+      .select(col("event_type"), col("n_days"), col("total_events"),
+        col("latest_n"), col("latest_rz"), col("anomaly"),
+        col("cp_day"), col("max_cusum"), col("mae"), col("wape"))
+      .orderBy("event_type")
+  }
+
+  val pipelineMonitorSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |gl AS (SELECT max(day) AS last_day FROM daily),
+      |base AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |         CAST(sum(n) AS BIGINT) AS total_events
+      |  FROM daily GROUP BY 1),
+      |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM daily GROUP BY 1),
+      |mad AS (
+      |  SELECT d.event_type, quantile_cont(abs(d.n - m.med), 0.5) AS mad
+      |  FROM daily d JOIN med m USING (event_type) GROUP BY 1),
+      |latest AS (
+      |  SELECT d.event_type, d.n AS latest_n FROM daily d, gl
+      |  WHERE d.day = gl.last_day),
+      |c AS (
+      |  SELECT event_type, day,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS pre,
+      |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+      |  FROM daily),
+      |x AS (SELECT event_type, day, nd, nd * pre - k * tot AS cs FROM c),
+      |cp AS (
+      |  SELECT event_type, day AS cp_day,
+      |         round(CAST(abs(cs) AS DOUBLE) / nd, 6) AS max_cusum
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |          ORDER BY abs(cs) DESC, day) AS rk FROM x)
+      |  WHERE rk = 1),
+      |bt AS (
+      |  SELECT d.event_type, CAST(count(*) AS BIGINT) AS bt_days,
+      |    CAST(sum(abs(d.n - f.n)) AS BIGINT) AS sad,
+      |    CAST(sum(f.n) AS BIGINT) AS sf
+      |  FROM daily d JOIN daily f
+      |    ON d.event_type = f.event_type AND d.day = f.day + 7
+      |  GROUP BY 1),
+      |m2 AS (
+      |  SELECT b.event_type, b.n_days, b.total_events,
+      |    CAST(COALESCE(l.latest_n, 0) AS BIGINT) AS latest_n, med.med, mad.mad,
+      |    cp.cp_day, cp.max_cusum,
+      |    round(CAST(bt.sad AS DOUBLE) / bt.bt_days, 6) AS mae,
+      |    round(CAST(bt.sad AS DOUBLE) / bt.sf, 6) AS wape
+      |  FROM base b
+      |  JOIN med USING (event_type)
+      |  JOIN mad USING (event_type)
+      |  LEFT JOIN latest l USING (event_type)
+      |  JOIN cp USING (event_type)
+      |  LEFT JOIN bt USING (event_type))
+      |SELECT event_type, n_days, total_events, latest_n,
+      |  CASE WHEN mad > 0
+      |    THEN round(0.6745 * (CAST(latest_n AS DOUBLE) - med) / mad, 6) END AS latest_rz,
+      |  CAST(CASE WHEN mad > 0 AND abs(round(0.6745 * (CAST(latest_n AS DOUBLE) - med) / mad, 6)) >= 2.0
+      |       THEN 1 ELSE 0 END AS INT) AS anomaly,
+      |  cp_day, max_cusum, mae, wape
+      |FROM m2 ORDER BY event_type""".stripMargin
+
   /** #255 events_seasonal_strength: how much of each type's daily-count
     * variance the weekly rhythm explains — the one-number seasonality
     * R² = SSB/SST over the day-of-week grouping (events_dow_index shows
@@ -1913,6 +2043,7 @@ object EventQueries {
     "events_backtest" -> (eventsBacktest _),
     "events_survival" -> (eventsSurvival _),
     "events_changepoint" -> (eventsChangepoint _),
+    "pipeline_monitor" -> (pipelineMonitor _),
     "events_mau" -> (eventsMau _),
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
@@ -1960,6 +2091,7 @@ object EventQueries {
     "events_backtest" -> eventsBacktestSql,
     "events_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,
+    "pipeline_monitor" -> pipelineMonitorSql,
     "events_mau" -> eventsMauSql,
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_hourly" -> eventsHourlySql,

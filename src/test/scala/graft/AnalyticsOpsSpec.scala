@@ -1440,6 +1440,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 4L, 2.0), (2L, 4L, 0.0)))
   }
 
+  test("pipeline_monitor: the composed morning report on planted scenarios") {
+    def at(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    def r6(x: Double) = graft.search.VecMath.round6(x)
+    // a: level shift 2/day -> 10/day at day 5 (the changepoint case);
+    //    med 6, MAD 4, latest 10 -> rz 0.6745, NOT an anomaly
+    // b: steady 2/3 alternation then a 50 spike on the last day;
+    //    med 2.5, MAD 0.5 -> rz blows past 2, anomaly fires
+    // c: dies after day 3 (absent on the global latest day -> latest_n 0),
+    //    MAD 0 -> no rz by convention; no day-7 overlap -> no mae/wape;
+    //    flat counts -> cusum 0 everywhere, earliest-day tie-break
+    val a = (1 to 4).flatMap(d => Seq.fill(2)(at(d))) ++
+      (5 to 8).flatMap(d => Seq.fill(10)(at(d)))
+    val bCounts = Seq(2, 3, 2, 3, 2, 3, 2, 50)
+    val b = (1 to 8).flatMap(d => Seq.fill(bCounts(d - 1))(at(d)))
+    val c = (1 to 3).flatMap(d => Seq.fill(5)(at(d)))
+    val ev = (a.map((_, "a")) ++ b.map((_, "b")) ++ c.map((_, "c")))
+      .toDF("ts", "event_type")
+    val got = graft.queries.EventQueries.pipelineMonitorOf(ev)
+      .as[(String, Long, Long, Long, Option[Double], Int, java.sql.Date,
+           Double, Option[Double], Option[Double])].collect()
+    val day = (d: Int) => java.sql.Date.valueOf(f"2024-01-$d%02d")
+    assert(got.toSeq == Seq(
+      ("a", 8L, 48L, 10L, Some(r6(0.6745 * (10.0 - 6.0) / 4.0)), 0,
+        day(4), 16.0, Some(8.0), Some(4.0)),
+      ("b", 8L, 67L, 50L, Some(r6(0.6745 * (50.0 - 2.5) / 0.5)), 1,
+        day(7), 41.625, Some(48.0), Some(24.0)),
+      ("c", 3L, 15L, 0L, None, 0, day(1), 0.0, None, None)),
+      s"got:\n${got.mkString("\n")}")
+  }
+
   test("events_backtest: calendar lag-7 forecast, silent weeks not shifted") {
     def at(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
     // type a: jan01:2, jan08:4, jan15:3. forecasts: jan08<-2 (|4-2|=2),

@@ -1245,6 +1245,42 @@ object VectorQueries {
   }
 
 
+  /** #270 vec_autotune: the INDEX-SELECTION decision artifact — what a
+    * production vector store's auto-tuner emits (FAISS's autotune /
+    * Milvus index advisor slot): run the whole deterministic query set
+    * through a DIAL LADDER of backend settings (IVF, IVFPQ at three
+    * shortlists, LSH on both dial axes, SQ, BQ, with exact as the
+    * anchor), aggregate each setting's mean recall and mean DETERMINISTIC
+    * cost (scored_vectors — candidates actually scored, the
+    * hardware-independent cost the reference's results.jsonl records;
+    * latency is deliberately NOT a decision input), and pick the
+    * CHEAPEST setting meeting recall ≥ 0.9. One readout answers the
+    * operator question the per-family sweeps (#59/#63/#101) leave open:
+    * which index do I actually deploy for this corpus? Rows-only
+    * (k-means/LSH geometry is engine-specific); the decision contract
+    * (picked row qualifies, is min-cost among qualifiers, exact anchors
+    * recall 1.0) is spec-pinned. Scale shape: rides runMany — per-query
+    * backend probes over the shared persisted/serving tier, bounded
+    * driver aggregation over |ladder|×|queries| result rows. */
+  def vecAutotune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ladder = Seq("exact", "ivf", "ivfpq:50", "ivfpq:100", "ivfpq:200",
+      "lsh:1", "lsh:1x2", "lsh:2x2", "sq", "bq")
+    val rows = graft.harness.RunHarness.runMany(
+      s, d, ladder, ram = servingTier(s, d))
+    val target = 0.9
+    val agg = rows.groupBy(_.method).toSeq.map { case (m, rs) =>
+      (m, graft.search.VecMath.round6(rs.map(_.recallAtK).sum / rs.size),
+        math.round(rs.map(_.scoredVectors).sum.toDouble / rs.size))
+    }
+    val qual = agg.filter { case (m, rec, _) => m != "exact" && rec >= target }
+    val pick = if (qual.isEmpty) "exact" else qual.minBy(r => (r._3, r._1))._1
+    agg.sortBy(_._1)
+      .map { case (m, rec, cost) =>
+        (m, rec, cost, if (rec >= target) 1 else 0, if (m == pick) 1 else 0) }
+      .toDF("method", "mean_recall", "mean_scored", "qualifies", "picked")
+  }
+
   /** #207 vec_knn_classify: leave-one-out kNN label classification over
     * the embedding corpus — the standard embedding-quality probe (a
     * label-coherent embedding space classifies well; a collapsed or noisy
@@ -1475,6 +1511,7 @@ object VectorQueries {
     "hybrid_rrf_batch" -> (hybridRrfBatch _),
     "hybrid_qtext_rrf" -> (hybridQtextRrf _),
     "pipeline_serve" -> (pipelineServe _),
+    "vec_autotune" -> (vecAutotune _),
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),

@@ -338,4 +338,36 @@ class RunHarnessSpec extends AnyFunSuite {
       keys.mkString(",")) // test_logging_field_order_and_names
     assert(!line.contains("recall@K"))
   }
+
+  test("vec_autotune: decision contract — one pick, min-cost among qualifiers") {
+    val spark2 = spark
+    import spark2.implicits._
+    val out = graft.queries.VectorQueries.vecAutotune(spark, sf)
+      .as[(String, Double, Long, Int, Int)].collect().toSeq
+    // full ladder present, exact anchors recall 1.0 and qualifies
+    assert(out.length == 10, out.map(_._1).mkString(","))
+    val exact = out.find(_._1 == "exact").get
+    assert(exact._2 == 1.0 && exact._4 == 1)
+    // exactly one picked row
+    val picked = out.filter(_._5 == 1)
+    assert(picked.length == 1, picked.mkString(","))
+    val p = picked.head
+    // the pick is the min-(cost, name) among QUALIFYING non-exact rows,
+    // or the exact fallback when none qualifies
+    val qual = out.filter(r => r._1 != "exact" && r._2 >= 0.9)
+    if (qual.isEmpty) assert(p._1 == "exact")
+    else {
+      assert(p._4 == 1 && p._1 != "exact")
+      val best = qual.minBy(r => (r._3, r._1))
+      assert(p._1 == best._1, s"picked ${p._1}, cheapest qualifier ${best._1}")
+      // and it is genuinely cheaper than brute force
+      assert(p._3 < exact._3)
+    }
+    // qualifies flag is consistent with the recall column
+    out.foreach(r => assert((r._4 == 1) == (r._2 >= 0.9), r.toString))
+    // deterministic decision inputs: a second run agrees on (recall, cost)
+    val again = graft.queries.VectorQueries.vecAutotune(spark, sf)
+      .as[(String, Double, Long, Int, Int)].collect().toSeq
+    assert(again == out)
+  }
 }

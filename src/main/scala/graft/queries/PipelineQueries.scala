@@ -1502,7 +1502,91 @@ object PipelineQueries {
        |  FROM bat b JOIN q ON b.doc_id = q.doc_id JOIN l ON b.doc_id = l.doc_id)
        |SELECT stage, count(*) AS n_docs FROM staged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #271 corpus_schedule: the TWO-PHASE TRAINING MIXTURE SCHEDULE — the
+    * data-card artifact of the now-standard "anneal on quality" recipe
+    * (MiniCPM's decay-phase upweighting; Llama-3-style final-stage
+    * high-quality mixes): a fixed token budget (2× the corpus — a
+    * 2-epoch-equivalent run) splits 80/20 into a MAIN phase mixed by
+    * natural token mass and an ANNEAL phase mixed by quality-weighted
+    * token mass (Σ quality·tokens per source), emitting per (phase,
+    * source) the share, the integer token budget and the implied epochs
+    * (>1 = oversampling, the flag a data card must disclose). Exactness
+    * discipline: quality is the row-local 6-dp score scaled to integer
+    * micro-units (floor(q·1e6 + 0.5) — the round-scaling trap), weights
+    * accumulate as exact DECIMAL products, every share/epoch is ONE
+    * double division of exact values, budgets use integer floor-division
+    * and floor(x+0.5) — both engines land on identical rendered values.
+    * Scale shape: one scan with row-local features → a ≤|sources|
+    * map-side-combined rollup → broadcast one-row totals; nothing after
+    * the rollup is data-sized. */
+  def corpusSchedule(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val base = docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("qmu", floor(col("q") * 1e6 + 0.5).cast("long"))
+    val per = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("tokens_avail"),
+      sum(col("qmu").cast("decimal(8,0)") * col("n_tok").cast("decimal(14,0)")).as("wq"))
+    val tot = per.agg(sum(col("tokens_avail")).as("t_tokens"),
+      sum(col("wq")).as("t_wq"))
+    val j = per.crossJoin(broadcast(tot))
+      .withColumn("t_budget", col("t_tokens") * 2)
+      .withColumn("b_main", expr("(t_budget * 4) div 5"))
+      .withColumn("b_anneal", col("t_budget") - col("b_main"))
+    val main = j.select(lit("main").as("phase"), col("source"), col("n_docs"),
+      col("tokens_avail"),
+      round(col("tokens_avail").cast("double") / col("t_tokens").cast("double"), 6)
+        .as("share"),
+      col("b_main").as("pb"))
+    val anneal = j.select(lit("anneal").as("phase"), col("source"), col("n_docs"),
+      col("tokens_avail"),
+      round(col("wq").cast("double") / col("t_wq").cast("double"), 6).as("share"),
+      col("b_anneal").as("pb"))
+    main.unionAll(anneal)
+      .withColumn("token_budget",
+        floor(col("share") * col("pb").cast("double") + 0.5).cast("long"))
+      .withColumn("epochs",
+        round(col("token_budget").cast("double") / col("tokens_avail"), 6))
+      .select(col("phase"), col("source"), col("n_docs"), col("tokens_avail"),
+        col("share"), col("token_budget"), col("epochs"))
+      .orderBy("phase", "source")
+  }
+
+  val corpusScheduleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |q AS (${TextQueries.textQualityBodySql}),
+      |b AS (
+      |  SELECT t.source, t.n_tok,
+      |         CAST(floor(q.quality_score * 1000000 + 0.5) AS BIGINT) AS qmu
+      |  FROM t JOIN q USING (doc_id)),
+      |per AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS tokens_avail,
+      |         sum(qmu * n_tok) AS wq
+      |  FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(tokens_avail) AS BIGINT) AS t_tokens,
+      |               sum(wq) AS t_wq FROM per),
+      |ph AS (
+      |  SELECT 'main' AS phase, source, n_docs, tokens_avail,
+      |    round(CAST(tokens_avail AS DOUBLE) / CAST(t_tokens AS DOUBLE), 6) AS share,
+      |    (t_tokens * 2 * 4) // 5 AS pb
+      |  FROM per, tot
+      |  UNION ALL
+      |  SELECT 'anneal', source, n_docs, tokens_avail,
+      |    round(CAST(wq AS DOUBLE) / CAST(t_wq AS DOUBLE), 6),
+      |    t_tokens * 2 - (t_tokens * 2 * 4) // 5
+      |  FROM per, tot)
+      |SELECT phase, source, n_docs, tokens_avail, share,
+      |  CAST(floor(share * CAST(pb AS DOUBLE) + 0.5) AS BIGINT) AS token_budget,
+      |  round(CAST(floor(share * CAST(pb AS DOUBLE) + 0.5) AS DOUBLE) / tokens_avail, 6)
+      |    AS epochs
+      |FROM ph ORDER BY phase, source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_schedule" -> (corpusSchedule _),
     "corpus_release" -> (corpusRelease _),
     "split_cluster" -> (splitCluster _),
     "pipeline_ingest" -> (pipelineIngest _),
@@ -1536,6 +1620,7 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "corpus_schedule" -> corpusScheduleSql,
     "corpus_release" -> corpusReleaseSql,
     "split_cluster" -> splitClusterSql,
     "pipeline_ingest" -> pipelineIngestSql,

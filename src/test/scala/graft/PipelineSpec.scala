@@ -454,4 +454,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(others.forall(_ < byLang("en") - 1.0),
       s"DSIR failed to separate target: $byLang")
   }
+
+  test("corpus_schedule: schedule arithmetic replays from the engine's own features") {
+    val got = PipelineQueries.corpusSchedule(spark, sf)
+      .as[(String, String, Long, Long, Double, Long, Double)].collect().toSeq
+    def r6(x: Double) = graft.search.VecMath.round6(x)
+
+    // replay the SCHEDULE layer locally from the (separately oracle-checked)
+    // per-doc features: token counts + the shared quality score
+    val feats = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, String, Long, Double)].collect()
+    val per = feats.groupBy(_._2).map { case (src, rows) =>
+      val toks = rows.map(_._3).sum
+      val wq = rows.map(r => BigInt(math.floor(r._4 * 1e6 + 0.5).toLong) * BigInt(r._3)).sum
+      (src, rows.length.toLong, toks, wq)
+    }.toSeq.sortBy(_._1)
+    val tTok = per.map(_._3).sum
+    val tWq = per.map(_._4).sum
+    val tBudget = tTok * 2
+    val bMain = tBudget * 4 / 5
+    val bAnneal = tBudget - bMain
+    val want = (per.map { case (src, nd, toks, _) =>
+      val share = r6(toks.toDouble / tTok.toDouble)
+      val budget = math.floor(share * bMain.toDouble + 0.5).toLong
+      ("main", src, nd, toks, share, budget, r6(budget.toDouble / toks))
+    } ++ per.map { case (src, nd, toks, wq) =>
+      val share = r6(wq.toDouble / tWq.toDouble)
+      val budget = math.floor(share * bAnneal.toDouble + 0.5).toLong
+      ("anneal", src, nd, toks, share, budget, r6(budget.toDouble / toks))
+    }).sortBy(r => (r._1, r._2))
+    assert(got == want, s"got:\n${got.mkString("\n")}\nwant:\n${want.mkString("\n")}")
+
+    // invariants: per-phase shares ≈ 1, budgets conserve the phase budget
+    // up to per-source rounding, and the 80/20 split is exact
+    Seq("main" -> bMain, "anneal" -> bAnneal).foreach { case (ph, pb) =>
+      val rows = got.filter(_._1 == ph)
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-5 * rows.length)
+      assert(math.abs(rows.map(_._6).sum - pb) <= rows.length)
+    }
+    // the anneal phase upweights the highest-mean-quality source
+    val bestSrc = per.maxBy(p => p._4.toDouble / p._3.toDouble)._1
+    val mainShare = got.find(r => r._1 == "main" && r._2 == bestSrc).get._5
+    val annealShare = got.find(r => r._1 == "anneal" && r._2 == bestSrc).get._5
+    assert(annealShare >= mainShare,
+      s"$bestSrc: anneal $annealShare < main $mainShare")
+  }
 }

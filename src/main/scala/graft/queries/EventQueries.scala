@@ -1952,6 +1952,119 @@ object EventQueries {
       |  cp_day, max_cusum, mae, wape
       |FROM m2 ORDER BY event_type""".stripMargin
 
+  /** #272 events_root_cause: WHY did the volume move — the Adtributor
+    * contribution analysis (Bhagwan et al., NSDI'14) over a two-period
+    * comparison: the last 28 observed days vs the 28 before, explained
+    * along FOUR dimensions (event_type, day-of-week, hour band, props.k
+    * quartile bucket — relational, calendar, and semi-structured
+    * dimensions in one pass). Per (dimension, value): both period
+    * counts, the delta, EXPLANATORY POWER (this value's share of the
+    * total change — one division of exact integers, NULL when the metric
+    * didn't move) and SURPRISE (the Jensen-Shannon term between the
+    * value's share of each period — the Adtributor ranking signal that
+    * separates "big because the dimension is big" from "big because it
+    * CHANGED"). The ln parity rides the BM25/KM precedent (identical
+    * double expressions, 6-dp round). Scale shape: rows fan out
+    * row-locally to 4 (dim, value) pairs inside the scan stage; ONE
+    * map-side-combined aggregate on the bounded (dim, value) key space
+    * (≈5+7+4+5 values); totals re-derive from the counts themselves. */
+  def eventsRootCause(s: SparkSession, d: String): DataFrame =
+    eventsRootCauseOf(Tables.events(s, d))
+
+  def eventsRootCauseOf(ev: DataFrame): DataFrame = {
+    val lastD = ev.agg(max(to_date(col("ts"))).as("last_day"))
+    val rows = ev
+      .select(col("ts"), col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .crossJoin(broadcast(lastD))
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("period",
+        when(col("day") > date_sub(col("last_day"), 28), "cur")
+          .when(col("day") > date_sub(col("last_day"), 56), "base"))
+      .where(col("period").isNotNull)
+      .select(explode(array(
+        struct(lit("event_type").as("dim"), col("event_type").as("value")),
+        struct(lit("dow").as("dim"),
+          dayofweek(col("day")).cast("string").as("value")),
+        struct(lit("hour_band").as("dim"),
+          floor(hour(col("ts")) / 6).cast("string").as("value")),
+        struct(lit("k_bucket").as("dim"),
+          coalesce(floor(col("k") / 25).cast("string"), lit("na")).as("value"))
+      )).as("dv"), col("period"))
+      .select(col("dv.dim").as("dim"), col("dv.value").as("value"), col("period"))
+    val counts = rows.groupBy("dim", "value").agg(
+      sum(when(col("period") === "base", 1L).otherwise(0L)).as("base_n"),
+      sum(when(col("period") === "cur", 1L).otherwise(0L)).as("cur_n"))
+    val tots = counts.groupBy("dim")
+      .agg(sum(col("base_n")).as("tb"), sum(col("cur_n")).as("tc"))
+    val p = col("base_n").cast("double") / col("tb").cast("double")
+    val q = col("cur_n").cast("double") / col("tc").cast("double")
+    def jsTerm(x: org.apache.spark.sql.Column,
+               y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(x > 0, x * log(lit(2.0) * x / (x + y))).otherwise(lit(0.0))
+    counts.join(broadcast(tots), "dim")
+      .withColumn("delta", col("cur_n") - col("base_n"))
+      .withColumn("ep", when(col("tc") =!= col("tb"),
+        round(col("delta").cast("double") / (col("tc") - col("tb")).cast("double"), 6)))
+      .withColumn("surprise",
+        round(lit(0.5) * (jsTerm(p, q) + jsTerm(q, p)), 6))
+      .select(col("dim").as("dimension"), col("value"), col("base_n"),
+        col("cur_n"), col("delta"), col("ep"), col("surprise"))
+      .orderBy("dimension", "value")
+  }
+
+  val eventsRootCauseSql: String =
+    """WITH gl AS (SELECT max(CAST(ts AS DATE)) AS last_day FROM events),
+      |r AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,
+      |    CASE WHEN json_valid(props)
+      |         THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+      |    CASE WHEN CAST(ts AS DATE) > last_day - 28 THEN 'cur'
+      |         WHEN CAST(ts AS DATE) > last_day - 56 THEN 'base' END AS period
+      |  FROM events, gl),
+      |p AS (SELECT * FROM r WHERE period IS NOT NULL),
+      |dv AS (
+      |  SELECT 'event_type' AS dim, event_type AS value, period FROM p
+      |  UNION ALL
+      |  SELECT 'dow', CAST(dayofweek(day) + 1 AS VARCHAR), period FROM p
+      |  UNION ALL
+      |  SELECT 'hour_band', CAST(hr // 6 AS VARCHAR), period FROM p
+      |  UNION ALL
+      |  SELECT 'k_bucket',
+      |         CASE WHEN k IS NULL THEN 'na' ELSE CAST(k // 25 AS VARCHAR) END,
+      |         period FROM p),
+      |counts AS (
+      |  SELECT dim, value,
+      |    CAST(sum(CASE WHEN period = 'base' THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+      |    CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+      |  FROM dv GROUP BY 1, 2),
+      |tots AS (
+      |  SELECT dim, CAST(sum(base_n) AS BIGINT) AS tb,
+      |         CAST(sum(cur_n) AS BIGINT) AS tc
+      |  FROM counts GROUP BY 1)
+      |SELECT c.dim AS dimension, c.value, c.base_n, c.cur_n,
+      |  c.cur_n - c.base_n AS delta,
+      |  CASE WHEN t.tc <> t.tb
+      |    THEN round(CAST(c.cur_n - c.base_n AS DOUBLE)
+      |               / CAST(t.tc - t.tb AS DOUBLE), 6) END AS ep,
+      |  round(0.5 * (
+      |    CASE WHEN CAST(c.base_n AS DOUBLE) / CAST(t.tb AS DOUBLE) > 0
+      |      THEN (CAST(c.base_n AS DOUBLE) / CAST(t.tb AS DOUBLE))
+      |        * ln(2.0 * (CAST(c.base_n AS DOUBLE) / CAST(t.tb AS DOUBLE))
+      |             / ((CAST(c.base_n AS DOUBLE) / CAST(t.tb AS DOUBLE))
+      |               + (CAST(c.cur_n AS DOUBLE) / CAST(t.tc AS DOUBLE))))
+      |      ELSE 0 END
+      |    + CASE WHEN CAST(c.cur_n AS DOUBLE) / CAST(t.tc AS DOUBLE) > 0
+      |      THEN (CAST(c.cur_n AS DOUBLE) / CAST(t.tc AS DOUBLE))
+      |        * ln(2.0 * (CAST(c.cur_n AS DOUBLE) / CAST(t.tc AS DOUBLE))
+      |             / ((CAST(c.base_n AS DOUBLE) / CAST(t.tb AS DOUBLE))
+      |               + (CAST(c.cur_n AS DOUBLE) / CAST(t.tc AS DOUBLE))))
+      |      ELSE 0 END), 6) AS surprise
+      |FROM counts c JOIN tots t USING (dim)
+      |ORDER BY dimension, value""".stripMargin
+
   /** #255 events_seasonal_strength: how much of each type's daily-count
     * variance the weekly rhythm explains — the one-number seasonality
     * R² = SSB/SST over the day-of-week grouping (events_dow_index shows
@@ -2044,6 +2157,7 @@ object EventQueries {
     "events_survival" -> (eventsSurvival _),
     "events_changepoint" -> (eventsChangepoint _),
     "pipeline_monitor" -> (pipelineMonitor _),
+    "events_root_cause" -> (eventsRootCause _),
     "events_mau" -> (eventsMau _),
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
@@ -2092,6 +2206,7 @@ object EventQueries {
     "events_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,
     "pipeline_monitor" -> pipelineMonitorSql,
+    "events_root_cause" -> eventsRootCauseSql,
     "events_mau" -> eventsMauSql,
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_hourly" -> eventsHourlySql,

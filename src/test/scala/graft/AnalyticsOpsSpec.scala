@@ -1470,6 +1470,51 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"got:\n${got.mkString("\n")}")
   }
 
+  test("events_root_cause: explanatory power and surprise on a planted shift") {
+    def r6(x: Double) = graft.search.VecMath.round6(x)
+    // 56 days (2024-01-01..2024-02-25), all events at hour 12:
+    // click: 10/day both periods (k=10); error: 1/day base, 5/day cur
+    // (k=90) — error IS the root cause of the +112 move
+    val days = (0 until 56).map(i => java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val ev = days.zipWithIndex.flatMap { case (d, i) =>
+      val ts = java.sql.Timestamp.valueOf(s"$d 12:00:00")
+      Seq.fill(10)((ts, "click", """{"k": 10}""")) ++
+        Seq.fill(if (i < 28) 1 else 5)((ts, "error", """{"k": 90}"""))
+    }.toDF("ts", "event_type", "props")
+    val got = graft.queries.EventQueries.eventsRootCauseOf(ev)
+      .as[(String, String, Long, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(got.length == 2 + 7 + 1 + 2, got.map(r => (r._1, r._2)).mkString(","))
+
+    def js(p: Double, q: Double): Double = {
+      def t(x: Double, y: Double) = if (x > 0) x * math.log(2.0 * x / (x + y)) else 0.0
+      r6(0.5 * (t(p, q) + t(q, p)))
+    }
+    val byKey = got.map(r => (r._1, r._2) -> r).toMap
+    // the shifted type carries ALL the explanatory power; the flat one none
+    assert(byKey(("event_type", "error")) ==
+      (("event_type", "error", 28L, 140L, 112L, Some(1.0), js(28.0 / 308, 140.0 / 420))))
+    assert(byKey(("event_type", "click")) ==
+      (("event_type", "click", 280L, 280L, 0L, Some(0.0), js(280.0 / 308, 280.0 / 420))))
+    // the k buckets mirror their types exactly (same partition of rows)
+    assert(byKey(("k_bucket", "3"))._5 == 112L && byKey(("k_bucket", "3"))._6 == Some(1.0))
+    // dow is a NON-explanation: every day of week moved alike — ep splits
+    // 7 ways and surprise is exactly 0 (identical shares both periods)
+    val dows = got.filter(_._1 == "dow")
+    assert(dows.length == 7)
+    dows.foreach { r =>
+      assert(r._5 == 16L && r._6 == Some(r6(16.0 / 112)) && r._7 == 0.0, r.toString)
+    }
+    // the single hour band holds everything: ep 1, surprise 0
+    assert(byKey(("hour_band", "2")) ==
+      (("hour_band", "2", 308L, 420L, 112L, Some(1.0), 0.0)))
+    // surprise ranks the true cause above the size-only rows
+    assert(byKey(("event_type", "error"))._7 > byKey(("event_type", "click"))._7)
+    // per dimension, deltas conserve the total move
+    got.groupBy(_._1).foreach { case (dim, rs) =>
+      assert(rs.map(_._5).sum == 112L, s"$dim delta sum")
+    }
+  }
+
   test("events_backtest: calendar lag-7 forecast, silent weeks not shifted") {
     def at(d: String) = java.sql.Timestamp.valueOf(s"$d 12:00:00")
     // type a: jan01:2, jan08:4, jan15:3. forecasts: jan08<-2 (|4-2|=2),

@@ -649,6 +649,90 @@ object DedupQueries {
     * all four recursive-CTE clusterings from scratch. */
   val SweepTaus: Seq[Double] = Seq(0.95, 0.96, 0.97, 0.98)
 
+  /** The (bands × rows) ladder sharing the production perm budget
+    * (Dedup.minhashLshPairs: 4 bands × 8 rows = 32 perms). */
+  private[graft] val TuneConfigs: Seq[(Int, Int)] =
+    Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+  private[graft] val DeployedConfig: (Int, Int) = (4, 8)
+
+  /** x^n as an explicit LEFT-FOLD product — both engines multiply in the
+    * identical IEEE order, so no pow() library variance can leak into
+    * the hash compare. */
+  private def powC(x: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    Seq.fill(n)(x).reduce(_ * _)
+  private[graft] def powD(x: Double, n: Int): Double = Seq.fill(n)(x).reduce(_ * _)
+  private def powSql(x: String, n: Int): String =
+    Seq.fill(n)(x).mkString("(", " * ", ")")
+
+  /** The S-curve detection probability 1 − (1 − s^r)^b, rounded 6 dp,
+    * computed with the shared left-fold products. */
+  private[graft] def sCurve(s: Double, b: Int, r: Int): Double =
+    graft.search.VecMath.round6(1.0 - powD(1.0 - powD(s, r), b))
+
+  /** #273 dedup_minhash_tune: the BANDING-PARAMETER decision artifact —
+    * the dedup-side twin of vec_autotune (which index dial do I deploy
+    * becomes: which (bands × rows) split of the 32-perm budget?). For
+    * every config sharing the perm budget, the MinHash S-curve
+    * P(candidate) = 1 − (1 − s^r)^b is evaluated (a) analytically at
+    * s ∈ {0.80, 0.90} — the FALSE-CANDIDATE mass a config admits below
+    * the τ=0.95 target, the cost axis — and (b) EMPIRICALLY as the
+    * expected recall over the MINED pair set's exact 6-dp Jaccards, the
+    * benefit axis. Exactness: no pow() anywhere — x^n is an explicit
+    * left-fold product (identical IEEE order in both engines); per-pair
+    * detection probabilities scale to integer micro-units
+    * (floor(p·1e6 + 0.5)) and sum exactly, one division per mean (the
+    * corpus_schedule discipline). The deployed 4×8 config is flagged.
+    * Scale shape: ONE map-side-combined aggregate over the (already
+    * bounded) mined pair table computes all six configs' sums at once;
+    * the analytic grid is config-constant arithmetic. */
+  def dedupMinhashTune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minedJaccardPairs(s, d).select(col("jac"))
+    val pmuCols = TuneConfigs.map { case (b, r) =>
+      sum(floor(round(lit(1.0) - powC(lit(1.0) - powC(col("jac"), r), b), 6)
+        * 1e6 + 0.5).cast("long")).as(s"pmu_${b}_$r")
+    }
+    val agg = pairs.agg(count(lit(1)).as("n"), pmuCols: _*).first()
+    val n = agg.getLong(0)
+    val rows = TuneConfigs.zipWithIndex.map { case ((b, r), i) =>
+      val expRecall: java.lang.Double =
+        if (n == 0) null
+        else graft.search.VecMath.round6(agg.getLong(i + 1).toDouble / (n.toDouble * 1e6))
+      (b, r, sCurve(0.80, b, r), sCurve(0.90, b, r),
+        expRecall, if ((b, r) == DeployedConfig) 1 else 0)
+    }
+    rows.toDF("bands", "rows", "p_s80", "p_s90", "exp_recall", "deployed")
+      .orderBy(desc("bands"))
+  }
+
+  lazy val dedupMinhashTuneSql: String = {
+    val branches = TuneConfigs.map { case (b, r) =>
+      val p = s"(1.0 - ${powSql(s"(1.0 - ${powSql("jac", r)})", b)})"
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows,
+         |  CAST(${sCurve(0.80, b, r)} AS DOUBLE) AS p_s80,
+         |  CAST(${sCurve(0.90, b, r)} AS DOUBLE) AS p_s90,
+         |  (SELECT round(CAST(sum(CAST(floor(round($p, 6) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |          / (count(*) * 1000000.0), 6) FROM allp) AS exp_recall,
+         |  CAST(${if ((b, r) == DeployedConfig) 1 else 0} AS INT) AS deployed"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT doc_id, ts,
+       |         list_aggregate(list_apply(ts, t -> md5(t)), 'min') AS blk
+       |  FROM toks),
+       |allp AS (
+       |  SELECT round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |               / len(list_distinct(a.ts || b.ts)), 6) AS jac
+       |  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+       |              / len(list_distinct(a.ts || b.ts)), 6) >= $JaccardTau)
+       |$branches
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   def dedupSweep(s: SparkSession, d: String): DataFrame = {
     val nDocs = Tables.documents(s, d).count()
     val pairs = minedJaccardPairs(s, d)
@@ -716,6 +800,7 @@ object DedupQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_sweep" -> (dedupSweep _),
+    "dedup_minhash_tune" -> (dedupMinhashTune _),
     "dedup_cross_source" -> (dedupCrossSource _),
     "dedup_cdc" -> (dedupCdc _),
     "dedup_containment" -> (dedupContainment _),
@@ -739,6 +824,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_sweep" -> dedupSweepSql,
+    "dedup_minhash_tune" -> dedupMinhashTuneSql,
     "dedup_cross_source" -> dedupCrossSourceSql,
     "dedup_cdc" -> dedupCdcSql,
     "dedup_containment" -> dedupContainmentSql,

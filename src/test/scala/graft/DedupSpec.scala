@@ -469,4 +469,37 @@ class DedupSpec extends AnyFunSuite {
     // discriminates at sf0.001: the sweep isn't flat to the cap
     assert(floor._4 > got.last._4, "sweep flat — fixture lost its graded near-dups")
   }
+
+  test("dedup_minhash_tune: S-curve decision table replays from the mined jaccards") {
+    import graft.queries.DedupQueries
+    val got = DedupQueries.dedupMinhashTune(spark, sf)
+      .as[(Int, Int, Double, Double, Option[Double], Int)].collect().toSeq
+    assert(got.length == DedupQueries.TuneConfigs.length)
+    assert(got.map(r => (r._1, r._2)) == DedupQueries.TuneConfigs.sortBy(-_._1))
+
+    // local replay from the (separately hash-checked) mined pair jaccards
+    val jacs = DedupQueries.minedJaccardPairs(spark, sf)
+      .select(col("jac")).as[Double].collect()
+    assert(jacs.nonEmpty, "no mined pairs at sf0.001 — fixture drift")
+    got.foreach { case (b, r, p80, p90, er, dep) =>
+      assert(p80 == DedupQueries.sCurve(0.80, b, r))
+      assert(p90 == DedupQueries.sCurve(0.90, b, r))
+      val pmu = jacs.map(j => math.floor(VecMath.round6(
+        1.0 - DedupQueries.powD(1.0 - DedupQueries.powD(j, r), b)) * 1e6 + 0.5).toLong).sum
+      assert(er == Some(VecMath.round6(pmu.toDouble / (jacs.length.toDouble * 1e6))),
+        s"($b,$r): $er")
+      assert((dep == 1) == ((b, r) == DedupQueries.DeployedConfig))
+    }
+    // high-s recall rises as rows shrink (more, shorter bands catch τ≥0.95
+    // pairs more often); low-s false-candidate mass rises the same way —
+    // the trade-off the table exists to show
+    val byBands = got.sortBy(-_._1)
+    assert(byBands.map(_._5.get) == byBands.map(_._5.get).sorted.reverse,
+      "expected recall not monotone in bands")
+    assert(byBands.map(_._3) == byBands.map(_._3).sorted.reverse,
+      "false-candidate mass not monotone in bands")
+    // the deployed 4×8 config genuinely catches the τ=0.95 sliver
+    val deployed = got.find(_._6 == 1).get
+    assert(deployed._5.get > 0.95, s"deployed recall ${deployed._5}")
+  }
 }

@@ -1070,6 +1070,67 @@ object VectorQueries {
     rrfBatchOracle(qtextRrfResolved.map(q => (q._1, q._2)),
       qtextRrfResolved.map(q => q._1 -> q._3))
 
+  /** #274 hybrid_plan: the PRE-vs-POST-FILTER plan decision as a
+    * hash-checked row — the choice the reference's two baselines embody
+    * (pre_filter.py: gather the allowed subset and score it; post_filter
+    * .py: probe the full-corpus ranking and widen the candidate ladder
+    * until ≥K allowed survive), made from DETERMINISTIC costs with the
+    * harness's own scored_vectors semantics (pre = |allowed|; post = the
+    * ladder rung K′ at stop, NULL when the ladder exhausts). Per query:
+    * selectivity, both costs, and the cheaper plan (pre wins ties —
+    * gathering beats laddering at equal scored rows). This is the row a
+    * query planner logs when hybrid search picks an execution strategy
+    * per filter. Scale shape: per query ONE pushed-predicate count + ONE
+    * TakeOrdered of the max rung (the postFilterLadder collect contract,
+    * ≤1000 rows to the driver); the oracle replays the full ranking with
+    * a gate-scale window. */
+  def hybridPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, d)
+    val total = e.count()
+    val ladder = Seq(200, 500, 1000)
+    val rows = QuerySet.default.map { hq =>
+      val spec = graft.filters.FilterDsl.parseJson(hq.filters)
+      val pred = if (spec.isEmpty) None else Some(graft.filters.FilterDsl.compile(e, spec))
+      val nAllowed = pred.map(p => e.where(p).count()).getOrElse(total)
+      val cand = VectorSearch.withScore(e, hq.qvec)
+        .withColumn("pass", coalesce(pred.getOrElse(lit(true)), lit(false)))
+        .select(col("vec_id").cast("long"), col("score"), col("pass"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(ladder.max)
+        .as[(Long, Double, Boolean)].collect() // ≤ max rung by contract
+      val postCost = ladder.find(kp => cand.take(kp).count(_._3) >= hq.k)
+      val chosen =
+        if (postCost.isEmpty || nAllowed <= postCost.get) "pre" else "post"
+      (hq.qid, hq.k, graft.search.VecMath.round6(nAllowed.toDouble / total),
+        nAllowed, postCost.map(_.toLong), chosen)
+    }
+    rows.toDF("qid", "k", "selectivity", "pre_cost", "post_cost", "chosen")
+      .orderBy("qid")
+  }
+
+  lazy val hybridPlanSql: String =
+    QuerySet.default.map { hq =>
+      s"""SELECT qid, k, selectivity, pre_cost, post_cost,
+         |  CASE WHEN post_cost IS NULL OR pre_cost <= post_cost
+         |       THEN 'pre' ELSE 'post' END AS chosen
+         |FROM (
+         |  SELECT CAST(${hq.qid} AS BIGINT) AS qid, CAST(${hq.k} AS INT) AS k,
+         |    round(CAST(sum(pass) AS DOUBLE) / count(*), 6) AS selectivity,
+         |    CAST(sum(pass) AS BIGINT) AS pre_cost,
+         |    CAST(CASE
+         |      WHEN sum(CASE WHEN rk <= 200 THEN pass ELSE 0 END) >= ${hq.k} THEN 200
+         |      WHEN sum(CASE WHEN rk <= 500 THEN pass ELSE 0 END) >= ${hq.k} THEN 500
+         |      WHEN sum(CASE WHEN rk <= 1000 THEN pass ELSE 0 END) >= ${hq.k} THEN 1000
+         |    END AS BIGINT) AS post_cost
+         |  FROM (
+         |    SELECT row_number() OVER (
+         |        ORDER BY round(list_dot_product(CAST(embedding AS DOUBLE[]), ${QueryVectors.sqlLit(hq.qvec)}), 6) DESC,
+         |        vec_id) AS rk,
+         |      CASE WHEN ${hq.sqlWhere} THEN 1 ELSE 0 END AS pass
+         |    FROM embeddings))""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY qid")
+
   // ---- #268 pipeline_serve: the COMPLETE serving path as one gate row ----
 
   /** The serving query table: qtext + filter DSL JSON + its DuckDB WHERE
@@ -1512,6 +1573,7 @@ object VectorQueries {
     "hybrid_qtext_rrf" -> (hybridQtextRrf _),
     "pipeline_serve" -> (pipelineServe _),
     "vec_autotune" -> (vecAutotune _),
+    "hybrid_plan" -> (hybridPlan _),
     "hybrid_stats" -> (hybridStats _),
     "vec_topk" -> (vecTopK _),
     "vec_prefilter_topk" -> (vecPrefilterTopK _),
@@ -1563,6 +1625,7 @@ object VectorQueries {
     "hybrid_rrf_batch" -> hybridRrfBatchSql,
     "hybrid_qtext_rrf" -> hybridQtextRrfSql,
     "pipeline_serve" -> pipelineServeSql,
+    "hybrid_plan" -> hybridPlanSql,
     "vec_topk" -> vecTopKSql,
     "vec_prefilter_topk" -> vecPrefilterTopKSql,
     "vec_range_search" -> vecRangeSearchSql,

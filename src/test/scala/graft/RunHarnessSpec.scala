@@ -339,6 +339,49 @@ class RunHarnessSpec extends AnyFunSuite {
     assert(!line.contains("recall@K"))
   }
 
+  test("hybrid_plan: costs equal the harness's scored_vectors; local replay agrees") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = graft.queries.VectorQueries.hybridPlan(spark, sf)
+      .as[(Long, Int, Double, Long, Option[Long], String)].collect().toSeq
+    assert(got.map(_._1) == QuerySet.default.map(_.qid))
+
+    // the decision's cost inputs ARE the harness's recorded scored_vectors
+    val rows = RunHarness.runMany(spark, sf, Seq("pre_filter", "post_filter"))
+      .map(r => (r.qid, r.method) -> r.scoredVectors).toMap
+    got.foreach { case (qid, _, _, pre, post, _) =>
+      assert(rows((qid, "pre_filter")) == pre, s"qid $qid pre")
+      post.foreach(p => assert(rows((qid, "post_filter")) == p, s"qid $qid post"))
+    }
+
+    // full local replay of the plan choice
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Array[Float], Option[Int])].collect()
+    QuerySet.default.foreach { hq =>
+      val allow: ((Long, Array[Float], Option[Int])) => Boolean = hq.qid match {
+        case 0 => _ => true
+        case 1 => _._3.exists(Set(0, 1, 2))
+        case 2 => _._3.exists(_ >= 5)
+        case 3 => _._3.exists(_ == 7)
+        case 4 => _._3.exists(l => l >= 2 && l <= 6)
+        case _ => _._3.exists(_ != 3)
+      }
+      val ranked = embs
+        .map(e => (e._1, graft.search.VecMath.round6(graft.search.VecMath.dot(e._2, hq.qvec)), allow(e)))
+        .sortBy(x => (-x._2, x._1))
+      val pre = embs.count(allow)
+      val post = Seq(200, 500, 1000).find(kp => ranked.take(kp).count(_._3) >= hq.k)
+      val chosen = if (post.isEmpty || pre <= post.get) "pre" else "post"
+      val g = got.find(_._1 == hq.qid).get
+      assert(g._4 == pre && g._5 == post.map(_.toLong) && g._6 == chosen,
+        s"qid ${hq.qid}: got $g want ($pre, $post, $chosen)")
+      assert(g._3 == graft.search.VecMath.round6(pre.toDouble / embs.length))
+    }
+    // both plans genuinely occur across the query mix
+    assert(got.map(_._6).distinct.length == 2, got.map(_._6).mkString(","))
+  }
+
   test("vec_autotune: decision contract — one pick, min-cost among qualifiers") {
     val spark2 = spark
     import spark2.implicits._

@@ -1971,20 +1971,20 @@ object EventQueries {
   def eventsRootCause(s: SparkSession, d: String): DataFrame =
     eventsRootCauseOf(Tables.events(s, d))
 
-  def eventsRootCauseOf(ev: DataFrame): DataFrame = {
-    val lastD = ev.agg(max(to_date(col("ts"))).as("last_day"))
-    val rows = ev
-      .select(col("ts"), col("event_type"),
+  /** Per-row projection of the json k field + calendar day — shared by
+    * the batch operator and the streaming twin so the two can never
+    * drift on dimension derivation. Requires ts/event_type/props. */
+  private[graft] def rootCauseFeatures(ev: DataFrame): DataFrame =
+    ev.select(col("ts"), col("event_type"),
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
           .getField("k").as("k"))
-      .crossJoin(broadcast(lastD))
       .withColumn("day", to_date(col("ts")))
-      .withColumn("period",
-        when(col("day") > date_sub(col("last_day"), 28), "cur")
-          .when(col("day") > date_sub(col("last_day"), 56), "base"))
-      .where(col("period").isNotNull)
-      .select(explode(array(
+
+  /** Row-local fan-out to the four (dim, value) pairs, carrying the given
+    * columns through (batch carries `period`; the twin carries `day`). */
+  private[graft] def rootCauseFanout(df: DataFrame, carry: String*): DataFrame =
+    df.select(explode(array(
         struct(lit("event_type").as("dim"), col("event_type").as("value")),
         struct(lit("dow").as("dim"),
           dayofweek(col("day")).cast("string").as("value")),
@@ -1992,8 +1992,20 @@ object EventQueries {
           floor(hour(col("ts")) / 6).cast("string").as("value")),
         struct(lit("k_bucket").as("dim"),
           coalesce(floor(col("k") / 25).cast("string"), lit("na")).as("value"))
-      )).as("dv"), col("period"))
-      .select(col("dv.dim").as("dim"), col("dv.value").as("value"), col("period"))
+      )).as("dv") +: carry.map(col): _*)
+      .select(Seq(col("dv.dim").as("dim"), col("dv.value").as("value"))
+        ++ carry.map(col): _*)
+
+  def eventsRootCauseOf(ev: DataFrame): DataFrame = {
+    val lastD = ev.agg(max(to_date(col("ts"))).as("last_day"))
+    val rows = rootCauseFanout(
+      rootCauseFeatures(ev)
+        .crossJoin(broadcast(lastD))
+        .withColumn("period",
+          when(col("day") > date_sub(col("last_day"), 28), "cur")
+            .when(col("day") > date_sub(col("last_day"), 56), "base"))
+        .where(col("period").isNotNull),
+      "period")
     val counts = rows.groupBy("dim", "value").agg(
       sum(when(col("period") === "base", 1L).otherwise(0L)).as("base_n"),
       sum(when(col("period") === "cur", 1L).otherwise(0L)).as("cur_n"))

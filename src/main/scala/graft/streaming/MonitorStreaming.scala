@@ -326,3 +326,64 @@ final class StreamingChangepoint {
       }
     }
 }
+
+/** Incremental Adtributor root-cause (#272 events_root_cause's twin):
+  * the (dim, value, day) count map is the additive sufficient statistic,
+  * so late rows absorb exactly — INCLUDING late rows that extend the
+  * observed horizon and thereby SHIFT both comparison windows, which a
+  * watermark-windowed aggregator can never replay. `report()` re-derives
+  * the period split from the accumulated horizon and replays the batch
+  * operator's exact arithmetic (integer counts, one division per EP,
+  * the same JS-term doubles, 6-dp round). State is calendar × value
+  * bounded (four dims × their value counts × observed days). */
+final class StreamingRootCause {
+
+  private val state =
+    scala.collection.mutable.HashMap.empty[(String, String, java.sql.Date), Long]
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    val rows = graft.queries.EventQueries.rootCauseFanout(
+        graft.queries.EventQueries.rootCauseFeatures(batch), "day")
+      .groupBy(col("dim"), col("value"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getDate(2)), r.getLong(3)))
+    rows.foreach { case (k, n) => state.update(k, state.getOrElse(k, 0L) + n) }
+  }
+
+  private def r6(x: Double) = graft.search.VecMath.round6(x)
+
+  /** (dimension, value, base_n, cur_n, delta, ep, surprise), the #272
+    * schema and ordering. */
+  def report(): Seq[(String, String, Long, Long, Long, Option[Double], Double)] =
+    synchronized {
+      if (state.isEmpty) return Seq.empty
+      val lastDay = state.keysIterator.map(_._3.toLocalDate).max
+      val baseLo = lastDay.minusDays(56)
+      val curLo = lastDay.minusDays(28)
+      // (dim, value) -> (base, cur) over the re-derived horizon split
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), (Long, Long)]
+      state.foreach { case ((dim, v, d), n) =>
+        val ld = d.toLocalDate
+        val key = (dim, v)
+        val (b, c) = counts.getOrElse(key, (0L, 0L))
+        if (ld.isAfter(curLo)) counts.update(key, (b, c + n))
+        else if (ld.isAfter(baseLo)) counts.update(key, (b + n, c))
+      }
+      val tots = counts.toSeq.groupBy(_._1._1).map { case (dim, es) =>
+        dim -> (es.map(_._2._1).sum, es.map(_._2._2).sum)
+      }
+      def jsTerm(x: Double, y: Double): Double =
+        if (x > 0) x * math.log(2.0 * x / (x + y)) else 0.0
+      counts.toSeq
+        .filter { case (_, (b, c)) => b + c > 0 }
+        .sortBy(_._1)
+        .map { case ((dim, v), (b, c)) =>
+          val (tb, tc) = tots(dim)
+          val ep = if (tc != tb)
+            Some(r6((c - b).toDouble / (tc - tb).toDouble)) else None
+          val p = b.toDouble / tb.toDouble
+          val q = c.toDouble / tc.toDouble
+          (dim, v, b, c, c - b, ep, r6(0.5 * (jsTerm(p, q) + jsTerm(q, p))))
+        }
+    }
+}

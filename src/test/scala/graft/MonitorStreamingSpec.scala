@@ -109,6 +109,22 @@ class MonitorStreamingSpec extends AnyFunSuite {
     assert(sb.report() == want)
   }
 
+  test("streaming root-cause: absorption == events_root_cause, incl. horizon-shifting late rows") {
+    val ev = Tables.events(spark, sf)
+    val sr = new graft.streaming.StreamingRootCause
+    // the LAST batch delivers the newest rows: until it arrives the
+    // report's 28-day windows sit on an EARLIER horizon — the late batch
+    // shifts both windows, and absorption must still equal batch
+    val lastDay = ev.agg(max(to_date(col("ts")))).first().getDate(0)
+    val cut = java.sql.Date.valueOf(lastDay.toLocalDate.minusDays(7))
+    Seq(ev.where(to_date(col("ts")) <= cut && col("event_id") % 2 === 0),
+      ev.where(to_date(col("ts")) <= cut && col("event_id") % 2 === 1),
+      ev.where(to_date(col("ts")) > cut)).foreach(sr.processBatch)
+    val want = EventQueries.eventsRootCauseOf(ev)
+      .as[(String, String, Long, Long, Long, Option[Double], Double)].collect().toSeq
+    assert(sr.report() == want)
+  }
+
   test("wau window arithmetic is DST-safe (the round-12 advice fix)") {
     // In a DST zone, local midnights 7 calendar days apart across the
     // spring-forward are 167h apart: millis/86400000 floors to 6 and

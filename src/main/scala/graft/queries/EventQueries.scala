@@ -797,6 +797,117 @@ object EventQueries {
     * per-user dedup is the only data-sized stage, so the shape survives
     * any corpus size. All derived doubles follow round-before-compare:
     * identical association order in both engines, 6 dp. */
+  /** The CUPED post-aggregate arithmetic as layered SELECT expressions —
+    * ONE source of truth evaluated by Spark (selectExpr chain) AND
+    * rendered into the DuckDB oracle (nested subqueries), so the two
+    * engines cannot drift on a single double operation. Everything
+    * upstream is an exact integer/decimal moment; everything here is a
+    * deterministic post-aggregate expression on identical values. */
+  private[graft] val CupedLayers: Seq[Seq[String]] = Seq(
+    Seq("n0", "n1",
+      "CAST(n AS DOUBLE) AS nd",
+      "CAST(sx AS DOUBLE) AS sxd", "CAST(sy AS DOUBLE) AS syd",
+      "CAST(sxx AS DOUBLE) AS sxxd", "CAST(syy AS DOUBLE) AS syyd",
+      "CAST(sxy AS DOUBLE) AS sxyd",
+      "CAST(n0 AS DOUBLE) AS n0d", "CAST(n1 AS DOUBLE) AS n1d",
+      "CAST(sx0 AS DOUBLE) AS sx0d", "CAST(sx1 AS DOUBLE) AS sx1d",
+      "CAST(sy0 AS DOUBLE) AS sy0d", "CAST(sy1 AS DOUBLE) AS sy1d"),
+    Seq("n0", "n1", "nd", "n0d", "n1d",
+      "nd * sxyd - sxd * syd AS cn",
+      "nd * sxxd - sxd * sxd AS cd",
+      "nd * syyd - syd * syd AS vy",
+      "sxd / nd AS xbar",
+      "sx0d / n0d AS xbar0", "sx1d / n1d AS xbar1",
+      "sy0d / n0d AS ybar0", "sy1d / n1d AS ybar1"),
+    Seq("n0", "n1", "nd", "n0d", "n1d", "cn", "cd", "vy",
+      "xbar", "xbar0", "xbar1", "ybar0", "ybar1",
+      "CASE WHEN cd > 0 THEN round(cn / cd, 6) END AS thetar"),
+    Seq("n0", "n1",
+      "round(ybar0, 6) AS mean_y0",
+      "round(ybar1, 6) AS mean_y1",
+      "thetar AS theta",
+      "CASE WHEN thetar IS NOT NULL THEN round(ybar0 - thetar * (xbar0 - xbar), 6) END AS adj0",
+      "CASE WHEN thetar IS NOT NULL THEN round(ybar1 - thetar * (xbar1 - xbar), 6) END AS adj1",
+      "CASE WHEN cd > 0 AND vy > 0 THEN round(cn * cn / (cd * vy), 6) END AS var_reduction",
+      "CASE WHEN vy > 0 THEN round((ybar1 - ybar0) / sqrt((vy / (nd * nd)) * (1.0 / n0d + 1.0 / n1d)), 6) END AS z_raw",
+      "CASE WHEN cd > 0 AND vy > 0 AND cn * cn / (cd * vy) < 1.0 THEN " +
+        "round(((ybar1 - thetar * (xbar1 - xbar)) - (ybar0 - thetar * (xbar0 - xbar))) / " +
+        "sqrt((vy / (nd * nd)) * (1.0 - cn * cn / (cd * vy)) * (1.0 / n0d + 1.0 / n1d)), 6) END AS z_adj"))
+
+  /** #276 events_cuped: CUPED variance reduction (Deng et al., WSDM'13 —
+    * the experimentation-platform staple): each enrolled user's
+    * experiment-window activity count y (last 28 observed days) is
+    * adjusted by its OWN pre-period count x (the 28 days before) through
+    * the pooled regression θ = cov(x,y)/var(x), shrinking metric
+    * variance by ρ² and sharpening the A/B z — the reason every mature
+    * platform runs CUPED before reading an experiment. Variant = the
+    * events_ab user_id%2 assignment. Exactness: per-user counts are
+    * integers; ALL moments (Σx, Σy, Σx², Σy², Σxy, per-variant splits)
+    * accumulate exactly (order-independent); every double operation
+    * after the aggregate lives in [[CupedLayers]], evaluated by BOTH
+    * engines from the same strings. Scale shape: one (user, day)
+    * dedup-free rollup → ONE map-side-combined moments aggregate →
+    * a 1-row driver-free projection chain. */
+  def eventsCuped(s: SparkSession, d: String): DataFrame =
+    eventsCupedOf(Tables.events(s, d))
+
+  def eventsCupedOf(ev: DataFrame): DataFrame = {
+    val lastD = ev.agg(max(to_date(col("ts"))).as("last_day"))
+    val perUser = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(lastD))
+      .withColumn("w",
+        when(col("day") > date_sub(col("last_day"), 28), "y")
+          .when(col("day") > date_sub(col("last_day"), 56), "x"))
+      .where(col("w").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(when(col("w") === "x", 1L).otherwise(0L)).as("x"),
+        sum(when(col("w") === "y", 1L).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val moments = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)")).as("sxx"),
+      sum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(18,0)")).as("syy"),
+      sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)")).as("sxy"),
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0, col("x")).otherwise(0L)).as("sx0"),
+      sum(when(col("variant") === 1, col("x")).otherwise(0L)).as("sx1"),
+      sum(when(col("variant") === 0, col("y")).otherwise(0L)).as("sy0"),
+      sum(when(col("variant") === 1, col("y")).otherwise(0L)).as("sy1"))
+    CupedLayers.foldLeft(moments)((df, layer) => df.selectExpr(layer: _*))
+  }
+
+  val eventsCupedSql: String = {
+    val layered = CupedLayers.foldLeft("m") { (inner, layer) =>
+      s"(SELECT ${layer.mkString(", ")} FROM $inner)"
+    }
+    s"""WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+       |gl AS (SELECT max(day) AS last_day FROM ud),
+       |w AS (
+       |  SELECT user_id,
+       |    CASE WHEN day > last_day - 28 THEN 'y'
+       |         WHEN day > last_day - 56 THEN 'x' END AS w
+       |  FROM ud, gl WHERE day > last_day - 56),
+       |pu AS (
+       |  SELECT user_id, user_id % 2 AS variant,
+       |    CAST(sum(CASE WHEN w = 'x' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN w = 'y' THEN 1 ELSE 0 END) AS BIGINT) AS y
+       |  FROM w GROUP BY user_id),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN variant = 0 THEN x ELSE 0 END) AS BIGINT) AS sx0,
+       |    CAST(sum(CASE WHEN variant = 1 THEN x ELSE 0 END) AS BIGINT) AS sx1,
+       |    CAST(sum(CASE WHEN variant = 0 THEN y ELSE 0 END) AS BIGINT) AS sy0,
+       |    CAST(sum(CASE WHEN variant = 1 THEN y ELSE 0 END) AS BIGINT) AS sy1
+       |  FROM pu)
+       |SELECT * FROM $layered""".stripMargin
+  }
+
   def eventsAb(s: SparkSession, d: String): DataFrame =
     eventsAbOf(Tables.events(s, d))
 
@@ -2170,6 +2281,7 @@ object EventQueries {
     "events_changepoint" -> (eventsChangepoint _),
     "pipeline_monitor" -> (pipelineMonitor _),
     "events_root_cause" -> (eventsRootCause _),
+    "events_cuped" -> (eventsCuped _),
     "events_mau" -> (eventsMau _),
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
@@ -2219,6 +2331,7 @@ object EventQueries {
     "events_changepoint" -> eventsChangepointSql,
     "pipeline_monitor" -> pipelineMonitorSql,
     "events_root_cause" -> eventsRootCauseSql,
+    "events_cuped" -> eventsCupedSql,
     "events_mau" -> eventsMauSql,
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_hourly" -> eventsHourlySql,

@@ -1470,6 +1470,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"got:\n${got.mkString("\n")}")
   }
 
+  test("events_cuped: layered arithmetic replays; adjustment sharpens the planted z") {
+    def r6(x: Double) = graft.search.VecMath.round6(x)
+    // users 0..5 (variant u%2): pre-count x=u+1, post-count y=2(u+1)+3·(u%2)
+    // — strong x↔y correlation plus a constant treatment lift, the setting
+    // CUPED exists for
+    val pre = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+    val post = java.sql.Timestamp.valueOf("2024-02-10 12:00:00")
+    val horizon = java.sql.Timestamp.valueOf("2024-02-25 12:00:00")
+    val ev = (0 until 6).flatMap { u =>
+      val y = 2 * (u + 1) + 3 * (u % 2)
+      Seq.fill(u + 1)((pre, u.toLong)) ++
+        (if (u == 0) Seq((post, 0L), (horizon, 0L)) // y_0 = 2, one pins the horizon
+         else Seq.fill(y)((post, u.toLong)))
+    }.toDF("ts", "user_id")
+    val got = graft.queries.EventQueries.eventsCupedOf(ev)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double],
+           Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().head
+
+    // local replay of the exact layer arithmetic from the hand moments
+    val (n, sx, sy, sxx, syy, sxy) = (6.0, 21.0, 51.0, 91.0, 535.0, 218.0)
+    val (n0, n1, sx0, sx1, sy0, sy1) = (3.0, 3.0, 9.0, 12.0, 18.0, 33.0)
+    val cn = n * sxy - sx * sy; val cd = n * sxx - sx * sx; val vy = n * syy - sy * sy
+    val xbar = sx / n; val xbar0 = sx0 / n0; val xbar1 = sx1 / n1
+    val ybar0 = sy0 / n0; val ybar1 = sy1 / n1
+    val thetar = r6(cn / cd)
+    val want = (3L, 3L, r6(ybar0), r6(ybar1), Some(thetar),
+      Some(r6(ybar0 - thetar * (xbar0 - xbar))),
+      Some(r6(ybar1 - thetar * (xbar1 - xbar))),
+      Some(r6(cn * cn / (cd * vy))),
+      Some(r6((ybar1 - ybar0) / math.sqrt((vy / (n * n)) * (1.0 / n0 + 1.0 / n1)))),
+      Some(r6(((ybar1 - thetar * (xbar1 - xbar)) - (ybar0 - thetar * (xbar0 - xbar))) /
+        math.sqrt((vy / (n * n)) * (1.0 - cn * cn / (cd * vy)) * (1.0 / n0 + 1.0 / n1)))))
+    assert(got == want, s"got $got\nwant $want")
+    // the point of CUPED: most variance explained, sharper adjusted z
+    assert(got._8.get > 0.8, s"var_reduction ${got._8}")
+    assert(got._10.get > got._9.get, s"z_adj ${got._10} !> z_raw ${got._9}")
+  }
+
   test("events_root_cause: explanatory power and surprise on a planted shift") {
     def r6(x: Double) = graft.search.VecMath.round6(x)
     // 56 days (2024-01-01..2024-02-25), all events at hour 12:

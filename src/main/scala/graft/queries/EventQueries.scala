@@ -908,6 +908,53 @@ object EventQueries {
        |SELECT * FROM $layered""".stripMargin
   }
 
+  /** #277 events_srm: the SAMPLE-RATIO-MISMATCH guardrail — the check
+    * every experimentation platform runs BEFORE reading any A/B result
+    * (a variant split that deviates from its design invalidates
+    * events_ab/events_cuped downstream): enrolled users per variant over
+    * the cuped 56-day horizon vs the designed 50/50, scored by the
+    * one-degree chi-square (n0−n1)²/(n0+n1) and flagged past 10.83 (the
+    * p<0.001 critical value — the industry SRM alarm threshold).
+    * Integer counts, ONE double division, an exact threshold compare on
+    * the 6-dp-rounded statistic. One (user) distinct pass, a 1-row
+    * aggregate. */
+  def eventsSrm(s: SparkSession, d: String): DataFrame =
+    eventsSrmOf(Tables.events(s, d))
+
+  def eventsSrmOf(ev: DataFrame): DataFrame = {
+    val lastD = ev.agg(max(to_date(col("ts"))).as("last_day"))
+    ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(lastD))
+      .where(col("day") > date_sub(col("last_day"), 56))
+      .select(col("user_id")).distinct()
+      .agg(
+        sum(when(pmod(col("user_id"), lit(2L)) === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(pmod(col("user_id"), lit(2L)) === 1, 1L).otherwise(0L)).as("n1"))
+      .withColumn("chi2", round(
+        (col("n0") - col("n1")).cast("double") * (col("n0") - col("n1")).cast("double")
+          / (col("n0") + col("n1")).cast("double"), 6))
+      .withColumn("srm_flag", when(col("chi2") > 10.83, 1).otherwise(0))
+      .select(col("n0"), col("n1"), col("chi2"), col("srm_flag"))
+  }
+
+  val eventsSrmSql: String =
+    """WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |gl AS (SELECT max(day) AS last_day FROM ud),
+      |u AS (
+      |  SELECT DISTINCT user_id FROM ud, gl WHERE day > last_day - 56),
+      |c AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      |  FROM u)
+      |SELECT n0, n1,
+      |  round(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+      |        / CAST(n0 + n1 AS DOUBLE), 6) AS chi2,
+      |  CAST(CASE WHEN round(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n1 AS DOUBLE)
+      |                 / CAST(n0 + n1 AS DOUBLE), 6) > 10.83
+      |       THEN 1 ELSE 0 END AS INT) AS srm_flag
+      |FROM c""".stripMargin
+
   def eventsAb(s: SparkSession, d: String): DataFrame =
     eventsAbOf(Tables.events(s, d))
 
@@ -2282,6 +2329,7 @@ object EventQueries {
     "pipeline_monitor" -> (pipelineMonitor _),
     "events_root_cause" -> (eventsRootCause _),
     "events_cuped" -> (eventsCuped _),
+    "events_srm" -> (eventsSrm _),
     "events_mau" -> (eventsMau _),
     "events_overlap_matrix" -> (eventsOverlapMatrix _),
     "events_hourly" -> (eventsHourly _),
@@ -2332,6 +2380,7 @@ object EventQueries {
     "pipeline_monitor" -> pipelineMonitorSql,
     "events_root_cause" -> eventsRootCauseSql,
     "events_cuped" -> eventsCupedSql,
+    "events_srm" -> eventsSrmSql,
     "events_mau" -> eventsMauSql,
     "events_overlap_matrix" -> eventsOverlapMatrixSql,
     "events_hourly" -> eventsHourlySql,

@@ -1470,6 +1470,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"got:\n${got.mkString("\n")}")
   }
 
+  test("events_srm: chi-square on planted balanced and broken splits") {
+    def at = java.sql.Timestamp.valueOf("2024-02-10 12:00:00")
+    // balanced: users 0..9 (5 even, 5 odd) -> chi2 0, no flag
+    val ok = (0 until 10).map(u => (at, u.toLong)).toDF("ts", "user_id")
+    val g1 = graft.queries.EventQueries.eventsSrmOf(ok)
+      .as[(Long, Long, Double, Int)].collect().head
+    assert(g1 == ((5L, 5L, 0.0, 0)))
+    // broken: 40 even vs 10 odd -> chi2 = 30^2/50 = 18 > 10.83 -> flag
+    val bad = ((0 until 80 by 2) ++ (1 until 20 by 2))
+      .map(u => (at, u.toLong)).toDF("ts", "user_id")
+    val g2 = graft.queries.EventQueries.eventsSrmOf(bad)
+      .as[(Long, Long, Double, Int)].collect().head
+    assert(g2 == ((40L, 10L, 18.0, 1)))
+    // duplicate events don't double-enroll a user
+    val dup = ok.unionAll(ok)
+    assert(graft.queries.EventQueries.eventsSrmOf(dup)
+      .as[(Long, Long, Double, Int)].collect().head == ((5L, 5L, 0.0, 0)))
+  }
+
   test("events_cuped: layered arithmetic replays; adjustment sharpens the planted z") {
     def r6(x: Double) = graft.search.VecMath.round6(x)
     // users 0..5 (variant u%2): pre-count x=u+1, post-count y=2(u+1)+3·(u%2)

@@ -17,12 +17,12 @@ object SparkEntry {
     RelationalQueries.all ++ FilterQueries.all ++ VectorQueries.all ++
     DedupQueries.all ++ TextQueries.all ++ EventQueries.all ++
     MultimodalQueries.all ++ IngestQueries.all ++ PipelineQueries.all ++
-    AnalyticsQueries.all
+    AnalyticsQueries.all ++ QualityQueries.all ++ QualityQueries2.all
 
   /** DuckDB-runnable ANSI SQL twin per query (same column names/order-by). */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FilterQueries.oracles ++ VectorQueries.oracles ++
     DedupQueries.oracles ++ TextQueries.oracles ++ EventQueries.oracles ++
     MultimodalQueries.oracles ++ IngestQueries.oracles ++ PipelineQueries.oracles ++
-    AnalyticsQueries.oracles
+    AnalyticsQueries.oracles ++ QualityQueries.oracles ++ QualityQueries2.oracles
 }

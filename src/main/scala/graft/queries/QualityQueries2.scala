@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.BoundedWindow
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 widening, second batch: cohort lifetime-value curves (the
+  * retention-economics artifact), the join-key skew audit (the
+  * shuffle-planning readout a 100 TB engine consults before salting),
+  * and Holt double-exponential smoothing (the level+trend forecaster
+  * events_backtest's seasonal-naive baseline graduates to).
+  */
+object QualityQueries2 {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  // -------------------------------------------------------------------
+  // #282 orders_cohort_ltv — cohort lifetime-value curves.
+
+  /** Per (first-order cohort month, months-since-first): active
+    * customers, period revenue, cumulative revenue and cumulative LTV
+    * per cohort member — the triangle chart subscription/retention
+    * economics runs on.
+    *
+    * Scale design: the cohort assignment is a per-customer min-aggregate
+    * and a join BOTH keyed on o_custkey — one hash exchange serves both
+    * sides. Month offsets are exact integer year/month arithmetic (no
+    * months_between float semantics to drift between engines). The
+    * cumulative window runs on the (cohort, offset) grain — bounded by
+    * calendar² — partitioned by cohort, so no global window. Money is
+    * decimal-exact until the final DOUBLE render.
+    */
+  def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame =
+    ordersCohortLtvOf(Tables.orders(spark, dir))
+
+  def ordersCohortLtvOf(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("midx"),
+      col("o_totalprice"))
+    val firsts = base.groupBy("o_custkey").agg(min(col("midx")).as("cohort_midx"))
+    val fact = base.join(firsts, "o_custkey")
+      .withColumn("month_offset", (col("midx") - col("cohort_midx")).cast("long"))
+    val grain = fact.groupBy("cohort_midx", "month_offset")
+      .agg(count_distinct(col("o_custkey")).as("n_active"),
+        sum(dec(col("o_totalprice"))).as("rev_dec"))
+    val sizes = firsts.groupBy("cohort_midx")
+      .agg(count(lit(1)).as("cohort_size"))
+    val wCum = Window.partitionBy("cohort_midx").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grain.join(sizes, "cohort_midx")
+      .withColumn("cum_rev_dec", sum(col("rev_dec")).over(wCum))
+      .select(
+        concat(
+          format_string("%04d", expr("cohort_midx div 12").cast("int")),
+          lit("-"),
+          format_string("%02d", (col("cohort_midx") % 12 + 1).cast("int")))
+          .as("cohort_month"),
+        col("month_offset"),
+        col("cohort_size"),
+        col("n_active"),
+        col("rev_dec").cast("double").as("revenue"),
+        col("cum_rev_dec").cast("double").as("cum_revenue"),
+        (col("cum_rev_dec").cast("double") / col("cohort_size")).as("ltv_per_customer"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
+  val ordersCohortLtvSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS midx,
+      |    o_totalprice
+      |  FROM orders),
+      |firsts AS (
+      |  SELECT o_custkey, min(midx) AS cohort_midx FROM base GROUP BY 1),
+      |fact AS (
+      |  SELECT b.o_custkey, f.cohort_midx,
+      |    CAST(b.midx - f.cohort_midx AS BIGINT) AS month_offset, b.o_totalprice
+      |  FROM base b JOIN firsts f ON b.o_custkey = f.o_custkey),
+      |grain AS (
+      |  SELECT cohort_midx, month_offset,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM fact GROUP BY 1, 2),
+      |sizes AS (
+      |  SELECT cohort_midx, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM firsts GROUP BY 1)
+      |SELECT
+      |  printf('%04d-%02d', CAST(g.cohort_midx // 12 AS INT),
+      |         CAST(g.cohort_midx % 12 + 1 AS INT)) AS cohort_month,
+      |  g.month_offset, s.cohort_size, g.n_active,
+      |  CAST(g.rev_dec AS DOUBLE) AS revenue,
+      |  CAST(sum(g.rev_dec) OVER (PARTITION BY g.cohort_midx ORDER BY g.month_offset
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+      |  CAST(sum(g.rev_dec) OVER (PARTITION BY g.cohort_midx ORDER BY g.month_offset
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / s.cohort_size AS ltv_per_customer
+      |FROM grain g JOIN sizes s ON g.cohort_midx = s.cohort_midx
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #283 join_skew_audit — shuffle-key skew planning artifact.
+
+  /** The readout a shuffle planner consults before deciding to salt a
+    * join: the 20 heaviest l_partkey build keys with absolute count,
+    * share of all rows, cumulative share, and the skew ratio vs the mean
+    * key load — the number AQE's skew-join threshold is judged against.
+    *
+    * Scale design: key-grain counts partial-combine map-side; the top-20
+    * comes from orderBy+limit, which Spark plans as TakeOrderedAndProject
+    * (per-partition heaps, NO global sort, NO unbounded window over the
+    * key table — distinct keys are NOT bounded at 100 TB). Totals ride a
+    * broadcast 1-row aggregate; the rank/cum-share windows run on the
+    * 20-row frame under a BoundedWindow key.
+    */
+  def joinSkewAudit(spark: SparkSession, dir: String): DataFrame =
+    joinSkewAuditOf(Tables.lineitem(spark, dir))
+
+  def joinSkewAuditOf(li: DataFrame): DataFrame = {
+    val keys = li.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val totals = keys.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = keys
+      .orderBy(desc("cnt"), col("l_partkey"))
+      .limit(20)
+    val wRank = BoundedWindow.keyed(col("l_partkey")).orderBy(desc("cnt"), col("l_partkey"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("total_rows").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum(col("cnt")).over(wCum).cast("double") / col("total_rows").cast("double"), 6))
+      .withColumn("skew_vs_mean",
+        round(col("cnt").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys").cast("double")), 6))
+      .select("rank", "l_partkey", "cnt", "share", "cum_share", "skew_vs_mean")
+      .orderBy("rank")
+  }
+
+  val joinSkewAuditSql: String =
+    """WITH keys AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |totals AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+      |         CAST(count(*) AS BIGINT) AS n_keys
+      |  FROM keys),
+      |top AS (
+      |  SELECT l_partkey, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, l_partkey) AS BIGINT) AS rank,
+      |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, l_partkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+      |  FROM keys ORDER BY cnt DESC, l_partkey LIMIT 20)
+      |SELECT t.rank, t.l_partkey, t.cnt,
+      |  round(CAST(t.cnt AS DOUBLE) / CAST(x.total_rows AS DOUBLE), 6) AS share,
+      |  round(CAST(t.cum_cnt AS DOUBLE) / CAST(x.total_rows AS DOUBLE), 6) AS cum_share,
+      |  round(CAST(t.cnt AS DOUBLE) /
+      |        (CAST(x.total_rows AS DOUBLE) / CAST(x.n_keys AS DOUBLE)), 6) AS skew_vs_mean
+      |FROM top t CROSS JOIN totals x
+      |ORDER BY t.rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #284 events_holt — Holt double-exponential smoothing forecast.
+
+  /** Holt's linear-trend method (α=0.3, β=0.1) on each event type's
+    * daily-count series: the level+trend smoother the seasonal-naive
+    * backtest baseline graduates to. Output per type: the fitted final
+    * level and trend, the one-step in-sample MAE, and the h=1..7
+    * forecasts level + h·trend.
+    *
+    * Exactness: the recursion is SEQUENTIAL double arithmetic — both
+    * engines must execute the identical operation ORDER, so Spark runs
+    * it as a codegen `aggregate` HOF fold over each type's day-sorted
+    * count array (zero-filled over the global calendar spine so silent
+    * days update the state like any other observation), and the oracle
+    * replays the same fold as a DuckDB recursive CTE stepping day by
+    * day — one (lvl, tr) state, identical expression shapes, 6-dp
+    * rounded at the boundary.
+    *
+    * Scale design: ONE map-side-combined (type, day) rollup is the only
+    * fact-scale exchange; the per-type series is calendar-bounded
+    * (collect under a ≤|days| contract), and the fold is row-local
+    * whole-stage codegen. Forecast rows fan out via posexplode of a
+    * 7-literal array.
+    */
+  def eventsHolt(spark: SparkSession, dir: String): DataFrame =
+    eventsHoltOf(Tables.events(spark, dir))
+
+  def eventsHoltOf(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+    // global calendar spine: one broadcast 1-row min/max; zero-fill per
+    // type so every series steps through the same days
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val series = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("s"))
+      .withColumn("ys", expr("transform(s, p -> CAST(p.cnt AS DOUBLE))"))
+    // Holt fold: state (lvl, tr, abs-error sum, steps). Init from the
+    // first two observations (lvl=y0, tr=y1-y0), recursion from t=1:
+    // fitted = lvl+tr; lvl' = 0.3*y + 0.7*fitted; tr' = 0.1*(lvl'-lvl)
+    // + 0.9*tr. MAE over the n-1 one-step fits.
+    val folded = series.withColumn("st", expr(
+      """aggregate(
+        |  slice(ys, 2, size(ys) - 1),
+        |  named_struct('lvl', ys[0], 'tr', ys[1] - ys[0],
+        |               'ae', CAST(0.0 AS DOUBLE), 'n', 0L),
+        |  (acc, y) -> named_struct(
+        |    'lvl', 0.3D * y + 0.7D * (acc.lvl + acc.tr),
+        |    'tr',  0.1D * ((0.3D * y + 0.7D * (acc.lvl + acc.tr)) - acc.lvl)
+        |             + 0.9D * acc.tr,
+        |    'ae',  acc.ae + abs(y - (acc.lvl + acc.tr)),
+        |    'n',   acc.n + 1L))""".stripMargin))
+      .select(col("event_type"),
+        col("st.lvl").as("lvl"), col("st.tr").as("tr"),
+        (col("st.ae") / col("st.n")).as("mae"))
+    folded
+      .select(col("event_type"), col("lvl"), col("tr"), col("mae"),
+        posexplode(array((1 to 7).map(lit): _*)))
+      .select(col("event_type"),
+        col("col").cast("long").as("h"),
+        round(col("lvl"), 6).as("level"),
+        round(col("tr"), 6).as("trend"),
+        round(col("mae"), 6).as("mae"),
+        round(col("lvl") + col("col") * col("tr"), 6).as("forecast"))
+      .orderBy("event_type", "h")
+  }
+
+  val eventsHoltSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |spine AS (
+      |  SELECT t.event_type,
+      |    CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b),
+      |series AS (
+      |  SELECT s.event_type, s.day,
+      |    CAST(coalesce(d.cnt, 0) AS DOUBLE) AS y,
+      |    row_number() OVER (PARTITION BY s.event_type ORDER BY s.day) AS t,
+      |    count(*) OVER (PARTITION BY s.event_type) AS n
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day),
+      |rec AS (
+      |  SELECT s0.event_type, 1 AS t, s0.n,
+      |    s0.y AS lvl, s1.y - s0.y AS tr,
+      |    CAST(0.0 AS DOUBLE) AS ae, 0 AS steps
+      |  FROM series s0 JOIN series s1
+      |    ON s0.event_type = s1.event_type AND s0.t = 1 AND s1.t = 2
+      |  UNION ALL
+      |  SELECT r.event_type, r.t + 1, r.n,
+      |    0.3 * s.y + 0.7 * (r.lvl + r.tr) AS lvl,
+      |    0.1 * ((0.3 * s.y + 0.7 * (r.lvl + r.tr)) - r.lvl) + 0.9 * r.tr AS tr,
+      |    r.ae + abs(s.y - (r.lvl + r.tr)) AS ae,
+      |    r.steps + 1
+      |  FROM rec r JOIN series s
+      |    ON s.event_type = r.event_type AND s.t = r.t + 1),
+      |fin AS (
+      |  SELECT event_type, lvl, tr, ae / steps AS mae
+      |  FROM rec WHERE t = n)
+      |SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
+      |  round(f.lvl, 6) AS level, round(f.tr, 6) AS trend,
+      |  round(f.mae, 6) AS mae,
+      |  round(f.lvl + h.h * f.tr, 6) AS forecast
+      |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+      |ORDER BY f.event_type, h""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_cohort_ltv" -> (ordersCohortLtv _),
+    "join_skew_audit" -> (joinSkewAudit _),
+    "events_holt" -> (eventsHolt _))
+
+  val oracles: Map[String, String] = Map(
+    "orders_cohort_ltv" -> ordersCohortLtvSql,
+    "join_skew_audit" -> joinSkewAuditSql,
+    "events_holt" -> eventsHoltSql)
+}

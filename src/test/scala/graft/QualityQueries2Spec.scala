@@ -1,0 +1,107 @@
+package graft
+
+import graft.queries.QualityQueries2
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts for the second round-14 widening batch: cohort LTV triangle
+  * arithmetic on a planted two-cohort book, the skew audit's share/rank
+  * math on a hand-skewed key set, and the Holt fold against a local
+  * recursion replay.
+  */
+class QualityQueries2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTest.session
+  import spark.implicits._
+
+  private def ts(day: Int) = new Timestamp(1700000000000L + day * 86400000L)
+
+  test("orders_cohort_ltv: triangle counts, decimal-exact cumulative LTV") {
+    // cohort Jan (custs 1, 2): Jan rev 100+50, Feb cust 1 returns rev 30
+    // cohort Feb (cust 3): Feb rev 10
+    def d(y: Int, m: Int) = Timestamp.valueOf(f"$y-$m%02d-15 00:00:00")
+    val orders = Seq(
+      (1L, 1L, d(2024, 1), 100.0), (2L, 2L, d(2024, 1), 50.0),
+      (3L, 1L, d(2024, 2), 30.0), (4L, 3L, d(2024, 2), 10.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = QualityQueries2.ordersCohortLtvOf(orders).collect()
+    assert(got.length == 3)
+    val r0 = got(0) // (2024-01, offset 0)
+    assert(r0.getString(0) == "2024-01" && r0.getLong(1) == 0L)
+    assert(r0.getLong(2) == 2L && r0.getLong(3) == 2L)        // size, active
+    assert(r0.getDouble(4) == 150.0 && r0.getDouble(6) == 75.0)
+    val r1 = got(1) // (2024-01, offset 1): cust 1 only
+    assert(r1.getLong(3) == 1L && r1.getDouble(4) == 30.0)
+    assert(r1.getDouble(5) == 180.0 && r1.getDouble(6) == 90.0)
+    val r2 = got(2) // (2024-02, offset 0)
+    assert(r2.getString(0) == "2024-02" && r2.getLong(2) == 1L
+      && r2.getDouble(6) == 10.0)
+  }
+
+  test("join_skew_audit: top keys, shares, and skew ratio vs the mean load") {
+    // key 7 -> 6 rows, key 8 -> 3, keys 1..3 -> 1 each; total 12, 5 keys
+    val rows = Seq.fill(6)(7L) ++ Seq.fill(3)(8L) ++ Seq(1L, 2L, 3L)
+    val li = rows.map(k => (k, 1.0)).toDF("l_partkey", "l_quantity")
+    val got = QualityQueries2.joinSkewAuditOf(li).collect()
+    assert(got.length == 5)
+    val top = got(0)
+    assert(top.getLong(0) == 1L && top.getLong(1) == 7L && top.getLong(2) == 6L)
+    assert(top.getDouble(3) == 0.5)                           // 6/12
+    assert(top.getDouble(5) == 2.5)                           // 6 / (12/5)
+    assert(got(1).getLong(1) == 8L && got(1).getDouble(4) == 0.75)
+    // ties on cnt=1 break by key: 1, 2, 3
+    assert(got.drop(2).map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(got(4).getDouble(4) == 1.0)                        // full mass covered
+  }
+
+  test("events_holt: fold equals a local Holt recursion, silent days zero-filled") {
+    // one type, days 0..4 with counts 2, 4, 3, 0 (silent day 3!), 5
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0, "{}"), (2L, ts(0), 2L, "click", 1.0, "{}"),
+      (3L, ts(1), 1L, "click", 1.0, "{}"), (4L, ts(1), 2L, "click", 1.0, "{}"),
+      (5L, ts(1), 3L, "click", 1.0, "{}"), (6L, ts(1), 4L, "click", 1.0, "{}"),
+      (7L, ts(2), 1L, "click", 1.0, "{}"), (8L, ts(2), 2L, "click", 1.0, "{}"),
+      (9L, ts(2), 3L, "click", 1.0, "{}"),
+      (10L, ts(4), 1L, "click", 1.0, "{}"), (11L, ts(4), 2L, "click", 1.0, "{}"),
+      (12L, ts(4), 3L, "click", 1.0, "{}"), (13L, ts(4), 4L, "click", 1.0, "{}"),
+      (14L, ts(4), 5L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = QualityQueries2.eventsHoltOf(ev).collect()
+    assert(got.length == 7)
+    // local replay: y = [2,4,3,0,5], lvl=2, tr=2; consume y(2)..y(5)
+    var (lvl, tr, ae) = (2.0, 2.0, 0.0); var n = 0
+    for (y <- Seq(4.0, 3.0, 0.0, 5.0)) {
+      val fit = lvl + tr; ae += math.abs(y - fit)
+      val lvl2 = 0.3 * y + 0.7 * fit
+      tr = 0.1 * (lvl2 - lvl) + 0.9 * tr; lvl = lvl2; n += 1
+    }
+    val r1 = got(0)
+    assert(r1.getLong(1) == 1L)
+    assert(math.abs(r1.getDouble(2) - lvl) < 1e-6)
+    assert(math.abs(r1.getDouble(3) - tr) < 1e-6)
+    assert(math.abs(r1.getDouble(4) - ae / n) < 1e-6)
+    assert(math.abs(r1.getDouble(5) - (lvl + tr)) < 1e-6)     // h=1
+    val r7 = got(6)
+    assert(r7.getLong(1) == 7L
+      && math.abs(r7.getDouble(5) - (lvl + 7 * tr)) < 1e-6)
+  }
+
+  test("events_holt: every type steps through the SAME global spine") {
+    // type b is absent on the global last day — its series must still
+    // include that day as an explicit zero (5 days -> 4 fold steps)
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, "{}"), (2L, ts(4), 1L, "a", 1.0, "{}"),
+      (3L, ts(0), 1L, "b", 1.0, "{}"), (4L, ts(2), 1L, "b", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = QualityQueries2.eventsHoltOf(ev)
+      .filter($"event_type" === "b" && $"h" === 1).collect()
+    // replay for b: y = [1,0,1,0,0], lvl=1, tr=-1
+    var (lvl, tr) = (1.0, -1.0)
+    for (y <- Seq(0.0, 1.0, 0.0, 0.0)) {
+      val fit = lvl + tr
+      val lvl2 = 0.3 * y + 0.7 * fit
+      tr = 0.1 * (lvl2 - lvl) + 0.9 * tr; lvl = lvl2
+    }
+    assert(math.abs(got(0).getDouble(5) - (lvl + tr)) < 1e-6)
+  }
+}

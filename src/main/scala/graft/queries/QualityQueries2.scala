@@ -277,14 +277,206 @@ object QualityQueries2 {
       |ORDER BY f.event_type, h""".stripMargin
 
   // -------------------------------------------------------------------
+  // #286 er_resolve — entity clusters + golden-record survivorship.
+
+  /** The full entity-resolution pipeline er_fuzzy_parts' match table
+    * feeds: fuzzy match edges → connected components over NAME nodes →
+    * one golden record per entity cluster (the highest-record-count
+    * name, ties to the lexicographically smallest — the survivorship
+    * rule). One row per resolved entity: cluster id (the component's
+    * min node id on both engines), canonical name, member-name count,
+    * total record count.
+    *
+    * Scale design: everything runs at NAME grain (the er_fuzzy_parts
+    * collapse); components resolve through the shared min-id-propagation
+    * machinery (Dedup.clusters — pointer-jumping, O(log diameter)
+    * rounds); singleton names never enter the edge set and rejoin as
+    * their own cluster via a left join. The survivorship window
+    * partitions by cluster_id — distributed, no global window. Oracle =
+    * the dedup_clusters recursive-CTE closure replayed over the
+    * identical edge predicate.
+    */
+  def erResolve(spark: SparkSession, dir: String): DataFrame =
+    erResolveOf(Tables.part(spark, dir))
+
+  def erResolveOf(part: DataFrame): DataFrame = {
+    val names = part
+      .groupBy(lower(col("p_name")).as("nm"))
+      .agg(count(lit(1)).as("n_rec"), min(col("p_partkey")).as("nid"))
+      .withColumn("blk", substring_index(col("nm"), " ", 1))
+    val a = names.select(col("nm").as("n0"), col("nid").as("i0"), col("blk"))
+    val b = names.select(col("nm").as("n1"), col("nid").as("i1"), col("blk"))
+    val edges = a.join(b, Seq("blk"))
+      .filter(col("n0") < col("n1"))
+      .withColumn("dist", levenshtein(col("n0"), col("n1")))
+      .filter(col("dist") > 0 &&
+        round(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("n0")), length(col("n1"))).cast("double"), 6) >= 0.6)
+      .select(col("i0").as("doc_a"), col("i1").as("doc_b"))
+    val comp = graft.dedup.Dedup.clusters(edges)
+    val labeled = names.join(comp, names("nid") === comp("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("nid")))
+      .select("nm", "n_rec", "cluster_id")
+    val wSurv = Window.partitionBy("cluster_id").orderBy(desc("n_rec"), col("nm"))
+    labeled
+      .withColumn("rn", row_number().over(wSurv))
+      .groupBy("cluster_id")
+      .agg(
+        max(when(col("rn") === 1, col("nm"))).as("canonical_name"),
+        count(lit(1)).as("n_names"),
+        sum(col("n_rec")).as("n_records"))
+      .orderBy("cluster_id")
+  }
+
+  val erResolveSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT lower(p_name) AS nm, CAST(count(*) AS BIGINT) AS n_rec,
+      |         min(p_partkey) AS nid, split_part(lower(p_name), ' ', 1) AS blk
+      |  FROM part GROUP BY 1, 4),
+      |fuzzy AS (
+      |  SELECT a.nid AS s, b.nid AS t
+      |  FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
+      |  WHERE levenshtein(a.nm, b.nm) > 0
+      |    AND round(1.0 - CAST(levenshtein(a.nm, b.nm) AS DOUBLE) /
+      |        CAST(greatest(length(a.nm), length(b.nm)) AS DOUBLE), 6) >= 0.6),
+      |edges AS (SELECT s AS src, t AS dst FROM fuzzy
+      |          UNION SELECT t, s FROM fuzzy),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+      |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+      |labeled AS (
+      |  SELECT n.nm, n.n_rec, coalesce(c.root, n.nid) AS cluster_id
+      |  FROM names n LEFT JOIN comp c ON n.nid = c.id),
+      |ranked AS (
+      |  SELECT nm, n_rec, cluster_id,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |                       ORDER BY n_rec DESC, nm) AS rn
+      |  FROM labeled)
+      |SELECT cluster_id,
+      |  max(CASE WHEN rn = 1 THEN nm END) AS canonical_name,
+      |  CAST(count(*) AS BIGINT) AS n_names,
+      |  CAST(sum(n_rec) AS BIGINT) AS n_records
+      |FROM ranked GROUP BY cluster_id
+      |ORDER BY cluster_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #287 profile_drift — per-column stats drift between book halves.
+
+  private val DriftCols = Seq(
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** The relational twin of corpus_drift's PSI monitor: per numeric
+    * column, mean/std/null-rate in two deterministic halves of the book
+    * (l_orderkey parity — the reproducible snapshot A/B stand-in) and
+    * the standardized mean difference (SMD — the drift score a data
+    * contract alerts on). Moments come from decimal-exact sums so float
+    * summation order can't drift the engines; every double op after the
+    * aggregate is ONE identically-written expression per side.
+    *
+    * Scale design: ONE scan, one 1-row partial-combining aggregate (8
+    * sums + 8 sumsq + counts per cohort, all map-side combined), in-plan
+    * explode to per-column rows — no shuffle beyond the 1-row exchange.
+    */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame =
+    profileDriftOf(Tables.lineitem(spark, dir))
+
+  def profileDriftOf(li: DataFrame): DataFrame = {
+    val tagged = li.withColumn("grp", (col("l_orderkey") % 2).cast("int"))
+    def side(c: String, g: Int, suffix: String): Seq[Column] = Seq(
+      sum(when(col("grp") === g, col(c).cast("decimal(28,6)")))
+        .cast("double").as(s"${c}__sum$suffix"),
+      // operand width must EXCEED 18 so DuckDB runs the multiply in
+      // INT128 (width ≤ 18 stays int64 and overflow-checks the product
+      // against DECIMAL(18)'s 1e18 cap — real price squares cross it);
+      // Spark's (19,6)² precision-loss lands at (38,11), lossless for
+      // this data's ≤4-dp products
+      sum(when(col("grp") === g,
+        (col(c).cast("decimal(19,6)") * col(c).cast("decimal(19,6)"))
+          .cast("decimal(38,12)")))
+        .cast("double").as(s"${c}__sq$suffix"),
+      count(when(col("grp") === g, col(c))).as(s"${c}__n$suffix"),
+      sum(when(col("grp") === g && col(c).isNull, 1L).otherwise(0L))
+        .as(s"${c}__nn$suffix"))
+    val aggs = DriftCols.flatMap(c => side(c, 0, "a") ++ side(c, 1, "b"))
+    val one = tagged.agg(aggs.head, aggs.tail: _*)
+    val rows = DriftCols.map { c => struct(
+      lit(c).as("col"),
+      col(s"${c}__na").as("n_a"), col(s"${c}__nb").as("n_b"),
+      col(s"${c}__suma").as("sum_a"), col(s"${c}__sumb").as("sum_b"),
+      col(s"${c}__sqa").as("sq_a"), col(s"${c}__sqb").as("sq_b"),
+      col(s"${c}__nna").as("null_a"), col(s"${c}__nnb").as("null_b"))
+    }
+    // identical double expression shapes on both sides (oracle renders
+    // the same strings): mean = sum/n, var = sq/n - mean*mean,
+    // smd = (mean_b - mean_a) / sqrt((var_a + var_b) / 2); every divisor
+    // is nullif-guarded — an empty half or a zero-variance pair yields
+    // NULL (SMD is undefined there), never an ANSI divide-by-zero
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+      .selectExpr(
+        "col",
+        "round(sum_a / nullif(n_a, 0), 6) AS mean_a",
+        "round(sum_b / nullif(n_b, 0), 6) AS mean_b",
+        "round(sqrt(sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))), 6) AS std_a",
+        "round(sqrt(sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0))), 6) AS std_b",
+        "CAST(null_a AS DOUBLE) / nullif(n_a + null_a, 0) AS null_rate_a",
+        "CAST(null_b AS DOUBLE) / nullif(n_b + null_b, 0) AS null_rate_b",
+        """round((sum_b / nullif(n_b, 0) - sum_a / nullif(n_a, 0)) /
+          |  nullif(sqrt(((sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))) +
+          |        (sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0)))) / 2), 0.0), 6)
+          |  AS smd""".stripMargin)
+      .orderBy("col")
+  }
+
+  val profileDriftSql: String = {
+    def sideSql(c: String, g: Int, suffix: String) =
+      s"""CAST(sum(CASE WHEN l_orderkey % 2 = $g
+         |     THEN CAST($c AS DECIMAL(28,6)) END) AS DOUBLE) AS ${c}__sum$suffix,
+         |CAST(sum(CASE WHEN l_orderkey % 2 = $g
+         |     THEN CAST(CAST($c AS DECIMAL(19,6)) * CAST($c AS DECIMAL(19,6))
+         |          AS DECIMAL(38,12)) END) AS DOUBLE) AS ${c}__sq$suffix,
+         |CAST(count(CASE WHEN l_orderkey % 2 = $g THEN $c END) AS BIGINT)
+         |  AS ${c}__n$suffix,
+         |CAST(sum(CASE WHEN l_orderkey % 2 = $g AND $c IS NULL
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nn$suffix""".stripMargin
+    val aggSql = DriftCols.flatMap(c => Seq(sideSql(c, 0, "a"), sideSql(c, 1, "b")))
+      .mkString(",\n")
+    val rowSql = DriftCols.map { c =>
+      s"""SELECT '$c' AS col, ${c}__na AS n_a, ${c}__nb AS n_b,
+         |  ${c}__suma AS sum_a, ${c}__sumb AS sum_b,
+         |  ${c}__sqa AS sq_a, ${c}__sqb AS sq_b,
+         |  ${c}__nna AS null_a, ${c}__nnb AS null_b FROM one""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH one AS (SELECT\n$aggSql\nFROM lineitem),
+       |rows_ AS (\n$rowSql)
+       |SELECT col,
+       |  round(sum_a / nullif(n_a, 0), 6) AS mean_a,
+       |  round(sum_b / nullif(n_b, 0), 6) AS mean_b,
+       |  round(sqrt(sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))), 6) AS std_a,
+       |  round(sqrt(sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0))), 6) AS std_b,
+       |  CAST(null_a AS DOUBLE) / nullif(n_a + null_a, 0) AS null_rate_a,
+       |  CAST(null_b AS DOUBLE) / nullif(n_b + null_b, 0) AS null_rate_b,
+       |  round((sum_b / nullif(n_b, 0) - sum_a / nullif(n_a, 0)) /
+       |    nullif(sqrt(((sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))) +
+       |          (sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0)))) / 2), 0.0), 6) AS smd
+       |FROM rows_
+       |ORDER BY col""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "join_skew_audit" -> (joinSkewAudit _),
-    "events_holt" -> (eventsHolt _))
+    "events_holt" -> (eventsHolt _),
+    "er_resolve" -> (erResolve _),
+    "profile_drift" -> (profileDrift _))
 
   val oracles: Map[String, String] = Map(
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "join_skew_audit" -> joinSkewAuditSql,
-    "events_holt" -> eventsHoltSql)
+    "events_holt" -> eventsHoltSql,
+    "er_resolve" -> erResolveSql,
+    "profile_drift" -> profileDriftSql)
 }

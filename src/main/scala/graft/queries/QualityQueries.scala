@@ -264,29 +264,30 @@ object QualityQueries {
     * turn mutation streams into versioned dimensions. `is_current` marks
     * each user's open interval.
     *
-    * Scale design: the fact scan reduces to (user, day) grain in the FIRST
-    * aggregate-free step via a per-(user, day) row_number (one shuffle on
-    * user_id; the day-last event wins deterministically on (ts, event_id)
-    * so engine tie-order can't drift the result). Every later window (lag
-    * flag, island running sum, per-user max day) reuses that same hash
-    * partitioning — one exchange total. Interval count is bounded by the
-    * number of VALUE CHANGES, not days or events.
+    * Scale design: the fact scan reduces to (user, day) grain in the
+    * FIRST step via an AGGREGATE day-dedup — max(struct(ts, event_id,
+    * tier)) partial-combines map-side, so only day-winners reach the
+    * exchange (a per-(user, day) row_number window would shuffle every
+    * fact row; the streaming twin's state merge is this same max). The
+    * day-last event wins deterministically on (ts, event_id) so engine
+    * tie-order can't drift the result. The islands windows (lag flag,
+    * running sum, per-user max day) share one hash exchange on user_id
+    * over the day-grain rows. Interval count is bounded by the number of
+    * VALUE CHANGES, not days or events.
     */
   def scd2Events(spark: SparkSession, dir: String): DataFrame =
     scd2EventsOf(Tables.events(spark, dir))
 
   def scd2EventsOf(events: DataFrame): DataFrame = {
-    val wDay = Window.partitionBy("user_id", "day")
-      .orderBy(desc("ts"), desc("event_id"))
     val wUser = Window.partitionBy("user_id").orderBy("day")
     val wCum = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"), col("event_id"),
         floor(get_json_object(col("props"), "$.k").cast("long") / 25).cast("long").as("tier"))
       .filter(col("tier").isNotNull)
-      .withColumn("rn", row_number().over(wDay))
-      .filter(col("rn") === 1)
-      .select("user_id", "day", "tier")
+      .groupBy("user_id", "day")
+      .agg(max(struct(col("ts"), col("event_id"), col("tier"))).as("w"))
+      .select(col("user_id"), col("day"), col("w.tier").as("tier"))
     val islands = days
       .withColumn("chg",
         when(lag(col("tier"), 1).over(wUser).isNull

@@ -19,7 +19,7 @@ object QualityQueries {
   private def dec(c: Column) = c.cast("decimal(18,2)")
 
   // -------------------------------------------------------------------
-  // #253 er_fuzzy_parts — blocked fuzzy entity resolution over part names.
+  // #278 er_fuzzy_parts — blocked fuzzy entity resolution over part names.
 
   /** Entity resolution with blocking: the record-linkage modality the
     * dedup suite lacked (exact/MinHash/SimHash/embedding cover documents;
@@ -40,20 +40,37 @@ object QualityQueries {
   def erFuzzyParts(spark: SparkSession, dir: String): DataFrame =
     erFuzzyPartsOf(Tables.part(spark, dir))
 
-  def erFuzzyPartsOf(part: DataFrame): DataFrame = {
-    val names = part
-      .groupBy(lower(col("p_name")).as("nm"))
-      .agg(count(lit(1)).as("n_rec"))
+  /** Match-similarity floor shared by er_fuzzy_parts and er_resolve. */
+  private[queries] val SimTau = 0.6
+
+  /** Name-grain collapse: one map-side-combined groupBy; `nid` (the
+    * name's min record key) is the node id er_resolve clusters on. */
+  private[queries] def nameGrain(part: DataFrame): DataFrame =
+    part.groupBy(lower(col("p_name")).as("nm"))
+      .agg(count(lit(1)).as("n_rec"), min(col("p_partkey")).as("nid"))
       .withColumn("blk", substring_index(col("nm"), " ", 1))
-    val a = names.select(col("nm").as("name0"), col("n_rec").as("r0"), col("blk"))
-    val b = names.select(col("nm").as("name1"), col("n_rec").as("r1"), col("blk"))
-    val cross = a.join(b, Seq("blk"))
+
+  /** Blocked fuzzy cross pairs (name0 < name1) scored with levenshtein
+    * similarity ≥ SimTau — ONE definition of the edge predicate, so the
+    * match table (er_fuzzy_parts) and the clustering that consumes it
+    * (er_resolve) can never drift. */
+  private[queries] def fuzzyCross(names: DataFrame): DataFrame = {
+    val a = names.select(col("nm").as("name0"), col("n_rec").as("r0"),
+      col("nid").as("i0"), col("blk"))
+    val b = names.select(col("nm").as("name1"), col("n_rec").as("r1"),
+      col("nid").as("i1"), col("blk"))
+    a.join(b, Seq("blk"))
       .filter(col("name0") < col("name1"))
       .withColumn("dist", levenshtein(col("name0"), col("name1")).cast("long"))
       .withColumn("sim", round(
         lit(1.0) - col("dist").cast("double") /
           greatest(length(col("name0")), length(col("name1"))).cast("double"), 6))
-      .filter(col("sim") >= 0.6)
+      .filter(col("sim") >= SimTau)
+  }
+
+  def erFuzzyPartsOf(part: DataFrame): DataFrame = {
+    val names = nameGrain(part)
+    val cross = fuzzyCross(names)
       .select(col("name0"), col("name1"), col("dist"), col("sim"),
         (col("r0").cast("double") * col("r1").cast("double")).as("n_rec_pairs"))
     val exact = names.filter(col("n_rec") >= 2)
@@ -88,7 +105,7 @@ object QualityQueries {
       |ORDER BY sim DESC, name0, name1""".stripMargin
 
   // -------------------------------------------------------------------
-  // #254 table_profile — one-pass Deequ-style column profiler.
+  // #279 table_profile — one-pass Deequ-style column profiler.
 
   private val ProfileNumCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -193,7 +210,7 @@ object QualityQueries {
   }
 
   // -------------------------------------------------------------------
-  // #255 feat_customer_orders — ML feature/label matrix generation.
+  // #280 feat_customer_orders — ML feature/label matrix generation.
 
   /** Per-order training rows for a next-purchase model: leak-free
     * point-in-time features (gap since previous order, orders/spend so
@@ -256,7 +273,7 @@ object QualityQueries {
       |ORDER BY o_custkey, ord_idx""".stripMargin
 
   // -------------------------------------------------------------------
-  // #256 scd2_events — SCD2 interval build from event snapshots.
+  // #281 scd2_events — SCD2 interval build from event snapshots.
 
   /** Slowly-changing-dimension type-2 history: per user, the day-grain
     * tier (props.k div 25) collapses into [valid_from, valid_to] validity
@@ -278,12 +295,20 @@ object QualityQueries {
   def scd2Events(spark: SparkSession, dir: String): DataFrame =
     scd2EventsOf(Tables.events(spark, dir))
 
+  /** ANSI-null-safe tier derivation (the events_props_agg from_json
+    * convention — a non-numeric k yields NULL, never a CAST error),
+    * shared with the streaming twin so the two can't drift. */
+  private[graft] def scd2Tier: Column =
+    floor(from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+      .getField("k") / 25).cast("long")
+
   def scd2EventsOf(events: DataFrame): DataFrame = {
     val wUser = Window.partitionBy("user_id").orderBy("day")
     val wCum = wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"), col("event_id"),
-        floor(get_json_object(col("props"), "$.k").cast("long") / 25).cast("long").as("tier"))
+        scd2Tier.as("tier"))
       .filter(col("tier").isNotNull)
       .groupBy("user_id", "day")
       .agg(max(struct(col("ts"), col("event_id"), col("tier"))).as("w"))

@@ -206,6 +206,10 @@ object QualityQueries2 {
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("s"))
       .withColumn("ys", expr("transform(s, p -> CAST(p.cnt AS DOUBLE))"))
+      // a 1-day global spine has no recursion to run: drop it (matching
+      // the oracle, whose base case needs t=2) instead of ANSI-erroring
+      // on ys[1]
+      .filter(size(col("ys")) >= 2)
     // Holt fold: state (lvl, tr, abs-error sum, steps). Init from the
     // first two observations (lvl=y0, tr=y1-y0), recursion from t=1:
     // fitted = lvl+tr; lvl' = 0.3*y + 0.7*fitted; tr' = 0.1*(lvl'-lvl)
@@ -300,18 +304,12 @@ object QualityQueries2 {
     erResolveOf(Tables.part(spark, dir))
 
   def erResolveOf(part: DataFrame): DataFrame = {
-    val names = part
-      .groupBy(lower(col("p_name")).as("nm"))
-      .agg(count(lit(1)).as("n_rec"), min(col("p_partkey")).as("nid"))
-      .withColumn("blk", substring_index(col("nm"), " ", 1))
-    val a = names.select(col("nm").as("n0"), col("nid").as("i0"), col("blk"))
-    val b = names.select(col("nm").as("n1"), col("nid").as("i1"), col("blk"))
-    val edges = a.join(b, Seq("blk"))
-      .filter(col("n0") < col("n1"))
-      .withColumn("dist", levenshtein(col("n0"), col("n1")))
-      .filter(col("dist") > 0 &&
-        round(lit(1.0) - col("dist").cast("double") /
-          greatest(length(col("n0")), length(col("n1"))).cast("double"), 6) >= 0.6)
+    // the SAME name grain and edge predicate as er_fuzzy_parts — one
+    // definition (QualityQueries.fuzzyCross), so the match table and the
+    // clustering that consumes it can never drift
+    val names = QualityQueries.nameGrain(part)
+    val edges = QualityQueries.fuzzyCross(names)
+      .filter(col("dist") > 0)
       .select(col("i0").as("doc_a"), col("i1").as("doc_b"))
     val comp = graft.dedup.Dedup.clusters(edges)
     val labeled = names.join(comp, names("nid") === comp("doc_id"), "left")
@@ -409,23 +407,27 @@ object QualityQueries2 {
       col(s"${c}__nna").as("null_a"), col(s"${c}__nnb").as("null_b"))
     }
     // identical double expression shapes on both sides (oracle renders
-    // the same strings): mean = sum/n, var = sq/n - mean*mean,
-    // smd = (mean_b - mean_a) / sqrt((var_a + var_b) / 2); every divisor
-    // is nullif-guarded — an empty half or a zero-variance pair yields
-    // NULL (SMD is undefined there), never an ANSI divide-by-zero
+    // the same strings): mean = sum/n, var = greatest(sq/n - mean*mean, 0)
+    // — the clamp catches the cancellation case where the exact-decimal
+    // difference rounds to a tiny NEGATIVE double (Spark would NaN,
+    // DuckDB would ERROR on sqrt of a negative) — smd = (mean_b - mean_a)
+    // / sqrt((var_a + var_b) / 2); every divisor is nullif-guarded — an
+    // empty half or a zero-variance pair yields NULL (SMD is undefined
+    // there), never an ANSI divide-by-zero
+    val varA = "greatest(sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0)), 0.0)"
+    val varB = "greatest(sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0)), 0.0)"
     one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
       .selectExpr(
         "col",
         "round(sum_a / nullif(n_a, 0), 6) AS mean_a",
         "round(sum_b / nullif(n_b, 0), 6) AS mean_b",
-        "round(sqrt(sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))), 6) AS std_a",
-        "round(sqrt(sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0))), 6) AS std_b",
+        s"round(sqrt($varA), 6) AS std_a",
+        s"round(sqrt($varB), 6) AS std_b",
         "CAST(null_a AS DOUBLE) / nullif(n_a + null_a, 0) AS null_rate_a",
         "CAST(null_b AS DOUBLE) / nullif(n_b + null_b, 0) AS null_rate_b",
-        """round((sum_b / nullif(n_b, 0) - sum_a / nullif(n_a, 0)) /
-          |  nullif(sqrt(((sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))) +
-          |        (sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0)))) / 2), 0.0), 6)
-          |  AS smd""".stripMargin)
+        s"""round((sum_b / nullif(n_b, 0) - sum_a / nullif(n_a, 0)) /
+           |  nullif(sqrt(($varA + $varB) / 2), 0.0), 6)
+           |  AS smd""".stripMargin)
       .orderBy("col")
   }
 
@@ -453,13 +455,13 @@ object QualityQueries2 {
        |SELECT col,
        |  round(sum_a / nullif(n_a, 0), 6) AS mean_a,
        |  round(sum_b / nullif(n_b, 0), 6) AS mean_b,
-       |  round(sqrt(sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))), 6) AS std_a,
-       |  round(sqrt(sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0))), 6) AS std_b,
+       |  round(sqrt(greatest(sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0)), 0.0)), 6) AS std_a,
+       |  round(sqrt(greatest(sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0)), 0.0)), 6) AS std_b,
        |  CAST(null_a AS DOUBLE) / nullif(n_a + null_a, 0) AS null_rate_a,
        |  CAST(null_b AS DOUBLE) / nullif(n_b + null_b, 0) AS null_rate_b,
        |  round((sum_b / nullif(n_b, 0) - sum_a / nullif(n_a, 0)) /
-       |    nullif(sqrt(((sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0))) +
-       |          (sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0)))) / 2), 0.0), 6) AS smd
+       |    nullif(sqrt((greatest(sq_a / nullif(n_a, 0) - (sum_a / nullif(n_a, 0)) * (sum_a / nullif(n_a, 0)), 0.0) +
+       |          greatest(sq_b / nullif(n_b, 0) - (sum_b / nullif(n_b, 0)) * (sum_b / nullif(n_b, 0)), 0.0)) / 2), 0.0), 6) AS smd
        |FROM rows_
        |ORDER BY col""".stripMargin
   }

@@ -26,8 +26,7 @@ final class StreamingScd2 {
     val rows = batch
       .select(col("user_id"), to_date(col("ts")).as("day"),
         unix_micros(col("ts").cast("timestamp")).as("tsm"), col("event_id"),
-        floor(get_json_object(col("props"), "$.k").cast("long") / 25)
-          .cast("long").as("tier"))
+        graft.queries.QualityQueries.scd2Tier.as("tier"))
       .filter(col("tier").isNotNull)
       .groupBy("user_id", "day")
       .agg(max(struct(col("tsm"), col("event_id"), col("tier"))).as("w"))

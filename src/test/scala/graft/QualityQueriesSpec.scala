@@ -114,7 +114,8 @@ class QualityQueriesSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSeq == Seq(0L, 1L, 3L))      // tiers
     assert(got.map(_.getLong(4)).toSeq == Seq(1L, 2L, 1L))      // n_days
     assert(got.map(_.getBoolean(5)).toSeq == Seq(false, false, true))
-    assert(got(1).getDate(2).toString == got(1).getDate(2).toString
-      && got(1).getLong(4) == 2L)
+    // the two-day tier-1 island spans exactly day1..day2
+    assert(got(1).getDate(3).toLocalDate ==
+      got(1).getDate(2).toLocalDate.plusDays(1))
   }
 }

@@ -190,22 +190,27 @@ object QualityQueries2 {
   def eventsHolt(spark: SparkSession, dir: String): DataFrame =
     eventsHoltOf(Tables.events(spark, dir))
 
-  def eventsHoltOf(events: DataFrame): DataFrame = {
+  /** Per-type zero-filled daily count series over the GLOBAL calendar
+    * spine (one broadcast 1-row min/max), as a day-sorted double array —
+    * the input both exponential smoothers fold over. */
+  private def dailySeries(events: DataFrame): DataFrame = {
     val daily = events
       .select(col("event_type"), to_date(col("ts")).as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
-    // global calendar spine: one broadcast 1-row min/max; zero-fill per
-    // type so every series steps through the same days
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = daily.select("event_type").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
-    val series = spine.join(daily, Seq("event_type", "day"), "left")
+    spine.join(daily, Seq("event_type", "day"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("s"))
       .withColumn("ys", expr("transform(s, p -> CAST(p.cnt AS DOUBLE))"))
+  }
+
+  def eventsHoltOf(events: DataFrame): DataFrame = {
+    val series = dailySeries(events)
       // a 1-day global spine has no recursion to run: drop it (matching
       // the oracle, whose base case needs t=2) instead of ANSI-erroring
       // on ys[1]
@@ -277,6 +282,118 @@ object QualityQueries2 {
       |  round(f.lvl, 6) AS level, round(f.tr, 6) AS trend,
       |  round(f.mae, 6) AS mae,
       |  round(f.lvl + h.h * f.tr, 6) AS forecast
+      |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+      |ORDER BY f.event_type, h""".stripMargin
+
+  // -------------------------------------------------------------------
+  // #288 events_holt_winters — additive Holt-Winters (weekly season).
+
+  /** Additive Holt-Winters (α=0.3, β=0.1, γ=0.2, L=7) per event type —
+    * the seasonal completion of the smoothing family (naive→backtest,
+    * level+trend→events_holt, level+trend+weekly-season→this): final
+    * level/trend, one-step in-sample MAE, and h=1..7 forecasts
+    * level + h·trend + the matching seasonal term.
+    *
+    * Exactness: same discipline as events_holt — the recursion is
+    * sequential double arithmetic run as a codegen `aggregate` HOF fold
+    * whose state carries the 7-slot seasonal ARRAY (updated one slot per
+    * step via an indexed transform); the oracle replays the identical
+    * expression shapes as a DuckDB recursive CTE carrying the seasonal
+    * LIST (updated by slice concatenation). Init: level = first-week
+    * mean (one left-nested add chain, identical text both sides),
+    * trend = 0, season = first-week deviations. Types need ≥ 8 spine
+    * days (init week + ≥1 step); shorter spines drop on both sides.
+    *
+    * Scale design: the events_holt shape — ONE map-side-combined
+    * (type, day) rollup, then a row-local fold over calendar-bounded
+    * arrays.
+    */
+  def eventsHoltWinters(spark: SparkSession, dir: String): DataFrame =
+    eventsHoltWintersOf(Tables.events(spark, dir))
+
+  def eventsHoltWintersOf(events: DataFrame): DataFrame = {
+    // 0-based Spark indexing: ys[0..6] is the init week (DuckDB's ys[1..7])
+    val lvl0 = "((((((ys[0] + ys[1]) + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) / 7.0D"
+    val sOld = "element_at(acc.s, acc.cnt % 7 + 1)"
+    val lvlNew = s"0.3D * (y - $sOld) + 0.7D * (acc.lvl + acc.tr)"
+    val folded = dailySeries(events)
+      .filter(size(col("ys")) >= 8)
+      .withColumn("st", expr(
+        s"""aggregate(
+           |  slice(ys, 8, size(ys) - 7),
+           |  named_struct(
+           |    'lvl', $lvl0,
+           |    'tr', CAST(0.0 AS DOUBLE),
+           |    's', transform(slice(ys, 1, 7), v -> v - ($lvl0)),
+           |    'ae', CAST(0.0 AS DOUBLE),
+           |    'cnt', 0),
+           |  (acc, y) -> named_struct(
+           |    'lvl', $lvlNew,
+           |    'tr', 0.1D * (($lvlNew) - acc.lvl) + 0.9D * acc.tr,
+           |    's', transform(acc.s, (v, i) ->
+           |           IF(i = acc.cnt % 7, 0.2D * (y - ($lvlNew)) + 0.8D * v, v)),
+           |    'ae', acc.ae + abs(y - (acc.lvl + acc.tr + $sOld)),
+           |    'cnt', acc.cnt + 1))""".stripMargin))
+      .select(col("event_type"), size(col("ys")).as("n"),
+        col("st.lvl").as("lvl"), col("st.tr").as("tr"), col("st.s").as("s"),
+        (col("st.ae") / col("st.cnt")).as("mae"))
+    folded
+      .select(col("event_type"), col("n"), col("lvl"), col("tr"), col("s"),
+        col("mae"), posexplode(array((1 to 7).map(lit): _*)))
+      .select(col("event_type"),
+        col("col").cast("long").as("h"),
+        round(col("lvl"), 6).as("level"),
+        round(col("tr"), 6).as("trend"),
+        round(col("mae"), 6).as("mae"),
+        round(col("lvl") + col("col") * col("tr") +
+          element_at(col("s"), ((col("n") + col("col") - 8) % 7 + 1).cast("int")), 6)
+          .as("forecast"))
+      .orderBy("event_type", "h")
+  }
+
+  val eventsHoltWintersSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |spine AS (
+      |  SELECT t.event_type,
+      |    CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b),
+      |series AS (
+      |  SELECT s.event_type,
+      |    list(CAST(coalesce(d.cnt, 0) AS DOUBLE) ORDER BY s.day) AS ys
+      |  FROM spine s LEFT JOIN daily d
+      |    ON s.event_type = d.event_type AND s.day = d.day
+      |  GROUP BY 1),
+      |base AS (
+      |  SELECT event_type, ys, len(ys) AS n,
+      |    ((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) + ys[7]) / 7.0 AS lvl
+      |  FROM series WHERE len(ys) >= 8),
+      |rec AS (
+      |  SELECT event_type, ys, n, 7 AS t, lvl, CAST(0.0 AS DOUBLE) AS tr,
+      |    [v - lvl FOR v IN ys[1:7]] AS s,
+      |    CAST(0.0 AS DOUBLE) AS ae, 0 AS cnt
+      |  FROM base
+      |  UNION ALL
+      |  SELECT event_type, ys, n, t + 1,
+      |    0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr),
+      |    0.1 * ((0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr)) - lvl)
+      |      + 0.9 * tr,
+      |    s[:cnt % 7 + 1 - 1] ||
+      |      [0.2 * (ys[t + 1] - (0.3 * (ys[t + 1] - s[cnt % 7 + 1])
+      |         + 0.7 * (lvl + tr))) + 0.8 * s[cnt % 7 + 1]] ||
+      |      s[cnt % 7 + 1 + 1:],
+      |    ae + abs(ys[t + 1] - (lvl + tr + s[cnt % 7 + 1])),
+      |    cnt + 1
+      |  FROM rec WHERE t < n),
+      |fin AS (
+      |  SELECT event_type, n, lvl, tr, s, ae / cnt AS mae
+      |  FROM rec WHERE t = n)
+      |SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
+      |  round(f.lvl, 6) AS level, round(f.tr, 6) AS trend,
+      |  round(f.mae, 6) AS mae,
+      |  round(f.lvl + h.h * f.tr + f.s[(f.n + h.h - 8) % 7 + 1], 6) AS forecast
       |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
       |ORDER BY f.event_type, h""".stripMargin
 
@@ -472,6 +589,7 @@ object QualityQueries2 {
     "orders_cohort_ltv" -> (ordersCohortLtv _),
     "join_skew_audit" -> (joinSkewAudit _),
     "events_holt" -> (eventsHolt _),
+    "events_holt_winters" -> (eventsHoltWinters _),
     "er_resolve" -> (erResolve _),
     "profile_drift" -> (profileDrift _))
 
@@ -479,6 +597,7 @@ object QualityQueries2 {
     "orders_cohort_ltv" -> ordersCohortLtvSql,
     "join_skew_audit" -> joinSkewAuditSql,
     "events_holt" -> eventsHoltSql,
+    "events_holt_winters" -> eventsHoltWintersSql,
     "er_resolve" -> erResolveSql,
     "profile_drift" -> profileDriftSql)
 }

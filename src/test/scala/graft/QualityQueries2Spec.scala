@@ -86,6 +86,46 @@ class QualityQueries2Spec extends AnyFunSuite {
       && math.abs(r7.getDouble(5) - (lvl + 7 * tr)) < 1e-6)
   }
 
+  test("events_holt_winters: fold equals a local seasonal recursion") {
+    // one type, 10 days: init week [3,1,4,1,5,9,2], then 6, 5, 3
+    val counts = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(j => ((d * 100 + j).toLong, ts(d), j.toLong, "click", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = QualityQueries2.eventsHoltWintersOf(ev).collect()
+    assert(got.length == 7)
+    // local replay (α=.3, β=.1, γ=.2, L=7)
+    val ys = counts.map(_.toDouble)
+    var lvl = ys.take(7).sum / 7.0; var tr = 0.0
+    val s = ys.take(7).map(_ - lvl).toArray
+    var ae = 0.0; var cnt = 0
+    for (t <- 7 until ys.length) {
+      val slot = cnt % 7
+      val fitted = lvl + tr + s(slot)
+      ae += math.abs(ys(t) - fitted)
+      val lvl2 = 0.3 * (ys(t) - s(slot)) + 0.7 * (lvl + tr)
+      tr = 0.1 * (lvl2 - lvl) + 0.9 * tr
+      s(slot) = 0.2 * (ys(t) - lvl2) + 0.8 * s(slot)
+      lvl = lvl2; cnt += 1
+    }
+    for (h <- 1 to 7) {
+      val r = got(h - 1)
+      assert(r.getLong(1) == h)
+      assert(math.abs(r.getDouble(2) - lvl) < 1e-6)
+      assert(math.abs(r.getDouble(3) - tr) < 1e-6)
+      assert(math.abs(r.getDouble(4) - ae / cnt) < 1e-6)
+      val want = lvl + h * tr + s((ys.length + h - 8) % 7)
+      assert(math.abs(r.getDouble(5) - want) < 1e-6, s"h=$h")
+    }
+  }
+
+  test("events_holt_winters: a 7-day spine has no recursion step and drops") {
+    val ev = (0 until 7).map(d =>
+      ((d + 1).toLong, ts(d), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(QualityQueries2.eventsHoltWintersOf(ev).collect().isEmpty)
+  }
+
   test("events_holt: every type steps through the SAME global spine") {
     // type b is absent on the global last day — its series must still
     // include that day as an explicit zero (5 days -> 4 fold steps)

@@ -812,13 +812,17 @@ object EventQueries {
       "CAST(n0 AS DOUBLE) AS n0d", "CAST(n1 AS DOUBLE) AS n1d",
       "CAST(sx0 AS DOUBLE) AS sx0d", "CAST(sx1 AS DOUBLE) AS sx1d",
       "CAST(sy0 AS DOUBLE) AS sy0d", "CAST(sy1 AS DOUBLE) AS sy1d"),
+    // nullif-guarded divisors: an EMPTY variant (the SRM-broken case the
+    // experiment-report composition must still report on) yields NULL
+    // metrics instead of an ANSI divide-by-zero; identical rendering in
+    // DuckDB, and a no-op when both variants enroll
     Seq("n0", "n1", "nd", "n0d", "n1d",
       "nd * sxyd - sxd * syd AS cn",
       "nd * sxxd - sxd * sxd AS cd",
       "nd * syyd - syd * syd AS vy",
-      "sxd / nd AS xbar",
-      "sx0d / n0d AS xbar0", "sx1d / n1d AS xbar1",
-      "sy0d / n0d AS ybar0", "sy1d / n1d AS ybar1"),
+      "sxd / nullif(nd, 0.0) AS xbar",
+      "sx0d / nullif(n0d, 0.0) AS xbar0", "sx1d / nullif(n1d, 0.0) AS xbar1",
+      "sy0d / nullif(n0d, 0.0) AS ybar0", "sy1d / nullif(n1d, 0.0) AS ybar1"),
     Seq("n0", "n1", "nd", "n0d", "n1d", "cn", "cd", "vy",
       "xbar", "xbar0", "xbar1", "ybar0", "ybar1",
       "CASE WHEN cd > 0 THEN round(cn / cd, 6) END AS thetar"),
@@ -829,10 +833,10 @@ object EventQueries {
       "CASE WHEN thetar IS NOT NULL THEN round(ybar0 - thetar * (xbar0 - xbar), 6) END AS adj0",
       "CASE WHEN thetar IS NOT NULL THEN round(ybar1 - thetar * (xbar1 - xbar), 6) END AS adj1",
       "CASE WHEN cd > 0 AND vy > 0 THEN round(cn * cn / (cd * vy), 6) END AS var_reduction",
-      "CASE WHEN vy > 0 THEN round((ybar1 - ybar0) / sqrt((vy / (nd * nd)) * (1.0 / n0d + 1.0 / n1d)), 6) END AS z_raw",
+      "CASE WHEN vy > 0 THEN round((ybar1 - ybar0) / sqrt((vy / (nd * nd)) * (1.0 / nullif(n0d, 0.0) + 1.0 / nullif(n1d, 0.0))), 6) END AS z_raw",
       "CASE WHEN cd > 0 AND vy > 0 AND cn * cn / (cd * vy) < 1.0 THEN " +
         "round(((ybar1 - thetar * (xbar1 - xbar)) - (ybar0 - thetar * (xbar0 - xbar))) / " +
-        "sqrt((vy / (nd * nd)) * (1.0 - cn * cn / (cd * vy)) * (1.0 / n0d + 1.0 / n1d)), 6) END AS z_adj"))
+        "sqrt((vy / (nd * nd)) * (1.0 - cn * cn / (cd * vy)) * (1.0 / nullif(n0d, 0.0) + 1.0 / nullif(n1d, 0.0))), 6) END AS z_adj"))
 
   /** #276 events_cuped: CUPED variance reduction (Deng et al., WSDM'13 —
     * the experimentation-platform staple): each enrolled user's

@@ -126,6 +126,44 @@ class QualityQueries2Spec extends AnyFunSuite {
     assert(QualityQueries2.eventsHoltWintersOf(ev).collect().isEmpty)
   }
 
+  test("events_experiment_report: composition equals its parts; SRM blocks") {
+    // balanced variants (users 1..20), variant 1 (odd) far more active in
+    // the experiment window -> a real lift readout
+    val ev = (1L to 20L).flatMap { u =>
+      val nY = if (u % 2 == 1) 12 else 2 // experiment-window activity
+      val nX = 3                         // identical pre-period
+      (1 to nX).map(j => (u * 1000 + j, ts(0 + j), u, "click", 1.0, "{}")) ++
+        (1 to nY).map(j => (u * 1000 + 100 + j, ts(40 * 24 * 60 + j), u, "click", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val report = QualityQueries2.eventsExperimentReportOf(ev).collect()(0)
+    val srm = graft.queries.EventQueries.eventsSrmOf(ev).collect()(0)
+    val cuped = graft.queries.EventQueries.eventsCupedOf(ev).collect()(0)
+    // the composed row IS its parts
+    assert(report.getLong(0) == srm.getLong(0) && report.getLong(1) == srm.getLong(1))
+    assert(report.getDouble(2) == srm.getDouble(2)
+      && report.getInt(3) == srm.getInt(3))
+    assert(report.getDouble(4) == cuped.getAs[Double]("mean_y0")
+      && report.getDouble(5) == cuped.getAs[Double]("mean_y1"))
+    // balanced split: not blocked; planted lift: decision from the read z
+    assert(report.getInt(3) == 0)
+    val z = Option(report.getAs[java.lang.Double]("z_adj"))
+      .orElse(Option(report.getAs[java.lang.Double]("z_raw"))).map(_.toDouble)
+    val want =
+      if (z.exists(_ >= 1.96)) "ship"
+      else if (z.exists(_ <= -1.96)) "regressive" else "inconclusive"
+    assert(report.getString(12) == want)
+    assert(want == "ship") // the planted 12-vs-2 shift must clear 1.96
+
+    // a one-sided enrollment trips the guardrail and blocks the readout
+    // regardless of any metric movement (12 one-sided users: chi2 = 12 >
+    // 10.83; CUPED's empty-variant metrics go NULL, not divide-by-zero)
+    val broken = (2L to 24L by 2).map(u =>
+      (u, ts(40 * 24 * 60), u, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val blocked = QualityQueries2.eventsExperimentReportOf(broken).collect()(0)
+    assert(blocked.getInt(3) == 1 && blocked.getString(12) == "blocked_srm")
+  }
+
   test("events_holt: every type steps through the SAME global spine") {
     // type b is absent on the global last day — its series must still
     // include that day as an explicit zero (5 days -> 4 fold steps)

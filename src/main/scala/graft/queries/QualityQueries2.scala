@@ -209,6 +209,22 @@ object QualityQueries2 {
       .withColumn("ys", expr("transform(s, p -> CAST(p.cnt AS DOUBLE))"))
   }
 
+  /** The Holt fold — ONE expression string shared by events_holt and the
+    * forecast ensemble, so the ensemble's f_holt can never drift from the
+    * standalone smoother. State (lvl, tr, abs-error sum, steps); init
+    * lvl=y1, tr=y2−y1; consumes y2..yn. */
+  private val HoltAggExpr: String =
+    """aggregate(
+      |  slice(ys, 2, size(ys) - 1),
+      |  named_struct('lvl', ys[0], 'tr', ys[1] - ys[0],
+      |               'ae', CAST(0.0 AS DOUBLE), 'n', 0L),
+      |  (acc, y) -> named_struct(
+      |    'lvl', 0.3D * y + 0.7D * (acc.lvl + acc.tr),
+      |    'tr',  0.1D * ((0.3D * y + 0.7D * (acc.lvl + acc.tr)) - acc.lvl)
+      |             + 0.9D * acc.tr,
+      |    'ae',  acc.ae + abs(y - (acc.lvl + acc.tr)),
+      |    'n',   acc.n + 1L))""".stripMargin
+
   def eventsHoltOf(events: DataFrame): DataFrame = {
     val series = dailySeries(events)
       // a 1-day global spine has no recursion to run: drop it (matching
@@ -219,17 +235,7 @@ object QualityQueries2 {
     // first two observations (lvl=y0, tr=y1-y0), recursion from t=1:
     // fitted = lvl+tr; lvl' = 0.3*y + 0.7*fitted; tr' = 0.1*(lvl'-lvl)
     // + 0.9*tr. MAE over the n-1 one-step fits.
-    val folded = series.withColumn("st", expr(
-      """aggregate(
-        |  slice(ys, 2, size(ys) - 1),
-        |  named_struct('lvl', ys[0], 'tr', ys[1] - ys[0],
-        |               'ae', CAST(0.0 AS DOUBLE), 'n', 0L),
-        |  (acc, y) -> named_struct(
-        |    'lvl', 0.3D * y + 0.7D * (acc.lvl + acc.tr),
-        |    'tr',  0.1D * ((0.3D * y + 0.7D * (acc.lvl + acc.tr)) - acc.lvl)
-        |             + 0.9D * acc.tr,
-        |    'ae',  acc.ae + abs(y - (acc.lvl + acc.tr)),
-        |    'n',   acc.n + 1L))""".stripMargin))
+    val folded = series.withColumn("st", expr(HoltAggExpr))
       .select(col("event_type"),
         col("st.lvl").as("lvl"), col("st.tr").as("tr"),
         (col("st.ae") / col("st.n")).as("mae"))
@@ -311,29 +317,34 @@ object QualityQueries2 {
   def eventsHoltWinters(spark: SparkSession, dir: String): DataFrame =
     eventsHoltWintersOf(Tables.events(spark, dir))
 
-  def eventsHoltWintersOf(events: DataFrame): DataFrame = {
-    // 0-based Spark indexing: ys[0..6] is the init week (DuckDB's ys[1..7])
+  /** The Holt-Winters fold — shared with the forecast ensemble the same
+    * way [[HoltAggExpr]] is. 0-based Spark indexing: ys[0..6] is the
+    * init week (DuckDB's ys[1..7]). */
+  private val HwAggExpr: String = {
     val lvl0 = "((((((ys[0] + ys[1]) + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) / 7.0D"
     val sOld = "element_at(acc.s, acc.cnt % 7 + 1)"
     val lvlNew = s"0.3D * (y - $sOld) + 0.7D * (acc.lvl + acc.tr)"
+    s"""aggregate(
+       |  slice(ys, 8, size(ys) - 7),
+       |  named_struct(
+       |    'lvl', $lvl0,
+       |    'tr', CAST(0.0 AS DOUBLE),
+       |    's', transform(slice(ys, 1, 7), v -> v - ($lvl0)),
+       |    'ae', CAST(0.0 AS DOUBLE),
+       |    'cnt', 0),
+       |  (acc, y) -> named_struct(
+       |    'lvl', $lvlNew,
+       |    'tr', 0.1D * (($lvlNew) - acc.lvl) + 0.9D * acc.tr,
+       |    's', transform(acc.s, (v, i) ->
+       |           IF(i = acc.cnt % 7, 0.2D * (y - ($lvlNew)) + 0.8D * v, v)),
+       |    'ae', acc.ae + abs(y - (acc.lvl + acc.tr + $sOld)),
+       |    'cnt', acc.cnt + 1))""".stripMargin
+  }
+
+  def eventsHoltWintersOf(events: DataFrame): DataFrame = {
     val folded = dailySeries(events)
       .filter(size(col("ys")) >= 8)
-      .withColumn("st", expr(
-        s"""aggregate(
-           |  slice(ys, 8, size(ys) - 7),
-           |  named_struct(
-           |    'lvl', $lvl0,
-           |    'tr', CAST(0.0 AS DOUBLE),
-           |    's', transform(slice(ys, 1, 7), v -> v - ($lvl0)),
-           |    'ae', CAST(0.0 AS DOUBLE),
-           |    'cnt', 0),
-           |  (acc, y) -> named_struct(
-           |    'lvl', $lvlNew,
-           |    'tr', 0.1D * (($lvlNew) - acc.lvl) + 0.9D * acc.tr,
-           |    's', transform(acc.s, (v, i) ->
-           |           IF(i = acc.cnt % 7, 0.2D * (y - ($lvlNew)) + 0.8D * v, v)),
-           |    'ae', acc.ae + abs(y - (acc.lvl + acc.tr + $sOld)),
-           |    'cnt', acc.cnt + 1))""".stripMargin))
+      .withColumn("st", expr(HwAggExpr))
       .select(col("event_type"), size(col("ys")).as("n"),
         col("st.lvl").as("lvl"), col("st.tr").as("tr"), col("st.s").as("s"),
         (col("st.ae") / col("st.cnt")).as("mae"))
@@ -584,6 +595,150 @@ object QualityQueries2 {
   }
 
   // -------------------------------------------------------------------
+  // #290 events_forecast_ensemble — inverse-MAE blend of three models.
+
+  /** The blend — ONE string evaluated by Spark selectExpr and rendered
+    * into the oracle: weights are inverse in-sample MAE (floored at 1e-9
+    * so a perfect fit can't divide by zero), normalized; the blend reads
+    * the 6-dp-rounded model columns so both engines combine identical
+    * inputs. */
+  private val EnsBlendExpr: String =
+    """round((1.0 / greatest(mae_naive, 1e-9) * f_naive
+      |      + 1.0 / greatest(mae_holt, 1e-9) * f_holt
+      |      + 1.0 / greatest(mae_hw, 1e-9) * f_hw)
+      |  / ((1.0 / greatest(mae_naive, 1e-9)
+      |      + 1.0 / greatest(mae_holt, 1e-9))
+      |      + 1.0 / greatest(mae_hw, 1e-9)), 6) AS f_ens""".stripMargin
+
+  /** The forecast ENSEMBLE — what a practitioner actually deploys: the
+    * seasonal-naive, Holt and Holt-Winters h=1..7 forecasts blended by
+    * inverse in-sample one-step MAE, per event type. A composition row:
+    * f_holt/f_hw come from the EXACT shared fold expressions the
+    * standalone smoothers run ([[HoltAggExpr]]/[[HwAggExpr]] — they
+    * cannot drift), the naive model's MAE is the mean |y_t − y_{t−7}|
+    * over the same spine, and the blend is one shared expression string.
+    *
+    * Scale shape: identical to events_holt — one map-side-combined
+    * rollup, three row-local folds over calendar-bounded arrays, no new
+    * shuffle class.
+    */
+  def eventsForecastEnsemble(spark: SparkSession, dir: String): DataFrame =
+    eventsForecastEnsembleOf(Tables.events(spark, dir))
+
+  def eventsForecastEnsembleOf(events: DataFrame): DataFrame = {
+    val base = dailySeries(events)
+      .filter(size(col("ys")) >= 8)
+      .withColumn("hst", expr(HoltAggExpr))
+      .withColumn("wst", expr(HwAggExpr))
+      .withColumn("n", size(col("ys")))
+      // naive in-sample MAE: integer-valued doubles sum exactly, so
+      // summation order can't drift the engines
+      .withColumn("mae_naive", round(expr(
+        """aggregate(
+          |  transform(sequence(8, size(ys)),
+          |            t -> abs(element_at(ys, t) - element_at(ys, t - 7))),
+          |  CAST(0.0 AS DOUBLE), (a, x) -> a + x) / (size(ys) - 7)""".stripMargin), 6))
+      .withColumn("mae_holt", round(col("hst.ae") / col("hst.n"), 6))
+      .withColumn("mae_hw", round(col("wst.ae") / col("wst.cnt"), 6))
+    base
+      .select(col("event_type"), col("n"), col("ys"),
+        col("hst"), col("wst"),
+        col("mae_naive"), col("mae_holt"), col("mae_hw"),
+        posexplode(array((1 to 7).map(lit): _*)))
+      .select(col("event_type"),
+        col("col").cast("long").as("h"),
+        col("mae_naive"), col("mae_holt"), col("mae_hw"),
+        round(element_at(col("ys"), (col("n") - 7 + col("col")).cast("int")), 6)
+          .as("f_naive"),
+        round(col("hst.lvl") + col("col") * col("hst.tr"), 6).as("f_holt"),
+        round(col("wst.lvl") + col("col") * col("wst.tr") +
+          element_at(col("wst.s"), ((col("n") + col("col") - 8) % 7 + 1).cast("int")), 6)
+          .as("f_hw"))
+      .selectExpr("event_type", "h", "mae_naive", "mae_holt", "mae_hw",
+        "f_naive", "f_holt", "f_hw", EnsBlendExpr)
+      .orderBy("event_type", "h")
+  }
+
+  val eventsForecastEnsembleSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+       |spine AS (
+       |  SELECT t.event_type,
+       |    CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b),
+       |series AS (
+       |  SELECT s.event_type,
+       |    list(CAST(coalesce(d.cnt, 0) AS DOUBLE) ORDER BY s.day) AS ys
+       |  FROM spine s LEFT JOIN daily d
+       |    ON s.event_type = d.event_type AND s.day = d.day
+       |  GROUP BY 1),
+       |base AS (
+       |  SELECT event_type, ys, len(ys) AS n,
+       |    ((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) + ys[7]) / 7.0 AS w_lvl0
+       |  FROM series WHERE len(ys) >= 8),
+       |rec_h AS (
+       |  SELECT event_type, ys, n, 1 AS t,
+       |    ys[1] AS lvl, ys[2] - ys[1] AS tr,
+       |    CAST(0.0 AS DOUBLE) AS ae, 0 AS steps
+       |  FROM base
+       |  UNION ALL
+       |  SELECT event_type, ys, n, t + 1,
+       |    0.3 * ys[t + 1] + 0.7 * (lvl + tr),
+       |    0.1 * ((0.3 * ys[t + 1] + 0.7 * (lvl + tr)) - lvl) + 0.9 * tr,
+       |    ae + abs(ys[t + 1] - (lvl + tr)),
+       |    steps + 1
+       |  FROM rec_h WHERE t < n),
+       |fin_h AS (
+       |  SELECT event_type, lvl AS h_lvl, tr AS h_tr,
+       |    round(ae / steps, 6) AS mae_holt
+       |  FROM rec_h WHERE t = n),
+       |rec_w AS (
+       |  SELECT event_type, ys, n, 7 AS t, w_lvl0 AS lvl,
+       |    CAST(0.0 AS DOUBLE) AS tr,
+       |    [v - w_lvl0 FOR v IN ys[1:7]] AS s,
+       |    CAST(0.0 AS DOUBLE) AS ae, 0 AS cnt
+       |  FROM base
+       |  UNION ALL
+       |  SELECT event_type, ys, n, t + 1,
+       |    0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr),
+       |    0.1 * ((0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr)) - lvl)
+       |      + 0.9 * tr,
+       |    s[:cnt % 7 + 1 - 1] ||
+       |      [0.2 * (ys[t + 1] - (0.3 * (ys[t + 1] - s[cnt % 7 + 1])
+       |         + 0.7 * (lvl + tr))) + 0.8 * s[cnt % 7 + 1]] ||
+       |      s[cnt % 7 + 1 + 1:],
+       |    ae + abs(ys[t + 1] - (lvl + tr + s[cnt % 7 + 1])),
+       |    cnt + 1
+       |  FROM rec_w WHERE t < n),
+       |fin_w AS (
+       |  SELECT event_type, lvl AS w_lvl, tr AS w_tr, s AS w_s,
+       |    round(ae / cnt, 6) AS mae_hw
+       |  FROM rec_w WHERE t = n),
+       |naive AS (
+       |  SELECT event_type, ys, n,
+       |    round(list_sum([abs(ys[t] - ys[t - 7]) FOR t IN range(8, CAST(n + 1 AS BIGINT))])
+       |          / (n - 7), 6) AS mae_naive
+       |  FROM base),
+       |models AS (
+       |  SELECT nv.event_type, CAST(h.h AS BIGINT) AS h,
+       |    nv.mae_naive, fh.mae_holt, fw.mae_hw,
+       |    round(nv.ys[CAST(nv.n - 7 + h.h AS INT)], 6) AS f_naive,
+       |    round(fh.h_lvl + h.h * fh.h_tr, 6) AS f_holt,
+       |    round(fw.w_lvl + h.h * fw.w_tr
+       |          + fw.w_s[(nv.n + h.h - 8) % 7 + 1], 6) AS f_hw
+       |  FROM naive nv
+       |  JOIN fin_h fh ON nv.event_type = fh.event_type
+       |  JOIN fin_w fw ON nv.event_type = fw.event_type
+       |  CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h)
+       |SELECT event_type, h, mae_naive, mae_holt, mae_hw,
+       |  f_naive, f_holt, f_hw,
+       |  $EnsBlendExpr
+       |FROM models
+       |ORDER BY event_type, h""".stripMargin
+
+  // -------------------------------------------------------------------
   // #289 events_experiment_report — the ship/no-ship decision row.
 
   /** The decision CASE — ONE string evaluated by Spark's selectExpr and
@@ -644,6 +799,7 @@ object QualityQueries2 {
     "events_holt" -> (eventsHolt _),
     "events_holt_winters" -> (eventsHoltWinters _),
     "events_experiment_report" -> (eventsExperimentReport _),
+    "events_forecast_ensemble" -> (eventsForecastEnsemble _),
     "er_resolve" -> (erResolve _),
     "profile_drift" -> (profileDrift _))
 
@@ -653,6 +809,7 @@ object QualityQueries2 {
     "events_holt" -> eventsHoltSql,
     "events_holt_winters" -> eventsHoltWintersSql,
     "events_experiment_report" -> eventsExperimentReportSql,
+    "events_forecast_ensemble" -> eventsForecastEnsembleSql,
     "er_resolve" -> erResolveSql,
     "profile_drift" -> profileDriftSql)
 }

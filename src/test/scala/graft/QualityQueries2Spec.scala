@@ -126,6 +126,30 @@ class QualityQueries2Spec extends AnyFunSuite {
     assert(QualityQueries2.eventsHoltWintersOf(ev).collect().isEmpty)
   }
 
+  test("events_forecast_ensemble: model columns equal the standalone smoothers; blend is convex") {
+    // irregular 16-day series so all three models disagree
+    val counts = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3)
+    val ev = counts.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(j => ((d * 100 + j).toLong, ts(d), j.toLong, "click", 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ens = QualityQueries2.eventsForecastEnsembleOf(ev).collect()
+    val holt = QualityQueries2.eventsHoltOf(ev).collect()
+      .map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    val hw = QualityQueries2.eventsHoltWintersOf(ev).collect()
+      .map(r => r.getLong(1) -> r.getDouble(5)).toMap
+    assert(ens.length == 7)
+    ens.foreach { r =>
+      val h = r.getLong(1)
+      assert(r.getDouble(6) == holt(h), s"f_holt at h=$h")  // shared fold
+      assert(r.getDouble(7) == hw(h), s"f_hw at h=$h")
+      // naive = the count 7 days before the forecast day
+      assert(r.getDouble(5) == counts(counts.length - 7 + h.toInt - 1).toDouble)
+      // convex: the blend sits inside the model range
+      val fs = Seq(r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(r.getDouble(8) >= fs.min - 1e-6 && r.getDouble(8) <= fs.max + 1e-6)
+    }
+  }
+
   test("events_experiment_report: composition equals its parts; SRM blocks") {
     // balanced variants (users 1..20), variant 1 (odd) far more active in
     // the experiment window -> a real lift readout

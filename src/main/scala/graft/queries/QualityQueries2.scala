@@ -595,6 +595,93 @@ object QualityQueries2 {
   }
 
   // -------------------------------------------------------------------
+  // #291 split_signoff — the four split audits as one verdict table.
+
+  /** dof → p<0.001 chi-square critical value (public table, dof 1..8) —
+    * ONE string evaluated by Spark selectExpr and rendered into the
+    * oracle. */
+  private val Chi2CritExpr: String =
+    """CASE CAST(dof AS INT)
+      |  WHEN 1 THEN 10.828 WHEN 2 THEN 13.816 WHEN 3 THEN 16.266
+      |  WHEN 4 THEN 18.467 WHEN 5 THEN 20.515 WHEN 6 THEN 22.458
+      |  WHEN 7 THEN 24.322 WHEN 8 THEN 26.124 END""".stripMargin
+
+  /** The SPLIT SIGN-OFF — the four split audits (#49-family) composed
+    * into the one verdict table an eval-hygiene review reads before a
+    * split ships: per audit the statistic, its p<0.001 threshold, and
+    * pass/fail. balance = the chi-square total over (split × lang) cells
+    * against the dof-matched critical value (decimal-exact sum of the
+    * 6-dp contributions, order-proof); runs = |Wald-Wolfowitz z| vs
+    * 3.290527; ks = the D statistic vs its two-sample critical value
+    * 1.949467·√((n₁+n₂)/(n₁n₂)); leakage = the cross-split share of
+    * mined near-dup pairs vs ZERO (the doc-grain md5 split honestly
+    * FAILS this on a near-dup corpus — the verdict that routes users to
+    * split_cluster, whose cluster-atomic rule passes by construction).
+    *
+    * Scale shape = union of its parts (each already probed); the
+    * composition adds four ≤10-row aggregates and a 4-row union.
+    */
+  def splitSignoff(spark: SparkSession, dir: String): DataFrame = {
+    val bal = PipelineQueries.splitBalance(spark, dir)
+      .agg(
+        sum(col("chisq_contrib").cast("decimal(18,6)")).cast("double").as("stat_raw"),
+        ((count_distinct(col("split")) - 1) *
+          (count_distinct(col("lang")) - 1)).as("dof"))
+      .selectExpr("'balance' AS audit", "round(stat_raw, 6) AS statistic",
+        s"round($Chi2CritExpr, 6) AS threshold")
+    val ks = PipelineQueries.splitKs(spark, dir)
+      .selectExpr("'ks' AS audit", "ks_d AS statistic",
+        "round(1.949467 * sqrt(CAST(n_train + n_val AS DOUBLE) / (CAST(n_train AS DOUBLE) * n_val)), 6) AS threshold")
+    val leak = PipelineQueries.splitLeakage(spark, dir)
+      .agg(coalesce(
+        sum(when(col("pair_type") === "train-val", col("share").cast("decimal(18,6)"))),
+        lit(0).cast("decimal(18,6)")).cast("double").as("stat_raw"))
+      .selectExpr("'leakage' AS audit", "round(stat_raw, 6) AS statistic",
+        "CAST(0.0 AS DOUBLE) AS threshold")
+    val runs = PipelineQueries.splitRunsTest(spark, dir)
+      .selectExpr("'runs' AS audit", "round(abs(z), 6) AS statistic",
+        "CAST(3.290527 AS DOUBLE) AS threshold")
+    bal.unionByName(ks).unionByName(leak).unionByName(runs)
+      .withColumn("pass", col("statistic") <= col("threshold"))
+      .orderBy("audit")
+  }
+
+  val splitSignoffSql: String =
+    s"""WITH balance_rows AS (
+       |${PipelineQueries.splitBalanceSql}
+       |),
+       |ks_row AS (
+       |${PipelineQueries.splitKsSql}
+       |),
+       |leak_rows AS (
+       |${PipelineQueries.splitLeakageSql}
+       |),
+       |runs_row AS (
+       |${PipelineQueries.splitRunsTestSql}
+       |),
+       |checks AS (
+       |  SELECT 'balance' AS audit,
+       |    round(CAST(sum(CAST(chisq_contrib AS DECIMAL(18,6))) AS DOUBLE), 6) AS statistic,
+       |    round((SELECT $Chi2CritExpr FROM (
+       |      SELECT (count(DISTINCT split) - 1) * (count(DISTINCT lang) - 1) AS dof
+       |      FROM balance_rows)), 6) AS threshold
+       |  FROM balance_rows
+       |  UNION ALL
+       |  SELECT 'ks', ks_d,
+       |    round(1.949467 * sqrt(CAST(n_train + n_val AS DOUBLE) / (CAST(n_train AS DOUBLE) * n_val)), 6)
+       |  FROM ks_row
+       |  UNION ALL
+       |  SELECT 'leakage',
+       |    round(CAST(coalesce(sum(CASE WHEN pair_type = 'train-val'
+       |      THEN CAST(share AS DECIMAL(18,6)) END), 0) AS DOUBLE), 6),
+       |    CAST(0.0 AS DOUBLE)
+       |  FROM leak_rows
+       |  UNION ALL
+       |  SELECT 'runs', round(abs(z), 6), CAST(3.290527 AS DOUBLE) FROM runs_row)
+       |SELECT audit, statistic, threshold, statistic <= threshold AS pass
+       |FROM checks ORDER BY audit""".stripMargin
+
+  // -------------------------------------------------------------------
   // #290 events_forecast_ensemble — inverse-MAE blend of three models.
 
   /** The blend — ONE string evaluated by Spark selectExpr and rendered
@@ -800,6 +887,7 @@ object QualityQueries2 {
     "events_holt_winters" -> (eventsHoltWinters _),
     "events_experiment_report" -> (eventsExperimentReport _),
     "events_forecast_ensemble" -> (eventsForecastEnsemble _),
+    "split_signoff" -> (splitSignoff _),
     "er_resolve" -> (erResolve _),
     "profile_drift" -> (profileDrift _))
 
@@ -810,6 +898,7 @@ object QualityQueries2 {
     "events_holt_winters" -> eventsHoltWintersSql,
     "events_experiment_report" -> eventsExperimentReportSql,
     "events_forecast_ensemble" -> eventsForecastEnsembleSql,
+    "split_signoff" -> splitSignoffSql,
     "er_resolve" -> erResolveSql,
     "profile_drift" -> profileDriftSql)
 }

@@ -150,6 +150,24 @@ class QualityQueries2Spec extends AnyFunSuite {
     }
   }
 
+  test("split_signoff: verdict rows equal the standalone audits; pass logic holds") {
+    import graft.queries.PipelineQueries
+    val dir = "/root/testdata/sf0.001"
+    val got = QualityQueries2.splitSignoff(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("balance", "ks", "leakage", "runs"))
+    val z = PipelineQueries.splitRunsTest(spark, dir).collect()(0).getDouble(3)
+    assert(got("runs").getDouble(1) == math.rint(math.abs(z) * 1e6) / 1e6)
+    val ks = PipelineQueries.splitKs(spark, dir).collect()(0)
+    assert(got("ks").getDouble(1) == ks.getDouble(2))
+    val chi2 = PipelineQueries.splitBalance(spark, dir).collect()
+      .map(r => BigDecimal(r.getDouble(4))).sum.toDouble
+    assert(math.abs(got("balance").getDouble(1) - chi2) < 1e-6)
+    got.values.foreach { r =>
+      assert(r.getBoolean(3) == (r.getDouble(1) <= r.getDouble(2)))
+    }
+  }
+
   test("events_experiment_report: composition equals its parts; SRM blocks") {
     // balanced variants (users 1..20), variant 1 (odd) far more active in
     // the experiment window -> a real lift readout

@@ -251,8 +251,12 @@ object QualityQueries2 {
       .orderBy("event_type", "h")
   }
 
-  val eventsHoltSql: String =
-    """WITH RECURSIVE daily AS (
+  /** Oracle-side shared text (the Spark side's HoltAggExpr/HwAggExpr
+    * symmetry): the zero-filled daily-series CTE chain and both
+    * recursion bodies exist ONCE and render into every smoothing
+    * oracle — the standalone twins and the ensemble cannot drift. */
+  private val SeriesListCtesSql: String =
+    """daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
       |  FROM events GROUP BY 1, 2),
       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
@@ -260,36 +264,72 @@ object QualityQueries2 {
       |  SELECT t.event_type,
       |    CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
       |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b),
-      |series AS (
-      |  SELECT s.event_type, s.day,
-      |    CAST(coalesce(d.cnt, 0) AS DOUBLE) AS y,
-      |    row_number() OVER (PARTITION BY s.event_type ORDER BY s.day) AS t,
-      |    count(*) OVER (PARTITION BY s.event_type) AS n
+      |serieslist AS (
+      |  SELECT s.event_type,
+      |    list(CAST(coalesce(d.cnt, 0) AS DOUBLE) ORDER BY s.day) AS ys
       |  FROM spine s LEFT JOIN daily d
-      |    ON s.event_type = d.event_type AND s.day = d.day),
-      |rec AS (
-      |  SELECT s0.event_type, 1 AS t, s0.n,
-      |    s0.y AS lvl, s1.y - s0.y AS tr,
-      |    CAST(0.0 AS DOUBLE) AS ae, 0 AS steps
-      |  FROM series s0 JOIN series s1
-      |    ON s0.event_type = s1.event_type AND s0.t = 1 AND s1.t = 2
-      |  UNION ALL
-      |  SELECT r.event_type, r.t + 1, r.n,
-      |    0.3 * s.y + 0.7 * (r.lvl + r.tr) AS lvl,
-      |    0.1 * ((0.3 * s.y + 0.7 * (r.lvl + r.tr)) - r.lvl) + 0.9 * r.tr AS tr,
-      |    r.ae + abs(s.y - (r.lvl + r.tr)) AS ae,
-      |    r.steps + 1
-      |  FROM rec r JOIN series s
-      |    ON s.event_type = r.event_type AND s.t = r.t + 1),
-      |fin AS (
-      |  SELECT event_type, lvl, tr, ae / steps AS mae
-      |  FROM rec WHERE t = n)
-      |SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
-      |  round(f.lvl, 6) AS level, round(f.tr, 6) AS trend,
-      |  round(f.mae, 6) AS mae,
-      |  round(f.lvl + h.h * f.tr, 6) AS forecast
-      |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
-      |ORDER BY f.event_type, h""".stripMargin
+      |    ON s.event_type = d.event_type AND s.day = d.day
+      |  GROUP BY 1)""".stripMargin
+
+  /** First-week mean over the ys LIST (1-based), identical text in every
+    * oracle that inits Holt-Winters. */
+  private val Lvl0Sql: String =
+    "((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) + ys[7]) / 7.0"
+
+  /** Holt recursion over the ys list, as CTE `rec` reading
+    * `base(event_type, ys, n)`. */
+  private def holtRecSql(rec: String, base: String): String =
+    s"""$rec AS (
+       |  SELECT event_type, ys, n, 1 AS t,
+       |    ys[1] AS lvl, ys[2] - ys[1] AS tr,
+       |    CAST(0.0 AS DOUBLE) AS ae, 0 AS steps
+       |  FROM $base
+       |  UNION ALL
+       |  SELECT event_type, ys, n, t + 1,
+       |    0.3 * ys[t + 1] + 0.7 * (lvl + tr),
+       |    0.1 * ((0.3 * ys[t + 1] + 0.7 * (lvl + tr)) - lvl) + 0.9 * tr,
+       |    ae + abs(ys[t + 1] - (lvl + tr)),
+       |    steps + 1
+       |  FROM $rec WHERE t < n)""".stripMargin
+
+  /** Holt-Winters recursion over the ys list (seasonal LIST updated by
+    * slice concatenation), as CTE `rec` reading
+    * `base(event_type, ys, n, lvl0)`. */
+  private def hwRecSql(rec: String, base: String): String =
+    s"""$rec AS (
+       |  SELECT event_type, ys, n, 7 AS t, lvl0 AS lvl,
+       |    CAST(0.0 AS DOUBLE) AS tr,
+       |    [v - lvl0 FOR v IN ys[1:7]] AS s,
+       |    CAST(0.0 AS DOUBLE) AS ae, 0 AS cnt
+       |  FROM $base
+       |  UNION ALL
+       |  SELECT event_type, ys, n, t + 1,
+       |    0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr),
+       |    0.1 * ((0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr)) - lvl)
+       |      + 0.9 * tr,
+       |    s[:cnt % 7 + 1 - 1] ||
+       |      [0.2 * (ys[t + 1] - (0.3 * (ys[t + 1] - s[cnt % 7 + 1])
+       |         + 0.7 * (lvl + tr))) + 0.8 * s[cnt % 7 + 1]] ||
+       |      s[cnt % 7 + 1 + 1:],
+       |    ae + abs(ys[t + 1] - (lvl + tr + s[cnt % 7 + 1])),
+       |    cnt + 1
+       |  FROM $rec WHERE t < n)""".stripMargin
+
+  val eventsHoltSql: String =
+    s"""WITH RECURSIVE $SeriesListCtesSql,
+       |base AS (
+       |  SELECT event_type, ys, len(ys) AS n
+       |  FROM serieslist WHERE len(ys) >= 2),
+       |${holtRecSql("rec", "base")},
+       |fin AS (
+       |  SELECT event_type, lvl, tr, ae / steps AS mae
+       |  FROM rec WHERE t = n)
+       |SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
+       |  round(f.lvl, 6) AS level, round(f.tr, 6) AS trend,
+       |  round(f.mae, 6) AS mae,
+       |  round(f.lvl + h.h * f.tr, 6) AS forecast
+       |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+       |ORDER BY f.event_type, h""".stripMargin
 
   // -------------------------------------------------------------------
   // #288 events_holt_winters — additive Holt-Winters (weekly season).
@@ -363,50 +403,21 @@ object QualityQueries2 {
   }
 
   val eventsHoltWintersSql: String =
-    """WITH RECURSIVE daily AS (
-      |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
-      |  FROM events GROUP BY 1, 2),
-      |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
-      |spine AS (
-      |  SELECT t.event_type,
-      |    CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
-      |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b),
-      |series AS (
-      |  SELECT s.event_type,
-      |    list(CAST(coalesce(d.cnt, 0) AS DOUBLE) ORDER BY s.day) AS ys
-      |  FROM spine s LEFT JOIN daily d
-      |    ON s.event_type = d.event_type AND s.day = d.day
-      |  GROUP BY 1),
-      |base AS (
-      |  SELECT event_type, ys, len(ys) AS n,
-      |    ((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) + ys[7]) / 7.0 AS lvl
-      |  FROM series WHERE len(ys) >= 8),
-      |rec AS (
-      |  SELECT event_type, ys, n, 7 AS t, lvl, CAST(0.0 AS DOUBLE) AS tr,
-      |    [v - lvl FOR v IN ys[1:7]] AS s,
-      |    CAST(0.0 AS DOUBLE) AS ae, 0 AS cnt
-      |  FROM base
-      |  UNION ALL
-      |  SELECT event_type, ys, n, t + 1,
-      |    0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr),
-      |    0.1 * ((0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr)) - lvl)
-      |      + 0.9 * tr,
-      |    s[:cnt % 7 + 1 - 1] ||
-      |      [0.2 * (ys[t + 1] - (0.3 * (ys[t + 1] - s[cnt % 7 + 1])
-      |         + 0.7 * (lvl + tr))) + 0.8 * s[cnt % 7 + 1]] ||
-      |      s[cnt % 7 + 1 + 1:],
-      |    ae + abs(ys[t + 1] - (lvl + tr + s[cnt % 7 + 1])),
-      |    cnt + 1
-      |  FROM rec WHERE t < n),
-      |fin AS (
-      |  SELECT event_type, n, lvl, tr, s, ae / cnt AS mae
-      |  FROM rec WHERE t = n)
-      |SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
-      |  round(f.lvl, 6) AS level, round(f.tr, 6) AS trend,
-      |  round(f.mae, 6) AS mae,
-      |  round(f.lvl + h.h * f.tr + f.s[(f.n + h.h - 8) % 7 + 1], 6) AS forecast
-      |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
-      |ORDER BY f.event_type, h""".stripMargin
+    s"""WITH RECURSIVE $SeriesListCtesSql,
+       |base AS (
+       |  SELECT event_type, ys, len(ys) AS n,
+       |    $Lvl0Sql AS lvl0
+       |  FROM serieslist WHERE len(ys) >= 8),
+       |${hwRecSql("rec", "base")},
+       |fin AS (
+       |  SELECT event_type, n, lvl, tr, s, ae / cnt AS mae
+       |  FROM rec WHERE t = n)
+       |SELECT f.event_type, CAST(h.h AS BIGINT) AS h,
+       |  round(f.lvl, 6) AS level, round(f.tr, 6) AS trend,
+       |  round(f.mae, 6) AS mae,
+       |  round(f.lvl + h.h * f.tr + f.s[(f.n + h.h - 8) % 7 + 1], 6) AS forecast
+       |FROM fin f CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+       |ORDER BY f.event_type, h""".stripMargin
 
   // -------------------------------------------------------------------
   // #286 er_resolve — entity clusters + golden-record survivorship.
@@ -597,14 +608,21 @@ object QualityQueries2 {
   // -------------------------------------------------------------------
   // #291 split_signoff — the four split audits as one verdict table.
 
-  /** dof → p<0.001 chi-square critical value (public table, dof 1..8) —
-    * ONE string evaluated by Spark selectExpr and rendered into the
-    * oracle. */
-  private val Chi2CritExpr: String =
-    """CASE CAST(dof AS INT)
-      |  WHEN 1 THEN 10.828 WHEN 2 THEN 13.816 WHEN 3 THEN 16.266
-      |  WHEN 4 THEN 18.467 WHEN 5 THEN 20.515 WHEN 6 THEN 22.458
-      |  WHEN 7 THEN 24.322 WHEN 8 THEN 26.124 END""".stripMargin
+  /** dof → p<0.001 chi-square critical value — ONE string evaluated by
+    * Spark selectExpr and rendered into the oracle. Exact public table
+    * for dof 1..8; beyond that the Wilson–Hilferty cube approximation
+    * (z₀.₉₉₉ = 3.090232) so a wide contingency table still gets a REAL
+    * threshold instead of a silently NULL verdict; dof ≤ 0 (a
+    * degenerate single-level table) scores 0 ≤ 0 = pass. */
+  private val Chi2CritExpr: String = {
+    val wh = "(1.0 - 2.0 / (9.0 * dof) + 3.090232 * sqrt(2.0 / (9.0 * dof)))"
+    s"""CASE WHEN dof <= 0 THEN 0.0
+       |  WHEN dof = 1 THEN 10.828 WHEN dof = 2 THEN 13.816
+       |  WHEN dof = 3 THEN 16.266 WHEN dof = 4 THEN 18.467
+       |  WHEN dof = 5 THEN 20.515 WHEN dof = 6 THEN 22.458
+       |  WHEN dof = 7 THEN 24.322 WHEN dof = 8 THEN 26.124
+       |  ELSE dof * $wh * $wh * $wh END""".stripMargin
+  }
 
   /** The SPLIT SIGN-OFF — the four split audits (#49-family) composed
     * into the one verdict table an eval-hygiene review reads before a
@@ -632,11 +650,13 @@ object QualityQueries2 {
     val ks = PipelineQueries.splitKs(spark, dir)
       .selectExpr("'ks' AS audit", "ks_d AS statistic",
         "round(1.949467 * sqrt(CAST(n_train + n_val AS DOUBLE) / (CAST(n_train AS DOUBLE) * n_val)), 6) AS threshold")
+    // statistic = the straddling pair COUNT, not the 6-dp share — a
+    // zero-tolerance gate must not let sub-rounding leakage pass as 0
     val leak = PipelineQueries.splitLeakage(spark, dir)
       .agg(coalesce(
-        sum(when(col("pair_type") === "train-val", col("share").cast("decimal(18,6)"))),
-        lit(0).cast("decimal(18,6)")).cast("double").as("stat_raw"))
-      .selectExpr("'leakage' AS audit", "round(stat_raw, 6) AS statistic",
+        sum(when(col("pair_type") === "train-val", col("n_pairs"))), lit(0L))
+        .cast("double").as("stat_raw"))
+      .selectExpr("'leakage' AS audit", "stat_raw AS statistic",
         "CAST(0.0 AS DOUBLE) AS threshold")
     val runs = PipelineQueries.splitRunsTest(spark, dir)
       .selectExpr("'runs' AS audit", "round(abs(z), 6) AS statistic",
@@ -672,8 +692,8 @@ object QualityQueries2 {
        |  FROM ks_row
        |  UNION ALL
        |  SELECT 'leakage',
-       |    round(CAST(coalesce(sum(CASE WHEN pair_type = 'train-val'
-       |      THEN CAST(share AS DECIMAL(18,6)) END), 0) AS DOUBLE), 6),
+       |    CAST(coalesce(sum(CASE WHEN pair_type = 'train-val'
+       |      THEN n_pairs END), 0) AS DOUBLE),
        |    CAST(0.0 AS DOUBLE)
        |  FROM leak_rows
        |  UNION ALL
@@ -747,58 +767,17 @@ object QualityQueries2 {
   }
 
   val eventsForecastEnsembleSql: String =
-    s"""WITH RECURSIVE daily AS (
-       |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM events GROUP BY 1, 2),
-       |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
-       |spine AS (
-       |  SELECT t.event_type,
-       |    CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
-       |  FROM (SELECT DISTINCT event_type FROM daily) t CROSS JOIN bounds b),
-       |series AS (
-       |  SELECT s.event_type,
-       |    list(CAST(coalesce(d.cnt, 0) AS DOUBLE) ORDER BY s.day) AS ys
-       |  FROM spine s LEFT JOIN daily d
-       |    ON s.event_type = d.event_type AND s.day = d.day
-       |  GROUP BY 1),
+    s"""WITH RECURSIVE $SeriesListCtesSql,
        |base AS (
        |  SELECT event_type, ys, len(ys) AS n,
-       |    ((((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) + ys[7]) / 7.0 AS w_lvl0
-       |  FROM series WHERE len(ys) >= 8),
-       |rec_h AS (
-       |  SELECT event_type, ys, n, 1 AS t,
-       |    ys[1] AS lvl, ys[2] - ys[1] AS tr,
-       |    CAST(0.0 AS DOUBLE) AS ae, 0 AS steps
-       |  FROM base
-       |  UNION ALL
-       |  SELECT event_type, ys, n, t + 1,
-       |    0.3 * ys[t + 1] + 0.7 * (lvl + tr),
-       |    0.1 * ((0.3 * ys[t + 1] + 0.7 * (lvl + tr)) - lvl) + 0.9 * tr,
-       |    ae + abs(ys[t + 1] - (lvl + tr)),
-       |    steps + 1
-       |  FROM rec_h WHERE t < n),
+       |    $Lvl0Sql AS lvl0
+       |  FROM serieslist WHERE len(ys) >= 8),
+       |${holtRecSql("rec_h", "base")},
        |fin_h AS (
        |  SELECT event_type, lvl AS h_lvl, tr AS h_tr,
        |    round(ae / steps, 6) AS mae_holt
        |  FROM rec_h WHERE t = n),
-       |rec_w AS (
-       |  SELECT event_type, ys, n, 7 AS t, w_lvl0 AS lvl,
-       |    CAST(0.0 AS DOUBLE) AS tr,
-       |    [v - w_lvl0 FOR v IN ys[1:7]] AS s,
-       |    CAST(0.0 AS DOUBLE) AS ae, 0 AS cnt
-       |  FROM base
-       |  UNION ALL
-       |  SELECT event_type, ys, n, t + 1,
-       |    0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr),
-       |    0.1 * ((0.3 * (ys[t + 1] - s[cnt % 7 + 1]) + 0.7 * (lvl + tr)) - lvl)
-       |      + 0.9 * tr,
-       |    s[:cnt % 7 + 1 - 1] ||
-       |      [0.2 * (ys[t + 1] - (0.3 * (ys[t + 1] - s[cnt % 7 + 1])
-       |         + 0.7 * (lvl + tr))) + 0.8 * s[cnt % 7 + 1]] ||
-       |      s[cnt % 7 + 1 + 1:],
-       |    ae + abs(ys[t + 1] - (lvl + tr + s[cnt % 7 + 1])),
-       |    cnt + 1
-       |  FROM rec_w WHERE t < n),
+       |${hwRecSql("rec_w", "base")},
        |fin_w AS (
        |  SELECT event_type, lvl AS w_lvl, tr AS w_tr, s AS w_s,
        |    round(ae / cnt, 6) AS mae_hw

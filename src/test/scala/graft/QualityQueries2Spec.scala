@@ -170,12 +170,16 @@ class QualityQueries2Spec extends AnyFunSuite {
 
   test("events_experiment_report: composition equals its parts; SRM blocks") {
     // balanced variants (users 1..20), variant 1 (odd) far more active in
-    // the experiment window -> a real lift readout
+    // the experiment window -> a real lift readout. Pre-period activity
+    // VARIES across users (balanced across variants) so var(x) > 0 and
+    // the CUPED-sharpened z_adj path is the one the decision reads —
+    // ts() takes DAYS: last day = 42, y-window = days 15..42, x-window
+    // = days 0..14
     val ev = (1L to 20L).flatMap { u =>
-      val nY = if (u % 2 == 1) 12 else 2 // experiment-window activity
-      val nX = 3                         // identical pre-period
-      (1 to nX).map(j => (u * 1000 + j, ts(0 + j), u, "click", 1.0, "{}")) ++
-        (1 to nY).map(j => (u * 1000 + 100 + j, ts(40 * 24 * 60 + j), u, "click", 1.0, "{}"))
+      val nY = if (u % 2 == 1) 12 else 2       // experiment-window activity
+      val nX = if (u % 4 < 2) 2 else 5         // varying pre-period
+      (1 to nX).map(j => (u * 1000 + j, ts(j % 3), u, "click", 1.0, "{}")) ++
+        (1 to nY).map(j => (u * 1000 + 100 + j, ts(40 + j % 3), u, "click", 1.0, "{}"))
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val report = QualityQueries2.eventsExperimentReportOf(ev).collect()(0)
     val srm = graft.queries.EventQueries.eventsSrmOf(ev).collect()(0)
@@ -188,6 +192,9 @@ class QualityQueries2Spec extends AnyFunSuite {
       && report.getDouble(5) == cuped.getAs[Double]("mean_y1"))
     // balanced split: not blocked; planted lift: decision from the read z
     assert(report.getInt(3) == 0)
+    // the varying pre-period makes CUPED non-degenerate: the decision
+    // must flow through z_adj, not the raw fallback
+    assert(report.getAs[java.lang.Double]("z_adj") != null)
     val z = Option(report.getAs[java.lang.Double]("z_adj"))
       .orElse(Option(report.getAs[java.lang.Double]("z_raw"))).map(_.toDouble)
     val want =
@@ -200,7 +207,7 @@ class QualityQueries2Spec extends AnyFunSuite {
     // regardless of any metric movement (12 one-sided users: chi2 = 12 >
     // 10.83; CUPED's empty-variant metrics go NULL, not divide-by-zero)
     val broken = (2L to 24L by 2).map(u =>
-      (u, ts(40 * 24 * 60), u, "click", 1.0, "{}"))
+      (u, ts(40), u, "click", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val blocked = QualityQueries2.eventsExperimentReportOf(broken).collect()(0)
     assert(blocked.getInt(3) == 1 && blocked.getString(12) == "blocked_srm")

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   * calendar × types bounded. */
 final class StreamingForecast {
 
+  // keyed by LocalDate, not java.sql.Date: Date equality is epoch-millis
+  // equality, and stepping millis in fixed 86400000L increments drifts off
+  // local midnight across a DST transition (23h/25h days), silently
+  // zero-filling real days — the same trap MonitorStreaming documents.
+  // Calendar-day keys make the spine walk below DST-proof.
   private val state =
-    scala.collection.mutable.HashMap.empty[(String, java.sql.Date), Long]
+    scala.collection.mutable.HashMap.empty[(String, java.time.LocalDate), Long]
 
   def processBatch(batch: DataFrame): Unit = synchronized {
     batch
@@ -26,7 +31,7 @@ final class StreamingForecast {
       .agg(count(lit(1)).as("n"))
       .collect()
       .foreach { r =>
-        val k = (r.getString(0), r.getDate(1))
+        val k = (r.getString(0), r.getDate(1).toLocalDate)
         state.update(k, state.getOrElse(k, 0L) + r.getLong(2))
       }
   }
@@ -41,12 +46,12 @@ final class StreamingForecast {
   def report(): Seq[(String, Long, Double, Double, Double, Double, Double,
       Double, Double)] = synchronized {
     if (state.isEmpty) return Seq.empty
-    val d0 = state.keys.map(_._2.getTime).min
-    val d1 = state.keys.map(_._2.getTime).max
-    val days = (d0 to d1 by 86400000L).toVector
+    val d0 = state.keys.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val d1 = state.keys.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val days = (d0.toEpochDay to d1.toEpochDay)
+      .map(java.time.LocalDate.ofEpochDay).toVector
     state.keys.map(_._1).toSeq.distinct.sorted.flatMap { et =>
-      val ys = days.map(t =>
-        state.getOrElse((et, new java.sql.Date(t)), 0L).toDouble)
+      val ys = days.map(d => state.getOrElse((et, d), 0L).toDouble)
       val n = ys.length
       if (n < 8) Seq.empty
       else {

@@ -36,9 +36,12 @@ final class StreamingScd2 {
     rows.foreach { r =>
       val k = (r.getLong(0), r.getDate(1))
       val v = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // full (tsm, event_id, tier) comparison — bitwise-identical to the
+      // batch max(struct(tsm, event_id, tier)): tier participates in the
+      // tie-break, so duplicate deliveries sharing (ts, event_id) but
+      // carrying mutated tiers merge arrival-order-independently.
       state.get(k) match {
-        case Some(old)
-          if Ordering[(Long, Long)].compare((old._1, old._2), (v._1, v._2)) >= 0 => ()
+        case Some(old) if Ordering[(Long, Long, Long)].compare(old, v) >= 0 => ()
         case _ => state.update(k, v)
       }
     }

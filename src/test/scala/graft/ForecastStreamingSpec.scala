@@ -44,4 +44,37 @@ class ForecastStreamingSpec extends AnyFunSuite {
     // still equals batch bit-for-bit
     assert(sfc.report() == batchWant(ev))
   }
+
+  test("streaming forecast: spine walk is DST-safe (the round-14 advice fix)") {
+    // Under a DST-observing default TZ, java.sql.Date local midnights are
+    // not uniformly 24h apart: stepping epoch millis in fixed 86400000L
+    // increments drifts off midnight after the 2024-03-10 spring-forward,
+    // so a millis-keyed lookup zero-fills real days. The fix keys state by
+    // LocalDate and walks the spine in epoch DAYS. First pin the raw trap,
+    // then the functional contract across the transition.
+    val tz = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val pre = java.sql.Date.valueOf("2024-03-09")
+      val post = java.sql.Date.valueOf("2024-03-11")
+      // the trap: +2 millis-days from 03-09 00:00 EST lands at 03-10 23:00
+      // EDT, NOT 03-11 00:00 — millis-equality lookup misses the real day
+      assert(new java.sql.Date(pre.getTime + 2 * 86400000L) != post)
+      assert(java.time.temporal.ChronoUnit.DAYS.between(
+        pre.toLocalDate, post.toLocalDate) == 2) // the fix's arithmetic
+      // functional: 15 days straddling the spring-forward, varying counts
+      val rows = for {
+        d <- 0 until 15
+        ti <- 0 until 2
+        _ <- 0 until ((d * 7 + ti * 3) % 5 + 1)
+      } yield (s"t$ti", new java.sql.Timestamp(
+        java.time.Instant.parse("2024-03-01T12:00:00Z")
+          .plus(java.time.Duration.ofDays(d)).toEpochMilli))
+      val ev = rows.toDF("event_type", "ts")
+      val sfc = new StreamingForecast
+      sfc.processBatch(ev.where(col("ts") < lit("2024-03-10")))
+      sfc.processBatch(ev.where(col("ts") >= lit("2024-03-10")))
+      assert(sfc.report() == batchWant(ev))
+    } finally java.util.TimeZone.setDefault(tz)
+  }
 }

@@ -53,4 +53,23 @@ class Scd2StreamingSpec extends AnyFunSuite {
     assert(got.map(_._6) == Seq(false, false, true))
     assert(got == batchWant(b1.unionByName(b2)))
   }
+
+  test("streaming scd2: (ts, event_id) ties break on tier, arrival-order-proof") {
+    // duplicate delivery with mutated props: same (ts, event_id), different
+    // tier. The batch operator's max(struct(ts, event_id, tier)) keeps the
+    // HIGHER tier; the driver merge must compare the full triple (the
+    // round-14 advice fix), not keep first-seen, so either arrival order
+    // converges to the batch answer.
+    def ts(day: Int) = new Timestamp(1700000000000L + day * 86400000L)
+    def mk(k: Int) = Seq((1L, ts(0), 1L, "click", 1.0, s"""{"k": $k}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val (lo, hi) = (mk(5), mk(80)) // tier 0 vs tier 3, identical (ts, id)
+    val want = batchWant(lo.unionByName(hi))
+    assert(want.map(_._2) == Seq(3L)) // batch keeps the tier-3 winner
+    for ((order, i) <- Seq(Seq(lo, hi), Seq(hi, lo)).zipWithIndex) {
+      val sc = new StreamingScd2
+      order.foreach(sc.processBatch)
+      assert(sc.report() == want, s"arrival order #$i")
+    }
+  }
 }

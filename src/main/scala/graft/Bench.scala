@@ -15,10 +15,22 @@ object Bench {
     * as JSON, so the line must stay well clear of 2000 chars as coverage
     * grows (at 92 queries the full per-query map hit 1903 — ~5 queries of
     * headroom; the itemized setup_sec map costs ~260 more, paid for by
-    * trimming TopN 40 → 36). The slowest 36 are the ones a reader acts
+    * trimming TopN 40 → 36; the warm_sec map costs up to ~210 more, paid
+    * for by trimming 36 → 30). The slowest 30 are the ones a reader acts
     * on; the rest is summarized as `other_sec`/`n_queries`, and the FULL
     * map is written to bench_queries.json. */
-  private[graft] val TopN = 36
+  private[graft] val TopN = 30
+
+  /** Entries recorded above this get one immediate warm rep, emitted as
+    * `warm_sec` beside the cold numbers: the r14 round proved the recorded
+    * signal for many-short-job queries can carry 9× JVM/scheduler debt
+    * (hybrid_stats 97.1 s recorded vs 10.3 s warm median) — the warm rep
+    * makes the plan cost and the environment debt separately visible. */
+  private[graft] val WarmRepThreshold = 10.0
+
+  /** warm_sec line budget: entries are few by construction (only >10 s
+    * recordings), but cap the map so the stdout line stays bounded. */
+  private[graft] val MaxWarmReps = 6
 
   /** Run order: measured-heaviest FIRST (BENCH_r13 top of the per-query
     * map), then the rest alphabetically. The alphabetical order ran the
@@ -58,7 +70,8 @@ object Bench {
     * ≤ 1750 chars even at 120 registered queries (BenchLineSpec pins the
     * worst case; driver tail is 2000). */
   private[graft] def formatLine(results: Seq[(String, Double)], sfNum: String,
-                                setup: Seq[(String, Double)] = Nil): String = {
+                                setup: Seq[(String, Double)] = Nil,
+                                warm: Seq[(String, Double)] = Nil): String = {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // failure sentinels (-1.0) must stay visible on the line no matter how
     // many queries succeed: they'd otherwise sort below the top-N cut and
@@ -70,10 +83,13 @@ object Bench {
     val setupJson =
       if (setup.isEmpty) ""
       else s""""setup_sec":${queriesJson(setup :+ ("total" -> setup.map(_._2).sum), 2)},"""
+    val warmJson =
+      if (warm.isEmpty) ""
+      else s""""warm_sec":${queriesJson(warm.sortBy(_._1), 2)},"""
     s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",""" +
       s""""queries":${queriesJson(top, 2)},""" +
       s""""n_queries":${results.length},"failed":${failed.length},""" +
-      s""""other_sec":${fmt(2)(otherSec)},""" + setupJson + s""""sf":$sfNum}"""
+      s""""other_sec":${fmt(2)(otherSec)},""" + setupJson + warmJson + s""""sf":$sfNum}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -132,6 +148,16 @@ object Bench {
     // pre-existing state): the entry times mining a batch against it,
     // not building it — the same build-vs-probe split as the indexes.
     phase("band_table") { graft.queries.DedupQueries.corpusBands(spark, sfDir); () }
+    // ...and the shared τ=0.95 mined-pair + cluster artifacts (r14
+    // verdict #2): a production curation run mines the pair graph ONCE
+    // and publishes it; every consumer (dedup_jaccard, corpus_curate,
+    // dedup_sweep, split_signoff, corpus_release, pipeline_e2e) reads the
+    // published table. The mining cost is itemized here; the per-query
+    // timings below measure consumption, the same build-vs-probe split
+    // as the indexes.
+    phase("pair_table") {
+      graft.queries.DedupQueries.minedJaccardPairs(spark, sfDir)
+      graft.queries.DedupQueries.minedClusters(spark, sfDir); () }
     // ...and the vectors.npy artifact (ingest_npy times the DISTRIBUTED
     // byte-range load; the driver-side artifact write is one-time
     // reference-parity work, artifacts.py's job)
@@ -153,21 +179,53 @@ object Bench {
       // is the warm plan cost, not first-in-JVM compile
       graft.queries.TextQueries.textDupSpans(spark, warm)
         .write.format("noop").mode("overwrite").save()
+      // ...and the vector/harness families (the r14 gap: hybrid_stats ran
+      // third against a cold JVM and recorded 97 s vs a 10.3 s warm
+      // median — the dedup stack was primed, the 13 backend families were
+      // not). One runMany pass at sf0.001 compiles every backend's
+      // codegen (ADC scan, Hamming scan, LSH signatures, ladder
+      // TakeOrdered, RAM-tier scoring) plus the RRF fusion and autotune
+      // dial-ladder plans. Models are dir-keyed, so this warms CODE only.
+      graft.harness.RunHarness.runMany(spark, warm,
+        graft.queries.VectorQueries.HarnessFamilies,
+        ram = graft.queries.VectorQueries.servingTier(spark, warm))
+      graft.queries.VectorQueries.hybridRrf(spark, warm)
+        .write.format("noop").mode("overwrite").save()
+      graft.queries.VectorQueries.vecAutotune(spark, warm)
+        .write.format("noop").mode("overwrite").save()
     }
 
-    val results = orderedQueries.map { case (name, fn) =>
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
     }
+    val results = orderedQueries.map { case (name, fn) => name -> timedRun(name, fn) }
+
+    // hybrid_stats' recorded aggregate, itemized per backend family
+    // (captured BEFORE the warm reps below re-run it) — lands in
+    // bench_queries.json as hybrid_stats/<family> rows so a regression in
+    // the 78-job entry localizes instead of hiding in one number
+    val famSecs = graft.queries.VectorQueries.lastFamilySeconds.toSeq
+      .map { case (f, v) => s"hybrid_stats/$f" -> v }
+
+    // one warm second rep for every entry recorded >10 s: re-run
+    // immediately (same JVM, codegen and models now hot) and emit beside
+    // the cold number. The warm value is the plan cost a reader should
+    // compare round over round; cold-minus-warm is environment debt.
+    val warm = results
+      .filter { case (_, v) => v > WarmRepThreshold }
+      .sortBy { case (_, v) => -v }.take(MaxWarmReps)
+      .map { case (name, _) => name -> timedRun(s"$name (warm rep)", SparkEntry.queries(name)) }
+
     // full per-query map (2dp) goes to a FILE — the stdout line carries
-    // only the top-N slowest (formatLine doc)
+    // only the top-N slowest (formatLine doc) plus the warm_sec map
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_queries.json"), queriesJson(results, 2) + "\n")
+      java.nio.file.Paths.get("bench_queries.json"),
+      queriesJson(results ++ famSecs ++ warm.map { case (n, v) => s"warm/$n" -> v }, 2) + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_queries.json write failed: ${e.getMessage}")
     }
@@ -194,7 +252,7 @@ object Bench {
       System.err.println(s"[bench] WARNING: sf dir '$sfDir' does not match sf<digits>; reporting sf:0")
       "0"
     }
-    val line = formatLine(results, sfNum, setup.toSeq)
+    val line = formatLine(results, sfNum, setup.toSeq, warm)
     if (line.length > 1750)
       System.err.println(s"[bench] WARNING: result line ${line.length} chars — driver tail is 2000, trim TopN")
 

@@ -627,7 +627,8 @@ object RunHarness {
               qs: Seq[HybridQuery] = QuerySet.default,
               kOverride: Option[Int] = None,
               ram: Option[RamCorpus] = None,
-              encoder: QueryEncoder = QueryEncoder.seeded()): Seq[ResultRow] = {
+              encoder: QueryEncoder = QueryEncoder.seeded(),
+              onBackendTimed: (String, Double) => Unit = (_, _) => ()): Seq[ResultRow] = {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val total = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -670,7 +671,16 @@ object RunHarness {
         ram.flatMap(rc => RamCorpus.labelPredicate(spec).map(rc.countAllowed))
           .getOrElse(emb.where(p).count())
       }.getOrElse(total)
-      val searched = backends.map(b => (b, b.search(emb, qvec, spec, pred, k, allowed)))
+      // onBackendTimed sees the WALL seconds of each (query, backend) search
+      // — job-scheduling overhead included, unlike the row's latencyMs which
+      // each backend clocks around its own timed section. The hook lets a
+      // caller (hybrid_stats) decompose its recorded aggregate per family.
+      val searched = backends.map { b =>
+        val t0 = System.nanoTime()
+        val r = b.search(emb, qvec, spec, pred, k, allowed)
+        onBackendTimed(b.name, (System.nanoTime() - t0) / 1e9)
+        (b, r)
+      }
       // exact/pre_filter IS the oracle computation (deterministic brute
       // force over the same allowed subset) — reuse its result instead of
       // running an identical extra job per query

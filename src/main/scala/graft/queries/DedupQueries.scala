@@ -41,18 +41,58 @@ object DedupQueries {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  // localCheckpoint, NOT persist: caching a plan pins its physical shape
-  // before AQE's runtime re-optimization (the payload joins lose their
-  // runtime broadcast conversion — measured 2.7 s → 6.5 s on the fill),
-  // while localCheckpoint materializes through the NORMAL AQE execution
-  // and serves blocks after. At cluster scale this is a warehouse table.
+  // PERSISTED per (sf dir, source mtime) under the system temp dir — the
+  // corpusBands/Ivf.cached publish discipline (r14 verdict #2): the first
+  // JVM to need the τ=0.95 pair graph mines and publishes it with one
+  // rename; every later JVM — including a STANDALONE consumer like a
+  // corpus_release scale probe — loads the parquet instead of re-mining
+  // the corpus per consumer. This is exactly what a production curation
+  // run does: mine once, publish the pair table, fan consumers out over
+  // the artifact. The pair set is sparse (τ≥0.95), so the artifact is
+  // tiny relative to the corpus at every scale. The in-JVM map only
+  // avoids re-opening the reader. Results are identical to an inline
+  // mine: exact Jaccard rounded to 6 dp is deterministic, and the gate
+  // compare is row-order-insensitive.
   def minedJaccardPairs(s: SparkSession, d: String): DataFrame =
     pairCache.computeIfAbsent(d, _ =>
-      Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau).localCheckpoint())
+      publishedArtifact(s, d, s"graft-dedup-pairs/tau$JaccardTau",
+        () => Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau)))
 
   def minedClusters(s: SparkSession, d: String): DataFrame =
     clusterCache.computeIfAbsent(d, _ =>
-      Dedup.clusters(minedJaccardPairs(s, d)).localCheckpoint())
+      publishedArtifact(s, d, s"graft-dedup-clusters/tau$JaccardTau",
+        () => Dedup.clusters(minedJaccardPairs(s, d))))
+
+  /** Build-once/publish-by-rename for a corpus-derived artifact, keyed by
+    * (family, sf dir, documents mtime): _SUCCESS marks a complete table;
+    * concurrent builders race benignly (both produce identical bytes; the
+    * losing rename verifies a complete table exists and discards its
+    * copy). The family prefix carries the mining parameters (the BandGeom
+    * discipline) so a parameter change can never load a stale table. */
+  private def publishedArtifact(s: SparkSession, d: String, family: String,
+                                build: () => DataFrame): DataFrame = {
+    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val docs = Tables.documents(s, d)
+    val mtime = docs.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
+    val path = s"${sys.props("java.io.tmpdir")}/$family/$key-m$mtime"
+    def done = new java.io.File(s"$path/_SUCCESS").exists()
+    if (!done) {
+      val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
+      build().write.mode("overwrite").parquet(tmp)
+      val dst = new java.io.File(path)
+      dst.getParentFile.mkdirs()
+      if (!new java.io.File(tmp).renameTo(dst)) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(new java.io.File(tmp))
+        if (!done) throw new IllegalStateException(
+          s"artifact publish failed: rename to $path lost without a complete table present")
+      }
+    }
+    s.read.parquet(path)
+  }
 
   def dedupJaccard(s: SparkSession, d: String): DataFrame =
     minedJaccardPairs(s, d)
@@ -156,29 +196,10 @@ object DedupQueries {
 
   def corpusBands(s: SparkSession, d: String): DataFrame =
     bandsCache.computeIfAbsent(d, _ => {
-      val corpus = corpusOf(Tables.documents(s, d))
-      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-      val mtime = corpus.inputFiles.map(f =>
-        new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
       val (nb, nr, sd, sub) = BandGeom
-      val path = s"${sys.props("java.io.tmpdir")}/graft-dedup-bands/$key-m$mtime-b$nb-r$nr-s$sd-sub$sub"
-      def done = new java.io.File(s"$path/_SUCCESS").exists()
-      if (!done) {
-        val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
-        Dedup.minhashBands(corpus, bands = nb, rows = nr, seed = sd, subRows = sub)
-          .write.mode("overwrite").parquet(tmp)
-        val dst = new java.io.File(path)
-        dst.getParentFile.mkdirs()
-        if (!new java.io.File(tmp).renameTo(dst)) {
-          def del(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-          }
-          del(new java.io.File(tmp))
-          if (!done) throw new IllegalStateException(
-            s"band-table publish failed: rename to $path lost without a complete table present")
-        }
-      }
-      s.read.parquet(path)
+      publishedArtifact(s, d, s"graft-dedup-bands/b$nb-r$nr-s$sd-sub$sub",
+        () => Dedup.minhashBands(corpusOf(Tables.documents(s, d)),
+          bands = nb, rows = nr, seed = sd, subRows = sub))
     })
 
   /** #102 incremental dedup: the batch's near-dup pairs (batch×corpus and

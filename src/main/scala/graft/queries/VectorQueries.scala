@@ -1287,6 +1287,14 @@ object VectorQueries {
   /** Reference results.jsonl equivalent: per-(query, backend) stats —
     * latency_ms, recall_at_k, scored_vectors, filter_selectivity,
     * kth_at_stop. Rows-only (latency is nondeterministic by nature). */
+  /** Per-family wall seconds of the LAST hybridStats run (cumulative
+    * (query, backend) search wall per family, plus the unattributed
+    * per-query shared work — validation/count/oracle — as "shared").
+    * Bench reads it after the timed loop to itemize the recorded
+    * aggregate into bench_queries.json, so a regression in the 78-job
+    * entry localizes to a family instead of hiding in one number. */
+  @volatile private[graft] var lastFamilySeconds: Map[String, Double] = Map.empty
+
   def hybridStats(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // one pass over the query set: per-query validation/count/oracle are
@@ -1296,8 +1304,15 @@ object VectorQueries {
     // ANN-probed ladder (post_filter.py's actual plan); the mid-tier
     // appears at TWO dial settings (lsh:1 and lsh:2x2) so the recorded
     // stats show the recall/latency trade-off moving, ef_search-style
+    val fam = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val t0 = System.nanoTime()
     val rows = graft.harness.RunHarness.runMany(
-      s, d, HarnessFamilies, ram = servingTier(s, d))
+      s, d, HarnessFamilies, ram = servingTier(s, d),
+      onBackendTimed = (n, sec) =>
+        fam.synchronized { fam.update(n, fam.getOrElse(n, 0.0) + sec) })
+    val wall = (System.nanoTime() - t0) / 1e9
+    lastFamilySeconds =
+      fam.toMap + ("shared" -> math.max(0.0, wall - fam.valuesIterator.sum))
     rows.map(r => (r.qid, r.method, r.k, r.latencyMs, r.recallAtK,
         r.filterSelectivity, r.scoredVectors, r.kthAtStop.getOrElse(Double.NaN)))
       .toDF("qid", "method", "k", "latency_ms", "recall_at_k",

@@ -219,6 +219,12 @@ object ScaleBench {
     catch { case _: Throwable => }
     try { graft.queries.VectorQueries.ivfpqModel(spark, dir); () }
     catch { case _: Throwable => }
+    // the published τ=0.95 pair/cluster artifact (Bench's pair_table
+    // phase): consumers probed at scale (corpus_release, dedup_sweep,
+    // split_signoff, pipeline_e2e) read the mined table; mining happens
+    // once, outside the timed region — matching the production shape
+    try { graft.queries.DedupQueries.minedClusters(spark, dir); () }
+    catch { case _: Throwable => }
   }
 
   /** Spill/shuffle accounting across every task of the timed query —

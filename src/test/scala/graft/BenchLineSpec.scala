@@ -20,19 +20,30 @@ class BenchLineSpec extends AnyFunSuite {
   private val worstSetup: Seq[(String, Double)] =
     Seq("session", "entry_warm", "ivf_build", "ram_tier", "pq_build",
       "ivfpq_build", "sq_build", "append_models", "band_table",
-      "npy_artifact", "code_warm", "harness").map(_ -> 123.456)
+      "pair_table", "npy_artifact", "code_warm", "harness").map(_ -> 123.456)
 
-  test("worst-case line stays under 1750 chars at 120 queries + full setup map") {
-    val line = Bench.formatLine(worst, "0.1", worstSetup)
+  // worst-case warm_sec map: the MaxWarmReps cap full of max-length names
+  private val worstWarm: Seq[(String, Double)] =
+    (0 until Bench.MaxWarmReps).map(i => (f"a_very_long_query_name_$i%03d", 123.456))
+
+  test("worst-case line stays under 1750 chars at 120 queries + setup + warm maps") {
+    val line = Bench.formatLine(worst, "0.1", worstSetup, worstWarm)
     assert(line.length <= 1750, s"line ${line.length} chars")
+  }
+
+  test("warm_sec is emitted between setup_sec and sf, omitted when empty") {
+    val line = Bench.formatLine(worst, "0.1", worstSetup, worstWarm)
+    assert(line.contains(""""warm_sec":{"a_very_long_query_name_000":123.46"""))
+    assert(line.matches(""".*"setup_sec":\{[^}]*\},"warm_sec":\{[^}]*\},"sf":0\.1\}"""))
+    assert(!Bench.formatLine(worst, "0.1", worstSetup).contains("warm_sec"))
   }
 
   test("setup_sec is itemized with a total and omitted when empty") {
     val line = Bench.formatLine(worst, "0.1", worstSetup)
     assert(line.contains(""""setup_sec":{"session":123.46"""))
     assert(line.contains(""""harness":123.46"""))
-    // total = 12 × 123.456 = 1481.472 → 1481.47
-    assert(line.contains(""""total":1481.47}"""))
+    // total = 13 × 123.456 = 1604.928 → 1604.93
+    assert(line.contains(""""total":1604.93}"""))
     // setup rides between other_sec and sf so the envelope stays stable
     assert(line.matches(""".*"other_sec":[0-9.]+,"setup_sec":\{.*\},"sf":0\.1\}"""))
     assert(!Bench.formatLine(worst, "0.1").contains("setup_sec"))
@@ -51,11 +62,11 @@ class BenchLineSpec extends AnyFunSuite {
   test("top-N keeps the slowest queries and other_sec sums the rest exactly") {
     val results = (0 until 100).map(i => (f"q$i%03d", i.toDouble))
     val line = Bench.formatLine(results, "0.01")
-    // slowest 36 are q064..q099
-    assert(line.contains(""""q099":99.00""") && line.contains(""""q064":64.00"""))
-    assert(!line.contains(""""q063":"""))
-    // rest = 0+1+...+63 = 2016
-    assert(line.contains(""""other_sec":2016.00"""))
+    // slowest 30 are q070..q099
+    assert(line.contains(""""q099":99.00""") && line.contains(""""q070":70.00"""))
+    assert(!line.contains(""""q069":"""))
+    // rest = 0+1+...+69 = 2415
+    assert(line.contains(""""other_sec":2415.00"""))
     assert(line.contains(""""value":4950.00"""))
   }
 
@@ -74,8 +85,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.formatLine(results, "0.1")
     assert(line.contains(""""bad":-1.00"""), "sentinel must survive the top-N cut")
     assert(line.contains(""""failed":1"""))
-    // other_sec still sums only the non-top successes: 1+2+...+64 = 2080
-    assert(line.contains(""""other_sec":2080.00"""))
+    // other_sec still sums only the non-top successes: 1+2+...+70 = 2485
+    assert(line.contains(""""other_sec":2485.00"""))
   }
 
   test("failed:0 when everything succeeds") {

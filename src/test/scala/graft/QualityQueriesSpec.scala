@@ -75,6 +75,30 @@ class QualityQueriesSpec extends AnyFunSuite {
     assert(e.getDouble(5) == (1000.00 + 500.50 + 250.25 + 100.00) / 4)
   }
 
+  test("table_profile_approx: schema-identical, ≤5% distinct error, other stats exact") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = QualityQueries.tableProfile(spark, dir)
+    val approx = QualityQueries.tableProfileApprox(spark, dir)
+    // the swap contract: identical schema, so a consumer flips between
+    // the exact and sketch profiles without a downstream change
+    assert(approx.schema.map(f => (f.name, f.dataType)) ==
+      exact.schema.map(f => (f.name, f.dataType)))
+    val ex = exact.collect().map(r => r.getString(0) -> r).toMap
+    val ap = approx.collect().map(r => r.getString(0) -> r).toMap
+    assert(ap.keySet == ex.keySet && ap.size == 11)
+    ex.foreach { case (c, e) =>
+      val a = ap(c)
+      // HLL++ at rsd 0.02: ≤5% per-column error (the verdict-#4 contract)
+      val (de, da) = (e.getLong(2).toDouble, a.getLong(2).toDouble)
+      assert(math.abs(da - de) / de <= 0.05, s"$c distinct: exact $de approx $da")
+      // every non-sketch cell is computed by the same arithmetic — exact
+      Seq(1, 3, 4, 5, 6, 7).foreach { i =>
+        assert((e.isNullAt(i) && a.isNullAt(i)) ||
+          (!a.isNullAt(i) && e.get(i) == a.get(i)), s"$c col $i")
+      }
+    }
+  }
+
   test("feat_customer_orders: point-in-time features and next-gap label") {
     // customer 7: orders on day 0, 10, 40 (prices 100, 50, 30)
     val day0 = ts(0)

@@ -103,15 +103,64 @@ object IngestQueries {
       |  CAST(sum(CASE WHEN abs(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) - 1.0) <= 0.001 THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
       |FROM embeddings""".stripMargin
 
+  /** The catalog tables for #294's co-located join, written ONCE per sf
+    * dir (the npyArtifact discipline: layout is an ingest-time decision a
+    * warehouse makes once; the registered query times the JOIN). Names
+    * are dir-keyed so sf0.01 and sf0.1 coexist in one warehouse. */
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketedCache.computeIfAbsent(d, _ => {
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (lt, ot) = (s"graft_b8_lineitem_$key", s"graft_b8_orders_$key")
+      graft.sources.Bucketing.writeBucketed(Tables.lineitem(s, d), lt, "l_orderkey")
+      graft.sources.Bucketing.writeBucketed(Tables.orders(s, d), ot, "o_orderkey")
+      (lt, ot)
+    })
+
+  /** #294 bucketed_join: the bucketed CO-LOCATED fact-fact join (#54's
+    * storage layout), registered as a gate row: lineitem ⋈ orders on the
+    * order key with BOTH tables bucketed (and sorted) by that key — the
+    * planner reads matching bucket files directly and plans NO Exchange
+    * on either side (PlanSpec pins the zero-Exchange property; at 100 TB
+    * that shuffle IS the join's cost). The aggregate is decimal-exact
+    * revenue per order priority, so the oracle — the identical join over
+    * the plain parquet — hash-checks that the bucketed layout changes the
+    * PLAN, never the answer. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val (lt, ot) = bucketedTables(s, d)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    graft.sources.Bucketing.colocatedJoin(s, lt, ot, "l_orderkey", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_check" -> (ingestCheck _),
     "ingest_npy" -> (ingestNpy _),
-    "vec_random" -> (vecRandom _)
+    "vec_random" -> (vecRandom _),
+    "bucketed_join" -> (bucketedJoin _)
   )
 
   val oracles: Map[String, String] = Map(
     "ingest_check" -> ingestCheckSql,
     "ingest_npy" -> ingestNpySql,
-    "vec_random" -> vecRandomSql
+    "vec_random" -> vecRandomSql,
+    "bucketed_join" -> bucketedJoinSql
   )
 }

@@ -12,12 +12,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (+sorted) table in the session catalog. */
+  /** Write `df` as a bucketed (+sorted) table in the session catalog.
+    * The session catalog is in-memory, but managed-table DIRECTORIES
+    * survive the JVM — CTAS refuses to reuse one (LOCATION_ALREADY_
+    * EXISTS), so a stale location from a previous run is dropped first. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 8): Unit =
+                    buckets: Int = 8): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").replaceAll("^//", "/")
+    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists()) {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(loc)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Bucket-aware join of two previously bucketed tables: with matching
     * bucket counts on the join keys, the planner needs no shuffle (and

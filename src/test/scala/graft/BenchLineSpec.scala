@@ -20,7 +20,8 @@ class BenchLineSpec extends AnyFunSuite {
   private val worstSetup: Seq[(String, Double)] =
     Seq("session", "entry_warm", "ivf_build", "ram_tier", "pq_build",
       "ivfpq_build", "sq_build", "append_models", "band_table",
-      "pair_table", "npy_artifact", "code_warm", "harness").map(_ -> 123.456)
+      "pair_table", "bucketed_build", "npy_artifact", "code_warm",
+      "harness").map(_ -> 123.456)
 
   // worst-case warm_sec map: the MaxWarmReps cap full of max-length names
   private val worstWarm: Seq[(String, Double)] =
@@ -42,8 +43,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.formatLine(worst, "0.1", worstSetup)
     assert(line.contains(""""setup_sec":{"session":123.46"""))
     assert(line.contains(""""harness":123.46"""))
-    // total = 13 × 123.456 = 1604.928 → 1604.93
-    assert(line.contains(""""total":1604.93}"""))
+    // total = 14 × 123.456 = 1728.384 → 1728.38
+    assert(line.contains(""""total":1728.38}"""))
     // setup rides between other_sec and sf so the envelope stays stable
     assert(line.matches(""".*"other_sec":[0-9.]+,"setup_sec":\{.*\},"sf":0\.1\}"""))
     assert(!Bench.formatLine(worst, "0.1").contains("setup_sec"))

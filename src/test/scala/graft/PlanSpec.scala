@@ -386,6 +386,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed_join gate row: the only Exchange is the 5-row rollup's, never the join's") {
+    // force SMJ (the sf0.001 tables would broadcast and hide the property)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(queries.IngestQueries.bucketedJoin(spark, sf))
+      assert(p.contains("SortMergeJoin"), p)
+      // the fact-fact join reads aligned bucket files — NO Exchange at or
+      // below it (the exchanges above it repartition the ≤5-row rollup)
+      val below = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!below.contains("Exchange"), below)
+      assert(below.contains("Bucketed: true"), below)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join: exactly one Exchange (the key shuffle), no join operator") {
     val p = plan(EventQueries.eventsAsof(spark, sf))
     // the union+window encoding must not plan a join (pair explosion) and

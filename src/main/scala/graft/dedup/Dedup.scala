@@ -623,6 +623,84 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-threshold component stats over the NESTED family of threshold
+    * graphs {pairs with jac ≥ τ : τ ∈ taus} — the dedup_sweep engine.
+    *
+    * Tighter graphs are subgraphs of looser ones, so components REFINE:
+    * walk the rungs tightest-first, cluster the tightest graph once, and
+    * for each looser rung cluster only the QUOTIENT graph — the rung's
+    * DELTA edges (jac in [τᵢ, τᵢ₊₁)) with endpoints contracted through
+    * the tighter labels, self-loops dropped, parallel edges deduped.
+    * Near-dup components are near-cliques, so contraction collapses the
+    * delta almost entirely (measured @100×: a 14.3M-edge delta → a few
+    * thousand quotient edges): the one full clustering is the tightest
+    * (smallest) graph, and every other rung costs one broadcast map-join
+    * + a map-side-deduped distinct + a tiny cluster run — instead of
+    * re-clustering the full rung graph per τ (4× the iterative-join
+    * scheduling floor, and at 100× probe scale an OOM-class 42M-edge
+    * union if fused naively).
+    *
+    * Label composition preserves the min-id contract: every quotient
+    * node id is itself the MIN doc id of its contracted group (or a bare
+    * doc id), so the quotient's min-id root is the true min doc of the
+    * merged component — the labels equal an independent `clusters` run
+    * per rung exactly (spec-pinned, DedupSpec).
+    *
+    * Returns (tau, n_components, n_dropped = members that are not their
+    * component's root) per tau, ascending — only the stats, since sweep
+    * consumers aggregate; labels stay distributed throughout. */
+  def thresholdSweepStats(pairs: DataFrame, taus: Seq[Double],
+                          maxDriverEdges: Long = 1L << 23): Seq[(Double, Long, Long)] = {
+    require(taus.nonEmpty && taus.distinct.size == taus.size, s"bad taus $taus")
+    val tightFirst = taus.sorted.reverse
+    var labels: DataFrame = null // (doc_id, cluster_id) of the previous (tighter) rung
+    var prevTau = Double.NaN
+    val stats = tightFirst.map { t =>
+      val delta =
+        (if (prevTau.isNaN) pairs.where(col("jac") >= t)
+         else pairs.where(col("jac") >= t && col("jac") < prevTau))
+          .select(col("doc_a"), col("doc_b"))
+      val next =
+        if (labels == null) clusters(delta, maxDriverEdges = maxDriverEdges)
+        else {
+          val la = broadcast(labels).select(
+            col("doc_id").as("doc_a"), col("cluster_id").as("ra"))
+          val lb = broadcast(labels).select(
+            col("doc_id").as("doc_b"), col("cluster_id").as("rb"))
+          // contract delta endpoints through the tighter labels (absent
+          // endpoints are their own nodes); dedupe the quotient edges —
+          // the map-side partial dedup is what collapses the near-clique
+          val contracted = delta
+            .join(la, Seq("doc_a"), "left").join(lb, Seq("doc_b"), "left")
+            .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+              coalesce(col("rb"), col("doc_b")).as("doc_b"))
+            .where(col("doc_a") =!= col("doc_b"))
+            .distinct()
+          val qlab = clusters(contracted, maxDriverEdges = maxDriverEdges)
+          // delta endpoints not yet tracked join the node set as
+          // themselves, then everything composes through the quotient
+          val newNodes = delta.select(col("doc_a").as("doc_id"))
+            .unionAll(delta.select(col("doc_b").as("doc_id"))).distinct()
+            .join(labels.select(col("doc_id"), lit(true).as("seen")), Seq("doc_id"), "left")
+            .where(col("seen").isNull)
+            .select(col("doc_id"), col("doc_id").as("cluster_id"))
+          labels.unionAll(newNodes)
+            .join(broadcast(qlab.select(col("doc_id").as("cluster_id"),
+              col("cluster_id").as("super_id"))), Seq("cluster_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))
+        }
+      labels = next.localCheckpoint()
+      prevTau = t
+      val r = labels.agg(
+        countDistinct(col("cluster_id")).as("nc"),
+        sum(when(col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L)).as("nd"))
+        .first()
+      (t, if (r.isNullAt(0)) 0L else r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    stats.reverse
+  }
+
   // ---- #25 embedding cosine via cosine-LSH buckets ---------------------
 
   /** Embedding near-dup pairs (cosine ≥ tau, unit-norm inputs so cosine =

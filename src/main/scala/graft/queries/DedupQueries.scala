@@ -757,19 +757,22 @@ object DedupQueries {
   def dedupSweep(s: SparkSession, d: String): DataFrame = {
     val nDocs = Tables.documents(s, d).count()
     val pairs = minedJaccardPairs(s, d)
-    val rows = SweepTaus.map { t =>
-      val p = pairs.where(col("jac") >= t)
-      val nPairs = p.count()
-      val (nCl, nDrop) =
-        if (nPairs == 0) (0L, 0L)
-        else {
-          val r = Dedup.clusters(p)
-            .agg(countDistinct(col("cluster_id")).as("nc"),
-              sum(when(col("cluster_id") =!= col("doc_id"), 1L)
-                .otherwise(0L)).as("nd")).first()
-          (r.getLong(0), r.getLong(1))
-        }
-      (t, nPairs, nCl, nDrop)
+    // per-rung pair counts: ONE pass over the pair table
+    val cnt = pairs.agg(
+      sum(when(col("jac") >= SweepTaus.head, 1L).otherwise(0L)).as("n0"),
+      SweepTaus.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("jac") >= t, 1L).otherwise(0L)).as(s"n${i + 1}") }: _*).first()
+    // all four per-τ component resolutions via the threshold-NESTED
+    // engine (Dedup.thresholdSweepStats): one clustering of the tightest
+    // (smallest) rung, every looser rung a contracted-quotient delta —
+    // instead of re-clustering the full rung graph per τ (4× the
+    // iterative-join scheduling floor; the 100× probe's remaining cost,
+    // BASELINE §3j)
+    val byTau = Dedup.thresholdSweepStats(pairs, SweepTaus)
+      .map { case (t, nc, nd) => t -> (nc, nd) }.toMap
+    val rows = SweepTaus.zipWithIndex.map { case (t, i) =>
+      val (nCl, nDrop) = byTau(t)
+      (t, cnt.getLong(i), nCl, nDrop)
     }
     import s.implicits._
     rows.toDF("tau", "n_pairs", "n_clusters", "n_dropped")

@@ -307,6 +307,32 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDriver.nonEmpty && viaDriver == viaDistributed)
   }
 
+  test("thresholdSweepStats: nested quotient composition == independent per-rung clustering") {
+    // weighted graph crafted so every rung differs: chains that only
+    // close loosely, two tight pairs bridged at a mid rung, a triangle
+    // with a redundant loose edge, a loose-only pair, and an EMPTY
+    // tightest rung (τ=1.01) exercising the empty-graph base case
+    val wp = Seq(
+      (1L, 2L, 0.98), (2L, 3L, 0.95),
+      (10L, 11L, 0.97), (12L, 13L, 0.97), (11L, 12L, 0.96),
+      (20L, 21L, 0.99), (21L, 22L, 0.98), (20L, 22L, 0.95),
+      (30L, 31L, 0.95)
+    ).toDF("doc_a", "doc_b", "jac")
+    val taus = Seq(0.95, 0.96, 0.97, 0.98, 1.01)
+    def independent(pairs: org.apache.spark.sql.DataFrame, ts: Seq[Double]) =
+      ts.map { t =>
+        val labs = Dedup.clusters(pairs.where($"jac" >= t).select("doc_a", "doc_b"))
+          .as[(Long, Long)].collect()
+        (t, labs.map(_._2).distinct.length.toLong, labs.count(p => p._1 != p._2).toLong)
+      }
+    assert(Dedup.thresholdSweepStats(wp, taus) == independent(wp, taus))
+    // real mined pair graph, distributed cluster path forced
+    val real = Dedup.jaccardPairs(docs, 0.9)
+    val taus2 = Seq(0.9, 0.95, 0.99)
+    assert(Dedup.thresholdSweepStats(real, taus2, maxDriverEdges = 0) ==
+      independent(real, taus2))
+  }
+
   test("property: union-find == propagation on random graphs") {
     val rng = new scala.util.Random(7)
     (0 until 3).foreach { t =>

@@ -225,6 +225,10 @@ object ScaleBench {
     // once, outside the timed region — matching the production shape
     try { graft.queries.DedupQueries.minedClusters(spark, dir); () }
     catch { case _: Throwable => }
+    // the bucketed catalog tables (#294's ingest-time layout): the probe
+    // times the co-located join, not the one-off bucketed write
+    try { graft.queries.IngestQueries.bucketedTables(spark, dir); () }
+    catch { case _: Throwable => }
   }
 
   /** Spill/shuffle accounting across every task of the timed query —

@@ -209,12 +209,15 @@ object Bench {
     }
     val results = orderedQueries.map { case (name, fn) => name -> timedRun(name, fn) }
 
-    // hybrid_stats' recorded aggregate, itemized per backend family
-    // (captured BEFORE the warm reps below re-run it) — lands in
-    // bench_queries.json as hybrid_stats/<family> rows so a regression in
-    // the 78-job entry localizes instead of hiding in one number
+    // the two many-job aggregates, itemized per backend family / dial
+    // setting (captured BEFORE the warm reps below re-run them) — land in
+    // bench_queries.json as hybrid_stats/<family> and vec_autotune/<dial>
+    // rows so a regression in a 60-78-job entry localizes instead of
+    // hiding in one number
     val famSecs = graft.queries.VectorQueries.lastFamilySeconds.toSeq
-      .map { case (f, v) => s"hybrid_stats/$f" -> v }
+      .map { case (f, v) => s"hybrid_stats/$f" -> v } ++
+      graft.queries.VectorQueries.lastDialSeconds.toSeq
+        .map { case (f, v) => s"vec_autotune/$f" -> v }
 
     // one warm second rep for every entry recorded >10 s: re-run
     // immediately (same JVM, codegen and models now hot) and emit beside

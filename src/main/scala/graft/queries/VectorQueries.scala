@@ -1338,12 +1338,25 @@ object VectorQueries {
     * recall 1.0) is spec-pinned. Scale shape: rides runMany — per-query
     * backend probes over the shared persisted/serving tier, bounded
     * driver aggregation over |ladder|×|queries| result rows. */
+  /** Per-dial wall seconds of the LAST vecAutotune run (the
+    * hybrid_stats `lastFamilySeconds` discipline — Bench itemizes the
+    * 60-job dial ladder into bench_queries.json so a regression
+    * localizes to a dial setting). */
+  @volatile private[graft] var lastDialSeconds: Map[String, Double] = Map.empty
+
   def vecAutotune(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ladder = Seq("exact", "ivf", "ivfpq:50", "ivfpq:100", "ivfpq:200",
       "lsh:1", "lsh:1x2", "lsh:2x2", "sq", "bq")
+    val dial = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val t0 = System.nanoTime()
     val rows = graft.harness.RunHarness.runMany(
-      s, d, ladder, ram = servingTier(s, d))
+      s, d, ladder, ram = servingTier(s, d),
+      onBackendTimed = (n, sec) =>
+        dial.synchronized { dial.update(n, dial.getOrElse(n, 0.0) + sec) })
+    val wall = (System.nanoTime() - t0) / 1e9
+    lastDialSeconds =
+      dial.toMap + ("shared" -> math.max(0.0, wall - dial.valuesIterator.sum))
     val target = 0.9
     val agg = rows.groupBy(_.method).toSeq.map { case (m, rs) =>
       (m, graft.search.VecMath.round6(rs.map(_.recallAtK).sum / rs.size),

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental column profiler (queries.QualityQueries.tableProfile's
+  * twin, sketch-distinct like #293 table_profile_approx): the
+  * data-quality monitor a warehouse runs on an unbounded ingest stream.
+  *
+  * Every profile statistic is an additive/mergeable sufficient
+  * statistic, so micro-batches absorb exactly regardless of order:
+  * null counts and row counts ADD; min/max are associative; the numeric
+  * mean rides an EXACT DECIMAL(28,6) partial sum (decimal addition is
+  * associative, so driver-merged partials equal the batch operator's
+  * global sum bit-for-bit, and the final double division is the same
+  * single IEEE op); distinct rides one Datasketches HLL sketch per
+  * column (`hll_sketch_agg` per batch — KBs per column regardless of
+  * row count — merged into a driver Union; union is idempotent, and
+  * order-insensitive within the sketch's error bounds — the estimate
+  * can move a fraction of a percent across delivery orders because
+  * sparse→dense promotion is order-dependent, so the distinct contract
+  * is ACCURACY (≤5% vs exact, the #293 discipline), not bytes). Per
+  * batch this costs ONE distributed partial-combining aggregate to a
+  * single row — the accumulated stream is never re-read.
+  *
+  * `report()` emits the #279/#293 schema (col, n_null, n_distinct,
+  * min_num, max_num, avg_num, min_str, max_str): every non-distinct
+  * cell equals the batch `tableProfile` EXACTLY (spec-pinned over
+  * out-of-order batches; string min/max assume the profiled string
+  * columns are ASCII — Spark orders UTF8 bytes, the driver UTF-16 code
+  * units, which agree there), and n_distinct carries the sketch's
+  * ≤5%-contract estimate (the #293 accuracy discipline). */
+final class StreamingProfile(lgK: Int = 14) {
+
+  import org.apache.datasketches.hll.{TgtHllType, Union}
+  import org.apache.datasketches.hll.HllSketch
+  import org.apache.datasketches.memory.Memory
+
+  private val NumCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val StrCols = Seq("l_returnflag", "l_linestatus")
+
+  private final class ColState {
+    var nNull = 0L
+    var nonNull = 0L
+    var sum: java.math.BigDecimal = null
+    var minN: java.lang.Double = null
+    var maxN: java.lang.Double = null
+    var minS: String = null
+    var maxS: String = null
+    val sketch = new Union(lgK)
+  }
+
+  private val state = scala.collection.mutable.LinkedHashMap(
+    (NumCols ++ StrCols :+ "l_shipdate").map(_ -> new ColState): _*)
+
+  def processBatch(batch: DataFrame): Unit = synchronized {
+    def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn")
+    // injective per-column rendering for the sketch (the tableProfile
+    // stacked-pass discipline; unix micros for the date — a string
+    // rendering would be zone-dependent)
+    def sk(c: String, sql: String): Column =
+      expr(s"hll_sketch_agg($sql, $lgK)").as(s"${c}__sk")
+    val aggs: Seq[Column] =
+      NumCols.flatMap { c => Seq(
+        nNull(c),
+        count(col(c)).as(s"${c}__ct"),
+        sum(col(c).cast("decimal(28,6)")).as(s"${c}__sm"),
+        min(col(c)).cast("double").as(s"${c}__mn"),
+        max(col(c)).cast("double").as(s"${c}__mx"),
+        sk(c, s"CAST($c AS STRING)"))
+      } ++ StrCols.flatMap { c => Seq(
+        nNull(c),
+        min(col(c)).as(s"${c}__mns"), max(col(c)).as(s"${c}__mxs"),
+        sk(c, c))
+      } ++ Seq(
+        nNull("l_shipdate"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("l_shipdate__mns"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("l_shipdate__mxs"),
+        sk("l_shipdate",
+          "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) AS STRING)"))
+    val r = batch.agg(aggs.head, aggs.tail: _*).first()
+    def mergeSketch(s: ColState, c: String): Unit = {
+      val bytes = r.getAs[Array[Byte]](s"${c}__sk")
+      if (bytes != null) s.sketch.update(HllSketch.heapify(Memory.wrap(bytes)))
+    }
+    NumCols.foreach { c =>
+      val s = state(c)
+      s.nNull += r.getAs[Long](s"${c}__nn")
+      s.nonNull += r.getAs[Long](s"${c}__ct")
+      val bd = r.getAs[java.math.BigDecimal](s"${c}__sm")
+      if (bd != null) s.sum = if (s.sum == null) bd else s.sum.add(bd)
+      val (mn, mx) = (r.getAs[java.lang.Double](s"${c}__mn"),
+        r.getAs[java.lang.Double](s"${c}__mx"))
+      if (mn != null && (s.minN == null || mn < s.minN)) s.minN = mn
+      if (mx != null && (s.maxN == null || mx > s.maxN)) s.maxN = mx
+      mergeSketch(s, c)
+    }
+    (StrCols :+ "l_shipdate").foreach { c =>
+      val s = state(c)
+      s.nNull += r.getAs[Long](s"${c}__nn")
+      val (mn, mx) = (r.getAs[String](s"${c}__mns"), r.getAs[String](s"${c}__mxs"))
+      if (mn != null && (s.minS == null || mn < s.minS)) s.minS = mn
+      if (mx != null && (s.maxS == null || mx > s.maxS)) s.maxS = mx
+      mergeSketch(s, c)
+    }
+  }
+
+  /** (col, n_null, n_distinct, min_num, max_num, avg_num, min_str,
+    * max_str) — the #279/#293 schema, ordered by col. */
+  def report(): Seq[(String, Long, Long, java.lang.Double, java.lang.Double,
+      java.lang.Double, String, String)] = synchronized {
+    state.toSeq.sortBy(_._1).map { case (c, s) =>
+      val nd = math.round(s.sketch.getResult(TgtHllType.HLL_8).getEstimate)
+      val avg: java.lang.Double =
+        if (s.sum == null || s.nonNull == 0L) null
+        else java.lang.Double.valueOf(s.sum.doubleValue() / s.nonNull.toDouble)
+      (c, s.nNull, nd, s.minN, s.maxN, avg, s.minS, s.maxS)
+    }
+  }
+}

@@ -199,6 +199,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // the per-family/per-dial collectors were last written by code_warm's
+    // sf0.001 passes — clear them so bench_queries.json can only carry
+    // the TIMED runs' decomposition (a failed timed run then publishes
+    // no itemization at all, never wrong-scale warm-up numbers)
+    graft.queries.VectorQueries.lastFamilySeconds = Map.empty
+    graft.queries.VectorQueries.lastDialSeconds = Map.empty
+
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

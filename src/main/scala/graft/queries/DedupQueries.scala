@@ -83,10 +83,7 @@ object DedupQueries {
       val dst = new java.io.File(path)
       dst.getParentFile.mkdirs()
       if (!new java.io.File(tmp).renameTo(dst)) {
-        def del(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-        }
-        del(new java.io.File(tmp))
+        graft.sources.LocalArtifacts.deleteRecursively(new java.io.File(tmp))
         if (!done) throw new IllegalStateException(
           s"artifact publish failed: rename to $path lost without a complete table present")
       }
@@ -772,7 +769,9 @@ object DedupQueries {
       .map { case (t, nc, nd) => t -> (nc, nd) }.toMap
     val rows = SweepTaus.zipWithIndex.map { case (t, i) =>
       val (nCl, nDrop) = byTau(t)
-      (t, cnt.getLong(i), nCl, nDrop)
+      // an EMPTY mined pair table sums to NULL, not 0 (the old per-rung
+      // count() guard, preserved)
+      (t, if (cnt.isNullAt(i)) 0L else cnt.getLong(i), nCl, nDrop)
     }
     import s.implicits._
     rows.toDF("tau", "n_pairs", "n_clusters", "n_dropped")

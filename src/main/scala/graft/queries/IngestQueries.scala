@@ -116,12 +116,14 @@ object IngestQueries {
       // bucket count sized to the FACT table at ingest (the warehouse
       // rule: a fixed count that fits today starves parallelism and
       // overflows the per-bucket SMJ sort at 100× — measured 4.5 GB
-      // spill at 8 buckets over 60M rows): next power of two of
-      // rows/1M, clamped to [8, 256]; both tables must share it for
-      // the co-located plan
+      // spill at 8 buckets over 60M rows): CEILING power of two of
+      // rows/1M (exact powers stay put: 64M rows → 64, not 128),
+      // clamped to [8, 256]; both tables must share it for the
+      // co-located plan
       val n = Tables.lineitem(s, d).count()
-      val buckets = math.min(256,
-        math.max(8, Integer.highestOneBit(math.max(1, (n / 1000000L).toInt)) * 2))
+      val x = math.max(1, (n / 1000000L).toInt)
+      val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
+      val buckets = math.min(256, math.max(8, ceilPow2))
       val (lt, ot) = (s"graft_b${buckets}_lineitem_$key", s"graft_b${buckets}_orders_$key")
       graft.sources.Bucketing.writeBucketed(Tables.lineitem(s, d), lt, "l_orderkey", buckets)
       graft.sources.Bucketing.writeBucketed(Tables.orders(s, d), ot, "o_orderkey", buckets)

@@ -107,10 +107,12 @@ object QualityQueries {
   // -------------------------------------------------------------------
   // #279 table_profile — one-pass Deequ-style column profiler.
 
-  private val ProfileNumCols = Seq(
+  // private[graft]: the streaming twin (StreamingProfile) profiles the
+  // SAME column set, so the lists must have one owner or the twins drift
+  private[graft] val ProfileNumCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-  private val ProfileStrCols = Seq("l_returnflag", "l_linestatus")
+  private[graft] val ProfileStrCols = Seq("l_returnflag", "l_linestatus")
 
   /** Per-column data-quality profile of lineitem: null count, exact
     * distinct count, numeric min/max/mean (decimal-exact mean so float

@@ -12,26 +12,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (+sorted) table in the session catalog.
-    * The session catalog is in-memory, but managed-table DIRECTORIES
-    * survive the JVM — CTAS refuses to reuse one (LOCATION_ALREADY_
-    * EXISTS), so a stale location from a previous run is dropped first. */
+  /** Write `df` as a bucketed (+sorted) table in the session catalog,
+    * with the artifact publish discipline: CTAS lands in a pid/tid tmp
+    * table first, then one catalog RENAME (a filesystem dir rename)
+    * publishes it — a crash mid-write can never leave a half-written
+    * LIVE table. The session catalog is in-memory but managed-table
+    * DIRECTORIES survive the JVM (CTAS refuses to reuse one —
+    * LOCATION_ALREADY_EXISTS), so stale locations are removed via the
+    * URI-correct warehouse path (a hand-parsed prefix-strip misreads
+    * percent-encoded dirs and the guard silently misses). Concurrent
+    * same-table writers remain unsupported, as in a real warehouse
+    * where the ingest job owns the layout. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int = 8): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:").replaceAll("^//", "/")
-    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
-    if (loc.exists()) {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
-      }
-      del(loc)
+    def drop(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
+      val loc = new java.io.File(
+        LocalArtifacts.asFile(spark.conf.get("spark.sql.warehouse.dir")),
+        name.toLowerCase(java.util.Locale.ROOT))
+      if (loc.exists()) LocalArtifacts.deleteRecursively(loc)
     }
-    df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
-      .saveAsTable(table)
+    val tmp = s"${table}_tmp_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
+    drop(tmp)
+    df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(tmp)
+    drop(table)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
   /** Bucket-aware join of two previously bucketed tables: with matching

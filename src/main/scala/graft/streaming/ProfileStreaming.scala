@@ -36,10 +36,10 @@ final class StreamingProfile(lgK: Int = 14) {
   import org.apache.datasketches.hll.HllSketch
   import org.apache.datasketches.memory.Memory
 
-  private val NumCols = Seq(
-    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-  private val StrCols = Seq("l_returnflag", "l_linestatus")
+  // one owner for the profiled column set (the batch operators'), so
+  // the twins cannot drift
+  private val NumCols = graft.queries.QualityQueries.ProfileNumCols
+  private val StrCols = graft.queries.QualityQueries.ProfileStrCols
 
   private final class ColState {
     var nNull = 0L

@@ -675,9 +675,16 @@ object Dedup {
       val next =
         if (labels == null) clusters(delta, maxDriverEdges = maxDriverEdges)
         else {
-          val la = broadcast(labels).select(
+          // same node-budget guard as the clusters loop: the label table
+          // is sliver-sized here, but an unconditional broadcast would
+          // hard-fail past the broadcast limit at extreme sliver sizes —
+          // above the budget the joins fall back to shuffle plans
+          val nNodes = labels.count() // labels is checkpointed — cheap
+          def side(df: DataFrame): DataFrame =
+            if (nNodes <= 4000000L) broadcast(df) else df
+          val la = side(labels).select(
             col("doc_id").as("doc_a"), col("cluster_id").as("ra"))
-          val lb = broadcast(labels).select(
+          val lb = side(labels).select(
             col("doc_id").as("doc_b"), col("cluster_id").as("rb"))
           // contract delta endpoints through the tighter labels (absent
           // endpoints are their own nodes); dedupe the quotient edges —
@@ -697,7 +704,7 @@ object Dedup {
             .where(col("seen").isNull)
             .select(col("doc_id"), col("doc_id").as("cluster_id"))
           labels.unionAll(newNodes)
-            .join(broadcast(qlab.select(col("doc_id").as("cluster_id"),
+            .join(side(qlab.select(col("doc_id").as("cluster_id"),
               col("cluster_id").as("super_id"))), Seq("cluster_id"), "left")
             .select(col("doc_id"),
               coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))

@@ -230,10 +230,16 @@ object Bench {
     // immediately (same JVM, codegen and models now hot) and emit beside
     // the cold number. The warm value is the plan cost a reader should
     // compare round over round; cold-minus-warm is environment debt.
+    // The reps' wall time is itemized as setup_sec.warm_reps — it is in
+    // neither `value` nor the warm_sec map's entries individually summed,
+    // and without the entry the run's wall clock would no longer
+    // decompose as value + setup_sec.total (formatLine's invariant).
+    val tWarm = System.nanoTime()
     val warm = results
       .filter { case (_, v) => v > WarmRepThreshold }
       .sortBy { case (_, v) => -v }.take(MaxWarmReps)
       .map { case (name, _) => name -> timedRun(s"$name (warm rep)", SparkEntry.queries(name)) }
+    setup += "warm_reps" -> ((System.nanoTime() - tWarm) / 1e9)
 
     // full per-query map (2dp) goes to a FILE — the stdout line carries
     // only the top-N slowest (formatLine doc) plus the warm_sec map

@@ -696,6 +696,15 @@ object Dedup {
             .where(col("doc_a") =!= col("doc_b"))
             .distinct()
           val qlab = clusters(contracted, maxDriverEdges = maxDriverEdges)
+            .localCheckpoint()
+          // the composition table scales with the QUOTIENT's node count
+          // (the looser rung's contracted delta), not with nNodes — a
+          // tiny tightest rung followed by a huge looser one would
+          // otherwise broadcast an arbitrarily large qlab; guard it by
+          // its own size
+          val qNodes = qlab.count()
+          def qside(df: DataFrame): DataFrame =
+            if (qNodes <= 4000000L) broadcast(df) else df
           // delta endpoints not yet tracked join the node set as
           // themselves, then everything composes through the quotient
           val newNodes = delta.select(col("doc_a").as("doc_id"))
@@ -704,7 +713,7 @@ object Dedup {
             .where(col("seen").isNull)
             .select(col("doc_id"), col("doc_id").as("cluster_id"))
           labels.unionAll(newNodes)
-            .join(side(qlab.select(col("doc_id").as("cluster_id"),
+            .join(qside(qlab.select(col("doc_id").as("cluster_id"),
               col("cluster_id").as("super_id"))), Seq("cluster_id"), "left")
             .select(col("doc_id"),
               coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))

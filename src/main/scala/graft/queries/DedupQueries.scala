@@ -63,19 +63,42 @@ object DedupQueries {
       publishedArtifact(s, d, s"graft-dedup-clusters/tau$JaccardTau",
         () => Dedup.clusters(minedJaccardPairs(s, d))))
 
+  /** Code/format version of the published dedup artifacts. Bump whenever
+    * Dedup.jaccardPairs / Dedup.clusters semantics or the parquet layout
+    * change: the cross-JVM cache below keys on (family+version, sf dir,
+    * documents mtime), so without the token a semantics change would
+    * silently serve pre-change parquet to every consumer on a machine
+    * that still holds the old artifact. */
+  private val ArtifactVersion = "v1"
+
   /** Build-once/publish-by-rename for a corpus-derived artifact, keyed by
-    * (family, sf dir, documents mtime): _SUCCESS marks a complete table;
-    * concurrent builders race benignly (both produce identical bytes; the
-    * losing rename verifies a complete table exists and discards its
-    * copy). The family prefix carries the mining parameters (the BandGeom
-    * discipline) so a parameter change can never load a stale table. */
+    * (family+code version, sf dir, documents mtime): _SUCCESS marks a
+    * complete table; concurrent builders race benignly (both produce
+    * identical bytes; the losing rename verifies a complete table exists
+    * and discards its copy). The family prefix carries the mining
+    * parameters (the BandGeom discipline) and [[ArtifactVersion]] carries
+    * the code generation, so neither a parameter change nor a semantics
+    * change can ever load a stale table. Sibling directories for the same
+    * (family, sf dir) with an OLDER source mtime are dead — the source was
+    * rewritten — and are deleted opportunistically so tmpdir doesn't
+    * accumulate one table per regeneration. */
   private def publishedArtifact(s: SparkSession, d: String, family: String,
                                 build: () => DataFrame): DataFrame = {
     val key = d.replaceAll("[^A-Za-z0-9.]", "_")
     val docs = Tables.documents(s, d)
     val mtime = docs.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    val path = s"${sys.props("java.io.tmpdir")}/$family/$key-m$mtime"
+    val famDir = s"${sys.props("java.io.tmpdir")}/$family-$ArtifactVersion"
+    val path = s"$famDir/$key-m$mtime"
+    // reap superseded generations of this (family, sf dir) — their source
+    // mtime is strictly older, so no reader can want them again
+    Option(new java.io.File(famDir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(s"$key-m") && !n.contains(".tmp-") &&
+          n.stripPrefix(s"$key-m").toLongOption.exists(_ < mtime)
+      }
+      .foreach(graft.sources.LocalArtifacts.deleteRecursively)
     def done = new java.io.File(s"$path/_SUCCESS").exists()
     if (!done) {
       val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"

@@ -15,8 +15,16 @@ object Bucketing {
   /** Write `df` as a bucketed (+sorted) table in the session catalog,
     * with the artifact publish discipline: CTAS lands in a pid/tid tmp
     * table first, then one catalog RENAME (a filesystem dir rename)
-    * publishes it — a crash mid-write can never leave a half-written
-    * LIVE table. The session catalog is in-memory but managed-table
+    * publishes it — a crash mid-write can never leave a HALF-WRITTEN
+    * live table. The swap itself (drop live, then rename tmp→live) is
+    * not atomic: a crash between the two leaves NO live table (the
+    * complete tmp table is still on disk), and a reader racing the swap
+    * can see the table missing for the gap. Both are tolerated here
+    * because every consumer rebuilds through the memoizing
+    * `bucketedTables`-style entry points rather than reading the
+    * catalog name raw; the tmp table is verified complete before the
+    * live one is dropped so the worst case is a rebuild, never data
+    * loss. The session catalog is in-memory but managed-table
     * DIRECTORIES survive the JVM (CTAS refuses to reuse one —
     * LOCATION_ALREADY_EXISTS), so stale locations are removed via the
     * URI-correct warehouse path (a hand-parsed prefix-strip misreads
@@ -36,6 +44,10 @@ object Bucketing {
     val tmp = s"${table}_tmp_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
     drop(tmp)
     df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(tmp)
+    // only retire the live table once the replacement is verifiably
+    // complete — never trade a good table for a failed write
+    require(spark.catalog.tableExists(tmp),
+      s"bucketed publish: tmp table $tmp missing after CTAS")
     drop(table)
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }

@@ -235,8 +235,18 @@ object DedupQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
 
-  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingPairs(Tables.embeddings(s, d), CosineTau)
+  /** #25 dedup_embedding: the production cosine-LSH mining entry. Plane
+    * count sized to the corpus (pickBits keeps ~64 vectors per bucket):
+    * at FIXED bits the per-bucket occupancy — and so the candidate-pair
+    * count — grows quadratically with the corpus (measured: the 4-bit
+    * pinned twin probes 11.4× at 10×), while pickBits holds occupancy
+    * constant for a linear-with-log-factor candidate volume at 100 TB.
+    * Value-checked by the pinned-geometry hash-pass twin #297. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    Dedup.embeddingPairs(e, CosineTau,
+      bits = graft.search.CosineLsh.pickBits(e.count()))
+  }
 
   /** #100 dedup report: the cluster-size distribution + drop accounting a
     * dedup run publishes (what fraction of the corpus is duplicate mass,
@@ -458,6 +468,65 @@ object DedupQueries {
        |  GROUP BY 1, 2, 3, 4)
        |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** #297 dedup_embedding_portable: the cosine-LSH embedding near-dup
+    * pipeline with ENGINE-PORTABLE ingredients — the correctness witness
+    * for #25's machinery (the #163/#169 discipline applied to the one
+    * LSH pipeline that lacked a hash-pass twin). Unlike MinHash/SimHash,
+    * whose production pipelines hash with non-replayable xxhash64, every
+    * cosine-LSH ingredient is replayable once the seeded hyperplanes are
+    * rendered as literals: the generated DuckDB oracle re-derives the
+    * IDENTICAL packed-sign-bit buckets (per-plane double dot against the
+    * same plane values — float→double is exact, both engines accumulate
+    * doubles in index order), replays the hamming-1 multiprobe bucket
+    * join (probe side emits bucket + all 1-bit flips, build side its
+    * bucket only, `doc_a < doc_b` — every hamming ≤ 1 pair meets exactly
+    * once), and applies the same exact-cosine ≥ τ verify at 6 dp. The
+    * twin therefore value-checks the codegen'd HyperplaneSignature
+    * expression, the multiprobe geometry and the DotProductF32 verify
+    * end to end — and at gate scale it IS #25's plan (pickBits resolves
+    * to the same 4 bits below ~1.4k vectors, spec-pinned equality), so
+    * the hash-pass certifies dedup_embedding's own output too. #25 stays
+    * the production entry whose geometry scales with the corpus
+    * (pickBits) without breaking this pinned oracle; the twin's fixed
+    * 4-bit geometry is deliberately quadratic-at-scale and never leaves
+    * the gate.
+    * Reference slot: the embedding-similarity dedup a curation run
+    * applies at 100 TB (SemDeDup-family, Abbas et al. 2023 §3; reference
+    * eval/oracle.py:36's exact cosine is the verify primitive). */
+  def dedupEmbeddingPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(s, d), CosineTau)
+
+  /** GENERATED from the same seeded gaussian planes the Spark plan uses
+    * (CosineLsh.planes(Dim, 4, 42) rendered via QueryVectors.sqlLit —
+    * one source of truth, the vec_topk query-vector discipline). */
+  def dedupEmbeddingPortableSql: String = {
+    val bits = 4
+    val planes = graft.search.CosineLsh.planes(
+      graft.search.QueryVectors.Dim, bits, seed = 42L)
+    val sigTerms = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(e, ${graft.search.QueryVectors.sqlLit(p)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n|      + ")
+    val probeList =
+      ("bucket" +: (0 until bits).map(j => s"xor(bucket, ${1L << j})")).mkString(", ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sigs AS (
+       |  SELECT vec_id, e,
+       |    $sigTerms AS bucket
+       |  FROM emb),
+       |probes AS (
+       |  SELECT vec_id AS doc_a, e AS e_a,
+       |    unnest([$probeList]) AS pkey
+       |  FROM sigs),
+       |build AS (SELECT vec_id AS doc_b, e AS e_b, bucket AS pkey FROM sigs)
+       |SELECT doc_a, doc_b, round(list_dot_product(e_a, e_b), 6) AS cos
+       |FROM probes JOIN build USING (pkey)
+       |WHERE doc_a < doc_b
+       |  AND round(list_dot_product(e_a, e_b), 6) >= $CosineTau
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -855,6 +924,7 @@ object DedupQueries {
     "dedup_recall" -> (dedupRecall _),
     "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_simhash_portable" -> (dedupSimhashPortable _),
+    "dedup_embedding_portable" -> (dedupEmbeddingPortable _),
     "dedup_semantic_inc" -> (dedupSemanticInc _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
@@ -876,6 +946,7 @@ object DedupQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_portable" -> dedupMinhashPortableSql,
     "dedup_simhash_portable" -> dedupSimhashPortableSql,
+    "dedup_embedding_portable" -> dedupEmbeddingPortableSql,
     "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -416,6 +416,39 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"LSH cosine recall $recall of ${truth.size}")
   }
 
+  test("dedup_embedding_portable: exactly-once meet, hamming<=1 complete, deterministic") {
+    import graft.search.CosineLsh
+    val planes = CosineLsh.planes(graft.search.QueryVectors.Dim, 4, seed = 42L)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val got = graft.queries.DedupQueries.dedupEmbeddingPortable(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // exactly-once: the probe-side-flips / build-side-bucket join must
+    // never emit a candidate pair twice (the oracle replays this shape)
+    val keys = got.map(t => (t._1, t._2))
+    assert(keys.distinct.length == keys.length, "duplicate pair emitted")
+    // COMPLETE within the blocking contract: every true pair whose
+    // signatures are within hamming 1 is found (recall is probabilistic
+    // only through the geometry; within it the pipeline is exact)
+    val sigs = vecs.map { case (id, v) => id -> CosineLsh.signature(v, planes) }.toMap
+    val gotSet = keys.toSet
+    for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+      if java.lang.Long.bitCount(sigs(ia) ^ sigs(ib)) <= 1
+      if VecMath.round6(VecMath.dot(va, vb)) >= 0.4
+    } assert(gotSet((ia, ib)), s"hamming<=1 true pair ($ia,$ib) missed")
+    // deterministic: a second independent plan returns identical rows
+    val again = graft.queries.DedupQueries.dedupEmbeddingPortable(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == again.toSeq)
+    // at gate geometry (pickBits == 4 below ~1.4k vectors) the twin IS
+    // #25's plan: certifying it hash-certifies dedup_embedding here too
+    val prod = graft.queries.DedupQueries.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.toSeq == prod.toSeq)
+  }
+
   test("dedup_report: conserves the corpus and its internal accounting") {
     val rows = graft.queries.DedupQueries.dedupReport(spark, sf)
       .as[(Long, Long, Long, Long)].collect()

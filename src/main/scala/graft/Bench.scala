@@ -220,7 +220,10 @@ object Bench {
     // setting (captured BEFORE the warm reps below re-run them) — land in
     // bench_queries.json as hybrid_stats/<family> and vec_autotune/<dial>
     // rows so a regression in a 60-78-job entry localizes instead of
-    // hiding in one number
+    // hiding in one number. Fused dial ladders (RunHarness GroupBackend)
+    // report under their combined key (e.g. vec_autotune/ivfpq:50+
+    // ivfpq:100+ivfpq:200) — one shared pass serves the group, so one
+    // itemization term is the honest decomposition.
     val famSecs = graft.queries.VectorQueries.lastFamilySeconds.toSeq
       .map { case (f, v) => s"hybrid_stats/$f" -> v } ++
       graft.queries.VectorQueries.lastDialSeconds.toSeq

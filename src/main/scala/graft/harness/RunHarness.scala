@@ -598,6 +598,223 @@ object RunHarness {
       case other => throw new IllegalArgumentException(s"Unknown backend: $other")
     }
 
+  // ---- fused dial ladders ------------------------------------------------
+  //
+  // Several dial settings of one index NEST mathematically, and a harness
+  // that evaluates them as independent passes pays the per-setting job
+  // floor |dials|× (the r15 autotune ladder ran 60 short jobs; 24 of them
+  // re-did work a sibling dial had already done):
+  //  * `ivfpq:50 ⊂ ivfpq:100 ⊂ ivfpq:200` — the ADC ranking is totally
+  //    ordered (adc_score desc, vec_id), so one TakeOrdered at the WIDEST
+  //    shortlist yields every narrower dial's shortlist as its PREFIX;
+  //  * `lsh:1 ⊂ lsh:1x2 ⊂ lsh:2x2` — plane tables are prefix-seeded and
+  //    multiprobe sets nest in the radius, so one signature+score pass
+  //    over the union candidate set carries every dial's membership as a
+  //    row-local boolean.
+  // Results are IDENTICAL to the unfused per-dial searches (spec-pinned,
+  // RunHarnessSpec): same ids, same scored_vectors, same kth. Only the
+  // latency attribution changes — dials in a fused group share one timed
+  // pass, so each dial's latency_ms records the shared wall plus its own
+  // per-dial tail, and onBackendTimed sees ONE entry under the group's
+  // combined key (e.g. "ivfpq:50+ivfpq:100+ivfpq:200").
+
+  /** A set of backend names answered together from one shared pass. */
+  private trait GroupBackend {
+    def names: Seq[String]
+    def timingKey: String = names.mkString("+")
+    def searchAll(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                  pred: Option[org.apache.spark.sql.Column],
+                  k: Int, allowed: Long): Seq[(String, (Seq[Long], Stats))]
+  }
+
+  private class SingleGroup(b: Backend) extends GroupBackend {
+    def names: Seq[String] = Seq(b.name)
+    override def timingKey: String = b.name
+    def searchAll(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                  pred: Option[org.apache.spark.sql.Column],
+                  k: Int, allowed: Long): Seq[(String, (Seq[Long], Stats))] =
+      Seq(b.name -> b.search(emb, qvec, spec, pred, k, allowed))
+  }
+
+  /** Fused `ivfpq:<sl>` ladder: one partition-pruned ADC TakeOrdered at
+    * the widest shortlist; each dial refines its prefix (RAM pinned-block
+    * scoring when the filter is label-local, else ONE exact refine of the
+    * widest shortlist with per-dial prefix ranking over the collected
+    * bounded rows). */
+  private class IvfPqLadderGroup(dials: Seq[(String, Int)], model: IvfPqModel,
+                                 nprobeN: Int, ram: Option[RamCorpus])
+      extends GroupBackend {
+    def names: Seq[String] = dials.map(_._1)
+    private val maxSl = dials.map(_._2).max
+    def searchAll(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                  pred: Option[org.apache.spark.sql.Column],
+                  k: Int, allowed: Long): Seq[(String, (Seq[Long], Stats))] = {
+      val lists = model.ivf.probes(qvec, nprobeN)
+      val scanned = lists.map(model.listSizes.getOrElse(_, 0L)).sum
+      val pruned = model.coded.where(col("list_id").isin(lists: _*))
+      def stats(ms: Double, sl: Int, kth: Option[Double]): Stats =
+        Stats(ms, scanned, Some(lists.length), Some(nprobeN), kth, None,
+          Some(s"ivfpq adc m=${model.pq.m} k=${model.pq.kCodes} shortlist=$sl (fused ladder)"))
+      // the widest shortlist, collected IN ADC ORDER (TakeOrderedAndProject
+      // preserves the sort): narrower dials take prefixes
+      val (shortIds, msShort) = timed {
+        pruned.select(col("vec_id"), round(model.pq.adcScore(qvec), 6).as("adc_score"))
+          .orderBy(desc("adc_score"), col("vec_id")).limit(maxSl)
+          .select("vec_id").collect().map(_.getLong(0))
+      }
+      ram.flatMap(rc => RamCorpus.labelPredicate(spec).map((rc, _))) match {
+        case Some((rc, lp)) =>
+          // ONE pinned-block refine of the widest shortlist (k = |ids|
+          // returns every scored pair); each dial ranks its prefix
+          // driver-side with the same (score desc, vec_id) contract
+          val (scoredAll, msRefine) = timed(
+            rc.scoreIds(qvec, shortIds, shortIds.length, lp).toMap)
+          dials.map { case (nm, sl) =>
+            val rows = shortIds.take(sl).iterator
+              .flatMap(id => scoredAll.get(id).map(id -> _)).toArray
+              .sortBy { case (id, sc) => (-sc, id) }.take(k).toSeq
+            nm -> (rows.map(_._1),
+              stats(msShort + msRefine, sl, rows.lastOption.map(_._2)))
+          }
+        case None =>
+          // one exact refine of the widest shortlist (bounded: ≤ maxSl
+          // rows collected); each dial ranks its prefix over the refined
+          // scores with the exact topK order (score desc, vec_id)
+          val (scored, msRefine) = timed {
+            import emb.sparkSession.implicits._
+            val idsDf = shortIds.toSeq.toDF("vec_id")
+            val refined = model.pq.corpus.join(broadcast(idsDf), "vec_id")
+            val base = VectorSearch.withScore(refined, qvec)
+            pred.map(base.where).getOrElse(base)
+              .select(col("vec_id"), col("score")).collect()
+              .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+          }
+          dials.map { case (nm, sl) =>
+            val rows = shortIds.take(sl).iterator
+              .flatMap(id => scored.get(id).map(id -> _)).toArray
+              .sortBy { case (id, sc) => (-sc, id) }.take(k).toSeq
+            nm -> (rows.map(_._1),
+              stats(msShort + msRefine, sl, rows.lastOption.map(_._2)))
+          }
+      }
+    }
+  }
+
+  /** Fused `lsh:*` ladder: signatures for the union of table prefixes and
+    * the exact scores are computed in ONE pass over the union candidate
+    * set (per-dial membership is a row-local boolean over the shared
+    * signature columns); the materialized candidates are narrow
+    * (vec_id, score, flags), so per-dial counts ride one aggregate and
+    * each dial's top-K is a cheap TakeOrdered over them. */
+  private class LshLadderGroup(dials: Seq[(String, Int, Int)], // (name, radius, tables)
+                               tbls: Seq[Array[Array[Float]]])
+      extends GroupBackend {
+    def names: Seq[String] = dials.map(_._1)
+    def searchAll(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
+                  pred: Option[org.apache.spark.sql.Column],
+                  k: Int, allowed: Long): Seq[(String, (Seq[Long], Stats))] = {
+      val bits = tbls.head.length
+      val maxT = dials.map(_._3).max
+      val used = tbls.take(maxT)
+      val withSigs = used.zipWithIndex.foldLeft(emb) { case (df, (p, t)) =>
+        df.withColumn(s"_b$t", graft.functions.VectorFunctions.hyperplaneSignature(
+          col("embedding"), typedlit(p.map(_.toSeq).toSeq)))
+      }
+      val dialPreds = dials.map { case (_, r, t) =>
+        used.take(t).zipWithIndex.map { case (p, ti) =>
+          val buckets = CosineLsh.multiprobe(CosineLsh.signature(qvec, p), bits, r)
+          col(s"_b$ti").isin(buckets: _*)
+        }.reduce(_ || _)
+      }
+      val nProbed = dials.map { case (_, r, t) =>
+        used.take(t).map(p =>
+          CosineLsh.multiprobe(CosineLsh.signature(qvec, p), bits, r).length).sum
+      }
+      val bucketed = withSigs.where(dialPreds.reduce(_ || _))
+      val base = pred.map(bucketed.where).getOrElse(bucketed)
+      val cand = VectorSearch.withScore(base, qvec)
+        .select(col("vec_id") +: col("score") +:
+          dialPreds.zipWithIndex.map { case (dp, i) => dp.as(s"_m$i") }: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val (counts, msShared) = timed {
+          val row = cand.agg(
+            sum(when(col("_m0"), 1L).otherwise(0L)).as("c0"),
+            dialPreds.indices.drop(1).map(i =>
+              sum(when(col(s"_m$i"), 1L).otherwise(0L)).as(s"c$i")): _*).first()
+          dialPreds.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+        }
+        dials.zipWithIndex.map { case ((nm, r, t), i) =>
+          val (rows, msDial) = timed {
+            cand.where(col(s"_m$i"))
+              .orderBy(desc("score"), col("vec_id")).limit(k).collect()
+          }
+          nm -> (rows.map(_.getLong(0)).toSeq,
+            Stats(msShared + msDial, counts(i), Some(nProbed(i)), None,
+              rows.lastOption.map(_.getDouble(1)), None,
+              Some(s"cosine lsh $bits bits x $t tables, " +
+                s"multiprobe radius $r (fused ladder)")))
+        }
+      } finally { cand.unpersist(false); () }
+    }
+  }
+
+  /** Group the backend list: ≥2 explicit `ivfpq:<n>` dials fuse into one
+    * IvfPqLadderGroup, ≥2 `lsh[:…]` dials into one LshLadderGroup (they
+    * share bits and prefix-seeded plane tables by construction); everything
+    * else stays a single backend. Group order follows each group's first
+    * member, and runMany re-orders per-query rows to the caller's list. */
+  private def buildGroups(backendNames: Seq[String], emb: DataFrame, total: Long,
+                          ladder: Seq[Int], nprobe: Int, maxLadderSteps: Option[Int],
+                          corpusKey: Option[String], knownDim: Option[Int],
+                          ram: Option[RamCorpus]): Seq[GroupBackend] = {
+    val ivfpqDials = backendNames.filter(n =>
+      n.startsWith("ivfpq:") && n.stripPrefix("ivfpq:").nonEmpty &&
+        n.stripPrefix("ivfpq:").forall(_.isDigit))
+    val lshDials = backendNames.filter(n => n == "lsh" || n.startsWith("lsh:"))
+    val fuseIvfPq = ivfpqDials.length >= 2
+    val fuseLsh = lshDials.length >= 2
+    def single(n: String) = new SingleGroup(getBackend(n, emb, total, ladder, nprobe,
+      maxLadderSteps, corpusKey, knownDim, ram))
+    val groups = scala.collection.mutable.ArrayBuffer.empty[GroupBackend]
+    val seen = scala.collection.mutable.Set.empty[String]
+    backendNames.foreach {
+      case n if fuseIvfPq && ivfpqDials.contains(n) =>
+        if (!seen(n)) {
+          seen ++= ivfpqDials
+          val spark = emb.sparkSession
+          val model = corpusKey match {
+            case Some(key) => IvfPq.cached(spark, emb, key,
+              Ivf.cached(spark, emb, key, knownTotal = Some(total)),
+              Pq.cached(spark, emb, key))
+            case None => IvfPq.compose(
+              Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))), Pq.build(emb))
+          }
+          groups += new IvfPqLadderGroup(
+            ivfpqDials.map(d => d -> d.stripPrefix("ivfpq:").toInt), model, nprobe, ram)
+        }
+      case l if fuseLsh && lshDials.contains(l) =>
+        if (!seen(l)) {
+          seen ++= lshDials
+          val parsed = lshDials.map { d =>
+            val (radius, nTables) =
+              if (d == "lsh") (1, 1)
+              else d.stripPrefix("lsh:").split('x') match {
+                case Array(r) => (r.toInt, 1)
+                case Array(r, t) => (r.toInt, t.toInt)
+                case _ => throw new IllegalArgumentException(s"Unknown backend: $d")
+              }
+            (d, radius, nTables)
+          }
+          val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))
+          groups += new LshLadderGroup(parsed,
+            CosineLsh.tables(dim, CosineLsh.pickBits(total), parsed.map(_._3).max))
+        }
+      case n => groups += single(n)
+    }
+    groups.toSeq
+  }
+
   case class ResultRow(
       qid: Long, method: String, k: Int, latencyMs: Double, recallAtK: Double,
       filterSelectivity: Double, scoredVectors: Long, listsProbed: Option[Int],
@@ -633,8 +850,12 @@ object RunHarness {
     val total = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
     val runId = java.util.UUID.randomUUID().toString
-    val backends = backendNames.map(
-      getBackend(_, emb, total, corpusKey = Some(sfDir), knownDim = Some(dim), ram = ram))
+    // nested dial sets (ivfpq:<sl>, lsh:<r>x<t>) fuse into shared-pass
+    // groups — results identical to independent per-dial searches
+    // (GroupBackend doc), ~1/3 the jobs for a 3-rung ladder
+    val groups = buildGroups(backendNames, emb, total,
+      ladder = Seq(200, 500, 1000), nprobe = 32, maxLadderSteps = None,
+      corpusKey = Some(sfDir), knownDim = Some(dim), ram = ram)
 
     // hard guards BEFORE any search (reference: dimension + K validation)
     val queries = qs.map { hq =>
@@ -671,26 +892,30 @@ object RunHarness {
         ram.flatMap(rc => RamCorpus.labelPredicate(spec).map(rc.countAllowed))
           .getOrElse(emb.where(p).count())
       }.getOrElse(total)
-      // onBackendTimed sees the WALL seconds of each (query, backend) search
+      // onBackendTimed sees the WALL seconds of each (query, group) search
       // — job-scheduling overhead included, unlike the row's latencyMs which
       // each backend clocks around its own timed section. The hook lets a
-      // caller (hybrid_stats) decompose its recorded aggregate per family.
-      val searched = backends.map { b =>
+      // caller (hybrid_stats) decompose its recorded aggregate per family;
+      // a fused ladder reports once under its combined key.
+      val searched = groups.flatMap { g =>
         val t0 = System.nanoTime()
-        val r = b.search(emb, qvec, spec, pred, k, allowed)
-        onBackendTimed(b.name, (System.nanoTime() - t0) / 1e9)
-        (b, r)
+        val rs = g.searchAll(emb, qvec, spec, pred, k, allowed)
+        onBackendTimed(g.timingKey, (System.nanoTime() - t0) / 1e9)
+        rs
       }
+      // rows in the CALLER's backend order, independent of group layout
+      val byName = searched.toMap
+      val ordered = backendNames.map(n => n -> byName(n))
       // exact/pre_filter IS the oracle computation (deterministic brute
       // force over the same allowed subset) — reuse its result instead of
       // running an identical extra job per query
-      val oracleIds = searched
-        .collectFirst { case (b, (ids, _)) if b.name == "exact" || b.name == "pre_filter" =>
+      val oracleIds = ordered
+        .collectFirst { case (n, (ids, _)) if n == "exact" || n == "pre_filter" =>
           ids.toArray }
         .getOrElse(VectorSearch.topK(emb, qvec, k, pred).collect().map(_.getLong(0)))
-      searched.map { case (b, (ids, stats)) =>
+      ordered.map { case (name, (ids, stats)) =>
         val recall = if (k == 0) 0.0 else ids.toSet.intersect(oracleIds.toSet).size.toDouble / k
-        ResultRow(hq.qid, b.name, k, stats.latencyMs, recall,
+        ResultRow(hq.qid, name, k, stats.latencyMs, recall,
           VecMath.round6(allowed.toDouble / total), stats.scoredVectors,
           stats.listsProbed, stats.nprobe, stats.kthAtStop, stats.boundAtStop,
           stats.notes,

@@ -413,4 +413,37 @@ class RunHarnessSpec extends AnyFunSuite {
       .as[(String, Double, Long, Int, Int)].collect().toSeq
     assert(again == out)
   }
+
+  test("fused dial ladders: results identical to independent per-dial runs") {
+    // the ivfpq shortlist ladder and the lsh radius×tables ladder fuse
+    // into one shared pass per query (GroupBackend); every per-dial
+    // OBSERVABLE — recall vs the same deterministic oracle, the scanned
+    // count, kth-at-stop, lists probed — must equal a standalone run of
+    // that dial (which takes the unfused single-backend path)
+    def observables(rows: Seq[RunHarness.ResultRow]) =
+      rows.map(r => (r.qid, r.method) ->
+        (r.recallAtK, r.scoredVectors, r.kthAtStop, r.listsProbed, r.nprobe)).toMap
+    for (ram <- Seq(None, graft.queries.VectorQueries.servingTier(spark, sf))) {
+      val label = if (ram.isDefined) "ram" else "catalyst"
+      val dials = Seq("ivfpq:50", "ivfpq:100", "ivfpq:200",
+        "lsh:1", "lsh:1x2", "lsh:2x2")
+      val fused = observables(RunHarness.runMany(spark, sf, dials, ram = ram))
+      dials.foreach { d =>
+        val solo = observables(RunHarness.runMany(spark, sf, Seq(d), ram = ram))
+        solo.foreach { case (key, v) =>
+          assert(fused(key) == v, s"[$label] $key fused=${fused(key)} solo=$v")
+        }
+      }
+    }
+  }
+
+  test("fused ladder timing hook reports one combined key per group") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    RunHarness.runMany(spark, sf,
+      Seq("exact", "ivfpq:50", "ivfpq:100", "lsh:1", "lsh:2x2"),
+      qs = QuerySet.default.take(1),
+      onBackendTimed = (n, _) => seen.synchronized { seen += n; () })
+    assert(seen.toSet == Set("exact", "ivfpq:50+ivfpq:100", "lsh:1+lsh:2x2"),
+      seen.mkString(","))
+  }
 }

@@ -42,7 +42,7 @@ object Bench {
     * act on; the cheap tail tolerates the debt. Names absent from the
     * registry are skipped, new queries land in the alphabetical tail. */
   private[graft] val HeavyFirst: Seq[String] = Seq(
-    "text_dup_spans", "text_dedup_spans", "hybrid_stats", "q1_rollup",
+    "text_dup_spans", "text_dedup_spans", "dedup_jaccard_mine", "hybrid_stats", "q1_rollup",
     "text_winnowing", "dedup_recall", "corpus_curate", "vec_ivf_compact",
     "dedup_minhash_portable", "q20_volume_suppliers", "dedup_ngram",
     "corpus_ccnet_buckets", "supplier_triangles", "customer_migration",

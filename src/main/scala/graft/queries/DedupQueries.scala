@@ -117,6 +117,24 @@ object DedupQueries {
   def dedupJaccard(s: SparkSession, d: String): DataFrame =
     minedJaccardPairs(s, d)
 
+  /** #298 dedup_jaccard_mine: the pair-graph MINING stage itself, run
+    * fresh every time (no published-artifact read, no in-JVM cache).
+    *
+    * With the τ=0.95 pair table published as a build artifact (r14
+    * verdict #2), the registered `dedup_jaccard` row times CONSUMPTION
+    * (~0.1 s — a parquet read), and on a warm workspace the
+    * `setup_sec.pair_table` phase also reads the existing artifact, so
+    * the corpus-linear mining term — the single heaviest build cost in
+    * the dedup family — could vanish from the bench ledger entirely.
+    * This row keeps it driver-visible under a stable key each round
+    * (r15 verdict #6): same blocking + exact-verify pipeline, same
+    * DuckDB oracle as `dedup_jaccard`, but always mined from the corpus
+    * in the timed section. Production reading: this row is the
+    * once-per-corpus artifact-build cost; `dedup_jaccard` is the
+    * per-consumer read cost. */
+  def dedupJaccardMine(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau)
+
   val dedupJaccardSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
@@ -930,6 +948,7 @@ object DedupQueries {
     "dedup_report" -> (dedupReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_jaccard_mine" -> (dedupJaccardMine _),
     "dedup_ngram" -> (dedupNgram _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -950,6 +969,7 @@ object DedupQueries {
     "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_jaccard_mine" -> dedupJaccardSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_canonical" -> dedupCanonicalSql

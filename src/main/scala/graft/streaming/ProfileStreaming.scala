@@ -119,4 +119,72 @@ final class StreamingProfile(lgK: Int = 14) {
       (c, s.nNull, nd, s.minN, s.maxN, avg, s.minS, s.maxS)
     }
   }
+
+  // ---- frequent items beside the HLL distinct (r15 verdict #7) --------
+
+  /** Per-column Misra–Gries summaries over the profiled string/date
+    * columns: the frequent-values readout a profiler publishes next to
+    * the distinct estimate (Deequ's histogram analyzer, bounded). Same
+    * mergeable-summaries discipline as [[StreamingHeavyHitters]]: counts
+    * ADD across batches, and when a column's summary exceeds
+    * `topCapacity` entries the (c+1)-th largest count is subtracted and
+    * non-positives dropped — the merged summary keeps the n/c undercount
+    * bound of a single pass over the whole stream (Agarwal et al.,
+    * PODS'12). State is O(columns × capacity) regardless of stream
+    * length; any value whose true count exceeds totalRows/capacity is
+    * guaranteed present. */
+  private val TopCapacity = 256
+  private val topState = scala.collection.mutable.LinkedHashMap(
+    (StrCols :+ "l_shipdate").map(_ -> scala.collection.mutable.HashMap.empty[String, Long]): _*)
+  // true non-null rows absorbed per column — the n in the n/c bound
+  private val topTotal = scala.collection.mutable.HashMap(
+    (StrCols :+ "l_shipdate").map(_ -> 0L): _*)
+
+  /** Absorb one micro-batch into the frequent-items summaries: the
+    * profiled string/date columns STACK to narrow (col, value) pairs —
+    * the tableProfile stacked-pass discipline — so ONE map-side-combined
+    * aggregate serves every column; per-batch distinct pairs are bounded
+    * by the micro-batch, the same premise the HLL merge rides. Callers
+    * absorb each batch once into BOTH halves (processBatch + this);
+    * counts add, so redelivery is not idempotent here — exactly the
+    * batch heavy-hitters contract, unlike the min/max/null half. */
+  def processBatchTop(batch: DataFrame): Unit = synchronized {
+    val stacked = (StrCols.map(c => struct(lit(c).as("c"), col(c).as("v"))) :+
+      struct(lit("l_shipdate").as("c"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("v")))
+    val counts = batch
+      .select(explode(array(stacked: _*)).as("cv"))
+      .where(col("cv.v").isNotNull)
+      .groupBy(col("cv.c").as("c"), col("cv.v").as("v"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    counts.foreach { r =>
+      val c = r.getString(0)
+      val m = topState(c)
+      val v = r.getString(1)
+      m.update(v, m.getOrElse(v, 0L) + r.getLong(2))
+      topTotal.update(c, topTotal(c) + r.getLong(2))
+    }
+    topState.valuesIterator.foreach { m =>
+      if (m.size > TopCapacity) {
+        val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(TopCapacity)
+        val dead = m.iterator.collect { case (k, c) if c <= cut => k }.toList
+        m.mapValuesInPlace((_, c) => c - cut)
+        dead.foreach(m.remove)
+      }
+    }
+  }
+
+  /** Guaranteed maximum undercount of any [[topValues]] estimate for a
+    * column: non-null rows absorbed into its summary / capacity (the
+    * Misra–Gries n/c bound, preserved under merging). */
+  def topErrorBound(c: String): Double = synchronized {
+    topTotal(c).toDouble / TopCapacity
+  }
+
+  /** Current top-k values (value, estimated count) for a profiled
+    * string/date column, count desc then value asc. */
+  def topValues(c: String, k: Int): Seq[(String, Long)] = synchronized {
+    topState(c).toSeq.sortBy { case (v, n) => (-n, v) }.take(k)
+  }
 }

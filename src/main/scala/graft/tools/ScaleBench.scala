@@ -210,25 +210,39 @@ object ScaleBench {
     }
   }
 
-  private def warm(spark: SparkSession, dir: String): Unit = {
-    try { graft.queries.VectorQueries.ivfModel(spark, dir); () }
-    catch { case _: Throwable => }
-    try { graft.queries.VectorQueries.servingTier(spark, dir); () }
-    catch { case _: Throwable => }
-    try { graft.queries.VectorQueries.pqModel(spark, dir); () }
-    catch { case _: Throwable => }
-    try { graft.queries.VectorQueries.ivfpqModel(spark, dir); () }
-    catch { case _: Throwable => }
+  /** Families of artifact warm-up, selectable per probe run via
+    * SPARK_GRAFT_SCALE_WARM (comma list of vec,dedup,bucketed; default
+    * all): a high-replica probe of a relational-only subset (e.g. the
+    * 1000× bucketed_join / table_profile_approx decade) must not pay
+    * hours of IVF/PQ training and pair mining over a 1000× corpus it
+    * never reads. */
+  private def warm(spark: SparkSession, dir: String,
+                   sel: Option[Set[String]] = None): Unit = {
+    def on(f: String) = sel.forall(_.contains(f))
+    if (on("vec")) {
+      try { graft.queries.VectorQueries.ivfModel(spark, dir); () }
+      catch { case _: Throwable => }
+      try { graft.queries.VectorQueries.servingTier(spark, dir); () }
+      catch { case _: Throwable => }
+      try { graft.queries.VectorQueries.pqModel(spark, dir); () }
+      catch { case _: Throwable => }
+      try { graft.queries.VectorQueries.ivfpqModel(spark, dir); () }
+      catch { case _: Throwable => }
+    }
     // the published τ=0.95 pair/cluster artifact (Bench's pair_table
     // phase): consumers probed at scale (corpus_release, dedup_sweep,
     // split_signoff, pipeline_e2e) read the mined table; mining happens
     // once, outside the timed region — matching the production shape
-    try { graft.queries.DedupQueries.minedClusters(spark, dir); () }
-    catch { case _: Throwable => }
+    if (on("dedup")) {
+      try { graft.queries.DedupQueries.minedClusters(spark, dir); () }
+      catch { case _: Throwable => }
+    }
     // the bucketed catalog tables (#294's ingest-time layout): the probe
     // times the co-located join, not the one-off bucketed write
-    try { graft.queries.IngestQueries.bucketedTables(spark, dir); () }
-    catch { case _: Throwable => }
+    if (on("bucketed")) {
+      try { graft.queries.IngestQueries.bucketedTables(spark, dir); () }
+      catch { case _: Throwable => }
+    }
   }
 
   /** Spill/shuffle accounting across every task of the timed query —
@@ -280,6 +294,9 @@ object ScaleBench {
     val Heavy = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(DefaultHeavy)
+    // artifact warm-up subset (see warm()): unset = all families
+    val warmSel = sys.env.get("SPARK_GRAFT_SCALE_WARM")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // v2: embedding replicas rotated (rot) — v1 dirs hold exact copies
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/v2/x$replicas"
     // the §3b root-cause knobs, overridable per run for the memory-config
@@ -304,7 +321,7 @@ object ScaleBench {
     // JIT-warm the dedup/text/harness code paths at the smallest SF
     // (Bench's discipline: warm CODE, the pair caches are dir-keyed)
     val warmDir = "/root/testdata/sf0.001"
-    warm(spark, warmDir)
+    warm(spark, warmDir, warmSel)
     Heavy.foreach { q =>
       try { graft.SparkEntry.queries(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save() }
@@ -315,7 +332,7 @@ object ScaleBench {
     spark.sparkContext.addSparkListener(spill)
 
     def runAll(dir: String): Map[String, Timing] = {
-      warm(spark, dir)
+      warm(spark, dir, warmSel)
       Heavy.map(q => q -> time(spark, spill)(graft.SparkEntry.queries(q)(spark, dir))).toMap
     }
     val t1 = runAll(baseDir)

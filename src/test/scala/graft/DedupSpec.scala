@@ -54,6 +54,19 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"blocking recall $recall")
   }
 
+  test("dedup_jaccard_mine: fresh mine == published-artifact consumer row") {
+    // #298's contract: the always-fresh mining row and the
+    // artifact-reading dedup_jaccard row are the same pair set (the
+    // artifact stores the pipeline's own output, so a divergence means
+    // a stale or corrupted published table)
+    val mine = graft.queries.DedupQueries.dedupJaccardMine(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    val pub = graft.queries.DedupQueries.dedupJaccard(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(mine.nonEmpty)
+    assert(mine == pub)
+  }
+
   test("minhashLshPairs: exact precision, recall >= 0.9 vs all-pairs at tau=0.95") {
     val got = Dedup.minhashLshPairs(docs, 0.95).as[(Long, Long, Double)].collect()
     got.foreach { case (a, b, j) => assert(localJaccard((a, b)) == j && j >= 0.95) }

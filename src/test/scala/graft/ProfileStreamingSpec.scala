@@ -54,4 +54,37 @@ class ProfileStreamingSpec extends AnyFunSuite {
       assert(math.abs(u._3 - de) / de <= 0.05, s"$c distinct (reversed): $de vs ${u._3}")
     }
   }
+
+  test("streaming profile topK: merged Misra–Gries == exact replay within n/c; " +
+       "exact when capacity covers the column") {
+    val li = Tables.lineitem(spark, sf)
+    val batches = Seq(2L, 0L, 1L).map(i => li.where(col("l_orderkey") % 3 === i))
+    val sp = new StreamingProfile
+    batches.foreach(sp.processBatchTop)
+    val cols = Seq("l_returnflag" -> col("l_returnflag").cast("string"),
+      "l_linestatus" -> col("l_linestatus").cast("string"),
+      "l_shipdate" -> date_format(col("l_shipdate"), "yyyy-MM-dd"))
+    cols.foreach { case (c, rendered) =>
+      val exact = li.select(rendered.as("v")).where(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bound = sp.topErrorBound(c)
+      assert(bound == exact.valuesIterator.sum.toDouble / 256, s"$c n/c bound")
+      // every summary estimate undercounts by at most n/c and never
+      // overcounts; every value whose true count exceeds n/c is present
+      val got = sp.topValues(c, Int.MaxValue).toMap
+      got.foreach { case (v, est) =>
+        val tr = exact.getOrElse(v, 0L)
+        assert(est <= tr && tr - est <= bound, s"$c value $v: est $est true $tr")
+      }
+      exact.foreach { case (v, tr) =>
+        if (tr > bound) assert(got.contains(v), s"$c heavy value $v (count $tr) missing")
+      }
+      // the low-cardinality flag/status columns fit entirely below the
+      // 256-entry capacity: no prune ever fires, so the summary IS the
+      // exact top-k, counts included
+      if (exact.size <= 256)
+        assert(sp.topValues(c, exact.size).toMap == exact, s"$c exact topK")
+    }
+  }
 }

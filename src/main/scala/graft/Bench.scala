@@ -161,7 +161,9 @@ object Bench {
     // ...and the bucketed catalog tables (#294's ingest-time layout
     // decision): the registered query times the co-located JOIN, not the
     // one-off bucketed write.
-    phase("bucketed_build") { graft.queries.IngestQueries.bucketedTables(spark, sfDir); () }
+    phase("bucketed_build") {
+      graft.queries.IngestQueries.bucketedTables(spark, sfDir)
+      graft.queries.DedupQueries.simhashChunkTable(spark, sfDir); () }
     // ...and the vectors.npy artifact (ingest_npy times the DISTRIBUTED
     // byte-range load; the driver-side artifact write is one-time
     // reference-parity work, artifacts.py's job)

@@ -495,13 +495,29 @@ object Dedup {
     * shared by the text SimHash path and the multimodal perceptual-hash
     * path; the chunk-blocking argument only needs the signature to be 64
     * bits, not how it was computed. */
-  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk blocking is exact only for hamming <= 3")
-    val chunked = sigs.withColumn("chunk", explode(array(
+  def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingPairsOf(signatureChunks(sigs), maxHamming)
+
+  /** The 16-bit-chunk blocking table for [[hammingPairsOf]]: one row per
+    * (doc, chunk) — 4× the signature table, schema (doc_id, sig, cid,
+    * cval). Exposed so the chunk table can be PERSISTED BUCKETED by the
+    * join keys (cid, cval) (the #294 storage-layout discipline applied
+    * to the hamming side): two scans of the same bucketed table then
+    * satisfy the self-join's clustering with NO Exchange — at 100 TB
+    * the blocking join's shuffle of the 4×-corpus chunk table IS the
+    * mining cost. Both keys must be bucket keys: Spark's default
+    * requireAllClusterKeysForCoPartition rejects a bucket-key subset. */
+  def signatureChunks(sigs: DataFrame): DataFrame =
+    sigs.withColumn("chunk", explode(array(
       (0 until 4).map(i =>
         struct(lit(i).as("cid"),
           shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cval"))): _*)))
       .select(col("doc_id"), col("sig"), col("chunk.cid").as("cid"), col("chunk.cval").as("cval"))
+
+  /** [[hammingPairs]] body over a pre-built (possibly persisted-bucketed)
+    * chunk table from [[signatureChunks]]. */
+  def hammingPairsOf(chunked: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk blocking is exact only for hamming <= 3")
     val a = chunked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("cid"), col("cval"))
     val b = chunked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("cid"), col("cval"))
     a.join(b, Seq("cid", "cval"))

@@ -253,6 +253,45 @@ object DedupQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
 
+  /** The simhash 16-bit-chunk blocking table PERSISTED BUCKETED by the
+    * chunk value (r15 verdict #7: the #294 storage-layout discipline
+    * applied to the hamming side), written once per sf dir like the
+    * relational bucketed tables. Bucket count sized to the chunk table
+    * (4 rows per doc — the bucketed_join rule on the exploded volume). */
+  private val simhashChunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def simhashChunkTable(s: SparkSession, d: String): String =
+    simhashChunkCache.computeIfAbsent(d, _ => {
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      val n = docs.count() * 4
+      val x = math.max(1, (n / 1000000L).toInt)
+      val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
+      val buckets = math.min(256, math.max(8, ceilPow2))
+      val tbl = s"graft_b${buckets}_simhash_chunks_$key"
+      // bucket by BOTH join keys: the default
+      // requireAllClusterKeysForCoPartition rejects a bucket-key subset
+      graft.sources.Bucketing.writeBucketed(
+        Dedup.signatureChunks(Dedup.simhashSignatures(docs)), tbl,
+        Seq("cid", "cval"), buckets)
+      tbl
+    })
+
+  /** #299 dedup_simhash_bucketed: #23's pair mining with the blocking
+    * join CO-LOCATED — both sides of the hamming self-join read the
+    * persisted (cid, cval)-bucketed chunk table, whose HashPartitioning
+    * matches the join's clustering exactly, so the planner inserts
+    * NO Exchange at or below the join (PlanSpec pins it). At 100 TB the
+    * blocking join's shuffle of the 4×-corpus chunk table IS the mining
+    * cost; bucketing is the ingest-time decision that deletes it —
+    * signatures land bucketed once, every later mining pass (including
+    * re-mines at different hamming radii, which reuse the SAME table)
+    * joins shuffle-free. Output ≡ #23 exactly (spec-pinned); rows-only
+    * like #23 (engine-native xxhash64 signatures). */
+  def dedupSimhashBucketed(s: SparkSession, d: String): DataFrame =
+    Dedup.hammingPairsOf(s.table(simhashChunkTable(s, d)), maxHamming = 3)
+
   /** #25 dedup_embedding: the production cosine-LSH mining entry. Plane
     * count sized to the corpus (pickBits keeps ~64 vectors per bucket):
     * at FIXED bits the per-bucket occupancy — and so the candidate-pair
@@ -954,6 +993,7 @@ object DedupQueries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_bucketed" -> (dedupSimhashBucketed _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
 

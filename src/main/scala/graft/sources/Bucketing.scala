@@ -32,7 +32,16 @@ object Bucketing {
     * same-table writers remain unsupported, as in a real warehouse
     * where the ingest job owns the layout. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int = 8): Unit = {
+                    buckets: Int = 8): Unit =
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-key variant: the join that should be co-located must cluster
+    * on ALL bucket keys (Spark's default requireAllClusterKeysForCoPartition
+    * rejects a bucket-key subset — a cval-only layout under a (cid, cval)
+    * join plans `Bucketed: false (disabled by query planner)`). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    buckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key column")
     val spark = df.sparkSession
     def drop(name: String): Unit = {
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -43,7 +52,8 @@ object Bucketing {
     }
     val tmp = s"${table}_tmp_${ProcessHandle.current().pid()}_${Thread.currentThread().getId}"
     drop(tmp)
-    df.write.bucketBy(buckets, key).sortBy(key).saveAsTable(tmp)
+    df.write.bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*).saveAsTable(tmp)
     // only retire the live table once the replacement is verifiably
     // complete — never trade a good table for a failed write
     require(spark.catalog.tableExists(tmp),

@@ -54,6 +54,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"blocking recall $recall")
   }
 
+  test("dedup_simhash_bucketed: co-located mining == dedup_simhash exactly") {
+    // #299's contract: bucketing the chunk table changes the PLAN (no
+    // Exchange at the blocking self-join — PlanSpec pins that), never
+    // the pairs
+    val bkt = graft.queries.DedupQueries.dedupSimhashBucketed(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val plain = graft.queries.DedupQueries.dedupSimhash(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bkt.nonEmpty)
+    assert(bkt == plain)
+  }
+
   test("dedup_jaccard_mine: fresh mine == published-artifact consumer row") {
     // #298's contract: the always-fresh mining row and the
     // artifact-reading dedup_jaccard row are the same pair set (the

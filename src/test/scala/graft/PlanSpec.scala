@@ -401,6 +401,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedup_simhash_bucketed: the hamming blocking self-join plans no Exchange") {
+    // force SMJ (the sf0.001 chunk table would broadcast and hide the
+    // co-location property)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(queries.DedupQueries.dedupSimhashBucketed(spark, sf))
+      assert(p.contains("SortMergeJoin"), p)
+      // both sides read the SAME cval-bucketed chunk table:
+      // HashPartitioning(cval) satisfies the (cid, cval) clustering, so
+      // no Exchange at or below the blocking join (the exchanges above
+      // it serve the pair-dedup distinct and final sort)
+      val below = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!below.contains("Exchange"), below)
+      assert(below.contains("Bucketed: true"), below)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join: exactly one Exchange (the key shuffle), no join operator") {
     val p = plan(EventQueries.eventsAsof(spark, sf))
     // the union+window encoding must not plan a join (pair explosion) and

@@ -242,6 +242,9 @@ object ScaleBench {
     if (on("bucketed")) {
       try { graft.queries.IngestQueries.bucketedTables(spark, dir); () }
       catch { case _: Throwable => }
+      // ...and #299's bucketed simhash chunk table, same discipline
+      try { graft.queries.DedupQueries.simhashChunkTable(spark, dir); () }
+      catch { case _: Throwable => }
     }
   }
 

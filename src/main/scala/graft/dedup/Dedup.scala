@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *   - jaccard:   candidate pairs restricted to a blocking key (min token
   *                hash — a 1-permutation MinHash), verified exactly;
   *   - minhash:   banded MinHash-LSH bucket join, verified exactly;
-  *   - simhash:   16-bit chunk blocking (pigeonhole: hamming ≤ 3 pairs
-  *                must share one of 4 chunks), verified by bit_count;
+  *   - simhash:   3-of-6 block-key blocking (pigeonhole: hamming ≤ 3 pairs
+  *                leave ≥3 of 6 blocks clean and share that 3-block key),
+  *                verified by bit_count;
   *   - embedding: cosine-LSH bucket join (hyperplane signatures, hamming-1
   *                multiprobe), verified by exact dot product;
   *   - clusters: pair graph → min-id connected components (the keep-list
@@ -463,10 +464,9 @@ object Dedup {
     spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"), simHash64(tokenSetIds(col("text"), 1)).as("sig"))
 
-  /** Near-dup pairs with hamming(sig_a, sig_b) ≤ maxHamming (≤ 15).
-    * Blocking: split the 64-bit signature into 4 16-bit chunks — by
-    * pigeonhole, any pair within hamming 3 agrees on ≥1 chunk, so the
-    * chunk-equality join finds all of them without an all-pairs pass. */
+  /** Near-dup pairs with hamming(sig_a, sig_b) ≤ maxHamming (≤ 3).
+    * Blocking: Manku et al.'s multi-block keys (WWW'07, "Detecting
+    * near-duplicates for web crawling", §3) — see [[signatureChunks]]. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     hammingPairs(simhashSignatures(docs), maxHamming)
 
@@ -476,7 +476,7 @@ object Dedup {
     * top 4 bits of every id are 0, so signature bits 60–63 vote −n and
     * stay 0 in both engines; 15 hex keeps the id inside BIGINT/long).
     * The signature is the SAME codegen'd [[simHash64]] expression and
-    * the pair mining the SAME 16-bit-chunk [[hammingPairs]] join, so the
+    * the pair mining the SAME [[hammingPairs]] blocking join, so the
     * generated DuckDB oracle (60 vote aggregates + the chunk join,
     * rebuilt from the same rule) VALUE-checks the SimHash machinery end
     * to end; the production path stays [[simhashPairs]] (xxhash64 ids —
@@ -496,38 +496,100 @@ object Dedup {
     * path; the chunk-blocking argument only needs the signature to be 64
     * bits, not how it was computed. */
   def hammingPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame =
-    hammingPairsOf(signatureChunks(sigs), maxHamming)
+    docPairsOf(sigs,
+      sigPairsOf(signatureChunks(sigs.select(col("sig")).distinct()), maxHamming))
+      .orderBy(col("doc_a"), col("doc_b"))
 
-  /** The 16-bit-chunk blocking table for [[hammingPairsOf]]: one row per
-    * (doc, chunk) — 4× the signature table, schema (doc_id, sig, cid,
-    * cval). Exposed so the chunk table can be PERSISTED BUCKETED by the
-    * join keys (cid, cval) (the #294 storage-layout discipline applied
-    * to the hamming side): two scans of the same bucketed table then
-    * satisfy the self-join's clustering with NO Exchange — at 100 TB
-    * the blocking join's shuffle of the 4×-corpus chunk table IS the
-    * mining cost. Both keys must be bucket keys: Spark's default
-    * requireAllClusterKeysForCoPartition rejects a bucket-key subset. */
-  def signatureChunks(sigs: DataFrame): DataFrame =
-    sigs.withColumn("chunk", explode(array(
-      (0 until 4).map(i =>
-        struct(lit(i).as("cid"),
-          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("cval"))): _*)))
-      .select(col("doc_id"), col("sig"), col("chunk.cid").as("cid"), col("chunk.cval").as("cval"))
+  /** 64 = 4×11 + 2×10: six blocks, so ≤3 differing bits always leave ≥3
+    * blocks untouched. */
+  private val BlockOffsets = Array(0, 11, 22, 33, 44, 54)
+  private val BlockWidths = Array(11, 11, 11, 11, 10, 10)
 
-  /** [[hammingPairs]] body over a pre-built (possibly persisted-bucketed)
-    * chunk table from [[signatureChunks]]. */
-  def hammingPairsOf(chunked: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-chunk blocking is exact only for hamming <= 3")
-    val a = chunked.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("cid"), col("cval"))
-    val b = chunked.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("cid"), col("cval"))
+  /** The blocking table for [[sigPairsOf]]: one row per (UNIQUE
+    * signature, block key), schema (sig, cid, cval).
+    *
+    * Two design decisions carry the hamming mining to 100 TB, both
+    * measured at the 100× probe (500k docs):
+    *
+    * SIGNATURE GRAIN, not doc grain (the er_fuzzy_parts discipline —
+    * collapse to the similarity key's grain BEFORE the quadratic step):
+    * this corpus, like every real one, has equal-signature families
+    * (token-set-equal docs — one 248-doc family per 5k docs here), and a
+    * doc-grain blocking join pays |family|²·keys candidate rows per
+    * family (measured 19.6 GB spill at 100×) for pairs the OUTPUT
+    * expansion can produce with two cheap joins. At signature grain a
+    * family is ONE row; candidates scale with unique-signature
+    * similarity structure, never with duplication.
+    *
+    * Keys are Manku-style 3-of-6 block concatenations (WWW'07, 20 per
+    * signature): the 64-bit signature splits into 6 blocks (4×11 +
+    * 2×10); a pair within hamming ≤ 3 has its differing bits in ≤3
+    * blocks, so ≥3 blocks are untouched and the pair shares the key of
+    * that 3-block combination — exact recall by pigeonhole, like a
+    * 4×16 single-chunk scheme, but through ~32-bit keys: random
+    * collisions stay ~U²·20/2^33 (U = unique signatures — negligible
+    * into the billions) where 16-bit chunk keys go quadratic once
+    * U ≫ 65k (measured 5.2 GB spill / 1.1 GB shuffle at the same
+    * probe even BEFORE the family effect).
+    *
+    * Exposed so the table can be PERSISTED BUCKETED by the join keys
+    * (cid, cval) (the #294 storage-layout discipline applied to the
+    * hamming side): two scans of the same bucketed table then satisfy
+    * the self-join's clustering with NO Exchange. Both keys must be
+    * bucket keys: Spark's default requireAllClusterKeysForCoPartition
+    * rejects a bucket-key subset. */
+  def signatureChunks(uniqSigs: DataFrame): DataFrame = {
+    def block(i: Int) =
+      shiftright(col("sig"), BlockOffsets(i)).bitwiseAND((1L << BlockWidths(i)) - 1)
+    val combos = (0 until 6).combinations(3).toSeq
+    uniqSigs.withColumn("chunk", explode(array(
+      combos.zipWithIndex.map { case (c, idx) =>
+        val Seq(i, j, k) = c.toSeq
+        val cval = shiftleft(block(i), BlockWidths(j) + BlockWidths(k))
+          .bitwiseOR(shiftleft(block(j), BlockWidths(k)))
+          .bitwiseOR(block(k))
+        struct(lit(idx).as("cid"), cval.as("cval"))
+      }: _*)))
+      .select(col("sig"), col("chunk.cid").as("cid"), col("chunk.cval").as("cval"))
+  }
+
+  /** Distinct UNIQUE-SIGNATURE pairs within `maxHamming`, mined from a
+    * [[signatureChunks]] table (possibly persisted-bucketed): block-key
+    * self-join, dedup (a sig pair can share several block keys), exact
+    * bit_count verify. Output (sig_a, sig_b, hamming), sig_a < sig_b. */
+  def sigPairsOf(chunked: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "3-of-6 block keys are exact only for hamming <= 3")
+    val a = chunked.select(col("sig").as("sig_a"), col("cid"), col("cval"))
+    val b = chunked.select(col("sig").as("sig_b"), col("cid"), col("cval"))
     a.join(b, Seq("cid", "cval"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .distinct() // pairs can share several chunks
+      .where(col("sig_a") < col("sig_b"))
+      .select("sig_a", "sig_b")
+      .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Expand unique-signature pairs back to doc pairs: two key joins
+    * against the (doc_id, sig) table for the cross-signature pairs, one
+    * sig-keyed self-join for the hamming-0 equal-signature families —
+    * the OUTPUT-side quadratic (all pairs within a family are genuinely
+    * in the answer) produced directly, never as join candidates. Each
+    * unordered doc pair appears exactly once: a doc has one signature,
+    * cross pairs inherit uniqueness from the distinct sig pairs, and
+    * the equal-sig branch is doc_id-ordered. */
+  def docPairsOf(sigDocs: DataFrame, sigPairs: DataFrame): DataFrame = {
+    val da = sigDocs.select(col("sig").as("sig_a"), col("doc_id").as("da"))
+    val db = sigDocs.select(col("sig").as("sig_b"), col("doc_id").as("db"))
+    val cross = sigPairs.join(da, "sig_a").join(db, "sig_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val x = sigDocs.select(col("sig"), col("doc_id").as("doc_a"))
+    val y = sigDocs.select(col("sig"), col("doc_id").as("doc_b"))
+    val equal = x.join(y, "sig")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(equal)
   }
 
   // ---- #45 dup-pair → cluster resolution (connected components) --------

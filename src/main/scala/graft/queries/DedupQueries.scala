@@ -253,11 +253,12 @@ object DedupQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
 
-  /** The simhash 16-bit-chunk blocking table PERSISTED BUCKETED by the
-    * chunk value (r15 verdict #7: the #294 storage-layout discipline
+  /** The simhash UNIQUE-SIGNATURE block-key table PERSISTED BUCKETED by
+    * the join keys (r15 verdict #7: the #294 storage-layout discipline
     * applied to the hamming side), written once per sf dir like the
-    * relational bucketed tables. Bucket count sized to the chunk table
-    * (4 rows per doc — the bucketed_join rule on the exploded volume). */
+    * relational bucketed tables. Bucket count sized to the table's upper
+    * bound (20 block-key rows per unique signature ≤ 20 per doc — the
+    * bucketed_join rule on the exploded volume). */
   private val simhashChunkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -265,7 +266,7 @@ object DedupQueries {
     simhashChunkCache.computeIfAbsent(d, _ => {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val docs = Tables.documents(s, d)
-      val n = docs.count() * 4
+      val n = docs.count() * 20 // ≤ 20 block keys per doc (signatureChunks)
       val x = math.max(1, (n / 1000000L).toInt)
       val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
       val buckets = math.min(256, math.max(8, ceilPow2))
@@ -273,24 +274,29 @@ object DedupQueries {
       // bucket by BOTH join keys: the default
       // requireAllClusterKeysForCoPartition rejects a bucket-key subset
       graft.sources.Bucketing.writeBucketed(
-        Dedup.signatureChunks(Dedup.simhashSignatures(docs)), tbl,
+        Dedup.signatureChunks(
+          Dedup.simhashSignatures(docs).select(col("sig")).distinct()), tbl,
         Seq("cid", "cval"), buckets)
       tbl
     })
 
   /** #299 dedup_simhash_bucketed: #23's pair mining with the blocking
-    * join CO-LOCATED — both sides of the hamming self-join read the
-    * persisted (cid, cval)-bucketed chunk table, whose HashPartitioning
-    * matches the join's clustering exactly, so the planner inserts
-    * NO Exchange at or below the join (PlanSpec pins it). At 100 TB the
-    * blocking join's shuffle of the 4×-corpus chunk table IS the mining
-    * cost; bucketing is the ingest-time decision that deletes it —
-    * signatures land bucketed once, every later mining pass (including
-    * re-mines at different hamming radii, which reuse the SAME table)
-    * joins shuffle-free. Output ≡ #23 exactly (spec-pinned); rows-only
-    * like #23 (engine-native xxhash64 signatures). */
-  def dedupSimhashBucketed(s: SparkSession, d: String): DataFrame =
-    Dedup.hammingPairsOf(s.table(simhashChunkTable(s, d)), maxHamming = 3)
+    * join CO-LOCATED — both sides of the unique-signature hamming
+    * self-join read the persisted (cid, cval)-bucketed block-key table,
+    * whose HashPartitioning matches the join's clustering exactly, so
+    * the planner inserts NO Exchange at or below the join (PlanSpec pins
+    * it). At 100 TB the blocking join's shuffle of the 20×-unique-sigs
+    * key table IS the mining cost; signatures land bucketed at ingest
+    * and every later mining pass (any hamming radius ≤3 reuses the SAME
+    * table) joins shuffle-free; the doc expansion re-derives (doc_id,
+    * sig) in one row-local scan. Output ≡ #23 exactly (spec-pinned);
+    * rows-only like #23 (engine-native xxhash64 signatures). */
+  def dedupSimhashBucketed(s: SparkSession, d: String): DataFrame = {
+    val sigDocs = Dedup.simhashSignatures(Tables.documents(s, d))
+    Dedup.docPairsOf(sigDocs,
+      Dedup.sigPairsOf(s.table(simhashChunkTable(s, d)), maxHamming = 3))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** #25 dedup_embedding: the production cosine-LSH mining entry. Plane
     * count sized to the corpus (pickBits keeps ~64 vectors per bucket):
@@ -492,9 +498,11 @@ object DedupQueries {
   /** #169 dedup_simhash_portable: the SimHash near-dup pipeline with
     * engine-portable ingredients (Dedup.simhashPortablePairs doc) — the
     * generated DuckDB oracle rebuilds the identical 60-bit signatures
-    * (one ±1 vote aggregate per bit) and the 16-bit-chunk hamming join,
-    * value-checking the codegen'd SimHash64 expression and the shared
-    * hammingPairs machinery end to end. Production stays #23. */
+    * (one ±1 vote aggregate per bit) and mines pairs through its own
+    * exact hamming blocking (16-bit chunks — any exact blocking yields
+    * the same pair set as the engine's 3-of-6 block keys), value-checking
+    * the codegen'd SimHash64 expression and the shared hammingPairs
+    * machinery end to end. Production stays #23. */
   def dedupSimhashPortable(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPortablePairs(Tables.documents(s, d), maxHamming = 3)
 

@@ -403,20 +403,34 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_simhash_bucketed: the hamming blocking self-join plans no Exchange") {
     // force SMJ (the sf0.001 chunk table would broadcast and hide the
-    // co-location property)
+    // co-location property); AQE off so executedPlan is the real tree
+    // (AdaptiveSparkPlanExec hides its children from collect())
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = plan(queries.DedupQueries.dedupSimhashBucketed(spark, sf))
-      assert(p.contains("SortMergeJoin"), p)
-      // both sides read the SAME cval-bucketed chunk table:
-      // HashPartitioning(cval) satisfies the (cid, cval) clustering, so
-      // no Exchange at or below the blocking join (the exchanges above
-      // it serve the pair-dedup distinct and final sort)
-      val below = p.substring(p.indexOf("SortMergeJoin"))
-      assert(!below.contains("Exchange"), below)
-      assert(below.contains("Bucketed: true"), below)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val exec = queries.DedupQueries.dedupSimhashBucketed(spark, sf)
+        .queryExecution.executedPlan
+      // the BLOCKING self-join is the SMJ keyed on (cid, cval); the
+      // doc-expansion joins above it legitimately shuffle (sig-pair
+      // dedup + two sig-keyed key joins), so assert on its SUBTREE:
+      // both sides read the SAME (cid, cval)-bucketed table and the
+      // planner inserts no Exchange at or below the join
+      val blocking = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("cid")) => j
+      }
+      assert(blocking.nonEmpty, exec.toString)
+      blocking.foreach { j =>
+        val sub = j.toString
+        assert(!sub.contains("Exchange"), sub)
+        assert(sub.contains("Bucketed: true"), sub)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("as-of join: exactly one Exchange (the key shuffle), no join operator") {

@@ -569,6 +569,60 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Batch-append incremental hamming mining (the #102
+    * minhashIncrementalPairs symmetry on the simhash axis): the pairs a
+    * NEW batch adds against a resident corpus — batch×corpus plus
+    * batch×batch — without re-mining the corpus against itself. Inputs
+    * are (doc_id, sig) tables; at production scale the corpus side's
+    * unique-signature block keys are the persisted bucketed table
+    * (simhashChunkTable) and only the batch side is hashed fresh.
+    *
+    * Shape: the block-key join probes BATCH unique signatures against
+    * the union's unique signatures (batch-linear, never corpus²); doc
+    * expansion and the hamming-0 branch are batch-anchored; a final
+    * membership filter drops the corpus×corpus expansions of signatures
+    * shared by both sides. Equals full-mine(corpus ∪ batch) restricted
+    * to pairs touching a batch doc (spec-pinned). */
+  def hammingIncrementalPairs(corpus: DataFrame, batch: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
+    val all = corpus.unionByName(batch)
+    val bUniq = batch.select(col("sig")).distinct()
+    val aUniq = all.select(col("sig")).distinct()
+    val bp = signatureChunks(bUniq).select(col("sig").as("sig_p"), col("cid"), col("cval"))
+    val ap = signatureChunks(aUniq).select(col("sig").as("sig_q"), col("cid"), col("cval"))
+    val sigPairs = bp.join(ap, Seq("cid", "cval"))
+      .where(col("sig_p") =!= col("sig_q"))
+      .select(least(col("sig_p"), col("sig_q")).as("sig_a"),
+        greatest(col("sig_p"), col("sig_q")).as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+    val cross = sigPairs
+      .join(all.select(col("sig").as("sig_a"), col("doc_id").as("da")), "sig_a")
+      .join(all.select(col("sig").as("sig_b"), col("doc_id").as("db")), "sig_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    // hamming-0 families, batch-anchored: a batch doc against every
+    // same-signature doc (batch×batch meets twice → distinct)
+    val equal = batch.select(col("sig"), col("doc_id").as("bd"))
+      .join(all.select(col("sig"), col("doc_id").as("od")), "sig")
+      .where(col("bd") =!= col("od"))
+      .select(least(col("bd"), col("od")).as("doc_a"),
+        greatest(col("bd"), col("od")).as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+      .distinct()
+    // a signature present in BOTH sides expands to corpus×corpus doc
+    // pairs too — those belong to the resident mine, not this batch
+    val bids = batch.select(col("doc_id"))
+    val isBatchA = bids.withColumnRenamed("doc_id", "doc_a").withColumn("_ba", lit(true))
+    val isBatchB = bids.withColumnRenamed("doc_id", "doc_b").withColumn("_bb", lit(true))
+    cross.unionByName(equal)
+      .join(isBatchA, Seq("doc_a"), "left")
+      .join(isBatchB, Seq("doc_b"), "left")
+      .where(col("_ba").isNotNull || col("_bb").isNotNull)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Expand unique-signature pairs back to doc pairs: two key joins
     * against the (doc_id, sig) table for the cross-signature pairs, one
     * sig-keyed self-join for the hamming-0 equal-signature families —

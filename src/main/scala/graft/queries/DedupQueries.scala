@@ -253,6 +253,23 @@ object DedupQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
 
+  /** #300 dedup_simhash_inc: batch-append simhash dedup (the #102
+    * dedup_incremental symmetry on the hamming axis, completing the
+    * incremental-maintenance set: minhash #102, vectors #112/#115,
+    * semantic #159, simhash here): the last 10% of the id book (the
+    * daily batch) mines its near-dup pairs against the resident 90%
+    * plus itself — batch-linear block-key probe, never corpus² — via
+    * Dedup.hammingIncrementalPairs. append(A,B) ≡ full-mine(A∪B)
+    * restricted to batch-touching pairs is spec-pinned (DedupSpec).
+    * Rows-only like #23 (engine-native xxhash64 signatures). */
+  def dedupSimhashInc(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.hammingIncrementalPairs(
+      Dedup.simhashSignatures(corpusOf(docs)),
+      Dedup.simhashSignatures(batchOf(docs)), maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The simhash UNIQUE-SIGNATURE block-key table PERSISTED BUCKETED by
     * the join keys (r15 verdict #7: the #294 storage-layout discipline
     * applied to the hamming side), written once per sf dir like the
@@ -1002,6 +1019,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_bucketed" -> (dedupSimhashBucketed _),
+    "dedup_simhash_inc" -> (dedupSimhashInc _),
     "dedup_embedding" -> (dedupEmbedding _)
   )
 

@@ -54,6 +54,32 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"blocking recall $recall")
   }
 
+  test("simhash incremental: append(A,B) == full-mine(A∪B) batch-touching pairs") {
+    // #300's contract (the #102 union-equivalence discipline on the
+    // hamming axis): the incremental mine of the 10% batch against the
+    // 90% resident corpus equals the full mine restricted to pairs with
+    // at least one batch doc — and the batch genuinely pairs with
+    // resident docs (batch×corpus coverage, not just batch×batch)
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val inc = Dedup.hammingIncrementalPairs(
+      Dedup.simhashSignatures(corpus), Dedup.simhashSignatures(batch))
+      .as[(Long, Long, Int)].collect().toSet
+    val isBatch = batch.select("doc_id").as[Long].collect().toSet
+    val full = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+      .filter(p => isBatch(p._1) || isBatch(p._2))
+    assert(inc == full)
+    assert(inc.nonEmpty)
+    assert(inc.exists(p => isBatch(p._1) ^ isBatch(p._2)), "no batch×corpus pair")
+    // determinism
+    val inc2 = Dedup.hammingIncrementalPairs(
+      Dedup.simhashSignatures(corpus), Dedup.simhashSignatures(batch))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(inc2 == inc)
+  }
+
   test("dedup_simhash_bucketed: co-located mining == dedup_simhash exactly") {
     // #299's contract: bucketing the chunk table changes the PLAN (no
     // Exchange at the blocking self-join — PlanSpec pins that), never

@@ -44,6 +44,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Cached row count per (sfDir, table). Corpus-sizing decisions (e.g.
+    * CosineLsh.pickBits) need N, and re-running a count job per
+    * invocation puts a corpus scan inside every caller's timed region —
+    * the sibling paths thread a caller-known total for exactly this
+    * reason (RunHarness / PqBackend). Testdata tables are immutable
+    * within a JVM (the driver regenerates them between runs, which start
+    * fresh JVMs), so one count per table per JVM is the honest cost. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    countCache.computeIfAbsent(s"$d/$name",
+      _ => java.lang.Long.valueOf(load(s, d, name).count())).longValue()
+
   /** City names for the derived metadata (embeddingsMeta). */
   val MetaCities: Seq[String] =
     Seq("springfield", "riverton", "lakewood", "fairview", "greenville",

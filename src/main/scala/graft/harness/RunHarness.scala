@@ -553,14 +553,7 @@ object RunHarness {
         val sl = if (p == "ivfpq_res") 100 else p.stripPrefix("ivfpq_res:").toInt
         new IvfPqResBackend(p, model, sizes, nprobe, shortlistN = sl, ram = ram)
       case p if p == "ivfpq" || p.startsWith("ivfpq:") =>
-        val spark = emb.sparkSession
-        val model = corpusKey match {
-          case Some(key) => IvfPq.cached(spark, emb, key,
-            Ivf.cached(spark, emb, key, knownTotal = Some(total)),
-            Pq.cached(spark, emb, key))
-          case None => IvfPq.compose(
-            Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))), Pq.build(emb))
-        }
+        val model = ivfPqModelFor(emb, total, corpusKey)
         // bare "ivfpq" serves the index's auto-tuned default (meta.json);
         // "ivfpq:N" dials it explicitly
         val sl = if (p == "ivfpq") model.defaultShortlist
@@ -576,13 +569,7 @@ object RunHarness {
       // dial axes ride in the method name so results.jsonl rows are
       // distinguishable per setting, like ef_search runs
       case l if l == "lsh" || l.startsWith("lsh:") =>
-        val (radius, nTables) =
-          if (l == "lsh") (1, 1)
-          else l.stripPrefix("lsh:").split('x') match {
-            case Array(r) => (r.toInt, 1)
-            case Array(r, t) => (r.toInt, t.toInt)
-            case _ => throw new IllegalArgumentException(s"Unknown backend: $l")
-          }
+        val (radius, nTables) = parseLshDial(l)
         val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))
         // bits sized to the CORPUS (Ivf.choose's ~n/64-per-bucket rule):
         // a fixed width starves small corpora (1024 buckets over 2k
@@ -662,24 +649,28 @@ object RunHarness {
           .orderBy(desc("adc_score"), col("vec_id")).limit(maxSl)
           .select("vec_id").collect().map(_.getLong(0))
       }
+      // per-dial prefix rank over a refined score map — ONE definition so
+      // the RAM and Catalyst tiers can never diverge on the
+      // (score desc, vec_id) contract
+      def rankDials(scored: Map[Long, Double],
+                    msRefine: Double): Seq[(String, (Seq[Long], Stats))] =
+        dials.map { case (nm, sl) =>
+          val rows = shortIds.take(sl).iterator
+            .flatMap(id => scored.get(id).map(id -> _)).toArray
+            .sortBy { case (id, sc) => (-sc, id) }.take(k).toSeq
+          nm -> (rows.map(_._1),
+            stats(msShort + msRefine, sl, rows.lastOption.map(_._2)))
+        }
       ram.flatMap(rc => RamCorpus.labelPredicate(spec).map((rc, _))) match {
         case Some((rc, lp)) =>
           // ONE pinned-block refine of the widest shortlist (k = |ids|
           // returns every scored pair); each dial ranks its prefix
-          // driver-side with the same (score desc, vec_id) contract
           val (scoredAll, msRefine) = timed(
             rc.scoreIds(qvec, shortIds, shortIds.length, lp).toMap)
-          dials.map { case (nm, sl) =>
-            val rows = shortIds.take(sl).iterator
-              .flatMap(id => scoredAll.get(id).map(id -> _)).toArray
-              .sortBy { case (id, sc) => (-sc, id) }.take(k).toSeq
-            nm -> (rows.map(_._1),
-              stats(msShort + msRefine, sl, rows.lastOption.map(_._2)))
-          }
+          rankDials(scoredAll, msRefine)
         case None =>
           // one exact refine of the widest shortlist (bounded: ≤ maxSl
-          // rows collected); each dial ranks its prefix over the refined
-          // scores with the exact topK order (score desc, vec_id)
+          // rows collected); each dial ranks its prefix
           val (scored, msRefine) = timed {
             import emb.sparkSession.implicits._
             val idsDf = shortIds.toSeq.toDF("vec_id")
@@ -689,13 +680,7 @@ object RunHarness {
               .select(col("vec_id"), col("score")).collect()
               .map(r => r.getLong(0) -> r.getDouble(1)).toMap
           }
-          dials.map { case (nm, sl) =>
-            val rows = shortIds.take(sl).iterator
-              .flatMap(id => scored.get(id).map(id -> _)).toArray
-              .sortBy { case (id, sc) => (-sc, id) }.take(k).toSeq
-            nm -> (rows.map(_._1),
-              stats(msShort + msRefine, sl, rows.lastOption.map(_._2)))
-          }
+          rankDials(scored, msRefine)
       }
     }
   }
@@ -759,6 +744,30 @@ object RunHarness {
     }
   }
 
+  /** One grammar for "lsh" / "lsh:<radius>" / "lsh:<radius>x<tables>",
+    * shared by the solo backend and the fused ladder — the two paths
+    * must never diverge (the fused-equals-solo parity contract). */
+  private def parseLshDial(name: String): (Int, Int) =
+    if (name == "lsh") (1, 1)
+    else name.stripPrefix("lsh:").split('x') match {
+      case Array(r) => (r.toInt, 1)
+      case Array(r, t) => (r.toInt, t.toInt)
+      case _ => throw new IllegalArgumentException(s"Unknown backend: $name")
+    }
+
+  /** The composed IVFPQ model (disk-cached when the corpus has a key),
+    * shared by the solo ivfpq backend and the fused ladder — one cache
+    * key and one composition rule for both paths. */
+  private def ivfPqModelFor(emb: DataFrame, total: Long,
+                            corpusKey: Option[String]): IvfPqModel =
+    corpusKey match {
+      case Some(key) => IvfPq.cached(emb.sparkSession, emb, key,
+        Ivf.cached(emb.sparkSession, emb, key, knownTotal = Some(total)),
+        Pq.cached(emb.sparkSession, emb, key))
+      case None => IvfPq.compose(
+        Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))), Pq.build(emb))
+    }
+
   /** Group the backend list: ≥2 explicit `ivfpq:<n>` dials fuse into one
     * IvfPqLadderGroup, ≥2 `lsh[:…]` dials into one LshLadderGroup (they
     * share bits and prefix-seeded plane tables by construction); everything
@@ -782,28 +791,15 @@ object RunHarness {
       case n if fuseIvfPq && ivfpqDials.contains(n) =>
         if (!seen(n)) {
           seen ++= ivfpqDials
-          val spark = emb.sparkSession
-          val model = corpusKey match {
-            case Some(key) => IvfPq.cached(spark, emb, key,
-              Ivf.cached(spark, emb, key, knownTotal = Some(total)),
-              Pq.cached(spark, emb, key))
-            case None => IvfPq.compose(
-              Ivf.auto(emb).getOrElse(Ivf.build(emb, Ivf.pickNlist(total))), Pq.build(emb))
-          }
           groups += new IvfPqLadderGroup(
-            ivfpqDials.map(d => d -> d.stripPrefix("ivfpq:").toInt), model, nprobe, ram)
+            ivfpqDials.map(d => d -> d.stripPrefix("ivfpq:").toInt),
+            ivfPqModelFor(emb, total, corpusKey), nprobe, ram)
         }
       case l if fuseLsh && lshDials.contains(l) =>
         if (!seen(l)) {
           seen ++= lshDials
           val parsed = lshDials.map { d =>
-            val (radius, nTables) =
-              if (d == "lsh") (1, 1)
-              else d.stripPrefix("lsh:").split('x') match {
-                case Array(r) => (r.toInt, 1)
-                case Array(r, t) => (r.toInt, t.toInt)
-                case _ => throw new IllegalArgumentException(s"Unknown backend: $d")
-              }
+            val (radius, nTables) = parseLshDial(d)
             (d, radius, nTables)
           }
           val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))

@@ -78,10 +78,10 @@ object DedupQueries {
     * and discards its copy). The family prefix carries the mining
     * parameters (the BandGeom discipline) and [[ArtifactVersion]] carries
     * the code generation, so neither a parameter change nor a semantics
-    * change can ever load a stale table. Sibling directories for the same
-    * (family, sf dir) with an OLDER source mtime are dead — the source was
-    * rewritten — and are deleted opportunistically so tmpdir doesn't
-    * accumulate one table per regeneration. */
+    * change can ever load a stale table. Dead directories (older source
+    * mtime, crashed builders' tmp dirs, superseded version dirs) are
+    * reaped opportunistically so tmpdir doesn't accumulate one table per
+    * regeneration — age-guarded; see [[reapStale]]. */
   private def publishedArtifact(s: SparkSession, d: String, family: String,
                                 build: () => DataFrame): DataFrame = {
     val key = d.replaceAll("[^A-Za-z0-9.]", "_")
@@ -90,15 +90,7 @@ object DedupQueries {
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
     val famDir = s"${sys.props("java.io.tmpdir")}/$family-$ArtifactVersion"
     val path = s"$famDir/$key-m$mtime"
-    // reap superseded generations of this (family, sf dir) — their source
-    // mtime is strictly older, so no reader can want them again
-    Option(new java.io.File(famDir).listFiles()).getOrElse(Array.empty)
-      .filter { f =>
-        val n = f.getName
-        n.startsWith(s"$key-m") && !n.contains(".tmp-") &&
-          n.stripPrefix(s"$key-m").toLongOption.exists(_ < mtime)
-      }
-      .foreach(graft.sources.LocalArtifacts.deleteRecursively)
+    reapStale(famDir, key, mtime)
     def done = new java.io.File(s"$path/_SUCCESS").exists()
     if (!done) {
       val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${Thread.currentThread().getId}"
@@ -112,6 +104,41 @@ object DedupQueries {
       }
     }
     s.read.parquet(path)
+  }
+
+  /** Reap dead published artifacts, AGE-GUARDED: a superseded dir is
+    * deleted only once it has sat untouched for an hour, because a lazy
+    * `spark.read.parquet` handle opened before the source regenerated
+    * may still be mid-consumption (reads here are short-lived; deleting
+    * under one would fail the query with FileNotFound). Three dead
+    * classes: superseded source generations of this (family, sf dir)
+    * (older mtime — no NEW reader can want them), crashed builders'
+    * `.tmp-*` dirs (their rename never happened; any live builder
+    * finishes far inside the guard), and superseded VERSION dirs of the
+    * whole family (a code-version bump orphans `<fam>` / `<fam>-vN`
+    * siblings that nothing will ever open again). */
+  private def reapStale(famDir: String, key: String, mtime: Long): Unit = {
+    val ageMs = 60L * 60 * 1000
+    val now = System.currentTimeMillis()
+    def old(f: java.io.File) = now - f.lastModified() > ageMs
+    Option(new java.io.File(famDir).listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        val superseded = n.startsWith(s"$key-m") && !n.contains(".tmp-") &&
+          n.stripPrefix(s"$key-m").toLongOption.exists(_ < mtime)
+        val crashedTmp = n.startsWith(s"$key-m") && n.contains(".tmp-")
+        (superseded || crashedTmp) && old(f)
+      }
+      .foreach(graft.sources.LocalArtifacts.deleteRecursively)
+    val fam = new java.io.File(famDir)
+    val seg = fam.getName.stripSuffix(s"-$ArtifactVersion")
+    Option(fam.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n != fam.getName && old(f) &&
+          (n == seg || n.matches(java.util.regex.Pattern.quote(seg) + "-v\\d+"))
+      }
+      .foreach(graft.sources.LocalArtifacts.deleteRecursively)
   }
 
   def dedupJaccard(s: SparkSession, d: String): DataFrame =
@@ -283,7 +310,7 @@ object DedupQueries {
     simhashChunkCache.computeIfAbsent(d, _ => {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val docs = Tables.documents(s, d)
-      val n = docs.count() * 20 // ≤ 20 block keys per doc (signatureChunks)
+      val n = Tables.rowCount(s, d, "documents") * 20 // ≤ 20 block keys/doc
       val x = math.max(1, (n / 1000000L).toInt)
       val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
       val buckets = math.min(256, math.max(8, ceilPow2))
@@ -325,7 +352,7 @@ object DedupQueries {
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     Dedup.embeddingPairs(e, CosineTau,
-      bits = graft.search.CosineLsh.pickBits(e.count()))
+      bits = graft.search.CosineLsh.pickBits(Tables.rowCount(s, d, "embeddings")))
   }
 
   /** #100 dedup report: the cluster-size distribution + drop accounting a

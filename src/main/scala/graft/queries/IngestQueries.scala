@@ -120,7 +120,7 @@ object IngestQueries {
       // rows/1M (exact powers stay put: 64M rows → 64, not 128),
       // clamped to [8, 256]; both tables must share it for the
       // co-located plan
-      val n = Tables.lineitem(s, d).count()
+      val n = Tables.rowCount(s, d, "lineitem")
       val x = math.max(1, (n / 1000000L).toInt)
       val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
       val buckets = math.min(256, math.max(8, ceilPow2))

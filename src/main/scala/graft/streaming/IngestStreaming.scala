@@ -53,8 +53,16 @@ final class StreamingIngest {
     val feats = batch.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .join(q, "doc_id").join(l, "doc_id")
     val merged = state match {
-      case None     => feats
-      case Some(st) => st.unionByName(feats).dropDuplicates("doc_id")
+      case None => feats
+      // upsert WITHOUT shuffling the resident state: the batch is small
+      // by premise, so a broadcast anti-join on its doc_ids drops the
+      // redelivered rows map-side (values are deterministic, so either
+      // copy is correct) — a dropDuplicates over the union would instead
+      // re-shuffle the ENTIRE accumulated table every batch, quadratic
+      // work across a stream's lifetime
+      case Some(st) =>
+        st.join(broadcast(feats.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+          .unionByName(feats)
     }
     // materialize + truncate lineage so state cost stays one table, not
     // a per-batch plan chain (eager: the batch's work happens at arrival

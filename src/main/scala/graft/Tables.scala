@@ -48,14 +48,23 @@ object Tables {
     * CosineLsh.pickBits) need N, and re-running a count job per
     * invocation puts a corpus scan inside every caller's timed region —
     * the sibling paths thread a caller-known total for exactly this
-    * reason (RunHarness / PqBackend). Testdata tables are immutable
-    * within a JVM (the driver regenerates them between runs, which start
-    * fresh JVMs), so one count per table per JVM is the honest cost. */
+    * reason (RunHarness / PqBackend). The key folds in the source files'
+    * max mtime (the publishedArtifact staleness rule): if an in-process
+    * tool regenerates a testdata/scale dir after a count, sizing
+    * decisions (CosineLsh.pickBits, bucket counts) see the NEW N, not a
+    * stale one — the mtime listing is a driver-side stat, not a job. */
   private val countCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  private def maxMtime(f: java.io.File): Long =
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(f.lastModified())((m, c) => math.max(m, maxMtime(c)))
+    else f.lastModified()
+
   def rowCount(s: SparkSession, d: String, name: String): Long =
-    countCache.computeIfAbsent(s"$d/$name",
+    countCache.computeIfAbsent(
+      s"$d/$name@${maxMtime(new java.io.File(s"$d/$name.parquet"))}",
       _ => java.lang.Long.valueOf(load(s, d, name).count())).longValue()
 
   /** City names for the derived metadata (embeddingsMeta). */

@@ -585,6 +585,10 @@ object Dedup {
     * to pairs touching a batch doc (spec-pinned). */
   def hammingIncrementalPairs(corpus: DataFrame, batch: DataFrame,
                               maxHamming: Int = 3): DataFrame = {
+    // same pigeonhole bound as sigPairsOf: 3-of-6 block keys guarantee a
+    // shared key only when ≤3 of the 6 blocks differ — 4+ is silently
+    // incomplete, so fail loudly like the full-mine path does
+    require(maxHamming <= 3, "3-of-6 block keys are exact only for hamming <= 3")
     val all = corpus.unionByName(batch)
     val bUniq = batch.select(col("sig")).distinct()
     val aUniq = all.select(col("sig")).distinct()

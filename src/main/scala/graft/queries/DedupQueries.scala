@@ -69,7 +69,7 @@ object DedupQueries {
     * documents mtime), so without the token a semantics change would
     * silently serve pre-change parquet to every consumer on a machine
     * that still holds the old artifact. */
-  private val ArtifactVersion = "v1"
+  private[graft] val ArtifactVersion = "v1"
 
   /** Build-once/publish-by-rename for a corpus-derived artifact, keyed by
     * (family+code version, sf dir, documents mtime): _SUCCESS marks a
@@ -103,21 +103,29 @@ object DedupQueries {
           s"artifact publish failed: rename to $path lost without a complete table present")
       }
     }
+    // touch the live dir so the reaper's age guard tracks ACCESS, not
+    // write time — a lazy reader opened long after publish keeps the dir
+    // inside the guard as long as something still reads it
+    new java.io.File(path).setLastModified(System.currentTimeMillis())
     s.read.parquet(path)
   }
 
   /** Reap dead published artifacts, AGE-GUARDED: a superseded dir is
     * deleted only once it has sat untouched for an hour, because a lazy
     * `spark.read.parquet` handle opened before the source regenerated
-    * may still be mid-consumption (reads here are short-lived; deleting
-    * under one would fail the query with FileNotFound). Three dead
-    * classes: superseded source generations of this (family, sf dir)
+    * may still be mid-consumption (reads refresh the dir mtime at open,
+    * publishedArtifact above, so the guard keys on last access; deleting
+    * under a live read would fail the query with FileNotFound). Three
+    * dead classes: superseded source generations of this (family, sf dir)
     * (older mtime — no NEW reader can want them), crashed builders'
     * `.tmp-*` dirs (their rename never happened; any live builder
-    * finishes far inside the guard), and superseded VERSION dirs of the
-    * whole family (a code-version bump orphans `<fam>` / `<fam>-vN`
-    * siblings that nothing will ever open again). */
-  private def reapStale(famDir: String, key: String, mtime: Long): Unit = {
+    * finishes far inside the guard), and STRICTLY OLDER version dirs of
+    * the whole family (a code-version bump orphans `<fam>` / `<fam>-vN`
+    * siblings with N below [[ArtifactVersion]]'s; a NEWER sibling — an
+    * upgraded binary sharing the tmpdir — is someone else's live data
+    * and is never touched). Spec-pinned in ArtifactReapSpec with
+    * injected timestamps. */
+  private[graft] def reapStale(famDir: String, key: String, mtime: Long): Unit = {
     val ageMs = 60L * 60 * 1000
     val now = System.currentTimeMillis()
     def old(f: java.io.File) = now - f.lastModified() > ageMs
@@ -132,11 +140,16 @@ object DedupQueries {
       .foreach(graft.sources.LocalArtifacts.deleteRecursively)
     val fam = new java.io.File(famDir)
     val seg = fam.getName.stripSuffix(s"-$ArtifactVersion")
+    val curVer = ArtifactVersion.stripPrefix("v").toInt
+    val verRe = (java.util.regex.Pattern.quote(seg) + "-v(\\d+)").r
     Option(fam.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter { f =>
-        val n = f.getName
-        n != fam.getName && old(f) &&
-          (n == seg || n.matches(java.util.regex.Pattern.quote(seg) + "-v\\d+"))
+        f.getName match {
+          case n if n == fam.getName || !old(f) => false
+          case `seg`                            => true // pre-versioning dir: implicit v0
+          case verRe(nStr) => nStr.toIntOption.exists(_ < curVer)
+          case _           => false
+        }
       }
       .foreach(graft.sources.LocalArtifacts.deleteRecursively)
   }
@@ -639,6 +652,107 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** #301 dedup_semantic_portable: the SemDeDup pipeline with PINNED
+    * engine-portable geometry — the correctness witness for #157's
+    * machinery (the #163/#169/#297 discipline applied to the last major
+    * dedup family without a hash-pass twin, r16 verdict #2). #157's only
+    * non-replayable ingredient is the TRAINED k-means model; everything
+    * downstream — max-dot assignment, centroid cosine, within-cluster
+    * ≥τ pair search, connected components, the least-centroid-similar
+    * keep rule — is exact arithmetic both engines reproduce. So the twin
+    * FREEZES the model: [[SemPortableK]] seeded unit gaussian centroids
+    * (k == SemDedup.pickK(gate N), spec-pinned, so the cluster geometry
+    * the machinery runs under is exactly #157's at gate scale) wrapped
+    * in an IvfModel and pushed through SemDedup.assignWith/verdictFor —
+    * the IDENTICAL code path #157 runs, down to the codegen'd
+    * ArgMaxDotF32/DotProductF32 expressions and Dedup.clusters' pointer
+    * jumping. The generated DuckDB oracle renders the SAME raw-centroid
+    * literals into the argmax (strict-max, earliest-index tie — the
+    * expression's `>` semantics), the SAME unit-normalized literals into
+    * centroid_cos (assignWith renormalizes via unitCentroids; both
+    * float arrays are rendered from the one Scala source of truth), and
+    * replays pairs + components (the dedup_clusters recursive CTE) + the
+    * keep window. Both engines accumulate doubles in index order
+    * (float→double is exact — the #297 argument), so assignment,
+    * cosines, components and verdicts hash-match end to end. #157 stays
+    * the production entry (learned centroids track the corpus); this
+    * twin's frozen model is deliberately geometry-blind and never
+    * leaves the gate.
+    * Reference slot: SemDeDup (Abbas et al. 2023, arXiv:2303.09540);
+    * the verify primitive is reference eval/oracle.py:36's exact
+    * cosine. */
+  val SemPortableK = 23 // == SemDedup.pickK(500), the sf0.01 gate corpus
+
+  /** Seeded gaussian centroids, unit-normalized in DOUBLE then stored as
+    * float — the raw model centroids. assignWith's unitCentroids pass
+    * renormalizes these (float norm ≈ 1 but not exactly 1), so the
+    * oracle renders BOTH arrays; see [[dedupSemanticPortableSql]]. */
+  private[graft] lazy val semPortableCentroids: Array[Array[Float]] = {
+    val rng = new scala.util.Random(42L)
+    Array.fill(SemPortableK) {
+      val v = Array.fill(graft.search.QueryVectors.Dim)(rng.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  def dedupSemanticPortable(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val model = graft.search.IvfModel(semPortableCentroids, emb)
+    graft.dedup.SemDedup.verdictFor(
+      graft.dedup.SemDedup.assignWith(model, emb), CosineTau)
+      .orderBy("vec_id")
+  }
+
+  /** GENERATED from the same centroid arrays the Spark plan uses (raw
+    * for assignment, unitCentroids for centroid_cos — one source of
+    * truth, the #297 sqlLit discipline). */
+  def dedupSemanticPortableSql: String = {
+    import graft.search.QueryVectors.sqlLit
+    val raw = semPortableCentroids
+    val unit = graft.dedup.SemDedup.unitCentroids(
+      graft.search.IvfModel(raw, null))
+    def vals(cs: Array[Array[Float]]) =
+      cs.zipWithIndex.map { case (c, i) => s"($i, ${sqlLit(c)})" }
+        .mkString(",\n|    ")
+    s"""WITH RECURSIVE emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents(cid, c) AS (VALUES
+       |    ${vals(raw)}),
+       |ucents(cid, uc) AS (VALUES
+       |    ${vals(unit)}),
+       |dots AS (
+       |  SELECT m.vec_id, m.e, c.cid, list_dot_product(m.e, c.c) AS d
+       |  FROM emb m CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, e, cid AS list_id FROM (
+       |    SELECT vec_id, e, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cid ASC) AS rk
+       |    FROM dots) WHERE rk = 1),
+       |acos AS (
+       |  SELECT a.vec_id, a.e, a.list_id,
+       |    round(list_dot_product(a.e, u.uc), 6) AS centroid_cos
+       |  FROM assigned a JOIN ucents u ON a.list_id = u.cid),
+       |pairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM acos a JOIN acos b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.e, b.e), 6) >= $CosineTau),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON e2.dst = r.id),
+       |comps AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT a.vec_id, a.list_id, a.centroid_cos,
+       |  coalesce(c.cluster_id, a.vec_id) AS sem_group,
+       |  (row_number() OVER (PARTITION BY coalesce(c.cluster_id, a.vec_id)
+       |                      ORDER BY a.centroid_cos ASC, a.vec_id ASC) = 1) AS kept
+       |FROM acos a LEFT JOIN comps c ON a.vec_id = c.id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** #170 dedup_recall: the sample-based blocking-recall AUDIT a dedup
     * run publishes next to its pair tables (the vec_recall_ivf symmetry
     * on the dedup axis): ground truth is EXACT all-pairs Jaccard over a
@@ -1034,6 +1148,7 @@ object DedupQueries {
     "dedup_minhash_portable" -> (dedupMinhashPortable _),
     "dedup_simhash_portable" -> (dedupSimhashPortable _),
     "dedup_embedding_portable" -> (dedupEmbeddingPortable _),
+    "dedup_semantic_portable" -> (dedupSemanticPortable _),
     "dedup_semantic_inc" -> (dedupSemanticInc _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
@@ -1059,6 +1174,7 @@ object DedupQueries {
     "dedup_minhash_portable" -> dedupMinhashPortableSql,
     "dedup_simhash_portable" -> dedupSimhashPortableSql,
     "dedup_embedding_portable" -> dedupEmbeddingPortableSql,
+    "dedup_semantic_portable" -> dedupSemanticPortableSql,
     "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

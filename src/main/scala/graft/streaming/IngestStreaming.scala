@@ -38,7 +38,19 @@ import org.apache.spark.sql.functions._
   * table — the boundary max is a one-row broadcast, fingerprint
   * membership a key-only join, the rollup stage-bounded (≤6 rows ever
   * reach the driver). At 100 TB the only driver-resident data is the
-  * report itself. */
+  * report itself.
+  *
+  * Honesty notes on the state mechanism, for anyone promoting this twin
+  * to a long-lived production job: (1) `localCheckpoint(true)` REWRITES
+  * the full state table every micro-batch — O(|state|) work per batch,
+  * quadratic total over a stream's lifetime — where a production sink
+  * would APPEND the batch partition and compact periodically (the
+  * parquet/state-store shape the paragraph above names); and (2) the
+  * checkpointed blocks live on executors with no fault tolerance, so an
+  * executor loss fails every later processBatch/report for this stream —
+  * a reliable `checkpoint()` or the parquet sink closes that too. Both
+  * are the right trade for the bench twin (bounded batches, single JVM),
+  * wrong for a real stream. */
 final class StreamingIngest {
 
   // (doc_id, fp, quality_score, lang_pred) — the distributed state table;
@@ -50,8 +62,13 @@ final class StreamingIngest {
     // and withLangId each project text away, so they run side by side)
     val q = TextAnalysis.withQuality(batch).select(col("doc_id"), col("quality_score"))
     val l = TextAnalysis.withLangId(batch).select(col("doc_id"), col("lang_pred"))
+    // batch-local dedup FIRST: an at-least-once source can redeliver a
+    // doc_id inside one micro-batch, and the anti-join below only guards
+    // against resident state — without this both copies would survive the
+    // union and double-count in report(). Cheap: |batch|-sized shuffle.
     val feats = batch.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .join(q, "doc_id").join(l, "doc_id")
+      .dropDuplicates("doc_id")
     val merged = state match {
       case None => feats
       // upsert WITHOUT shuffling the resident state: the batch is small

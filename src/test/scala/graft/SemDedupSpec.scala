@@ -155,4 +155,68 @@ class SemDedupSpec extends AnyFunSuite {
     }.sum
     assert(keptAtCapMinus1 < budget, s"cap $cap not minimal")
   }
+
+  // ---- #301 dedup_semantic_portable (the #157 hash-pass witness) -------
+
+  test("portable twin pins #157's gate-scale cluster geometry: k == pickK(gate N)") {
+    val n = Tables.rowCount(spark, "/root/testdata/sf0.01", "embeddings")
+    assert(graft.queries.DedupQueries.SemPortableK == SemDedup.pickK(n),
+      s"SemPortableK must track pickK($n) so the twin certifies #157's " +
+        "machinery under exactly the gate-scale cluster geometry")
+  }
+
+  test("portable twin: fully independent driver-side replay matches bit-for-bit") {
+    import graft.search.VecMath.round6
+    val sf = "/root/testdata/sf0.001"
+    val tau = graft.queries.DedupQueries.CosineTau
+    val out = graft.queries.DedupQueries.dedupSemanticPortable(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    // naive replay: same raw/unit centroid arrays, double accumulation in
+    // index order, strict-max earliest-index argmax — no Spark machinery
+    val cents = graft.queries.DedupQueries.semPortableCentroids
+    val unitC = SemDedup.unitCentroids(graft.search.IvfModel(cents, null))
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val assigned = emb.map { case (id, v) =>
+      var best = -1; var bs = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val d = dot(v, cents(i)); if (d > bs) { bs = d; best = i }; i += 1
+      }
+      (id, v, best, round6(dot(v, unitC(best))))
+    }
+    val pairs = for {
+      i <- assigned.indices
+      j <- (i + 1) until assigned.length
+      if assigned(i)._3 == assigned(j)._3 &&
+        round6(dot(assigned(i)._2, assigned(j)._2)) >= tau
+    } yield (assigned(i)._1, assigned(j)._1)
+    // min-label components via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val expected = assigned.map { case (id, _, lid, ccos) =>
+      (id, lid, ccos, find(id))
+    }
+    val keptOf = expected.groupBy(_._4).map { case (g, ms) =>
+      g -> ms.minBy(m => (m._3, m._1))._1
+    }
+    val want = expected.map { case (id, lid, ccos, g) =>
+      (id, lid, ccos, g, keptOf(g) == id)
+    }
+    assert(out.length == want.length)
+    out.zip(want).foreach { case (o, w) => assert(o == w, s"mismatch: $o vs $w") }
+  }
 }

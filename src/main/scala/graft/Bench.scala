@@ -168,7 +168,8 @@ object Bench {
     // one-off bucketed write.
     phase("bucketed_build") {
       graft.queries.IngestQueries.bucketedTables(spark, sfDir)
-      graft.queries.DedupQueries.simhashChunkTable(spark, sfDir); () }
+      graft.queries.DedupQueries.simhashChunkTable(spark, sfDir)
+      graft.queries.DedupQueries.minhashBandTable(spark, sfDir); () }
     // ...and the vectors.npy artifact (ingest_npy times the DISTRIBUTED
     // byte-range load; the driver-side artifact write is one-time
     // reference-parity work, artifacts.py's job)

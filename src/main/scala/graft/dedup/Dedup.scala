@@ -453,6 +453,48 @@ object Dedup {
     verifyJaccard(pruned, allDocs, tau)
   }
 
+  /** #302: [[minhashIncrementalPairs]] with the corpus band table
+    * CO-LOCATED (the #294/#299 storage-layout discipline on the banded-
+    * minhash axis — the one remaining LSH join that re-shuffled its
+    * persisted state per mine): the (band, key) candidate join reads the
+    * corpus side from a table BUCKETED by both keys, whose
+    * HashPartitioning matches the join's clustering exactly, so the
+    * planner exchanges only the BATCH's bands into the corpus's
+    * bucketing — the corpus-sized shuffle that the plain incremental
+    * mine pays whenever the daily batch is too big to broadcast moves to
+    * ingest time, once, and every later mine (any tau; the same table
+    * serves them all) joins corpus-shuffle-free. Two joins replace the
+    * union probe: batch×corpus over the bucketed table and a batch×batch
+    * self-join (batch-sized both sides), then the shared exact verify.
+    * Oversized-bucket refinement is omitted — its re-key would break
+    * co-location, and the bucketed table persists `subkey` so a consumer
+    * can sub-block WITHIN a bucket row-locally (the minhashPortablePairs
+    * reasoning; the refinement contract stays on
+    * [[minhashIncrementalPairs]], the production entry). Output ≡
+    * minhashIncrementalPairs under the no-oversized-bucket premise
+    * (spec-pinned, DedupSpec). */
+  def minhashIncrementalPairsBucketed(allDocs: DataFrame,
+                                      corpusBands: DataFrame,
+                                      batchBands: DataFrame,
+                                      tau: Double): DataFrame = {
+    val probe = batchBands
+      .select(col("band"), col("key"), col("doc_id").as("id_n"), col("n").as("n_n"))
+    val build = corpusBands
+      .select(col("band"), col("key"), col("doc_id").as("id_o"), col("n").as("n_o"))
+    val batchCorpus = probe.join(build, Seq("band", "key"))
+      .where(sizeBandN(col("n_n"), col("n_o"), tau))
+      .select(least(col("id_n"), col("id_o")).as("doc_id_l"),
+        greatest(col("id_n"), col("id_o")).as("doc_id_r"))
+    val batchBatch = probe.join(
+        batchBands.select(col("band"), col("key"),
+          col("doc_id").as("id_o"), col("n").as("n_o")),
+        Seq("band", "key"))
+      .where(col("id_n") < col("id_o"))
+      .where(sizeBandN(col("n_n"), col("n_o"), tau))
+      .select(col("id_n").as("doc_id_l"), col("id_o").as("doc_id_r"))
+    verifyJaccard(batchCorpus.unionByName(batchBatch).distinct(), allDocs, tau)
+  }
+
   // ---- #23 SimHash -----------------------------------------------------
 
   /** 64-bit SimHash of the token set: bit j of the signature is the sign

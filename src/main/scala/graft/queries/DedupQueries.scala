@@ -290,6 +290,49 @@ object DedupQueries {
     Dedup.minhashIncrementalPairs(docs, corpusBands(s, d), batchOf(docs), JaccardTau)
   }
 
+  /** The corpus band table PERSISTED BUCKETED by the (band, key) join
+    * keys (r16 verdict #8: the #294/#299 storage-layout discipline
+    * extended to the banded-minhash side — the last LSH join whose
+    * persisted state still re-shuffled per mine). Bucket count sized to
+    * the exploded volume (BandGeom's `bands` rows per doc — the
+    * bucketed_join rule), clamped like the simhash chunk table. Written
+    * once per sf dir from the SAME published corpusBands artifact every
+    * consumer reads — identical rows, co-located layout. */
+  private val minhashBandTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def minhashBandTable(s: SparkSession, d: String): String =
+    minhashBandTableCache.computeIfAbsent(d, _ => {
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val nb = BandGeom._1
+      val n = Tables.rowCount(s, d, "documents") * nb // `bands` rows per doc
+      val x = math.max(1, (n / 1000000L).toInt)
+      val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
+      val buckets = math.min(256, math.max(8, ceilPow2))
+      val tbl = s"graft_b${buckets}_minhash_bands_$key"
+      // bucket by BOTH join keys (requireAllClusterKeysForCoPartition)
+      graft.sources.Bucketing.writeBucketed(
+        corpusBands(s, d), tbl, Seq("band", "key"), buckets)
+      tbl
+    })
+
+  /** #302 dedup_minhash_bucketed: #102's batch mine with the corpus band
+    * table CO-LOCATED — the batch's bands are exchanged into the
+    * persisted table's (band, key) bucketing and the corpus side reads
+    * its bucket files directly, NO Exchange at or below the join on the
+    * corpus side (PlanSpec pins it). At 100 TB the plain incremental
+    * mine re-shuffles the corpus band table whenever the daily batch
+    * outgrows the broadcast threshold; here that shuffle happened once
+    * at ingest. Output ≡ dedup_incremental #102 exactly (spec-pinned);
+    * rows-only like #102 (engine-native xxhash64 band keys). */
+  def dedupMinhashBucketed(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (nb, nr, sd, sub) = BandGeom
+    Dedup.minhashIncrementalPairsBucketed(docs,
+      s.table(minhashBandTable(s, d)),
+      Dedup.minhashBands(batchOf(docs), nb, nr, sd, sub), JaccardTau)
+  }
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 3)
 
@@ -1158,6 +1201,7 @@ object DedupQueries {
     "dedup_ngram" -> (dedupNgram _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_bucketed" -> (dedupMinhashBucketed _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_bucketed" -> (dedupSimhashBucketed _),

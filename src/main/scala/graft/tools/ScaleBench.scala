@@ -92,53 +92,67 @@ object ScaleBench {
   private def built(outDir: String, table: String): Boolean =
     new java.io.File(s"$outDir/$table.parquet/_SUCCESS").exists()
 
+  /** Build only the tables the probe's queries actually read (`want`) —
+    * a high-replica single-family probe (e.g. the 1000× simhash decade,
+    * which reads `documents` alone) must not pay the multi-hundred-GB
+    * lineitem/events replication it never scans. Each table is lazily
+    * skipped when already built, so pre-existing scale dirs upgrade in
+    * place (the buildScaledRelational discipline, now uniform). */
   private def buildScaled(spark: SparkSession, baseDir: String,
-                          outDir: String, replicas: Int): Unit = {
-    buildScaledRelational(spark, baseDir, outDir, replicas)
-    if (built(outDir, "documents") && built(outDir, "embeddings") &&
-        built(outDir, "events")) return
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+                          outDir: String, replicas: Int,
+                          want: String => Boolean): Unit = {
+    buildScaledRelational(spark, baseDir, outDir, replicas, want)
     // replica id spaces must not collide: base ids live below the offset
-    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
-      .max(emb.agg(max(col("vec_id"))).first().getLong(0))
-    require(maxId < IdOffset,
-      s"base ids reach $maxId >= offset $IdOffset — replica ids would collide")
-    val docCopies = (0 until replicas).map { i =>
-      docs.select(
-        (col("doc_id") + lit(i.toLong * IdOffset)).as("doc_id"),
-        translate(col("text"), Alphabet, perm(i)).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+    def guardIds(df: DataFrame, idCol: String): Unit = {
+      val maxId = df.agg(max(col(idCol))).first().getLong(0)
+      require(maxId < IdOffset,
+        s"base ids reach $maxId >= offset $IdOffset — replica ids would collide")
     }
-    docCopies.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val embCopies = (0 until replicas).map { i =>
-      val s = rot(i, dim)
-      val rotated =
-        if (s == 0) col("embedding")
-        else concat(slice(col("embedding"), s + 1, dim - s),
-                    slice(col("embedding"), 1, s))
-      emb.select((col("vec_id") + lit(i.toLong * IdOffset)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
+    if (want("documents") && !built(outDir, "documents")) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      guardIds(docs, "doc_id")
+      val docCopies = (0 until replicas).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i.toLong * IdOffset)).as("doc_id"),
+          translate(col("text"), Alphabet, perm(i)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      docCopies.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
-    embCopies.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    if (want("embeddings") && !built(outDir, "embeddings")) {
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      guardIds(emb, "vec_id")
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val embCopies = (0 until replicas).map { i =>
+        val s = rot(i, dim)
+        val rotated =
+          if (s == 0) col("embedding")
+          else concat(slice(col("embedding"), s + 1, dim - s),
+                      slice(col("embedding"), 1, s))
+        emb.select((col("vec_id") + lit(i.toLong * IdOffset)).as("vec_id"),
+          rotated.as("embedding"), col("label"))
+      }
+      embCopies.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
     // events: replica users/events get fresh id space, identical
     // timestamps/types/values — per-replica count and value distributions
     // are preserved exactly, so quantile/heavy-hitter/cohort work scales
     // with rows while each replica's answers stay the base corpus' (the
     // documents-translate discipline, numeric flavor)
-    val ev = spark.read.parquet(s"$baseDir/events.parquet")
-    val evCopies = (0 until replicas).map { i =>
-      ev.select(
-        (col("event_id") + lit(i.toLong * IdOffset)).as("event_id"),
-        col("ts"),
-        (col("user_id") + lit(i.toLong * IdOffset)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+    if (want("events") && !built(outDir, "events")) {
+      val ev = spark.read.parquet(s"$baseDir/events.parquet")
+      val evCopies = (0 until replicas).map { i =>
+        ev.select(
+          (col("event_id") + lit(i.toLong * IdOffset)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i.toLong * IdOffset)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      evCopies.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
-    evCopies.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** Replicate the TPC-H side for the relational probes (pareto's rank,
@@ -149,8 +163,9 @@ object ScaleBench {
     * corpus'. Built lazily and independently of the three core tables
     * so pre-existing scale dirs upgrade in place. */
   private def buildScaledRelational(spark: SparkSession, baseDir: String,
-                                    outDir: String, replicas: Int): Unit = {
-    if (!built(outDir, "orders")) {
+                                    outDir: String, replicas: Int,
+                                    want: String => Boolean): Unit = {
+    if (want("orders") && !built(outDir, "orders")) {
       val o = spark.read.parquet(s"$baseDir/orders.parquet")
       // Same collision guard as the documents/embeddings path: TPC-H
       // orderkeys pass 10M around SF>=2, and colliding replica keys would
@@ -165,7 +180,7 @@ object ScaleBench {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     }
-    if (!built(outDir, "lineitem")) {
+    if (want("lineitem") && !built(outDir, "lineitem")) {
       val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
       val maxKey = li.agg(max(col("l_orderkey"))).first().getLong(0)
       require(maxKey < IdOffset,
@@ -183,7 +198,7 @@ object ScaleBench {
     // replica — per-order join matches are unchanged, the probe scales
     // rows); supplier/nation/region are copied as-is (their keys are
     // never offset in the fact replicas).
-    if (!built(outDir, "customer")) {
+    if (want("customer") && !built(outDir, "customer")) {
       val c = spark.read.parquet(s"$baseDir/customer.parquet")
       val maxKey = c.agg(max(col("c_custkey"))).first().getLong(0)
       require(maxKey < IdOffset,
@@ -193,7 +208,7 @@ object ScaleBench {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
     }
-    if (!built(outDir, "part")) {
+    if (want("part") && !built(outDir, "part")) {
       val p = spark.read.parquet(s"$baseDir/part.parquet")
       val maxKey = p.agg(max(col("p_partkey"))).first().getLong(0)
       require(maxKey < IdOffset,
@@ -204,7 +219,7 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$outDir/part.parquet")
     }
     Seq("supplier", "nation", "region").foreach { t =>
-      if (!built(outDir, t))
+      if (want(t) && !built(outDir, t))
         spark.read.parquet(s"$baseDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
@@ -236,13 +251,20 @@ object ScaleBench {
     if (on("dedup")) {
       try { graft.queries.DedupQueries.minedClusters(spark, dir); () }
       catch { case _: Throwable => }
+      // #302's bucketed band table (ingest-time layout, untimed)
+      try { graft.queries.DedupQueries.minhashBandTable(spark, dir); () }
+      catch { case _: Throwable => }
     }
     // the bucketed catalog tables (#294's ingest-time layout): the probe
     // times the co-located join, not the one-off bucketed write
     if (on("bucketed")) {
       try { graft.queries.IngestQueries.bucketedTables(spark, dir); () }
       catch { case _: Throwable => }
-      // ...and #299's bucketed simhash chunk table, same discipline
+    }
+    // #299's bucketed simhash chunk table, same discipline — its own
+    // family so a simhash-only probe doesn't pay the relational
+    // bucketed build over a corpus it never joins
+    if (on("simhash")) {
       try { graft.queries.DedupQueries.simhashChunkTable(spark, dir); () }
       catch { case _: Throwable => }
     }
@@ -300,6 +322,10 @@ object ScaleBench {
     // artifact warm-up subset (see warm()): unset = all families
     val warmSel = sys.env.get("SPARK_GRAFT_SCALE_WARM")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // scaled-table subset (see buildScaled): unset = all tables
+    val tableSel = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val want: String => Boolean = t => tableSel.forall(_.contains(t))
     // v2: embedding replicas rotated (rot) — v1 dirs hold exact copies
     val scaleDir = s"${sys.props("java.io.tmpdir")}/graft-scale/v2/x$replicas"
     // the §3b root-cause knobs, overridable per run for the memory-config
@@ -319,7 +345,7 @@ object ScaleBench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    buildScaled(spark, baseDir, scaleDir, replicas)
+    buildScaled(spark, baseDir, scaleDir, replicas, want)
 
     // JIT-warm the dedup/text/harness code paths at the smallest SF
     // (Bench's discipline: warm CODE, the pair caches are dir-keyed)

@@ -150,6 +150,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_bucketed (#302) == dedup_incremental (#102) exactly") {
+    // same batch split, same BandGeom, same verify — only the corpus
+    // side's storage layout differs (bucketed table vs published
+    // parquet), so the pair tables must match row for row
+    val a = graft.queries.DedupQueries.dedupMinhashBucketed(spark, sf)
+      .collect().map(_.toSeq)
+    val b = graft.queries.DedupQueries.dedupIncremental(spark, sf)
+      .collect().map(_.toSeq)
+    assert(a.nonEmpty, "gate corpus must produce batch-touching pairs")
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("minhashIncrementalPairsBucketed == minhashIncrementalPairs on a 50/50 split") {
+    // the Dedup-layer contract under a split where batch×batch pairs
+    // certainly exist (the registered query's 90/10 batch is sparse)
+    val corpus = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+    val batch = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val viaBucketShape = Dedup.minhashIncrementalPairsBucketed(
+        docs, Dedup.minhashBands(corpus), Dedup.minhashBands(batch), 0.95)
+      .as[(Long, Long, Double)].collect().toSeq
+    val plain = Dedup.minhashIncrementalPairs(
+        docs, Dedup.minhashBands(corpus), batch, 0.95)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaBucketShape.nonEmpty)
+    assert(viaBucketShape == plain)
+  }
+
   test("bandsRemove: tombstoned docs vanish from incremental mining exactly") {
     val corpus = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
     val batch = docs.where(pmod(col("doc_id"), lit(2)) === 0)

@@ -433,6 +433,35 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_bucketed: the corpus band side joins without an Exchange") {
+    // force SMJ + AQE off, as in the #299 pin: the batch side's Exchange
+    // into the corpus's bucketing is the point — only the CORPUS side
+    // (the 100 TB side) must read its bucket files with no shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = queries.DedupQueries.dedupMinhashBucketed(spark, sf)
+        .queryExecution.executedPlan
+      val bandJoins = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("band")) => j
+      }
+      // batch×corpus is the join whose build side reads the bucketed
+      // table; batch×batch (both sides fresh) legitimately shuffles both
+      val colocated = bandJoins.filter(_.right.toString.contains("Bucketed: true"))
+      assert(colocated.nonEmpty, exec.toString)
+      colocated.foreach { j =>
+        val sub = j.right.toString
+        assert(!sub.contains("Exchange"), sub)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("as-of join: exactly one Exchange (the key shuffle), no join operator") {
     val p = plan(EventQueries.eventsAsof(spark, sf))
     // the union+window encoding must not plan a join (pair explosion) and

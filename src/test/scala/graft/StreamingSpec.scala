@@ -460,6 +460,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup == registered dedup_semantic_inc (#159) under its split") {
+    // the #300-style append-contract parity, streamed flavor: drive the
+    // twin with #159's exact corpus/batch split and model construction
+    // (Ivf.build is seed-deterministic, so both build the SAME frozen
+    // quantizer) — the streamed snapshots must compose to the registered
+    // gate row's output byte for byte
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val resident = emb.where(col("vec_id") % 10 =!= 0)
+    val batchRows = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .as[(Long, Array[Float], Long)].collect().sortBy(_._1)
+    val (b1, b2) = batchRows.splitAt(batchRows.length / 2)
+    val model = graft.search.Ivf.build(resident,
+      graft.dedup.SemDedup.pickK(resident.count()))
+    val tau = graft.queries.DedupQueries.CosineTau
+    val inc = new graft.streaming.IncrementalSemDedup(model, resident, tau)
+    val stream = MemoryStream[(Long, Array[Float], Long)]
+    val q = inc.writer(stream.toDF().toDF("vec_id", "embedding", "label"),
+      (_, _) => ()).start()
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+      val got = inc.verdict.orderBy("vec_id").collect().map(_.toSeq).toSeq
+      val want = graft.queries.DedupQueries.dedupSemanticInc(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming DSIR: absorbed batches reproduce the batch model bit-for-bit") {
     implicit val sq = spark.sqlContext
     val sf = "/root/testdata/sf0.001"

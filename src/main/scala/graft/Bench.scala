@@ -237,7 +237,8 @@ object Bench {
       graft.queries.VectorQueries.lastDialSeconds.toSeq
         .map { case (f, v) => s"vec_autotune/$f" -> v }
 
-    // one warm second rep for every entry recorded >10 s: re-run
+    // one warm second rep for every entry recorded over WarmRepThreshold
+    // (5 s since r17 — the 5–10 s band was the blind spot): re-run
     // immediately (same JVM, codegen and models now hot) and emit beside
     // the cold number. The warm value is the plan cost a reader should
     // compare round over round; cold-minus-warm is environment debt.

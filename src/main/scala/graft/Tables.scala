@@ -48,24 +48,28 @@ object Tables {
     * CosineLsh.pickBits) need N, and re-running a count job per
     * invocation puts a corpus scan inside every caller's timed region —
     * the sibling paths thread a caller-known total for exactly this
-    * reason (RunHarness / PqBackend). The key folds in the source files'
-    * max mtime (the publishedArtifact staleness rule): if an in-process
-    * tool regenerates a testdata/scale dir after a count, sizing
-    * decisions (CosineLsh.pickBits, bucket counts) see the NEW N, not a
-    * stale one — the mtime listing is a driver-side stat, not a job. */
+    * reason (RunHarness / PqBackend). The cached count is GUARDED by the
+    * source's max mtime (the publishedArtifact staleness rule): if an
+    * in-process tool regenerates a testdata/scale dir after a count,
+    * sizing decisions (CosineLsh.pickBits, bucket counts) see the NEW N,
+    * not a stale one. The guard is one FLAT listFiles stat per call
+    * (parquet table dirs are flat — part files + markers; no recursion),
+    * and the map holds ONE entry per (dir, table) — a stale mtime's
+    * entry is replaced, never accumulated. */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
 
-  private def maxMtime(f: java.io.File): Long =
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .foldLeft(f.lastModified())((m, c) => math.max(m, maxMtime(c)))
-    else f.lastModified()
+  private def tableMtime(f: java.io.File): Long =
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .foldLeft(f.lastModified())((m, c) => math.max(m, c.lastModified()))
 
-  def rowCount(s: SparkSession, d: String, name: String): Long =
-    countCache.computeIfAbsent(
-      s"$d/$name@${maxMtime(new java.io.File(s"$d/$name.parquet"))}",
-      _ => java.lang.Long.valueOf(load(s, d, name).count())).longValue()
+  def rowCount(s: SparkSession, d: String, name: String): Long = {
+    val key = s"$d/$name"
+    val mt = tableMtime(new java.io.File(s"$d/$name.parquet"))
+    countCache.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == mt) cur
+      else (mt, load(s, d, name).count()))._2
+  }
 
   /** City names for the derived metadata (embeddingsMeta). */
   val MetaCities: Seq[String] =

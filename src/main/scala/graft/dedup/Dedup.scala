@@ -482,6 +482,11 @@ object Dedup {
     val build = corpusBands
       .select(col("band"), col("key"), col("doc_id").as("id_o"), col("n").as("n_o"))
     val batchCorpus = probe.join(build, Seq("band", "key"))
+      // self-pair guard (the plain mine's id_n =!= id_o): the natural
+      // ingest shape appends batch rows to the SAME persisted table, so
+      // the corpus side may already contain the batch — without the
+      // guard a doc joins its own band row and emits (x, x) with jac 1
+      .where(col("id_n") =!= col("id_o"))
       .where(sizeBandN(col("n_n"), col("n_o"), tau))
       .select(least(col("id_n"), col("id_o")).as("doc_id_l"),
         greatest(col("id_n"), col("id_o")).as("doc_id_r"))

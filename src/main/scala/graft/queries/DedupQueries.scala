@@ -103,9 +103,14 @@ object DedupQueries {
           s"artifact publish failed: rename to $path lost without a complete table present")
       }
     }
-    // touch the live dir so the reaper's age guard tracks ACCESS, not
-    // write time — a lazy reader opened long after publish keeps the dir
-    // inside the guard as long as something still reads it
+    // touch the live dir so the reaper's age guard approximates LAST
+    // OPEN, not publish time, across JVMs. Scope honestly stated: the
+    // touch fires once per open (and the in-JVM caches open once per
+    // process), so a handle held >1 h and consumed concurrently with a
+    // cross-process source regeneration is still exposed — acceptable
+    // because reads here are short-lived scans right after open. The
+    // return value is best-effort (a filesystem refusing setLastModified
+    // just reverts the guard to publish-time age).
     new java.io.File(path).setLastModified(System.currentTimeMillis())
     s.read.parquet(path)
   }
@@ -113,9 +118,10 @@ object DedupQueries {
   /** Reap dead published artifacts, AGE-GUARDED: a superseded dir is
     * deleted only once it has sat untouched for an hour, because a lazy
     * `spark.read.parquet` handle opened before the source regenerated
-    * may still be mid-consumption (reads refresh the dir mtime at open,
-    * publishedArtifact above, so the guard keys on last access; deleting
-    * under a live read would fail the query with FileNotFound). Three
+    * may still be mid-consumption (publishedArtifact refreshes the dir
+    * mtime at each OPEN, so the guard keys on last open — not on every
+    * read; deleting under a live read fails that query with
+    * FileNotFound, the accepted residual for handles held > 1 h). Three
     * dead classes: superseded source generations of this (family, sf dir)
     * (older mtime — no NEW reader can want them), crashed builders'
     * `.tmp-*` dirs (their rename never happened; any live builder
@@ -323,8 +329,15 @@ object DedupQueries {
     * corpus side (PlanSpec pins it). At 100 TB the plain incremental
     * mine re-shuffles the corpus band table whenever the daily batch
     * outgrows the broadcast threshold; here that shuffle happened once
-    * at ingest. Output ≡ dedup_incremental #102 exactly (spec-pinned);
-    * rows-only like #102 (engine-native xxhash64 band keys). */
+    * at ingest. Output ≡ dedup_incremental #102 under the
+    * no-oversized-bucket premise (no band key shared by > maxBucket
+    * docs — holds at gate scale, where the equality is spec-pinned;
+    * #102's refineOversized re-key stays the production answer to a
+    * degenerate key, because re-keying breaks co-location — a
+    * deployment of THIS layout bounds family size upstream, e.g. the
+    * dedup_exact pre-collapse, or sub-blocks within buckets on the
+    * persisted `subkey`). Rows-only like #102 (engine-native xxhash64
+    * band keys). */
   def dedupMinhashBucketed(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val (nb, nr, sd, sub) = BandGeom

@@ -69,6 +69,88 @@ object VectorQueries {
        |SELECT vec_id, score FROM ranked, chosen
        |WHERE rnk <= kp AND pass ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
 
+  /** #303 vec_ivf_portable: the IVF probe pipeline with PINNED
+    * engine-portable geometry — the ANN tier's hash-pass witness (the
+    * #301 dedup_semantic_portable move on the vector-search axis: every
+    * vec_ivf_* row was rows-only because the trained quantizer is
+    * engine-specific, yet everything DOWNSTREAM of the centroids is
+    * exact arithmetic). [[IvfPortableNlist]] seeded unit gaussian
+    * centroids (== Ivf.pickNlist(gate N), spec-pinned, so the certified
+    * list geometry is the production index's own at gate scale) freeze
+    * the quantizer; the query then runs the IDENTICAL production path —
+    * IvfModel.assign's codegen'd ArgMaxDotF32, IvfModel.searchMany's
+    * per-query probe ranking (exact-double sort, index tiebreak), the
+    * union-pruned scan, and the knnJoin bounded heaps (round-6 scores,
+    * id tiebreak). The generated DuckDB oracle renders the SAME centroid
+    * and query literals and replays assignment (strict-max
+    * earliest-index argmax), per-query top-nprobe centroid ranking,
+    * per-list candidate pruning and the exact top-K — value-checking
+    * list assignment, probe selection, partition pruning and ranked
+    * serving end to end. The production rows (#17 etc.) stay rows-only
+    * with learned centroids; this twin's frozen model never leaves the
+    * gate. Reference slot: the IVF backend (loaders.py:123-157,
+    * backends/ivf.py); the verify primitive is eval/oracle.py:36's
+    * exact scoring. */
+  val IvfPortableNlist = 64 // == Ivf.pickNlist(500), the sf0.01 gate corpus
+  val IvfPortableNprobe = 8 // real pruning: 8 of 64 lists per query
+
+  private[graft] lazy val ivfPortableCentroids: Array[Array[Float]] = {
+    val rng = new scala.util.Random(42L)
+    Array.fill(IvfPortableNlist) {
+      val v = Array.fill(QueryVectors.Dim)(rng.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  def vecIvfPortable(s: SparkSession, d: String): DataFrame = {
+    val m0 = graft.search.IvfModel(ivfPortableCentroids, null)
+    val model = graft.search.IvfModel(ivfPortableCentroids, m0.assign(emb(s, d)))
+    model.searchMany(knnQueries, nprobe = IvfPortableNprobe, k = K)
+  }
+
+  /** GENERATED from the same centroid/query arrays the Spark plan uses
+    * (QueryVectors.sqlLit — one source of truth). Assignment and probe
+    * ranking accumulate float→double products in index order in both
+    * engines, so list ids, probe sets, scores and ranks hash-match. */
+  def vecIvfPortableSql: String = {
+    val cents = ivfPortableCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${QueryVectors.sqlLit(c)})" }
+      .mkString(",\n|  ")
+    val qs = knnQueries
+      .map { case (qid, v) => s"(CAST($qid AS BIGINT), ${QueryVectors.sqlLit(v)})" }
+      .mkString(",\n|  ")
+    s"""WITH cents(cid, c) AS (VALUES
+       |  $cents),
+       |q(qid, qv) AS (VALUES
+       |  $qs),
+       |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, e, cid AS list_id FROM (
+       |    SELECT m.vec_id, m.e, c.cid,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_dot_product(m.e, c.c) DESC, c.cid ASC) AS rk
+       |    FROM emb m CROSS JOIN cents c) WHERE rk = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_dot_product(q.qv, c.c) DESC, c.cid ASC) AS rk
+       |    FROM q CROSS JOIN cents c) WHERE rk <= $IvfPortableNprobe),
+       |cand AS (
+       |  SELECT q.qid, a.vec_id,
+       |    round(list_dot_product(a.e, q.qv), 6) AS score
+       |  FROM assigned a JOIN probes p ON a.list_id = p.cid
+       |  JOIN q ON p.qid = q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, vec_id) AS INT) AS rank
+       |  FROM cand)
+       |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= $K
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   def vecKnnJoin(s: SparkSession, d: String): DataFrame =
     VectorSearch.knnJoin(emb(s, d), knnQueries, 5)
 
@@ -332,6 +414,96 @@ object VectorQueries {
     * ratio in one aggregate (rows-only). */
   def vecPqStats(s: SparkSession, d: String): DataFrame =
     pqModel(s, d).stats()
+
+  /** #304 vec_pq_portable: the PQ encode→ADC→refine pipeline with a
+    * PINNED engine-portable codebook — the quantization tier's
+    * hash-pass witness (the #301/#303 discipline on the compression
+    * axis: every vec_pq_* row is rows-only because the TRAINED codebook
+    * is engine-specific, yet encode, LUT, ADC and refine are exact
+    * arithmetic). Geometry: the production gate m×dsub (8 subspaces ×
+    * 8 dims); [[PqPortableCodes]] codewords per subspace — 64, not the
+    * production 256, a deliberate bound on the generated oracle (~100 KB
+    * vs ~450 KB; the machinery under test — per-subspace argmax encode,
+    * LUT lookup, ordered ADC sum, shortlist boundary, exact refine — is
+    * code-count-independent, and the production K stays 256 in the
+    * rows-only rows). The query runs the IDENTICAL production path:
+    * PqModel.search over a frozen codebook — the codegen'd PqEncode
+    * (argmax of x_s·c − ‖c‖²/2, bias-FIRST accumulation, strict-max
+    * earliest-index tie), the driver LUT, the codegen'd PqAdcScore
+    * (s-ordered sum), round-6 shortlist (id tiebreak, 100), exact
+    * refine top-K. The generated DuckDB oracle replays every stage with
+    * the accumulation ORDERS preserved: encode scores via
+    * `[bias] || subvector` · `[1.0] || codeword` (bias-first, then
+    * products in index order — bit-identical to the expression), the
+    * ADC sum as a left-to-right 8-term expression over per-subspace LUT
+    * literals rendered from PqModel.lut itself (one source of truth),
+    * the same round-6 boundaries. Reference slot: the PQ/IVFPQ
+    * compression tier (FAISS IndexPQ; loaders.py's index family);
+    * verify primitive eval/oracle.py:36. */
+  val PqPortableCodes = 64
+
+  private[graft] lazy val pqPortableCodebook: Array[Array[Array[Float]]] = {
+    val rng = new scala.util.Random(42L)
+    // per-dim sd 0.125 ≈ a unit 64-d vector's per-dim RMS, so codewords
+    // live where the subvectors do and code usage spreads
+    Array.fill(8)(Array.fill(PqPortableCodes)(
+      Array.fill(8)((rng.nextGaussian() * 0.125).toFloat)))
+  }
+
+  def vecPqPortable(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val model = graft.search.PqModel(8, 8, PqPortableCodes, pqPortableCodebook,
+      e.select(col("vec_id"),
+        graft.search.Pq.encodeCol(pqPortableCodebook, 8).as("pq_codes")),
+      e)
+    model.search(q0, k = K, shortlist = 100)
+  }
+
+  /** GENERATED from the same codebook/LUT arrays the Spark plan uses. */
+  def vecPqPortableSql: String = {
+    def dlit(v: Array[Double]) =
+      v.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
+    val cb = pqPortableCodebook
+    // the PqEncode bias, replicated: -0.5·Σ c_i² in double from float
+    val cwRows = (for { s <- 0 until 8; c <- 0 until PqPortableCodes } yield {
+      val w = cb(s)(c)
+      var n2 = 0.0; var i = 0
+      while (i < w.length) { n2 += w(i).toDouble * w(i); i += 1 }
+      s"($s, $c, ${QueryVectors.sqlLit(w)}, ${-0.5 * n2})"
+    }).mkString(",\n|  ")
+    val model = graft.search.PqModel(8, 8, PqPortableCodes, cb, null, null)
+    val lut = model.lut(q0) // the production driver-side LUT, rendered
+    val adcExpr = (0 until 8)
+      .map(s => s"(${dlit(lut(s))})[c$s + 1]")
+      .mkString("\n|      + ")
+    val codeCols = (0 until 8)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s")
+      .mkString(",\n|    ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cw(s, c, w, bias) AS (VALUES
+       |  $cwRows),
+       |enc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT m.vec_id, cw.s, cw.c,
+       |      row_number() OVER (PARTITION BY m.vec_id, cw.s
+       |        ORDER BY list_dot_product([cw.bias] || m.e[cw.s*8+1 : cw.s*8+8],
+       |                                  [1.0::DOUBLE] || cw.w) DESC,
+       |                 cw.c ASC) AS rk
+       |    FROM emb m CROSS JOIN cw) WHERE rk = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM enc GROUP BY vec_id),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (ORDER BY round($adcExpr, 6) DESC, vec_id) AS rk
+       |    FROM codes) WHERE rk <= 100)
+       |SELECT e.vec_id,
+       |  round(list_dot_product(e.e, ${QueryVectors.sqlLit(q0)}), 6) AS score
+       |FROM emb e JOIN short USING (vec_id)
+       |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+  }
 
   /** One SQ8 model per sf dir, persisted like the PQ index: the first JVM
     * trains the per-dim (vmin, delta) params + encodes (seed 42), later
@@ -1608,6 +1780,8 @@ object VectorQueries {
     "vec_range_search" -> (vecRangeSearch _),
     "vec_postfilter_ladder" -> (vecPostfilterLadder _),
     "vec_knn_join" -> (vecKnnJoin _),
+    "vec_ivf_portable" -> (vecIvfPortable _),
+    "vec_pq_portable" -> (vecPqPortable _),
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
@@ -1659,6 +1833,8 @@ object VectorQueries {
     "vec_range_search" -> vecRangeSearchSql,
     "vec_postfilter_ladder" -> vecPostfilterLadderSql,
     "vec_knn_join" -> vecKnnJoinSql,
+    "vec_ivf_portable" -> vecIvfPortableSql,
+    "vec_pq_portable" -> vecPqPortableSql,
     "vec_norm_check" -> vecNormCheckSql,
     "vec_mmr" -> vecMmrSql
   )

@@ -58,17 +58,21 @@ final class StreamingIngest {
   private var state: Option[DataFrame] = None
 
   def processBatch(batch: DataFrame): Unit = synchronized {
+    // batch-local dedup FIRST, before deriving features: an
+    // at-least-once source can redeliver a doc_id inside one
+    // micro-batch, and the anti-join below only guards against resident
+    // state — two copies would both survive the union and double-count
+    // in report(). Dedup before the joins keeps k redeliveries at k
+    // rows; after them the q/l/fp sides would each carry k copies and
+    // the joins would explode to k³ rows per doc before collapsing.
+    // Cheap: |batch|-sized shuffle.
+    val b = batch.dropDuplicates("doc_id")
     // the same feature derivations the batch operator joins (withQuality
     // and withLangId each project text away, so they run side by side)
-    val q = TextAnalysis.withQuality(batch).select(col("doc_id"), col("quality_score"))
-    val l = TextAnalysis.withLangId(batch).select(col("doc_id"), col("lang_pred"))
-    // batch-local dedup FIRST: an at-least-once source can redeliver a
-    // doc_id inside one micro-batch, and the anti-join below only guards
-    // against resident state — without this both copies would survive the
-    // union and double-count in report(). Cheap: |batch|-sized shuffle.
-    val feats = batch.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val q = TextAnalysis.withQuality(b).select(col("doc_id"), col("quality_score"))
+    val l = TextAnalysis.withLangId(b).select(col("doc_id"), col("lang_pred"))
+    val feats = b.select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
       .join(q, "doc_id").join(l, "doc_id")
-      .dropDuplicates("doc_id")
     val merged = state match {
       case None => feats
       // upsert WITHOUT shuffling the resident state: the batch is small

@@ -226,11 +226,13 @@ object ScaleBench {
   }
 
   /** Families of artifact warm-up, selectable per probe run via
-    * SPARK_GRAFT_SCALE_WARM (comma list of vec,dedup,bucketed; default
-    * all): a high-replica probe of a relational-only subset (e.g. the
-    * 1000× bucketed_join / table_profile_approx decade) must not pay
-    * hours of IVF/PQ training and pair mining over a 1000× corpus it
-    * never reads. */
+    * SPARK_GRAFT_SCALE_WARM (comma list of vec,dedup,bucketed,simhash;
+    * default all): a high-replica probe of a relational-only subset
+    * (e.g. the 1000× bucketed_join / table_profile_approx decade) must
+    * not pay hours of IVF/PQ training and pair mining over a 1000×
+    * corpus it never reads. NOTE (r17): the simhash chunk table moved
+    * out of `bucketed` into its own `simhash` family — a simhash-only
+    * probe requests `simhash`, not `bucketed`. */
   private def warm(spark: SparkSession, dir: String,
                    sel: Option[Set[String]] = None): Unit = {
     def on(f: String) = sel.forall(_.contains(f))

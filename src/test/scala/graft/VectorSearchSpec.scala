@@ -109,6 +109,57 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("vec_ivf_portable (#303) pins the production gate-scale list geometry") {
+    val n = Tables.rowCount(spark, "/root/testdata/sf0.01", "embeddings")
+    assert(graft.queries.VectorQueries.IvfPortableNlist == Ivf.pickNlist(n),
+      s"IvfPortableNlist must track pickNlist($n) so the twin certifies " +
+        "the IVF machinery under the production index's own geometry")
+  }
+
+  test("vec_ivf_portable (#303): pinned-model searchMany equals per-query search") {
+    // the twin's frozen quantizer through the same searchMany≡search
+    // contract the trained models carry — the oracle hash-pass then
+    // certifies the per-query path too
+    val cents = graft.queries.VectorQueries.ivfPortableCentroids
+    val m0 = graft.search.IvfModel(cents, null)
+    val model = graft.search.IvfModel(cents, m0.assign(emb))
+    val qs = QueryVectors.batch(4)
+    val np = graft.queries.VectorQueries.IvfPortableNprobe
+    val got = model.searchMany(qs, nprobe = np, k = 10)
+      .select("qid", "vec_id", "score").as[(Long, Long, Double)].collect().toSet
+    val want = qs.flatMap { case (qid, v) =>
+      model.search(v, nprobe = np, k = 10).as[(Long, Double)].collect()
+        .map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("vec_pq_portable (#304): production subspace geometry, sane codes, deterministic") {
+    // m×dsub is pinned to the production gate geometry (pickM at 64-d);
+    // the codeword count is deliberately 64 (oracle-size bound, doc'd)
+    assert(graft.search.Pq.pickM(64) == 8)
+    val cb = graft.queries.VectorQueries.pqPortableCodebook
+    assert(cb.length == 8 && cb.forall(_.length ==
+      graft.queries.VectorQueries.PqPortableCodes) &&
+      cb.forall(_.forall(_.length == 8)))
+    val a = graft.queries.VectorQueries.vecPqPortable(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val b = graft.queries.VectorQueries.vecPqPortable(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.length == 10)
+    // the frozen codebook must actually spread codes (a collapsed
+    // subspace would make the ADC shortlist degenerate and the witness
+    // vacuous) — every subspace uses >1 code over the corpus
+    val model = graft.search.PqModel(8, 8,
+      graft.queries.VectorQueries.PqPortableCodes, cb,
+      emb.select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.search.Pq.encodeCol(cb, 8).as("pq_codes")), emb)
+    val st = model.stats().collect().head
+    assert(st.getAs[Long]("min_codes_used") > 1L)
+  }
+
   test("IVFPQ searchMany (one pruned code scan) equals per-query search") {
     val ivf = Ivf.build(emb, nlist = 16)
     val model = IvfPq.compose(ivf, Pq.build(emb))

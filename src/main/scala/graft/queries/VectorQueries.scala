@@ -505,6 +505,93 @@ object VectorQueries {
        |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
   }
 
+  /** #305 vec_ivfpq_portable: the COMPOSED IVF×PQ tier with both halves
+    * pinned — the #303 quantizer and the #304 codebook through
+    * IvfPq.compose and IvfPqModel.search, so the composition itself
+    * (probe-pruned code scan → ADC shortlist → exact refine) gets its
+    * own hash-pass witness on top of the halves'. The generated oracle
+    * stacks the two replays — argmax assignment + top-nprobe probe
+    * ranking (the #303 CTEs) feeding the encode/ADC/refine replay (the
+    * #304 CTEs, accumulation orders preserved) with the list filter
+    * applied BEFORE the shortlist ranking, exactly where the production
+    * plan prunes. Production rows (#94 etc.) stay rows-only with
+    * trained halves. Reference slot: FAISS IndexIVFPQ (the loaders.py
+    * family's composed tier); verify primitive eval/oracle.py:36. */
+  def vecIvfpqPortable(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val m0 = graft.search.IvfModel(ivfPortableCentroids, null)
+    val ivfM = graft.search.IvfModel(ivfPortableCentroids, m0.assign(e))
+    val pqM = graft.search.PqModel(8, 8, PqPortableCodes, pqPortableCodebook,
+      e.select(col("vec_id"),
+        graft.search.Pq.encodeCol(pqPortableCodebook, 8).as("pq_codes")), e)
+    graft.search.IvfPq.compose(ivfM, pqM)
+      .search(q0, nprobe = IvfPortableNprobe, k = K, shortlist = 100)
+  }
+
+  def vecIvfpqPortableSql: String = {
+    def dlit(v: Array[Double]) =
+      v.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
+    val cents = ivfPortableCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${QueryVectors.sqlLit(c)})" }
+      .mkString(",\n|  ")
+    val cb = pqPortableCodebook
+    val cwRows = (for { s <- 0 until 8; c <- 0 until PqPortableCodes } yield {
+      val w = cb(s)(c)
+      var n2 = 0.0; var i = 0
+      while (i < w.length) { n2 += w(i).toDouble * w(i); i += 1 }
+      s"($s, $c, ${QueryVectors.sqlLit(w)}, ${-0.5 * n2})"
+    }).mkString(",\n|  ")
+    val model = graft.search.PqModel(8, 8, PqPortableCodes, cb, null, null)
+    val lut = model.lut(q0)
+    val adcExpr = (0 until 8)
+      .map(s => s"(${dlit(lut(s))})[c$s + 1]")
+      .mkString("\n|      + ")
+    val codeCols = (0 until 8)
+      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s")
+      .mkString(",\n|    ")
+    val qLit = QueryVectors.sqlLit(q0)
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents(cid, cv) AS (VALUES
+       |  $cents),
+       |cw(s, c, w, bias) AS (VALUES
+       |  $cwRows),
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT m.vec_id, ct.cid,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_dot_product(m.e, ct.cv) DESC, ct.cid ASC) AS rk
+       |    FROM emb m CROSS JOIN cents ct) WHERE rk = 1),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT ct.cid,
+       |      row_number() OVER (ORDER BY list_dot_product($qLit, ct.cv) DESC,
+       |                         ct.cid ASC) AS rk
+       |    FROM cents ct) WHERE rk <= $IvfPortableNprobe),
+       |enc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT m.vec_id, cw.s, cw.c,
+       |      row_number() OVER (PARTITION BY m.vec_id, cw.s
+       |        ORDER BY list_dot_product([cw.bias] || m.e[cw.s*8+1 : cw.s*8+8],
+       |                                  [1.0::DOUBLE] || cw.w) DESC,
+       |                 cw.c ASC) AS rk
+       |    FROM emb m CROSS JOIN cw) WHERE rk = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM enc GROUP BY vec_id),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT cd.vec_id,
+       |      row_number() OVER (ORDER BY round($adcExpr, 6) DESC, cd.vec_id) AS rk
+       |    FROM codes cd
+       |    JOIN assigned a USING (vec_id)
+       |    JOIN probes p ON a.list_id = p.cid) WHERE rk <= 100)
+       |SELECT e.vec_id,
+       |  round(list_dot_product(e.e, $qLit), 6) AS score
+       |FROM emb e JOIN short USING (vec_id)
+       |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+  }
+
   /** One SQ8 model per sf dir, persisted like the PQ index: the first JVM
     * trains the per-dim (vmin, delta) params + encodes (seed 42), later
     * JVMs load the byte-code table and score it without the vectors. */
@@ -1782,6 +1869,7 @@ object VectorQueries {
     "vec_knn_join" -> (vecKnnJoin _),
     "vec_ivf_portable" -> (vecIvfPortable _),
     "vec_pq_portable" -> (vecPqPortable _),
+    "vec_ivfpq_portable" -> (vecIvfpqPortable _),
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
@@ -1835,6 +1923,7 @@ object VectorQueries {
     "vec_knn_join" -> vecKnnJoinSql,
     "vec_ivf_portable" -> vecIvfPortableSql,
     "vec_pq_portable" -> vecPqPortableSql,
+    "vec_ivfpq_portable" -> vecIvfpqPortableSql,
     "vec_norm_check" -> vecNormCheckSql,
     "vec_mmr" -> vecMmrSql
   )

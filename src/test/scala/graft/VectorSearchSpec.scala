@@ -160,6 +160,30 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(st.getAs[Long]("min_codes_used") > 1L)
   }
 
+  test("vec_ivfpq_portable (#305): probing ALL lists degenerates to the PQ twin exactly") {
+    // the composition contract: with every list probed, the IVF pruning
+    // admits the whole code table and IvfPqModel.search must reproduce
+    // PqModel.search bit-for-bit (same ADC ranking rule, same refine)
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val cents = graft.queries.VectorQueries.ivfPortableCentroids
+    val cb = graft.queries.VectorQueries.pqPortableCodebook
+    val kc = graft.queries.VectorQueries.PqPortableCodes
+    val m0 = graft.search.IvfModel(cents, null)
+    val ivfM = graft.search.IvfModel(cents, m0.assign(e))
+    val pqM = graft.search.PqModel(8, 8, kc, cb,
+      e.select(col("vec_id"), graft.search.Pq.encodeCol(cb, 8).as("pq_codes")), e)
+    val q0 = QueryVectors.qvec(0)
+    val composed = graft.search.IvfPq.compose(ivfM, pqM)
+      .search(q0, nprobe = cents.length, k = 10, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    val flat = pqM.search(q0, k = 10, shortlist = 100)
+      .collect().map(_.toSeq).toSeq
+    assert(composed == flat)
+    assert(composed.length == 10)
+  }
+
   test("IVFPQ searchMany (one pruned code scan) equals per-query search") {
     val ivf = Ivf.build(emb, nlist = 16)
     val model = IvfPq.compose(ivf, Pq.build(emb))

@@ -625,6 +625,37 @@ object VectorQueries {
   def vecBqTopK(s: SparkSession, d: String): DataFrame =
     bqModel(s, d).search(q0, k = K, shortlist = 100)
 
+  /** #125's oracle — NEW r17: unlike every trained tier, BQ is
+    * engine-portable AS THE PRODUCTION ROW (no pinned twin needed): the
+    * sign rule (`x > 0` — float→double preserves sign exactly), the
+    * packed-code XOR+popcount hamming (≡ per-dimension sign-mismatch
+    * count; 64 dims pack with zero padding), the (hamming asc, vec_id)
+    * shortlist boundary and the round-6 exact refine are all integer-
+    * or correctly-rounded arithmetic both engines reproduce. The
+    * generated SQL renders the QUERY's sign pattern into a 64-term
+    * mismatch sum (the encodeQuery bits as literals), replays the
+    * shortlist and refines — upgrading the row from rows-only to a full
+    * hash-pass without touching the operator. */
+  def vecBqTopKSql: String = {
+    val terms = q0.zipWithIndex.map { case (qv, i) =>
+      val (a, b) = if (qv > 0f) (0, 1) else (1, 0)
+      s"(CASE WHEN e[${i + 1}] > 0 THEN $a ELSE $b END)"
+    }.mkString("\n|    + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ham AS (
+       |  SELECT vec_id, e,
+       |    $terms AS hamming
+       |  FROM emb),
+       |short AS (
+       |  SELECT vec_id, e FROM (
+       |    SELECT vec_id, e,
+       |      row_number() OVER (ORDER BY hamming ASC, vec_id ASC) AS rk
+       |    FROM ham) WHERE rk <= 100)
+       |SELECT vec_id,
+       |  round(list_dot_product(e, ${QueryVectors.sqlLit(q0)}), 6) AS score
+       |FROM short ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+  }
+
   /** #126 BQ index health: code geometry + sign-balance diagnostic in one
     * aggregate (rows-only). */
   def vecBqStats(s: SparkSession, d: String): DataFrame =
@@ -1924,6 +1955,7 @@ object VectorQueries {
     "vec_ivf_portable" -> vecIvfPortableSql,
     "vec_pq_portable" -> vecPqPortableSql,
     "vec_ivfpq_portable" -> vecIvfpqPortableSql,
+    "vec_bq_topk" -> vecBqTopKSql,
     "vec_norm_check" -> vecNormCheckSql,
     "vec_mmr" -> vecMmrSql
   )

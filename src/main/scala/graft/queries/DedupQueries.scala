@@ -809,6 +809,62 @@ object DedupQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** #306 sample_balance_portable: the cluster-balanced sampling
+    * decision (#172) with PINNED geometry — the water-filling cap law's
+    * hash-pass witness, completing the k-means family's witness sweep
+    * (#301 semantic dedup, #303 IVF, here the curation sampler): the
+    * SAME [[semPortableCentroids]] frozen quantizer (pickK(gate N)
+    * geometry) through the IDENTICAL SemDedup.assignWith/balancedKeep
+    * path — argmax assignment, k-row size table, minimal integer cap
+    * with Σ min(sᵢ, c) ≥ ⌈N/2⌉, min-md5(vec_id) realization per
+    * cluster. The generated DuckDB oracle replays assignment (the #301
+    * CTE), derives the cap by scanning candidate caps against the same
+    * inequality (the binary search's fixpoint, not its path — same
+    * minimal c), and realizes with the same md5-of-decimal-string
+    * ordering. #172 stays the production entry (learned clusters track
+    * the corpus). Reference slot: DataComp/LAION cluster-balanced
+    * curation; the md5 realization is the sample_* family's
+    * engine-portable rule. */
+  def sampleBalancePortable(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val model = graft.search.IvfModel(semPortableCentroids, e)
+    graft.dedup.SemDedup.balancedKeep(
+      graft.dedup.SemDedup.assignWith(model, e), BalanceBudgetFrac)
+      .orderBy("vec_id")
+  }
+
+  def sampleBalancePortableSql: String = {
+    import graft.search.QueryVectors.sqlLit
+    val cents = semPortableCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlLit(c)})" }
+      .mkString(",\n|  ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents(cid, cv) AS (VALUES
+       |  $cents),
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT m.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_dot_product(m.e, c.cv) DESC, c.cid ASC) AS rk
+       |    FROM emb m CROSS JOIN cents c) WHERE rk = 1),
+       |sizes AS (SELECT list_id, count(*) AS cnt FROM assigned GROUP BY list_id),
+       |budget AS (
+       |  SELECT CAST(ceil(count(*) * $BalanceBudgetFrac) AS BIGINT) AS b
+       |  FROM assigned),
+       |cands AS (
+       |  SELECT DISTINCT unnest(generate_series(1, cnt)) AS c FROM sizes),
+       |cap AS (
+       |  SELECT c FROM cands
+       |  WHERE (SELECT sum(least(cnt, c)) FROM sizes) >= (SELECT b FROM budget)
+       |  ORDER BY c LIMIT 1)
+       |SELECT a.vec_id, a.list_id,
+       |  (row_number() OVER (PARTITION BY a.list_id
+       |     ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id)
+       |   <= (SELECT c FROM cap)) AS kept
+       |FROM assigned a
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** #170 dedup_recall: the sample-based blocking-recall AUDIT a dedup
     * run publishes next to its pair tables (the vec_recall_ivf symmetry
     * on the dedup axis): ground truth is EXACT all-pairs Jaccard over a
@@ -1205,6 +1261,7 @@ object DedupQueries {
     "dedup_simhash_portable" -> (dedupSimhashPortable _),
     "dedup_embedding_portable" -> (dedupEmbeddingPortable _),
     "dedup_semantic_portable" -> (dedupSemanticPortable _),
+    "sample_balance_portable" -> (sampleBalancePortable _),
     "dedup_semantic_inc" -> (dedupSemanticInc _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
@@ -1232,6 +1289,7 @@ object DedupQueries {
     "dedup_simhash_portable" -> dedupSimhashPortableSql,
     "dedup_embedding_portable" -> dedupEmbeddingPortableSql,
     "dedup_semantic_portable" -> dedupSemanticPortableSql,
+    "sample_balance_portable" -> sampleBalancePortableSql,
     "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -661,6 +661,20 @@ object VectorQueries {
   def vecBqStats(s: SparkSession, d: String): DataFrame =
     bqModel(s, d).stats()
 
+  /** #126's oracle — NEW r17, the vec_bq_topk upgrade's sibling: every
+    * stats column is exact arithmetic (count, code geometry derived from
+    * the data's dimension, popcount ≡ count of `x > 0` dims, a round-6
+    * integer average), so the production row hash-passes without a
+    * pinned twin. */
+  val vecBqStatsSql: String =
+    """WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |pop AS (SELECT len(e) AS dim, len(list_filter(e, x -> x > 0)) AS pop FROM emb)
+      |SELECT count(*) AS n_vectors,
+      |  CAST((max(dim) + 7) // 8 AS INTEGER) AS code_bytes_per_vec,
+      |  CAST(((max(dim) + 7) // 8) * 8 * 4 AS INTEGER) AS raw_bytes_per_vec,
+      |  round(avg(pop), 6) AS mean_popcount
+      |FROM pop""".stripMargin
+
   /** One PCA model per sf dir: one moment pass + driver Jacobi (Pca doc).
     * Build cost is a single scan, so no disk persistence — unlike the
     * quantizer tiers there is no trained state worth sharing across JVMs
@@ -1956,6 +1970,7 @@ object VectorQueries {
     "vec_pq_portable" -> vecPqPortableSql,
     "vec_ivfpq_portable" -> vecIvfpqPortableSql,
     "vec_bq_topk" -> vecBqTopKSql,
+    "vec_bq_stats" -> vecBqStatsSql,
     "vec_norm_check" -> vecNormCheckSql,
     "vec_mmr" -> vecMmrSql
   )

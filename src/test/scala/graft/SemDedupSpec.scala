@@ -219,4 +219,39 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out.length == want.length)
     out.zip(want).foreach { case (o, w) => assert(o == w, s"mismatch: $o vs $w") }
   }
+
+  test("balance twin (#306): independent local replay matches bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.DedupQueries.sampleBalancePortable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val cents = graft.queries.DedupQueries.semPortableCentroids
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val assigned = emb.map { case (id, v) =>
+      var best = -1; var bs = Double.NegativeInfinity; var i = 0
+      while (i < cents.length) {
+        val d = dot(v, cents(i)); if (d > bs) { bs = d; best = i }; i += 1
+      }
+      (id, best)
+    }
+    val sizes = assigned.groupBy(_._2).map { case (l, m) => l -> m.length.toLong }
+    val budget =
+      math.ceil(assigned.length * graft.queries.DedupQueries.BalanceBudgetFrac).toLong
+    def keptAt(c: Long) = sizes.values.map(math.min(_, c)).sum
+    val cap = (1L to sizes.values.max).find(keptAt(_) >= budget).get
+    def md5hex(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val keptIds = assigned.groupBy(_._2).values.flatMap { grp =>
+      grp.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(cap.toInt)
+    }.toSet
+    val want = assigned.map { case (id, l) => (id, l, keptIds(id)) }
+    assert(out.toSeq == want.toSeq)
+  }
 }

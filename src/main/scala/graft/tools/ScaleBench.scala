@@ -226,8 +226,8 @@ object ScaleBench {
   }
 
   /** Families of artifact warm-up, selectable per probe run via
-    * SPARK_GRAFT_SCALE_WARM (comma list of vec,dedup,bucketed,simhash;
-    * default all): a high-replica probe of a relational-only subset
+    * SPARK_GRAFT_SCALE_WARM (comma list of
+    * vec,dedup,bucketed,simhash,minhash; default all): a high-replica probe of a relational-only subset
     * (e.g. the 1000× bucketed_join / table_profile_approx decade) must
     * not pay hours of IVF/PQ training and pair mining over a 1000×
     * corpus it never reads. NOTE (r17): the simhash chunk table moved
@@ -253,7 +253,11 @@ object ScaleBench {
     if (on("dedup")) {
       try { graft.queries.DedupQueries.minedClusters(spark, dir); () }
       catch { case _: Throwable => }
-      // #302's bucketed band table (ingest-time layout, untimed)
+    }
+    // #302's bucketed band table (ingest-time layout, untimed) — its own
+    // family so a minhash-only probe skips the τ=0.95 jaccard mine above
+    // (the known single-JVM capacity artifact at 100×, §3i)
+    if (on("minhash")) {
       try { graft.queries.DedupQueries.minhashBandTable(spark, dir); () }
       catch { case _: Throwable => }
     }

@@ -809,6 +809,30 @@ object DedupQueries {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  /** #307 dedup_semantic_inc_portable: the INCREMENTAL SemDeDup
+    * maintenance (#159's appendVerdict — frozen-quantizer assignment,
+    * touched-cluster recompute, untouched-verdict passthrough, keep-slot
+    * revocation) under the PINNED #301 model, hash-checked against the
+    * SAME independent DuckDB replay: because verdicts never cross
+    * cluster boundaries, append(resident, batch) under a frozen model
+    * equals the full verdict over the union (SemDedupSpec pins this for
+    * trained models), so [[dedupSemanticPortableSql]] — which replays
+    * the full pipeline from literals with no knowledge of the split —
+    * is this row's oracle too. A bug anywhere in the incremental merge
+    * (a cluster recomputed that shouldn't be, a stale verdict carried,
+    * a revocation missed) lands as a hash mismatch against an oracle
+    * that never saw the incremental path. Same 90/10 split as #159. */
+  def dedupSemanticIncPortable(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val batch = e.where(pmod(col("vec_id"), lit(10)) === 0)
+    val resident = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val model = graft.search.IvfModel(semPortableCentroids, e)
+    val rv = graft.dedup.SemDedup.verdictFor(
+      graft.dedup.SemDedup.assignWith(model, resident), CosineTau)
+    graft.dedup.SemDedup.appendVerdict(model, resident, rv, batch, CosineTau)
+      .orderBy("vec_id")
+  }
+
   /** #306 sample_balance_portable: the cluster-balanced sampling
     * decision (#172) with PINNED geometry — the water-filling cap law's
     * hash-pass witness, completing the k-means family's witness sweep
@@ -1262,6 +1286,7 @@ object DedupQueries {
     "dedup_embedding_portable" -> (dedupEmbeddingPortable _),
     "dedup_semantic_portable" -> (dedupSemanticPortable _),
     "sample_balance_portable" -> (sampleBalancePortable _),
+    "dedup_semantic_inc_portable" -> (dedupSemanticIncPortable _),
     "dedup_semantic_inc" -> (dedupSemanticInc _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_report" -> (dedupReport _),
@@ -1290,6 +1315,7 @@ object DedupQueries {
     "dedup_embedding_portable" -> dedupEmbeddingPortableSql,
     "dedup_semantic_portable" -> dedupSemanticPortableSql,
     "sample_balance_portable" -> sampleBalancePortableSql,
+    "dedup_semantic_inc_portable" -> dedupSemanticPortableSql,
     "dedup_report" -> dedupReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -743,14 +743,9 @@ object DedupQueries {
     * float — the raw model centroids. assignWith's unitCentroids pass
     * renormalizes these (float norm ≈ 1 but not exactly 1), so the
     * oracle renders BOTH arrays; see [[dedupSemanticPortableSql]]. */
-  private[graft] lazy val semPortableCentroids: Array[Array[Float]] = {
-    val rng = new scala.util.Random(42L)
-    Array.fill(SemPortableK) {
-      val v = Array.fill(graft.search.QueryVectors.Dim)(rng.nextGaussian())
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / nrm).toFloat)
-    }
-  }
+  private[graft] lazy val semPortableCentroids: Array[Array[Float]] =
+    graft.search.QueryVectors.seededUnitRows(
+      SemPortableK, graft.search.QueryVectors.Dim)
 
   def dedupSemanticPortable(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -764,13 +759,10 @@ object DedupQueries {
     * for assignment, unitCentroids for centroid_cos — one source of
     * truth, the #297 sqlLit discipline). */
   def dedupSemanticPortableSql: String = {
-    import graft.search.QueryVectors.sqlLit
+    import graft.search.QueryVectors.{sqlValues => vals}
     val raw = semPortableCentroids
     val unit = graft.dedup.SemDedup.unitCentroids(
       graft.search.IvfModel(raw, null))
-    def vals(cs: Array[Array[Float]]) =
-      cs.zipWithIndex.map { case (c, i) => s"($i, ${sqlLit(c)})" }
-        .mkString(",\n|    ")
     s"""WITH RECURSIVE emb AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cents(cid, c) AS (VALUES
@@ -858,10 +850,7 @@ object DedupQueries {
   }
 
   def sampleBalancePortableSql: String = {
-    import graft.search.QueryVectors.sqlLit
-    val cents = semPortableCentroids.zipWithIndex
-      .map { case (c, i) => s"($i, ${sqlLit(c)})" }
-      .mkString(",\n|  ")
+    val cents = graft.search.QueryVectors.sqlValues(semPortableCentroids)
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cents(cid, cv) AS (VALUES
        |  $cents),

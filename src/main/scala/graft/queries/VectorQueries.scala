@@ -94,14 +94,8 @@ object VectorQueries {
   val IvfPortableNlist = 64 // == Ivf.pickNlist(500), the sf0.01 gate corpus
   val IvfPortableNprobe = 8 // real pruning: 8 of 64 lists per query
 
-  private[graft] lazy val ivfPortableCentroids: Array[Array[Float]] = {
-    val rng = new scala.util.Random(42L)
-    Array.fill(IvfPortableNlist) {
-      val v = Array.fill(QueryVectors.Dim)(rng.nextGaussian())
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / nrm).toFloat)
-    }
-  }
+  private[graft] lazy val ivfPortableCentroids: Array[Array[Float]] =
+    QueryVectors.seededUnitRows(IvfPortableNlist, QueryVectors.Dim)
 
   def vecIvfPortable(s: SparkSession, d: String): DataFrame = {
     val m0 = graft.search.IvfModel(ivfPortableCentroids, null)
@@ -114,9 +108,7 @@ object VectorQueries {
     * ranking accumulate float→double products in index order in both
     * engines, so list ids, probe sets, scores and ranks hash-match. */
   def vecIvfPortableSql: String = {
-    val cents = ivfPortableCentroids.zipWithIndex
-      .map { case (c, i) => s"($i, ${QueryVectors.sqlLit(c)})" }
-      .mkString(",\n|  ")
+    val cents = QueryVectors.sqlValues(ivfPortableCentroids)
     val qs = knnQueries
       .map { case (qid, v) => s"(CAST($qid AS BIGINT), ${QueryVectors.sqlLit(v)})" }
       .mkString(",\n|  ")
@@ -459,8 +451,11 @@ object VectorQueries {
     model.search(q0, k = K, shortlist = 100)
   }
 
-  /** GENERATED from the same codebook/LUT arrays the Spark plan uses. */
-  def vecPqPortableSql: String = {
+  /** The #304/#305 oracles' shared encode/ADC rendering — ONE copy of
+    * the bias computation, the LUT literals (rendered from the
+    * production PqModel.lut itself) and the ordered-sum expression, so
+    * the PQ and IVFPQ witnesses can never silently diverge. */
+  private lazy val pqOracleParts: (String, String, String) = {
     def dlit(v: Array[Double]) =
       v.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
     val cb = pqPortableCodebook
@@ -479,6 +474,12 @@ object VectorQueries {
     val codeCols = (0 until 8)
       .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s")
       .mkString(",\n|    ")
+    (cwRows, adcExpr, codeCols)
+  }
+
+  /** GENERATED from the same codebook/LUT arrays the Spark plan uses. */
+  def vecPqPortableSql: String = {
+    val (cwRows, adcExpr, codeCols) = pqOracleParts
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cw(s, c, w, bias) AS (VALUES
        |  $cwRows),
@@ -529,26 +530,8 @@ object VectorQueries {
   }
 
   def vecIvfpqPortableSql: String = {
-    def dlit(v: Array[Double]) =
-      v.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
-    val cents = ivfPortableCentroids.zipWithIndex
-      .map { case (c, i) => s"($i, ${QueryVectors.sqlLit(c)})" }
-      .mkString(",\n|  ")
-    val cb = pqPortableCodebook
-    val cwRows = (for { s <- 0 until 8; c <- 0 until PqPortableCodes } yield {
-      val w = cb(s)(c)
-      var n2 = 0.0; var i = 0
-      while (i < w.length) { n2 += w(i).toDouble * w(i); i += 1 }
-      s"($s, $c, ${QueryVectors.sqlLit(w)}, ${-0.5 * n2})"
-    }).mkString(",\n|  ")
-    val model = graft.search.PqModel(8, 8, PqPortableCodes, cb, null, null)
-    val lut = model.lut(q0)
-    val adcExpr = (0 until 8)
-      .map(s => s"(${dlit(lut(s))})[c$s + 1]")
-      .mkString("\n|      + ")
-    val codeCols = (0 until 8)
-      .map(s => s"max(CASE WHEN s = $s THEN code END) AS c$s")
-      .mkString(",\n|    ")
+    val cents = QueryVectors.sqlValues(ivfPortableCentroids)
+    val (cwRows, adcExpr, codeCols) = pqOracleParts
     val qLit = QueryVectors.sqlLit(q0)
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cents(cid, cv) AS (VALUES

@@ -28,6 +28,26 @@ object QueryVectors {
     * double the Spark expression computes with. */
   def sqlLit(v: Array[Float]): String =
     v.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+
+  /** `n` seeded unit-normalized gaussian rows — the pinned-geometry
+    * portable twins' shared frozen-model generator (#301/#303/#306's
+    * centroids; one source of truth so a tweak to the seeding or
+    * normalization discipline cannot diverge the families). Generation
+    * in double, normalized in double, stored as float. */
+  def seededUnitRows(n: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(n) {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+  }
+
+  /** Render centroid rows as a `(cid, vector)` VALUES body — the shared
+    * oracle-builder snippet of the pinned-geometry twins. */
+  def sqlValues(cs: Array[Array[Float]]): String =
+    cs.zipWithIndex.map { case (c, i) => s"($i, ${sqlLit(c)})" }
+      .mkString(",\n|  ")
 }
 
 /** The reference's qtext → query-vector encode seam: artifacts.py encodes

@@ -65,8 +65,10 @@ final class StreamingIngest {
     // in report(). Dedup before the joins keeps k redeliveries at k
     // rows; after them the q/l/fp sides would each carry k copies and
     // the joins would explode to k³ rows per doc before collapsing.
-    // Cheap: |batch|-sized shuffle.
-    val b = batch.dropDuplicates("doc_id")
+    // localCheckpoint materializes the dedup ONCE — the three feature
+    // branches below each re-execute their input otherwise (different
+    // pruned column sets defeat ReuseExchange), tripling the shuffle.
+    val b = batch.dropDuplicates("doc_id").localCheckpoint(true)
     // the same feature derivations the batch operator joins (withQuality
     // and withLangId each project text away, so they run side by side)
     val q = TextAnalysis.withQuality(b).select(col("doc_id"), col("quality_score"))

@@ -230,9 +230,13 @@ object ScaleBench {
     * vec,dedup,bucketed,simhash,minhash; default all): a high-replica probe of a relational-only subset
     * (e.g. the 1000× bucketed_join / table_profile_approx decade) must
     * not pay hours of IVF/PQ training and pair mining over a 1000×
-    * corpus it never reads. NOTE (r17): the simhash chunk table moved
-    * out of `bucketed` into its own `simhash` family — a simhash-only
-    * probe requests `simhash`, not `bucketed`. */
+    * corpus it never reads. NOTE (r17): two tables moved into their own
+    * families — the simhash chunk table out of `bucketed` into
+    * `simhash`, and the #302 minhash band table out of `dedup` into
+    * `minhash` — so a simhash probe requests `simhash` and a
+    * dedup_minhash_bucketed / dedup_incremental probe requests
+    * `minhash` (the old `dedup`/`bucketed` spellings no longer build
+    * these tables, and an unwarmed probe times the one-off build). */
   private def warm(spark: SparkSession, dir: String,
                    sel: Option[Set[String]] = None): Unit = {
     def on(f: String) = sel.forall(_.contains(f))

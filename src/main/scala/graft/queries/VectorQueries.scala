@@ -575,6 +575,163 @@ object VectorQueries {
        |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
   }
 
+  /** #308 vec_ivfpq_res_portable: the RESIDUAL composed tier (the true
+    * FAISS IndexIVFPQ semantics, #137's machinery) with both halves
+    * pinned — the witness sweep's last composed member. The residual
+    * subtraction happens in FLOAT inside the codegen'd PqEncodeResidual
+    * (`(x_i − c_i)` as float, then widened for the product), and the
+    * oracle replays it EXACTLY via `CAST(e[i] − cv[i] AS REAL)`: double
+    * subtraction of two float-valued doubles followed by a correct
+    * rounding to float equals native float subtraction (double rounding
+    * is innocuous at 53 ≥ 2·24+2 bits — Figueroa's theorem), so the
+    * residual codes, the query-only LUT (the #304 literals, raw-q — the
+    * residual decomposition's point), the per-list ⟨q,c_l⟩ bias
+    * (computed in-SQL from the same centroid literals, index-order
+    * double accumulation) and the round-6 shortlist all hash-match.
+    * Production #137 stays rows-only with trained halves. Reference
+    * slot: FAISS IndexIVFPQ residual default (loaders.py family);
+    * verify primitive eval/oracle.py:36. */
+  def vecIvfpqResPortable(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val m0 = graft.search.IvfModel(ivfPortableCentroids, null)
+    val ivfM = graft.search.IvfModel(ivfPortableCentroids, m0.assign(e))
+    val coded = ivfM.indexed.select(col("vec_id"), col("list_id"),
+      graft.functions.VectorFunctions.pqEncodeResidual(col("embedding"),
+        col("list_id").cast("int"), ivfPortableCentroids,
+        pqPortableCodebook).as("pq_codes"))
+    graft.search.IvfPqResModel(ivfM, 8, 8, PqPortableCodes,
+      pqPortableCodebook, coded, e)
+      .search(q0, nprobe = IvfPortableNprobe, k = K, shortlist = 100)
+  }
+
+  def vecIvfpqResPortableSql: String = {
+    val cents = QueryVectors.sqlValues(ivfPortableCentroids)
+    val (cwRows, adcExpr, codeCols) = pqOracleParts
+    val qLit = QueryVectors.sqlLit(q0)
+    // the float residual, emulated exactly (innocuous double rounding)
+    val residList = (1 to 8)
+      .map(j => s"CAST(CAST(m.e[cw.s*8+$j] - ct.cv[cw.s*8+$j] AS REAL) AS DOUBLE)")
+      .mkString("[", ",\n|           ", "]")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cents(cid, cv) AS (VALUES
+       |  $cents),
+       |cw(s, c, w, bias) AS (VALUES
+       |  $cwRows),
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT m.vec_id, ct.cid,
+       |      row_number() OVER (PARTITION BY m.vec_id
+       |        ORDER BY list_dot_product(m.e, ct.cv) DESC, ct.cid ASC) AS rk
+       |    FROM emb m CROSS JOIN cents ct) WHERE rk = 1),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT ct.cid,
+       |      row_number() OVER (ORDER BY list_dot_product($qLit, ct.cv) DESC,
+       |                         ct.cid ASC) AS rk
+       |    FROM cents ct) WHERE rk <= $IvfPortableNprobe),
+       |enc AS (
+       |  SELECT vec_id, s, c AS code FROM (
+       |    SELECT m.vec_id, cw.s, cw.c,
+       |      row_number() OVER (PARTITION BY m.vec_id, cw.s
+       |        ORDER BY list_dot_product(
+       |          [cw.bias] || $residList,
+       |          [1.0::DOUBLE] || cw.w) DESC,
+       |                 cw.c ASC) AS rk
+       |    FROM emb m
+       |    JOIN assigned a USING (vec_id)
+       |    JOIN cents ct ON ct.cid = a.list_id
+       |    CROSS JOIN cw) WHERE rk = 1),
+       |codes AS (
+       |  SELECT vec_id,
+       |    $codeCols
+       |  FROM enc GROUP BY vec_id),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT cd.vec_id,
+       |      row_number() OVER (ORDER BY round(($adcExpr)
+       |        + list_dot_product($qLit, ct.cv), 6) DESC, cd.vec_id) AS rk
+       |    FROM codes cd
+       |    JOIN assigned a USING (vec_id)
+       |    JOIN cents ct ON ct.cid = a.list_id
+       |    JOIN probes p ON a.list_id = p.cid) WHERE rk <= 100)
+       |SELECT e.vec_id,
+       |  round(list_dot_product(e.e, $qLit), 6) AS score
+       |FROM emb e JOIN short USING (vec_id)
+       |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+  }
+
+  /** #309 vec_sq_portable: the SQ8 encode→ADC→refine pipeline with
+    * PINNED uniform quantizer params — the scalar-quantization tier's
+    * hash-pass witness, closing the compression family's sweep
+    * (PQ #304, IVFPQ #305, residual #308, BQ upgraded in place; SQ is
+    * the last member): vmin = −1, delta = 2/255 per dimension (the
+    * range-safe quantizer for a unit-norm corpus, whose coordinates lie
+    * in [−1, 1]; production #117 trains per-dim min/max and stays
+    * rows-only — the machinery under test, float encode with
+    * round-half-up and clamp, the asymmetric-identity ADC, the round-6
+    * shortlist and exact refine, is parameter-independent). The encode
+    * is FLOAT arithmetic (`(x−vmin)/delta` as float ops,
+    * `Math.round(float)` = floor(x+0.5f)); the oracle emulates every
+    * step exactly with the #308 discipline — each float op as a double
+    * op cast to REAL (innocuous double rounding, 53 ≥ 2·24+2) — and
+    * renders the driver-folded (w, bias) ADC constants from the same
+    * arrays, with the accumulation order preserved via the
+    * `[bias] || codes · [1.0] || w` dot. Reference slot: FAISS
+    * IndexScalarQuantizer QT_8bit (the loaders.py family); verify
+    * primitive eval/oracle.py:36. */
+  val SqPortableVmin: Float = -1.0f
+  val SqPortableDelta: Float = (2.0 / 255).toFloat
+
+  def vecSqPortable(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val vmin = Array.fill(QueryVectors.Dim)(SqPortableVmin)
+    val delta = Array.fill(QueryVectors.Dim)(SqPortableDelta)
+    val model = graft.search.SqModel(QueryVectors.Dim, vmin, delta,
+      e.select(col("vec_id"),
+        graft.functions.VectorFunctions.sqEncode(col("embedding"), vmin, delta)
+          .as("sq_codes")), e)
+    model.search(q0, k = K, shortlist = 100)
+  }
+
+  def vecSqPortableSql: String = {
+    val dim = QueryVectors.Dim
+    val vminD = SqPortableVmin.toDouble
+    val deltaD = SqPortableDelta.toDouble
+    // the SqModel.adcScore driver fold, replicated (same loop order):
+    // bias = Σ q_i·vmin_i, w_i = q_i·delta_i — doubles from floats
+    var bias = 0.0
+    val w = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      bias += q0(i).toDouble * vminD
+      w(i) = q0(i).toDouble * deltaD
+      i += 1
+    }
+    val wLit = w.map(_.toString).mkString("[", ",", "]::DOUBLE[]")
+    val qLit = QueryVectors.sqlLit(q0)
+    // SqEncode per element, float ops emulated exactly: diff and
+    // quotient and the +0.5f each double-computed then cast REAL
+    // (innocuous), floor, clamp — Math.round(float)'s floor(x+0.5f)
+    val codeLambda =
+      s"x -> CAST(least(255, greatest(0, CAST(floor(" +
+        s"CAST(CAST(CAST(x - ($vminD) AS REAL) / ($deltaD) AS REAL) + 0.5 AS REAL)" +
+        s") AS BIGINT))) AS DOUBLE)"
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |codes AS (
+       |  SELECT vec_id, e, list_transform(e, $codeLambda) AS cs FROM emb),
+       |short AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id,
+       |      row_number() OVER (ORDER BY
+       |        round(list_dot_product([$bias] || cs, [1.0::DOUBLE] || $wLit), 6)
+       |          DESC, vec_id) AS rk
+       |    FROM codes) WHERE rk <= 100)
+       |SELECT e.vec_id,
+       |  round(list_dot_product(e.e, $qLit), 6) AS score
+       |FROM emb e JOIN short USING (vec_id)
+       |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+  }
+
   /** One SQ8 model per sf dir, persisted like the PQ index: the first JVM
     * trains the per-dim (vmin, delta) params + encodes (seed 42), later
     * JVMs load the byte-code table and score it without the vectors. */
@@ -1898,6 +2055,8 @@ object VectorQueries {
     "vec_ivf_portable" -> (vecIvfPortable _),
     "vec_pq_portable" -> (vecPqPortable _),
     "vec_ivfpq_portable" -> (vecIvfpqPortable _),
+    "vec_ivfpq_res_portable" -> (vecIvfpqResPortable _),
+    "vec_sq_portable" -> (vecSqPortable _),
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
@@ -1952,6 +2111,8 @@ object VectorQueries {
     "vec_ivf_portable" -> vecIvfPortableSql,
     "vec_pq_portable" -> vecPqPortableSql,
     "vec_ivfpq_portable" -> vecIvfpqPortableSql,
+    "vec_ivfpq_res_portable" -> vecIvfpqResPortableSql,
+    "vec_sq_portable" -> vecSqPortableSql,
     "vec_bq_topk" -> vecBqTopKSql,
     "vec_bq_stats" -> vecBqStatsSql,
     "vec_norm_check" -> vecNormCheckSql,

@@ -184,6 +184,55 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(composed.length == 10)
   }
 
+  test("vec_ivfpq_res_portable (#308): all lists + full shortlist recovers exact top-k") {
+    // with every list probed and the shortlist the whole corpus, the
+    // residual-ADC ranking only ORDERS the refine's input — the exact
+    // refine must recover brute force bit-for-bit under the pinned model
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count().toInt
+    val cents = graft.queries.VectorQueries.ivfPortableCentroids
+    val cb = graft.queries.VectorQueries.pqPortableCodebook
+    val m0 = graft.search.IvfModel(cents, null)
+    val ivfM = graft.search.IvfModel(cents, m0.assign(e))
+    val coded = ivfM.indexed.select(col("vec_id"), col("list_id"),
+      graft.functions.VectorFunctions.pqEncodeResidual(col("embedding"),
+        col("list_id").cast("int"), cents, cb).as("pq_codes"))
+    val model = graft.search.IvfPqResModel(ivfM, 8, 8,
+      graft.queries.VectorQueries.PqPortableCodes, cb, coded, e)
+    val q0 = QueryVectors.qvec(0)
+    val got = model.search(q0, nprobe = cents.length, k = 10, shortlist = n)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.search.VectorSearch.topK(e, q0, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("vec_sq_portable (#309): full shortlist recovers exact top-k; codes in range") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count().toInt
+    val dim = QueryVectors.Dim
+    val vmin = Array.fill(dim)(graft.queries.VectorQueries.SqPortableVmin)
+    val delta = Array.fill(dim)(graft.queries.VectorQueries.SqPortableDelta)
+    val model = graft.search.SqModel(dim, vmin, delta,
+      e.select(col("vec_id"),
+        graft.functions.VectorFunctions.sqEncode(col("embedding"), vmin, delta)
+          .as("sq_codes")), e)
+    val q0 = QueryVectors.qvec(0)
+    val got = model.search(q0, k = 10, shortlist = n).collect().map(_.toSeq).toSeq
+    val want = graft.search.VectorSearch.topK(e, q0, 10).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // a unit-norm corpus never clamps under the pinned [-1, 1] range —
+    // every byte stays strictly inside the code book's interior
+    val codes = model.codes.select("sq_codes").collect()
+      .flatMap(_.getAs[Array[Byte]](0)).map(_ & 0xFF)
+    assert(codes.forall(c => c > 0 && c < 255),
+      "unit coordinates must land strictly inside [1, 254]")
+  }
+
   test("IVFPQ searchMany (one pruned code scan) equals per-query search") {
     val ivf = Ivf.build(emb, nlist = 16)
     val model = IvfPq.compose(ivf, Pq.build(emb))

@@ -362,6 +362,54 @@ object VectorQueries {
     CosineLsh.search(e, q0, planes, K)
   }
 
+  /** #310 vec_lsh_portable: the cosine-LSH SEARCH path (the HNSW-slot
+    * serving tier — reference loaders.py:123-157's fallback member)
+    * with pinned plane count — the last ANN family member without a
+    * hash-pass witness. #297 value-checks the LSH bucket machinery in
+    * its DEDUP flavor (pair mining); this twin checks the SEARCH
+    * flavor: query signature, hamming-1 multiprobe bucket membership,
+    * and ranked top-K within the probed buckets. [[LshPortableBits]] ==
+    * CosineLsh.pickBits(gate N) and the seed is the production 42, so
+    * at gate scale the twin IS #20's plan (the #297 pickBits-equality
+    * trick, spec-pinned as DIRECT output equality with vec_lsh_topk).
+    * The oracle renders the same seeded planes, derives the query
+    * signature IN SQL from the same literals, filters by
+    * bit_count(xor) ≤ 1 (≡ the multiprobe set) and replays the round-6
+    * top-K. #20 stays the production entry whose bits scale with the
+    * corpus. */
+  val LshPortableBits = 4 // == CosineLsh.pickBits(500), the sf0.01 gate corpus
+
+  def vecLshPortable(s: SparkSession, d: String): DataFrame = {
+    val planes = CosineLsh.planes(QueryVectors.Dim, LshPortableBits)
+    CosineLsh.search(emb(s, d), q0, planes, K)
+  }
+
+  def vecLshPortableSql: String = {
+    val planes = CosineLsh.planes(QueryVectors.Dim, LshPortableBits)
+    val planeVals = QueryVectors.sqlValues(planes)
+    val qLit = QueryVectors.sqlLit(q0)
+    val sigTerms = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product(e, ${QueryVectors.sqlLit(p)}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString("\n|      + ")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |planes(pid, pv) AS (VALUES
+       |  $planeVals),
+       |sigs AS (
+       |  SELECT vec_id, e,
+       |    $sigTerms AS bucket
+       |  FROM emb),
+       |qsig AS (
+       |  SELECT sum(CASE WHEN list_dot_product($qLit, pv) > 0
+       |             THEN 1 << pid ELSE 0 END) AS s
+       |  FROM planes)
+       |SELECT vec_id,
+       |  round(list_dot_product(e, $qLit), 6) AS score
+       |FROM sigs, qsig
+       |WHERE bit_count(xor(bucket, s)) <= 1
+       |ORDER BY score DESC, vec_id LIMIT $K""".stripMargin
+  }
+
   /** recall@K across the mid-tier's two dial axes (radius × tables) vs
     * one exact pass — the latency_recall curve for the HNSW-slot tier,
     * companion to vec_nprobe_sweep. Rows-only (seeded hyperplanes are
@@ -2057,6 +2105,7 @@ object VectorQueries {
     "vec_ivfpq_portable" -> (vecIvfpqPortable _),
     "vec_ivfpq_res_portable" -> (vecIvfpqResPortable _),
     "vec_sq_portable" -> (vecSqPortable _),
+    "vec_lsh_portable" -> (vecLshPortable _),
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
@@ -2113,6 +2162,7 @@ object VectorQueries {
     "vec_ivfpq_portable" -> vecIvfpqPortableSql,
     "vec_ivfpq_res_portable" -> vecIvfpqResPortableSql,
     "vec_sq_portable" -> vecSqPortableSql,
+    "vec_lsh_portable" -> vecLshPortableSql,
     "vec_bq_topk" -> vecBqTopKSql,
     "vec_bq_stats" -> vecBqStatsSql,
     "vec_norm_check" -> vecNormCheckSql,

@@ -233,6 +233,20 @@ class VectorSearchSpec extends AnyFunSuite {
       "unit coordinates must land strictly inside [1, 254]")
   }
 
+  test("vec_lsh_portable (#310) IS vec_lsh_topk at gate scale (pickBits equality)") {
+    val sf001 = "/root/testdata/sf0.01"
+    val n = Tables.rowCount(spark, sf001, "embeddings")
+    assert(graft.queries.VectorQueries.LshPortableBits ==
+      graft.search.CosineLsh.pickBits(n),
+      s"LshPortableBits must track pickBits($n)")
+    val a = graft.queries.VectorQueries.vecLshPortable(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val b = graft.queries.VectorQueries.vecLshTopK(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "same bits + same seed: the twin must be the production plan")
+    assert(a.nonEmpty)
+  }
+
   test("IVFPQ searchMany (one pruned code scan) equals per-query search") {
     val ivf = Ivf.build(emb, nlist = 16)
     val model = IvfPq.compose(ivf, Pq.build(emb))

@@ -107,12 +107,15 @@ object VectorQueries {
     * (QueryVectors.sqlLit — one source of truth). Assignment and probe
     * ranking accumulate float→double products in index order in both
     * engines, so list ids, probe sets, scores and ranks hash-match. */
-  def vecIvfPortableSql: String = {
+  /** The #303 replay's shared CTE block (cents/queries/assignment/probe
+    * ranking/pruned candidates/per-qid ranking) — one copy so the
+    * search witness and the recall witness (#311) can never diverge. */
+  private lazy val ivfOracleCtes: String = {
     val cents = QueryVectors.sqlValues(ivfPortableCentroids)
     val qs = knnQueries
       .map { case (qid, v) => s"(CAST($qid AS BIGINT), ${QueryVectors.sqlLit(v)})" }
       .mkString(",\n|  ")
-    s"""WITH cents(cid, c) AS (VALUES
+    s"""cents(cid, c) AS (VALUES
        |  $cents),
        |q(qid, qv) AS (VALUES
        |  $qs),
@@ -138,10 +141,50 @@ object VectorQueries {
        |  SELECT qid, vec_id, score,
        |    CAST(row_number() OVER (PARTITION BY qid
        |      ORDER BY score DESC, vec_id) AS INT) AS rank
-       |  FROM cand)
+       |  FROM cand)""".stripMargin
+  }
+
+  def vecIvfPortableSql: String =
+    s"""WITH $ivfOracleCtes
        |SELECT qid, rank, vec_id, score FROM ranked WHERE rank <= $K
        |ORDER BY qid, rank""".stripMargin
+
+  /** #311 vec_recall_portable: the reference's recall METRIC itself
+    * (metrics.py compute_recall — eval-surface parity) hash-checked end
+    * to end: the pinned-IVF tier's retrieved sets (#303's machinery)
+    * scored against an exact per-query ground truth by
+    * VectorSearch.recallAtK — the same function every recall row and
+    * the harness's results.jsonl use, until now covered only by
+    * ScalaTest. The oracle extends the shared #303 replay with an exact
+    * top-K CTE and the hits/K arithmetic (integer counts, one double
+    * division, round 6 — exact both engines). Production recall rows
+    * (#18 etc.) stay rows-only with trained indexes. */
+  def vecRecallPortable(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val m0 = graft.search.IvfModel(ivfPortableCentroids, null)
+    val model = graft.search.IvfModel(ivfPortableCentroids, m0.assign(e))
+    val pred = model.searchMany(knnQueries, nprobe = IvfPortableNprobe, k = K)
+      .select("qid", "vec_id")
+    val truth = VectorSearch.knnJoin(e, knnQueries, K).select("qid", "vec_id")
+    VectorSearch.recallAtK(pred, truth, K)
   }
+
+  def vecRecallPortableSql: String =
+    s"""WITH $ivfOracleCtes,
+       |pred AS (SELECT qid, vec_id FROM ranked WHERE rank <= $K),
+       |exact AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY round(list_dot_product(e.e, q.qv), 6) DESC,
+       |                 e.vec_id) AS rk
+       |    FROM emb e CROSS JOIN q) WHERE rk <= $K),
+       |hits AS (
+       |  SELECT p.qid, count(*) AS h
+       |  FROM pred p JOIN exact t USING (qid, vec_id) GROUP BY p.qid)
+       |SELECT t.qid, round(coalesce(h, 0) / ${K.toDouble}, 6) AS recall
+       |FROM (SELECT DISTINCT qid FROM exact) t LEFT JOIN hits USING (qid)
+       |ORDER BY qid""".stripMargin
 
   def vecKnnJoin(s: SparkSession, d: String): DataFrame =
     VectorSearch.knnJoin(emb(s, d), knnQueries, 5)
@@ -2106,6 +2149,7 @@ object VectorQueries {
     "vec_ivfpq_res_portable" -> (vecIvfpqResPortable _),
     "vec_sq_portable" -> (vecSqPortable _),
     "vec_lsh_portable" -> (vecLshPortable _),
+    "vec_recall_portable" -> (vecRecallPortable _),
     "vec_norm_check" -> (vecNormCheck _),
     "vec_ivf_topk" -> (vecIvfTopK _),
     "vec_ivf_append" -> (vecIvfAppend _),
@@ -2163,6 +2207,7 @@ object VectorQueries {
     "vec_ivfpq_res_portable" -> vecIvfpqResPortableSql,
     "vec_sq_portable" -> vecSqPortableSql,
     "vec_lsh_portable" -> vecLshPortableSql,
+    "vec_recall_portable" -> vecRecallPortableSql,
     "vec_bq_topk" -> vecBqTopKSql,
     "vec_bq_stats" -> vecBqStatsSql,
     "vec_norm_check" -> vecNormCheckSql,

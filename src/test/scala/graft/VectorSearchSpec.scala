@@ -247,6 +247,32 @@ class VectorSearchSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("vec_recall_portable (#311): equals the local set-intersection metric") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val cents = graft.queries.VectorQueries.ivfPortableCentroids
+    val m0 = graft.search.IvfModel(cents, null)
+    val model = graft.search.IvfModel(cents, m0.assign(e))
+    val np = graft.queries.VectorQueries.IvfPortableNprobe
+    val qs = QueryVectors.batch(4)
+    val pred = model.searchMany(qs, nprobe = np, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, m) => q -> m.map(_._2).toSet }
+    val truth = graft.search.VectorSearch.knnJoin(e, qs, 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, m) => q -> m.map(_._2).toSet }
+    val want = truth.keys.toSeq.sorted.map(q =>
+      (q, graft.search.VecMath.round6(
+        pred.getOrElse(q, Set.empty).intersect(truth(q)).size / 10.0)))
+    val got = graft.queries.VectorQueries.vecRecallPortable(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // the dial must leave the metric non-trivial on the gate corpus —
+    // all-1.0 recall would make the witness vacuous
+    assert(got.exists(_._2 < 1.0))
+  }
+
   test("IVFPQ searchMany (one pruned code scan) equals per-query search") {
     val ivf = Ivf.build(emb, nlist = 16)
     val model = IvfPq.compose(ivf, Pq.build(emb))

@@ -16,10 +16,12 @@ object Bench {
     * grows (at 92 queries the full per-query map hit 1903 — ~5 queries of
     * headroom; the itemized setup_sec map costs ~260 more, paid for by
     * trimming TopN 40 → 36; the warm_sec map costs up to ~210 more, paid
-    * for by trimming 36 → 30). The slowest 30 are the ones a reader acts
-    * on; the rest is summarized as `other_sec`/`n_queries`, and the FULL
+    * for by trimming 36 → 30; the r18 always-warm watch entries plus the
+    * worst-case `contended` marker cost up to ~190 more, paid for by
+    * trimming 30 → 27). The slowest 27 are the ones a reader acts on;
+    * the rest is summarized as `other_sec`/`n_queries`, and the FULL
     * map is written to bench_queries.json. */
-  private[graft] val TopN = 30
+  private[graft] val TopN = 27
 
   /** Entries recorded above this get one immediate warm rep, emitted as
     * `warm_sec` beside the cold numbers: the r14 round proved the recorded
@@ -36,6 +38,23 @@ object Bench {
     * stdout line stays bounded. Raised with the threshold so the new
     * 5–10 s band isn't crowded out by the by-design harness loops. */
   private[graft] val MaxWarmReps = 8
+
+  /** Always-warm-repped rows regardless of the threshold (r17 verdict
+    * #6): the sub-5 s repeat swingers — q1_cube read 2.4–4.9 s across
+    * rounds, orders_rfm similar — sit just under WarmRepThreshold and
+    * kept re-litigating as unexplained movers every round. A standing
+    * warm rep (~6 s of bench time) puts their plan-cost number in the
+    * ledger permanently. Names absent from the registry are skipped. */
+  private[graft] val WarmWatch: Seq[String] = Seq("q1_cube", "orders_rfm")
+
+  /** `contended` marker budget: names listed on the line when a warm
+    * rep reads HIGHER than its cold number (box contention mid-rep, not
+    * plan cost — r17's text_dedup_spans read 23.3 s warm vs 8.6 s cold
+    * and the ledger had no way to say so). Capped so the worst case
+    * (every warm row contended at once = the whole ledger is weather)
+    * stays inside the driver's 2000-char tail; `n` carries the true
+    * count when the list overflows. */
+  private[graft] val MaxContended = 3
 
   /** Run order: measured-heaviest FIRST (BENCH_r13 top of the per-query
     * map), then the rest alphabetically. The alphabetical order ran the
@@ -71,9 +90,10 @@ object Bench {
     * (`setup_sec`: index builds, warm-ups, harness artifacts — work done
     * outside the per-query timings, so the wall-clock of a Bench run is
     * decomposable as value + setup_sec.total). Bounded by construction:
-    * 40 entries × (name ≤ ~24 + 8) + ~13 fixed setup keys + envelope
-    * ≤ 1750 chars even at 120 registered queries (BenchLineSpec pins the
-    * worst case; driver tail is 2000). */
+    * TopN + warm (MaxWarmReps + WarmWatch) entries × (name ≤ ~24 + 8)
+    * + ~14 fixed setup keys + the capped contended marker + envelope
+    * stays under the driver's 2000-char tail even at 120 registered
+    * queries (BenchLineSpec pins the worst case). */
   private[graft] def formatLine(results: Seq[(String, Double)], sfNum: String,
                                 setup: Seq[(String, Double)] = Nil,
                                 warm: Seq[(String, Double)] = Nil): String = {
@@ -88,13 +108,36 @@ object Bench {
     val setupJson =
       if (setup.isEmpty) ""
       else s""""setup_sec":${queriesJson(setup :+ ("total" -> setup.map(_._2).sum), 2)},"""
+    // warm_sec carries min(cold, warm rep) — the comparable plan cost
+    // (r17 verdict #2: a single warm rep on a contended box can read
+    // HIGHER than cold; emitting the raw rep would have a reader
+    // conclude the plan tripled). Rows whose raw rep exceeded cold are
+    // named in `contended` (worst warm/cold ratio first, capped, with
+    // the true count) so the discarded rep is visible, and the raw rep
+    // itself is preserved in bench_queries.json as warm/<name>.
+    val cold = results.toMap
+    val warmMin = warm.map { case (n, v) =>
+      val c = cold.getOrElse(n, -1.0)
+      n -> (if (v >= 0 && c >= 0) math.min(v, c) else v)
+    }
+    val contended = warm
+      .filter { case (n, v) => v >= 0 && cold.getOrElse(n, -1.0) >= 0 && v > cold(n) }
+      .sortBy { case (n, v) => -(v / math.max(cold(n), 1e-9)) }
     val warmJson =
       if (warm.isEmpty) ""
-      else s""""warm_sec":${queriesJson(warm.sortBy(_._1), 2)},"""
+      else s""""warm_sec":${queriesJson(warmMin.sortBy(_._1), 2)},"""
+    val contendedJson =
+      if (contended.isEmpty) ""
+      else {
+        val names = contended.take(MaxContended)
+          .map { case (n, _) => "\"" + n + "\"" }.mkString("[", ",", "]")
+        s""""contended":{"n":${contended.length},"rows":$names},"""
+      }
     s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",""" +
       s""""queries":${queriesJson(top, 2)},""" +
       s""""n_queries":${results.length},"failed":${failed.length},""" +
-      s""""other_sec":${fmt(2)(otherSec)},""" + setupJson + warmJson + s""""sf":$sfNum}"""
+      s""""other_sec":${fmt(2)(otherSec)},""" + setupJson + warmJson + contendedJson +
+      s""""sf":$sfNum}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -247,10 +290,19 @@ object Bench {
     // and without the entry the run's wall clock would no longer
     // decompose as value + setup_sec.total (formatLine's invariant).
     val tWarm = System.nanoTime()
-    val warm = results
+    val overThreshold = results
       .filter { case (_, v) => v > WarmRepThreshold }
       .sortBy { case (_, v) => -v }.take(MaxWarmReps)
-      .map { case (name, _) => name -> timedRun(s"$name (warm rep)", SparkEntry.queries(name)) }
+      .map(_._1)
+    // ...plus the standing watch set (WarmWatch doc): sub-threshold
+    // repeat swingers rep every round so their plan cost is always in
+    // the ledger; failed rows (-1) are excluded — a warm rep of a
+    // failing query would just fail again
+    val watch = WarmWatch.filter(n =>
+      !overThreshold.contains(n) &&
+        results.exists { case (rn, v) => rn == n && v >= 0 })
+    val warm = (overThreshold ++ watch)
+      .map(name => name -> timedRun(s"$name (warm rep)", SparkEntry.queries(name)))
     setup += "warm_reps" -> ((System.nanoTime() - tWarm) / 1e9)
 
     // full per-query map (2dp) goes to a FILE — the stdout line carries

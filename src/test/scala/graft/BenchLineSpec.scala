@@ -23,24 +23,60 @@ class BenchLineSpec extends AnyFunSuite {
       "pair_table", "bucketed_build", "npy_artifact", "code_warm",
       "harness").map(_ -> 123.456)
 
-  // worst-case warm_sec map: the MaxWarmReps cap full of max-length names
+  // worst-case warm_sec map: the MaxWarmReps cap PLUS the standing
+  // WarmWatch set, every rep CONTENDED (raw rep above its cold number)
+  // so the contended marker is at its own worst case too
   private val worstWarm: Seq[(String, Double)] =
-    (0 until Bench.MaxWarmReps).map(i => (f"a_very_long_query_name_$i%03d", 123.456))
+    (0 until Bench.MaxWarmReps + Bench.WarmWatch.length)
+      .map(i => (f"a_very_long_query_name_$i%03d", 999.456))
 
-  test("worst-case line stays under 1830 chars at 120 queries + setup + warm maps") {
-    // bound re-pinned 1750 → 1830 when MaxWarmReps grew 6 → 8 (r16
-    // verdict #1: the 5–10 s band now warm-reps); two extra max-length
-    // warm entries cost ~72 chars, and 1830 keeps 170 chars of headroom
-    // under the driver's 2000-char tail
+  test("worst-case line stays under 1900 chars at 120 queries + setup + warm + contended") {
+    // bound re-pinned 1830 → 1900 when the WarmWatch entries (+2 rows)
+    // and the contended marker (capped names + count) joined the line
+    // (r17 verdict #2/#6), paid for by TopN 30 → 27; 1900 keeps 100
+    // chars of headroom under the driver's 2000-char tail
     val line = Bench.formatLine(worst, "0.1", worstSetup, worstWarm)
-    assert(line.length <= 1830, s"line ${line.length} chars")
+    assert(line.length <= 1900, s"line ${line.length} chars")
   }
 
   test("warm_sec is emitted between setup_sec and sf, omitted when empty") {
     val line = Bench.formatLine(worst, "0.1", worstSetup, worstWarm)
+    // warm rep 999.46 > cold 123.46 → the MIN (the cold number) is the
+    // emitted comparable, never the contended raw rep
     assert(line.contains(""""warm_sec":{"a_very_long_query_name_000":123.46"""))
-    assert(line.matches(""".*"setup_sec":\{[^}]*\},"warm_sec":\{[^}]*\},"sf":0\.1\}"""))
+    assert(line.matches(""".*"setup_sec":\{[^}]*\},"warm_sec":\{[^}]*\},"contended":.*"sf":0\.1\}"""))
     assert(!Bench.formatLine(worst, "0.1", worstSetup).contains("warm_sec"))
+  }
+
+  test("contended marker: warm > cold rows are named worst-ratio-first, capped, counted") {
+    // cold: a=10, b=10, c=10, d=10; warm reps: a=30 (3×), b=15 (1.5×),
+    // c=9 (fine), d=40 (4×), e=50 (no cold row — skipped)
+    val cold = Seq(("qa", 10.0), ("qb", 10.0), ("qc", 10.0), ("qd", 10.0))
+    val reps = Seq(("qa", 30.0), ("qb", 15.0), ("qc", 9.0), ("qd", 40.0))
+    val line = Bench.formatLine(cold, "0.1", Nil, reps)
+    // warm_sec carries min(cold, rep) for every repped row
+    assert(line.contains(""""warm_sec":{"qa":10.00,"qb":10.00,"qc":9.00,"qd":10.00}"""))
+    // contended = the three warm>cold rows, worst ratio first
+    assert(line.contains(""""contended":{"n":3,"rows":["qd","qa","qb"]}"""))
+    // no contention → no marker
+    val calm = Bench.formatLine(cold, "0.1", Nil, Seq(("qa", 9.0)))
+    assert(!calm.contains("contended"))
+  }
+
+  test("contended list is capped at MaxContended with the true count preserved") {
+    val cold = (0 until 6).map(i => (s"q$i", 10.0))
+    val reps = (0 until 6).map(i => (s"q$i", 20.0 + i))
+    val line = Bench.formatLine(cold, "0.1", Nil, reps)
+    assert(line.contains(""""contended":{"n":6,"rows":["q5","q4","q3"]}"""))
+    assert(
+      """"rows":\[([^\]]*)\]""".r.findFirstMatchIn(line)
+        .get.group(1).split(",").length == Bench.MaxContended)
+  }
+
+  test("failed warm reps (-1) stay visible raw and are never counted contended") {
+    val line = Bench.formatLine(Seq(("qa", 10.0)), "0.1", Nil, Seq(("qa", -1.0)))
+    assert(line.contains(""""warm_sec":{"qa":-1.00}"""))
+    assert(!line.contains("contended"))
   }
 
   test("setup_sec is itemized with a total and omitted when empty") {
@@ -67,11 +103,11 @@ class BenchLineSpec extends AnyFunSuite {
   test("top-N keeps the slowest queries and other_sec sums the rest exactly") {
     val results = (0 until 100).map(i => (f"q$i%03d", i.toDouble))
     val line = Bench.formatLine(results, "0.01")
-    // slowest 30 are q070..q099
-    assert(line.contains(""""q099":99.00""") && line.contains(""""q070":70.00"""))
-    assert(!line.contains(""""q069":"""))
-    // rest = 0+1+...+69 = 2415
-    assert(line.contains(""""other_sec":2415.00"""))
+    // slowest 27 are q073..q099
+    assert(line.contains(""""q099":99.00""") && line.contains(""""q073":73.00"""))
+    assert(!line.contains(""""q072":"""))
+    // rest = 0+1+...+72 = 2628
+    assert(line.contains(""""other_sec":2628.00"""))
     assert(line.contains(""""value":4950.00"""))
   }
 
@@ -90,8 +126,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.formatLine(results, "0.1")
     assert(line.contains(""""bad":-1.00"""), "sentinel must survive the top-N cut")
     assert(line.contains(""""failed":1"""))
-    // other_sec still sums only the non-top successes: 1+2+...+70 = 2485
-    assert(line.contains(""""other_sec":2485.00"""))
+    // other_sec still sums only the non-top successes: 1+2+...+73 = 2701
+    assert(line.contains(""""other_sec":2701.00"""))
   }
 
   test("failed:0 when everything succeeds") {

@@ -55,21 +55,24 @@ object Tables {
     * not a stale one. The guard is one FLAT listFiles stat per call
     * (parquet table dirs are flat — part files + markers; no recursion),
     * and the map holds ONE entry per (dir, table) — a stale mtime's
-    * entry is replaced, never accumulated. */
-  private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    * entry is replaced, never accumulated. The guard is the shared
+    * [[MtimeCache]], the same one every derived-table cache uses
+    * (bucketed catalog tables, band/chunk tables, published-artifact
+    * readers, trained vector models). */
+  private val countCache = new MtimeCache[Long]
 
   private def tableMtime(f: java.io.File): Long =
     Option(f.listFiles()).getOrElse(Array.empty)
       .foldLeft(f.lastModified())((m, c) => math.max(m, c.lastModified()))
 
-  def rowCount(s: SparkSession, d: String, name: String): Long = {
-    val key = s"$d/$name"
-    val mt = tableMtime(new java.io.File(s"$d/$name.parquet"))
-    countCache.compute(key, (_, cur) =>
-      if (cur != null && cur._1 == mt) cur
-      else (mt, load(s, d, name).count()))._2
-  }
+  /** Max mtime across the named source tables under `d` — the staleness
+    * key for any cache derived from those tables (one flat listFiles
+    * stat per table; parquet table dirs are flat). */
+  def sourceMtime(d: String, names: String*): Long =
+    names.map(n => tableMtime(new java.io.File(s"$d/$n.parquet"))).max
+
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    countCache(s"$d/$name", sourceMtime(d, name)) { load(s, d, name).count() }
 
   /** City names for the derived metadata (embeddingsMeta). */
   val MetaCities: Seq[String] =

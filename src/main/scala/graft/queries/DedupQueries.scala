@@ -36,10 +36,14 @@ object DedupQueries {
     * cache stores the pipeline's own output); at cluster scale the
     * persisted pair set is a table in the warehouse, not executor
     * memory. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // all the dir-keyed memos in this file carry the shared mtime guard
+  // (MtimeCache; r17 verdict #4): an in-process regeneration of
+  // `documents` invalidates the memoized reader/table on the next call —
+  // a dir-keyed entry would otherwise serve the OLD corpus' artifact
+  // (for the bucketed tables: with CURRENT Tables.rowCount sizes — data
+  // and sizes disagreeing, worse than the stale count rowCount fixed)
+  private val pairCache = new graft.MtimeCache[DataFrame]
+  private val clusterCache = new graft.MtimeCache[DataFrame]
 
   // PERSISTED per (sf dir, source mtime) under the system temp dir — the
   // corpusBands/Ivf.cached publish discipline (r14 verdict #2): the first
@@ -54,14 +58,14 @@ object DedupQueries {
   // mine: exact Jaccard rounded to 6 dp is deterministic, and the gate
   // compare is row-order-insensitive.
   def minedJaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairCache.computeIfAbsent(d, _ =>
+    pairCache(d, Tables.sourceMtime(d, "documents")) {
       publishedArtifact(s, d, s"graft-dedup-pairs/tau$JaccardTau",
-        () => Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau)))
+        () => Dedup.jaccardPairs(Tables.documents(s, d), JaccardTau)) }
 
   def minedClusters(s: SparkSession, d: String): DataFrame =
-    clusterCache.computeIfAbsent(d, _ =>
+    clusterCache(d, Tables.sourceMtime(d, "documents")) {
       publishedArtifact(s, d, s"graft-dedup-clusters/tau$JaccardTau",
-        () => Dedup.clusters(minedJaccardPairs(s, d))))
+        () => Dedup.clusters(minedJaccardPairs(s, d))) }
 
   /** Code/format version of the published dedup artifacts. Bump whenever
     * Dedup.jaccardPairs / Dedup.clusters semantics or the parquet layout
@@ -268,23 +272,22 @@ object DedupQueries {
     * later JVM (and every later "daily batch") loads the parquet instead
     * of re-hashing the corpus. At cluster scale this is a warehouse table
     * the ingest pipeline appends each batch's rows to. */
-  private val bandsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val bandsCache = new graft.MtimeCache[DataFrame]
 
   /** Band geometry the persisted table was mined with — encoded into the
     * cache path (like the Pq/IvfPq cache paths encode sub/k/nl) so a
     * future change to the minhash parameters can NEVER load a stale table
     * of mismatched signatures from a previous JVM's publish. Must match
     * the Dedup.minhashBands call below. */
-  private val BandGeom = (4, 8, 42L, 4) // (bands, rows, seed, subRows)
+  private[graft] val BandGeom = (4, 8, 42L, 4) // (bands, rows, seed, subRows)
 
   def corpusBands(s: SparkSession, d: String): DataFrame =
-    bandsCache.computeIfAbsent(d, _ => {
+    bandsCache(d, Tables.sourceMtime(d, "documents")) {
       val (nb, nr, sd, sub) = BandGeom
       publishedArtifact(s, d, s"graft-dedup-bands/b$nb-r$nr-s$sd-sub$sub",
         () => Dedup.minhashBands(corpusOf(Tables.documents(s, d)),
           bands = nb, rows = nr, seed = sd, subRows = sub))
-    })
+    }
 
   /** #102 incremental dedup: the batch's near-dup pairs (batch×corpus and
     * batch×batch) mined against the PERSISTED corpus band table — the
@@ -304,23 +307,20 @@ object DedupQueries {
     * bucketed_join rule), clamped like the simhash chunk table. Written
     * once per sf dir from the SAME published corpusBands artifact every
     * consumer reads — identical rows, co-located layout. */
-  private val minhashBandTableCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val minhashBandTableCache = new graft.MtimeCache[String]
 
   private[graft] def minhashBandTable(s: SparkSession, d: String): String =
-    minhashBandTableCache.computeIfAbsent(d, _ => {
+    minhashBandTableCache(d, Tables.sourceMtime(d, "documents")) {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val nb = BandGeom._1
       val n = Tables.rowCount(s, d, "documents") * nb // `bands` rows per doc
-      val x = math.max(1, (n / 1000000L).toInt)
-      val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
-      val buckets = math.min(256, math.max(8, ceilPow2))
+      val buckets = graft.sources.Bucketing.pickBuckets(s, n)
       val tbl = s"graft_b${buckets}_minhash_bands_$key"
       // bucket by BOTH join keys (requireAllClusterKeysForCoPartition)
       graft.sources.Bucketing.writeBucketed(
         corpusBands(s, d), tbl, Seq("band", "key"), buckets)
       tbl
-    })
+    }
 
   /** #302 dedup_minhash_bucketed: #102's batch mine with the corpus band
     * table CO-LOCATED — the batch's bands are exchanged into the
@@ -372,17 +372,14 @@ object DedupQueries {
     * relational bucketed tables. Bucket count sized to the table's upper
     * bound (20 block-key rows per unique signature ≤ 20 per doc — the
     * bucketed_join rule on the exploded volume). */
-  private val simhashChunkCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val simhashChunkCache = new graft.MtimeCache[String]
 
   private[graft] def simhashChunkTable(s: SparkSession, d: String): String =
-    simhashChunkCache.computeIfAbsent(d, _ => {
+    simhashChunkCache(d, Tables.sourceMtime(d, "documents")) {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       val docs = Tables.documents(s, d)
       val n = Tables.rowCount(s, d, "documents") * 20 // ≤ 20 block keys/doc
-      val x = math.max(1, (n / 1000000L).toInt)
-      val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
-      val buckets = math.min(256, math.max(8, ceilPow2))
+      val buckets = graft.sources.Bucketing.pickBuckets(s, n)
       val tbl = s"graft_b${buckets}_simhash_chunks_$key"
       // bucket by BOTH join keys: the default
       // requireAllClusterKeysForCoPartition rejects a bucket-key subset
@@ -391,7 +388,7 @@ object DedupQueries {
           Dedup.simhashSignatures(docs).select(col("sig")).distinct()), tbl,
         Seq("cid", "cval"), buckets)
       tbl
-    })
+    }
 
   /** #299 dedup_simhash_bucketed: #23's pair mining with the blocking
     * join CO-LOCATED — both sides of the unique-signature hamming

@@ -106,29 +106,29 @@ object IngestQueries {
   /** The catalog tables for #294's co-located join, written ONCE per sf
     * dir (the npyArtifact discipline: layout is an ingest-time decision a
     * warehouse makes once; the registered query times the JOIN). Names
-    * are dir-keyed so sf0.01 and sf0.1 coexist in one warehouse. */
-  private val bucketedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    * are dir-keyed so sf0.01 and sf0.1 coexist in one warehouse; the
+    * memo is mtime-guarded (MtimeCache) so regenerating the source
+    * parquet in-process rebuilds the layout instead of serving stale
+    * co-located data under current rowCount sizes. */
+  private val bucketedCache = new graft.MtimeCache[(String, String)]
 
   private[graft] def bucketedTables(s: SparkSession, d: String): (String, String) =
-    bucketedCache.computeIfAbsent(d, _ => {
+    bucketedCache(d, graft.Tables.sourceMtime(d, "lineitem", "orders")) {
       val key = d.replaceAll("[^A-Za-z0-9]", "_")
       // bucket count sized to the FACT table at ingest (the warehouse
       // rule: a fixed count that fits today starves parallelism and
       // overflows the per-bucket SMJ sort at 100× — measured 4.5 GB
-      // spill at 8 buckets over 60M rows): CEILING power of two of
-      // rows/1M (exact powers stay put: 64M rows → 64, not 128),
-      // clamped to [8, 256]; both tables must share it for the
+      // spill at 8 buckets over 60M rows): the shared sizing rule
+      // (Bucketing.pickBuckets — rows/1M ceil-pow2, cluster-
+      // proportional ceiling); both tables must share it for the
       // co-located plan
       val n = Tables.rowCount(s, d, "lineitem")
-      val x = math.max(1, (n / 1000000L).toInt)
-      val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
-      val buckets = math.min(256, math.max(8, ceilPow2))
+      val buckets = graft.sources.Bucketing.pickBuckets(s, n)
       val (lt, ot) = (s"graft_b${buckets}_lineitem_$key", s"graft_b${buckets}_orders_$key")
       graft.sources.Bucketing.writeBucketed(Tables.lineitem(s, d), lt, "l_orderkey", buckets)
       graft.sources.Bucketing.writeBucketed(Tables.orders(s, d), ot, "o_orderkey", buckets)
       (lt, ot)
-    })
+    }
 
   /** #294 bucketed_join: the bucketed CO-LOCATED fact-fact join (#54's
     * storage layout), registered as a gate row: lineitem ⋈ orders on the

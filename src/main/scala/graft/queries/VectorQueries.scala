@@ -31,6 +31,12 @@ object VectorQueries {
 
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** Staleness key for every dir-keyed model memo below (r17 verdict
+    * #4's guard, shared via MtimeCache): all trained state in this file
+    * derives from embeddings.parquet, so a regenerated source rebuilds
+    * the memoized model instead of serving the old corpus' geometry. */
+  private def embMtime(d: String): Long = Tables.sourceMtime(d, "embeddings")
+
   private def pred(s: SparkSession, d: String) =
     graft.filters.FilterDsl.compile(emb(s, d), graft.filters.FilterDsl.parseJson(filterJson))
 
@@ -243,14 +249,15 @@ object VectorQueries {
     * (seed 42, deterministic) and writes the list_id-partitioned index +
     * centroids; every later use — including fresh Verify/Bench JVMs — loads
     * and probes the partition-pruned on-disk index instead of re-running
-    * KMeans. The cache key includes the row count so regenerated testdata
-    * invalidates naturally. */
-  private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+    * KMeans. The persisted path keys on (row count, source mtime) and the
+    * in-JVM memo is mtime-guarded, so regenerated testdata invalidates
+    * both layers. */
+  private val ivfCache = new graft.MtimeCache[IvfModel]
 
   def ivfModel(s: SparkSession, d: String): IvfModel =
     // maxIter 10: centroid quality converges well before that on corpora
     // this size, and index build time is amortized across queries anyway
-    ivfCache.computeIfAbsent(d, _ => Ivf.cached(s, emb(s, d), d, maxIter = 10))
+    ivfCache(d, embMtime(d)) { Ivf.cached(s, emb(s, d), d, maxIter = 10) }
 
   /** Serving tier for the per-query harness paths: the reference's run.py
     * serves exact/pre/post from a RAM-resident matrix (loaders.py loads
@@ -259,16 +266,16 @@ object VectorQueries {
     * above it, None → the scan-tier backends (the 100 TB plan). Cached
     * per sf dir like the IVF index. */
   private val RamBudgetBytes = 2L << 30
-  private val ramCache = new java.util.concurrent.ConcurrentHashMap[String, Option[graft.search.RamCorpus]]()
+  private val ramCache = new graft.MtimeCache[Option[graft.search.RamCorpus]]
 
   def servingTier(s: SparkSession, d: String): Option[graft.search.RamCorpus] =
-    ramCache.computeIfAbsent(d, _ => {
+    ramCache(d, embMtime(d)) {
       val e = emb(s, d)
       val total = e.count()
       val dim = e.select(size(col("embedding"))).first().getInt(0)
       if (total * dim * 4 <= RamBudgetBytes) Some(graft.search.RamCorpus.build(e))
       else None
-    })
+    }
 
   def vecIvfTopK(s: SparkSession, d: String): DataFrame =
     ivfModel(s, d).search(q0, nprobe = 32, k = K)
@@ -282,16 +289,16 @@ object VectorQueries {
     * unlike the shared persisted full-corpus index). Rows-only like the
     * other probe-path queries; append ≡ same-centroid-full-index and
     * associativity contracts in VectorSearchSpec. */
-  private val ivfAppendCache = new java.util.concurrent.ConcurrentHashMap[String, IvfModel]()
+  private val ivfAppendCache = new graft.MtimeCache[IvfModel]
 
   def vecIvfAppend(s: SparkSession, d: String): DataFrame = {
-    val appended = ivfAppendCache.computeIfAbsent(d, _ => {
+    val appended = ivfAppendCache(d, embMtime(d)) {
       val e = emb(s, d)
       val resident = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
       val batch = e.where(pmod(col("vec_id"), lit(10)) === 0)
       Ivf.build(resident, Ivf.pickNlist(resident.count()), maxIter = 10)
         .append(batch)
-    })
+    }
     appended.search(q0, nprobe = 32, k = K)
   }
 
@@ -352,18 +359,17 @@ object VectorQueries {
     * + one codebook encode per batch row, both quantizers frozen
     * (IvfPqModel.append doc). Rows-only; exactness-at-full-dial and
     * composition contracts in VectorSearchSpec. */
-  private val ivfpqAppendCache =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.search.IvfPqModel]()
+  private val ivfpqAppendCache = new graft.MtimeCache[graft.search.IvfPqModel]
 
   def vecIvfPqAppend(s: SparkSession, d: String): DataFrame = {
-    val appended = ivfpqAppendCache.computeIfAbsent(d, _ => {
+    val appended = ivfpqAppendCache(d, embMtime(d)) {
       val e = emb(s, d)
       val resident = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
       val batch = e.where(pmod(col("vec_id"), lit(10)) === 0)
       graft.search.IvfPq.compose(
         Ivf.build(resident, Ivf.pickNlist(resident.count()), maxIter = 10),
         graft.search.Pq.build(resident)).append(batch)
-    })
+    }
     appended.search(q0, nprobe = 32, k = K)
   }
 
@@ -482,10 +488,10 @@ object VectorQueries {
   /** One PQ model per sf dir, persisted like the IVF index: the first JVM
     * trains the m per-subspace codebooks + encodes (seed 42), later JVMs
     * load the code table and score it without touching the vectors. */
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.PqModel]()
+  private val pqCache = new graft.MtimeCache[graft.search.PqModel]
 
   def pqModel(s: SparkSession, d: String): graft.search.PqModel =
-    pqCache.computeIfAbsent(d, _ => graft.search.Pq.cached(s, emb(s, d), d))
+    pqCache(d, embMtime(d)) { graft.search.Pq.cached(s, emb(s, d), d) }
 
   /** #88 PQ top-K: ADC shortlist over the m-byte code table + exact
     * refine of the shortlist (rows-only: codebook from sampled KMeans;
@@ -826,10 +832,10 @@ object VectorQueries {
   /** One SQ8 model per sf dir, persisted like the PQ index: the first JVM
     * trains the per-dim (vmin, delta) params + encodes (seed 42), later
     * JVMs load the byte-code table and score it without the vectors. */
-  private val sqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.SqModel]()
+  private val sqCache = new graft.MtimeCache[graft.search.SqModel]
 
   def sqModel(s: SparkSession, d: String): graft.search.SqModel =
-    sqCache.computeIfAbsent(d, _ => graft.search.Sq.cached(s, emb(s, d), d))
+    sqCache(d, embMtime(d)) { graft.search.Sq.cached(s, emb(s, d), d) }
 
   /** #117 SQ8 top-K: asymmetric scan of the 1-byte-per-dim code table +
     * exact refine of the shortlist (rows-only: params from a sampled
@@ -845,10 +851,10 @@ object VectorQueries {
   /** One BQ model per sf dir, persisted like the other tiers — though
     * "build" here is only a sign-bit encode pass (no training at all, the
     * tier's defining property). */
-  private val bqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.BqModel]()
+  private val bqCache = new graft.MtimeCache[graft.search.BqModel]
 
   def bqModel(s: SparkSession, d: String): graft.search.BqModel =
-    bqCache.computeIfAbsent(d, _ => graft.search.Bq.cached(s, emb(s, d), d))
+    bqCache(d, embMtime(d)) { graft.search.Bq.cached(s, emb(s, d), d) }
 
   /** #125 BQ top-K: Hamming shortlist over the sign-bit code table + exact
     * refine (rows-only; exactness-at-full-shortlist and recall-floor
@@ -910,10 +916,10 @@ object VectorQueries {
     * Build cost is a single scan, so no disk persistence — unlike the
     * quantizer tiers there is no trained state worth sharing across JVMs
     * that a later JVM couldn't recompute in the same one pass. */
-  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.PcaModel]()
+  private val pcaCache = new graft.MtimeCache[graft.search.PcaModel]
 
   def pcaModel(s: SparkSession, d: String): graft.search.PcaModel =
-    pcaCache.computeIfAbsent(d, _ => graft.search.Pca.build(emb(s, d)))
+    pcaCache(d, embMtime(d)) { graft.search.Pca.build(emb(s, d)) }
 
   /** #148 vec_ivfpq_res_stats: residual composed-index health — the
     * IvfPqModel.stats twin with the encoding tagged (rows-only, list
@@ -940,14 +946,14 @@ object VectorQueries {
     * under eigenvalue allocation (Pca doc). Rotation preserves inner
     * products exactly, so exact ranks are UNCHANGED — only the quantizer's
     * subspace variance balance improves. In-memory (rows-only path). */
-  private val opqCache = new java.util.concurrent.ConcurrentHashMap[String, (graft.search.PcaModel, graft.search.PqModel)]()
+  private val opqCache = new graft.MtimeCache[(graft.search.PcaModel, graft.search.PqModel)]
 
   def opqModel(s: SparkSession, d: String): (graft.search.PcaModel, graft.search.PqModel) =
-    opqCache.computeIfAbsent(d, _ => {
+    opqCache(d, embMtime(d)) {
       val p = pcaModel(s, d)
       val m = graft.search.Pq.pickM(p.d)
       (p, graft.search.Pq.build(p.rotateForPq(emb(s, d), m), m = m))
-    })
+    }
 
   /** #136 vec_opq_topk: ADC shortlist + exact refine in the rotated space
     * (same IP geometry as the raw space, so the refine is exact against
@@ -1041,11 +1047,11 @@ object VectorQueries {
     * PQ halves, persists the composed (vec_id, list_id, pq_codes) table
     * partitioned by list_id — so a probe is a partition-pruned scan of
     * m-byte codes (the FAISS IVFPQ scale tier). */
-  private val ivfpqCache = new java.util.concurrent.ConcurrentHashMap[String, graft.search.IvfPqModel]()
+  private val ivfpqCache = new graft.MtimeCache[graft.search.IvfPqModel]
 
   def ivfpqModel(s: SparkSession, d: String): graft.search.IvfPqModel =
-    ivfpqCache.computeIfAbsent(d, _ =>
-      graft.search.IvfPq.cached(s, emb(s, d), d, ivfModel(s, d), pqModel(s, d)))
+    ivfpqCache(d, embMtime(d)) {
+      graft.search.IvfPq.cached(s, emb(s, d), d, ivfModel(s, d), pqModel(s, d)) }
 
   /** #94 IVFPQ top-K: probe nprobe lists, ADC-rank only THEIR codes,
     * exact-refine the shortlist (rows-only: both quantizers come from

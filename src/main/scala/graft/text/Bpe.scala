@@ -184,11 +184,12 @@ object Bpe {
     spark.createDataFrame(rdd, encodeSchema)
   }
 
-  // ---- per-corpus-dir memo (a query run trains once, encode reuses) -------
+  // ---- per-corpus-dir memo (a query run trains once, encode reuses;
+  // mtime-guarded so a regenerated corpus retrains — r17 verdict #4) ----
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+  private val cache = new graft.MtimeCache[Seq[Merge]]
 
   def trainedFor(s: SparkSession, dir: String, numMerges: Int, maxWords: Int): Seq[Merge] =
-    cache.computeIfAbsent(s"$dir#$numMerges#$maxWords",
-      _ => train(graft.Tables.documents(s, dir), numMerges, maxWords))
+    cache(s"$dir#$numMerges#$maxWords", graft.Tables.sourceMtime(dir, "documents")) {
+      train(graft.Tables.documents(s, dir), numMerges, maxWords) }
 }

@@ -38,6 +38,50 @@ object ScaleBench {
   private val DefaultHeavy = Seq("corpus_curate", "dedup_minhash_lsh",
     "hybrid_stats", "decontaminate", "text_repetition")
 
+  /** Probe-only queries — resolvable by SPARK_GRAFT_SCALE_QUERIES but
+    * never registered in SparkEntry (no gate rows). The r17 verdict-#1
+    * design-regime probe for #302: the registered dedup_incremental /
+    * dedup_minhash_bucketed mine a batch that scales WITH the corpus
+    * (doc_id % 10 == 0 holds at every replica offset), so the §3m probe
+    * measured a growing batch against a growing corpus and the
+    * exact-verify stage dominated. The 100 TB claim is about a FIXED
+    * daily batch against a corpus-sized band table — these variants pin
+    * the batch to replica 0's (ids below the replica offset, which is
+    * byte-identical to the base corpus' batch since perm(0) is the
+    * identity) while the corpus side keeps growing with R, so the pair's
+    * shuffle/wall delta isolates the corpus-side Exchange the bucketed
+    * layout removes. Both run the IDENTICAL production mining code
+    * (Dedup.minhashIncrementalPairs[Bucketed]) — only the batch
+    * predicate is probe-specific. */
+  private val FixedBatchProbes
+      : Map[String, (SparkSession, String) => DataFrame] = {
+    def fixedBatch(docs: DataFrame): DataFrame =
+      docs.where(pmod(col("doc_id"), lit(10)) === 0 && col("doc_id") < IdOffset)
+    Map(
+      "dedup_incremental_fixed" -> ((s, d) => {
+        val docs = graft.Tables.documents(s, d)
+        graft.dedup.Dedup.minhashIncrementalPairs(
+          docs, graft.queries.DedupQueries.corpusBands(s, d),
+          fixedBatch(docs), graft.queries.DedupQueries.JaccardTau)
+      }),
+      "dedup_minhash_bucketed_fixed" -> ((s, d) => {
+        val docs = graft.Tables.documents(s, d)
+        val (nb, nr, sd, sub) = graft.queries.DedupQueries.BandGeom
+        graft.dedup.Dedup.minhashIncrementalPairsBucketed(
+          docs,
+          s.table(graft.queries.DedupQueries.minhashBandTable(s, d)),
+          graft.dedup.Dedup.minhashBands(fixedBatch(docs), nb, nr, sd, sub),
+          graft.queries.DedupQueries.JaccardTau)
+      }))
+  }
+
+  private[graft] def resolveQuery(
+      name: String): (SparkSession, String) => DataFrame =
+    graft.SparkEntry.queries.getOrElse(name,
+      FixedBatchProbes.getOrElse(name,
+        throw new NoSuchElementException(
+          s"unknown probe query '$name' (not registered, not probe-only)")))
+
   /** Distinct bijections over the FULL lowercase alphabet, one per
     * replica: `perm(0)` is the identity (replica 0 stays byte-identical
     * to the base corpus); `perm(i)` for i ≥ 1 is a seeded Fisher–Yates
@@ -362,7 +406,7 @@ object ScaleBench {
     val warmDir = "/root/testdata/sf0.001"
     warm(spark, warmDir, warmSel)
     Heavy.foreach { q =>
-      try { graft.SparkEntry.queries(q)(spark, warmDir)
+      try { resolveQuery(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => }
     }
@@ -372,7 +416,7 @@ object ScaleBench {
 
     def runAll(dir: String): Map[String, Timing] = {
       warm(spark, dir, warmSel)
-      Heavy.map(q => q -> time(spark, spill)(graft.SparkEntry.queries(q)(spark, dir))).toMap
+      Heavy.map(q => q -> time(spark, spill)(resolveQuery(q)(spark, dir))).toMap
     }
     val t1 = runAll(baseDir)
     val tR = runAll(scaleDir)

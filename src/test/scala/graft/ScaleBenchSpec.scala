@@ -45,6 +45,26 @@ class ScaleBenchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ScaleBench.rot(-1, 384))
   }
 
+  test("resolveQuery: registered names, probe-only names, unknown rejected") {
+    assert(ScaleBench.resolveQuery("dedup_incremental") ne null)
+    assert(ScaleBench.resolveQuery("dedup_incremental_fixed") ne null)
+    assert(ScaleBench.resolveQuery("dedup_minhash_bucketed_fixed") ne null)
+    intercept[NoSuchElementException](ScaleBench.resolveQuery("no_such_probe"))
+  }
+
+  test("fixed-batch probes ≡ their registered queries at 1× (all ids below the offset)") {
+    // the r17 verdict-#1 probes differ from #102/#302 ONLY by capping the
+    // batch at replica 0's id space; on an unreplicated dir the cap is a
+    // no-op, so the probe pair must return the production rows exactly —
+    // pinning that the probe measures the production plan, not a variant
+    val s = SparkTest.session
+    val d = "/root/testdata/sf0.001"
+    def rows(q: String) =
+      ScaleBench.resolveQuery(q)(s, d).collect().map(_.toString).sorted.toSeq
+    assert(rows("dedup_incremental_fixed") == rows("dedup_incremental"))
+    assert(rows("dedup_minhash_bucketed_fixed") == rows("dedup_minhash_bucketed"))
+  }
+
   test("embedding rotations: identity at 0, pairwise distinct below dim") {
     // a repeated shift makes two embedding replicas exact vector dups —
     // SemDeDup/embedding-dedup candidate pairs would grow ~R² in every

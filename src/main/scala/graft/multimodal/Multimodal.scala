@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   *
   * Media is carried as an opaque `binary` payload column plus a typed
   * metadata struct — the schema a real image/audio pipeline uses. The
-  * decode step is a clearly-marked deterministic STUB (sha256-derived
-  * pseudo-features): the container has no media libs, so what is real and
-  * tested here is the Spark-side plumbing — schema, per-partition batch
-  * iteration, feature schema, partitioning behaviour. Swapping
-  * `stubDecode` for a JNI/ONNX decoder changes no plan shape.
+  * IMAGE decode step is REAL since round 18 (javax.imageio — the JDK's
+  * public, dependency-free PNG/BMP/GIF codec; see [[decodeImage]] and
+  * the mm_decode round-trip row): image payloads decode, opaque/
+  * non-image payloads fall back to the deterministic byte-level stub
+  * (sha256-derived pseudo-features), so audio/video feature extraction
+  * remains the clearly-marked stub seam. Swapping the fallback for a
+  * JNI/ONNX decoder changes no plan shape.
   *
   * The per-partition iterator (not a per-row UDF) is deliberate: real
   * decoders amortize model/codec init per batch, exactly like a
@@ -121,11 +123,134 @@ object Multimodal {
     h
   }
 
+  // ---- real-codec path (r17 verdict #7): the JDK's javax.imageio is a
+  // public, dependency-free PNG/BMP/GIF codec, so the decode seam no
+  // longer needs external fixtures — the library DECODES REAL IMAGE
+  // BYTES wherever a payload carries them, and falls back to the
+  // deterministic byte-level stub for opaque/non-image payloads (the
+  // gate corpus' text stand-ins take the fallback, so every existing
+  // oracle is unchanged). Fixtures are SYNTHESIZED with the same codec
+  // (ImageIO.write), so specs and the mm_decode gate row exercise a
+  // true encode → decode round-trip with zero provisioning.
+
+  /** Decode an image payload via the JDK codec; None for non-image
+    * bytes (ImageIO returns null or throws on undecodable input —
+    * either way the caller falls back to the byte-level path). */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Throwable => None }
+
+  /** Deterministic RGB test-card pixel for doc `id` — the mm_decode
+    * identity. Pure integer arithmetic, so the DuckDB oracle derives the
+    * EXPECTED pixels from the same formula while the Spark side actually
+    * round-trips them through the PNG codec (lossless: decode(encode(p))
+    * == p, so a hash-pass proves the codec plumbing end to end). */
+  def cardPixel(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((id * 31 + x * 7 + y * 13) % 256).toInt,
+    ((id * 17 + x * 11 + y * 3) % 256).toInt,
+    ((id * 23 + x * 5 + y * 19) % 256).toInt)
+
+  val CardW = 16
+  val CardH = 16
+
+  /** Encode doc `id`'s test card as real PNG bytes (executor-side; the
+    * encoder is JVM-local and headless-safe). */
+  def encodeCardPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      CardW, CardH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < CardH) {
+      var x = 0
+      while (x < CardW) {
+        val (r, g, b) = cardPixel(id, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash of a DECODED image: the 2-D original of
+    * [[aHash64]]'s 1-D byte analogue — pixels bin into an 8×8 grid by
+    * the same integer rule (cell = (y·8)/h · 8 + (x·8)/w), gray is the
+    * integer mean (r+g+b)/3, and bit c is set iff cell c's mean gray
+    * exceeds the image's overall mean (cross-multiplied, integer-exact:
+    * sum_c·n > total·count_c). Any engine replays it exactly from the
+    * pixel values. */
+  def imageAHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w == 0 || h == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        val c = ((y.toLong * 8 / h) * 8 + (x.toLong * 8 / w)).toInt
+        sums(c) += gray
+        cnts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var total = 0L
+    var c = 0
+    while (c < 64) { total += sums(c); c += 1 }
+    var hash = 0L
+    c = 0
+    while (c < 64) {
+      if (cnts(c) > 0 && sums(c) * n > total * cnts(c)) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
+  /** Decoded-image features for [[extractFeatures]]'s real path: the
+    * stub's schema with REAL width/height and f0–f3 as the four
+    * quadrant gray means scaled to [0,1] (round6 — the corpus-wide
+    * numeric convention). sha stays the payload digest: content
+    * identity is a property of the BYTES, decoded or not. */
+  private def decodedRow(docId: Long, payload: Array[Byte],
+                         img: java.awt.image.BufferedImage): Row = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(payload).map("%02x".format(_)).mkString
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](4)
+    val cnts = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        val q = ((y.toLong * 2 / h) * 2 + (x.toLong * 2 / w)).toInt
+        sums(q) += gray
+        cnts(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    def f(q: Int): Double =
+      if (cnts(q) == 0) 0.0
+      else graft.search.VecMath.round6(sums(q).toDouble / (cnts(q) * 255.0))
+    Row(docId, payload.length, sha, w, h, f(0), f(1), f(2), f(3))
+  }
+
   /** (doc_id, phash) over per-partition batches — the decode idiom
     * (codec init amortized per partition; a real pipeline hashes the
     * DECODED fixed-grid frame in the same pass as extractFeatures).
-    * Empty payloads are dropped (no content to fingerprint — and the
-    * SQL twin's per-byte unnest produces no rows for them). */
+    * Image payloads hash the decoded 8×8 grid ([[imageAHash64]] — the
+    * REAL perceptual hash); opaque payloads keep the byte-level
+    * analogue. Empty payloads are dropped (no content to fingerprint —
+    * and the SQL twin's per-byte unnest produces no rows for them). */
   def withPerceptualHash(withBytes: DataFrame): DataFrame = {
     val spark = withBytes.sparkSession
     val rdd = withBytes.select(col("doc_id"), col("payload")).rdd
@@ -133,7 +258,8 @@ object Multimodal {
         it.flatMap { row =>
           val p = row.getAs[Array[Byte]]("payload")
           if (p == null || p.isEmpty) None
-          else Some(Row(row.getLong(0), aHash64(p)))
+          else Some(Row(row.getLong(0),
+            decodeImage(p).map(imageAHash64).getOrElse(aHash64(p))))
         }
       }
     spark.createDataFrame(rdd, StructType(Seq(
@@ -141,13 +267,61 @@ object Multimodal {
       StructField("phash", LongType, nullable = false))))
   }
 
-  /** Decode/feature-extract over per-partition batches. */
+  /** mm_decode's pipeline body: synthesize each doc's test-card PNG on
+    * the executors, decode it back through the SAME JDK codec, and emit
+    * integer-exact pixel stats plus the decoded-grid aHash — all
+    * derivable by the oracle from [[cardPixel]]'s formula because PNG is
+    * lossless (decode ∘ encode = identity on pixels). Per-partition
+    * iteration (the decode idiom); a failed round-trip is a hard error,
+    * never a silent fallback — the row IS the codec evidence. */
+  def decodeRoundTrip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val png = encodeCardPng(id)
+        val img = decodeImage(png).getOrElse(throw new IllegalStateException(
+          s"PNG round-trip failed for doc $id (${png.length} bytes)"))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, img.getWidth, img.getHeight, sr, sg, sb, imageAHash64(img))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_r", LongType, nullable = false),
+      StructField("sum_g", LongType, nullable = false),
+      StructField("sum_b", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false))))
+  }
+
+  /** Decode/feature-extract over per-partition batches: image payloads
+    * take the REAL codec path (decoded width/height, quadrant gray
+    * means); opaque payloads keep the deterministic stub. */
   def extractFeatures(withBytes: DataFrame): DataFrame = {
     val spark = withBytes.sparkSession
     val rdd = withBytes.select(col("doc_id"), col("payload")).rdd
       .mapPartitions { it =>
         // real decoders init codecs/models once per partition, here
-        it.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+        it.map { r =>
+          val p = r.getAs[Array[Byte]](1)
+          decodeImage(p)
+            .map(img => decodedRow(r.getLong(0), p, img))
+            .getOrElse(stubDecode(r.getLong(0), p))
+        }
       }
     spark.createDataFrame(rdd, featureSchema)
   }

@@ -81,4 +81,94 @@ class MultimodalSpec extends AnyFunSuite {
       schema)
     assert(Multimodal.withPerceptualHash(withEmpty).collect().map(_.getLong(0)).toSeq == Seq(8L))
   }
+
+  // ---- real-codec path (r18): JDK javax.imageio, zero external deps ----
+
+  test("PNG round-trip is pixel-exact: decode(encodeCardPng(id)) reproduces cardPixel") {
+    val id = 1234567L
+    val img = Multimodal.decodeImage(Multimodal.encodeCardPng(id))
+      .getOrElse(fail("JDK PNG codec failed to decode its own output"))
+    assert(img.getWidth == Multimodal.CardW && img.getHeight == Multimodal.CardH)
+    for (y <- 0 until Multimodal.CardH; x <- 0 until Multimodal.CardW) {
+      val rgb = img.getRGB(x, y)
+      val got = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      assert(got == Multimodal.cardPixel(id, x, y), s"pixel ($x,$y)")
+    }
+  }
+
+  test("decodeImage: non-image payloads fall back (None), never throw") {
+    assert(Multimodal.decodeImage("just some text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    // 'BM' magic lures the BMP reader into a malformed header — must
+    // still land on the fallback, not an exception
+    assert(Multimodal.decodeImage("BM not a bitmap at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("imageAHash64: bit c set iff 8x8 cell mean exceeds overall gray mean") {
+    val id = 42L
+    val img = Multimodal.decodeImage(Multimodal.encodeCardPng(id)).get
+    val grays = for (y <- 0 until 16; x <- 0 until 16) yield {
+      val (r, g, b) = Multimodal.cardPixel(id, x, y)
+      ((y * 8 / 16) * 8 + (x * 8 / 16), (r + g + b) / 3)
+    }
+    val total = grays.map(_._2.toLong).sum
+    val h = Multimodal.imageAHash64(img)
+    grays.groupBy(_._1).foreach { case (c, vs) =>
+      val s = vs.map(_._2.toLong).sum
+      val expect = s * 256 > total * vs.length
+      assert(((h >> c) & 1L) == (if (expect) 1L else 0L), s"cell $c")
+    }
+  }
+
+  test("near-dup images land near in decoded-grid hash space; distinct images apart") {
+    def png(id: Long, tweak: Boolean): Array[Byte] = {
+      val img = Multimodal.decodeImage(Multimodal.encodeCardPng(id)).get
+      if (tweak) {
+        // nudge one pixel's gray by a hair — a same-cell local edit
+        val rgb = img.getRGB(3, 3)
+        img.setRGB(3, 3, rgb ^ 0x010101)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val a = Multimodal.imageAHash64(Multimodal.decodeImage(png(9L, tweak = false)).get)
+    val b = Multimodal.imageAHash64(Multimodal.decodeImage(png(9L, tweak = true)).get)
+    val c = Multimodal.imageAHash64(Multimodal.decodeImage(png(77L, tweak = false)).get)
+    assert(hamming(a, b) <= 3, "one-pixel edit must stay within chunk-blocking range")
+    assert(hamming(a, c) > 3, "distinct cards must not collide as near-dups")
+  }
+
+  test("extractFeatures takes the real path for image payloads, the stub for text") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val textPayload = "definitely not an image".getBytes("UTF-8")
+    val rows = Seq(Row(1L, Multimodal.encodeCardPng(1L)), Row(2L, textPayload))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val out = Multimodal.extractFeatures(df).collect().map(r => r.getLong(0) -> r).toMap
+    // image row: REAL decoded dimensions, not the sha-derived pseudo ones
+    assert(out(1L).getInt(3) == Multimodal.CardW && out(1L).getInt(4) == Multimodal.CardH)
+    // text row: byte-identical to the stub (the fallback contract)
+    assert(out(2L) == Multimodal.stubDecode(2L, textPayload))
+  }
+
+  test("decodeRoundTrip matches the oracle arithmetic (the mm_decode identity)") {
+    val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false)))
+    val ids = Seq(0L, 3L, 999999L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(Row(_))), schema)
+    val out = Multimodal.decodeRoundTrip(df).collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val px = for (y <- 0 until 16; x <- 0 until 16) yield Multimodal.cardPixel(id, x, y)
+      val r = out(id)
+      assert(r.getInt(1) == 16 && r.getInt(2) == 16)
+      assert(r.getLong(3) == px.map(_._1.toLong).sum, s"sum_r for $id")
+      assert(r.getLong(4) == px.map(_._2.toLong).sum, s"sum_g for $id")
+      assert(r.getLong(5) == px.map(_._3.toLong).sum, s"sum_b for $id")
+      // phash from the decoded image equals the formula-derived hash
+      val img = Multimodal.decodeImage(Multimodal.encodeCardPng(id)).get
+      assert(r.getLong(6) == Multimodal.imageAHash64(img))
+    }
+  }
 }

@@ -497,7 +497,34 @@ object Dedup {
       .where(col("id_n") < col("id_o"))
       .where(sizeBandN(col("n_n"), col("n_o"), tau))
       .select(col("id_n").as("doc_id_l"), col("id_o").as("doc_id_r"))
-    verifyJaccard(batchCorpus.unionByName(batchBatch).distinct(), allDocs, tau)
+    val cand = batchCorpus.unionByName(batchBatch).distinct()
+    // verify-side prune (the r18 fixed-batch probe's finding): without
+    // it the verify joins the TOKENIZED FULL CORPUS into the candidate
+    // pairs — 260 of the 518 MB 1000×-corpus shuffle was this one
+    // stage, identical in #102 and #302, corpus-proportional at fixed
+    // batch. A PLANNED-broadcast candidate-id semi-join prunes the
+    // payload BEFORE tokenization, so the corpus side is scanned but
+    // never shuffled or tokenized and the whole mine's shuffle becomes
+    // batch-proportional. The broadcast must be explicit: leaving it to
+    // AQE's SMJ→BHJ conversion still pays the corpus side's shuffle
+    // WRITE (the map stage ran before the conversion — measured 843 MB
+    // at 1000×, WORSE than the unpruned 260 MB; raw line preserved in
+    // results_scale_fixedbatch.json). Broadcasting candidate ids is
+    // size-safe by construction: every pair touches the batch, so ids
+    // ≤ 2 pairs ≤ a small multiple of the daily batch (8 B each — a
+    // 10M-candidate day broadcasts 80 MB; the corpus never enters).
+    // Re-deriving `cand` for the id set re-runs the candidate join once
+    // more; on THIS layout that recompute is corpus-shuffle-free (the
+    // bucketed table reads its bucket files), which is why the prune
+    // lives here and not in #102, where the same trick would re-shuffle
+    // the corpus band table to save the verify shuffle — net zero.
+    // Results are identical: the verify join is an inner join on the
+    // same candidate ids either way (spec-pinned #302 ≡ #102).
+    val candIds = cand
+      .select(explode(array(col("doc_id_l"), col("doc_id_r"))).as("doc_id"))
+      .distinct()
+    verifyJaccard(cand,
+      allDocs.join(broadcast(candIds), Seq("doc_id"), "left_semi"), tau)
   }
 
   // ---- #23 SimHash -----------------------------------------------------

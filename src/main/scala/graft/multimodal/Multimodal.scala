@@ -133,6 +133,12 @@ object Multimodal {
   // (ImageIO.write), so specs and the mm_decode gate row exercise a
   // true encode → decode round-trip with zero provisioning.
 
+  // ImageIO's default stream cache spools every decode through a temp
+  // FILE — a per-row disk write in what must stay a row-local, in-memory
+  // hot path (payloads here are already byte arrays). Executor-local
+  // static, set once per JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode an image payload via the JDK codec; None for non-image
     * bytes (ImageIO returns null or throws on undecodable input —
     * either way the caller falls back to the byte-level path). */

@@ -462,6 +462,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_minhash_bucketed: the verify prune is a PLANNED broadcast semi-join") {
+    // the r18 design-regime fix (BASELINE §3m addendum): the exact-verify
+    // payload is pruned by candidate ids through an explicitly planned
+    // BroadcastHashJoin LeftSemi — the corpus text is scanned, never
+    // shuffled, before tokenization. An AQE-converted broadcast would
+    // still pay the corpus side's shuffle WRITE (measured 843 MB at
+    // 1000×), so the pin asserts the broadcast exists in the PLANNED
+    // tree (AQE off, like the sibling pin — collect does not descend
+    // into AdaptiveSparkPlanExec) with no Exchange between the
+    // documents scan and the semi-join's streamed side.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = queries.DedupQueries.dedupMinhashBucketed(spark, sf)
+        .queryExecution.executedPlan
+      val semis = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"verify prune must plan a broadcast semi-join\n$exec")
+      semis.foreach { j =>
+        // the streamed (corpus) side must reach the scan with no Exchange
+        assert(!j.left.toString.contains("Exchange"),
+          s"corpus side of the verify prune must not shuffle\n${j.left}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("as-of join: exactly one Exchange (the key shuffle), no join operator") {
     val p = plan(EventQueries.eventsAsof(spark, sf))
     // the union+window encoding must not plan a join (pair explosion) and

@@ -18,10 +18,12 @@ object Bench {
     * trimming TopN 40 → 36; the warm_sec map costs up to ~210 more, paid
     * for by trimming 36 → 30; the r18 always-warm watch entries plus the
     * worst-case `contended` marker cost up to ~190 more, paid for by
-    * trimming 30 → 27). The slowest 27 are the ones a reader acts on;
-    * the rest is summarized as `other_sec`/`n_queries`, and the FULL
-    * map is written to bench_queries.json. */
-  private[graft] val TopN = 27
+    * trimming 30 → 27; supplier_triangles joining WarmWatch in r19 cost
+    * one more worst-case warm row, paid for by 27 → 26). The slowest 26
+    * are the ones a reader acts on; the rest is summarized as
+    * `other_sec`/`n_queries`, and the FULL map is written to
+    * bench_queries.json. */
+  private[graft] val TopN = 26
 
   /** Entries recorded above this get one immediate warm rep, emitted as
     * `warm_sec` beside the cold numbers: the r14 round proved the recorded
@@ -44,8 +46,10 @@ object Bench {
     * rounds, orders_rfm similar — sit just under WarmRepThreshold and
     * kept re-litigating as unexplained movers every round. A standing
     * warm rep (~6 s of bench time) puts their plan-cost number in the
-    * ledger permanently. Names absent from the registry are skipped. */
-  private[graft] val WarmWatch: Seq[String] = Seq("q1_cube", "orders_rfm")
+    * ledger permanently. Names absent from the registry are skipped.
+    * supplier_triangles joined in r19 (r18 verdict #6: a known 3.8–5.1 s
+    * swinger that kept just missing the MaxWarmReps cut). */
+  private[graft] val WarmWatch: Seq[String] = Seq("q1_cube", "orders_rfm", "supplier_triangles")
 
   /** `contended` marker budget: names listed on the line when a warm
     * rep reads HIGHER than its cold number (box contention mid-rep, not
@@ -55,6 +59,17 @@ object Bench {
     * stays inside the driver's 2000-char tail; `n` carries the true
     * count when the list overflows. */
   private[graft] val MaxContended = 3
+
+  /** Noise floor for the `contended` marker (r18 verdict #2: the raw
+    * rep>cold compare flagged a 0.7% delta — pure rep jitter — alongside
+    * two real 1.2–1.4× contentions, diluting what the word means). A rep
+    * counts as contended only when it exceeds cold by BOTH 10% and
+    * 0.5 s: the relative gate keeps long rows honest (a 9.8 vs 9.75 s
+    * pair is weather), the absolute gate keeps short rows honest (a
+    * 0.4 vs 0.3 s pair is scheduler noise, not contention). min-of-pair
+    * is emitted either way, so the floor changes only the marker. */
+  private[graft] def isContended(rep: Double, cold: Double): Boolean =
+    rep > cold * 1.1 && rep > cold + 0.5
 
   /** Run order: measured-heaviest FIRST (BENCH_r13 top of the per-query
     * map), then the rest alphabetically. The alphabetical order ran the
@@ -121,7 +136,8 @@ object Bench {
       n -> (if (v >= 0 && c >= 0) math.min(v, c) else v)
     }
     val contended = warm
-      .filter { case (n, v) => v >= 0 && cold.getOrElse(n, -1.0) >= 0 && v > cold(n) }
+      .filter { case (n, v) =>
+        v >= 0 && cold.getOrElse(n, -1.0) >= 0 && isContended(v, cold(n)) }
       .sortBy { case (n, v) => -(v / math.max(cold(n), 1e-9)) }
     val warmJson =
       if (warm.isEmpty) ""

@@ -44,6 +44,48 @@ object Multimodal {
         col("source").as("origin"),
         length(col("text")).as("n_bytes")).as("media_meta"))
 
+  /** The deterministic image slice of the mixed-payload corpus: docs with
+    * `doc_id % ImageSliceMod == ImageSliceRem` carry REAL PNG bytes (their
+    * [[encodeCardPng]] test card); the rest keep the utf-8 text stand-in.
+    * The rule is pure doc_id arithmetic so the DuckDB oracles CASE on the
+    * same predicate — every production consumer of [[withMixedPayload]]
+    * hash-checks BOTH the real-codec branch and the stub branch in one
+    * gate row (r18 verdict #2; before this, the gate corpus' all-text
+    * payloads meant the real branch was gate-exercised only by the
+    * synthetic mm_decode row). */
+  val ImageSliceMod = 7L
+  val ImageSliceRem = 3L
+
+  def isImageDoc(docId: Long): Boolean =
+    docId % ImageSliceMod == ImageSliceRem
+
+  /** [[withPayload]] with the image slice materialized as real PNG bytes
+    * (mime "image/png"; n_bytes = the container's byte length). PNG
+    * encoding is executor-side per-partition work (the decode idiom in
+    * reverse), not a column expression — the per-partition iterator
+    * matches every other codec touchpoint in this module. */
+  def withMixedPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select(col("doc_id"), col("text"), col("source")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (isImageDoc(id)) encodeCardPng(id)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mime = if (isImageDoc(id)) "image/png" else "application/octet-stream"
+          Row(id, payload, Row(mime, r.getString(2), payload.length))
+        }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("media_meta", StructType(Seq(
+        StructField("mime", StringType, nullable = false),
+        StructField("origin", StringType, nullable = true),
+        StructField("n_bytes", IntegerType, nullable = false))), nullable = false))))
+  }
+
   /** STUB decoder: sha256 of the payload → deterministic pseudo "image"
     * dimensions and a 4-dim feature vector. A real implementation replaces
     * only the body of this function. */
@@ -135,16 +177,41 @@ object Multimodal {
 
   // ImageIO's default stream cache spools every decode through a temp
   // FILE — a per-row disk write in what must stay a row-local, in-memory
-  // hot path (payloads here are already byte arrays). Executor-local
-  // static, set once per JVM.
-  javax.imageio.ImageIO.setUseCache(false)
+  // hot path (payloads here are already byte arrays). Set LAZILY on
+  // first codec use (r18 advice: an object-initializer side effect
+  // mutates JVM-global ImageIO state on class load, order-dependently,
+  // for every other ImageIO user in the host JVM); idempotent and cheap,
+  // and only a JVM that actually decodes ever touches the global.
+  private lazy val imageioNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** True iff the payload starts with a known image-container signature
+    * the JDK codec set handles (PNG / GIF / BMP / JPEG / TIFF). The real
+    * decode path is GATED on this (r18 advice): blindly attempting
+    * `ImageIO.read` on every payload lets a permissive reader (WBMP
+    * accepts many short byte runs) misidentify an opaque audio/video/
+    * text payload and silently divert it from the byte-level stub the
+    * oracles replay — magic bytes make the branch rule deterministic
+    * and engine-replayable. */
+  def isImagePayload(p: Array[Byte]): Boolean = {
+    if (p == null || p.length < 4) return false
+    val b0 = p(0) & 0xff; val b1 = p(1) & 0xff
+    val b2 = p(2) & 0xff; val b3 = p(3) & 0xff
+    (b0 == 0x89 && b1 == 0x50 && b2 == 0x4e && b3 == 0x47) || // PNG
+    (b0 == 0x47 && b1 == 0x49 && b2 == 0x46 && b3 == 0x38) || // GIF8
+    (b0 == 0x42 && b1 == 0x4d) ||                             // BMP
+    (b0 == 0xff && b1 == 0xd8 && b2 == 0xff) ||               // JPEG
+    (b0 == 0x49 && b1 == 0x49 && b2 == 0x2a && b3 == 0x00) || // TIFF LE
+    (b0 == 0x4d && b1 == 0x4d && b2 == 0x00 && b3 == 0x2a)    // TIFF BE
+  }
 
   /** Decode an image payload via the JDK codec; None for non-image
     * bytes (ImageIO returns null or throws on undecodable input —
     * either way the caller falls back to the byte-level path). */
-  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    imageioNoCache
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Throwable => None }
+  }
 
   /** Deterministic RGB test-card pixel for doc `id` — the mm_decode
     * identity. Pure integer arithmetic, so the DuckDB oracle derives the
@@ -162,6 +229,7 @@ object Multimodal {
   /** Encode doc `id`'s test card as real PNG bytes (executor-side; the
     * encoder is JVM-local and headless-safe). */
   def encodeCardPng(id: Long): Array[Byte] = {
+    imageioNoCache
     val img = new java.awt.image.BufferedImage(
       CardW, CardH, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -218,15 +286,48 @@ object Multimodal {
     hash
   }
 
+  /** Canonical row-major pixel string of a decoded image — "r,g,b"
+    * cells joined by ";" in (y, x) order. The decoded image's CONTENT
+    * identity: two encoders produce different container bytes for
+    * identical pixels (deflate strategy, chunk layout), so hashing the
+    * container would make the "same image" question encoder-dependent;
+    * hashing the canonical pixel serialization is the image analogue of
+    * normalizing text before fingerprinting, and any engine derives the
+    * identical string from the pixel values (the DuckDB twin uses
+    * string_agg over the same formula). */
+  def pixelString(img: java.awt.image.BufferedImage): String = {
+    val sb = new java.lang.StringBuilder(img.getWidth * img.getHeight * 12)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        if (sb.length > 0) sb.append(';')
+        val rgb = img.getRGB(x, y)
+        sb.append((rgb >> 16) & 0xff).append(',')
+          .append((rgb >> 8) & 0xff).append(',')
+          .append(rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
   /** Decoded-image features for [[extractFeatures]]'s real path: the
     * stub's schema with REAL width/height and f0–f3 as the four
     * quadrant gray means scaled to [0,1] (round6 — the corpus-wide
-    * numeric convention). sha stays the payload digest: content
-    * identity is a property of the BYTES, decoded or not. */
+    * numeric convention). For a DECODED payload, content identity and
+    * size are properties of the PIXELS, not the container (the same
+    * image re-encoded by a different PNG writer yields different bytes):
+    * sha is the digest of [[pixelString]]'s canonical serialization and
+    * byte_len the decoded RGB volume (w·h·3) — both exactly replayable
+    * by an oracle from the pixel values, where a container digest never
+    * could be. */
   private def decodedRow(docId: Long, payload: Array[Byte],
                          img: java.awt.image.BufferedImage): Row = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val sha = md.digest(payload).map("%02x".format(_)).mkString
+    val sha = md.digest(pixelString(img).getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
     val w = img.getWidth
     val h = img.getHeight
     val sums = new Array[Long](4)
@@ -247,7 +348,7 @@ object Multimodal {
     def f(q: Int): Double =
       if (cnts(q) == 0) 0.0
       else graft.search.VecMath.round6(sums(q).toDouble / (cnts(q) * 255.0))
-    Row(docId, payload.length, sha, w, h, f(0), f(1), f(2), f(3))
+    Row(docId, w * h * 3, sha, w, h, f(0), f(1), f(2), f(3))
   }
 
   /** (doc_id, phash) over per-partition batches — the decode idiom
@@ -265,7 +366,12 @@ object Multimodal {
           val p = row.getAs[Array[Byte]]("payload")
           if (p == null || p.isEmpty) None
           else Some(Row(row.getLong(0),
-            decodeImage(p).map(imageAHash64).getOrElse(aHash64(p))))
+            // magic-byte gate first (r18 advice): only a payload that
+            // DECLARES an image container may take the decoded-grid
+            // path; opaque bytes keep the byte-level analogue even if a
+            // permissive reader could misparse them
+            (if (isImagePayload(p)) decodeImage(p).map(imageAHash64) else None)
+              .getOrElse(aHash64(p))))
         }
       }
     spark.createDataFrame(rdd, StructType(Seq(
@@ -324,7 +430,8 @@ object Multimodal {
         // real decoders init codecs/models once per partition, here
         it.map { r =>
           val p = r.getAs[Array[Byte]](1)
-          decodeImage(p)
+          // magic-byte gate first (r18 advice — see withPerceptualHash)
+          (if (isImagePayload(p)) decodeImage(p) else None)
             .map(img => decodedRow(r.getLong(0), p, img))
             .getOrElse(stubDecode(r.getLong(0), p))
         }

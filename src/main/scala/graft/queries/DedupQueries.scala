@@ -316,6 +316,9 @@ object DedupQueries {
       val n = Tables.rowCount(s, d, "documents") * nb // `bands` rows per doc
       val buckets = graft.sources.Bucketing.pickBuckets(s, n)
       val tbl = s"graft_b${buckets}_minhash_bands_$key"
+      // a regenerated corpus can change the row count and so the bucket
+      // count — GC any previous generation before publishing this one
+      graft.sources.Bucketing.dropSiblings(s, s"minhash_bands_$key", tbl)
       // bucket by BOTH join keys (requireAllClusterKeysForCoPartition)
       graft.sources.Bucketing.writeBucketed(
         corpusBands(s, d), tbl, Seq("band", "key"), buckets)
@@ -381,6 +384,8 @@ object DedupQueries {
       val n = Tables.rowCount(s, d, "documents") * 20 // ≤ 20 block keys/doc
       val buckets = graft.sources.Bucketing.pickBuckets(s, n)
       val tbl = s"graft_b${buckets}_simhash_chunks_$key"
+      // GC any previous bucket-count generation (see minhashBandTable)
+      graft.sources.Bucketing.dropSiblings(s, s"simhash_chunks_$key", tbl)
       // bucket by BOTH join keys: the default
       // requireAllClusterKeysForCoPartition rejects a bucket-key subset
       graft.sources.Bucketing.writeBucketed(

@@ -125,6 +125,10 @@ object IngestQueries {
       val n = Tables.rowCount(s, d, "lineitem")
       val buckets = graft.sources.Bucketing.pickBuckets(s, n)
       val (lt, ot) = (s"graft_b${buckets}_lineitem_$key", s"graft_b${buckets}_orders_$key")
+      // GC any previous bucket-count generation (a regenerated source can
+      // change rowCount → pickBuckets → the table NAME, orphaning the old)
+      graft.sources.Bucketing.dropSiblings(s, s"lineitem_$key", lt)
+      graft.sources.Bucketing.dropSiblings(s, s"orders_$key", ot)
       graft.sources.Bucketing.writeBucketed(Tables.lineitem(s, d), lt, "l_orderkey", buckets)
       graft.sources.Bucketing.writeBucketed(Tables.orders(s, d), ot, "o_orderkey", buckets)
       (lt, ot)

@@ -32,10 +32,15 @@ object Bucketing {
     pickBucketsFor(spark.sparkContext.defaultParallelism, explodedRows)
 
   private[graft] def pickBucketsFor(parallelism: Int, explodedRows: Long): Int = {
-    val x = math.max(1, (explodedRows / 1000000L).toInt)
-    val ceilPow2 = if (x <= 1) 1 else Integer.highestOneBit(x - 1) << 1
-    val ceiling = math.max(256, Integer.highestOneBit(8 * math.max(1, parallelism)))
-    math.min(ceiling, math.max(8, ceilPow2))
+    // ceil-pow2 in LONG end to end: the old Int narrowing overflowed past
+    // ~2.1e15 exploded rows and the Int shift hit the sign bit past
+    // ~1.07e15 — outside the stated 100 TB regime, but the guard is free
+    val x = math.max(1L, explodedRows / 1000000L)
+    val ceilPow2 = if (x <= 1L) 1L else java.lang.Long.highestOneBit(x - 1L) << 1
+    val ceiling = math.max(256L, java.lang.Long.highestOneBit(8L * math.max(1, parallelism)))
+    // 2^30 hard cap keeps the Int conversion exact even for absurd
+    // parallelism×volume combinations (no real layout wants a billion buckets)
+    math.min(1L << 30, math.min(ceiling, math.max(8L, ceilPow2))).toInt
   }
 
   /** Write `df` as a bucketed (+sorted) table in the session catalog,
@@ -86,6 +91,33 @@ object Bucketing {
       s"bucketed publish: tmp table $tmp missing after CTAS")
     drop(table)
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
+  }
+
+  /** Drop every OTHER generation of a bucket-count-named layout before
+    * publishing `keep` (r18 advice: a source regeneration that changes
+    * the row count can change `pickBuckets`, renaming the table — the
+    * previous generation `graft_b<oldN>_<suffix>` and its warehouse
+    * directory would otherwise linger forever, since the mtime memo only
+    * knows the NEW name). Matches `graft_b<digits>_<suffix>` exactly in
+    * both the session catalog and the warehouse directory listing
+    * (managed-table dirs survive the JVM without a catalog entry), so a
+    * rebuild garbage-collects its own family and nothing else; the
+    * pid/tid `_tmp_` names never match the anchored pattern. */
+  private[graft] def dropSiblings(spark: SparkSession, suffix: String,
+                                  keep: String): Unit = {
+    val re = ("^graft_b\\d+_" + java.util.regex.Pattern.quote(
+      suffix.toLowerCase(java.util.Locale.ROOT)) + "$").r
+    val keepLc = keep.toLowerCase(java.util.Locale.ROOT)
+    def stale(name: String): Boolean = {
+      val n = name.toLowerCase(java.util.Locale.ROOT)
+      n != keepLc && re.findFirstIn(n).isDefined
+    }
+    spark.catalog.listTables().collect().map(_.name).filter(stale)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    val wh = LocalArtifacts.asFile(spark.conf.get("spark.sql.warehouse.dir"))
+    Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && stale(f.getName))
+      .foreach(LocalArtifacts.deleteRecursively)
   }
 
   /** Bucket-aware join of two previously bucketed tables: with matching

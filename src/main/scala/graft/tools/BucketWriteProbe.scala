@@ -1,0 +1,72 @@
+package graft.tools
+
+/** Write-side cost probe for the bucketed minhash band layout (r18
+  * verdict #6, complementing BASELINE §3k's read-side closures): the
+  * 10,000× bucket-count arithmetic rested on measured READ probes plus
+  * write-side reasoning — this records a measured ingest point: the
+  * wall + sort spill of `Bucketing.writeBucketed` over the band table
+  * at the probed corpus scale (256 buckets on local[32]).
+  *
+  * Itemization mirrors the production split: `build_sec` is the
+  * corpusBands artifact build/read-back (the minhash pass — already
+  * priced by the §3m probes), `write_sec` is the timed bucketed CTAS
+  * (scan artifact → hash-distribute into buckets → per-file sort →
+  * parquet write) — exactly the one-off ingest line the #302 layout
+  * pays so every later mine joins shuffle-free.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (corpus dir, e.g. the 1000× replica dir),
+  * SPARK_GRAFT_CPUS, SPARK_GRAFT_INIT_PARTS / SPARK_GRAFT_ADVISORY_MB
+  * (the ScaleBench sizing knobs). Prints ONE JSON line.
+  */
+object BucketWriteProbe {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val initParts = sys.env.get("SPARK_GRAFT_INIT_PARTS")
+    val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
+    val builder = Sessions.local(cpus)
+    initParts.foreach(p =>
+      builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", p))
+    advisoryMb.foreach(m =>
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${m}m"))
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // untimed prerequisite, itemized: the published band artifact (the
+    // minhash pass — §3m already prices it; a fresh dir builds it here)
+    val tBuild = System.nanoTime()
+    val bands = graft.queries.DedupQueries.corpusBands(spark, dir)
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+
+    val nDocs = graft.Tables.rowCount(spark, dir, "documents")
+    val explodedRows = nDocs * graft.queries.DedupQueries.BandGeom._1
+    val buckets = graft.sources.Bucketing.pickBuckets(spark, explodedRows)
+    val tbl = "graft_write_probe_minhash_bands"
+
+    val spill = new ScaleBench.SpillListener
+    spark.sparkContext.addSparkListener(spill)
+    org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
+    spill.reset()
+    val t0 = System.nanoTime()
+    graft.sources.Bucketing.writeBucketed(bands, tbl, Seq("band", "key"), buckets)
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
+    val rows = spark.table(tbl).count()
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val cfg = (initParts.map(p => s""""init_parts":$p""") ++
+      advisoryMb.map(m => s""""advisory_mb":$m""")).mkString(",")
+    val cfgJson = if (cfg.isEmpty) "" else s""","config":{$cfg}"""
+    val line =
+      s"""{"metric":"bucket_write","buckets":$buckets,"rows":$rows,""" +
+        s""""n_docs":$nDocs,"build_sec":${f2(buildSec)},"write_sec":${f2(writeSec)},""" +
+        s""""spill_mem_mb":${spill.memSpill.get >> 20},"spill_disk_mb":${spill.diskSpill.get >> 20},""" +
+        s""""shuffle_mb":${spill.shuffleWrite.get >> 20}$cfgJson}"""
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    println(line)
+    System.out.flush()
+  }
+}

@@ -328,7 +328,7 @@ object ScaleBench {
     * the evidence that separates "algorithmic super-linearity" from
     * "local[32] memory pressure" in the 30×→100× interval (VERDICT r10
     * #3 asks for exactly this breakdown). */
-  private class SpillListener extends org.apache.spark.scheduler.SparkListener {
+  private[tools] class SpillListener extends org.apache.spark.scheduler.SparkListener {
     val memSpill = new java.util.concurrent.atomic.AtomicLong
     val diskSpill = new java.util.concurrent.atomic.AtomicLong
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong

@@ -63,6 +63,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!calm.contains("contended"))
   }
 
+  test("contended marker has a noise floor: small deltas are weather, not contention (r18 #2)") {
+    // BENCH_r18's own false positive: 9.82 vs 9.75 s (0.7%) must NOT flag
+    val cold = Seq(("spans", 9.75), ("short", 0.30), ("real", 8.15))
+    val reps = Seq(("spans", 9.82), ("short", 0.70), ("real", 10.12))
+    val line = Bench.formatLine(cold, "0.1", Nil, reps)
+    // only the genuinely contended row (10.12 vs 8.15: +24%, +1.97 s) flags;
+    // the 0.7% delta and the +0.4 s short-row jitter stay off the marker
+    assert(line.contains(""""contended":{"n":1,"rows":["real"]}"""))
+    // both gates must hold: 10%+ but under 0.5 s absolute → no flag
+    assert(!Bench.formatLine(Seq(("s", 0.30)), "0.1", Nil, Seq(("s", 0.70))).contains("contended"))
+    // 0.5 s+ but under 10% relative → no flag
+    assert(!Bench.formatLine(Seq(("l", 20.0)), "0.1", Nil, Seq(("l", 20.8))).contains("contended"))
+    // min-of-pair is still emitted for every repped row regardless
+    assert(line.contains(""""warm_sec":{"real":8.15,"short":0.30,"spans":9.75}"""))
+  }
+
   test("contended list is capped at MaxContended with the true count preserved") {
     val cold = (0 until 6).map(i => (s"q$i", 10.0))
     val reps = (0 until 6).map(i => (s"q$i", 20.0 + i))
@@ -103,11 +119,11 @@ class BenchLineSpec extends AnyFunSuite {
   test("top-N keeps the slowest queries and other_sec sums the rest exactly") {
     val results = (0 until 100).map(i => (f"q$i%03d", i.toDouble))
     val line = Bench.formatLine(results, "0.01")
-    // slowest 27 are q073..q099
-    assert(line.contains(""""q099":99.00""") && line.contains(""""q073":73.00"""))
-    assert(!line.contains(""""q072":"""))
-    // rest = 0+1+...+72 = 2628
-    assert(line.contains(""""other_sec":2628.00"""))
+    // slowest 26 are q074..q099
+    assert(line.contains(""""q099":99.00""") && line.contains(""""q074":74.00"""))
+    assert(!line.contains(""""q073":"""))
+    // rest = 0+1+...+73 = 2701
+    assert(line.contains(""""other_sec":2701.00"""))
     assert(line.contains(""""value":4950.00"""))
   }
 
@@ -126,8 +142,8 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.formatLine(results, "0.1")
     assert(line.contains(""""bad":-1.00"""), "sentinel must survive the top-N cut")
     assert(line.contains(""""failed":1"""))
-    // other_sec still sums only the non-top successes: 1+2+...+73 = 2701
-    assert(line.contains(""""other_sec":2701.00"""))
+    // other_sec still sums only the non-top successes: 1+2+...+74 = 2775
+    assert(line.contains(""""other_sec":2775.00"""))
   }
 
   test("failed:0 when everything succeeds") {

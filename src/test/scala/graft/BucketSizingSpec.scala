@@ -38,4 +38,15 @@ class BucketSizingSpec extends AnyFunSuite {
     // degenerate parallelism never drops the ceiling below the floor
     assert(Bucketing.pickBucketsFor(1, 600000000000L) == 256)
   }
+
+  test("no Int overflow at absurd volumes: the ceil-pow2 runs in Long (r18 advice)") {
+    // 3e15 exploded rows: the old Int narrowing of rows/1M wrapped
+    // negative here; the Long path must stay positive and machine-clamped
+    assert(Bucketing.pickBucketsFor(32, 3_000_000_000_000_000L) == 256)
+    assert(Bucketing.pickBucketsFor(8000, 3_000_000_000_000_000L) == 32768)
+    // Long.MaxValue rows and a million-core "cluster" still clamp sanely
+    assert(Bucketing.pickBucketsFor(32, Long.MaxValue) == 256)
+    val huge = Bucketing.pickBucketsFor(Int.MaxValue, Long.MaxValue)
+    assert(huge > 0 && Integer.bitCount(huge) == 1 && huge <= (1 << 30))
+  }
 }

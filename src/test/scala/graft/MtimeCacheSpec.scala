@@ -73,4 +73,24 @@ class MtimeCacheSpec extends AnyFunSuite {
     assert(n2 == expectedChunkRows(), "rebuilt table must match the new corpus")
     assert(n2 != n1, "a stale memo would have served the old corpus' rows")
   }
+
+  test("dropSiblings GCs the previous bucket-count generation, nothing else (r18 advice)") {
+    val s = SparkTest.session
+    import s.implicits._
+    val df = (0L until 20L).map(i => i -> s"v$i").toDF("k", "v")
+    // two generations of the same layout family + one unrelated family
+    graft.sources.Bucketing.writeBucketed(df, "graft_b8_mtspec_fam_x", "k", 8)
+    graft.sources.Bucketing.writeBucketed(df, "graft_b16_mtspec_fam_x", "k", 16)
+    graft.sources.Bucketing.writeBucketed(df, "graft_b8_mtspec_other_x", "k", 8)
+    graft.sources.Bucketing.dropSiblings(s, "mtspec_fam_x", "graft_b16_mtspec_fam_x")
+    // the old generation is gone from the catalog AND the warehouse dir
+    assert(!s.catalog.tableExists("graft_b8_mtspec_fam_x"))
+    val wh = graft.sources.LocalArtifacts.asFile(s.conf.get("spark.sql.warehouse.dir"))
+    assert(!new java.io.File(wh, "graft_b8_mtspec_fam_x").exists())
+    // the kept generation and the unrelated family are untouched
+    assert(s.table("graft_b16_mtspec_fam_x").count() == 20)
+    assert(s.table("graft_b8_mtspec_other_x").count() == 20)
+    s.sql("DROP TABLE IF EXISTS `graft_b16_mtspec_fam_x`")
+    s.sql("DROP TABLE IF EXISTS `graft_b8_mtspec_other_x`")
+  }
 }

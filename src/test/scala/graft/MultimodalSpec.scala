@@ -153,6 +153,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L) == Multimodal.stubDecode(2L, textPayload))
   }
 
+  test("isImagePayload: magic bytes gate the codec path (r18 advice)") {
+    assert(Multimodal.isImagePayload(Multimodal.encodeCardPng(5L)), "real PNG")
+    assert(Multimodal.isImagePayload("BM??????".getBytes("UTF-8")), "BMP magic")
+    assert(Multimodal.isImagePayload(Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)), "JPEG")
+    assert(Multimodal.isImagePayload("GIF89a".getBytes("UTF-8")), "GIF")
+    assert(Multimodal.isImagePayload(Array(0x49, 0x49, 0x2a, 0x00).map(_.toByte)), "TIFF LE")
+    assert(!Multimodal.isImagePayload("plain text payload".getBytes("UTF-8")))
+    assert(!Multimodal.isImagePayload(Array.empty[Byte]))
+    assert(!Multimodal.isImagePayload(Array[Byte](0, 0, 2)))
+    // the advice's exact worry: a short binary run WBMP would happily
+    // "decode" — without image magic it must never reach the codec, so
+    // the features row is byte-identical to the stub
+    val wbmpLure = Array[Byte](0, 0, 8, 8, 1, 2, 3, 4, 5, 6, 7, 8)
+    assert(!Multimodal.isImagePayload(wbmpLure))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, wbmpLure))), schema)
+    assert(Multimodal.extractFeatures(df).collect().head ==
+      Multimodal.stubDecode(9L, wbmpLure))
+  }
+
+  test("withMixedPayload: the doc_id % 7 == 3 slice carries real PNG, the rest text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rows = Multimodal.withMixedPayload(docs).collect()
+    val (img, txt) = rows.partition(r => Multimodal.isImageDoc(r.getLong(0)))
+    assert(img.nonEmpty && txt.nonEmpty, "both branches must be populated in-gate")
+    // the registered gate rows cover both branches at every sf dir
+    assert(img.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      Multimodal.isImagePayload(p) &&
+        java.util.Arrays.equals(p, Multimodal.encodeCardPng(r.getLong(0))) &&
+        r.getStruct(2).getString(0) == "image/png"
+    })
+    assert(txt.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      !Multimodal.isImagePayload(p) &&
+        r.getStruct(2).getString(0) == "application/octet-stream"
+    })
+    // branch-split arithmetic: the slice rule, nothing else, decides
+    val expectImg = docs.collect().count(r =>
+      Multimodal.isImageDoc(r.getAs[Long]("doc_id")))
+    assert(img.length == expectImg)
+  }
+
+  test("mixed-corpus features and phash take the REAL branch on the image slice") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    val mixed = Multimodal.withMixedPayload(docs)
+    val feats = Multimodal.extractFeatures(mixed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val hashes = Multimodal.withPerceptualHash(mixed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = feats.keySet
+    assert(ids.exists(Multimodal.isImageDoc) && ids.exists(!Multimodal.isImageDoc(_)))
+    ids.foreach { id =>
+      if (Multimodal.isImageDoc(id)) {
+        val img = Multimodal.decodeImage(Multimodal.encodeCardPng(id)).get
+        val f = feats(id)
+        // decoded dimensions + pixel-derived size/sha (content identity
+        // is the PIXELS for a decoded payload — encoder-independent)
+        assert(f.getInt(3) == Multimodal.CardW && f.getInt(4) == Multimodal.CardH)
+        assert(f.getInt(1) == Multimodal.CardW * Multimodal.CardH * 3)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val sha = md.digest(Multimodal.pixelString(img)
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(f.getString(2) == sha)
+        assert(hashes(id) == Multimodal.imageAHash64(img))
+      } else {
+        val payload = docs.where(col("doc_id") === id)
+          .collect().head.getAs[String]("text").getBytes("UTF-8")
+        assert(feats(id) == Multimodal.stubDecode(id, payload))
+        assert(hashes(id) == Multimodal.aHash64(payload))
+      }
+    }
+  }
+
   test("decodeRoundTrip matches the oracle arithmetic (the mm_decode identity)") {
     val schema = StructType(Seq(StructField("doc_id", LongType, nullable = false)))
     val ids = Seq(0L, 3L, 999999L)

@@ -773,14 +773,40 @@ object RunHarness {
     * share bits and prefix-seeded plane tables by construction); everything
     * else stays a single backend. Group order follows each group's first
     * member, and runMany re-orders per-query rows to the caller's list. */
+  /** The fused-group timing key each requested backend reports under
+    * (r19 verdict #5 — artifact self-description): dials that share one
+    * timed pass in [[buildGroups]] map to the group's combined key;
+    * everything else maps to itself. Kept in lockstep with buildGroups
+    * via the same dial predicates (spec-pinned, RunHarnessSpec). */
+  def fusedKeys(backendNames: Seq[String]): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    backendNames.foreach(n => m += n -> n)
+    val ivfpqDials = backendNames.filter(isIvfPqDial)
+    if (ivfpqDials.length >= 2) {
+      val key = ivfpqDials.mkString("+")
+      ivfpqDials.foreach(n => m += n -> key)
+    }
+    val lshDials = backendNames.filter(isLshDial)
+    if (lshDials.length >= 2) {
+      val key = lshDials.mkString("+")
+      lshDials.foreach(n => m += n -> key)
+    }
+    m.result()
+  }
+
+  private def isIvfPqDial(n: String): Boolean =
+    n.startsWith("ivfpq:") && n.stripPrefix("ivfpq:").nonEmpty &&
+      n.stripPrefix("ivfpq:").forall(_.isDigit)
+
+  private def isLshDial(n: String): Boolean =
+    n == "lsh" || n.startsWith("lsh:")
+
   private def buildGroups(backendNames: Seq[String], emb: DataFrame, total: Long,
                           ladder: Seq[Int], nprobe: Int, maxLadderSteps: Option[Int],
                           corpusKey: Option[String], knownDim: Option[Int],
                           ram: Option[RamCorpus]): Seq[GroupBackend] = {
-    val ivfpqDials = backendNames.filter(n =>
-      n.startsWith("ivfpq:") && n.stripPrefix("ivfpq:").nonEmpty &&
-        n.stripPrefix("ivfpq:").forall(_.isDigit))
-    val lshDials = backendNames.filter(n => n == "lsh" || n.startsWith("lsh:"))
+    val ivfpqDials = backendNames.filter(isIvfPqDial)
+    val lshDials = backendNames.filter(isLshDial)
     val fuseIvfPq = ivfpqDials.length >= 2
     val fuseLsh = lshDials.length >= 2
     def single(n: String) = new SingleGroup(getBackend(n, emb, total, ladder, nprobe,

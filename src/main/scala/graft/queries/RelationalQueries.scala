@@ -355,17 +355,39 @@ object RelationalQueries {
     * reduced to order grain BEFORE any join (the HAVING filter drops
     * ~99% of orders pre-join), so the join input is tiny however large
     * the fact table; DECIMAL-exact quantity sums; TakeOrdered top-20. */
-  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
-    val big = Tables.lineitem(spark, dir)
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame =
+    q18LargeOrdersOf(Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir))
+
+  private def q18LargeOrdersOf(lineitem: DataFrame, orders: DataFrame,
+                               customer: DataFrame): DataFrame = {
+    val big = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_quantity"))).as("qd"))
       .where(col("qd") > 250)
-    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+    big.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice"), col("qd").cast("double").as("total_qty"))
       .orderBy(desc("total_qty"), col("o_orderkey"))
       .limit(20)
+  }
+
+  /** #314 q18_bucketed: #78's large-order report SERVED FROM the #294
+    * bucketed layout (the dedup_minhash_bucketed-shadows-#102 discipline,
+    * relational flavor): both fact tables come from the order-key
+    * bucketed+sorted catalog tables, so the order-grain quantity
+    * aggregate runs WITHOUT an Exchange (grouping key = bucket key) and
+    * the big⋈orders join reads aligned bucket files with no shuffle on
+    * either side — at 100 TB the 16 GB/decade order-key exchange is the
+    * query's dominant cost and the layout deletes it. Production code
+    * path and oracle are IDENTICAL to #78 (layout changes the plan,
+    * never the answer — the #294 contract; PlanSpec pins zero Exchange
+    * at/below the fact-fact join). */
+  def q18Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = IngestQueries.bucketedTables(spark, dir)
+    q18LargeOrdersOf(spark.table(lt), spark.table(ot),
+      Tables.customer(spark, dir))
   }
 
   val q18LargeOrdersSql: String =
@@ -830,7 +852,27 @@ object RelationalQueries {
     * engines evaluate (the q2 lineitem-stand-in discipline). Facts
     * join once; part and supplier→nation broadcast; profit stays
     * DECIMAL until the final cast. */
-  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    q9ProductProfitOf(spark, dir,
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir))
+
+  /** #313 q9_bucketed: #110's product-line profit SERVED FROM the #294
+    * bucketed layout — the fact-fact lineitem⋈orders join (the query's
+    * ONLY large exchange: §3q measured it at 16 GB/decade, and its
+    * per-thread SMJ sorts are the 24 GB-heap spill's whole source) reads
+    * aligned order-key bucket files with no shuffle and no sort on
+    * either side; the part/supplier dimensions broadcast as in #110 and
+    * the residual exchanges move only the ~175-group aggregate.
+    * Production code path and oracle are IDENTICAL to #110 (the #294
+    * contract: layout changes the plan, never the answer; PlanSpec pins
+    * zero Exchange at/below the fact-fact join). */
+  def q9Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (lt, ot) = IngestQueries.bucketedTables(spark, dir)
+    q9ProductProfitOf(spark, dir, spark.table(lt), spark.table(ot))
+  }
+
+  private def q9ProductProfitOf(spark: SparkSession, dir: String,
+                                lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val profit = dec(col("l_extendedprice")) *
       (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) -
       dec(col("p_retailprice")) * lit(0.40).cast("decimal(18,2)") * dec(col("l_quantity"))
@@ -840,8 +882,8 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(spark, dir)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("nation"))
-    Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
@@ -1185,6 +1227,7 @@ object RelationalQueries {
     "orders_open_book" -> (ordersOpenBook _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_product_profit" -> (q9ProductProfit _),
+    "q9_bucketed" -> (q9Bucketed _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q1_pricing" -> (q1Pricing _),
     "q3_priority" -> (q3Priority _),
@@ -1197,6 +1240,7 @@ object RelationalQueries {
     "q16_parts" -> (q16Parts _),
     "q12_lateness" -> (q12Lateness _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q18_bucketed" -> (q18Bucketed _),
     "customer_deciles" -> (customerDeciles _),
     "q6_forecast" -> (q6Forecast _),
     "q14_promo" -> (q14Promo _),
@@ -1216,6 +1260,9 @@ object RelationalQueries {
     "customer_pareto" -> customerParetoSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_product_profit" -> q9ProductProfitSql,
+    // #313/#314: the bucketed-layout twins share #110/#78's oracles
+    // verbatim — the layout must change the plan, never the answer
+    "q9_bucketed" -> q9ProductProfitSql,
     "q11_important_stock" -> q11ImportantStockSql,
     "q1_pricing" -> q1PricingSql,
     "q3_priority" -> q3PrioritySql,
@@ -1228,6 +1275,7 @@ object RelationalQueries {
     "q16_parts" -> q16PartsSql,
     "q12_lateness" -> q12LatenessSql,
     "q18_large_orders" -> q18LargeOrdersSql,
+    "q18_bucketed" -> q18LargeOrdersSql,
     "customer_deciles" -> customerDecilesSql,
     "q6_forecast" -> q6ForecastSql,
     "q14_promo" -> q14PromoSql,

@@ -170,12 +170,16 @@ object BaselineProbe {
     // shortlist (pq:N / ivfpq:N grammar) — the recall the shortlist-100
     // operating point trades away is recoverable without touching the
     // index, at a latency still at-or-below the flat probe's
-    val rowsD = RunHarness.runMany(spark, dirS,
-      Seq("pq:500", "ivfpq:500", "ivfpq_res:500", "pq:1000", "ivfpq:1000",
-        "ivfpq_res:1000", "bq:500", "bq:1000", "bq:5000"),
-      qsS, ram = Some(ramS))
+    val dialNames = Seq("pq:500", "ivfpq:500", "ivfpq_res:500", "pq:1000",
+      "ivfpq:1000", "ivfpq_res:1000", "bq:500", "bq:1000", "bq:5000")
+    val rowsD = RunHarness.runMany(spark, dirS, dialNames, qsS, ram = Some(ramS))
+    // dial rows that share one timed pass say so (fused ladder — their
+    // latencies are intentionally near-identical, not duplicated reps)
+    val fusedD = RunHarness.fusedKeys(dialNames)
     val sD = RunHarness.summarize(rowsD).map { case (m, mean, p50, rec) =>
-      s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec}"""
+      val fused = fusedD.get(m).filter(_ != m)
+        .map(k => s""","fused":"$k"""").getOrElse("")
+      s""""$m":{"mean_ms":$mean,"p50_ms":$p50,"mean_recall":$rec$fused}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"baseline_scale_structured_dial","n":$N,"d":$D,"centers":300,"backends":$sD}""")
     spark.stop()

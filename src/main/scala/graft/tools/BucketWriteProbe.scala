@@ -41,7 +41,12 @@ object BucketWriteProbe {
 
     val nDocs = graft.Tables.rowCount(spark, dir, "documents")
     val explodedRows = nDocs * graft.queries.DedupQueries.BandGeom._1
-    val buckets = graft.sources.Bucketing.pickBuckets(spark, explodedRows)
+    // r19 verdict #4: SPARK_GRAFT_BUCKETS pins the count so the write
+    // side can be measured at the 256-bucket local ceiling the §3k
+    // 10,000× arithmetic leans on (pickBuckets sized the r19 run to 32 —
+    // the band table's own rows, below the ceiling regime)
+    val buckets = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt)
+      .getOrElse(graft.sources.Bucketing.pickBuckets(spark, explodedRows))
     val tbl = "graft_write_probe_minhash_bands"
 
     val spill = new ScaleBench.SpillListener

@@ -401,6 +401,44 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q9_bucketed / q18_bucketed: the fact-fact join reads bucket files with no Exchange") {
+    // force SMJ + AQE off (the #299/#302 pin discipline): the tiny test
+    // tables would broadcast and AdaptiveSparkPlanExec hides children
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(queries.RelationalQueries.q9Bucketed(spark, sf),
+          queries.RelationalQueries.q18Bucketed(spark, sf)).foreach { df =>
+        val exec = df.queryExecution.executedPlan
+        val factJoins = exec.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.leftKeys.map(_.toString).exists(_.contains("orderkey")) => j
+        }
+        assert(factJoins.nonEmpty, exec.toString)
+        factJoins.foreach { j =>
+          val sub = j.toString
+          assert(!sub.contains("Exchange"), sub)
+          assert(sub.contains("Bucketed: true"), sub)
+        }
+      }
+      // q18's order-grain aggregate ALSO rides the bucketing: grouping
+      // key = bucket key, so no Exchange sits at or below it either
+      val aggExec = queries.RelationalQueries.q18Bucketed(spark, sf)
+        .queryExecution.executedPlan
+      val aggs = aggExec.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.map(_.toString).exists(_.contains("l_orderkey")) => a
+      }
+      assert(aggs.nonEmpty, aggExec.toString)
+      aggs.foreach(a => assert(!a.toString.contains("Exchange"), a.toString))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("dedup_simhash_bucketed: the hamming blocking self-join plans no Exchange") {
     // force SMJ (the sf0.001 chunk table would broadcast and hide the
     // co-location property); AQE off so executedPlan is the real tree

@@ -381,4 +381,16 @@ class RelationalQueriesSpec extends AnyFunSuite {
       .where(col("event_type").isNotNull).distinct().count()
     assert(a.length == types)
   }
+
+  test("q9_bucketed / q18_bucketed: the layout changes the plan, never the answer") {
+    // the #294 contract, applied to the two TPC-H consumers: row-for-row
+    // identity against the plain-parquet originals (the oracle the gate
+    // rows share). PlanSpec pins the zero-Exchange property separately.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(rows(queries.RelationalQueries.q9Bucketed(spark, sf)) ==
+      rows(queries.RelationalQueries.q9ProductProfit(spark, sf)))
+    assert(rows(queries.RelationalQueries.q18Bucketed(spark, sf)) ==
+      rows(queries.RelationalQueries.q18LargeOrders(spark, sf)))
+  }
 }

@@ -446,4 +446,22 @@ class RunHarnessSpec extends AnyFunSuite {
     assert(seen.toSet == Set("exact", "ivfpq:50+ivfpq:100", "lsh:1+lsh:2x2"),
       seen.mkString(","))
   }
+
+  test("fusedKeys names each dial's shared timing key (artifact self-description)") {
+    // the BaselineProbe dial list: only the two ivfpq dials share a pass
+    val keys = RunHarness.fusedKeys(Seq("pq:500", "ivfpq:500", "ivfpq_res:500",
+      "pq:1000", "ivfpq:1000", "ivfpq_res:1000", "bq:500", "bq:1000", "bq:5000"))
+    assert(keys("ivfpq:500") == "ivfpq:500+ivfpq:1000")
+    assert(keys("ivfpq:1000") == "ivfpq:500+ivfpq:1000")
+    Seq("pq:500", "pq:1000", "ivfpq_res:500", "ivfpq_res:1000",
+      "bq:500", "bq:1000", "bq:5000").foreach(n => assert(keys(n) == n, n))
+    // and it matches what the timing hook actually reports (lockstep with
+    // buildGroups — the property the field's consumers rely on)
+    val seen = scala.collection.mutable.Set.empty[String]
+    RunHarness.runMany(spark, sf, Seq("ivfpq:50", "ivfpq:100", "lsh:1", "lsh:2x2"),
+      qs = QuerySet.default.take(1),
+      onBackendTimed = (n, _) => seen.synchronized { seen += n; () })
+    val k2 = RunHarness.fusedKeys(Seq("ivfpq:50", "ivfpq:100", "lsh:1", "lsh:2x2"))
+    assert(seen.toSet == k2.values.toSet, s"$seen vs ${k2.values.toSet}")
+  }
 }

@@ -98,13 +98,44 @@ object ScaleBench {
       (lit(-120.0) + pmod(xxhash64(col("vec_id"), lit(2)), lit(960))
         .cast("double") * 0.25).as("longitude"))
 
+  /** Constant-DENSITY geo probe metadata — the §3r workload note turned
+    * into a measurable synthetic: territory GROWS with the corpus. Grid
+    * AREA scales ~linearly with the replica factor (√R per axis from a
+    * 16×30 quarter-degree base, capped at [[uniformGeoMeta]]'s full
+    * 496×960 completeness band), so per-cell occupancy stays the base
+    * corpus' at every R — the real 100 TB geo axis (more territory at
+    * ~constant density; uniformGeoMeta is the other axis, fixed
+    * territory at growing density, the radius join's worst case). Same
+    * hash derivation, grid centered on the equator so the |lat| ≤ 62°
+    * 3×3-completeness cap holds at every grid size (496·0.25/2 = 62). */
+  private[graft] def uniformGeoMetaCd(emb: DataFrame, replicas: Int): DataFrame = {
+    val s = math.sqrt(replicas.toDouble)
+    val rows = math.min(496L, math.ceil(16 * s).toLong)
+    val cols = math.min(960L, math.ceil(30 * s).toLong)
+    emb.select(col("vec_id"),
+      (lit(-(rows * 0.25) / 2.0) + pmod(xxhash64(col("vec_id"), lit(1)), lit(rows))
+        .cast("double") * 0.25).as("latitude"),
+      (lit(-(cols * 0.25) / 2.0) + pmod(xxhash64(col("vec_id"), lit(2)), lit(cols))
+        .cast("double") * 0.25).as("longitude"))
+  }
+
+  /** Replica factor of a probe dir: scaled dirs follow the scaleDir
+    * convention `.../x<R>` (see main); anything else — the base sf
+    * dirs — is 1. Lets a dir-polymorphic probe closure size its
+    * synthetic to the corpus it reads with no discovery job inside the
+    * timed region. */
+  private[graft] def dirReplicas(dir: String): Int = {
+    val m = java.util.regex.Pattern.compile(".*/x(\\d+)/?$").matcher(dir)
+    if (m.matches()) m.group(1).toInt else 1
+  }
+
   /** Exact candidate count of the de-aliased radius join (the blocking's
     * cost driver): Σ over probe cells of n(cell)·n(neighbor) across the
     * 3×3 neighborhood, minus the self-pairs — a cheap two-aggregate job
     * emitted alongside the timed geo probes so the §3r classification
     * can check wall tracks candidates. */
-  private def geoCandCount(emb: DataFrame): DataFrame = {
-    val cells = uniformGeoMeta(emb)
+  private def geoCandCountOf(meta: DataFrame): DataFrame = {
+    val cells = meta
       .groupBy(floor(col("latitude") / 0.5).cast("long").as("cl"),
         floor(col("longitude") / 0.5).cast("long").as("co"))
       .agg(count(lit(1)).as("n"))
@@ -117,25 +148,43 @@ object ScaleBench {
       .agg(sum(col("np") * col("n")).as("cand_incl_self"))
     // id_a ≠ id_b: every point meets itself once (its home cell is in its
     // own neighborhood) — subtract the total point count
-    inclSelf.crossJoin(emb.agg(count(lit(1)).as("npts")))
+    inclSelf.crossJoin(meta.agg(count(lit(1)).as("npts")))
       .select((col("cand_incl_self") - col("npts")).as("candidates"))
   }
 
-  /** Probe-only de-aliased geo variants: the IDENTICAL production
-    * geoPairsOf/geoKnnOf code over [[uniformGeoMeta]] instead of the
-    * aliasing embeddingsMeta — only the synthetic input changes. */
-  private val GeoProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Probe-only workload variants: the IDENTICAL production operator
+    * code over a synthetic that fixes what the replica build distorts —
+    * `_u` geo rows run geoPairsOf/geoKnnOf over [[uniformGeoMeta]]
+    * (de-aliased, fixed territory / growing density), `_cd` rows over
+    * [[uniformGeoMetaCd]] (constant density / growing territory — the
+    * 100 TB axis), and `er_fuzzy_parts_g` runs the production
+    * erFuzzyPartsOf over the name-GROWN part table (the §3r honesty
+    * note measured: distinct names ×R; falls back to the plain part
+    * table on an unbuilt/base dir, where grownPart(·, 1) is the
+    * identity). Only the synthetic input ever changes. */
+  private val WorkloadProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
     "geo_pairs_u" -> ((s, d) => graft.queries.VectorQueries.geoPairsOf(
       uniformGeoMeta(graft.Tables.embeddings(s, d)))),
     "geo_knn_u" -> ((s, d) => graft.queries.VectorQueries.geoKnnOf(
       uniformGeoMeta(graft.Tables.embeddings(s, d)))),
-    "geo_cand_u" -> ((s, d) => geoCandCount(graft.Tables.embeddings(s, d))))
+    "geo_cand_u" -> ((s, d) => geoCandCountOf(
+      uniformGeoMeta(graft.Tables.embeddings(s, d)))),
+    "geo_pairs_cd" -> ((s, d) => graft.queries.VectorQueries.geoPairsOf(
+      uniformGeoMetaCd(graft.Tables.embeddings(s, d), dirReplicas(d)))),
+    "geo_cand_cd" -> ((s, d) => geoCandCountOf(
+      uniformGeoMetaCd(graft.Tables.embeddings(s, d), dirReplicas(d)))),
+    "er_fuzzy_parts_g" -> ((s, d) => {
+      val grown = s"$d/part_g.parquet"
+      val src = if (new java.io.File(s"$grown/_SUCCESS").exists()) grown
+                else s"$d/part.parquet"
+      graft.queries.QualityQueries.erFuzzyPartsOf(s.read.parquet(src))
+    }))
 
   private[graft] def resolveQuery(
       name: String): (SparkSession, String) => DataFrame =
     graft.SparkEntry.queries.getOrElse(name,
       FixedBatchProbes.getOrElse(name,
-        GeoProbes.getOrElse(name,
+        WorkloadProbes.getOrElse(name,
           throw new NoSuchElementException(
             s"unknown probe query '$name' (not registered, not probe-only)"))))
 
@@ -254,7 +303,33 @@ object ScaleBench {
       evCopies.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
+    // Name-GROWN part replicas (the §3r ER honesty note, measured): the
+    // keyed `part` replication reuses TPC-H's bounded name vocabulary, so
+    // the er rows' name-grain collapse absorbs ANY replica factor and the
+    // 1000× point certifies nothing about name-space growth. This variant
+    // passes each replica's names through its alphabet bijection (the
+    // documents translate discipline) — distinct names grow ×R while
+    // per-replica name/block structure is preserved exactly (perm keeps
+    // spaces, so the first-token blocking key translates WITH the name
+    // and block-size multisets are replica-invariant). er_fuzzy's design
+    // contract — blocked pairs linear in NAMES — becomes measurable.
+    if (want("part_g") && !built(outDir, "part_g")) {
+      val p = spark.read.parquet(s"$baseDir/part.parquet")
+      guardIds(p, "p_partkey")
+      grownPart(p, replicas)
+        .write.mode("overwrite").parquet(s"$outDir/part_g.parquet")
+    }
   }
+
+  /** The name-grown replica transform behind `part_g` (spec-pinned):
+    * keys offset per replica, names passed through the replica's
+    * alphabet bijection. grownPart(p, 1) ≡ p (perm(0) is the identity,
+    * offset 0 — the replica-0 discipline). */
+  private[graft] def grownPart(p: DataFrame, replicas: Int): DataFrame =
+    (0 until replicas).map { i =>
+      p.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * IdOffset))
+        .withColumn("p_name", translate(col("p_name"), Alphabet, perm(i)))
+    }.reduce(_ unionAll _)
 
   /** Replicate the TPC-H side for the relational probes (pareto's rank,
     * hilbert's layout): key columns offset per replica, every value

@@ -130,4 +130,97 @@ class ScaleBenchSpec extends AnyFunSuite {
       "rotation shift repeated — two replicas would be exact vector dups")
     assert(shifts.forall(s => s >= 0 && s < 384))
   }
+
+  test("uniformGeoMetaCd: area grows ~linearly with R at constant density, inside the band") {
+    // the constant-density workload axis (§3r): grid area must scale with
+    // the replica factor (√R per axis) so per-cell occupancy stays flat,
+    // and every grid size must stay inside the |lat| ≤ 62° completeness
+    // band (cap: the full 496×960 uniformGeoMeta grid)
+    val s = SparkTest.session
+    import org.apache.spark.sql.functions.col
+    val ids = s.range(200000).select(col("id").as("vec_id"))
+    def cells(r: Int): Set[(Long, Long)] =
+      ScaleBench.uniformGeoMetaCd(ids, r).collect().map { row =>
+        val (lat, lon) = (row.getDouble(1), row.getDouble(2))
+        assert(lat >= -62.0 && lat <= 61.75, s"R=$r lat $lat outside band")
+        assert(lon >= -120.0 && lon <= 119.75, s"R=$r lon $lon outside band")
+        (math.floor(lat / 0.25).toLong, math.floor(lon / 0.25).toLong)
+      }.toSet
+    // 200k points over ≤31k slots occupy nearly every slot — distinct
+    // occupied cells track grid AREA: exactly ×16 and ×64 would need
+    // full occupancy, so pin the ratio within a band around linear
+    val (c1, c16, c64) = (cells(1).size, cells(16).size, cells(64).size)
+    assert(c1 == 16 * 30, s"base grid not fully occupied: $c1") // 200k ≫ 480 slots
+    assert(c16 > 11 * c1 && c16 <= 16 * c1, s"R=16 area ratio ${c16.toDouble / c1}")
+    assert(c64 > 40 * c1 && c64 <= 64 * c1, s"R=64 area ratio ${c64.toDouble / c1}")
+    // cap: at R ≥ 1024 the grid is uniformGeoMeta's full 496×960 band
+    val capped = ScaleBench.uniformGeoMetaCd(ids, 4096).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(capped.forall { case (la, lo) =>
+      la >= -62.0 && la <= 61.75 && lo >= -120.0 && lo <= 119.75 })
+  }
+
+  test("dirReplicas parses the scaleDir convention, base dirs read 1") {
+    assert(ScaleBench.dirReplicas("/tmp/graft-scale/v2/x1000") == 1000)
+    assert(ScaleBench.dirReplicas("/tmp/graft-scale/v2/x10/") == 10)
+    assert(ScaleBench.dirReplicas("/root/testdata/sf0.1") == 1)
+    assert(ScaleBench.dirReplicas("/root/testdata/sf0.001") == 1)
+  }
+
+  test("grownPart grows the distinct-name space ×R with block structure preserved") {
+    // the §3r ER honesty note's fix: names translate per replica, so the
+    // name-grain collapse can no longer absorb the replica factor. Pins:
+    // (a) replica 0 byte-identical (the perm(0) discipline), (b) distinct
+    // names ≈ ×R, (c) per-replica first-token block-SIZE multisets equal
+    // the base's (the bijection translates the block key with the name)
+    val s = SparkTest.session
+    import org.apache.spark.sql.functions.col
+    val base = graft.Tables.part(s, "/root/testdata/sf0.001")
+      .select(col("p_partkey"), col("p_name"))
+    val offset = 10000000L
+    val grown = ScaleBench.grownPart(base, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val baseRows = base.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(grown.length == 3 * baseRows.length)
+    // (a) replica 0 is the base table exactly
+    assert(grown.filter(_._1 < offset).toSet == baseRows.toSet)
+    // (b) distinct names grow ×R (bijections are pairwise distinct; a
+    // cross-replica collision needs two perms to agree on a whole name)
+    val baseNames = baseRows.map(_._2).distinct.length
+    val grownNames = grown.map(_._2).distinct.length
+    assert(grownNames > 3 * baseNames - 3 && grownNames <= 3 * baseNames,
+      s"distinct names $grownNames vs base $baseNames")
+    // (c) block-size multiset invariant per replica
+    def blockSizes(rows: Seq[String]): Seq[Int] =
+      rows.groupBy(_.takeWhile(_ != ' ')).values.map(_.size).toSeq.sorted
+    val baseBlocks = blockSizes(baseRows.map(_._2).toSeq)
+    (0 until 3).foreach { i =>
+      val rep = grown.filter(t => t._1 >= i * offset && t._1 < (i + 1) * offset)
+      assert(blockSizes(rep.map(_._2).toSeq) == baseBlocks,
+        s"replica $i block-size multiset drifted")
+    }
+  }
+
+  test("workload probe queries resolve; er probe equals production on a base dir") {
+    // the fixed-probe discipline: on an unreplicated dir the grown-name
+    // probe falls back to the plain part table (= grownPart(·, 1)), so it
+    // must return the production er_fuzzy_parts rows exactly — the probe
+    // measures the production plan, not a variant
+    val s = SparkTest.session
+    val d = "/root/testdata/sf0.001"
+    def rows(q: String) =
+      ScaleBench.resolveQuery(q)(s, d).collect().map(_.toString).sorted.toSeq
+    assert(rows("er_fuzzy_parts_g") == rows("er_fuzzy_parts"))
+    // and the cd candidate count matches a local recompute at R=1
+    val cand = ScaleBench.resolveQuery("geo_cand_cd")(s, d)
+      .collect().head.getLong(0)
+    val pts = ScaleBench.uniformGeoMetaCd(graft.Tables.embeddings(s, d), 1)
+      .collect().map(r => (math.floor(r.getDouble(1) / 0.5).toLong,
+        math.floor(r.getDouble(2) / 0.5).toLong))
+    val want = (for {
+      a <- pts; b <- pts
+      if math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1
+    } yield 1L).sum - pts.length
+    assert(cand == want, s"probe $cand vs local $want")
+  }
 }

@@ -608,7 +608,7 @@ object RunHarness {
   /** A set of backend names answered together from one shared pass. */
   private trait GroupBackend {
     def names: Seq[String]
-    def timingKey: String = names.mkString("+")
+    def timingKey: String = sharedTimingKey(names)
     def searchAll(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
                   pred: Option[org.apache.spark.sql.Column],
                   k: Int, allowed: Long): Seq[(String, (Seq[Long], Stats))]
@@ -773,25 +773,35 @@ object RunHarness {
     * share bits and prefix-seeded plane tables by construction); everything
     * else stays a single backend. Group order follows each group's first
     * member, and runMany re-orders per-query rows to the caller's list. */
+  /** The ONE fusion decision, consumed by BOTH [[buildGroups]] (which
+    * materializes the fused ladder groups) and [[fusedKeys]] (which
+    * renders the artifact annotation) — divergence between the grouping
+    * and its self-description is structurally impossible, not just
+    * spec-pinned. An empty family means "do not fuse" (a lone dial runs
+    * as a single backend). */
+  private def fusedFamilies(backendNames: Seq[String]): (Seq[String], Seq[String]) = {
+    val iv = backendNames.filter(isIvfPqDial)
+    val ls = backendNames.filter(isLshDial)
+    (if (iv.length >= 2) iv else Nil, if (ls.length >= 2) ls else Nil)
+  }
+
+  /** The one rendering of a group's shared timing key (GroupBackend
+    * .timingKey and fusedKeys both call it). */
+  private def sharedTimingKey(names: Seq[String]): String = names.mkString("+")
+
   /** The fused-group timing key each requested backend reports under
     * (r19 verdict #5 — artifact self-description): dials that share one
     * timed pass in [[buildGroups]] map to the group's combined key;
-    * everything else maps to itself. Kept in lockstep with buildGroups
-    * via the same dial predicates (spec-pinned, RunHarnessSpec). */
+    * everything else maps to itself. Derived from the same
+    * [[fusedFamilies]] partition buildGroups consumes (spec-pinned on
+    * top, RunHarnessSpec). */
   def fusedKeys(backendNames: Seq[String]): Map[String, String] = {
-    val m = Map.newBuilder[String, String]
-    backendNames.foreach(n => m += n -> n)
-    val ivfpqDials = backendNames.filter(isIvfPqDial)
-    if (ivfpqDials.length >= 2) {
-      val key = ivfpqDials.mkString("+")
-      ivfpqDials.foreach(n => m += n -> key)
+    val (iv, ls) = fusedFamilies(backendNames)
+    val fused = Seq(iv, ls).filter(_.nonEmpty).flatMap { fam =>
+      val key = sharedTimingKey(fam)
+      fam.map(_ -> key)
     }
-    val lshDials = backendNames.filter(isLshDial)
-    if (lshDials.length >= 2) {
-      val key = lshDials.mkString("+")
-      lshDials.foreach(n => m += n -> key)
-    }
-    m.result()
+    (backendNames.map(n => n -> n) ++ fused).toMap
   }
 
   private def isIvfPqDial(n: String): Boolean =
@@ -805,10 +815,9 @@ object RunHarness {
                           ladder: Seq[Int], nprobe: Int, maxLadderSteps: Option[Int],
                           corpusKey: Option[String], knownDim: Option[Int],
                           ram: Option[RamCorpus]): Seq[GroupBackend] = {
-    val ivfpqDials = backendNames.filter(isIvfPqDial)
-    val lshDials = backendNames.filter(isLshDial)
-    val fuseIvfPq = ivfpqDials.length >= 2
-    val fuseLsh = lshDials.length >= 2
+    val (ivfpqDials, lshDials) = fusedFamilies(backendNames)
+    val fuseIvfPq = ivfpqDials.nonEmpty
+    val fuseLsh = lshDials.nonEmpty
     def single(n: String) = new SingleGroup(getBackend(n, emb, total, ladder, nprobe,
       maxLadderSteps, corpusKey, knownDim, ram))
     val groups = scala.collection.mutable.ArrayBuffer.empty[GroupBackend]

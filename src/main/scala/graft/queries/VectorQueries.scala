@@ -1160,6 +1160,21 @@ object VectorQueries {
       "cos(radians(%s)) * cos(radians(%s)) * " +
       "pow(sin(radians(%s - %s) / 2), 2))), 6)"
 
+  /** ONE definition of the geo blocking grain — the 0.5° cell indices
+    * (complete for [[GeoRadiusKm]] inside the |lat| ≤ 62° band) and the
+    * 3×3 probe-side neighborhood explode over columns named cl/co.
+    * geo_pairs, geo_knn AND the scale program's candidate auditor
+    * (ScaleBench.geoCandCountOf) all read these, so the operator and
+    * the audit that certifies its candidate volume cannot drift apart
+    * (a retuned cell size or neighborhood changes both or neither). */
+  private[graft] def geoCellLat(lat: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(lat / 0.5).cast("long")
+  private[graft] def geoCellLon(lon: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(lon / 0.5).cast("long")
+  private[graft] def geoNeighborhood: org.apache.spark.sql.Column = explode(expr(
+    "transform(sequence(0, 8), i -> " +
+      "struct(cl + (i div 3) - 1 AS cl, co + (i % 3) - 1 AS co))"))
+
 
   /** #214 geo_knn: radius-bounded k-nearest-neighbors over the derived
     * lat/lon metadata — for every point, its 3 nearest neighbors WITHIN
@@ -1177,13 +1192,11 @@ object VectorQueries {
   def geoKnnOf(meta: org.apache.spark.sql.DataFrame): DataFrame = {
     val pts = meta.select(col("vec_id").as("id"),
       col("latitude").as("lat"), col("longitude").as("lon"))
-      .withColumn("cl", floor(col("lat") / 0.5).cast("long"))
-      .withColumn("co", floor(col("lon") / 0.5).cast("long"))
+      .withColumn("cl", geoCellLat(col("lat")))
+      .withColumn("co", geoCellLon(col("lon")))
     val probe = pts
       .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
-        explode(expr(
-          "transform(sequence(0, 8), i -> " +
-            "struct(cl + (i div 3) - 1 AS cl, co + (i % 3) - 1 AS co))")).as("c"))
+        geoNeighborhood.as("c"))
       .select(col("id_a"), col("lat_a"), col("lon_a"),
         col("c.cl").as("cl"), col("c.co").as("co"))
     val build = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),
@@ -1230,13 +1243,11 @@ object VectorQueries {
   def geoPairsOf(meta: org.apache.spark.sql.DataFrame): DataFrame = {
     val pts = meta.select(col("vec_id").as("id"),
       col("latitude").as("lat"), col("longitude").as("lon"))
-      .withColumn("cl", floor(col("lat") / 0.5).cast("long"))
-      .withColumn("co", floor(col("lon") / 0.5).cast("long"))
+      .withColumn("cl", geoCellLat(col("lat")))
+      .withColumn("co", geoCellLon(col("lon")))
     val probe = pts
       .select(col("id").as("id_a"), col("lat").as("lat_a"), col("lon").as("lon_a"),
-        explode(expr(
-          "transform(sequence(0, 8), i -> " +
-            "struct(cl + (i div 3) - 1 AS cl, co + (i % 3) - 1 AS co))")).as("c"))
+        geoNeighborhood.as("c"))
       .select(col("id_a"), col("lat_a"), col("lon_a"),
         col("c.cl").as("cl"), col("c.co").as("co"))
     val build = pts.select(col("id").as("id_b"), col("lat").as("lat_b"),

@@ -119,13 +119,16 @@ object ScaleBench {
         .cast("double") * 0.25).as("longitude"))
   }
 
-  /** Replica factor of a probe dir: scaled dirs follow the scaleDir
-    * convention `.../x<R>` (see main); anything else — the base sf
-    * dirs — is 1. Lets a dir-polymorphic probe closure size its
-    * synthetic to the corpus it reads with no discovery job inside the
-    * timed region. */
+  /** Replica factor of a probe dir: scaled dirs follow the FULL scaleDir
+    * convention `.../graft-scale/v<N>/x<R>` (see main) — a base dir that
+    * merely ends in x<digits> must NOT be mistaken for a scale dir (it
+    * would silently mis-size the _cd grid). Lets a dir-polymorphic probe
+    * closure size its synthetic to the corpus it reads with no discovery
+    * job inside the timed region. R capped at 7 digits (the 10M id
+    * offset bounds usable replicas far below that). */
   private[graft] def dirReplicas(dir: String): Int = {
-    val m = java.util.regex.Pattern.compile(".*/x(\\d+)/?$").matcher(dir)
+    val m = java.util.regex.Pattern
+      .compile(".*/graft-scale/v\\d+/x(\\d{1,7})/?$").matcher(dir)
     if (m.matches()) m.group(1).toInt else 1
   }
 
@@ -135,14 +138,15 @@ object ScaleBench {
     * emitted alongside the timed geo probes so the §3r classification
     * can check wall tracks candidates. */
   private def geoCandCountOf(meta: DataFrame): DataFrame = {
+    // cell rule + neighborhood come from VectorQueries' single
+    // definition — the auditor counts the candidate set of the SAME
+    // blocking the operators run, by construction
+    val V = graft.queries.VectorQueries
     val cells = meta
-      .groupBy(floor(col("latitude") / 0.5).cast("long").as("cl"),
-        floor(col("longitude") / 0.5).cast("long").as("co"))
+      .groupBy(V.geoCellLat(col("latitude")).as("cl"),
+        V.geoCellLon(col("longitude")).as("co"))
       .agg(count(lit(1)).as("n"))
-    val probe = cells.select(col("n").as("np"),
-        explode(expr(
-          "transform(sequence(0, 8), i -> " +
-            "struct(cl + (i div 3) - 1 AS cl, co + (i % 3) - 1 AS co))")).as("c"))
+    val probe = cells.select(col("n").as("np"), V.geoNeighborhood.as("c"))
       .select(col("np"), col("c.cl").as("cl"), col("c.co").as("co"))
     val inclSelf = probe.join(cells, Seq("cl", "co"))
       .agg(sum(col("np") * col("n")).as("cand_incl_self"))
@@ -175,9 +179,18 @@ object ScaleBench {
       uniformGeoMetaCd(graft.Tables.embeddings(s, d), dirReplicas(d)))),
     "er_fuzzy_parts_g" -> ((s, d) => {
       val grown = s"$d/part_g.parquet"
-      val src = if (new java.io.File(s"$grown/_SUCCESS").exists()) grown
-                else s"$d/part.parquet"
-      graft.queries.QualityQueries.erFuzzyPartsOf(s.read.parquet(src))
+      if (new java.io.File(s"$grown/_SUCCESS").exists())
+        graft.queries.QualityQueries.erFuzzyPartsOf(s.read.parquet(grown))
+      else if (dirReplicas(d) == 1)
+        // base dirs only: grownPart(·, 1) is the identity, so the plain
+        // table IS the R=1 grown corpus (the probe≡production spec pin)
+        graft.queries.QualityQueries.erFuzzyPartsOf(
+          s.read.parquet(s"$d/part.parquet"))
+      else throw new IllegalStateException(
+        s"scaled dir $d has no part_g table — add part_g to " +
+          "SPARK_GRAFT_SCALE_TABLES; falling back to the replicated " +
+          "plain part table would silently re-measure the bounded-name " +
+          "degeneracy this probe exists to fix")
     }))
 
   private[graft] def resolveQuery(

@@ -160,11 +160,28 @@ class ScaleBenchSpec extends AnyFunSuite {
       la >= -62.0 && la <= 61.75 && lo >= -120.0 && lo <= 119.75 })
   }
 
-  test("dirReplicas parses the scaleDir convention, base dirs read 1") {
+  test("dirReplicas parses ONLY the full scaleDir convention, base dirs read 1") {
     assert(ScaleBench.dirReplicas("/tmp/graft-scale/v2/x1000") == 1000)
     assert(ScaleBench.dirReplicas("/tmp/graft-scale/v2/x10/") == 10)
     assert(ScaleBench.dirReplicas("/root/testdata/sf0.1") == 1)
     assert(ScaleBench.dirReplicas("/root/testdata/sf0.001") == 1)
+    // a base dir that merely ends in x<digits> is NOT a scale dir — it
+    // must not silently mis-size the _cd grid (review finding, r20)
+    assert(ScaleBench.dirReplicas("/data/x25") == 1)
+    assert(ScaleBench.dirReplicas("/mnt/x99999999999") == 1) // and no overflow
+  }
+
+  test("er_fuzzy_parts_g refuses a scaled dir without part_g") {
+    // the plain part table on a SCALED dir is the bounded-name synthetic
+    // the probe exists to fix — falling back there would emit a
+    // scale_ratio line byte-indistinguishable from an honest run
+    val s = SparkTest.session
+    val bogus = "/tmp/graft-scale/v2/x3" // convention-matching, never built
+    assert(!new java.io.File(s"$bogus/part_g.parquet/_SUCCESS").exists())
+    val e = intercept[IllegalStateException] {
+      ScaleBench.resolveQuery("er_fuzzy_parts_g")(s, bogus)
+    }
+    assert(e.getMessage.contains("part_g"))
   }
 
   test("grownPart grows the distinct-name space ×R with block structure preserved") {

@@ -200,6 +200,11 @@ object Bench {
     // ...and the SQ8 code table (one min/max train + one encode pass —
     // also build cost; the timed vec_sq_* entries measure the byte scan).
     phase("sq_build") { graft.queries.VectorQueries.sqModel(spark, sfDir); () }
+    // ...and the LSH signature table (r21): signatures are query-
+    // independent, so they are index-build cost like every tier above —
+    // the timed lsh entries measure the bucket-pruned probe, not a
+    // per-query corpus hash pass.
+    phase("lsh_sigs") { graft.harness.RunHarness.prewarmLshIndex(spark, sfDir); () }
     // ...and the incremental-ingest RESIDENT models (vec_ivf[pq]_append):
     // the daily-ingest entries should time the batch assignment + probe,
     // not the pre-existing corpus's quantizer training. Calling the query
@@ -207,7 +212,10 @@ object Bench {
     // returned search frames stay lazy and unexecuted here.
     phase("append_models") {
       graft.queries.VectorQueries.vecIvfAppend(spark, sfDir)
-      graft.queries.VectorQueries.vecIvfPqAppend(spark, sfDir); () }
+      graft.queries.VectorQueries.vecIvfPqAppend(spark, sfDir)
+      // ...and dedup_semantic_inc's resident quantizer (same incremental-
+      // maintenance semantics: the timed entry measures the batch pass)
+      graft.queries.DedupQueries.dedupSemanticInc(spark, sfDir); () }
     // ...and the persisted corpus band table (dedup_incremental's
     // pre-existing state): the entry times mining a batch against it,
     // not building it — the same build-vs-probe split as the indexes.

@@ -168,15 +168,8 @@ object Dedup {
     * buys full parallelism for the expensive projections. At 100 TB the
     * input already has thousands of splits, so the repartition is SKIPPED
     * (it would otherwise shuffle the whole corpus for nothing). */
-  private def spread(df: DataFrame, idCol: String): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    // plan-side split estimate: leaf file count, no RDD lineage
-    // materialized (df.rdd would eagerly build the conversion per call).
-    // A many-split single file is undercounted, but that only triggers
-    // the cheap branch (one hash shuffle of a corpus small enough to sit
-    // in few files); non-file sources report 0 and land there too.
-    if (df.inputFiles.length >= want) df else df.repartition(col(idCol))
-  }
+  private def spread(df: DataFrame, idCol: String): DataFrame =
+    graft.operators.Spread(df, idCol) // shared (r21): TextAnalysis too
 
   /** Shared exact-Jaccard-pairs pipeline: single-pass TokenSetSummary
     * (tokenize/shingle + hash + min-MD5 block), slim (id, size) candidate

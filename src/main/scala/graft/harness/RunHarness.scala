@@ -433,11 +433,14 @@ object RunHarness {
       val lists = model.probes(qvec, nprobeN)
       val scored = model.indexed.where(col("list_id").isin(lists: _*))
       val base = pred.map(scored.where).getOrElse(scored)
-      val scanned = base.count()
-      val (rows, ms) = timed(VectorSearch.topK(base, qvec, k).collect())
-      (rows.map(_.getLong(0)).toSeq,
+      // ONE pruned pass returns both the top-K and |scanned| — the
+      // separate count() this ran before re-scanned the probed lists
+      // every query, doubling the serving path's probe I/O at scale
+      // (topKWithCount doc; ranking contract identical to topK)
+      val ((rows, scanned), ms) = timed(VectorSearch.topKWithCount(base, qvec, k))
+      (rows.map(_._1),
         Stats(ms, scanned, Some(lists.length), Some(nprobeN),
-          rows.lastOption.map(_.getDouble(1)), None, Some("ivf flat ip")))
+          rows.lastOption.map(_._2), None, Some("ivf flat ip")))
     }
   }
 
@@ -447,27 +450,52 @@ object RunHarness {
     * multiprobe hamming `radius` (0/1/2 — nested probe sets) and the
     * table count (prefix-nested plane seeds; classic LSH amplification,
     * recall ≈ 1−(1−p)^T). Together they play ef_search's role. */
+  /** The LSH index table: corpus rows + one row-local signature column
+    * per plane table. Signatures do not depend on the query, so
+    * recomputing them per search paid a full corpus hash pass × |queries|
+    * — the signature table is the LSH INDEX (what a production store
+    * persists at build time, the ivf/pq artifact-load discipline), built
+    * once per (corpus, plane geometry) and pinned. Anonymous corpora
+    * (no corpusKey) keep the inline per-search computation. */
+  private val sigCache = new graft.MtimeCache[DataFrame]
+
+  private def signedTable(emb: DataFrame, tbls: Seq[Array[Array[Float]]],
+                          corpusKey: Option[String]): DataFrame = {
+    def build = tbls.zipWithIndex.foldLeft(emb) { case (df, (p, t)) =>
+      df.withColumn(s"_b$t", graft.functions.VectorFunctions.hyperplaneSignature(
+        col("embedding"), typedlit(p.map(_.toSeq).toSeq)))
+    }
+    corpusKey match {
+      case Some(dir) if new java.io.File(s"$dir/embeddings.parquet").exists() =>
+        sigCache(s"$dir|bits=${tbls.head.length}|t=${tbls.length}",
+          graft.Tables.sourceMtime(dir, "embeddings")) {
+          val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count() // materialize the pin (one-time index-build cost)
+          df
+        }
+      case _ => build
+    }
+  }
+
   private class LshBackend(val name: String, tbls: Seq[Array[Array[Float]]],
-                           radius: Int) extends Backend {
+                           radius: Int, signed: DataFrame) extends Backend {
     def search(emb: DataFrame, qvec: Array[Float], pred: Option[org.apache.spark.sql.Column],
                k: Int, allowed: Long): (Seq[Long], Stats) = {
-      val withSigs = tbls.zipWithIndex.foldLeft(emb) { case (df, (p, t)) =>
-        df.withColumn(s"_b$t", graft.functions.VectorFunctions.hyperplaneSignature(
-          col("embedding"), typedlit(p.map(_.toSeq).toSeq)))
-      }
       val nProbed = tbls.map(p =>
         CosineLsh.multiprobe(CosineLsh.signature(qvec, p), p.length, radius).length).sum
       val bucketPred = tbls.zipWithIndex.map { case (p, t) =>
         val buckets = CosineLsh.multiprobe(CosineLsh.signature(qvec, p), p.length, radius)
         col(s"_b$t").isin(buckets: _*)
       }.reduce(_ || _)
-      val bucketed = withSigs.where(bucketPred)
+      val bucketed = signed.where(bucketPred)
       val base = pred.map(bucketed.where).getOrElse(bucketed)
-      val scanned = base.count()
-      val (rows, ms) = timed(VectorSearch.topK(base, qvec, k).collect())
-      (rows.map(_.getLong(0)).toSeq,
+      // ONE bucket-pruned pass for both the top-K and |scanned| — the
+      // separate count() re-scanned the candidate buckets per query
+      // (IvfBackend doc; ranking contract identical to topK)
+      val ((rows, scanned), ms) = timed(VectorSearch.topKWithCount(base, qvec, k))
+      (rows.map(_._1),
         Stats(ms, scanned, Some(nProbed), None,
-          rows.lastOption.map(_.getDouble(1)), None,
+          rows.lastOption.map(_._2), None,
           Some(s"cosine lsh ${tbls.head.length} bits x ${tbls.length} tables, " +
             s"multiprobe radius $radius")))
     }
@@ -481,6 +509,19 @@ object RunHarness {
       (rows.map(_.getLong(0)).toSeq,
         Stats(ms, 0L, None, None, None, None, Some("random baseline")))
     }
+  }
+
+  /** Pre-build the LSH signature index for a keyed corpus — Bench's
+    * build-vs-probe discipline (the ivf/pq/sq/bq indexes are built in
+    * itemized setup phases; the signature table is the same kind of
+    * artifact, loaders.py's side of the reference). Idempotent: the
+    * mtime-guarded cache serves the pinned table afterwards. */
+  def prewarmLshIndex(spark: SparkSession, sfDir: String, nTables: Int = 2): Unit = {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val total = graft.Tables.rowCount(spark, sfDir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    signedTable(emb, CosineLsh.tables(dim, CosineLsh.pickBits(total), nTables), Some(sfDir))
+    ()
   }
 
   /** Backend registry (reference run.py get_backend). "auto" walks the
@@ -574,11 +615,13 @@ object RunHarness {
         // bits sized to the CORPUS (Ivf.choose's ~n/64-per-bucket rule):
         // a fixed width starves small corpora (1024 buckets over 2k
         // vectors ≈ 2/bucket → recall collapses) and floods huge ones
-        new LshBackend(l, CosineLsh.tables(dim, CosineLsh.pickBits(total), nTables), radius)
+        val tbls = CosineLsh.tables(dim, CosineLsh.pickBits(total), nTables)
+        new LshBackend(l, tbls, radius, signedTable(emb, tbls, corpusKey))
       case "auto" =>
         Ivf.choose(emb) match {
           case Ivf.UseIvf(model) => new IvfBackend(model, nprobe)
-          case Ivf.UseLsh(planes) => new LshBackend("lsh", Seq(planes), 1)
+          case Ivf.UseLsh(planes) =>
+            new LshBackend("lsh", Seq(planes), 1, signedTable(emb, Seq(planes), corpusKey))
           case Ivf.UseExact => new ExactBackend("exact")
         }
       case "random" => new RandomBackend(0L)
@@ -691,8 +734,16 @@ object RunHarness {
     * signature columns); the materialized candidates are narrow
     * (vec_id, score, flags), so per-dial counts ride one aggregate and
     * each dial's top-K is a cheap TakeOrdered over them. */
+  /** The union candidate set is BOUNDED by the bucket geometry (pickBits
+    * keeps ~64 rows/bucket at any corpus size, and the probe-set size is
+    * a function of bits/radius/tables only), so ONE collect of the narrow
+    * (vec_id, score, flags) rows replaces the r15 persist + counts
+    * aggregate + per-dial TakeOrdered chain — 1 job per query instead of
+    * 2+|dials|, identical rows (same counts, same (score desc, vec_id)
+    * ranking contract, driver-side over the same bounded set). */
   private class LshLadderGroup(dials: Seq[(String, Int, Int)], // (name, radius, tables)
-                               tbls: Seq[Array[Array[Float]]])
+                               tbls: Seq[Array[Array[Float]]],
+                               signed: DataFrame)
       extends GroupBackend {
     def names: Seq[String] = dials.map(_._1)
     def searchAll(emb: DataFrame, qvec: Array[Float], spec: FilterDsl.Spec,
@@ -701,10 +752,6 @@ object RunHarness {
       val bits = tbls.head.length
       val maxT = dials.map(_._3).max
       val used = tbls.take(maxT)
-      val withSigs = used.zipWithIndex.foldLeft(emb) { case (df, (p, t)) =>
-        df.withColumn(s"_b$t", graft.functions.VectorFunctions.hyperplaneSignature(
-          col("embedding"), typedlit(p.map(_.toSeq).toSeq)))
-      }
       val dialPreds = dials.map { case (_, r, t) =>
         used.take(t).zipWithIndex.map { case (p, ti) =>
           val buckets = CosineLsh.multiprobe(CosineLsh.signature(qvec, p), bits, r)
@@ -715,32 +762,26 @@ object RunHarness {
         used.take(t).map(p =>
           CosineLsh.multiprobe(CosineLsh.signature(qvec, p), bits, r).length).sum
       }
-      val bucketed = withSigs.where(dialPreds.reduce(_ || _))
+      val bucketed = signed.where(dialPreds.reduce(_ || _))
       val base = pred.map(bucketed.where).getOrElse(bucketed)
-      val cand = VectorSearch.withScore(base, qvec)
-        .select(col("vec_id") +: col("score") +:
-          dialPreds.zipWithIndex.map { case (dp, i) => dp.as(s"_m$i") }: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val (counts, msShared) = timed {
-          val row = cand.agg(
-            sum(when(col("_m0"), 1L).otherwise(0L)).as("c0"),
-            dialPreds.indices.drop(1).map(i =>
-              sum(when(col(s"_m$i"), 1L).otherwise(0L)).as(s"c$i")): _*).first()
-          dialPreds.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i))
+      val (cand, msShared) = timed {
+        VectorSearch.withScore(base, qvec)
+          .select(col("vec_id").cast("long") +: col("score") +:
+            dialPreds.zipWithIndex.map { case (dp, i) => dp.as(s"_m$i") }: _*)
+          .collect()
+      }
+      dials.zipWithIndex.map { case ((nm, r, t), i) =>
+        val ((rows, cnt), msDial) = timed {
+          val mine = cand.iterator.filter(_.getBoolean(2 + i))
+            .map(row => (row.getLong(0), row.getDouble(1))).toArray
+          (mine.sortBy { case (id, s) => (-s, id) }.take(k).toSeq, mine.length.toLong)
         }
-        dials.zipWithIndex.map { case ((nm, r, t), i) =>
-          val (rows, msDial) = timed {
-            cand.where(col(s"_m$i"))
-              .orderBy(desc("score"), col("vec_id")).limit(k).collect()
-          }
-          nm -> (rows.map(_.getLong(0)).toSeq,
-            Stats(msShared + msDial, counts(i), Some(nProbed(i)), None,
-              rows.lastOption.map(_.getDouble(1)), None,
-              Some(s"cosine lsh $bits bits x $t tables, " +
-                s"multiprobe radius $r (fused ladder)")))
-        }
-      } finally { cand.unpersist(false); () }
+        nm -> (rows.map(_._1),
+          Stats(msShared + msDial, cnt, Some(nProbed(i)), None,
+            rows.lastOption.map(_._2), None,
+            Some(s"cosine lsh $bits bits x $t tables, " +
+              s"multiprobe radius $r (fused ladder)")))
+      }
     }
   }
 
@@ -838,8 +879,8 @@ object RunHarness {
             (d, radius, nTables)
           }
           val dim = knownDim.getOrElse(emb.select(size(col("embedding"))).first().getInt(0))
-          groups += new LshLadderGroup(parsed,
-            CosineLsh.tables(dim, CosineLsh.pickBits(total), parsed.map(_._3).max))
+          val tbls = CosineLsh.tables(dim, CosineLsh.pickBits(total), parsed.map(_._3).max)
+          groups += new LshLadderGroup(parsed, tbls, signedTable(emb, tbls, corpusKey))
         }
       case n => groups += single(n)
     }
@@ -878,8 +919,12 @@ object RunHarness {
               encoder: QueryEncoder = QueryEncoder.seeded(),
               onBackendTimed: (String, Double) => Unit = (_, _) => ()): Seq[ResultRow] = {
     val emb = graft.Tables.embeddings(spark, sfDir)
-    val total = emb.count()
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    // N and dim from the pinned serving tier when present (RamCorpus.build
+    // already counted and dim-validated the same rows) — the two metadata
+    // jobs this ran per invocation were pure re-derivation
+    val total = ram.map(_.total).getOrElse(emb.count())
+    val dim = ram.map(_.dim).getOrElse(
+      emb.select(size(col("embedding"))).first().getInt(0))
     val runId = java.util.UUID.randomUUID().toString
     // nested dial sets (ivfpq:<sl>, lsh:<r>x<t>) fuse into shared-pass
     // groups — results identical to independent per-dial searches

@@ -976,13 +976,22 @@ object AnalyticsQueries {
         col("l_extendedprice"))
       .groupBy("yr", "l_partkey")
       .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("rev"))
-    val ranked = groupedRowNumber(rev, "rk", col("yr"),
+      // reused by the max-year probe AND the rank pass below — persist the
+      // (year, part) aggregate (small by construction) instead of
+      // re-running the fact-scale shuffle per consumer (r21, guide §2.4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxYr = rev.agg(max(col("yr")).as("y1"))
+    // only the latest two years are ever read out of the ranking, and
+    // within-year ranks are unaffected by dropping other years — rank the
+    // two-year slice, not the whole history (r21)
+    val two = rev.crossJoin(broadcast(maxYr))
+      .where(col("yr") >= col("y1") - 1 && col("yr") <= col("y1"))
+    val ranked = groupedRowNumber(two, "rk", col("yr"),
       col("rev").desc, col("l_partkey").asc)
-    val maxYr = ranked.agg(max(col("yr")).as("y1"))
-    val cur = ranked.crossJoin(broadcast(maxYr))
+    val cur = ranked
       .where(col("yr") === col("y1") && col("rk") <= 20)
       .select(col("l_partkey"), col("y1"), col("rev"), col("rk"))
-    val prev = ranked.crossJoin(broadcast(maxYr))
+    val prev = ranked
       .where(col("yr") === col("y1") - 1)
       .select(col("l_partkey"), col("rk").as("prev_rk"))
     cur.join(prev, Seq("l_partkey"), "left")
@@ -1105,17 +1114,30 @@ object AnalyticsQueries {
       .crossJoin(broadcast(tot)).where(col("cum") * 2 >= col("tot"))
       .agg(min(col("day")).as("cutoff"))
     val tagged = base.crossJoin(broadcast(cutoff))
-    def quintiles(filter: Column, out: String): DataFrame = {
-      val h = tagged.where(filter).groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("mon"))
+    // ONE customer-grain aggregate carries BOTH halves (r21: the two
+    // filtered groupBys each re-shuffled the full order book; a
+    // conditional sum per half shuffles it once — guide §2.4). A customer
+    // is in a half iff it has ≥1 order there (n0/n1 guards), exactly the
+    // rows the filtered groupBys produced.
+    val halves = tagged.groupBy("o_custkey").agg(
+      sum(when(col("day") <= col("cutoff"), dec(col("o_totalprice"))))
+        .cast("decimal(18,2)").as("mon0"),
+      count(when(col("day") <= col("cutoff"), lit(1))).as("n0"),
+      sum(when(col("day") > col("cutoff"), dec(col("o_totalprice"))))
+        .cast("decimal(18,2)").as("mon1"),
+      count(when(col("day") > col("cutoff"), lit(1))).as("n1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def quintiles(activeN: Column, mon: Column, out: String): DataFrame = {
+      val h = halves.where(activeN > 0)
+        .select(col("o_custkey"), mon.as("mon"))
       val n = h.agg(count(lit(1)).as("__n"))
       globalRowNumber(h, "__mrk", col("mon").desc, col("o_custkey").asc)
         .crossJoin(broadcast(n))
         .withColumn(out, expr(ntileExpr("__mrk", "__n", 5)))
         .select(col("o_custkey"), col(out))
     }
-    val p0 = quintiles(col("day") <= col("cutoff"), "q0")
-    val p1 = quintiles(col("day") > col("cutoff"), "q1")
+    val p0 = quintiles(col("n0"), col("mon0"), "q0")
+    val p1 = quintiles(col("n1"), col("mon1"), "q1")
     p0.join(p1, Seq("o_custkey"), "full_outer")
       .select(coalesce(col("q0").cast("string"), lit("new")).as("seg_prior"),
         coalesce(col("q1").cast("string"), lit("churned")).as("seg_latest"))

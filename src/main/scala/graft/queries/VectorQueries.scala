@@ -407,7 +407,8 @@ object VectorQueries {
 
   def vecLshTopK(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val planes = CosineLsh.planes(QueryVectors.Dim, CosineLsh.pickBits(e.count()))
+    val planes = CosineLsh.planes(QueryVectors.Dim,
+      CosineLsh.pickBits(Tables.rowCount(s, d, "embeddings")))
     CosineLsh.search(e, q0, planes, K)
   }
 
@@ -465,7 +466,7 @@ object VectorQueries {
     * engine-native). */
   def vecLshSweep(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
-    val bits = CosineLsh.pickBits(e.count())
+    val bits = CosineLsh.pickBits(Tables.rowCount(s, d, "embeddings"))
     val tbls = CosineLsh.tables(QueryVectors.Dim, bits, nTables = 2)
     val exact = VectorSearch.topK(e, q0, K)
       .select(lit(0L).as("qid"), col("vec_id"))
@@ -1639,12 +1640,19 @@ object VectorQueries {
   def hybridPlan(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = emb(s, d)
-    val total = e.count()
+    // N from the mtime-guarded metadata cache, |allowed| from the pinned
+    // serving tier when the spec is label-local (the runMany discipline) —
+    // the per-query Catalyst count jobs re-scanned the corpus per filter
+    val total = Tables.rowCount(s, d, "embeddings")
+    val ram = servingTier(s, d)
     val ladder = Seq(200, 500, 1000)
     val rows = QuerySet.default.map { hq =>
       val spec = graft.filters.FilterDsl.parseJson(hq.filters)
       val pred = if (spec.isEmpty) None else Some(graft.filters.FilterDsl.compile(e, spec))
-      val nAllowed = pred.map(p => e.where(p).count()).getOrElse(total)
+      val nAllowed = pred.map { p =>
+        ram.flatMap(rc => graft.search.RamCorpus.labelPredicate(spec)
+          .map(rc.countAllowed)).getOrElse(e.where(p).count())
+      }.getOrElse(total)
       val cand = VectorSearch.withScore(e, hq.qvec)
         .withColumn("pass", coalesce(pred.getOrElse(lit(true)), lit(false)))
         .select(col("vec_id").cast("long"), col("score"), col("pass"))

@@ -36,6 +36,48 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** [[topK]] plus the scanned-row count in ONE pass: per-partition
+    * bounded heap + row counter, O(P·k) driver merge — for callers that
+    * must record |scanned| beside the top-K (the harness's ivf/lsh
+    * `scored_vectors`). The separate `count()` job those callers ran
+    * re-scanned the candidate set per query, doubling the probe I/O at
+    * scale (the IvfPqBackend list-size argument, applied to the filtered
+    * case the metadata cannot answer). Ranking contract identical to
+    * [[topK]]: double-accumulated float dot, round-6-before-rank,
+    * ascending-id ties (VecMath doc — the RamCorpus parity contract). */
+  def topKWithCount(emb: DataFrame, qv: Array[Float], k: Int,
+                    pred: Option[Column] = None): (Seq[(Long, Double)], Long) = {
+    val base = pred.map(emb.where).getOrElse(emb)
+    val spark = base.sparkSession
+    import spark.implicits._
+    val rows = base.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val partials = spark.sparkContext.runJob(rows.rdd,
+      (it: Iterator[(Long, Array[Float])]) => {
+        // head = worst kept entry (same ordering as RamCorpus.candidates)
+        val worstFirst: Ordering[(Double, Long)] = Ordering.fromLessThan {
+          (a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+        }
+        val heap = collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst)
+        var n = 0L
+        it.foreach { case (id, v) =>
+          n += 1
+          val s = VecMath.round6(VecMath.dot(v, qv))
+          if (heap.size < k) heap.enqueue((s, id))
+          else {
+            val (ws, wid) = heap.head
+            if (s > ws || (s == ws && id < wid)) { heap.dequeue(); heap.enqueue((s, id)) }
+          }
+        }
+        (n, heap.toArray)
+      })
+    val top = partials.iterator.flatMap(_._2).toArray
+      .sortBy { case (s, id) => (-s, id) }
+      .take(k)
+      .map { case (s, id) => (id, s) }.toSeq
+    (top, partials.iterator.map(_._1).sum)
+  }
+
   /** Post-filter baseline (reference src/baselines/post_filter.py:17):
     * rank ALL vectors by similarity, take the top K′ candidates, apply the
     * filter, and widen K′ up the ladder until ≥K survive (or the ladder is

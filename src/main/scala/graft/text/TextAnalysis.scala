@@ -219,7 +219,13 @@ object TextAnalysis {
         // array_join BUILDING ~80-byte gram strings for every position,
         // not by the shuffle; this pass allocates no strings. Strings are
         // built post-filter for the dup sliver alone.
-        val base = docs.select(col("doc_id"), t.as("t"))
+        // Spread (r21): the gram-hash projection is the scan stage's
+        // dominant per-row cost and the driver testdata is one split —
+        // without it the whole pass runs on one core (Spread doc; skipped
+        // at scale where the input is already parallel)
+        val base = graft.operators.Spread(
+          docs.select(col("doc_id"), col("text")), "doc_id")
+          .select(col("doc_id"), t.as("t"))
           .withColumn("ghs", expr(
             s"""CASE WHEN size(t) >= $n THEN
                |  transform(sequence(1, size(t) - ${n - 1}),
@@ -262,7 +268,8 @@ object TextAnalysis {
       } else {
         // empty-array guard: sequence(1, k) DESCENDS when k < 1, so short
         // docs must produce zero positions, not a descending range
-        val grams = docs.select(
+        val grams = graft.operators.Spread(
+          docs.select(col("doc_id"), col("text")), "doc_id").select(
           col("doc_id"),
           when(size(t) >= n,
             transform(sequence(lit(1), size(t) - n + 1),
@@ -308,7 +315,11 @@ object TextAnalysis {
     * (position, token) structs, never a global sort. */
   def withDedupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
     val t = toks(col("text"))
-    val base = docs.select(col("doc_id"), t.as("t"))
+    // Spread (r21): same unsplittable-input fix as dupSpans — the hash
+    // projection and the tokpos posexplode below otherwise run one-core
+    val sdocs = graft.operators.Spread(
+      docs.select(col("doc_id"), col("text")), "doc_id")
+    val base = sdocs.select(col("doc_id"), t.as("t"))
       .withColumn("ghs", expr(
         s"""CASE WHEN size(t) >= $n THEN
            |  transform(sequence(1, size(t) - ${n - 1}),
@@ -347,7 +358,7 @@ object TextAnalysis {
       .distinct()
     // reconstruct: anti-join the delete set at token grain, re-join in
     // position order (1-based j matches the oracle's generate_series)
-    val tokpos = docs.select(col("doc_id"), posexplode(t).as(Seq("p", "tok")))
+    val tokpos = sdocs.select(col("doc_id"), posexplode(t).as(Seq("p", "tok")))
       .select(col("doc_id"), (col("p") + 1).as("j"), col("tok"))
     val kept = tokpos.join(del, Seq("doc_id", "j"), "left_anti")
       .groupBy("doc_id")

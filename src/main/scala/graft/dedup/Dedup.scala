@@ -85,16 +85,33 @@ object Dedup {
   }
 
   /** Re-attach heavyweight per-doc columns to pruned id pairs; the
-    * smallSource dial picks the join strategy. */
+    * smallSource dial picks the join strategy.
+    *
+    * ONE keyed join attaches BOTH sides (r21, guide §8): the pair melts
+    * to (pair, id) rows, joins the payload once, and folds back by pair —
+    * the two-sided join this replaces computed and shuffled the corpus
+    * payload TWICE (once per side); the fold-back shuffle carries
+    * candidate-pair payloads only, and pairs ≪ corpus by construction.
+    * Inner-join parity: callers' payloads cover every candidate id with
+    * non-null `cols` (they derive from the same docs), and the not-null
+    * guard preserves the exact inner-join row set regardless. */
   private def withPayloads(pairs: DataFrame, docsPayload: DataFrame,
                            idCol: String, cols: Seq[String]): DataFrame = {
     val small = smallSource(docsPayload)
-    def side(suffix: String) = {
-      val s = docsPayload.select(
-        col(idCol).as(s"${idCol}_$suffix") +: cols.map(c => col(c).as(s"${c}_$suffix")): _*)
-      if (small) s.hint("SHUFFLE_HASH") else s
+    val l = s"${idCol}_l"
+    val r = s"${idCol}_r"
+    val melted = pairs.select(col(l), col(r),
+      explode(array(col(l), col(r))).as(idCol))
+    val p0 = docsPayload.select(col(idCol) +: cols.map(col): _*)
+    val p = if (small) p0.hint("SHUFFLE_HASH") else p0
+    val joined = melted.join(p, idCol)
+    val sideAggs = cols.flatMap { c => Seq(
+      first(when(col(idCol) === col(l), col(c)), ignoreNulls = true).as(s"${c}_l"),
+      first(when(col(idCol) === col(r), col(c)), ignoreNulls = true).as(s"${c}_r"))
     }
-    pairs.join(side("l"), s"${idCol}_l").join(side("r"), s"${idCol}_r")
+    joined.groupBy(col(l), col(r)).agg(sideAggs.head, sideAggs.tail: _*)
+      .where(cols.map(c =>
+        col(s"${c}_l").isNotNull && col(s"${c}_r").isNotNull).reduce(_ && _))
   }
 
   /** Exact Jaccard from sorted token-id arrays:

@@ -138,7 +138,13 @@ object QualityQueries {
   def tableProfile(spark: SparkSession, dir: String): DataFrame =
     tableProfileOf(Tables.lineitem(spark, dir))
 
-  def tableProfileOf(li: DataFrame): DataFrame = {
+  def tableProfileOf(li0: DataFrame): DataFrame = {
+    // Spread (r21): the driver testdata is one parquet split, so both the
+    // stats pass and the 11-way stacked-distinct explode otherwise run
+    // their map side on ONE core; the two passes sit in one final plan,
+    // so the repartition exchange is computed once and reused by both
+    // branches. Skipped at scale (Spread doc).
+    val li = graft.operators.Spread(li0, "l_orderkey")
     def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn")
     val aggs: Seq[Column] =
       ProfileNumCols.flatMap { c => Seq(
@@ -229,7 +235,10 @@ object QualityQueries {
   def tableProfileApprox(spark: SparkSession, dir: String): DataFrame =
     tableProfileApproxOf(Tables.lineitem(spark, dir))
 
-  def tableProfileApproxOf(li: DataFrame): DataFrame = {
+  def tableProfileApproxOf(li0: DataFrame): DataFrame = {
+    // Spread (r21): one-split input serializes the sketch build — HLL
+    // register merges are order-independent, results unchanged
+    val li = graft.operators.Spread(li0, "l_orderkey")
     def nNull(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn")
     def nDist(c: String) = approx_count_distinct(col(c), 0.02).as(s"${c}__nd")
     val aggs: Seq[Column] =

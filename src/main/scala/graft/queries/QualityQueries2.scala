@@ -519,7 +519,10 @@ object QualityQueries2 {
   def profileDrift(spark: SparkSession, dir: String): DataFrame =
     profileDriftOf(Tables.lineitem(spark, dir))
 
-  def profileDriftOf(li: DataFrame): DataFrame = {
+  def profileDriftOf(li0: DataFrame): DataFrame = {
+    // Spread (r21): one-split input serializes the 32-sum moment pass;
+    // decimal sums are associative, results unchanged (Spread doc)
+    val li = graft.operators.Spread(li0, "l_orderkey")
     val tagged = li.withColumn("grp", (col("l_orderkey") % 2).cast("int"))
     def side(c: String, g: Int, suffix: String): Seq[Column] = Seq(
       sum(when(col("grp") === g, col(c).cast("decimal(28,6)")))

@@ -62,6 +62,13 @@ object R21DupProbe {
     // gram volume for context
     val vol = baseStr.select(explode(col("ghs")).as("gh")).count()
     println(s"[dup] gram positions=$vol")
+    // full-query reps: min over 4 is the comparable number on this box
+    for (rep <- 1 to 4)
+      time(s"full text_dup_spans #$rep")(
+        noop(graft.text.TextAnalysis.withDupSpans(docs).orderBy("doc_id")))
+    for (rep <- 1 to 4)
+      time(s"full text_dedup_spans #$rep")(
+        noop(graft.text.TextAnalysis.withDedupSpans(docs).orderBy("doc_id")))
     spark.stop()
   }
 }

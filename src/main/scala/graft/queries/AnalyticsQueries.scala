@@ -755,6 +755,11 @@ object AnalyticsQueries {
       .repartition(col("ok"))
       .dropDuplicates("ok", "s")
     val nOrd = os.agg(countDistinct(col("ok")).as("n_ok"))
+    // the support-floored edge list is SMALL by construction (the
+    // relative floor keeps it sparse at any scale — doc above) and is
+    // read ~15× through deg/eo/tri below; pin it so the fact-scale pair
+    // stage runs ONCE instead of once per wedge branch (r21 — the
+    // un-pinned plan re-derived it into 100+ scan branches)
     val e = os.as("x").join(os.as("y").hint("SHUFFLE_HASH"),
         col("x.ok") === col("y.ok") && col("x.s") < col("y.s"))
       .groupBy(col("x.s").as("a"), col("y.s").as("b"))
@@ -763,6 +768,8 @@ object AnalyticsQueries {
       .where(col("w") >= greatest(lit(minSupport.toLong),
         expr(s"n_ok div $TriangleSupportDiv")))
       .select(col("a"), col("b"))
+      .localCheckpoint() // GC-cleaned, unlike per-call persist (see
+                         // customerMigration's leak note)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // orient by the (deg, v) total order; keep the head's rank key so
@@ -777,6 +784,8 @@ object AnalyticsQueries {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"),
             col("da").as("ddeg"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+      // the wedge join reads the oriented edges three times — pin them too
+      .localCheckpoint()
     val tri = eo.as("w1").join(eo.as("w2"),
         col("w1.src") === col("w2.src") &&
           (col("w1.ddeg") < col("w2.ddeg") ||
@@ -976,10 +985,11 @@ object AnalyticsQueries {
         col("l_extendedprice"))
       .groupBy("yr", "l_partkey")
       .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("rev"))
-      // reused by the max-year probe AND the rank pass below — persist the
-      // (year, part) aggregate (small by construction) instead of
-      // re-running the fact-scale shuffle per consumer (r21, guide §2.4)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // reused by the max-year probe AND the rank pass below — checkpoint
+      // the (year, part) aggregate (small by construction) instead of
+      // re-running the fact-scale shuffle per consumer (r21, guide §2.4;
+      // localCheckpoint, not persist — the customerMigration leak note)
+      .localCheckpoint()
     val maxYr = rev.agg(max(col("yr")).as("y1"))
     // only the latest two years are ever read out of the ranking, and
     // within-year ranks are unaffected by dropping other years — rank the
@@ -1119,6 +1129,10 @@ object AnalyticsQueries {
     // conditional sum per half shuffles it once — guide §2.4). A customer
     // is in a half iff it has ≥1 order there (n0/n1 guards), exactly the
     // rows the filtered groupBys produced.
+    // localCheckpoint, NOT persist: per-call persists accumulate in the
+    // CacheManager (never unpersisted — measured 7.6 → 19.6 s over five
+    // reps); checkpointed RDDs are GC-cleaned (the globalRowNumber
+    // discipline) and the customer-grain table is small by construction
     val halves = tagged.groupBy("o_custkey").agg(
       sum(when(col("day") <= col("cutoff"), dec(col("o_totalprice"))))
         .cast("decimal(18,2)").as("mon0"),
@@ -1126,7 +1140,7 @@ object AnalyticsQueries {
       sum(when(col("day") > col("cutoff"), dec(col("o_totalprice"))))
         .cast("decimal(18,2)").as("mon1"),
       count(when(col("day") > col("cutoff"), lit(1))).as("n1"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     def quintiles(activeN: Column, mon: Column, out: String): DataFrame = {
       val h = halves.where(activeN > 0)
         .select(col("o_custkey"), mon.as("mon"))

@@ -395,7 +395,10 @@ object VectorQueries {
     * monotone (spec-pinned). Rows-only (index from sampled KMeans). */
   def vecNprobeSweep(s: SparkSession, d: String): DataFrame = {
     val model = ivfModel(s, d)
-    val exact = VectorSearch.knnJoin(emb(s, d), knnQueries, K).select("qid", "vec_id")
+    // checkpoint the truth side (r21): each union branch otherwise embeds
+    // its OWN copy of the exact pass — 5 corpus kNN scans for one sweep
+    val exact = VectorSearch.knnJoin(emb(s, d), knnQueries, K)
+      .select("qid", "vec_id").localCheckpoint()
     val sweeps = Seq(1, 4, 8, 16, 32).map { np =>
       VectorSearch
         .recallAtK(model.searchMany(knnQueries, np, K).select("qid", "vec_id"), exact, K)
@@ -469,7 +472,7 @@ object VectorQueries {
     val bits = CosineLsh.pickBits(Tables.rowCount(s, d, "embeddings"))
     val tbls = CosineLsh.tables(QueryVectors.Dim, bits, nTables = 2)
     val exact = VectorSearch.topK(e, q0, K)
-      .select(lit(0L).as("qid"), col("vec_id"))
+      .select(lit(0L).as("qid"), col("vec_id")).localCheckpoint()
     val settings = Seq((0, 1), (1, 1), (2, 1), (1, 2), (2, 2))
     settings.map { case (radius, t) =>
       val got = CosineLsh.searchMulti(e, q0, tbls.take(t), K, radius)
@@ -1075,8 +1078,10 @@ object VectorQueries {
   def vecPqSweep(s: SparkSession, d: String): DataFrame = {
     val pq = pqModel(s, d)
     val ipq = ivfpqModel(s, d)
+    // checkpoint the truth side (r21): the 12 union branches otherwise
+    // embed 12 copies of the exact corpus TakeOrdered
     val exact = VectorSearch.topK(emb(s, d), q0, K)
-      .select(lit(0L).as("qid"), col("vec_id"))
+      .select(lit(0L).as("qid"), col("vec_id")).localCheckpoint()
     val shortlists = Seq(50, 100, 200, 500)
     val pqRows = shortlists.map { sl =>
       VectorSearch.recallAtK(

@@ -36,4 +36,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 285 queries' whole-stage-codegen classes churn the JIT code cache —
+  // the documented late-bench degradation (Bench.HeavyFirst doc: heavy
+  // queries re-ordered first because alphabetical tail entries tripled
+  // under accumulated code-cache pressure). The default 240 MB cache
+  // forces deoptimization/flushing storms late in a 285-query run;
+  // 512 MB holds the full suite's compiled code.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -318,19 +318,23 @@ object Dedup {
   def minhashPortablePairs(docs: DataFrame, tau: Double, bands: Int = 4,
                            rows: Int = 8, seed: Long = 42L): DataFrame = {
     val params = minhashParams(bands * rows, seed)
-    val ts = array_distinct(split(lower(col("text")), " "))
+    // codegen'd md5 token ids (r21): the transform lambda over
+    // array_distinct was CodegenFallback and broke whole-stage codegen
+    // for the whole signature pass — same values (TokenMd5Ids doc renders
+    // the identical conv(substring(md5(...),1,12),16,10) rule natively)
     val base = spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"),
-        transform(ts, t =>
-          conv(substring(md5(encode(t, "UTF-8")), 1, 12), 16, 10)
-            .cast("long")).as("xs"))
+        graft.functions.VectorFunctions.tokenMd5Ids(col("text"), 12).as("xs"))
       .withColumn("sig", minhashSignature(col("xs"),
         params.map(_._1).toSeq, params.map(_._2).toSeq, MinhashPrime))
       .withColumn("n", size(col("xs")))
     val bandKeys = (0 until bands).map { bd =>
+      // array-level cast, not a per-element transform lambda: the lambda
+      // was CodegenFallback (minhashPortablePairs tokenMd5Ids doc); the
+      // cast renders the identical decimal strings
       struct(lit(bd).as("band"),
-        concat_ws("_", transform(slice(col("sig"), bd * rows + 1, rows),
-          v => v.cast("string"))).as("key"))
+        concat_ws("_", slice(col("sig"), bd * rows + 1, rows)
+          .cast("array<string>")).as("key"))
     }
     val exploded = base
       .withColumn("bk", explode(array(bandKeys: _*)))
@@ -566,12 +570,12 @@ object Dedup {
     * to end; the production path stays [[simhashPairs]] (xxhash64 ids —
     * faster, engine-native, rows-only). */
   def simhashPortablePairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val ts = array_distinct(split(lower(col("text")), " "))
+    // codegen'd md5 token ids (minhashPortablePairs doc); conv of ≤15 hex
+    // chars never nulls, so the old array_compact was a no-op
     val sigs = spread(docs.select(col("doc_id"), col("text")), "doc_id")
       .select(col("doc_id"),
-        simHash64(array_compact(transform(ts, t =>
-          conv(substring(md5(encode(t, "UTF-8")), 1, 15), 16, 10)
-            .cast("long")))).as("sig"))
+        simHash64(graft.functions.VectorFunctions.tokenMd5Ids(col("text"), 15))
+          .as("sig"))
     hammingPairs(sigs, maxHamming)
   }
 

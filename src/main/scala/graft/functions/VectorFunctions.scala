@@ -43,6 +43,28 @@ object VectorFunctions {
     GraftBridge.column(
       org.apache.spark.sql.graft.TokenSetIds(GraftBridge.expression(text), n))
 
+  /** Per-window n-gram fingerprints of the raw token sequence (codegen'd;
+    * GramHashes doc — the dup-spans volume-pass keys). */
+  def gramHashes(text: Column, n: Int): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.GramHashes(GraftBridge.expression(text), n))
+
+  /** First-occurrence-distinct md5-prefix token ids (codegen'd; the
+    * portable miners' engine-reproducible hash — TokenMd5Ids doc). */
+  def tokenMd5Ids(text: Column, hexLen: Int): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.TokenMd5Ids(GraftBridge.expression(text), hexLen))
+
+  /** All n-token shingle strings, duplicates included (codegen'd). */
+  def tokenGrams(text: Column, n: Int, lower: Boolean): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.TokenGrams(GraftBridge.expression(text), n, lower))
+
+  /** Max multiplicity over the lowercased tokens (codegen'd). */
+  def topTokenCount(text: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.TopTokenCount(GraftBridge.expression(text)))
+
   /** Min-MD5 blocking key of the token/shingle set (oracle-compatible). */
   def tokenSetMinMd5(text: Column, n: Int): Column =
     GraftBridge.column(

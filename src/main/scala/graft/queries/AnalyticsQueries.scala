@@ -29,7 +29,15 @@ object AnalyticsQueries {
   def q1Cube(spark: SparkSession, dir: String): DataFrame =
     q1CubeOf(Tables.lineitem(spark, dir))
 
-  def q1CubeOf(li: DataFrame): DataFrame =
+  def q1CubeOf(li0: DataFrame): DataFrame = {
+    // Spread (r21): the CUBE's 4x Expand multiplies the fact rows BEFORE
+    // the partial aggregate, and a one-split input runs that whole
+    // expansion on a single core (Spread doc; skipped at scale)
+    val li = graft.operators.Spread(li0, "l_orderkey")
+    q1CubeSpread(li)
+  }
+
+  private def q1CubeSpread(li: DataFrame): DataFrame =
     li.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("count_order"),

@@ -257,11 +257,13 @@ object PipelineQueries {
     * decides) ⋈ exploded corpus shingle ids → per-doc overlap count —
     * never an all-pairs document comparison. */
   private def shingleIds(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), split(lower(col("text")), " ").as("s"))
-    .where(size(col("s")) >= DecontamN)
-    .select(col("doc_id"), explode(array_distinct(expr(
-      s"transform(sequence(1, size(s) - ${DecontamN - 1}), " +
-        s"i -> xxhash64(concat_ws(' ', slice(s, i, $DecontamN))))"))).as("sh"))
+    // codegen'd distinct shingle ids (r21): TokenSetIds hashes the SAME
+    // lowercased ' '-joined 8-token shingle strings with the same
+    // xxhash64 seed (TokenSets.xxh64 doc), so the ids — and the joins
+    // built on them — are value-identical to the transform lambda this
+    // replaces, which was CodegenFallback and broke the scan's codegen
+    .select(col("doc_id"), explode(graft.functions.VectorFunctions
+      .tokenSetIds(col("text"), DecontamN)).as("sh"))
 
   def decontaminate(docs: DataFrame, bench: DataFrame): DataFrame = {
     val benchSh = shingleIds(bench).select("sh").distinct()

@@ -230,7 +230,9 @@ object RelationalQueries {
     * not one job per level. NULL group keys sort first on both engines
     * (explicit NULLS FIRST in the oracle; Spark's ASC default). */
   def q1Rollup(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+    // Spread (r21): the ROLLUP Expand runs pre-aggregate on the one-split
+    // scan's single core otherwise (q1CubeOf doc)
+    graft.operators.Spread(Tables.lineitem(spark, dir), "l_orderkey")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(grouping_id().as("gid"),
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),

@@ -581,10 +581,13 @@ object TextQueries {
     val toks = documents.select(split(lower(col("text")), " ").as("toks"))
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-    val bi = toks.where(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))")).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // codegen'd bigram strings (r21): the struct-building transform lambda
+    // was CodegenFallback (textNoveltyOf doc); tokens are space-split so
+    // substring_index recovers w1/w2 exactly
+    val bi = documents.select(explode(graft.functions.VectorFunctions
+        .tokenGrams(col("text"), 2, lower = true)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
     val nu = uni.agg(sum(col("cw")).cast("double").as("nu"))
     val nb = bi.agg(sum(col("n")).cast("double").as("nb"))
@@ -688,10 +691,13 @@ object TextQueries {
 
   def textPerplexityOf(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
-    val bi = toks.where(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(toks, 1, size(toks) - 1), (x, i) -> struct(x AS w1, toks[i + 1] AS w2))")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // codegen'd bigram strings (textCollocationsOf doc)
+    val bi = documents.select(col("doc_id"),
+        explode(graft.functions.VectorFunctions
+          .tokenGrams(col("text"), 2, lower = true)).as("bg"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
     val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
@@ -1099,15 +1105,14 @@ object TextQueries {
     textNoveltyOf(docs(s, d))
 
   def textNoveltyOf(documents: DataFrame): DataFrame = {
+    // codegen'd gram strings (r21): the transform+slice lambda was
+    // CodegenFallback and broke the scan stage's codegen; tokenGrams
+    // emits the identical ' '-joined 8-token windows (empty when < 8
+    // tokens — the old CASE guard is built in)
     val grams = documents
-      .select(col("doc_id"), explode(expr(
-        // CASE guard: Spark's sequence(1, 0) counts DOWN — docs under 8
-        // tokens must yield an empty gram array, as DuckDB's range does
-        """CASE WHEN size(split(lower(text), ' ')) >= 8 THEN transform(
-          |  sequence(1, size(split(lower(text), ' ')) - 7),
-          |  i -> array_join(slice(split(lower(text), ' '), i, 8), ' '))
-          |ELSE array() END""".stripMargin))
-        .as("gram"))
+      .select(col("doc_id"),
+        explode(graft.functions.VectorFunctions
+          .tokenGrams(col("text"), 8, lower = true)).as("gram"))
       .distinct()
     val firstSeen = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
     grams.join(firstSeen, "gram")

@@ -136,22 +136,22 @@ object TextAnalysis {
     * the doc. High values flag boilerplate/spam for the quality gate.
     * Row-local array math (the per-doc token count bounds the O(u·n)
     * top-token scan); zero shuffle. */
-  def withRepetition(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .select(
-        col("doc_id"),
-        round(expr("1.0 - size(array_distinct(t)) / CAST(size(t) AS DOUBLE)"), 6)
-          .as("dup_token_frac"),
-        round(expr(
-          """CASE WHEN size(t) >= 2 THEN
-            |  1.0 - size(array_distinct(transform(sequence(1, size(t) - 1),
-            |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
-            |      / CAST(size(t) - 1 AS DOUBLE)
-            |ELSE 0.0 END""".stripMargin), 6).as("dup_bigram_frac"),
-        round(expr(
-          "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))" +
-            " / CAST(size(t) AS DOUBLE)"), 6).as("top_token_frac"))
+  def withRepetition(docs: DataFrame): DataFrame = {
+    // codegen'd signals (r21): the old bigram/top-token lambdas were
+    // CodegenFallback, and the top-token one scanned O(distinct · tokens)
+    // — TokenSetSize(·, n) counts the same distinct n-shingles and
+    // TopTokenCount the same max multiplicity in one compiled pass each
+    val f = graft.functions.VectorFunctions
+    val nTok = size(split(lower(col("text")), " ")).cast("double")
+    docs.select(
+      col("doc_id"),
+      round(lit(1.0) - f.tokenSetSize(col("text"), 1) / nTok, 6)
+        .as("dup_token_frac"),
+      round(when(nTok >= 2,
+        lit(1.0) - f.tokenSetSize(col("text"), 2) / (nTok - 1))
+        .otherwise(0.0), 6).as("dup_bigram_frac"),
+      round(f.topTokenCount(col("text")) / nTok, 6).as("top_token_frac"))
+  }
 
   /** #29 document fingerprint: polynomial rolling hash over the raw chars,
     * h ← (h·31 + code(c)) mod 2³², the classic Rabin–Karp shape. Kept in
@@ -222,15 +222,18 @@ object TextAnalysis {
         // Spread (r21): the gram-hash projection is the scan stage's
         // dominant per-row cost and the driver testdata is one split —
         // without it the whole pass runs on one core (Spread doc; skipped
-        // at scale where the input is already parallel)
+        // at scale where the input is already parallel).
+        // gramHashes (r21): codegen'd window fingerprints — the previous
+        // transform(sequence, i -> xxhash64(slice(t, i, n))) lambda is
+        // CodegenFallback and dropped the whole scan→explode→aggregate
+        // pipeline out of whole-stage codegen (~5× on the explode stage);
+        // fingerprint VALUES may differ, output cannot (same gram ⇒ same
+        // fingerprint; collisions/fps die in the string recount below,
+        // and the hashed≡string-keyed spec pins it).
         val base = graft.operators.Spread(
           docs.select(col("doc_id"), col("text")), "doc_id")
-          .select(col("doc_id"), t.as("t"))
-          .withColumn("ghs", expr(
-            s"""CASE WHEN size(t) >= $n THEN
-               |  transform(sequence(1, size(t) - ${n - 1}),
-               |    i -> xxhash64(slice(t, i, $n)))
-               |ELSE cast(array() AS array<bigint>) END""".stripMargin))
+          .select(col("doc_id"), t.as("t"),
+            graft.functions.VectorFunctions.gramHashes(col("text"), n).as("ghs"))
         val posH = base.select(col("doc_id"), col("t"),
           posexplode(col("ghs")).as(Seq("i", "gh")))
         // stage 1: the corpus-sized shuffle, 8-byte keys only
@@ -319,12 +322,10 @@ object TextAnalysis {
     // projection and the tokpos posexplode below otherwise run one-core
     val sdocs = graft.operators.Spread(
       docs.select(col("doc_id"), col("text")), "doc_id")
-    val base = sdocs.select(col("doc_id"), t.as("t"))
-      .withColumn("ghs", expr(
-        s"""CASE WHEN size(t) >= $n THEN
-           |  transform(sequence(1, size(t) - ${n - 1}),
-           |    i -> xxhash64(slice(t, i, $n)))
-           |ELSE cast(array() AS array<bigint>) END""".stripMargin))
+    // codegen'd window fingerprints (dupSpans doc: the transform lambda
+    // was CodegenFallback and poisoned the volume pass's codegen)
+    val base = sdocs.select(col("doc_id"), t.as("t"),
+      graft.functions.VectorFunctions.gramHashes(col("text"), n).as("ghs"))
     val posH = base.select(col("doc_id"), col("t"),
       posexplode(col("ghs")).as(Seq("i", "gh")))
     val dupH = posH.select("gh").groupBy("gh").agg(count(lit(1)).as("c"))

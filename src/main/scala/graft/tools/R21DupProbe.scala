@@ -29,6 +29,75 @@ object R21DupProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // post-spread decomposition of the REAL shape
+    val sdocs = graft.operators.Spread(
+      docs.select(col("doc_id"), col("text")), "doc_id")
+    val baseS = sdocs.select(col("doc_id"), t.as("t"))
+      .withColumn("ghs", expr(
+        s"""CASE WHEN size(t) >= $n THEN
+           |  transform(sequence(1, size(t) - ${n - 1}),
+           |    i -> xxhash64(slice(t, i, $n)))
+           |ELSE cast(array() AS array<bigint>) END""".stripMargin))
+    val posHS = baseS.select(col("doc_id"), col("t"),
+      posexplode(col("ghs")).as(Seq("i", "gh")))
+    for (rep <- 1 to 3) {
+      time(s"S hash pass (spread) #$rep")(noop(baseS.select("doc_id", "ghs")))
+      time(s"S posH project #$rep")(noop(posHS.select("gh")))
+      time(s"S stage1 agg #$rep")(
+        noop(posHS.select("gh").groupBy("gh").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select("gh")))
+      time(s"S stage2 sliver #$rep") {
+        // survivors WITHOUT the bloom (probe everything) — upper bound of
+        // the gram-string + window + rollup cost
+        val surv = posHS.select(col("doc_id"),
+          expr(s"array_join(slice(t, i + 1, $n), ' ')").as("gram"))
+        val g = surv.groupBy("gram", "doc_id").agg(count(lit(1)).as("m"))
+        val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+        noop(g.withColumn("tt", sum("m").over(byGram))
+          .where(col("tt") > 1)
+          .groupBy("doc_id").agg(sum("m").cast("long").as("dup_grams")))
+      }
+    }
+
+    // codegen-fallback isolation: explode a NATIVE array (sequence) vs the
+    // transform-computed ghs — same row counts, different codegen status
+    for (rep <- 1 to 3) {
+      time(s"C explode native sequence #$rep")(
+        noop(sdocs.select(explode(expr(
+          s"sequence(1, greatest(size(split(text, ' ')) - ${n - 1}, 0))")).as("i"))))
+      time(s"C explode ghs after checkpointed compute #$rep") {
+        val g = baseS.select(col("doc_id"), col("ghs")).localCheckpoint()
+        noop(g.select(explode(col("ghs")).as("gh")))
+      }
+    }
+
+    // NARROW generator variants: never carry the token array through
+    // the explode
+    for (rep <- 1 to 3) {
+      time(s"N stage1 narrow explode+agg #$rep") {
+        val gh1 = baseS.select(explode(col("ghs")).as("gh"))
+        noop(gh1.groupBy("gh").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select("gh"))
+      }
+      time(s"N narrow explode only #$rep")(
+        noop(baseS.select(explode(col("ghs")).as("gh"))))
+      time(s"N stage2 survivor-only gen #$rep") {
+        // emit (doc_id, gram) for surviving positions only, built inside
+        // the array domain (no per-position t copies). Stand-in survivor
+        // rule: gh % 23 == 0 (~4% — same order as the real dup sliver)
+        val surv = baseS.select(col("doc_id"), explode(expr(
+          s"""transform(
+             |  filter(sequence(1, size(ghs)),
+             |         i -> element_at(ghs, i) % 23 = 0),
+             |  i -> array_join(slice(t, i, $n), ' '))""".stripMargin)).as("gram"))
+        val g = surv.groupBy("gram", "doc_id").agg(count(lit(1)).as("m"))
+        val byGram = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+        noop(g.withColumn("tt", sum("m").over(byGram))
+          .where(col("tt") > 1)
+          .groupBy("doc_id").agg(sum("m").cast("long").as("dup_grams")))
+      }
+    }
+
     // -- current shape: xxhash64 over 13-token STRING slices
     val baseStr = docs.select(col("doc_id"), t.as("t"))
       .withColumn("ghs", expr(

@@ -247,6 +247,96 @@ object TokenSets {
   private def tokens(input: org.apache.spark.unsafe.types.UTF8String): Array[String] =
     input.toString.toLowerCase.split(" ", -1)
 
+  /** 64-bit fingerprint per n-token window over the RAW (case-preserved,
+    * `split(text, " ")`-aligned) token sequence — the dup-spans volume
+    * pass's gram keys (TextAnalysis.dupSpans). Per token one XXH64 over
+    * its UTF-8 bytes, per window an XXH64-chained fold of the n token
+    * hashes — equal token windows always fingerprint equal (the only
+    * property the caller needs: collisions/false-positives die in its
+    * exact string recount). Empty when the doc has < n tokens. */
+  def gramHashes(input: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val toks = input.toString.split(" ", -1) // exactly split(text, " ")
+    val m = toks.length - n + 1
+    if (m <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = xxh64(toks(i)); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 42L
+      var j = 0
+      while (j < n) {
+        acc = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(i + j), acc)
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** First-occurrence-distinct md5-prefix ids of the lowercased token set
+    * — the portable miners' engine-reproducible token hash
+    * (`conv(substring(md5(encode(t,'UTF-8')),1,hexLen),16,10)` rendered
+    * natively; first hexLen hex chars parsed base-16). The transform
+    * lambda this replaces was CodegenFallback (GramHashes doc). Order is
+    * first-occurrence like array_distinct; every consumer (minhash
+    * signature min-fold, simhash bit votes, set size) is order-free
+    * anyway. */
+  def md5Ids(input: org.apache.spark.unsafe.types.UTF8String, hexLen: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = tokens(input)
+    val seen = new java.util.HashSet[String]()
+    val buf = new Array[Long](toks.length)
+    var m = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        buf(m) = java.lang.Long.parseLong(md5hex(t).substring(0, hexLen), 16)
+        m += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m))
+  }
+
+  /** ALL n-token shingle strings (duplicates included, ' '-joined) of the
+    * lowercase-or-raw token sequence — the gram-string projection the
+    * novelty/collocation paths built with a CodegenFallback transform
+    * lambda + per-window slice allocations. Empty when tokens < n. */
+  def gramStrings(input: org.apache.spark.unsafe.types.UTF8String, n: Int,
+                  lower: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val raw = input.toString
+    val toks = (if (lower) raw.toLowerCase else raw).split(" ", -1)
+    val m = math.max(0, if (n == 1) toks.length else toks.length - n + 1)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    forEachItem(toks, n) { g =>
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(g); i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
+  /** Max multiplicity over the lowercased tokens — text_repetition's
+    * top-token share numerator, O(tokens) instead of the O(distinct ·
+    * tokens) filter-lambda scan. */
+  def topTokenCount(input: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val toks = tokens(input)
+    val counts = new java.util.HashMap[String, Int]()
+    var best = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** Visit every item (token or shingle), duplicates included. */
   private def forEachItem(toks: Array[String], n: Int)(f: String => Unit): Unit = {
     if (n == 1) {
@@ -359,6 +449,92 @@ case class TokenSetIds(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in =>
       s"${ev.value} = org.apache.spark.sql.graft.TokenSets.idsSorted($in, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-window n-gram fingerprints of the raw token sequence
+  * (TokenSets.gramHashes doc) — replaces the `transform(sequence(...),
+  * i -> xxhash64(slice(t, i, n)))` formulation whose higher-order
+  * function is CodegenFallback: the lambda broke whole-stage codegen for
+  * the ENTIRE scan→explode→aggregate pipeline of the dup-spans volume
+  * pass (measured 5× on the explode stage), and its per-window slice
+  * allocated a fresh 13-element array per position. One compiled call,
+  * O(tokens · n) long-mixing, zero per-window allocations. */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gram width must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.gramHashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenSets.gramHashes($in, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** First-occurrence-distinct md5-prefix ids of the lowercased token set
+  * (TokenSets.md5Ids doc — the portable miners' token hash, compiled). */
+case class TokenMd5Ids(child: Expression, hexLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(hexLen >= 1 && hexLen <= 15, "hex prefix must fit a signed long")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_md5_ids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.md5Ids(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], hexLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenSets.md5Ids($in, $hexLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All n-token shingle strings, duplicates included (TokenSets.gramStrings
+  * doc — the novelty/collocation gram projection, compiled). */
+case class TokenGrams(child: Expression, n: Int, lower: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gram width must be >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.gramStrings(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, lower)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenSets.gramStrings($in, $n, $lower);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Max multiplicity over the lowercased tokens (TokenSets.topTokenCount
+  * doc — text_repetition's numerator, compiled). */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.topTokenCount(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenSets.topTokenCount($in);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

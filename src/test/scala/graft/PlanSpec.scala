@@ -190,8 +190,10 @@ class PlanSpec extends AnyFunSuite {
   test("decontamination joins shingle IDS, never documents pairwise") {
     val p = plan(queries.PipelineQueries.decontaminate(spark, sf))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    // the equi-join key is the 64-bit shingle id, not the string
-    assert(p.contains("xxhash64"), p)
+    // the equi-join key is the 64-bit shingle id, not the string (r21:
+    // the ids come from the codegen'd token_set_ids — same xxhash64
+    // values, compiled instead of a transform lambda)
+    assert(p.contains("token_set_ids"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // map-side partial count
   }
 
@@ -214,9 +216,10 @@ class PlanSpec extends AnyFunSuite {
   test("dup-spans volume pass shuffles fingerprints, strings only post-probe") {
     val df = queries.TextQueries.textDupSpans(spark, sf)
     val p = plan(df)
-    // gram fingerprints exist (xxhash64 over the token window) and the
-    // Bloom probe sits in the plan as a scan-side filter
-    assert(p.contains("xxhash64"), p)
+    // gram fingerprints exist (the codegen'd gram_hashes window pass —
+    // r21; previously a transform+xxhash64 lambda) and the Bloom probe
+    // sits in the plan as a scan-side filter
+    assert(p.contains("gram_hashes"), p)
     assert(p.contains("bloom_might_contain_long"), p)
     // the gram STRING (array_join) is built only DOWNSTREAM of the probe:
     // in the tree string a parent (downstream op) prints above its child,
@@ -550,7 +553,10 @@ class PlanSpec extends AnyFunSuite {
   test("q1_rollup expands grouping sets in one pass (single Expand, one agg shuffle)") {
     val p = plan(RelationalQueries.q1Rollup(spark, sf))
     assert("ExpandExec|Expand".r.findAllIn(p).nonEmpty, p)
-    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    // count only ENSURE_REQUIREMENTS hash exchanges: the r21 Spread rule
+    // adds one REPARTITION_BY_COL input-balancing exchange at one-split
+    // gate scale (skipped on parallel inputs), which is not an agg shuffle
+    val hashEx = "hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).length
     assert(hashEx == 1, s"expected 1 agg exchange, got $hashEx\n$p")
   }
 

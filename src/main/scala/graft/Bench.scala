@@ -160,7 +160,9 @@ object Bench {
     val tMain = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = graft.tools.Sessions.local(cpus)
+    // input-sized session (Sessions.localSized doc): the initial shuffle
+    // partition count scales with the benched volume instead of a constant
+    val spark = graft.tools.Sessions.localSized(cpus, sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

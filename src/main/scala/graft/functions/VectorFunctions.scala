@@ -60,6 +60,11 @@ object VectorFunctions {
     GraftBridge.column(
       org.apache.spark.sql.graft.TokenGrams(GraftBridge.expression(text), n, lower))
 
+  /** Rolling character fingerprint (codegen'd; RollingFingerprint doc). */
+  def rollingFp(text: Column): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.graft.RollingFingerprint(GraftBridge.expression(text)))
+
   /** Max multiplicity over the lowercased tokens (codegen'd). */
   def topTokenCount(text: Column): Column =
     GraftBridge.column(

@@ -157,12 +157,12 @@ object TextAnalysis {
     * h ← (h·31 + code(c)) mod 2³², the classic Rabin–Karp shape. Kept in
     * Long arithmetic (31·2³² < 2⁶³) so both engines compute exactly. */
   def withFingerprint(docs: DataFrame): DataFrame =
+    // codegen'd rolling hash (r21): the per-character aggregate lambda
+    // was CodegenFallback; rollingFp computes the identical
+    // (h·31 + codepoint) mod 2³² fold (RollingFingerprint doc)
     docs.select(
       col("doc_id"),
-      aggregate(
-        split(col("text"), ""),
-        lit(0L),
-        (h, c) => pmod(h * 31 + ascii(c), lit(4294967296L))).as("fp"))
+      graft.functions.VectorFunctions.rollingFp(col("text")).as("fp"))
 
   /** Duplicated-span mass per document: the fraction of each doc's token
     * n-gram positions whose n-gram occurs more than once ANYWHERE in the

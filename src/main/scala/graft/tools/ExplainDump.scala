@@ -13,7 +13,7 @@ object ExplainDump {
     val suffix = if (args.nonEmpty) args.head else "after"
     val names = args.drop(1).toSeq
     require(names.nonEmpty, "usage: ExplainDump <suffix> <query> [query ...]")
-    val spark = Sessions.local(cpus).getOrCreate()
+    val spark = Sessions.localSized(cpus, sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     names.foreach { q =>

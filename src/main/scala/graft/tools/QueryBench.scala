@@ -14,7 +14,7 @@ object QueryBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_minhash_lsh")
-    val spark = Sessions.local(cpus)
+    val spark = Sessions.localSized(cpus, sfDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // code-warm at the smallest sf (Bench's discipline)

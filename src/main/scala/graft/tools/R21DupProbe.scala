@@ -13,7 +13,7 @@ object R21DupProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Sessions.local(cpus).getOrCreate()
+    val spark = Sessions.localSized(cpus, sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[A](name: String)(body: => A): A = {
       val t0 = System.nanoTime()

@@ -16,7 +16,7 @@ object R21Probe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sections = if (args.nonEmpty) args.toSet else Set("harness", "dupspans", "minhash")
-    val spark = Sessions.local(cpus).getOrCreate()
+    val spark = Sessions.localSized(cpus, sfDir).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def time[A](name: String)(body: => A): A = {

@@ -27,4 +27,34 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+
+  /** Input-SIZED local builder (r21, guide §2.2/VERDICT r20 #1): the
+    * initial shuffle-partition count derives from the INPUT VOLUME
+    * instead of the fixed 256 — ~one initial partition per 8 MB of
+    * source bytes, clamped to [cpus, 4096]. At 1× (≈15 MB) that is
+    * `cpus` — fewer M×R shuffle blocks and cheaper AQE replans per
+    * query; at the 100×/1000× probe scales it GROWS past the old
+    * constant (188, 1875), which is the direction the measured spill
+    * classes want (results_scale1000_text_r20: the granularity knob
+    * divides per-task state). AQE still coalesces to the 64 MB advisory
+    * target, so at every scale the post-coalesce layout is unchanged —
+    * the rule moves only the pre-coalesce granularity. */
+  def localSized(cpus: String, inputDir: String): SparkSession.Builder = {
+    val bytes = dirBytes(inputDir)
+    val want = math.max(1L, bytes / (8L << 20))
+    val cores = try cpus.toLong catch { case _: Exception => 4L }
+    val init = math.min(4096L, math.max(cores, want))
+    local(cpus).config(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", init.toString)
+  }
+
+  /** Total bytes of the regular files under `dir` (one level of table
+    * dirs — the testdata layout); 0 when unreadable, which falls back to
+    * the `cpus` floor. */
+  private def dirBytes(dir: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+    try sz(new java.io.File(dir)) catch { case _: Exception => 0L }
+  }
 }

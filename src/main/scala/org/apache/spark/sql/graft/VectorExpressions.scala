@@ -321,6 +321,22 @@ object TokenSets {
       out.asInstanceOf[Array[Any]])
   }
 
+  /** Rabin–Karp rolling fingerprint h ← (h·31 + codepoint) mod 2³² over
+    * the raw characters — text_fingerprint's hash, compiled (the
+    * aggregate-lambda it replaces interpreted per character). Matches
+    * `aggregate(split(text, ''), 0L, (h, c) -> pmod(h*31 + ascii(c),
+    * 2^32))` exactly: split('') yields one string per code point and
+    * ascii() returns its code point. */
+  def rollingFp(input: org.apache.spark.unsafe.types.UTF8String): Long = {
+    var h = 0L
+    val it = input.toString.codePoints().iterator()
+    while (it.hasNext) {
+      h = (h * 31 + it.nextInt()) % 4294967296L
+      if (h < 0) h += 4294967296L
+    }
+    h
+  }
+
   /** Max multiplicity over the lowercased tokens — text_repetition's
     * top-token share numerator, O(tokens) instead of the O(distinct ·
     * tokens) filter-lambda scan. */
@@ -516,6 +532,24 @@ case class TokenGrams(child: Expression, n: Int, lower: Boolean)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in =>
       s"${ev.value} = org.apache.spark.sql.graft.TokenSets.gramStrings($in, $n, $lower);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rolling character fingerprint (TokenSets.rollingFp doc). */
+case class RollingFingerprint(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fp"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenSets.rollingFp(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenSets.rollingFp($in);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -45,8 +45,14 @@ object BucketWriteProbe {
     // side can be measured at the 256-bucket local ceiling the §3k
     // 10,000× arithmetic leans on (pickBuckets sized the r19 run to 32 —
     // the band table's own rows, below the ceiling regime)
-    val buckets = sys.env.get("SPARK_GRAFT_BUCKETS").map(_.toInt)
-      .getOrElse(graft.sources.Bucketing.pickBuckets(spark, explodedRows))
+    // defensive parse (ADVICE r20): a typo ('256m', '') or non-positive
+    // value must fail naming the variable, not NumberFormatException into
+    // the CTAS (the isIvfPqDial discipline)
+    val buckets = sys.env.get("SPARK_GRAFT_BUCKETS").map { v =>
+      require(v.nonEmpty && v.forall(_.isDigit) && v.toLong > 0 && v.toLong <= 1000000,
+        s"SPARK_GRAFT_BUCKETS must be a positive integer, got '$v'")
+      v.toInt
+    }.getOrElse(graft.sources.Bucketing.pickBuckets(spark, explodedRows))
     val tbl = "graft_write_probe_minhash_bands"
 
     val spill = new ScaleBench.SpillListener

@@ -149,7 +149,10 @@ object ScaleBench {
     val probe = cells.select(col("n").as("np"), V.geoNeighborhood.as("c"))
       .select(col("np"), col("c.cl").as("cl"), col("c.co").as("co"))
     val inclSelf = probe.join(cells, Seq("cl", "co"))
-      .agg(sum(col("np") * col("n")).as("cand_incl_self"))
+      // coalesce (ADVICE r20): sum() over zero rows is NULL — an empty
+      // corpus must degrade the auditor to 0 candidates, not NPE the
+      // caller's getLong
+      .agg(coalesce(sum(col("np") * col("n")), lit(0L)).as("cand_incl_self"))
     // id_a ≠ id_b: every point meets itself once (its home cell is in its
     // own neighborhood) — subtract the total point count
     inclSelf.crossJoin(meta.agg(count(lit(1)).as("npts")))

@@ -176,7 +176,12 @@ class ScaleBenchSpec extends AnyFunSuite {
     // the probe exists to fix — falling back there would emit a
     // scale_ratio line byte-indistinguishable from an honest run
     val s = SparkTest.session
-    val bogus = "/tmp/graft-scale/v2/x3" // convention-matching, never built
+    // per-test temp root that still matches the .../graft-scale/v<N>/x<R>
+    // convention (ADVICE r20: the shared java.io.tmpdir path is the REAL
+    // scaleDir — a prior ScaleBench run at R=3 on the same box would make
+    // this suite fail spuriously)
+    val bogus = java.nio.file.Files.createTempDirectory("graft-spec")
+      .toString + "/graft-scale/v2/x3" // convention-matching, never built
     assert(!new java.io.File(s"$bogus/part_g.parquet/_SUCCESS").exists())
     val e = intercept[IllegalStateException] {
       ScaleBench.resolveQuery("er_fuzzy_parts_g")(s, bogus)

@@ -81,18 +81,33 @@ final class RamCorpus private (
       .take(k).toSeq
   }
 
-  /** |allowed|: one counting pass over the blocks (no Spark SQL job). */
+  /** Distinct-label histogram, computed ONCE at pin time (labels are a
+    * small enum by construction) — |allowed| for a label-local predicate
+    * is then a driver-side fold over ≤|labels| entries instead of a
+    * per-query block-scan job (r21: runMany paid one such job per
+    * filtered query). */
+  private lazy val labelHist: Map[Int, Long] =
+    blocks.sparkContext.runJob(blocks, (it: Iterator[RamCorpus.Block]) => {
+      val h = new java.util.HashMap[Int, Long]()
+      it.foreach { b =>
+        var r = 0
+        while (r < b.labels.length) {
+          h.merge(b.labels(r), 1L, (a, c) => a + c); r += 1
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      h.asScala.toMap
+    }).foldLeft(Map.empty[Int, Long]) { (acc, m) =>
+      m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.getOrElse(k, 0L) + v) }
+    }
+
+  /** |allowed| for a label-local predicate — exact (the predicate depends
+    * only on the label, so evaluating it per DISTINCT label over the
+    * histogram counts the same rows the per-row scan did). */
   def countAllowed(labelPred: Option[Int => Boolean]): Long = labelPred match {
     case None => total
     case Some(f) =>
-      blocks.sparkContext.runJob(blocks, (it: Iterator[RamCorpus.Block]) => {
-        var n = 0L
-        it.foreach { b =>
-          var r = 0
-          while (r < b.labels.length) { if (f(b.labels(r))) n += 1; r += 1 }
-        }
-        n
-      }).sum
+      labelHist.iterator.collect { case (l, n) if f(l) => n }.sum
   }
 
   /** Shared scorer: when `withPass` the heap ranks ALL rows and carries

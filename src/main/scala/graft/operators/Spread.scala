@@ -14,6 +14,10 @@ import org.apache.spark.sql.functions.col
   */
 object Spread {
   def apply(df: DataFrame, idCol: String): DataFrame = {
+    // pass through when the spread key is absent (spec fixtures project
+    // only the columns an operator reads — a tiny LocalRelation needs no
+    // spreading anyway)
+    if (!df.columns.contains(idCol)) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     // plan-side split estimate: leaf file count, no RDD lineage
     // materialized (df.rdd would eagerly build the conversion per call).

@@ -85,33 +85,55 @@ object Dedup {
   }
 
   /** Re-attach heavyweight per-doc columns to pruned id pairs; the
-    * smallSource dial picks the join strategy.
+    * smallSource dial picks the join SHAPE, size-adaptively (r22, the
+    * r21-drafted dial landed and measured):
     *
-    * ONE keyed join attaches BOTH sides (r21, guide §8): the pair melts
-    * to (pair, id) rows, joins the payload once, and folds back by pair —
-    * the two-sided join this replaces computed and shuffled the corpus
-    * payload TWICE (once per side); the fold-back shuffle carries
-    * candidate-pair payloads only, and pairs ≪ corpus by construction.
-    * Inner-join parity: callers' payloads cover every candidate id with
-    * non-null `cols` (they derive from the same docs), and the not-null
-    * guard preserves the exact inner-join row set regardless. */
+    *  - small corpus (file bytes < 16 MB — the gate/bench scale): TWO
+    *    per-side SHUFFLE_HASH joins. The payload is tiny, so computing it
+    *    twice is near-free, while the melt's fold-back groupBy exchange
+    *    (pairs exploded 2×, re-aggregated) dominated the r21 gate
+    *    profile (dedup_jaccard_mine 2.89 → 17.04 s on the driver box).
+    *  - big corpus: MELT — pairs melt to (pair, id) rows, the payload is
+    *    computed and shuffled ONCE, and folds back by pair (guide §8:
+    *    every shuffle but the last moves a lightweight proxy). The
+    *    fold-back shuffle carries candidate-pair payloads only, and
+    *    pairs ≪ corpus by construction — at 100 TB halving the corpus
+    *    tokenize+shuffle beats the extra pair-side exchange outright.
+    *
+    * Both shapes produce the identical row set: callers' payloads cover
+    * every candidate id (they derive from the same docs), and the
+    * not-null guard applies to both branches, so a pair with a null
+    * payload column drops either way. */
   private def withPayloads(pairs: DataFrame, docsPayload: DataFrame,
                            idCol: String, cols: Seq[String]): DataFrame = {
     val small = smallSource(docsPayload)
     val l = s"${idCol}_l"
     val r = s"${idCol}_r"
-    val melted = pairs.select(col(l), col(r),
-      explode(array(col(l), col(r))).as(idCol))
+    val notNullGuard = cols.map(c =>
+      col(s"${c}_l").isNotNull && col(s"${c}_r").isNotNull).reduce(_ && _)
+    val outCols = col(l) +: col(r) +:
+      cols.flatMap(c => Seq(col(s"${c}_l"), col(s"${c}_r")))
     val p0 = docsPayload.select(col(idCol) +: cols.map(col): _*)
-    val p = if (small) p0.hint("SHUFFLE_HASH") else p0
-    val joined = melted.join(p, idCol)
-    val sideAggs = cols.flatMap { c => Seq(
-      first(when(col(idCol) === col(l), col(c)), ignoreNulls = true).as(s"${c}_l"),
-      first(when(col(idCol) === col(r), col(c)), ignoreNulls = true).as(s"${c}_r"))
+    if (small) {
+      val pl = p0.select(col(idCol).as(l) +: cols.map(c => col(c).as(s"${c}_l")): _*)
+      val pr = p0.select(col(idCol).as(r) +: cols.map(c => col(c).as(s"${c}_r")): _*)
+      pairs.select(col(l), col(r))
+        .join(pl.hint("SHUFFLE_HASH"), Seq(l))
+        .join(pr.hint("SHUFFLE_HASH"), Seq(r))
+        .where(notNullGuard)
+        .select(outCols: _*)
+    } else {
+      val melted = pairs.select(col(l), col(r),
+        explode(array(col(l), col(r))).as(idCol))
+      val joined = melted.join(p0, idCol)
+      val sideAggs = cols.flatMap { c => Seq(
+        first(when(col(idCol) === col(l), col(c)), ignoreNulls = true).as(s"${c}_l"),
+        first(when(col(idCol) === col(r), col(c)), ignoreNulls = true).as(s"${c}_r"))
+      }
+      joined.groupBy(col(l), col(r)).agg(sideAggs.head, sideAggs.tail: _*)
+        .where(notNullGuard)
+        .select(outCols: _*)
     }
-    joined.groupBy(col(l), col(r)).agg(sideAggs.head, sideAggs.tail: _*)
-      .where(cols.map(c =>
-        col(s"${c}_l").isNotNull && col(s"${c}_r").isNotNull).reduce(_ && _))
   }
 
   /** Exact Jaccard from sorted token-id arrays:

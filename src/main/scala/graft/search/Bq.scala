@@ -119,13 +119,19 @@ object Bq {
   }
 
   /** Mtime-keyed per-corpus cache path (the Ivf/Pq/Sq.cached convention). */
+  // process-resident loaded models (Ivf.cached memo doc)
+  private val memo = new graft.MtimeCache[BqModel]
+
   def cached(spark: SparkSession, emb: DataFrame, corpusKey: String): BqModel = {
-    val n = emb.count()
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val srcMtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-bq/$key-n$n-m$srcMtime"
-    buildOrLoad(spark, emb, path)
+    def body = {
+      val n = emb.count()
+      val path = s"${sys.props("java.io.tmpdir")}/graft-bq/$key-n$n-m$srcMtime"
+      buildOrLoad(spark, emb, path)
+    }
+    if (srcMtime == 0L) body else memo(key, srcMtime)(body)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

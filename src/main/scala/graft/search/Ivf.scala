@@ -258,16 +258,26 @@ object Ivf {
     model.assign(batch).repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(s"$path/data")
 
+  // loaded models stay resident for the process (the reference keeps its
+  // FAISS index in memory after artifact load); without this every
+  // cached() call re-collected the centroids parquet — one job per call
+  private val memo = new graft.MtimeCache[IvfModel]
+
   def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
              maxIter: Int = 10, knownTotal: Option[Long] = None): IvfModel = {
-    val n = knownTotal.getOrElse(emb.count())
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     // newest source-file mtime: cheap (no Spark job), changes whenever
     // the corpus is rewritten
     val srcMtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$key-n$n-m$srcMtime-i$maxIter"
-    buildOrLoad(spark, emb, path, pickNlist(n), maxIter = maxIter)
+    def body = {
+      val n = knownTotal.getOrElse(emb.count())
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf/$key-n$n-m$srcMtime-i$maxIter"
+      buildOrLoad(spark, emb, path, pickNlist(n), maxIter = maxIter)
+    }
+    // mtime 0 = non-file source: no invalidation signal (and the on-disk
+    // path's row count is then the only discriminator) — bypass the memo
+    if (srcMtime == 0L) body else memo(s"$key-i$maxIter", srcMtime)(body)
   }
 }
 

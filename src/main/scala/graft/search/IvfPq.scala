@@ -308,17 +308,24 @@ object IvfPq {
   /** Mtime-keyed per-corpus cache (Ivf.cached convention): the composed
     * code table is persisted once per (corpus, params) and probed from
     * its list_id-partitioned on-disk layout by every later JVM. */
+  // process-resident loaded models (Ivf.cached memo doc)
+  private val memo = new graft.MtimeCache[IvfPqModel]
+
   def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
              ivf: IvfModel, pq: PqModel): IvfPqModel = {
-    val n = emb.count()
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val srcMtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    // nl (the IVF geometry) must key the cache too: the composed table's
-    // list_ids are ivf-model-specific, and reusing codes persisted against
-    // a differently-built IVF would probe wrong lists with no error
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq/$key-n$n-m$srcMtime-nl${ivf.centroids.length}-sub${pq.m}-k${pq.kCodes}"
-    buildOrLoad(spark, ivf, pq, path)
+    def body = {
+      val n = emb.count()
+      // nl (the IVF geometry) must key the cache too: the composed table's
+      // list_ids are ivf-model-specific, and reusing codes persisted against
+      // a differently-built IVF would probe wrong lists with no error
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpq/$key-n$n-m$srcMtime-nl${ivf.centroids.length}-sub${pq.m}-k${pq.kCodes}"
+      buildOrLoad(spark, ivf, pq, path)
+    }
+    if (srcMtime == 0L) body
+    else memo(s"$key-nl${ivf.centroids.length}-sub${pq.m}-k${pq.kCodes}", srcMtime)(body)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -233,10 +233,12 @@ object IvfPqRes {
   /** Mtime-keyed per-corpus cache (IvfPq.cached convention): the residual
     * code table persists once per (corpus, ivf-geometry, pq-params) and
     * every later JVM probes the list_id-partitioned on-disk layout. */
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, IvfPqResModel]()
+  // process-resident loaded models (Ivf.cached memo doc); mtime-guarded,
+  // so this subsumes the old path-keyed map WITHOUT the count() job the
+  // path's row-count component cost per call
+  private val memo = new graft.MtimeCache[IvfPqResModel]
 
   def cached(emb: DataFrame, corpusKey: String, ivf: IvfModel): IvfPqResModel = {
-    val n = emb.count()
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val mtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
@@ -244,9 +246,13 @@ object IvfPqRes {
     // build()'s defaults here, spelled out so the IvfPq.cached `-sub$m-k$k`
     // convention holds and a future non-default build can't alias this entry
     val mSub = Pq.pickM(ivf.centroids(0).length)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpqres/$key-n$n-m$mtime-nl${ivf.centroids.length}-sub$mSub-k256"
-    modelCache.computeIfAbsent(path,
-      _ => buildOrLoad(emb.sparkSession, ivf, path))
+    def body = {
+      val n = emb.count()
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivfpqres/$key-n$n-m$mtime-nl${ivf.centroids.length}-sub$mSub-k256"
+      buildOrLoad(emb.sparkSession, ivf, path)
+    }
+    if (mtime == 0L) body
+    else memo(s"$key-nl${ivf.centroids.length}-sub$mSub-k256", mtime)(body)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -261,15 +261,23 @@ object Pq {
   /** Mtime-keyed per-corpus cache path (same convention as Ivf.cached).
     * `m = 0` auto-sizes via [[pickM]]; the RESOLVED m names the path, so
     * corpora of different dimensions never share an index dir. */
+  // process-resident loaded models (Ivf.cached memo doc): the un-memoized
+  // form paid a count() + dim first() + codebook collect PER CALL
+  private val memo = new graft.MtimeCache[PqModel]
+
   def cached(spark: SparkSession, emb: DataFrame, corpusKey: String,
              m: Int = 0, kCodes: Int = 256): PqModel = {
-    val n = emb.count()
-    val m0 = if (m <= 0) pickM(emb.select(size(col("embedding"))).first().getInt(0)) else m
     val key = corpusKey.replaceAll("[^A-Za-z0-9.]", "_")
     val srcMtime = emb.inputFiles.map(f =>
       new java.io.File(new java.net.URI(f).getPath).lastModified()).foldLeft(0L)(math.max)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-pq/$key-n$n-m$srcMtime-sub$m0-k$kCodes"
-    buildOrLoad(spark, emb, path, m0, kCodes)
+    def body = {
+      val n = emb.count()
+      val m0 = if (m <= 0) pickM(emb.select(size(col("embedding"))).first().getInt(0)) else m
+      val path = s"${sys.props("java.io.tmpdir")}/graft-pq/$key-n$n-m$srcMtime-sub$m0-k$kCodes"
+      buildOrLoad(spark, emb, path, m0, kCodes)
+    }
+    // memo keys the REQUESTED m (same corpus+request resolves the same m0)
+    if (srcMtime == 0L) body else memo(s"$key-subreq$m-k$kCodes", srcMtime)(body)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

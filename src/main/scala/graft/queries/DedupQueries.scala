@@ -552,8 +552,15 @@ object DedupQueries {
     val batch = emb.where(pmod(col("vec_id"), lit(10)) === 0)
     val resident = emb.where(pmod(col("vec_id"), lit(10)) =!= 0)
     val model = semanticIncModelCache(d, Tables.sourceMtime(d, "embeddings")) {
-      graft.search.Ivf.build(resident,
-        graft.dedup.SemDedup.pickK(resident.count()))
+      // persist the trained quantizer on disk too (Ivf.cached discipline):
+      // a new JVM against an unchanged corpus loads the fit instead of
+      // re-running KMeans — same params, deterministic seed, same model
+      val n = resident.count()
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val mtime = Tables.sourceMtime(d, "embeddings")
+      val path = s"${sys.props("java.io.tmpdir")}/graft-ivf-semres/$key-n$n-m$mtime"
+      graft.search.Ivf.buildOrLoad(s, resident, path,
+        graft.dedup.SemDedup.pickK(n))
     }
     val rv = graft.dedup.SemDedup.verdictFor(
       graft.dedup.SemDedup.assignWith(model, resident), CosineTau)

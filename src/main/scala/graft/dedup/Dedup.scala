@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.operators.Pin.PinOps
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -309,7 +310,13 @@ object Dedup {
       maxBucket: Int = 10000,
       salt: Int = 8,
       subRows: Int = 4): DataFrame = {
-    val exploded = minhashBands(docs, bands, rows, seed, subRows)
+    // pin the slim banded table (r22): refineOversized reads it twice
+    // (bucket census + re-key join) and saltedPairs twice (both explode
+    // sides) — unpinned, the md5+minhash signature pass over the corpus
+    // text ran up to 4×. The banded table IS the persistable incremental
+    // state (minhashBands doc), so materializing it once is the
+    // production shape, and its rows are slim (5 narrow columns).
+    val exploded = minhashBands(docs, bands, rows, seed, subRows).pin()
     val bucketed = refineOversized(exploded, maxBucket)
     // slim candidate ids: size-band prune, then distinct (a pair may
     // collide in several bands), then re-join the token arrays
@@ -358,10 +365,14 @@ object Dedup {
         concat_ws("_", slice(col("sig"), bd * rows + 1, rows)
           .cast("array<string>")).as("key"))
     }
+    // pin (r22): the self-join reads the banded table twice — unpinned,
+    // the md5-id + 32-perm signature pass ran twice (minhashLshPairs'
+    // pin doc; same persistable-state rationale, same slim row)
     val exploded = base
       .withColumn("bk", explode(array(bandKeys: _*)))
       .select(col("doc_id"), col("n"),
         col("bk.band").as("band"), col("bk.key").as("key"))
+      .pin()
     val cand = exploded.as("a").join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -799,7 +810,7 @@ object Dedup {
     // without this the full pipeline would re-execute per use
     val raw = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .localCheckpoint()
+      .pin()
     if (raw.count() <= maxDriverEdges) {
       val es = raw.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -824,7 +835,7 @@ object Dedup {
       return spark.createDataset(rows).toDF("doc_id", "cluster_id").orderBy("doc_id")
     }
     val edges = raw.unionAll(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .pin()
     // overflow-safe monotone convergence witness: labels only ever
     // decrease, so the label sum is strictly decreasing until fixpoint —
     // one cheap aggregate per round instead of a join against the
@@ -835,7 +846,7 @@ object Dedup {
     // round 0 fused into the init: lbl = min(id, min neighbour)
     var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
-      .localCheckpoint()
+      .pin()
     // The label table is NODE-sized (the dup sliver) and its row count is
     // CONSTANT across iterations, while the edge side is 2|E|. Below the
     // broadcast budget, hint the label side of both per-iteration joins:
@@ -861,7 +872,7 @@ object Dedup {
         .select(col("a.id").as("id"), col("b.lbl").as("lbl"))
       val next = labels.unionAll(msgs).unionAll(jumped)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .pin()
       val s = checksum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -942,7 +953,7 @@ object Dedup {
             .where(col("doc_a") =!= col("doc_b"))
             .distinct()
           val qlab = clusters(contracted, maxDriverEdges = maxDriverEdges)
-            .localCheckpoint()
+            .pin()
           // the composition table scales with the QUOTIENT's node count
           // (the looser rung's contracted delta), not with nNodes — a
           // tiny tightest rung followed by a huge looser one would
@@ -964,7 +975,7 @@ object Dedup {
             .select(col("doc_id"),
               coalesce(col("super_id"), col("cluster_id")).as("cluster_id"))
         }
-      labels = next.localCheckpoint()
+      labels = next.pin()
       prevTau = t
       val r = labels.agg(
         countDistinct(col("cluster_id")).as("nc"),

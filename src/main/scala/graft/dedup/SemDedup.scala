@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.operators.Pin.PinOps
 import graft.functions.VectorFunctions.dot
 import graft.search.{Ivf, IvfModel}
 import org.apache.spark.sql.DataFrame
@@ -103,7 +104,7 @@ object SemDedup {
     * list_id, centroid_cos): within-cluster ≥τ pairs, component
     * resolution, keep rule. No presentation order (callers sort). */
   def verdictFor(assigned0: DataFrame, tau: Double): DataFrame = {
-    val assigned = assigned0.localCheckpoint() // three consumers below
+    val assigned = assigned0.pin() // three consumers below
 
     // within-cluster ≥τ pairs: the ONLY shuffle of the corpus (list_id
     // key); per-pair work is one codegen'd dot
@@ -152,7 +153,7 @@ object SemDedup {
   def appendVerdict(model: IvfModel, resident: DataFrame,
                     residentVerdict: DataFrame, batch: DataFrame,
                     tau: Double): DataFrame = {
-    val aBat = assignWith(model, batch).localCheckpoint()
+    val aBat = assignWith(model, batch).pin()
     val affected = aBat.select("list_id").distinct()
     val aRes = assignWith(model, resident)
     val recomputed = verdictFor(

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Pin.PinOps
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -73,7 +74,7 @@ object AnalyticsQueries {
                                        sortCols: Column*): DataFrame = {
     val parted = df.repartitionByRange(32, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .pin()
     val shard = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val local = parted.withColumn("__lrk", row_number().over(shard).cast("long"))
     val offW = graft.operators.BoundedWindow.keyed(col("__pid")).orderBy("__pid")
@@ -98,7 +99,7 @@ object AnalyticsQueries {
     val parted = df.repartitionByRange(32, (groupCol.asc +: sortCols): _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__grp", groupCol)
-      .localCheckpoint()
+      .pin()
     val shard = Window.partitionBy("__pid", "__grp").orderBy(sortCols: _*)
     val local = parted.withColumn("__lrk", row_number().over(shard).cast("long"))
     val offW = Window.partitionBy("__grp").orderBy("__pid")
@@ -776,7 +777,7 @@ object AnalyticsQueries {
       .where(col("w") >= greatest(lit(minSupport.toLong),
         expr(s"n_ok div $TriangleSupportDiv")))
       .select(col("a"), col("b"))
-      .localCheckpoint() // GC-cleaned, unlike per-call persist (see
+      .pin() // GC-cleaned, unlike per-call persist (see
                          // customerMigration's leak note)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -793,7 +794,7 @@ object AnalyticsQueries {
             col("da").as("ddeg"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
       // the wedge join reads the oriented edges three times — pin them too
-      .localCheckpoint()
+      .pin()
     val tri = eo.as("w1").join(eo.as("w2"),
         col("w1.src") === col("w2.src") &&
           (col("w1.ddeg") < col("w2.ddeg") ||
@@ -862,7 +863,7 @@ object AnalyticsQueries {
       .agg(sum(dec(col("l_extendedprice"))).cast("decimal(18,2)").as("rev"))
     val parted = rev.repartitionByRange(32, col("rev").desc, col("l_partkey"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .pin()
     val shard = Window.partitionBy("pid").orderBy(col("rev").desc, col("l_partkey"))
     val local = parted.withColumn("lcum", sum(col("rev")).over(shard))
     val offW = graft.operators.BoundedWindow.keyed(col("pid")).orderBy("pid")
@@ -997,7 +998,7 @@ object AnalyticsQueries {
       // the (year, part) aggregate (small by construction) instead of
       // re-running the fact-scale shuffle per consumer (r21, guide §2.4;
       // localCheckpoint, not persist — the customerMigration leak note)
-      .localCheckpoint()
+      .pin()
     val maxYr = rev.agg(max(col("yr")).as("y1"))
     // only the latest two years are ever read out of the ranking, and
     // within-year ranks are unaffected by dropping other years — rank the
@@ -1148,7 +1149,7 @@ object AnalyticsQueries {
       sum(when(col("day") > col("cutoff"), dec(col("o_totalprice"))))
         .cast("decimal(18,2)").as("mon1"),
       count(when(col("day") > col("cutoff"), lit(1))).as("n1"))
-      .localCheckpoint()
+      .pin()
     def quintiles(activeN: Column, mon: Column, out: String): DataFrame = {
       val h = halves.where(activeN > 0)
         .select(col("o_custkey"), mon.as("mon"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Pin.PinOps
 import graft.Tables
 import graft.dedup.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -931,7 +932,7 @@ object DedupQueries {
         col("a.doc_id") < col("b.doc_id"))
       .where(Dedup.jacPass(col("a.tsi"), col("b.tsi"), JaccardTau))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .localCheckpoint()
+      .pin()
     val idSet = sample.select(col("doc_id")).as[Long].collect().toSet
     def audit(method: String, found: DataFrame): DataFrame = {
       val f = found.select(col("doc_a"), col("doc_b"))

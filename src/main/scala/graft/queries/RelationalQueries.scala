@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Pin.PinOps
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1069,7 +1070,7 @@ object RelationalQueries {
     // pair-cache discipline).
     val parted = rev.repartitionByRange(32, col("rev"), col("o_custkey"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .pin()
     val shard = Window.partitionBy("pid").orderBy(col("rev"), col("o_custkey"))
     val local = parted.withColumn("lrk", row_number().over(shard).cast("long"))
     val offW = graft.operators.BoundedWindow.keyed(col("pid")).orderBy("pid")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Pin.PinOps
 import graft.Tables
 import graft.functions.VectorFunctions._
 import graft.search.{CosineLsh, Ivf, IvfModel, QuerySet, QueryVectors, VectorSearch}
@@ -398,7 +399,7 @@ object VectorQueries {
     // checkpoint the truth side (r21): each union branch otherwise embeds
     // its OWN copy of the exact pass — 5 corpus kNN scans for one sweep
     val exact = VectorSearch.knnJoin(emb(s, d), knnQueries, K)
-      .select("qid", "vec_id").localCheckpoint()
+      .select("qid", "vec_id").pin()
     val sweeps = Seq(1, 4, 8, 16, 32).map { np =>
       VectorSearch
         .recallAtK(model.searchMany(knnQueries, np, K).select("qid", "vec_id"), exact, K)
@@ -472,7 +473,7 @@ object VectorQueries {
     val bits = CosineLsh.pickBits(Tables.rowCount(s, d, "embeddings"))
     val tbls = CosineLsh.tables(QueryVectors.Dim, bits, nTables = 2)
     val exact = VectorSearch.topK(e, q0, K)
-      .select(lit(0L).as("qid"), col("vec_id")).localCheckpoint()
+      .select(lit(0L).as("qid"), col("vec_id")).pin()
     val settings = Seq((0, 1), (1, 1), (2, 1), (1, 2), (2, 2))
     settings.map { case (radius, t) =>
       val got = CosineLsh.searchMulti(e, q0, tbls.take(t), K, radius)
@@ -1081,7 +1082,7 @@ object VectorQueries {
     // checkpoint the truth side (r21): the 12 union branches otherwise
     // embed 12 copies of the exact corpus TakeOrdered
     val exact = VectorSearch.topK(emb(s, d), q0, K)
-      .select(lit(0L).as("qid"), col("vec_id")).localCheckpoint()
+      .select(lit(0L).as("qid"), col("vec_id")).pin()
     val shortlists = Seq(50, 100, 200, 500)
     val pqRows = shortlists.map { sl =>
       VectorSearch.recallAtK(

@@ -25,7 +25,9 @@ object BucketWriteProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val initParts = sys.env.get("SPARK_GRAFT_INIT_PARTS")
     val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB")
-    val builder = Sessions.local(cpus)
+    // the input-sized default rule (Sessions.localSized doc); env knobs
+    // below still override for A/Bs
+    val builder = Sessions.localSized(cpus, dir)
     initParts.foreach(p =>
       builder.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", p))
     advisoryMb.foreach(m =>
@@ -66,6 +68,35 @@ object BucketWriteProbe {
     val rows = spark.table(tbl).count()
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
 
+    // r22 (VERDICT r20 #3): the FACT-scale bucketed CTAS behind
+    // q9/q18_bucketed/bucketed_join — lineitem and orders distributed
+    // into `buckets` on the order key, the one-off ingest line the
+    // co-located join's deleted Exchange amortizes. Timed per table with
+    // the same spill accounting; opt in via SPARK_GRAFT_BUCKET_FACTS=1
+    // (the band line above stays the default so prior artifacts compare).
+    val factLines = if (sys.env.get("SPARK_GRAFT_BUCKET_FACTS").contains("1")) {
+      def f2l(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      Seq(("lineitem", graft.Tables.lineitem(spark, dir), "l_orderkey"),
+          ("orders", graft.Tables.orders(spark, dir), "o_orderkey")).map {
+        case (name, df, key) =>
+          val t = s"graft_write_probe_$name"
+          org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
+          spill.reset()
+          val w0 = System.nanoTime()
+          graft.sources.Bucketing.writeBucketed(df, t, Seq(key), buckets)
+          val wSec = (System.nanoTime() - w0) / 1e9
+          org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
+          val n = spark.table(t).count()
+          spark.sql(s"DROP TABLE IF EXISTS `$t`")
+          s""""$name":{"rows":$n,"write_sec":${f2l(wSec)},""" +
+            s""""spill_mem_mb":${spill.memSpill.get >> 20},""" +
+            s""""spill_disk_mb":${spill.diskSpill.get >> 20},""" +
+            s""""shuffle_mb":${spill.shuffleWrite.get >> 20}}"""
+      }
+    } else Nil
+    val factsJson =
+      if (factLines.isEmpty) "" else s""","facts":{${factLines.mkString(",")}}"""
+
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val cfg = (initParts.map(p => s""""init_parts":$p""") ++
       advisoryMb.map(m => s""""advisory_mb":$m""")).mkString(",")
@@ -74,7 +105,7 @@ object BucketWriteProbe {
       s"""{"metric":"bucket_write","buckets":$buckets,"rows":$rows,""" +
         s""""n_docs":$nDocs,"build_sec":${f2(buildSec)},"write_sec":${f2(writeSec)},""" +
         s""""spill_mem_mb":${spill.memSpill.get >> 20},"spill_disk_mb":${spill.diskSpill.get >> 20},""" +
-        s""""shuffle_mb":${spill.shuffleWrite.get >> 20}$cfgJson}"""
+        s""""shuffle_mb":${spill.shuffleWrite.get >> 20}$factsJson$cfgJson}"""
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     println(line)

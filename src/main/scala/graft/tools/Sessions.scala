@@ -39,19 +39,43 @@ object Sessions {
     * divides per-task state). AQE still coalesces to the 64 MB advisory
     * target, so at every scale the post-coalesce layout is unchanged —
     * the rule moves only the pre-coalesce granularity. */
-  def localSized(cpus: String, inputDir: String): SparkSession.Builder = {
-    val bytes = dirBytes(inputDir)
+  def localSized(cpus: String, inputDir: String): SparkSession.Builder =
+    localSizedBytes(cpus, dirBytes(inputDir))
+
+  /** [[localSized]] from a caller-supplied byte volume — for callers
+    * whose input does not exist yet at session-build time (ScaleBench
+    * sizes from base-dir bytes × replicas: the synthetic corpus is built
+    * INSIDE the session, so dirBytes on the scale dir would read 0 and
+    * silently hand a 15 GB probe the 15 MB config). */
+  def localSizedBytes(cpus: String, bytes: Long): SparkSession.Builder = {
     val want = math.max(1L, bytes / (8L << 20))
     val cores = try cpus.toLong catch { case _: Exception => 4L }
     val init = math.min(4096L, math.max(cores, want))
-    local(cpus).config(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum", init.toString)
+    // scan-split + advisory tiers (r22 — the second half of the sizing
+    // default, VERDICT r20 #1): the r20 1000× spill decomposition is a
+    // TWO-term budget — per-task state ≈ (split or advisory bytes) ×
+    // in-memory expansion (~10× for the gram/pair fan-outs) must stay
+    // under the per-slot execution budget. At the 15 GB probe the
+    // measured zero-spill knobs were 32 MB splits (scan term: text_novelty
+    // 99 GB → 0) and ~16 MB advisory with grown init (reduce term:
+    // text_dedup_spans 79 GB → 0, basket_pairs 341 GB → 0), shuffle
+    // byte-comparable throughout (results_scale1000_{text,tail}_r20).
+    // Tiers keep Spark defaults below 2 GB of input — the bench point is
+    // untouched — and step to the validated values as volume grows; on a
+    // cluster the same per-slot budget divides by executor count, so the
+    // rule errs smaller only where the local box is the constraint.
+    val mpMb = if (bytes < (2L << 30)) 128L else if (bytes < (8L << 30)) 64L else 32L
+    val advMb = if (bytes < (2L << 30)) 64L else if (bytes < (8L << 30)) 32L else 16L
+    local(cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", init.toString)
+      .config("spark.sql.files.maxPartitionBytes", s"${mpMb}m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${advMb}m")
   }
 
   /** Total bytes of the regular files under `dir` (one level of table
     * dirs — the testdata layout); 0 when unreadable, which falls back to
     * the `cpus` floor. */
-  private def dirBytes(dir: String): Long = {
+  private[tools] def dirBytes(dir: String): Long = {
     def sz(f: java.io.File): Long =
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)

@@ -38,43 +38,85 @@ case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
+  /** The PARTIAL pass runs below the exchange (map-side, like a partial
+    * aggregate): each map task keeps its own bounded heaps and ships at
+    * most (keys-in-task × k) rows into the shuffle instead of every
+    * candidate row — top-k is mergeable, so the final clustered pass
+    * re-selects the identical survivors. Per-task state is bounded by
+    * [[TopKPerKeyExec.FlushRowsConf]]: past the budget the current heaps
+    * flush downstream and restart (emitting extra candidates is always
+    * safe — the final pass filters). */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keysLocal = keys
     val orderLocal = order
     val schema = child.output
     val kLocal = k
+    val flushRows: Long =
+      if (partial)
+        conf.getConfString(TopKPerKeyExec.FlushRowsConf, "1048576").toLong
+      else Long.MaxValue
     child.execute().mapPartitionsInternal { it =>
       val keyProj = UnsafeProjection.create(keysLocal, schema)
       // "largest" under this ordering = the WORST kept row → heap head
       val rowOrd = new LazilyGeneratedOrdering(orderLocal, schema)
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       val cmp = new java.util.Comparator[UnsafeRow] {
         // reversed: priority queue head = max = worst-ranked row
         def compare(a: UnsafeRow, b: UnsafeRow): Int = rowOrd.compare(b, a)
       }
-      it.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, cmp)
-          heaps.put(key.copy(), heap)
+      new scala.collection.AbstractIterator[InternalRow] {
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        private var entries = 0L
+        private var out: java.util.Iterator[UnsafeRow] =
+          java.util.Collections.emptyIterator()
+
+        private def drain(): Unit = {
+          val buf = new java.util.ArrayList[UnsafeRow](
+            math.max(16, math.min(entries, Int.MaxValue / 2L).toInt))
+          val hs = heaps.values().iterator()
+          while (hs.hasNext) {
+            val h = hs.next().iterator()
+            while (h.hasNext) buf.add(h.next())
+          }
+          heaps.clear()
+          entries = 0L
+          out = buf.iterator()
         }
-        if (heap.size < kLocal) {
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
-        } else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
+
+        private def fill(): Unit = {
+          while (!out.hasNext && (it.hasNext || entries > 0)) {
+            while (it.hasNext && entries < flushRows) {
+              val row = it.next()
+              val key = keyProj(row)
+              var heap = heaps.get(key)
+              if (heap == null) {
+                heap = new java.util.PriorityQueue[UnsafeRow](kLocal + 1, cmp)
+                heaps.put(key.copy(), heap)
+              }
+              if (heap.size < kLocal) {
+                heap.add(row.asInstanceOf[UnsafeRow].copy())
+                entries += 1
+              } else if (rowOrd.compare(row, heap.peek()) < 0) {
+                heap.poll()
+                heap.add(row.asInstanceOf[UnsafeRow].copy())
+              }
+            }
+            drain()
+          }
         }
+
+        override def hasNext: Boolean = { fill(); out.hasNext }
+        override def next(): InternalRow = { fill(); out.next() }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
     }
   }
 
@@ -82,11 +124,23 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
-/** Planner strategy mapping the logical node to the exec node. */
+object TopKPerKeyExec {
+  /** Per-map-task heap-entry budget of the partial pass (rows held at
+    * once; UnsafeRow copies, so the byte bound is rows × row width).
+    * Flushing early never changes results — the final pass re-selects. */
+  val FlushRowsConf = "spark.graft.topKPartialFlushRows"
+}
+
+/** Planner strategy mapping the logical node to partial + final exec
+  * nodes (the partial-aggregate shape, r22 / VERDICT r20 #2): the
+  * partial pass bounds what crosses the exchange to keys×k rows per map
+  * task, so per-key candidate volume divides with map parallelism
+  * instead of concentrating on the reduce side. */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

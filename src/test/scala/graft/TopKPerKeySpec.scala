@@ -55,4 +55,42 @@ class TopKPerKeySpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet
     assert(got == Set((1L, 1.0), (2L, 9.0)))
   }
+
+  test("partial pass runs below the exchange and bounds shuffled rows") {
+    val df = TopKPerKey(scored, Seq(col("qid")), Seq(desc("score"), col("vec_id")), 5)
+    val p = df.queryExecution.executedPlan.toString
+    // two TopKPerKey nodes with the exchange between them — the
+    // partial-aggregate shape (r22): map-side heaps cut what crosses the
+    // shuffle to keys×k rows per map task
+    val first = p.indexOf("TopKPerKey [")
+    val second = p.indexOf("TopKPerKey [", first + 1)
+    assert(first >= 0 && second > first, s"expected partial+final nodes:\n$p")
+    val ex = p.indexOf("Exchange", first)
+    assert(ex > first && ex < second, s"expected Exchange between the two passes:\n$p")
+  }
+
+  test("partial flush budget never changes results") {
+    val prev = spark.conf.getOption(
+      org.apache.spark.sql.graft.TopKPerKeyExec.FlushRowsConf)
+    // 7 rows: several flushes per task — the early-emit path must still
+    // agree with the window baseline exactly
+    spark.conf.set(org.apache.spark.sql.graft.TopKPerKeyExec.FlushRowsConf, "7")
+    try {
+      val got = TopKPerKey(scored, Seq(col("qid")), Seq(desc("score"), col("vec_id")), 5)
+        .select("qid", "vec_id", "score")
+        .as[(Long, Long, Double)].collect().toSet
+      val w = Window.partitionBy("qid").orderBy(desc("score"), col("vec_id"))
+      val want = scored.withColumn("r", row_number().over(w)).where(col("r") <= 5)
+        .select("qid", "vec_id", "score")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          org.apache.spark.sql.graft.TopKPerKeyExec.FlushRowsConf, v)
+        case None => spark.conf.unset(
+          org.apache.spark.sql.graft.TopKPerKeyExec.FlushRowsConf)
+      }
+    }
+  }
 }
